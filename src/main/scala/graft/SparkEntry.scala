@@ -1,13 +1,62 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Thin registry only; engine code lives in graft.queries / graft.engine.
+  * Every key in [[queries]] has a matching DuckDB statement in [[oracleSql]]
+  * unless the operator is not SQL-expressible (SURVEY.md §2.5).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query (TPC-H Q5 five-way join) on /root/testdata/sf0.001;
+    * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Relational1.q10(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2.2/§2.5. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project"         -> (Relational1.q01 _),
+    "q02_filter_pushdown"      -> (Relational1.q02 _),
+    "q03_filter_complex"       -> (Relational1.q03 _),
+    "q04_join_inner"           -> (Relational1.q04 _),
+    "q05_join_broadcast"       -> (Relational1.q05 _),
+    "q06_join_left_histogram"  -> (Relational1.q06 _),
+    "q07_join_semi"            -> (Relational1.q07 _),
+    "q08_join_anti"            -> (Relational1.q08 _),
+    "q09_join_range_pairs"     -> (Relational1.q09 _),
+    "q10_join_multiway_tpch_q5" -> (Relational1.q10 _),
+    "q11_join_asof_prior"      -> (Relational1.q11 _),
+    "q12_agg_tpch_q1"          -> (Relational1.q12 _),
+    "q13_agg_count_distinct"   -> (Relational1.q13 _),
+    "q14_agg_rollup"           -> (Relational1.q14 _),
+    "q15_agg_cube"             -> (Relational1.q15 _),
+    "q16_agg_grouping_sets"    -> (Relational1.q16 _),
+    "q17_agg_having"           -> (Relational1.q17 _),
+    "q18_agg_stats"            -> (Relational1.q18 _),
+    "q19_window_rank"          -> (Relational2.q19 _),
+    "q20_window_topk_group"    -> (Relational2.q20 _),
+    "q21_window_lag_delta"     -> (Relational2.q21 _),
+    "q22_window_moving_rows"   -> (Relational2.q22 _),
+    "q23_window_range_interval" -> (Relational2.q23 _),
+    "q24_topk_global"          -> (Relational2.q24 _),
+    "q25_set_union_all"        -> (Relational2.q25 _),
+    "q26_set_intersect"        -> (Relational2.q26 _),
+    "q27_set_except"           -> (Relational2.q27 _),
+    "q28_string_funcs"         -> (Relational2.q28 _),
+    "q29_date_funcs"           -> (Relational2.q29 _),
+    "q30_math_funcs"           -> (Relational2.q30 _),
+    "q31_conditional_funcs"    -> (Relational2.q31 _),
+    "q32_json_extract"         -> (Relational2.q32 _),
+    "q33_array_funcs"          -> (Relational2.q33 _),
+    "q34_explode_posexplode"   -> (Relational2.q34 _),
+    "q35_window_tumbling"      -> (Temporal.q35 _),
+    "q36_window_sliding"       -> (Temporal.q36 _),
+    "q37_sessionize_gap"       -> (Temporal.q37 _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+
+/** q01–q18: scans, filters, joins, aggregations.
+  *
+  * Determinism protocol (SURVEY.md §7.4): every query ends in a total ORDER BY;
+  * money-like doubles are summed as DECIMAL(18,2) (exact, order-independent);
+  * counts are BIGINT. Scale notes per query explain why the plan survives a
+  * 1000-executor / 100 TB deployment.
+  */
+object Relational1 {
+  private val dec = DecimalType(18, 2)
+
+  /** q01: projection + global sort. Scan reads only 4 columns (column pruning
+    * reaches the parquet scan); sort is a range-partitioned exchange — scales
+    * linearly, no single-node bottleneck. */
+  def q01(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q02: TPC-H Q6 shape. All three predicates push down to the parquet scan
+    * (PushedFilters); single partial+final agg, no shuffle of raw rows. */
+  def q02(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+              col("l_shipdate") <  lit("1996-01-01").cast(TimestampType) &&
+              col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec)).as("revenue"))
+
+  /** q03: complex boolean predicate mix; pushes the supported conjuncts down,
+    * evaluates the rest in codegen'd Filter. */
+  def q03(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter((col("o_orderpriority").isin("1-URGENT", "2-HIGH") ||
+               col("o_totalprice").between(50000, 100000)) &&
+              !col("o_orderstatus").like("P%"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
+  /** q04: fact-fact join on custkey. At 100 TB this is a shuffle join on the
+    * join key — partial aggregation after the join keeps the exchange to the
+    * 5-row group set. */
+  def q04(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice").cast(dec)).as("total"))
+      .orderBy("c_mktsegment")
+
+  /** q05: dimension join — `part` is explicitly broadcast so the 100 TB
+    * lineitem side never shuffles. */
+  def q05(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast(dec)).as("qty"))
+      .orderBy("p_brand")
+
+  /** q06: left outer join preserving 0-order customers, double aggregation. */
+  def q06(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"), "left_outer")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+    perCust.groupBy("n_orders").agg(count(lit(1)).as("n_customers")).orderBy("n_orders")
+  }
+
+  /** q07: left semi join — never materializes matched orders, only existence. */
+  def q07(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** q08: left anti join (o_custkey is non-null in the data, so this matches
+    * the oracle's NOT IN exactly). */
+  def q08(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** q09: equi+range self-join. The equi key (user_id) drives the shuffle;
+    * the range predicate is evaluated post-match. AQE skew-join splits hot
+    * users at scale. */
+  def q09(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val a = e.select(col("user_id"), col("ts").as("a_ts"))
+    val b = e.select(col("user_id").as("b_uid"), col("ts").as("b_ts"))
+    a.join(b, col("user_id") === col("b_uid") &&
+              col("b_ts") > col("a_ts") &&
+              col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy("user_id").agg(count(lit(1)).as("pairs"))
+      .orderBy("user_id")
+  }
+
+  /** q10: TPC-H Q5 shape (flagship). nation/region are broadcast; the
+    * customer⋈orders⋈lineitem chain shuffles on its keys; Catalyst+AQE pick
+    * broadcast vs SMJ per side from runtime stats. */
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))).as("revenue"))
+      .orderBy("n_name")
+
+  /** q11: as-of ("latest strictly-earlier click") expressed as equi-join +
+    * max — the portable formulation the oracle can mirror; the shuffle is on
+    * user_id and the aggregate collapses each purchase to one row. */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"))
+    p.join(c, col("user_id") === col("c_uid") && col("c_ts") < col("p_ts"))
+      .groupBy("event_id").agg(max(unix_micros(col("c_ts"))).as("prior_click_us"))
+      .orderBy("event_id")
+  }
+
+  /** q12: TPC-H Q1 pricing summary — partial+final hash agg; 6 groups means
+    * the exchange moves only 6×partitions rows. [M1 minimum slice] */
+  def q12(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(dec)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).as("sum_base"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))).as("sum_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q13: exact distinct aggregation (expand + two-phase agg under the hood). */
+  def q13(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("dcust"), count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+
+  /** q14: rollup with COALESCE-labeled subtotals (no GROUPING() in output —
+    * bitmask layouts differ across engines). */
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(col("c_custkey")).as("n_cust"), sum(col("c_acctbal").cast(dec)).as("bal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+              coalesce(col("n_name"), lit("ALL")).as("nation"),
+              col("n_cust"), col("bal"))
+      .orderBy("region", "nation")
+
+  /** q15: cube over the 3×2 flag space. */
+  def q15(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+              col("cnt"))
+      .orderBy("rf", "ls")
+
+  /** q16: explicit grouping sets via the Dataset API (Spark 4). */
+  def q16(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupingSets(Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey")), Seq()),
+                    col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+              coalesce(col("c_nationkey"), lit(-1)).cast(LongType).as("nat"),
+              col("cnt"))
+      .orderBy("seg", "nat")
+
+  /** q17: HAVING = filter over the aggregate. */
+  def q17(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy("p_type").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 20)
+      .orderBy("p_type")
+
+  /** q18: statistical aggregates, rounded 4dp (irreducible float — §7.4.2). */
+  def q18(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(round(min(col("c_acctbal")).cast(DoubleType), 4).as("mn"),
+           round(max(col("c_acctbal")).cast(DoubleType), 4).as("mx"),
+           round(avg(col("c_acctbal")).cast(DoubleType), 4).as("av"),
+           round(stddev_samp(col("c_acctbal")).cast(DoubleType), 4).as("sd"))
+      .orderBy("c_mktsegment")
+}
