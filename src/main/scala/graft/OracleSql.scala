@@ -13,7 +13,7 @@ object OracleSql {
   val relational: Map[String, String] = Map(
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
     "q02_filter_pushdown" ->
       """SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue
@@ -190,7 +190,8 @@ object OracleSql {
         |       ROUND(SQRT(l_extendedprice),6) AS sq, ROUND(LN(l_extendedprice),6) AS lg,
         |       ROUND(POW(l_tax + 1, 2),6) AS pw,
         |       CAST(CAST(l_orderkey AS BIGINT) % 7 AS BIGINT) AS md
-        |FROM lineitem WHERE l_orderkey < 1000 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber, a, c, f, sq, lg, pw, md""".stripMargin,
 
     "q31_conditional_funcs" ->
       """SELECT c_custkey,
@@ -245,5 +246,5 @@ object OracleSql {
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
   )
 
-  def all: Map[String, String] = relational
+  def all: Map[String, String] = relational ++ OracleSqlMl.all
 }

@@ -1,0 +1,190 @@
+package graft
+
+/** DuckDB oracle SQL for the ML surface (q38–q43) and LLM-pipeline extensions
+  * (q44–q49). q40–q43 share the ML_CTE prefix (FIXTURES.md §5): labeled
+  * lineitem rows with argmax fuzzy labels, ≥-chains so ties resolve to the
+  * lowest label index — the same convention ChiCore.argmaxLabel encodes.
+  * Float parity notes: per-term weights ROUND(...,12) → DECIMAL(38,12) sums;
+  * vector kernels spell squares as x*x (not pow) so both engines run the
+  * identical IEEE multiply.
+  */
+object OracleSqlMl {
+
+  private val mlCte =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity AS x1, l_discount AS x2,
+      |         CASE WHEN l_extendedprice > 95000 THEN 1 ELSE 0 END AS cls
+      |  FROM lineitem),
+      |costs AS (
+      |  SELECT MAX(CASE WHEN cls=1 THEN c END) AS c1,
+      |         MAX(CASE WHEN cls=0 THEN c END) AS c0 FROM (
+      |    SELECT cls, CASE WHEN n = MIN(n) OVER () THEN MAX(n) OVER () * 1.0 / n
+      |                     ELSE 1.0 END AS c
+      |    FROM (SELECT cls, COUNT(*) AS n FROM base GROUP BY cls))),
+      |lab AS (
+      |  SELECT *,
+      |    CASE WHEN GREATEST(0,1-ABS(x1-1.0)/24.5) >= GREATEST(0,1-ABS(x1-25.5)/24.5)
+      |          AND GREATEST(0,1-ABS(x1-1.0)/24.5) >= GREATEST(0,1-ABS(x1-50.0)/24.5) THEN 0
+      |         WHEN GREATEST(0,1-ABS(x1-25.5)/24.5) >= GREATEST(0,1-ABS(x1-50.0)/24.5) THEN 1
+      |         ELSE 2 END AS a1,
+      |    CASE WHEN GREATEST(0,1-ABS(x2-0.0)/0.05) >= GREATEST(0,1-ABS(x2-0.05)/0.05)
+      |          AND GREATEST(0,1-ABS(x2-0.0)/0.05) >= GREATEST(0,1-ABS(x2-0.1)/0.05) THEN 0
+      |         WHEN GREATEST(0,1-ABS(x2-0.05)/0.05) >= GREATEST(0,1-ABS(x2-0.1)/0.05) THEN 1
+      |         ELSE 2 END AS a2
+      |  FROM base)""".stripMargin
+
+  /** Per-(example l × candidate a) cost-weighted matching degree, exact. */
+  private val wTerm =
+    """CAST(ROUND(
+      |      (CASE WHEN l.cls=1 THEN (SELECT c1 FROM costs) ELSE (SELECT c0 FROM costs) END)
+      |    * GREATEST(0,1-ABS(l.x1 - (CASE a.a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)
+      |    * GREATEST(0,1-ABS(l.x2 - (CASE a.a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05),
+      |    12) AS DECIMAL(38,12))""".stripMargin
+
+  private val ruleBaseCtes =
+    s"""$mlCte,
+       |ants AS (SELECT DISTINCT a1, a2, cls FROM lab),
+       |m AS (
+       |  SELECT a.a1, a.a2, a.cls AS rule_cls,
+       |    SUM(CASE WHEN l.cls = a.cls THEN $wTerm END) AS w_match,
+       |    SUM($wTerm) AS w_all
+       |  FROM ants a CROSS JOIN lab l GROUP BY a.a1, a.a2, a.cls),
+       |rw AS (SELECT a1, a2, rule_cls,
+       |              CAST(ROUND(2*w_match - w_all, 6) AS DOUBLE)/CAST(ROUND(w_all, 6) AS DOUBLE) AS rw
+       |       FROM m WHERE w_all > 0),
+       |rb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY a1,a2
+       |                                    ORDER BY rw DESC, rule_cls) AS rn FROM rw)""".stripMargin
+
+  // Classification is per DISTINCT feature vector with multiplicity m:
+  // (l_orderkey, l_linenumber) is not unique in lineitem, so a per-"row"
+  // window would merge different examples and order cross-example score ties
+  // arbitrarily. Identical vectors classify identically, so weighting by m
+  // preserves per-row confusion counts exactly.
+  private val classifyCtes =
+    s"""$ruleBaseCtes,
+       |final_rb AS (SELECT a1, a2, rule_cls, rw FROM rb WHERE rn=1 AND rw > 0),
+       |gex AS (SELECT x1, x2, cls, COUNT(*) AS m FROM lab GROUP BY x1, x2, cls),
+       |scored AS (
+       |  SELECT g.x1, g.x2, g.cls AS actual, g.m, r.rule_cls,
+       |    ROUND(GREATEST(0,1-ABS(g.x1 - (CASE r.a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)
+       |        * GREATEST(0,1-ABS(g.x2 - (CASE r.a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05)
+       |        * r.rw, 12) AS score
+       |  FROM gex g CROSS JOIN final_rb r),
+       |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY x1, x2, actual
+       |                                      ORDER BY score DESC, rule_cls) AS rn FROM scored)""".stripMargin
+
+  val ml: Map[String, String] = Map(
+    "q38_ml_class_costs" ->
+      """WITH lab AS (SELECT CASE WHEN l_extendedprice > 95000 THEN 1 ELSE 0 END AS cls
+        |             FROM lineitem),
+        |cnt AS (SELECT cls, COUNT(*) AS n FROM lab GROUP BY cls)
+        |SELECT CAST(cls AS BIGINT) AS cls, n,
+        |       ROUND(CAST(CASE WHEN n = (SELECT MIN(n) FROM cnt)
+        |                       THEN (SELECT MAX(n) FROM cnt) * 1.0 / (SELECT MIN(n) FROM cnt)
+        |                       ELSE 1.0 END AS DOUBLE),6) AS cost
+        |FROM cnt ORDER BY cls""".stripMargin,
+
+    "q39_ml_fuzzy_membership" ->
+      """WITH p AS (SELECT l_orderkey, l_linenumber, l_quantity AS x1, l_discount AS x2
+        |           FROM lineitem WHERE l_orderkey < 100)
+        |SELECT l_orderkey, l_linenumber,
+        |  ROUND(GREATEST(0, 1 - ABS(x1 - 1.0)/24.5),6)  AS q_lo,
+        |  ROUND(GREATEST(0, 1 - ABS(x1 - 25.5)/24.5),6) AS q_mid,
+        |  ROUND(GREATEST(0, 1 - ABS(x1 - 50.0)/24.5),6) AS q_hi,
+        |  ROUND(GREATEST(0, 1 - ABS(x2 - 0.0)/0.05),6)  AS d_lo,
+        |  ROUND(GREATEST(0, 1 - ABS(x2 - 0.05)/0.05),6) AS d_mid,
+        |  ROUND(GREATEST(0, 1 - ABS(x2 - 0.1)/0.05),6)  AS d_hi
+        |FROM p ORDER BY l_orderkey, l_linenumber, x1, x2""".stripMargin,
+
+    "q40_ml_chi_rulegen" ->
+      s"""$mlCte
+         |SELECT CAST(a1 AS BIGINT) AS a1, CAST(a2 AS BIGINT) AS a2,
+         |       CAST(cls AS BIGINT) AS cls, COUNT(*) AS n
+         |FROM lab GROUP BY a1,a2,cls ORDER BY a1,a2,cls""".stripMargin,
+
+    "q41_ml_chi_rule_weights" ->
+      s"""$ruleBaseCtes
+         |SELECT CAST(a1 AS BIGINT) AS a1, CAST(a2 AS BIGINT) AS a2,
+         |       CAST(rule_cls AS BIGINT) AS cls, ROUND(rw,6) AS rw
+         |FROM rb WHERE rn=1 AND rw > 0 ORDER BY a1, a2""".stripMargin,
+
+    "q42_ml_chi_classify" ->
+      s"""$classifyCtes
+         |SELECT CAST(actual AS BIGINT) AS actual, CAST(rule_cls AS BIGINT) AS predicted,
+         |       CAST(SUM(m) AS BIGINT) AS n
+         |FROM best WHERE rn=1 GROUP BY actual, rule_cls ORDER BY actual, predicted""".stripMargin,
+
+    "q43_ml_metrics" ->
+      s"""$classifyCtes,
+         |win AS (SELECT actual, rule_cls, m FROM best WHERE rn=1),
+         |cm AS (SELECT
+         |  SUM(CASE WHEN actual=1 AND rule_cls=1 THEN m ELSE 0 END) AS tp,
+         |  SUM(CASE WHEN actual=0 AND rule_cls=0 THEN m ELSE 0 END) AS tn,
+         |  SUM(CASE WHEN actual=0 AND rule_cls=1 THEN m ELSE 0 END) AS fp,
+         |  SUM(CASE WHEN actual=1 AND rule_cls=0 THEN m ELSE 0 END) AS fn
+         |  FROM win)
+         |SELECT ROUND((tp+tn)*1.0/(tp+tn+fp+fn),6) AS accuracy,
+         |       ROUND(tp*1.0/(tp+fn),6) AS tpr,
+         |       ROUND(tn*1.0/(tn+fp),6) AS tnr,
+         |       ROUND(SQRT((tp*1.0/(tp+fn))*(tn*1.0/(tn+fp))),6) AS gm,
+         |       ROUND((1 + tp*1.0/(tp+fn) - fp*1.0/(fp+tn))/2,6) AS auc
+         |FROM cm""".stripMargin
+  )
+
+  val llm: Map[String, String] = Map(
+    "q44_dedup_exact" ->
+      """SELECT LOWER(text) AS norm, MIN(doc_id) AS rep, COUNT(*) AS n
+        |FROM documents GROUP BY norm ORDER BY rep""".stripMargin,
+
+    "q45_similarity_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sims AS (SELECT e.vec_id,
+        |  CAST(ROUND(
+        |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |              FOR i IN generate_series(1,64)]) /
+        |    (SQRT(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |                    FOR i IN generate_series(1,64)])) *
+        |     SQRT(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |                    FOR i IN generate_series(1,64)]))),
+        |  6) AS DOUBLE) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, cos FROM sims ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q46_knn_label_vote" ->
+      """WITH d AS (SELECT a.vec_id AS qid, b.vec_id AS nid, b.label,
+        |  ROUND(list_sum([(CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+        |                * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+        |                  FOR i IN generate_series(1,64)]),6) AS d2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id WHERE a.vec_id < 100),
+        |nn    AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn FROM d),
+        |votes AS (SELECT qid, label, COUNT(*) AS v FROM nn WHERE rn <= 5 GROUP BY qid, label),
+        |win   AS (SELECT qid, label,
+        |                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY v DESC, label) AS rn
+        |          FROM votes)
+        |SELECT qid AS vec_id, CAST(label AS BIGINT) AS predicted FROM win WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    "q47_text_tokenize_topk" ->
+      """SELECT tok, COUNT(*) AS n
+        |FROM (SELECT UNNEST(string_split(LOWER(text),' ')) AS tok FROM documents)
+        |WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+    "q48_text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(LOWER(text),' ')) AS tok FROM documents),
+        |tf  AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+        |df  AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+        |n   AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.tok, ROUND(tf.tf * LN(n.n * 1.0 / df.df), 6) AS tfidf
+        |           FROM tf JOIN df USING (tok) CROSS JOIN n WHERE tf.doc_id < 50),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                      ORDER BY tfidf DESC, tok) AS rn FROM scored)
+        |SELECT doc_id, tok, tfidf FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q49_text_lang_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       ROUND(AVG(n_chars),4) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  )
+
+  def all: Map[String, String] = ml ++ llm
+}

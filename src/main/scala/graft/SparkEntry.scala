@@ -53,7 +53,19 @@ object SparkEntry {
     "q34_explode_posexplode"   -> (Relational2.q34 _),
     "q35_window_tumbling"      -> (Temporal.q35 _),
     "q36_window_sliding"       -> (Temporal.q36 _),
-    "q37_sessionize_gap"       -> (Temporal.q37 _)
+    "q37_sessionize_gap"       -> (Temporal.q37 _),
+    "q38_ml_class_costs"       -> (ChiMl.q38 _),
+    "q39_ml_fuzzy_membership"  -> (ChiMl.q39 _),
+    "q40_ml_chi_rulegen"       -> (ChiMl.q40 _),
+    "q41_ml_chi_rule_weights"  -> (ChiMl.q41 _),
+    "q42_ml_chi_classify"      -> (ChiMl.q42 _),
+    "q43_ml_metrics"           -> (ChiMl.q43 _),
+    "q44_dedup_exact"          -> (LlmExt.q44 _),
+    "q45_similarity_cosine_topk" -> (LlmExt.q45 _),
+    "q46_knn_label_vote"       -> (LlmExt.q46 _),
+    "q47_text_tokenize_topk"   -> (LlmExt.q47 _),
+    "q48_text_tfidf"           -> (LlmExt.q48 _),
+    "q49_text_lang_stats"      -> (LlmExt.q49 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

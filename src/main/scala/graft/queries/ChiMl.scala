@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+import graft.engine.chi.ChiCore
+import graft.engine.chi.ChiCore.TriPartition
+
+/** q38–q43: the reference's entire ML surface (Chi-FRBCS-BigDataCS operators
+  * R2–R10, SURVEY.md §2.1/§2.3) as oracle-checked DataFrame queries.
+  *
+  * Derived classification task over lineitem: attributes x1=l_quantity
+  * (range [1,50]), x2=l_discount ([0,0.1]), binary label
+  * pos := l_extendedprice > 95000 (≈9.6 % minority → cost IR ≈ 9.3).
+  *
+  * 100 TB posture: the candidate antecedent set is bounded by Lⁿ·|C| = 18
+  * rows, so it is always broadcast; the only full-data shuffle is the final
+  * (antecedent, class) aggregation — the reference's single-reducer merge
+  * becomes a partial+final agg. Per-term weights are rounded to 12dp and
+  * summed as DECIMAL(38,12): exact, order-independent, shuffle-safe
+  * (SURVEY.md §7.4.2).
+  */
+object ChiMl {
+  private[queries] val P1 = TriPartition(1.0, 50.0)  // l_quantity
+  private[queries] val P2 = TriPartition(0.0, 0.1)   // l_discount
+  private val dec38 = DecimalType(38, 12)
+
+  /** Labeled, fuzzy-labeled training view: one row per lineitem with
+    * (x1, x2, cls, a1, a2) where a_i is the argmax membership label. */
+  private[queries] def labeled(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity").as("x1"), col("l_discount").as("x2"),
+              when(col("l_extendedprice") > 95000, 1).otherwise(0).as("cls"))
+      .withColumn("a1", ChiCore.argmaxLabel(ChiCore.memberships(col("x1"), P1)))
+      .withColumn("a2", ChiCore.argmaxLabel(ChiCore.memberships(col("x2"), P2)))
+
+  /** One-row (c0, c1) cost vector: C(minority)=IR, C(majority)=1 (R3). */
+  private[queries] def costs(lab: DataFrame): DataFrame = {
+    val all = Window.partitionBy()
+    val withC = lab.groupBy("cls").agg(count(lit(1)).as("n"))
+      .withColumn("c",
+        when(col("n") === min("n").over(all), max("n").over(all) * lit(1.0) / col("n"))
+          .otherwise(lit(1.0)))
+    withC.agg(max(when(col("cls") === 1, col("c"))).as("c1"),
+              max(when(col("cls") === 0, col("c"))).as("c0"))
+  }
+
+  /** The final rule base (the result of R4–R7): cost-sensitive PCF weight per
+    * candidate (antecedent, class), conflict-resolved to max weight, RW>0. */
+  private[queries] def ruleBase(spark: SparkSession, dir: String): DataFrame = {
+    val lab = labeled(spark, dir)
+    val l = lab.crossJoin(broadcast(costs(lab)))
+    val ants = lab.select(col("a1").as("ra1"), col("a2").as("ra2"),
+                          col("cls").as("rcls")).distinct()
+    // Per (example × candidate-rule): W = cost(example) · μ_a1(x1) · μ_a2(x2),
+    // rounded 12dp then summed as exact decimal. ≤ Lⁿ·|C| candidates ⇒ the
+    // cross join is a broadcast fan-out, not a shuffle.
+    val w = round(
+        when(col("cls") === 1, col("c1")).otherwise(col("c0")) *
+          ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
+          ChiCore.membershipAt(col("x2"), col("ra2"), P2),
+        12).cast(dec38)
+    val m = l.crossJoin(broadcast(ants))
+      .select(col("ra1"), col("ra2"), col("rcls"), col("cls"), w.as("w"))
+      .groupBy("ra1", "ra2", "rcls")
+      .agg(sum(when(col("cls") === col("rcls"), col("w"))).as("w_match"),
+           sum(col("w")).as("w_all"))
+    // The decimal sums are rounded to 6dp BEFORE the double cast: the scaled
+    // integers then fit in 53 bits, so the decimal→double conversion is exact
+    // on every engine and rw is bit-identical to the oracle's. (An unrounded
+    // DECIMAL(38,12) cast can differ by 1 ulp between engines, which flipped
+    // a winning-rule tie downstream.)
+    val rw = m.filter(col("w_all") > 0)
+      .withColumn("rw", round(col("w_match") * 2 - col("w_all"), 6).cast(DoubleType) /
+                        round(col("w_all"), 6).cast(DoubleType))
+    val byAnt = Window.partitionBy("ra1", "ra2")
+      .orderBy(col("rw").desc, col("rcls"))
+    rw.withColumn("rn", row_number().over(byAnt))
+      .filter(col("rn") === 1 && col("rw") > 0)
+      .select(col("ra1"), col("ra2"), col("rcls"), col("rw"))
+  }
+
+  /** Winning-rule classification against the rule base (R9), per DISTINCT
+    * feature vector with multiplicity: identical examples classify
+    * identically, so we group to (x1, x2, cls, m=count) first, score each
+    * distinct vector once against the ≤9 broadcast rules, and weight the
+    * confusion matrix by m.
+    *
+    * This is both the determinism fix — (l_orderkey, l_linenumber) is NOT
+    * unique in the data, so partitioning by it merged different examples and
+    * let cross-example score ties order arbitrarily — and the 100 TB plan:
+    * distinct feature vectors ≪ rows, so the expensive fan-out shrinks by the
+    * duplication factor. */
+  private[queries] def classified(spark: SparkSession, dir: String): DataFrame = {
+    val gex = labeled(spark, dir)
+      .groupBy("x1", "x2", "cls").agg(count(lit(1)).as("m"))
+    val scored = gex.crossJoin(broadcast(ruleBase(spark, dir)))
+      .withColumn("score",
+        round(ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
+              ChiCore.membershipAt(col("x2"), col("ra2"), P2) * col("rw"), 12))
+    val perEx = Window.partitionBy("x1", "x2", "cls")
+      .orderBy(col("score").desc, col("rcls"))
+    scored.withColumn("rn", row_number().over(perEx)).filter(col("rn") === 1)
+      .select(col("cls").as("actual"), col("rcls").as("predicted"), col("m"))
+  }
+
+  /** q38: class counts + cost vector (R3). */
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy()
+    labeled(spark, dir).groupBy("cls").agg(count(lit(1)).as("n"))
+      .select(col("cls").cast(LongType).as("cls"), col("n"),
+              round(when(col("n") === min("n").over(all),
+                         max("n").over(all) * lit(1.0) / col("n"))
+                      .otherwise(lit(1.0)).cast(DoubleType), 6).as("cost"))
+      .orderBy("cls")
+  }
+
+  /** q39: raw 3-label membership values of the two attributes (R2). */
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity").as("x1"), col("l_discount").as("x2"))
+    val q = ChiCore.memberships(col("x1"), P1)
+    val d = ChiCore.memberships(col("x2"), P2)
+    li.select(col("l_orderkey"), col("l_linenumber"),
+              round(q(0), 6).as("q_lo"), round(q(1), 6).as("q_mid"), round(q(2), 6).as("q_hi"),
+              round(d(0), 6).as("d_lo"), round(d(1), 6).as("d_mid"), round(d(2), 6).as("d_hi"),
+              col("x1"), col("x2"))
+      .orderBy("l_orderkey", "l_linenumber", "x1", "x2")
+      .drop("x1", "x2")
+  }
+
+  /** q40: candidate rule generation — argmax antecedent per example (R4). */
+  def q40(spark: SparkSession, dir: String): DataFrame =
+    labeled(spark, dir)
+      .groupBy("a1", "a2", "cls").agg(count(lit(1)).as("n"))
+      .select(col("a1").cast(LongType).as("a1"), col("a2").cast(LongType).as("a2"),
+              col("cls").cast(LongType).as("cls"), col("n"))
+      .orderBy("a1", "a2", "cls")
+
+  /** q41: the final rule base with CS-PCF weights (R5–R7). */
+  def q41(spark: SparkSession, dir: String): DataFrame =
+    ruleBase(spark, dir)
+      .select(col("ra1").cast(LongType).as("a1"), col("ra2").cast(LongType).as("a2"),
+              col("rcls").cast(LongType).as("cls"), round(col("rw"), 6).as("rw"))
+      .orderBy("a1", "a2")
+
+  /** q42: winning-rule classification → confusion matrix (R9/R10). */
+  def q42(spark: SparkSession, dir: String): DataFrame =
+    classified(spark, dir)
+      .groupBy("actual", "predicted").agg(sum(col("m")).as("n"))
+      .select(col("actual").cast(LongType).as("actual"),
+              col("predicted").cast(LongType).as("predicted"), col("n"))
+      .orderBy("actual", "predicted")
+
+  /** q43: accuracy / TPR / TNR / GM / AUC from the confusion matrix (R10). */
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    val cm = classified(spark, dir).agg(
+      sum(when(col("actual") === 1 && col("predicted") === 1, col("m")).otherwise(0L)).as("tp"),
+      sum(when(col("actual") === 0 && col("predicted") === 0, col("m")).otherwise(0L)).as("tn"),
+      sum(when(col("actual") === 0 && col("predicted") === 1, col("m")).otherwise(0L)).as("fp"),
+      sum(when(col("actual") === 1 && col("predicted") === 0, col("m")).otherwise(0L)).as("fn"))
+    val tpr: Column = col("tp") * lit(1.0) / (col("tp") + col("fn"))
+    val tnr: Column = col("tn") * lit(1.0) / (col("tn") + col("fp"))
+    val fpr: Column = col("fp") * lit(1.0) / (col("fp") + col("tn"))
+    cm.select(
+      round((col("tp") + col("tn")) * lit(1.0) /
+            (col("tp") + col("tn") + col("fp") + col("fn")), 6).as("accuracy"),
+      round(tpr, 6).as("tpr"),
+      round(tnr, 6).as("tnr"),
+      round(sqrt(tpr * tnr), 6).as("gm"),
+      round((lit(1) + tpr - fpr) / lit(2), 6).as("auc"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+
+/** q44–q49: LLM-training-data pipeline operators (dedup, similarity search,
+  * text analysis) — the oracle-checked exact variants. The approximate /
+  * sub-quadratic scale paths (MinHash LSH etc.) live in
+  * [[graft.queries.Extras]]; these exact forms double as their ground truth.
+  */
+object LlmExt {
+
+  /** q44: exact deduplication on normalized text — hash groupBy, one shuffle
+    * keyed on the normalized string; at 100 TB the key should be a digest
+    * (see Extras.dedupExactDigest) but semantics are identical. */
+  def q44(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(lower(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+      .orderBy("rep")
+
+  private def toDouble(c: Column): Column = c.cast(DoubleType)
+
+  /** Σ zip(a,b) elementwise products as double — ascending fold, mirroring
+    * DuckDB list_sum ordering so the float sum is bit-identical. */
+  private def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => toDouble(x) * toDouble(y)),
+              lit(0.0), (acc, v) => acc + v)
+
+  /** q45: brute-force cosine top-k against one query vector — the correctness
+    * baseline for similarity search. The query side is a 1-row broadcast; the
+    * scan side is embarrassingly parallel; top-20 is TakeOrderedAndProject.
+    * The IVF/LSH scale path is Extras.annCosine. */
+  def q45(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+              round(dotProduct(col("embedding"), col("qe")) /
+                    (sqrt(dotProduct(col("embedding"), col("embedding"))) *
+                     sqrt(dotProduct(col("qe"), col("qe")))), 6)
+                .cast(DoubleType).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** q46: 5-NN majority-vote label. The candidate side (all embeddings) is
+    * broadcast under a nested-loop join — exact kNN is inherently all-pairs;
+    * the scale path buckets candidates with LSH first (Extras). */
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+                           col("label"))
+    val diff2 = aggregate(
+      zip_with(col("qe"), col("ne"),
+               (x, y) => (toDouble(x) - toDouble(y)) * (toDouble(x) - toDouble(y))),
+      lit(0.0), (acc, v) => acc + v)
+    val d = queries.join(broadcast(cands), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("label"), round(diff2, 6).as("d2"))
+    val byDist = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    val votes = d.withColumn("rn", row_number().over(byDist)).filter(col("rn") <= 5)
+      .groupBy("qid", "label").agg(count(lit(1)).as("v"))
+    val byVotes = Window.partitionBy("qid").orderBy(col("v").desc, col("label"))
+    votes.withColumn("rn", row_number().over(byVotes)).filter(col("rn") === 1)
+      .select(col("qid").as("vec_id"), col("label").cast(LongType).as("predicted"))
+      .orderBy("vec_id")
+  }
+
+  /** q47: tokenize + global top-k tokens — explode is a Generator (no UDTF
+    * needed); the count is a partial+final agg so the shuffle carries only
+    * (token, partial count). */
+  def q47(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(50)
+
+  /** q48: tf·idf top term per document. df (≤ vocabulary size) and the corpus
+    * count are broadcast; tf shuffles once on (doc_id, tok). */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n"))
+    val scored = tf.filter(col("doc_id") < 50)
+      .join(broadcast(df), "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+              round(col("tf") * log(col("n") * lit(1.0) / col("df")), 6).as("tfidf"))
+    val perDoc = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(perDoc)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("tok"), col("tfidf"))
+      .orderBy("doc_id")
+  }
+
+  /** q49: per-(lang, source) corpus statistics — plain partial+final agg. */
+  def q49(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+           round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy("lang", "source")
+}

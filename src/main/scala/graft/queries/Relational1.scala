@@ -21,7 +21,7 @@ object Relational1 {
   def q01(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
   /** q02: TPC-H Q6 shape. All three predicates push down to the parquet scan
     * (PushedFilters); single partial+final agg, no shuffle of raw rows. */

@@ -147,7 +147,7 @@ object Relational2 {
               round(log(col("l_extendedprice")), 6).as("lg"),
               round(pow(col("l_tax") + 1, 2), 6).as("pw"),
               (col("l_orderkey") % 7).cast(LongType).as("md"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "a", "c", "f", "sq", "lg", "pw", "md")
 
   /** q31: conditional family over left-join nulls. */
   def q31(spark: SparkSession, dir: String): DataFrame =
