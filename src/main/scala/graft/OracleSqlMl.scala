@@ -186,5 +186,6 @@ object OracleSqlMl {
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
   )
 
-  def all: Map[String, String] = ml ++ llm
+  def all: Map[String, String] =
+    ml ++ llm ++ Map("x06_chi_estimator_fit" -> ml("q42_ml_chi_classify"))
 }

@@ -65,7 +65,13 @@ object SparkEntry {
     "q46_knn_label_vote"       -> (LlmExt.q46 _),
     "q47_text_tokenize_topk"   -> (LlmExt.q47 _),
     "q48_text_tfidf"           -> (LlmExt.q48 _),
-    "q49_text_lang_stats"      -> (LlmExt.q49 _)
+    "q49_text_lang_stats"      -> (LlmExt.q49 _),
+    "x01_dedup_minhash_lsh"    -> (Extras.x01 _),
+    "x02_stream_tumbling_watermark" -> (graft.streaming.StreamingOps.x02 _),
+    "x03_stream_session_window" -> (graft.streaming.StreamingOps.x03 _),
+    "x04_stream_late_data"     -> (graft.streaming.StreamingOps.x04 _),
+    "x05_map_funcs"            -> (Extras.x05 _),
+    "x06_chi_estimator_fit"    -> (Extras.x06 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,287 @@
+package graft.engine.chi
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import ChiCore.TriPartition
+
+/** One learned fuzzy rule: antecedent label per attribute, consequent class
+  * index, certainty-factor weight. */
+final case class ChiRule(antecedent: Array[Int], cls: Int, weight: Double)
+
+private[chi] trait ChiCSParams extends Params {
+  /** Input feature columns (numeric). */
+  final val featureCols = new StringArrayParam(this, "featureCols", "feature column names")
+  final def getFeatureCols: Array[String] = $(featureCols)
+
+  final val labelCol = new Param[String](this, "labelCol", "label column (integer classes)")
+  final def getLabelCol: String = $(labelCol)
+
+  final val predictionCol = new Param[String](this, "predictionCol", "output prediction column")
+  final def getPredictionCol: String = $(predictionCol)
+
+  /** Number of linguistic labels L per attribute (paper uses 3). */
+  final val numLabels = new IntParam(this, "numLabels", "linguistic labels per attribute",
+    ParamValidators.gtEq(2))
+  final def getNumLabels: Int = $(numLabels)
+
+  /** Declared [lo, hi] per feature, flattened (lo0, hi0, lo1, hi1, …).
+    * Empty ⇒ one agg(min, max) pass over the data (the descriptor/header
+    * generation operator R11). */
+  final val featureRanges = new DoubleArrayParam(this, "featureRanges",
+    "flattened lo,hi pairs per feature; empty = derive from data")
+  final def getFeatureRanges: Array[Double] = $(featureRanges)
+
+  /** Per-class misclassification cost, indexed by class. Empty ⇒ binary
+    * imbalance costs C(minority) = IR, C(majority) = 1 (paper §4.1). */
+  final val classCosts = new DoubleArrayParam(this, "classCosts",
+    "per-class misclassification cost; empty = derive IR from class counts")
+  final def getClassCosts: Array[Double] = $(classCosts)
+
+  setDefault(labelCol -> "label", predictionCol -> "prediction",
+    numLabels -> 3, featureRanges -> Array.empty[Double],
+    classCosts -> Array.empty[Double])
+}
+
+/** Chi-FRBCS-BigDataCS as an idiomatic Spark MLlib estimator (SURVEY.md §2.5
+  * x06, semantics per López et al. 2015 — the paper the empty reference mount
+  * implements; see SURVEY.md §0).
+  *
+  * Differences from the Hadoop reference, by design (SURVEY.md §4.1): the rule
+  * base is GLOBAL (map-count independent, deterministic) instead of per-split,
+  * and the single-reducer merge is a distributed partial+final aggregation.
+  *
+  * 100 TB posture of `fit`:
+  *  - one pass for ranges (if not declared), one tiny agg for class counts;
+  *  - rule learning explodes each example only to its μ>0 antecedents — with
+  *    triangular partitions at most 2 labels per attribute are nonzero, so the
+  *    fan-out is ≤ 2ⁿ per row instead of |candidates| (exact: dropped terms
+  *    are exactly zero);
+  *  - one shuffle keyed on (antecedent, class); the result (≤ Lⁿ·|C| rules)
+  *    is collected and broadcast — the only driver-side materialization.
+  */
+class ChiCSClassifier(override val uid: String)
+    extends Estimator[ChiCSModel] with ChiCSParams with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("chiCS"))
+
+  def setFeatureCols(v: Array[String]): this.type = set(featureCols, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setNumLabels(v: Int): this.type = set(numLabels, v)
+  def setFeatureRanges(v: Array[Double]): this.type = set(featureRanges, v)
+  def setClassCosts(v: Array[Double]): this.type = set(classCosts, v)
+
+  override def transformSchema(schema: StructType): StructType = schema
+
+  override def copy(extra: ParamMap): ChiCSClassifier = defaultCopy(extra)
+
+  override def fit(ds: Dataset[_]): ChiCSModel = {
+    val spark = ds.sparkSession
+    val feats = $(featureCols)
+    require(feats.nonEmpty, "featureCols must be set")
+    val n = feats.length
+    val L = $(numLabels)
+    val df = ds.toDF.select(
+      feats.map(f => col(f).cast(DoubleType).as(f)) :+
+        col($(labelCol)).cast(IntegerType).as("__cls"): _*)
+
+    // R11 descriptor generation: declared ranges, or one min/max pass.
+    val parts: Array[TriPartition] =
+      if ($(featureRanges).nonEmpty) {
+        require($(featureRanges).length == 2 * n, "featureRanges must be lo,hi per feature")
+        $(featureRanges).grouped(2).map(a => TriPartition(a(0), a(1), L)).toArray
+      } else {
+        val row = df.agg(
+          min(col(feats.head)), max(col(feats.head)) +:
+            feats.tail.flatMap(f => Seq(min(col(f)), max(col(f)))): _*).head()
+        Array.tabulate(n)(i => TriPartition(row.getDouble(2 * i), row.getDouble(2 * i + 1), L))
+      }
+
+    // R3 cost vector: declared, or binary-IR from class counts.
+    val classCounts = df.groupBy("__cls").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val classes = classCounts.map(_._1)
+    val costs: Map[Int, Double] =
+      if ($(classCosts).nonEmpty) classes.zip($(classCosts)).toMap
+      else {
+        val minN = classCounts.map(_._2).min
+        val maxN = classCounts.map(_._2).max
+        classCounts.map { case (c, cnt) =>
+          c -> (if (cnt == minN && minN != maxN) maxN.toDouble / cnt else 1.0)
+        }.toMap
+      }
+    val costExpr = classes.foldLeft(when(lit(false), 0.0)) { (acc, c) =>
+      acc.when(col("__cls") === c, costs(c))
+    }.otherwise(1.0)
+
+    // R4: candidate antecedent per example = argmax label per attribute.
+    val labeled = feats.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+      d.withColumn(s"__a$i", ChiCore.argmaxLabel(ChiCore.memberships(col(f), parts(i))))
+    }.withColumn("__ant", array((0 until n).map(i => col(s"__a$i")): _*))
+    val candidates = labeled.select(col("__ant").as("__cant"), col("__cls").as("__ccls"))
+      .distinct()
+
+    // R5: explode each example to its μ>0 neighbor antecedents (≤2 labels per
+    // attribute are nonzero under triangular partitions), keep only observed
+    // candidates, and aggregate CS-PCF numerators/denominators distributively.
+    val neighbors = feats.zipWithIndex.foldLeft(labeled) { case (d, (f, i)) =>
+      val labs = filter(
+        sequence(lit(0), lit(L - 1)),
+        k => ChiCore.membershipAt(col(f), k, parts(i)) > 0.0)
+      d.withColumn(s"__n$i", explode(labs))
+    }.withColumn("__nant", array((0 until n).map(i => col(s"__n$i")): _*))
+
+    val mu = feats.zipWithIndex.map { case (f, i) =>
+      ChiCore.membershipAt(col(f), col(s"__n$i"), parts(i))
+    }.reduce(_ * _)
+    val w = round(costExpr * mu, 12).cast(DecimalType(38, 12))
+
+    val sums = neighbors
+      .join(broadcast(candidates), col("__nant") === col("__cant"))
+      .select(col("__cant"), col("__ccls"), col("__cls"), w.as("__w"))
+      .groupBy("__cant", "__ccls")
+      .agg(coalesce(sum(when(col("__cls") === col("__ccls"), col("__w"))),
+                    lit(0).cast(DecimalType(38, 12))).as("w_match"),
+           sum(col("__w")).as("w_all"))
+
+    // 6dp-rounded decimal → exact double cast (see ChiMl.ruleBase note).
+    val withRw = sums.filter(col("w_all") > 0)
+      .withColumn("rw", round(col("w_match") * 2 - col("w_all"), 6).cast(DoubleType) /
+                        round(col("w_all"), 6).cast(DoubleType))
+    // R6/R7 conflict resolution: max weight per antecedent, tie → lowest class.
+    val byAnt = Window.partitionBy("__cant").orderBy(col("rw").desc, col("__ccls"))
+    val rules = withRw.withColumn("rn", row_number().over(byAnt))
+      .filter(col("rn") === 1 && col("rw") > 0)
+      .select(col("__cant"), col("__ccls"), col("rw"))
+      .collect()
+      .map(r => ChiRule(r.getSeq[Int](0).toArray, r.getInt(1), r.getDouble(2)))
+      .sortBy(r => (r.antecedent.mkString(","), r.cls))
+
+    val majority = classCounts.maxBy { case (c, cnt) => (cnt, -c) }._1
+    copyValues(new ChiCSModel(uid, parts, classes, costs, rules, majority)).setParent(this)
+  }
+}
+
+object ChiCSClassifier extends DefaultParamsReadable[ChiCSClassifier]
+
+/** Fitted Chi-FRBCS-CS model: fuzzy DataBase (partitions) + RuleBase.
+  *
+  * `transform` broadcasts the (tiny) rule base and scores each row with the
+  * winning-rule fuzzy reasoning method — a per-row loop over ≤ Lⁿ·|C| rules,
+  * no shuffle, no driver involvement. Rows matching no rule (all μ = 0) get
+  * the majority class (documented no-match policy, SURVEY.md §2.3).
+  */
+class ChiCSModel private[graft] (
+    override val uid: String,
+    val partitions: Array[TriPartition],
+    val classes: Array[Int],
+    val costs: Map[Int, Double],
+    val rules: Array[ChiRule],
+    val majorityClass: Int)
+    extends Model[ChiCSModel] with ChiCSParams with MLWritable {
+
+  override def copy(extra: ParamMap): ChiCSModel =
+    copyValues(new ChiCSModel(uid, partitions, classes, costs, rules, majorityClass), extra)
+      .setParent(parent)
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add($(predictionCol), IntegerType)
+
+  /** Winning rule: argmax over rules of round12(∏μ)·RW — identical rounding
+    * and tie conventions (score desc, class asc) to the q42 oracle chain. */
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val spark = ds.sparkSession
+    val bcRules: Broadcast[Array[ChiRule]] = spark.sparkContext.broadcast(rules)
+    val bcParts = spark.sparkContext.broadcast(partitions)
+    val bcMajority = majorityClass
+    val predict = udf { (xs: Seq[Double]) =>
+      val parts = bcParts.value
+      var bestScore = 0.0
+      var bestCls = -1
+      for (r <- bcRules.value) {
+        var mu = 1.0
+        var i = 0
+        while (i < xs.length && mu > 0.0) {
+          val p = parts(i)
+          val c = p.lo + r.antecedent(i) * p.halfWidth
+          mu *= math.max(0.0, 1.0 - math.abs(xs(i) - c) / p.halfWidth)
+          i += 1
+        }
+        // Same rounding as the q42 expression chain (Spark round = HALF_UP on
+        // the shortest decimal representation of the double).
+        val score = new JBigDecimal(java.lang.Double.toString(mu * r.weight))
+          .setScale(12, RoundingMode.HALF_UP).doubleValue()
+        if (score > 0.0 &&
+            (score > bestScore || (score == bestScore && r.cls < bestCls))) {
+          bestScore = score
+          bestCls = r.cls
+        }
+      }
+      if (bestCls >= 0) bestCls else bcMajority
+    }
+    ds.toDF.withColumn($(predictionCol),
+      predict(array($(featureCols).map(f => col(f).cast(DoubleType)): _*)))
+  }
+
+  override def write: MLWriter = new ChiCSModel.Writer(this)
+}
+
+object ChiCSModel extends MLReadable[ChiCSModel] {
+
+  private[chi] class Writer(instance: ChiCSModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      import spark.implicits._
+      instance.rules.toSeq.map(r => (r.antecedent.toSeq, r.cls, r.weight))
+        .toDF("antecedent", "cls", "weight")
+        .write.mode("overwrite").parquet(s"$path/rules")
+      instance.partitions.toSeq.zipWithIndex
+        .map { case (p, i) => (i, p.lo, p.hi, p.numLabels) }
+        .toDF("idx", "lo", "hi", "numLabels")
+        .write.mode("overwrite").parquet(s"$path/partitions")
+      // Param metadata in our own layout (Spark's DefaultParamsWriter is
+      // private[ml]); only the params `transform` needs are persisted.
+      spark.createDataFrame(Seq((
+          instance.uid,
+          instance.getFeatureCols.toSeq,
+          instance.getPredictionCol,
+          instance.classes.toSeq,
+          instance.classes.map(c => instance.costs(c)).toSeq,
+          instance.majorityClass)))
+        .toDF("uid", "featureCols", "predictionCol", "classes", "costs", "majorityClass")
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  private class Reader extends MLReader[ChiCSModel] {
+    override def load(path: String): ChiCSModel = {
+      val spark = sparkSession
+      val ruleKey: ChiRule => (String, Int) =
+        r => (r.antecedent.mkString(","), r.cls)
+      val rules = spark.read.parquet(s"$path/rules")
+        .collect()
+        .map(r => ChiRule(r.getSeq[Int](0).toArray, r.getInt(1), r.getDouble(2)))
+        .sortBy(ruleKey)
+      val parts = spark.read.parquet(s"$path/partitions")
+        .orderBy("idx").collect()
+        .map(r => TriPartition(r.getDouble(1), r.getDouble(2), r.getInt(3)))
+      val meta = spark.read.parquet(s"$path/meta").head()
+      val classes = meta.getSeq[Int](3).toArray
+      val costs = classes.zip(meta.getSeq[Double](4)).toMap
+      val model = new ChiCSModel(meta.getString(0), parts, classes, costs, rules, meta.getInt(5))
+      model.set(model.featureCols, meta.getSeq[String](1).toArray)
+      model.set(model.predictionCol, meta.getString(2))
+      model
+    }
+  }
+
+  override def read: MLReader[ChiCSModel] = new Reader
+}

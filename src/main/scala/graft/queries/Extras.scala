@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+import graft.engine.chi.ChiCSClassifier
+
+/** Non-oracle operators x01/x05/x06 (SURVEY.md §2.5): in `queries` for
+  * bench/smoke, asserted by ScalaTest properties instead of the DuckDB hash
+  * (engine-salted hashes and map ordering are not SQL-portable).
+  */
+object Extras {
+
+  /** x01: near-duplicate document pairs via MinHash LSH over token shingles —
+    * the sub-quadratic scale path for q44-style dedup (band/bucket join, not
+    * all-pairs). Fixed seed ⇒ deterministic per engine build; the ScalaTest
+    * property asserts it finds every exact-duplicate pair (distance 0).
+    *
+    * 100 TB: cost is O(docs × shingles) for signatures plus the bucket join —
+    * never the O(docs²) cross join. */
+  def x01(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tokens"))
+      .select(col("doc_id"),
+              // 3-token shingles; distinct per doc (set semantics for Jaccard)
+              array_distinct(expr(
+                "transform(sequence(0, greatest(size(tokens)-3, 0)), " +
+                "i -> concat_ws(' ', slice(tokens, i+1, 3)))")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val featured = tf.transform(docs)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(featured)
+    model.approxSimilarityJoin(featured, featured, 0.2, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("doc_a"), col("datasetB.doc_id").as("doc_b"),
+              round(col("jaccard_dist"), 6).as("jaccard_dist"))
+      .filter(col("doc_a") < col("doc_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** x05: MapType function family — str_to_map/map_keys/element_at. Map key
+    * order is engine-dependent, so output only order-insensitive derivations
+    * (sorted keys, single lookups). */
+  def x05(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+              // props is {"k": <int>}; rebuild as "k=<int>,type=<event_type>"
+              concat(lit("k="), get_json_object(col("props"), "$.k"),
+                     lit(",type="), col("event_type")).as("kv"))
+      .select(col("event_id"), str_to_map(col("kv"), lit(","), lit("=")).as("m"))
+      .select(col("event_id"),
+              array_sort(map_keys(col("m"))).as("keys"),
+              element_at(col("m"), "k").cast(IntegerType).as("k_val"),
+              element_at(col("m"), "type").as("type_val"))
+      .orderBy("event_id")
+
+  /** x06: the full MLlib pipeline twin of q38–q43 — Estimator.fit →
+    * Model.transform → confusion matrix; must equal q42 exactly (same oracle
+    * SQL is registered for it). */
+  def x06(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.lineitem(spark, dir).select(
+      col("l_quantity").as("x1"), col("l_discount").as("x2"),
+      when(col("l_extendedprice") > 95000, 1).otherwise(0).as("label"))
+    val model = new ChiCSClassifier()
+      .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
+      .setFeatureRanges(Array(1.0, 50.0, 0.0, 0.1))
+      .fit(df)
+    model.transform(df)
+      .groupBy(col("label").cast(LongType).as("actual"),
+               col("prediction").cast(LongType).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "predicted")
+  }
+}
