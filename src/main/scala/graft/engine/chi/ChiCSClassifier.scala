@@ -126,23 +126,34 @@ class ChiCSClassifier(override val uid: String)
     val labeled = feats.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
       d.withColumn(s"__a$i", ChiCore.argmaxLabel(ChiCore.memberships(col(f), parts(i))))
     }.withColumn("__ant", array((0 until n).map(i => col(s"__a$i")): _*))
-    val candidates = labeled.select(col("__ant").as("__cant"), col("__cls").as("__ccls"))
-      .distinct()
 
-    // R5: explode each example to its μ>0 neighbor antecedents (≤2 labels per
-    // attribute are nonzero under triangular partitions), keep only observed
-    // candidates, and aggregate CS-PCF numerators/denominators distributively.
-    val neighbors = feats.zipWithIndex.foldLeft(labeled) { case (d, (f, i)) =>
-      val labs = filter(
-        sequence(lit(0), lit(L - 1)),
-        k => ChiCore.membershipAt(col(f), k, parts(i)) > 0.0)
-      d.withColumn(s"__n$i", explode(labs))
+
+    // Pre-aggregate to DISTINCT feature vectors with multiplicity: the weight
+    // term is a pure function of (features, cls) and DECIMAL × count is
+    // exact, so the sums are digit-identical to the per-row formulation while
+    // the fan-out shrinks by the duplication factor.
+    val compressed = labeled
+      .groupBy((feats.map(col) :+ col("__ant") :+ col("__cls")): _*)
+      .agg(count(lit(1)).as("__m"))
+
+    val candidates = compressed
+      .select(col("__ant").as("__cant"), col("__cls").as("__ccls")).distinct()
+
+    // R5: explode each vector to its μ>0 neighbor antecedents (≤2 labels per
+    // attribute are nonzero under triangular partitions; pruned terms are
+    // exactly zero), keep only observed candidates, and aggregate CS-PCF
+    // numerators/denominators distributively.
+    val neighbors = feats.zipWithIndex.foldLeft(compressed) { case (d, (f, i)) =>
+      val kf = floor((col(f) - parts(i).lo) / parts(i).halfWidth).cast(IntegerType)
+      d.withColumn(s"__n$i", explode(array(kf, kf + 1)))
+        .filter(col(s"__n$i").between(0, L - 1) &&
+                ChiCore.membershipAt(col(f), col(s"__n$i"), parts(i)) > 0.0)
     }.withColumn("__nant", array((0 until n).map(i => col(s"__n$i")): _*))
 
     val mu = feats.zipWithIndex.map { case (f, i) =>
       ChiCore.membershipAt(col(f), col(s"__n$i"), parts(i))
     }.reduce(_ * _)
-    val w = round(costExpr * mu, 12).cast(DecimalType(38, 12))
+    val w = round(costExpr * mu, 12).cast(DecimalType(38, 12)) * col("__m")
 
     val sums = neighbors
       .join(broadcast(candidates), col("__nant") === col("__cant"))

@@ -52,18 +52,24 @@ object ChiMl {
     * candidate (antecedent, class), conflict-resolved to max weight, RW>0. */
   private[queries] def ruleBase(spark: SparkSession, dir: String): DataFrame = {
     val lab = labeled(spark, dir)
-    val l = lab.crossJoin(broadcast(costs(lab)))
-    val ants = lab.select(col("a1").as("ra1"), col("a2").as("ra2"),
+    // Pre-aggregate to DISTINCT feature vectors with multiplicity before the
+    // candidate fan-out: W is a pure function of (x1, x2, cls), and
+    // DECIMAL × integer-count is exact, so Σ_examples W ≡ Σ_vectors W·m
+    // digit-for-digit — the oracle's full example×candidate cross join
+    // collapses from |rows|·|candidates| decimal terms to |vectors|·|cands|.
+    // (The one added shuffle keys on the vector itself; at 100 TB this is the
+    // difference between 1.8 B and ~20 k weight terms for this task.)
+    val gex = lab.groupBy("x1", "x2", "a1", "a2", "cls")
+      .agg(count(lit(1)).as("mcnt"))
+      .crossJoin(broadcast(costs(lab)))
+    val ants = gex.select(col("a1").as("ra1"), col("a2").as("ra2"),
                           col("cls").as("rcls")).distinct()
-    // Per (example × candidate-rule): W = cost(example) · μ_a1(x1) · μ_a2(x2),
-    // rounded 12dp then summed as exact decimal. ≤ Lⁿ·|C| candidates ⇒ the
-    // cross join is a broadcast fan-out, not a shuffle.
     val w = round(
         when(col("cls") === 1, col("c1")).otherwise(col("c0")) *
           ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
           ChiCore.membershipAt(col("x2"), col("ra2"), P2),
-        12).cast(dec38)
-    val m = l.crossJoin(broadcast(ants))
+        12).cast(dec38) * col("mcnt")
+    val m = gex.crossJoin(broadcast(ants))
       .select(col("ra1"), col("ra2"), col("rcls"), col("cls"), w.as("w"))
       .groupBy("ra1", "ra2", "rcls")
       .agg(sum(when(col("cls") === col("rcls"), col("w"))).as("w_match"),
