@@ -186,6 +186,50 @@ object OracleSqlMl {
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
   )
 
+  /** Oracle SQL for the arithmetic-portable extended operators. */
+  val ext: Map[String, String] = Map(
+    "x11_text_quality" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |       ROUND(LEAST(n_chars*1.0/500, 1.0)*0.4
+        |           + (len(list_distinct(toks))*1.0/len(toks))*0.4
+        |           + LEAST((n_chars*1.0/len(toks))/10, 1.0)*0.2, 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "x12_text_tokencount" ->
+      """SELECT doc_id,
+        |  CAST(len([x FOR x IN string_split(text, ' ') IF x <> '']) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(LOWER(text), '[a-z]+')) AS BIGINT) AS re_tokens,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x13_text_fingerprint" ->
+      """WITH d AS (SELECT doc_id,
+        |  [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS t FROM documents),
+        |toks AS (
+        |  SELECT doc_id, gs.i AS pos, t[gs.i] AS tok
+        |  FROM d, generate_series(1, 256) AS gs(i) WHERE gs.i <= len(t)),
+        |coded AS (
+        |  SELECT doc_id, pos, code AS c0,
+        |    LEAD(code,1) OVER w AS c1, LEAD(code,2) OVER w AS c2,
+        |    LEAD(code,3) OVER w AS c3, LEAD(code,4) OVER w AS c4
+        |  FROM (SELECT doc_id, pos,
+        |        CAST(ascii(substr(tok,1,1))*4096 + ascii(substr(tok,2,1))*64
+        |             + length(tok) AS BIGINT) AS code FROM toks)
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |fps AS (
+        |  SELECT doc_id,
+        |    ((((((c4*131 + c3) % 1000000007) * 131 + c2) % 1000000007) * 131 + c1)
+        |      % 1000000007 * 131 + c0) % 1000000007 AS fp
+        |  FROM coded WHERE c4 IS NOT NULL)
+        |SELECT doc_id, COUNT(*) AS n_windows, COUNT(DISTINCT fp) AS n_distinct_fp,
+        |       MIN(fp) AS min_fp
+        |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+
   def all: Map[String, String] =
-    ml ++ llm ++ Map("x06_chi_estimator_fit" -> ml("q42_ml_chi_classify"))
+    ml ++ llm ++ ext ++ Map("x06_chi_estimator_fit" -> ml("q42_ml_chi_classify"))
 }

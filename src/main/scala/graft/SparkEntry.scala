@@ -71,7 +71,15 @@ object SparkEntry {
     "x03_stream_session_window" -> (graft.streaming.StreamingOps.x03 _),
     "x04_stream_late_data"     -> (graft.streaming.StreamingOps.x04 _),
     "x05_map_funcs"            -> (Extras.x05 _),
-    "x06_chi_estimator_fit"    -> (Extras.x06 _)
+    "x06_chi_estimator_fit"    -> (Extras.x06 _),
+    "x07_dedup_simhash"        -> (LlmExt2.x07 _),
+    "x08_dedup_ngram_jaccard"  -> (LlmExt2.x08 _),
+    "x09_embedding_neardup_lsh" -> (LlmExt2.x09 _),
+    "x10_text_langid"          -> (LlmExt2.x10 _),
+    "x11_text_quality"         -> (LlmExt2.x11 _),
+    "x12_text_tokencount"      -> (LlmExt2.x12 _),
+    "x13_text_fingerprint"     -> (LlmExt2.x13 _),
+    "x14_multimodal_features"  -> (MultimodalOps.x14 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

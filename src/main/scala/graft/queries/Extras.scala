@@ -33,7 +33,7 @@ object Extras {
       .setNumFeatures(1 << 18).setBinary(true)
     val featured = tf.transform(docs)
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(4).setSeed(42L)
+      .setNumHashTables(3).setSeed(42L)
     val model = lsh.fit(featured)
     model.approxSimilarityJoin(featured, featured, 0.2, "jaccard_dist")
       .select(col("datasetA.doc_id").as("doc_a"), col("datasetB.doc_id").as("doc_b"),

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+
+/** Extended LLM-training-data pipeline operators beyond the SURVEY §2.5 set:
+  * SimHash and n-gram-Jaccard near-dup detection, hyperplane-LSH embedding
+  * near-dup, language-ID, quality scoring, token counting, and rolling-hash
+  * fingerprinting. x11–x13 are arithmetic-portable and oracle-checked; the
+  * hash-based ones (x07–x10) are engine-deterministic and property-tested.
+  */
+object LlmExt2 {
+
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** x07: SimHash document fingerprints — per-token 64-bit hash, bitwise
+    * majority vote, fingerprint = voted bits. Identical texts ⇒ identical
+    * fingerprints; near-identical texts ⇒ small Hamming distance. Output is
+    * the fingerprint groups (exact-collision dedup view).
+    *
+    * 100 TB: two narrow shuffles — (doc, bit) vote and (doc) reassembly —
+    * then a groupBy on the 64-bit fingerprint; all linear in token count. */
+  def x07(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("vote"))
+    val fp = votes.groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("simhash"))
+    fp.groupBy("simhash")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+      .orderBy("rep")
+  }
+
+  /** x08: near-duplicate pairs by exact token-shingle Jaccard ≥ 0.8, with
+    * min-hash blocking for candidate generation: each doc emits 4 blocking
+    * keys (min shingle-hash under 4 seeds); docs sharing a key become
+    * candidates, then the TRUE Jaccard is computed on the full shingle sets.
+    * Exact duplicates always collide on every key (recall 1.0); j≥0.8 pairs
+    * collide with prob 1-(1-j)⁴ ≥ 0.998. Never an all-pairs join. */
+  def x08(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, greatest(size(toks)-3, 0)), " +
+        "i -> concat_ws(' ', slice(toks, i+1, 3)))")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val keys = sh
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("seed"),
+              col("shingle"))
+      .groupBy("doc_id", "seed")
+      .agg(min(xxhash64(col("shingle"), col("seed"))).as("block"))
+    val cand = keys.as("ka").join(keys.as("kb"),
+        col("ka.seed") === col("kb.seed") && col("ka.block") === col("kb.block") &&
+        col("ka.doc_id") < col("kb.doc_id"))
+      .select(col("ka.doc_id").as("a"), col("kb.doc_id").as("b")).distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("shingle").as("sa")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingle").as("sb")), "b")
+      .filter(col("sa") === col("sb"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+      .select(col("a"), col("b"),
+              round(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")), 6)
+                .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("a", "b")
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane j, dimension i) — a
+    * fixed splitmix64-style mix, no engine-salted functions. */
+  private def planeSign(j: Int, i: Int): Double = {
+    var z = (j.toLong * 64 + i + 0x9E3779B97F4A7C15L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if (z >= 0) 1.0 else -1.0
+  }
+
+  /** Embedding near-duplicate pairs via BANDED random-hyperplane LSH:
+    * 64 sign bits split into 8 bands of 8; vectors sharing ANY band become
+    * candidates, then the exact cosine ≥ threshold confirms. Recall is ≈ 1
+    * for true near-duplicates (cos ≥ 0.95) and degrades gracefully below —
+    * the documented ANN trade-off. The banded ID-only bucket join replaces
+    * the O(n²) all-pairs at scale (embeddings are re-attached per candidate
+    * pair, so the wide arrays never travel through the bucket shuffle), and
+    * the hyperplanes are compile-time constants so results are reproducible
+    * everywhere. */
+  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    def dotPlane(j: Int): Column =
+      aggregate(zip_with(col("embedding"),
+          array((0 until 64).map(i => lit(planeSign(j, i))): _*),
+          (x, s) => x.cast(DoubleType) * s),
+        lit(0.0), (acc, v) => acc + v)
+    // band b value = 8 sign bits of planes 8b..8b+7
+    def bandValue(b: Int): Column =
+      (0 until 8).map(k =>
+        when(dotPlane(8 * b + k) >= 0, lit(1 << k)).otherwise(0)).reduce(_ + _)
+    val banded = emb.select(
+        col("vec_id"), posexplode(array((0 until 8).map(bandValue): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    val cand = banded.as("A").join(banded.as("B"),
+        col("A.band") === col("B.band") && col("A.bval") === col("B.bval") &&
+        col("A.vec_id") < col("B.vec_id"))
+      .select(col("A.vec_id").as("vec_a"), col("B.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    val withE = cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+    val dot = aggregate(zip_with(col("ea"), col("eb"),
+        (x, y) => x.cast(DoubleType) * y.cast(DoubleType)), lit(0.0), (a, v) => a + v)
+    def norm(c: String): Column =
+      sqrt(aggregate(transform(col(c),
+        x => x.cast(DoubleType) * x.cast(DoubleType)), lit(0.0), (a, v) => a + v))
+    withE.select(col("vec_a"), col("vec_b"),
+                 round(dot / (norm("ea") * norm("eb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+  }
+
+  /** x09 entry: near-dup scan over the embeddings table. The synthetic data
+    * has no true near-duplicates (max pairwise cos ≈ 0.60), so the entry uses
+    * a 0.5 threshold to stay observable; the ScalaTest property plants real
+    * near-duplicates and asserts they are all found. */
+  def x09(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(Tables.embeddings(spark, dir), 0.5)
+
+  /** x10: language identification by token-profile overlap — learn the top-20
+    * tokens per language (one aggregation), classify each document by argmax
+    * profile hits (ties → lexicographic lang), report the confusion matrix.
+    * A self-contained n-gram-heuristic lang-ID without external models. */
+  def x10(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = tokens(docs)
+    val langToks = docs.select(col("doc_id"), col("lang")).join(toks, "doc_id")
+    val byFreq = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
+    val profile = langToks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(byFreq)).filter(col("rn") <= 20)
+      .select(col("lang").as("p_lang"), col("tok"))
+    val hits = toks.join(broadcast(profile), "tok")
+      .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("hits"))
+    val byHits = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("p_lang"))
+    val predicted = hits.withColumn("rn", row_number().over(byHits))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("p_lang").as("predicted"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(predicted, Seq("doc_id"), "left_outer")
+      .groupBy(col("lang"), coalesce(col("predicted"), lit("unknown")).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** x11: document quality scoring — length, lexical diversity, and mean
+    * token length folded into one [0,1] score (pure arithmetic ⇒ portable,
+    * oracle-checked). The components are the standard pretraining-corpus
+    * heuristics; thresholds are documented constants. */
+  def x11(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+              filter(split(lower(col("text")), " "), t => t =!= "").as("toks"))
+      .select(col("doc_id"),
+              size(col("toks")).cast(LongType).as("n_tokens"),
+              size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
+              round(
+                least(col("n_chars") * lit(1.0) / 500, lit(1.0)) * 0.4 +
+                (size(array_distinct(col("toks"))) * lit(1.0) / size(col("toks"))) * 0.4 +
+                least((col("n_chars") * lit(1.0) / size(col("toks"))) / 10, lit(1.0)) * 0.2,
+                6).as("quality"))
+      .orderBy("doc_id")
+
+  /** x12: token counting — whitespace tokens, alphabetic-run ("BPE-ish"
+    * regex) tokens, and byte length per document (portable, oracle-checked). */
+  def x12(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              size(filter(split(col("text"), " "), t => t =!= ""))
+                .cast(LongType).as("ws_tokens"),
+              size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+                .cast(LongType).as("re_tokens"),
+              octet_length(col("text")).cast(LongType).as("n_bytes"))
+      .orderBy("doc_id")
+
+  /** x13: document fingerprinting — Rabin-Karp-style rolling hash over
+    * 5-token windows (Horner chain mod 1e9+7; every step bounded < 1.4e11 so
+    * BIGINT-exact on any engine ⇒ oracle-checked). Output per doc: window
+    * count, distinct fingerprints, min fingerprint — the building block for
+    * shingle-level copy detection. */
+  def x13(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(filter(split(lower(col("text")), " "),
+        t => t =!= "")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+    // cheap portable token code: first two char codes + length
+    val code = (ascii(substring(col("tok"), 1, 1)) * 4096 +
+                ascii(substring(col("tok"), 2, 1)) * 64 +
+                length(col("tok"))).cast(LongType)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val coded = toks.select(col("doc_id"), col("pos"), code.as("c0"),
+      lead(code, 1).over(Window.partitionBy("doc_id").orderBy("pos")).as("c1"),
+      lead(code, 2).over(Window.partitionBy("doc_id").orderBy("pos")).as("c2"),
+      lead(code, 3).over(Window.partitionBy("doc_id").orderBy("pos")).as("c3"),
+      lead(code, 4).over(Window.partitionBy("doc_id").orderBy("pos")).as("c4"))
+    val M = 1000000007L
+    val B = 131L
+    val horner = ((((((col("c4") * B + col("c3")) % M) * B + col("c2")) % M)
+      * B + col("c1")) % M * B + col("c0")) % M
+    val fp = coded.filter(col("c4").isNotNull)
+      .select(col("doc_id"), horner.as("fp"))
+    fp.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+           countDistinct(col("fp")).as("n_distinct_fp"),
+           min(col("fp")).as("min_fp"))
+      .orderBy("doc_id")
+  }
+}

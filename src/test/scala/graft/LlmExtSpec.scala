@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.{Extras, LlmExt, LlmExt2, MultimodalOps}
+
+/** Property tests for the hash-based / non-oracle LLM-pipeline operators.
+  * Uses sf0.1 where the planted exact-duplicate groups exist (FIXTURES.md §2:
+  * 8 dup groups at sf0.1, none below). */
+class LlmExtSpec extends AnyFunSuite {
+  import TestSpark.spark
+  private val sfBig = "/root/testdata/sf0.1"
+
+  /** The ground-truth exact-duplicate pairs from q44 (lower(text) groups). */
+  private lazy val exactDupPairs: Set[(Long, Long)] = {
+    val groups = graft.engine.Tables.documents(spark, sfBig)
+      .groupBy(lower(col("text")).as("norm"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .collect().map(_.getSeq[Long](1).sorted)
+    groups.flatMap(ids => for (a <- ids; b <- ids if a < b) yield (a, b)).toSet
+  }
+
+  test("ground truth: sf0.1 has exact-duplicate documents") {
+    assert(exactDupPairs.nonEmpty)
+  }
+
+  test("x01 MinHash LSH finds every exact-duplicate pair at distance 0") {
+    val found = Extras.x01(spark, sfBig)
+      .filter(col("jaccard_dist") === 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactDupPairs.subsetOf(found),
+      s"missing: ${exactDupPairs -- found}")
+  }
+
+  test("x07 SimHash: exact duplicates share a fingerprint group") {
+    val groups = LlmExt2.x07(spark, sfBig)
+      .filter(col("n_docs") > 1).collect()
+    assert(groups.nonEmpty, "the 8 dup groups must collide in SimHash space")
+    // every fingerprint group with >1 doc has ≥ as many groups as q44 dups
+    val nDupDocs = exactDupPairs.flatMap(p => Set(p._1, p._2)).size
+    assert(groups.map(_.getLong(2)).sum >= nDupDocs)
+  }
+
+  test("x08 n-gram Jaccard: exact duplicates found with jaccard = 1.0") {
+    val found = Extras.x01(spark, sfBig) // warm shared scans
+    val pairs = LlmExt2.x08(spark, sfBig)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val perfect = pairs.filter(_._3 == 1.0).map(p => (p._1, p._2)).toSet
+    assert(exactDupPairs.subsetOf(perfect), s"missing: ${exactDupPairs -- perfect}")
+  }
+
+  test("x09 banded hyperplane LSH finds every planted near-duplicate") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val emb = graft.engine.Tables.embeddings(spark, TestSpark.sfSmoke)
+      .select(col("vec_id"), col("embedding"))
+    // plant: copies of vec_id 0..9 with one component nudged (cos ≈ 0.9999+)
+    val planted = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"),
+              expr("transform(embedding, (x, i) -> IF(i = 0, x + 0.001F, x))")
+                .as("embedding"))
+    val all = emb.unionByName(planted)
+    val found = LlmExt2.nearDupPairs(all, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 10L).map(i => (i, i + 100000)).toSet
+    assert(expected.subsetOf(found), s"missing planted pairs: ${expected -- found}")
+    // and the confirm stage is exact: nothing below the threshold slips in
+    val sims = LlmExt2.nearDupPairs(all, 0.99).collect().map(_.getDouble(2))
+    assert(sims.forall(_ >= 0.99))
+  }
+
+  test("x10 lang-id heuristic beats chance on the synthetic corpus") {
+    val cm = LlmExt2.x10(spark, sfBig).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = cm.map(_._3).sum
+    val correct = cm.filter(r => r._1 == r._2).map(_._3).sum
+    assert(total > 0 && correct * 5 > total,
+      s"accuracy ${correct.toDouble / total} should beat the 1/5 chance rate")
+  }
+
+  test("x14 multimodal: schema, batch shape, and deterministic stub features") {
+    val media = MultimodalOps.mediaTable(spark, TestSpark.sfSmoke)
+    val schema = media.schema
+    assert(schema("content").dataType.typeName === "binary")
+    assert(schema("format").dataType.typeName === "string")
+    val feats = MultimodalOps.extractFeatures(media)
+    val row = feats.orderBy("doc_id").head()
+    assert(row.feature.length === 16)
+    assert(math.abs(row.feature.sum - 1.0) < 1e-9, "histogram must be normalized")
+    // deterministic: two runs agree exactly
+    val a = MultimodalOps.x14(spark, TestSpark.sfSmoke).collect().toSeq
+    val b = MultimodalOps.x14(spark, TestSpark.sfSmoke).collect().toSeq
+    assert(a === b)
+    assert(a.map(_.getLong(1)).sum === media.count())
+  }
+
+  test("x45/x46 exact kernels agree: q45 top-1 is the max-cosine neighbor") {
+    val top = LlmExt.q45(spark, TestSpark.sfSmoke).head()
+    assert(top.getDouble(1) <= 1.000001 && top.getDouble(1) >= -1.0)
+  }
+}
