@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries._
+
+/** Physical-plan assertions: the optimizations the 100 TB posture depends on
+  * must actually appear in the executed plans (SURVEY.md §4.2) — pushdown and
+  * pruning at the parquet scan, broadcast joins for dimensions, per-partition
+  * top-k, no accidental cartesian products. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfSmoke}
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: all predicates are pushed into the parquet scan") {
+    val p = plan(Relational1.q02(spark, sfSmoke))
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(400))
+    // the scan reads only the 4 referenced columns, filters reach DataFilters
+    assert(p.contains("ReadSchema: struct<l_quantity"), "column pruning at the scan")
+    assert(p.contains("DataFilters: [isnotnull(l_shipdate"), "filters at the scan")
+  }
+
+  test("q01: column pruning reaches the scan (4 of 11 lineitem columns read)") {
+    val p = plan(Relational1.q01(spark, sfSmoke))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_shipdate"), "untouched columns must not be scanned")
+    assert(!p.contains("l_tax"))
+  }
+
+  test("q05: the dimension side is broadcast — no shuffle of the fact table for the join") {
+    val p = plan(Relational1.q05(spark, sfSmoke))
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("q10: five-way join uses broadcast for nation/region, no CartesianProduct") {
+    val p = plan(Relational1.q10(spark, sfSmoke))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"), "unconditional cartesian would be a scale bug")
+  }
+
+  test("q24: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational2.q24(spark, sfSmoke))
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("q07/q08: semi/anti joins stay semi/anti physically") {
+    assert(plan(Relational1.q07(spark, sfSmoke)).contains("LeftSemi"))
+    assert(plan(Relational1.q08(spark, sfSmoke)).contains("LeftAnti"))
+  }
+
+  test("q12: aggregation is partial+final (map-side combine before the exchange)") {
+    val p = plan(Relational1.q12(spark, sfSmoke))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "partial and final HashAggregate expected")
+  }
+
+  test("q44: dedup groupBy keys the exchange on the normalized text") {
+    val p = plan(LlmExt.q44(spark, sfSmoke))
+    assert(p.contains("HashAggregate") && p.contains("Exchange"))
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipelines") {
+    val p = plan(Relational2.q30(spark, sfSmoke))
+    assert(p.contains("*(1)"), "scalar pipeline must be codegen'd (the *(n) stage marker)")
+  }
+}
