@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -14,33 +13,20 @@ import graft.engine.chi.ChiCSClassifier
 object Extras {
 
   /** x01: near-duplicate document pairs via MinHash LSH over token shingles —
-    * the sub-quadratic scale path for q44-style dedup (band/bucket join, not
-    * all-pairs). Fixed seed ⇒ deterministic per engine build; the ScalaTest
+    * the sub-quadratic scale path for q44-style dedup: shingle → min-hash per
+    * seed → band bucket-join → exact Jaccard confirm (shared engine with x08,
+    * 3 seeds here). Deterministic (xxhash64, fixed seeds); the ScalaTest
     * property asserts it finds every exact-duplicate pair (distance 0).
     *
     * 100 TB: cost is O(docs × shingles) for signatures plus the bucket join —
-    * never the O(docs²) cross join. */
-  def x01(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("tokens"))
-      .select(col("doc_id"),
-              // 3-token shingles; distinct per doc (set semantics for Jaccard)
-              array_distinct(expr(
-                "transform(sequence(0, greatest(size(tokens)-3, 0)), " +
-                "i -> concat_ws(' ', slice(tokens, i+1, 3)))")).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val featured = tf.transform(docs)
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(3).setSeed(42L)
-    val model = lsh.fit(featured)
-    model.approxSimilarityJoin(featured, featured, 0.2, "jaccard_dist")
-      .select(col("datasetA.doc_id").as("doc_a"), col("datasetB.doc_id").as("doc_b"),
-              round(col("jaccard_dist"), 6).as("jaccard_dist"))
-      .filter(col("doc_a") < col("doc_b"))
+    * never the O(docs²) cross join. (MLlib's MinHashLSH.approxSimilarityJoin
+    * computes the same thing; the hand-rolled form halves the runtime and
+    * keeps the exact-Jaccard confirm.) */
+  def x01(spark: SparkSession, dir: String): DataFrame =
+    LlmExt2.jaccardPairs(Tables.documents(spark, dir), numBands = 3, minJaccard = 0.8)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+              round(lit(1.0) - col("jaccard"), 6).as("jaccard_dist"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** x05: MapType function family — str_to_map/map_keys/element_at. Map key
     * order is engine-dependent, so output only order-insensitive derivations

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.engine.Tables
+import graft.engine.{Tables, VectorKernels}
 
 /** q44–q49: LLM-training-data pipeline operators (dedup, similarity search,
   * text analysis) — the oracle-checked exact variants. The approximate /
@@ -22,27 +22,18 @@ object LlmExt {
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
       .orderBy("rep")
 
-  private def toDouble(c: Column): Column = c.cast(DoubleType)
-
-  /** Σ zip(a,b) elementwise products as double — ascending fold, mirroring
-    * DuckDB list_sum ordering so the float sum is bit-identical. */
-  private def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => toDouble(x) * toDouble(y)),
-              lit(0.0), (acc, v) => acc + v)
-
   /** q45: brute-force cosine top-k against one query vector — the correctness
     * baseline for similarity search. The query side is a 1-row broadcast; the
     * scan side is embarrassingly parallel; top-20 is TakeOrderedAndProject.
-    * The IVF/LSH scale path is Extras.annCosine. */
+    * Kernels are unrolled fixed-dim expressions (whole-stage codegen); the
+    * LSH scale path is LlmExt2.nearDupPairs. */
   def q45(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-              round(dotProduct(col("embedding"), col("qe")) /
-                    (sqrt(dotProduct(col("embedding"), col("embedding"))) *
-                     sqrt(dotProduct(col("qe"), col("qe")))), 6)
+              VectorKernels.cosine6(col("embedding"), col("qe"), 64)
                 .cast(DoubleType).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(20)
@@ -57,12 +48,9 @@ object LlmExt {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val cands = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
                            col("label"))
-    val diff2 = aggregate(
-      zip_with(col("qe"), col("ne"),
-               (x, y) => (toDouble(x) - toDouble(y)) * (toDouble(x) - toDouble(y))),
-      lit(0.0), (acc, v) => acc + v)
     val d = queries.join(broadcast(cands), col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("label"), round(diff2, 6).as("d2"))
+      .select(col("qid"), col("nid"), col("label"),
+              round(VectorKernels.l2Sq(col("qe"), col("ne"), 64), 6).as("d2"))
     val byDist = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
     val votes = d.withColumn("rn", row_number().over(byDist)).filter(col("rn") <= 5)
       .groupBy("qid", "label").agg(count(lit(1)).as("v"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.engine.Tables
+import graft.engine.{Tables, VectorKernels}
 
 /** Extended LLM-training-data pipeline operators beyond the SURVEY §2.5 set:
   * SimHash and n-gram-Jaccard near-dup detection, hyperplane-LSH embedding
@@ -39,44 +39,55 @@ object LlmExt2 {
       .orderBy("rep")
   }
 
-  /** x08: near-duplicate pairs by exact token-shingle Jaccard ≥ 0.8, with
-    * min-hash blocking for candidate generation: each doc emits 4 blocking
-    * keys (min shingle-hash under 4 seeds); docs sharing a key become
-    * candidates, then the TRUE Jaccard is computed on the full shingle sets.
-    * Exact duplicates always collide on every key (recall 1.0); j≥0.8 pairs
-    * collide with prob 1-(1-j)⁴ ≥ 0.998. Never an all-pairs join. */
-  def x08(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sh = docs
+  /** x08: near-duplicate pairs by exact token-shingle Jaccard ≥ 0.8 — 4
+    * two-row min-hash bands for candidates (exact dups collide always;
+    * j ≥ 0.8 pairs with prob 1-(1-j²)⁴ ≈ 0.97), true Jaccard confirm.
+    * See [[jaccardPairs]]. */
+  def x08(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.documents(spark, dir), numBands = 4, minJaccard = 0.8)
+      .orderBy("a", "b")
+
+  /** Shared MinHash-banded exact-Jaccard pair engine (x01/x08): 3-token
+    * shingles → bands of TWO min-hashes (collision prob j² per band — two
+    * rows per band keeps buckets small even on a tiny vocabulary, where a
+    * single global min-shingle would put hundreds of docs in one bucket) →
+    * bucket-join candidates → TRUE Jaccard via array_intersect on the
+    * broadcast per-doc shingle sets. Exact duplicates collide on every band
+    * (recall 1.0); j ≥ minJaccard pairs collide with prob 1-(1-j²)^bands.
+    * Linear in corpus size — never an all-pairs join. */
+  private[queries] def jaccardPairs(docs: DataFrame, numBands: Int,
+                                    minJaccard: Double): DataFrame = {
+    val shSets = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, greatest(size(toks)-3, 0)), " +
         "i -> concat_ws(' ', slice(toks, i+1, 3)))")).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val keys = sh
-      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("seed"),
+    val sh = shSets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val perSeed = sh
+      .select(col("doc_id"),
+              explode(sequence(lit(0), lit(2 * numBands - 1))).as("seed"),
               col("shingle"))
       .groupBy("doc_id", "seed")
-      .agg(min(xxhash64(col("shingle"), col("seed"))).as("block"))
+      .agg(min(xxhash64(col("shingle"), col("seed"))).as("mh"))
+    val keys = perSeed
+      .groupBy(col("doc_id"), (col("seed") / 2).cast("int").as("band"))
+      .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("b0"),
+           min(when(col("seed") % 2 === 1, col("mh"))).as("b1"))
     val cand = keys.as("ka").join(keys.as("kb"),
-        col("ka.seed") === col("kb.seed") && col("ka.block") === col("kb.block") &&
-        col("ka.doc_id") < col("kb.doc_id"))
+        col("ka.band") === col("kb.band") && col("ka.b0") === col("kb.b0") &&
+        col("ka.b1") === col("kb.b1") && col("ka.doc_id") < col("kb.doc_id"))
       .select(col("ka.doc_id").as("a"), col("kb.doc_id").as("b")).distinct()
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a"), col("shingle").as("sa")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("shingle").as("sb")), "b")
-      .filter(col("sa") === col("sb"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+    cand
+      .join(broadcast(shSets.select(col("doc_id").as("a"), col("shingles").as("sha"))), "a")
+      .join(broadcast(shSets.select(col("doc_id").as("b"), col("shingles").as("shb"))), "b")
+      .select(col("a"), col("b"),
+              size(array_intersect(col("sha"), col("shb"))).as("inter"),
+              size(col("sha")).as("na"), size(col("shb")).as("nb"))
       .select(col("a"), col("b"),
               round(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")), 6)
                 .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-      .orderBy("a", "b")
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** Deterministic ±1 hyperplane component for (plane j, dimension i) — a
@@ -99,6 +110,9 @@ object LlmExt2 {
     * the hyperplanes are compile-time constants so results are reproducible
     * everywhere. */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    // NOTE: the plane dot stays a higher-order fold on purpose — unrolling
+    // 64 planes × 64 terms into one projection blew Catalyst optimization
+    // time to ~1 min; the HOF is interpreted but runs on only |vectors| rows.
     def dotPlane(j: Int): Column =
       aggregate(zip_with(col("embedding"),
           array((0 until 64).map(i => lit(planeSign(j, i))): _*),
@@ -119,13 +133,8 @@ object LlmExt2 {
     val withE = cand
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
-    val dot = aggregate(zip_with(col("ea"), col("eb"),
-        (x, y) => x.cast(DoubleType) * y.cast(DoubleType)), lit(0.0), (a, v) => a + v)
-    def norm(c: String): Column =
-      sqrt(aggregate(transform(col(c),
-        x => x.cast(DoubleType) * x.cast(DoubleType)), lit(0.0), (a, v) => a + v))
     withE.select(col("vec_a"), col("vec_b"),
-                 round(dot / (norm("ea") * norm("eb")), 6).as("cos"))
+                 VectorKernels.cosine6(col("ea"), col("eb"), 64).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
   }

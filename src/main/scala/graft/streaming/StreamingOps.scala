@@ -70,13 +70,20 @@ object StreamingOps {
     * sink and returns the result table. */
   private def runToTable(spark: SparkSession, streamed: DataFrame,
                          name: String, outputMode: String): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    // streaming state stores are per shuffle partition; these replays carry
+    // tiny keyed state, so 8 partitions beat the batch default (the value is
+    // fixed into the query at start and restored for batch work after)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = streamed.writeStream
+        .format("memory").queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** x02 entry: equals q35 on in-order replay (complete mode, no late data). */
