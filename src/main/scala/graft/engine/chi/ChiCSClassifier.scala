@@ -105,8 +105,24 @@ class ChiCSClassifier(override val uid: String)
         Array.tabulate(n)(i => TriPartition(row.getDouble(2 * i), row.getDouble(2 * i + 1), L))
       }
 
+    // R4: candidate antecedent per example = argmax label per attribute.
+    val labeled = feats.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+      d.withColumn(s"__a$i", ChiCore.argmaxLabel(ChiCore.memberships(col(f), parts(i))))
+    }.withColumn("__ant", array((0 until n).map(i => col(s"__a$i")): _*))
+
+    // Pre-aggregate to DISTINCT feature vectors with multiplicity: the weight
+    // term is a pure function of (features, cls) and DECIMAL × count is
+    // exact, so the sums are digit-identical to the per-row formulation while
+    // the fan-out shrinks by the duplication factor. Cached for the duration
+    // of fit — class counts, candidates, and weight sums all derive from it,
+    // turning three full input scans into one.
+    val compressed = labeled
+      .groupBy((feats.map(col) :+ col("__ant") :+ col("__cls")): _*)
+      .agg(count(lit(1)).as("__m"))
+      .persist()
+
     // R3 cost vector: declared, or binary-IR from class counts.
-    val classCounts = df.groupBy("__cls").count().collect()
+    val classCounts = compressed.groupBy("__cls").agg(sum(col("__m")).as("n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val classes = classCounts.map(_._1)
     val costs: Map[Int, Double] =
@@ -121,20 +137,6 @@ class ChiCSClassifier(override val uid: String)
     val costExpr = classes.foldLeft(when(lit(false), 0.0)) { (acc, c) =>
       acc.when(col("__cls") === c, costs(c))
     }.otherwise(1.0)
-
-    // R4: candidate antecedent per example = argmax label per attribute.
-    val labeled = feats.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
-      d.withColumn(s"__a$i", ChiCore.argmaxLabel(ChiCore.memberships(col(f), parts(i))))
-    }.withColumn("__ant", array((0 until n).map(i => col(s"__a$i")): _*))
-
-
-    // Pre-aggregate to DISTINCT feature vectors with multiplicity: the weight
-    // term is a pure function of (features, cls) and DECIMAL × count is
-    // exact, so the sums are digit-identical to the per-row formulation while
-    // the fan-out shrinks by the duplication factor.
-    val compressed = labeled
-      .groupBy((feats.map(col) :+ col("__ant") :+ col("__cls")): _*)
-      .agg(count(lit(1)).as("__m"))
 
     val candidates = compressed
       .select(col("__ant").as("__cant"), col("__cls").as("__ccls")).distinct()
@@ -169,12 +171,14 @@ class ChiCSClassifier(override val uid: String)
                         round(col("w_all"), 6).cast(DoubleType))
     // R6/R7 conflict resolution: max weight per antecedent, tie → lowest class.
     val byAnt = Window.partitionBy("__cant").orderBy(col("rw").desc, col("__ccls"))
-    val rules = withRw.withColumn("rn", row_number().over(byAnt))
-      .filter(col("rn") === 1 && col("rw") > 0)
-      .select(col("__cant"), col("__ccls"), col("rw"))
-      .collect()
-      .map(r => ChiRule(r.getSeq[Int](0).toArray, r.getInt(1), r.getDouble(2)))
-      .sortBy(r => (r.antecedent.mkString(","), r.cls))
+    val rules =
+      try withRw.withColumn("rn", row_number().over(byAnt))
+        .filter(col("rn") === 1 && col("rw") > 0)
+        .select(col("__cant"), col("__ccls"), col("rw"))
+        .collect()
+        .map(r => ChiRule(r.getSeq[Int](0).toArray, r.getInt(1), r.getDouble(2)))
+        .sortBy(r => (r.antecedent.mkString(","), r.cls))
+      finally compressed.unpersist()
 
     val majority = classCounts.maxBy { case (c, cnt) => (cnt, -c) }._1
     copyValues(new ChiCSModel(uid, parts, classes, costs, rules, majority)).setParent(this)
