@@ -230,6 +230,23 @@ object OracleSqlMl {
         |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
+  /** Pivot/unpivot over a fixed value list — portable conditional agg. */
+  val reshape: Map[String, String] = Map(
+    "x16_pivot_wide" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type='click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type='error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type='view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "x17_unpivot_long" ->
+      """SELECT user_id, event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
+  )
+
   def all: Map[String, String] =
-    ml ++ llm ++ ext ++ Map("x06_chi_estimator_fit" -> ml("q42_ml_chi_classify"))
+    ml ++ llm ++ ext ++ reshape ++
+      Map("x06_chi_estimator_fit" -> ml("q42_ml_chi_classify"))
 }

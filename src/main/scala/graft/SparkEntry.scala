@@ -79,7 +79,10 @@ object SparkEntry {
     "x11_text_quality"         -> (LlmExt2.x11 _),
     "x12_text_tokencount"      -> (LlmExt2.x12 _),
     "x13_text_fingerprint"     -> (LlmExt2.x13 _),
-    "x14_multimodal_features"  -> (MultimodalOps.x14 _)
+    "x14_multimodal_features"  -> (MultimodalOps.x14 _),
+    "x15_approx_sketches"      -> (Reshape.x15 _),
+    "x16_pivot_wide"           -> (Reshape.x16 _),
+    "x17_unpivot_long"         -> (Reshape.x17 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+
+/** x15–x17: sketch aggregations and reshaping operators.
+  *
+  * x16/x17 are oracle-checked (pivot/unpivot over a FIXED column list is
+  * portable conditional aggregation / stacking); x15's sketches are
+  * engine-specific by nature and property-tested against exact answers.
+  */
+object Reshape {
+
+  /** x15: approximate sketches — HyperLogLog++ distinct counts and
+    * approximate percentiles. THE memory-bounded path for 100 TB cardinality
+    * and quantile work (exact countDistinct shuffles every distinct value;
+    * the sketch is constant-size per group and mergeable). Non-oracle:
+    * sketch internals are engine-specific; accuracy asserted in tests. */
+  def x15(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
+           percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
+           percentile_approx(col("o_totalprice"), lit(0.95), lit(10000)).as("p95"))
+      .orderBy("o_orderpriority")
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** x16: pivot — events long → wide counts per (user, event_type). The
+    * value list is FIXED so the output schema is static and portable; Spark
+    * plans it as a single conditional aggregation pass (no per-value scans). */
+  def x16(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+      .orderBy("user_id")
+
+  /** x17: unpivot/melt — the x16 wide table back to long form, dropping the
+    * zero cells introduced by pivot. `unpivot` is a zero-shuffle row
+    * expansion. */
+  def x17(spark: SparkSession, dir: String): DataFrame =
+    x16(spark, dir)
+      .unpivot(Array(col("user_id")),
+               eventTypes.map(col).toArray, "event_type", "cnt")
+      .filter(col("cnt") > 0)
+      .orderBy("user_id", "event_type")
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Reshape
+
+/** x15–x17 properties: sketch accuracy against exact answers; pivot/unpivot
+  * round-trip. */
+class ReshapeSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfSmoke}
+
+  test("x15 HLL distinct counts land within the configured 2% error (5x slack)") {
+    val exact = graft.engine.Tables.orders(spark, sfSmoke)
+      .groupBy("o_orderpriority").agg(countDistinct(col("o_custkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Reshape.x15(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    for ((prio, app, p50, p95) <- approx) {
+      val ex = exact(prio).toDouble
+      assert(math.abs(app - ex) / ex <= 0.10, s"$prio: approx $app vs exact $ex")
+      assert(p50 <= p95, "quantiles must be ordered")
+    }
+  }
+
+  test("x16 pivot row sums equal per-user event counts; x17 inverts x16") {
+    val perUser = graft.engine.Tables.events(spark, sfSmoke)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wide = Reshape.x16(spark, sfSmoke).collect()
+    for (r <- wide) {
+      val total = (1 to 5).map(r.getLong).sum
+      assert(total === perUser(r.getLong(0)), s"user ${r.getLong(0)}")
+    }
+    val long = Reshape.x17(spark, sfSmoke).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val direct = graft.engine.Tables.events(spark, sfSmoke)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(long === direct)
+  }
+}
