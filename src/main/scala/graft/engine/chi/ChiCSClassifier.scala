@@ -251,6 +251,19 @@ class ChiCSModel private[graft] (
 
 object ChiCSModel extends MLReadable[ChiCSModel] {
 
+  /** R7 rule-base merge as a standalone operator: equal antecedents keep the
+    * max-weight rule, weight ties resolve to the lowest class index. This is
+    * the reduce-side merge of the reference generalized to any number of
+    * partial rule bases — commutative, associative, and idempotent (property
+    * tested), so partial bases can be combined in any tree shape on any
+    * number of executors. */
+  def mergeRuleBases(bases: Seq[Array[ChiRule]]): Array[ChiRule] =
+    bases.flatten
+      .groupBy(_.antecedent.toSeq)
+      .map { case (_, rs) => rs.minBy(r => (-r.weight, r.cls)) }
+      .toArray
+      .sortBy(r => (r.antecedent.mkString(","), r.cls))
+
   private[chi] class Writer(instance: ChiCSModel) extends MLWriter {
     override protected def saveImpl(path: String): Unit = {
       val spark = sparkSession

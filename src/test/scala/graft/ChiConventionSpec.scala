@@ -70,6 +70,22 @@ class ChiConventionSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("R7 merge is commutative, associative, idempotent; ties go to the lowest class") {
+    import graft.engine.chi.ChiCSModel.mergeRuleBases
+    val A = Array(ChiRule(Array(0, 0), 0, 0.5), ChiRule(Array(1, 1), 1, 0.3))
+    val B = Array(ChiRule(Array(0, 0), 1, 0.7), ChiRule(Array(2, 2), 0, 0.2))
+    val C = Array(ChiRule(Array(1, 1), 0, 0.3)) // ties (1,1) at 0.3 with A's cls 1
+    def key(rs: Array[ChiRule]) = rs.map(r => (r.antecedent.toSeq, r.cls, r.weight)).toSeq
+    assert(key(mergeRuleBases(Seq(A, B))) === key(mergeRuleBases(Seq(B, A))))
+    assert(key(mergeRuleBases(Seq(mergeRuleBases(Seq(A, B)), C))) ===
+           key(mergeRuleBases(Seq(A, mergeRuleBases(Seq(B, C))))))
+    assert(key(mergeRuleBases(Seq(A, A))) === key(mergeRuleBases(Seq(A))))
+    // (0,0): B's 0.7 beats A's 0.5; (1,1): tie 0.3 → lowest class (0, from C)
+    val m = mergeRuleBases(Seq(A, B, C)).map(r => r.antecedent.toSeq -> (r.cls, r.weight)).toMap
+    assert(m(Seq(0, 0)) === ((1, 0.7)))
+    assert(m(Seq(1, 1)) === ((0, 0.3)))
+  }
+
   test("metric identities: GM and AUC from a fixed confusion matrix") {
     // tp=30, fn=10, tn=40, fp=20 → tpr=.75 tnr=!.666 gm=sqrt(.5) auc=(1+.75-1/3)/2
     val tpr = 30.0 / 40.0
