@@ -13,6 +13,8 @@ object Sessions {
     .config("spark.sql.session.timeZone", "UTC")
     // AQE re-plans joins/skew from runtime stats — the 100 TB posture.
     .config("spark.sql.adaptive.enabled", "true")
+    // bucketed-table demos write managed tables; keep them out of the repo
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
 
   def local(cores: Int, shufflePartitions: Int): SparkSession = {
     val s = withGraftConf(SparkSession.builder()

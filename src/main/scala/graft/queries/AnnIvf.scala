@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.{Tables, VectorKernels}
+
+/** x18: IVF (inverted-file) approximate nearest-neighbor search — the
+  * partition-based ANN structure complementing the LSH one (x09).
+  *
+  * Build: KMeans (fixed seed) coarse-quantizes the corpus into nlist cells;
+  * every vector is assigned to its nearest centroid — at 100 TB the
+  * assignment is one broadcast-centroid map pass and cells become the
+  * partitioning/clustering key of the stored table.
+  * Query: probe only the nprobe nearest cells (centroid distances computed on
+  * the driver against the tiny centroid set), then exact cosine inside the
+  * probed cells — the scan shrinks by ≈ nlist/nprobe while recall stays high
+  * for clustered data. Recall vs the exact q45 is property-tested.
+  */
+object AnnIvf {
+  private val nlist = 16
+  private val nprobe = 4
+  private val dim = 64
+
+  /** Cell assignments + centroids for the embeddings table. */
+  private def quantize(spark: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
+    val emb = Tables.embeddings(spark, dir)
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feats = emb.withColumn("features", toVec(col("embedding")))
+    val km = new KMeans().setK(nlist).setSeed(7L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(feats)
+    (model.transform(feats).select(col("vec_id"), col("embedding"), col("cell")),
+     model.clusterCenters.map(_.toArray))
+  }
+
+  /** x18 entry: top-20 cosine neighbors of vec_id 0 searching only the
+    * nprobe nearest IVF cells. */
+  def x18(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, centers) = quantize(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble).toArray
+    def dist2(c: Array[Double]): Double =
+      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probed = centers.zipWithIndex.sortBy { case (c, i) => (dist2(c), i) }
+      .take(nprobe).map(_._2)
+    val qdf = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    assigned
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*) && col("vec_id") =!= 0)
+      .crossJoin(broadcast(qdf))
+      .select(col("vec_id"),
+              VectorKernels.cosine6(col("embedding"), col("qe"), dim)
+                .cast(DoubleType).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+  }
+}

@@ -29,6 +29,46 @@ class SinkSpec extends AnyFunSuite {
     assert(one.count() === direct)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // the catalog is per-session in-memory but the warehouse dir persists;
+    // clear stale locations from previous JVMs
+    for (t <- Seq("b_orders", "b_customer")) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"/tmp/graft_warehouse/$t"))
+    }
+    graft.engine.Tables.orders(spark, sfSmoke)
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    graft.engine.Tables.customer(spark, sfSmoke)
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("b_customer")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer").hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides read pre-bucketed: the join itself needs no Exchange
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, plan.take(500))
+    val belowJoin = plan.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange hashpartitioning(o_custkey") &&
+           !belowJoin.contains("Exchange hashpartitioning(c_custkey"),
+      "bucketed join must not re-shuffle either side:\n" + belowJoin.take(800))
+    // value parity with the plain join
+    val direct = graft.queries.Relational1.q04(spark, sfSmoke).collect()
+    val fromBuckets = joined.select(col("c_mktsegment"), col("n"))
+      .orderBy("c_mktsegment").collect()
+    assert(fromBuckets.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+           direct.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
   test("sorted single-file parquet sink preserves order (Verify contract)") {
     val out = Files.createTempDirectory("sink2").toString + "/q12"
     graft.queries.Relational1.q12(spark, sfSmoke)
