@@ -7,6 +7,8 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   /** Configs every graft session needs regardless of entry point. */
   def withGraftConf(b: SparkSession.Builder): SparkSession.Builder = b
+    // native codegen'd vector kernels (fvec_dot / fvec_l2sq)
+    .withExtensions(graft.engine.expr.GraftExtensions.install)
     // events.parquet carries TIMESTAMP(NANOS); map it to epoch-ns BIGINT and
     // let Tables.events normalize to µs TimestampType (Spark's native unit).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -51,7 +51,7 @@ object AnnIvf {
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*) && col("vec_id") =!= 0)
       .crossJoin(broadcast(qdf))
       .select(col("vec_id"),
-              VectorKernels.cosine6(col("embedding"), col("qe"), dim)
+              VectorKernels.cosine6(col("embedding"), col("qe"))
                 .cast(DoubleType).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(20)

@@ -33,7 +33,7 @@ object LlmExt {
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-              VectorKernels.cosine6(col("embedding"), col("qe"), 64)
+              VectorKernels.cosine6(col("embedding"), col("qe"))
                 .cast(DoubleType).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(20)
@@ -50,7 +50,7 @@ object LlmExt {
                            col("label"))
     val d = queries.join(broadcast(cands), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), col("label"),
-              round(VectorKernels.l2Sq(col("qe"), col("ne"), 64), 6).as("d2"))
+              round(VectorKernels.l2Sq(col("qe"), col("ne")), 6).as("d2"))
     val byDist = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
     val votes = d.withColumn("rn", row_number().over(byDist)).filter(col("rn") <= 5)
       .groupBy("qid", "label").agg(count(lit(1)).as("v"))

@@ -23,17 +23,22 @@ object LlmExt2 {
     * fingerprints; near-identical texts ⇒ small Hamming distance. Output is
     * the fingerprint groups (exact-collision dedup view).
     *
-    * 100 TB: two narrow shuffles — (doc, bit) vote and (doc) reassembly —
-    * then a groupBy on the 64-bit fingerprint; all linear in token count. */
+    * 100 TB: ONE narrow shuffle — the 64 per-bit votes ride a single
+    * groupBy(doc_id) as parallel ±1-sum aggregates (map-side partials make
+    * the exchange carry one row per doc), then a groupBy on the 64-bit
+    * fingerprint; all linear in token count. (An earlier form exploded every
+    * token ×64 bits into a (doc, bit) shuffle — 64× the exchanged rows for
+    * the same votes.) */
   def x07(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(Tables.documents(spark, dir))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val votes = toks
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("vote"))
-    val fp = votes.groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("simhash"))
+    val votes = toks.groupBy("doc_id").agg(
+      sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("v0"),
+      (1 until 64).map(b =>
+        sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")): _*)
+    val fp = votes.select(col("doc_id"),
+      (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _).as("simhash"))
     fp.groupBy("simhash")
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
       .orderBy("rep")
@@ -64,16 +69,20 @@ object LlmExt2 {
         "i -> concat_ws(' ', slice(toks, i+1, 3)))")).as("shingles"))
       .filter(size(col("shingles")) > 0)
     val sh = shSets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val perSeed = sh
-      .select(col("doc_id"),
-              explode(sequence(lit(0), lit(2 * numBands - 1))).as("seed"),
-              col("shingle"))
-      .groupBy("doc_id", "seed")
-      .agg(min(xxhash64(col("shingle"), col("seed"))).as("mh"))
-    val keys = perSeed
-      .groupBy(col("doc_id"), (col("seed") / 2).cast("int").as("band"))
-      .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("b0"),
-           min(when(col("seed") % 2 === 1, col("mh"))).as("b1"))
+    // All 2·bands min-hashes as parallel aggregates of ONE groupBy: the
+    // shingle rows shuffle once (map-side partial mins make the exchange
+    // carry one row per doc), instead of exploding every shingle ×2·bands
+    // and shuffling the multiplied rows. Seeds are the same literals, so
+    // signatures are bit-identical to the exploded form.
+    val sigs = sh.groupBy("doc_id").agg(
+      min(xxhash64(col("shingle"), lit(0))).as("mh0"),
+      (1 until 2 * numBands).map(s =>
+        min(xxhash64(col("shingle"), lit(s))).as(s"mh$s")): _*)
+    val keys = sigs.select(col("doc_id"),
+        posexplode(array((0 until numBands).map(b =>
+          struct(col(s"mh${2 * b}").as("b0"), col(s"mh${2 * b + 1}").as("b1"))): _*)))
+      .select(col("doc_id"), col("pos").as("band"),
+              col("col.b0").as("b0"), col("col.b1").as("b1"))
     val cand = keys.as("ka").join(keys.as("kb"),
         col("ka.band") === col("kb.band") && col("ka.b0") === col("kb.b0") &&
         col("ka.b1") === col("kb.b1") && col("ka.doc_id") < col("kb.doc_id"))
@@ -110,14 +119,14 @@ object LlmExt2 {
     * the hyperplanes are compile-time constants so results are reproducible
     * everywhere. */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    // NOTE: the plane dot stays a higher-order fold on purpose — unrolling
-    // 64 planes × 64 terms into one projection blew Catalyst optimization
-    // time to ~1 min; the HOF is interpreted but runs on only |vectors| rows.
+    // Each plane is ONE typedlit array literal + ONE native fvec_dot node —
+    // the earlier alternatives both lost: unrolling 64 planes × 64 terms into
+    // column algebra blew Catalyst optimization time to ~1 min, and the
+    // aggregate(zip_with(...)) HOF ran interpreted per element. ±1.0 is exact
+    // in float, so the signs are unchanged.
     def dotPlane(j: Int): Column =
-      aggregate(zip_with(col("embedding"),
-          array((0 until 64).map(i => lit(planeSign(j, i))): _*),
-          (x, s) => x.cast(DoubleType) * s),
-        lit(0.0), (acc, v) => acc + v)
+      VectorKernels.dot(col("embedding"),
+        typedlit((0 until 64).map(i => planeSign(j, i).toFloat)))
     // band b value = 8 sign bits of planes 8b..8b+7
     def bandValue(b: Int): Column =
       (0 until 8).map(k =>
@@ -134,7 +143,7 @@ object LlmExt2 {
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
     withE.select(col("vec_a"), col("vec_b"),
-                 VectorKernels.cosine6(col("ea"), col("eb"), 64).as("cos"))
+                 VectorKernels.cosine6(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
   }
@@ -152,8 +161,12 @@ object LlmExt2 {
     * A self-contained n-gram-heuristic lang-ID without external models. */
   def x10(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = tokens(docs)
-    val langToks = docs.select(col("doc_id"), col("lang")).join(toks, "doc_id")
+    // lang rides along with the explode — no join back to the docs table
+    val langToks = docs
+      .select(col("doc_id"), col("lang"),
+              explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val toks = langToks.select(col("doc_id"), col("tok"))
     val byFreq = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
     val profile = langToks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(byFreq)).filter(col("rn") <= 20)
