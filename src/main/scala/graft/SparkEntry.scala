@@ -83,7 +83,8 @@ object SparkEntry {
     "x15_approx_sketches"      -> (Reshape.x15 _),
     "x16_pivot_wide"           -> (Reshape.x16 _),
     "x17_unpivot_long"         -> (Reshape.x17 _),
-    "x18_ann_ivf"              -> (AnnIvf.x18 _)
+    "x18_ann_ivf"              -> (AnnIvf.x18 _),
+    "x19_stream_custom_state"  -> (graft.streaming.StreamingOps.x19 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -37,4 +37,23 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+
+  /** Round-robin rebalance to one partition per core, for placing in front
+    * of stages whose PER-ROW compute dwarfs a row's shuffle cost (interpreted
+    * shingle-building HOFs, banded LSH projections, |q|×|c| kernel fan-outs).
+    * The harness tables are single-row-group parquet files, so their scans
+    * arrive as ONE partition no matter how `maxPartitionBytes` is set —
+    * without this, a compute-bound stage pins one core while the other 31
+    * idle. At production scale the scan yields many splits and this degrades
+    * to a cheap rebalance guarding against coarse or skewed upstream
+    * partitioning; the explicit N (not a bare `repartition()`) keeps AQE from
+    * coalescing the tiny local partitions back into one.
+    *
+    * NOT a blanket fix (measured): round-robin repartition local-sorts every
+    * row before the exchange (retry determinism), so on codegen'd column
+    * algebra that feeds a partial agg (the ML chain, tf-idf, lang-id) the
+    * sort+shuffle costs more than the single-task pipeline it replaces —
+    * those paths stay unfanned on purpose. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

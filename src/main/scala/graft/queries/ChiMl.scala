@@ -30,6 +30,8 @@ object ChiMl {
   /** Labeled, fuzzy-labeled training view: one row per lineitem with
     * (x1, x2, cls, a1, a2) where a_i is the argmax membership label. */
   private[queries] def labeled(spark: SparkSession, dir: String): DataFrame =
+    // deliberately NOT fanned out: the argmax + partial agg pipeline on a
+    // single scan task beats paying a sort+shuffle of every row (measured)
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
               col("l_quantity").as("x1"), col("l_discount").as("x2"),

@@ -44,8 +44,10 @@ object LlmExt {
     * the scale path buckets candidates with LSH first (Extras). */
   def q46(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter(col("vec_id") < 100)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // the BNLJ inherits the left side's partitioning — fan the 100 query
+    // rows out so the |queries|×|candidates| kernel work runs on all cores
+    val queries = Tables.fanOut(emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
     val cands = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
                            col("label"))
     val d = queries.join(broadcast(cands), col("qid") =!= col("nid"))
@@ -75,7 +77,8 @@ object LlmExt {
     * count are broadcast; tf shuffles once on (doc_id, tok). */
   def q48(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))

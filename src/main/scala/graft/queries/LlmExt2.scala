@@ -30,7 +30,7 @@ object LlmExt2 {
     * token ×64 bits into a (doc, bit) shuffle — 64× the exchanged rows for
     * the same votes.) */
   def x07(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(Tables.documents(spark, dir))
+    val toks = tokens(Tables.fanOut(Tables.documents(spark, dir)))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val votes = toks.groupBy("doc_id").agg(
       sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("v0"),
@@ -62,7 +62,9 @@ object LlmExt2 {
     * Linear in corpus size — never an all-pairs join. */
   private[queries] def jaccardPairs(docs: DataFrame, numBands: Int,
                                     minJaccard: Double): DataFrame = {
-    val shSets = docs
+    // shingle construction is the CPU-dominant stage (interpreted HOF) —
+    // spread the single-split scan across cores first
+    val shSets = Tables.fanOut(docs)
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, greatest(size(toks)-3, 0)), " +
@@ -131,7 +133,7 @@ object LlmExt2 {
     def bandValue(b: Int): Column =
       (0 until 8).map(k =>
         when(dotPlane(8 * b + k) >= 0, lit(1 << k)).otherwise(0)).reduce(_ + _)
-    val banded = emb.select(
+    val banded = graft.engine.Tables.fanOut(emb).select(
         col("vec_id"), posexplode(array((0 until 8).map(bandValue): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
     val cand = banded.as("A").join(banded.as("B"),

@@ -1,9 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
+
+/** Input row for the custom-state sessionizer (x19). */
+case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
+/** Keyed state: the user's currently-open session (epoch µs bounds). */
+case class OpenSession(start_us: Long, last_us: Long, n: Long)
+/** Emitted when a session closes (30-min gap or event-time timeout). */
+case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
 /** Structured Streaming operators x02–x04 (SURVEY.md §2.5): the
   * streaming-proper twins of the batch window queries q35/q37.
@@ -46,6 +53,59 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("cnt"))
       .select(unix_micros(col("window.start")).as("bucket_us"), col("cnt"))
+
+  /** x19 transform: 30-minute-gap sessionization with CUSTOM keyed state —
+    * `flatMapGroupsWithState` instead of `session_window` (x03). This is the
+    * escape hatch for session semantics the built-in operator can't express
+    * (e.g. emitting the full session record on close, capping session length,
+    * side outputs); here it reproduces the same gap rule so the ScalaTest can
+    * assert equivalence against the batch oracle (q37).
+    *
+    * Semantics: state per user = the open session; a batch's events are
+    * sorted in-memory (bounded by per-user-per-batch volume), gaps > 30 min
+    * close a session and emit it; an event-time timeout 30 min past the last
+    * event closes and emits the session once the watermark passes it.
+    *
+    * 100 TB posture: state is one small case class per ACTIVE user (not per
+    * event), partitioned by user across executors, GC'd by the timeout; the
+    * per-batch sort is per (user, batch) — never a global sort. */
+  def customStateSessions(events: DataFrame): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    events.select(col("user_id"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, events, state) =>
+          def close(s: OpenSession) = ClosedSession(uid, s.start_us, s.last_us, s.n)
+          if (events.isEmpty) {
+            // timeout: the watermark passed last+gap with no new events
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            val ts = events.map(e => e.ts.getTime * 1000L +
+              (e.ts.getNanos / 1000) % 1000).toArray.sorted
+            val closed = Seq.newBuilder[ClosedSession]
+            var open = state.getOption
+            for (t <- ts) open match {
+              case Some(s) if t - s.last_us <= gapUs =>
+                open = Some(s.copy(last_us = math.max(s.last_us, t), n = s.n + 1))
+              case Some(s) =>
+                closed += close(s)
+                open = Some(OpenSession(t, t, 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1))
+            }
+            state.update(open.get)
+            state.setTimeoutTimestamp((open.get.last_us + gapUs) / 1000)
+            closed.result().iterator
+          }
+      }
+  }
 
   /** The events parquet replayed as a genuine stream. The file source wants a
     * directory, so we stage a /tmp dir holding a symlink to the (read-only)
@@ -107,4 +167,15 @@ object StreamingOps {
                s"x04_sink_${System.nanoTime()}", "update")
       .groupBy("bucket_us").agg(max(col("cnt")).as("cnt"))
       .orderBy("bucket_us")
+
+  /** x19 entry: custom-state sessionization over the replay. Only sessions
+    * CLOSED by gap or by the final watermark are emitted (Append mode);
+    * sessions still open at end-of-stream stay in state — the MemoryStream
+    * spec asserts exact equivalence with q37 on controlled batches. */
+  def x19(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, customStateSessions(eventsStream(spark, dir)).toDF(),
+               s"x19_sink_${System.nanoTime()}", "append")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_closed_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy("user_id")
 }

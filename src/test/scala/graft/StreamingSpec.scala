@@ -72,4 +72,55 @@ class StreamingSpec extends AnyFunSuite {
     val total = out.agg(sum("cnt")).head().getLong(0)
     assert(total === evs.size.toLong)
   }
+
+  test("x19 flatMapGroupsWithState sessions: gap close, timeout close, state kept open") {
+    val mem = MemoryStream[Ev](spark)
+    // minutes offset from epoch: rows AT the initial watermark (epoch 0) are
+    // treated as late by stateful operators, so keep clear of t=0
+    val B = 600L
+    val out = runStream(mem,
+      df => graft.streaming.StreamingOps.customStateSessions(df).toDF(),
+      "append", "x19_test",
+      batches = Seq(
+        // user 1: events at +0,+10 then a 40-min gap to +50 → session {0,10}
+        // closes IN-BATCH by gap; session {50...} stays open.
+        // user 2: one event at +5 → open.
+        Seq(Ev(1, ts(B), 1, "view", 1.0, "{}"), Ev(2, ts(B + 10), 1, "view", 1.0, "{}"),
+            Ev(3, ts(B + 50), 1, "view", 1.0, "{}"), Ev(4, ts(B + 5), 2, "view", 1.0, "{}")),
+        // far-future event (user 3, +300) → watermark +290; user 1's open
+        // session (last +50, timeout +80) and user 2's (timeout +35) both
+        // time out and emit. user 3's own session stays open (no timeout yet).
+        Seq(Ev(5, ts(B + 300), 3, "view", 1.0, "{}"))))
+    val got = out.select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val us = (m: Long) => (B + m) * 60000000L
+    assert(got === Set(
+      (1L, us(0), us(10), 2L),   // closed by gap inside batch 1
+      (1L, us(50), us(50), 1L),  // closed by event-time timeout
+      (2L, us(5), us(5), 1L)))   // closed by event-time timeout
+  }
+
+  test("x19 custom-state sessions == q37 batch sessions once all sessions time out") {
+    val mem = MemoryStream[Ev](spark)
+    // two users, interleaved, multiple sessions each (minutes)
+    val B = 600L // keep clear of the epoch-0 initial watermark
+    val plan = Seq((1L, 0L), (2L, 3L), (1L, 20L), (1L, 90L), (2L, 40L),
+                   (1L, 100L), (2L, 140L), (1L, 160L))
+    val evs = plan.zipWithIndex.map { case ((u, m), i) =>
+      Ev(i.toLong, ts(B + m), u, "view", 1.0, "{}") }
+    val out = runStream(mem,
+      df => graft.streaming.StreamingOps.customStateSessions(df).toDF(),
+      "append", "x19_q37_test",
+      batches = Seq(evs, Seq(Ev(99, ts(B + 1000), 9, "view", 1.0, "{}"))))
+    // batch oracle: q37's session rule (30-min gap) applied by hand
+    val expected = Set(
+      (1L, 0L, 20L, 2L), (1L, 90L, 100L, 2L), (1L, 160L, 160L, 1L),
+      (2L, 3L, 3L, 1L), (2L, 40L, 40L, 1L), (2L, 140L, 140L, 1L))
+    val got = out.filter(col("user_id") < 9)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 60000000L - B,
+                 r.getLong(2) / 60000000L - B, r.getLong(3))).toSet
+    assert(got === expected)
+  }
 }
