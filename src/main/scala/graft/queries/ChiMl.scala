@@ -39,17 +39,6 @@ object ChiMl {
       .withColumn("a1", ChiCore.argmaxLabel(ChiCore.memberships(col("x1"), P1)))
       .withColumn("a2", ChiCore.argmaxLabel(ChiCore.memberships(col("x2"), P2)))
 
-  /** One-row (c0, c1) cost vector: C(minority)=IR, C(majority)=1 (R3). */
-  private[queries] def costs(lab: DataFrame): DataFrame = {
-    val all = Window.partitionBy()
-    val withC = lab.groupBy("cls").agg(count(lit(1)).as("n"))
-      .withColumn("c",
-        when(col("n") === min("n").over(all), max("n").over(all) * lit(1.0) / col("n"))
-          .otherwise(lit(1.0)))
-    withC.agg(max(when(col("cls") === 1, col("c"))).as("c1"),
-              max(when(col("cls") === 0, col("c"))).as("c0"))
-  }
-
   /** The final rule base (the result of R4–R7): cost-sensitive PCF weight per
     * candidate (antecedent, class), conflict-resolved to max weight, RW>0. */
   private[queries] def ruleBase(spark: SparkSession, dir: String): DataFrame = {
@@ -61,11 +50,26 @@ object ChiMl {
     // collapses from |rows|·|candidates| decimal terms to |vectors|·|cands|.
     // (The one added shuffle keys on the vector itself; at 100 TB this is the
     // difference between 1.8 B and ~20 k weight terms for this task.)
-    val gex = lab.groupBy("x1", "x2", "a1", "a2", "cls")
+    //
+    // Every downstream input — the cost vector, the candidate set, and the
+    // weight terms — is derived from THIS aggregate (class counts via
+    // Σ mcnt, identical integers), so its one exchange is computed once and
+    // ReusedExchange serves the other consumers; the earlier form re-derived
+    // costs from the raw table and re-scanned lineitem once per consumer.
+    val gex0 = lab.groupBy("x1", "x2", "a1", "a2", "cls")
       .agg(count(lit(1)).as("mcnt"))
-      .crossJoin(broadcast(costs(lab)))
-    val ants = gex.select(col("a1").as("ra1"), col("a2").as("ra2"),
-                          col("cls").as("rcls")).distinct()
+    val all = Window.partitionBy()
+    val costsDf = {
+      val withC = gex0.groupBy("cls").agg(sum(col("mcnt")).as("n"))
+        .withColumn("c",
+          when(col("n") === min("n").over(all), max("n").over(all) * lit(1.0) / col("n"))
+            .otherwise(lit(1.0)))
+      withC.agg(max(when(col("cls") === 1, col("c"))).as("c1"),
+                max(when(col("cls") === 0, col("c"))).as("c0"))
+    }
+    val gex = gex0.crossJoin(broadcast(costsDf))
+    val ants = gex0.select(col("a1").as("ra1"), col("a2").as("ra2"),
+                           col("cls").as("rcls")).distinct()
     val w = round(
         when(col("cls") === 1, col("c1")).otherwise(col("c0")) *
           ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
