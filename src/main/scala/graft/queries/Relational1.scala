@@ -102,16 +102,33 @@ object Relational1 {
   /** q10: TPC-H Q5 shape (flagship). nation/region are broadcast; the
     * customer⋈orders⋈lineitem chain shuffles on its keys; Catalyst+AQE pick
     * broadcast vs SMJ per side from runtime stats. */
-  def q10(spark: SparkSession, dir: String): DataFrame =
-    Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
-      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
-      .filter(col("r_name") === "ASIA")
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    // Dimension-first join order: the ASIA predicate reaches customer BEFORE
+    // the fact joins, so orders/lineitem join traffic shrinks by the region
+    // selectivity (~5×) instead of filtering after the fact⋈fact work. Only
+    // the genuinely tiny side (nation⋈region) is hint-broadcast. The two
+    // fact⋈fact joins are pinned to sort-merge: without table stats Spark's
+    // join-size product estimate made LINEITEM the broadcast build side (the
+    // one table that can never be built at scale); SMJ on custkey/orderkey is
+    // spill-safe, AQE-skew-splittable, and the plan a 1000-executor cluster
+    // wants.
+    val asiaNations = broadcast(
+      Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+    val asiaCust = Tables.customer(spark, dir)
+      .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val asiaOrders = Tables.orders(spark, dir)
+      .join(asiaCust.hint("merge"), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .join(asiaOrders.hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("n_name")
       .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))).as("revenue"))
       .orderBy("n_name")
+  }
 
   /** q11: as-of ("latest strictly-earlier click") expressed as equi-join +
     * max — the portable formulation the oracle can mirror; the shuffle is on

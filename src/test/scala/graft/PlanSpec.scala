@@ -39,6 +39,9 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Relational1.q10(spark, sfSmoke))
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"), "unconditional cartesian would be a scale bug")
+    // the fact⋈fact joins must stay sort-merge: a plan that puts lineitem on
+    // a broadcast build side cannot run at scale
+    assert(p.contains("SortMergeJoin"), "fact joins should be pinned to SMJ")
   }
 
   test("q24: global top-k plans TakeOrderedAndProject, not a full sort") {
