@@ -97,5 +97,9 @@ object GraftExtensions {
       FunctionIdentifier("fvec_l2sq"),
       new ExpressionInfo(classOf[FVecL2Sq].getName, "fvec_l2sq"),
       (args: Seq[Expression]) => FVecL2Sq(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+      (args: Seq[Expression]) => Shingles(args(0), args(1))))
   }
 }

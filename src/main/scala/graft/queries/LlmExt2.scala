@@ -62,13 +62,13 @@ object LlmExt2 {
     * Linear in corpus size — never an all-pairs join. */
   private[queries] def jaccardPairs(docs: DataFrame, numBands: Int,
                                     minJaccard: Double): DataFrame = {
-    // shingle construction is the CPU-dominant stage (interpreted HOF) —
+    // shingle construction is the CPU-dominant stage — the native fused
+    // `shingles` expression (graft.engine.expr.Shingles) replaces the
+    // interpreted transform/slice/concat_ws/array_distinct lambda chain;
     // spread the single-split scan across cores first
     val shSets = Tables.fanOut(docs)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, greatest(size(toks)-3, 0)), " +
-        "i -> concat_ws(' ', slice(toks, i+1, 3)))")).as("shingles"))
+      .select(col("doc_id"),
+              call_function("shingles", col("text"), lit(3)).as("shingles"))
       .filter(size(col("shingles")) > 0)
     val sh = shSets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     // All 2·bands min-hashes as parallel aggregates of ONE groupBy: the

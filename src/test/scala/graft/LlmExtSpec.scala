@@ -99,4 +99,22 @@ class LlmExtSpec extends AnyFunSuite {
     val top = LlmExt.q45(spark, TestSpark.sfSmoke).head()
     assert(top.getDouble(1) <= 1.000001 && top.getDouble(1) >= -1.0)
   }
+
+  test("native shingles == interpreted HOF chain on real docs and edge cases") {
+    import spark.implicits._
+    val edge = Seq("", " ", "  ", "a", "a b", "A  b C", "x y z w", "a b c",
+                   "tab\there", "multi  space  runs ", " leading").toDF("text")
+    val real = graft.engine.Tables.documents(spark, sfBig).select(col("text"))
+    for (df <- Seq(edge, real); n <- Seq(2, 3)) {
+      val both = df
+        .withColumn("nat", call_function("shingles", col("text"), lit(n)))
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("hof", array_distinct(expr(
+          s"transform(sequence(0, greatest(size(toks)-$n, 0)), " +
+          s"i -> concat_ws(' ', slice(toks, i+1, $n)))")))
+      assert(both.filter(not(col("nat") === col("hof"))).count() === 0,
+        s"n=$n mismatch: " + both.filter(not(col("nat") === col("hof")))
+          .select("text", "nat", "hof").take(3).mkString("; "))
+    }
+  }
 }
