@@ -73,8 +73,10 @@ object LlmExt {
       .orderBy(col("n").desc, col("tok"))
       .limit(50)
 
-  /** q48: tf·idf top term per document. df (≤ vocabulary size) and the corpus
-    * count are broadcast; tf shuffles once on (doc_id, tok). */
+  /** q48: tf·idf top term per document. The corpus count is a 1-row
+    * broadcast; the df side is UNhinted — a vocabulary is unbounded on a real
+    * corpus (typos, unicode), so stats pick broadcast at test scale and a
+    * token-keyed shuffle join at 100 TB. tf shuffles once on (doc_id, tok). */
   def q48(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs
@@ -84,7 +86,7 @@ object LlmExt {
     val df = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n"))
     val scored = tf.filter(col("doc_id") < 50)
-      .join(broadcast(df), "tok").crossJoin(broadcast(n))
+      .join(df, "tok").crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"),
               round(col("tf") * log(col("n") * lit(1.0) / col("df")), 6).as("tfidf"))
     val perDoc = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))

@@ -89,9 +89,14 @@ object LlmExt2 {
         col("ka.band") === col("kb.band") && col("ka.b0") === col("kb.b0") &&
         col("ka.b1") === col("kb.b1") && col("ka.doc_id") < col("kb.doc_id"))
       .select(col("ka.doc_id").as("a"), col("kb.doc_id").as("b")).distinct()
+    // shingle-set re-attach is deliberately UNhinted: per-doc shingle arrays
+    // are corpus-sized, so forcing a broadcast would OOM at scale. Size
+    // statistics pick broadcast at test scale and degrade to a doc_id-keyed
+    // shuffle join on a large corpus (candidates ≪ corpus, so the shuffle
+    // moves only the candidate rows plus one pass of the shingle sets).
     cand
-      .join(broadcast(shSets.select(col("doc_id").as("a"), col("shingles").as("sha"))), "a")
-      .join(broadcast(shSets.select(col("doc_id").as("b"), col("shingles").as("shb"))), "b")
+      .join(shSets.select(col("doc_id").as("a"), col("shingles").as("sha")), "a")
+      .join(shSets.select(col("doc_id").as("b"), col("shingles").as("shb")), "b")
       .select(col("a"), col("b"),
               size(array_intersect(col("sha"), col("shb"))).as("inter"),
               size(col("sha")).as("na"), size(col("shb")).as("nb"))

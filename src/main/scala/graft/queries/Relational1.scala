@@ -52,11 +52,13 @@ object Relational1 {
       .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice").cast(dec)).as("total"))
       .orderBy("c_mktsegment")
 
-  /** q05: dimension join — `part` is explicitly broadcast so the 100 TB
-    * lineitem side never shuffles. */
+  /** q05: dimension join. `part` is left UNhinted: unlike nation/region it
+    * grows with the scale factor, so the right physical join is a size call —
+    * statistics broadcast it while it fits (lineitem never shuffles) and fall
+    * back to a partkey-keyed shuffle join when it doesn't. */
   def q05(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast(dec)).as("qty"))
       .orderBy("p_brand")
