@@ -246,7 +246,29 @@ object OracleSqlMl {
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
   )
 
+  /** Training-corpus assembly (x20–x21) — exact BIGINT arithmetic and string
+    * normalization, portable to DuckDB. */
+  val pipeline: Map[String, String] = Map(
+    "x20_split_hash" ->
+      """WITH bucketed AS (
+        |  SELECT lang, n_chars,
+        |         CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+        |              WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+        |FROM bucketed GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    "x21_decontaminate" ->
+      """SELECT lang, COUNT(*) AS n_clean, SUM(n_chars) AS n_chars
+        |FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents b
+        |  WHERE b.doc_id % 97 = 0 AND lower(b.text) = lower(d.text))
+        |GROUP BY lang ORDER BY lang""".stripMargin
+  )
+
   def all: Map[String, String] =
-    ml ++ llm ++ ext ++ reshape ++
+    ml ++ llm ++ ext ++ reshape ++ pipeline ++
       Map("x06_chi_estimator_fit" -> ml("q42_ml_chi_classify"))
 }

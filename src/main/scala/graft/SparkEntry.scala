@@ -84,7 +84,9 @@ object SparkEntry {
     "x16_pivot_wide"           -> (Reshape.x16 _),
     "x17_unpivot_long"         -> (Reshape.x17 _),
     "x18_ann_ivf"              -> (AnnIvf.x18 _),
-    "x19_stream_custom_state"  -> (graft.streaming.StreamingOps.x19 _)
+    "x19_stream_custom_state"  -> (graft.streaming.StreamingOps.x19 _),
+    "x20_split_hash"           -> (Pipeline.x20 _),
+    "x21_decontaminate"        -> (Pipeline.x21 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** x20–x21: training-corpus assembly operators — the split/decontaminate
+  * steps between raw documents and a training set (SURVEY.md §2.4 mandate).
+  * Both are oracle-checked: the math is plain BIGINT arithmetic and string
+  * normalization, portable to DuckDB digit-for-digit.
+  */
+object Pipeline {
+
+  /** x20: deterministic train/val/test assignment. Fibonacci-multiplicative
+    * hash of doc_id into 1000 buckets → 80/10/10 split; per-(split, lang)
+    * counts. The assignment is a pure projection: no shuffle, no RNG, no
+    * sampling seed to desynchronize across runs/executors — the same row
+    * lands in the same split on 1 partition or 10 000. (doc_id·2654435761
+    * stays within int64 up to doc_id ≈ 3.5e9, far above any per-corpus id
+    * here; both engines do exact int64 arithmetic.) The only shuffle is the
+    * tiny count aggregation. */
+  def x20(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", (col("doc_id") * lit(2654435761L)) % 1000)
+      .withColumn("split",
+        when(col("bucket") < 800, "train")
+          .when(col("bucket") < 900, "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("split", "lang")
+
+  /** x21: benchmark decontamination — drop every document whose normalized
+    * text appears in the held-out benchmark set, then count survivors per
+    * lang. The benchmark here is a deterministic slice of the corpus
+    * (doc_id % 97 = 0) so the oracle can rebuild it; in production it is a
+    * small external table. The anti-join keys on lower(text) — Spark plans a
+    * LeftAnti that broadcasts the benchmark while it is small and falls back
+    * to a shuffle on the normalized key when it is not (no hint: a benchmark
+    * list is usually tiny but not provably bounded). */
+  def x21(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(lower(col("text")).as("bnorm")).distinct()
+    docs.withColumn("norm", lower(col("text")))
+      .join(bench, col("norm") === col("bnorm"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_clean"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("lang")
+  }
+}
