@@ -265,7 +265,14 @@ object OracleSqlMl {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents b
         |  WHERE b.doc_id % 97 = 0 AND lower(b.text) = lower(d.text))
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x22_skew_salted_join" ->
+      """WITH ut AS (SELECT user_id, COUNT(*) AS user_events
+        |            FROM events GROUP BY user_id)
+        |SELECT e.event_type, COUNT(*) AS n, SUM(ut.user_events) AS sum_user_events
+        |FROM events e JOIN ut ON e.user_id = ut.user_id
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin
   )
 
   def all: Map[String, String] =

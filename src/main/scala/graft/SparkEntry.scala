@@ -86,7 +86,8 @@ object SparkEntry {
     "x18_ann_ivf"              -> (AnnIvf.x18 _),
     "x19_stream_custom_state"  -> (graft.streaming.StreamingOps.x19 _),
     "x20_split_hash"           -> (Pipeline.x20 _),
-    "x21_decontaminate"        -> (Pipeline.x21 _)
+    "x21_decontaminate"        -> (Pipeline.x21 _),
+    "x22_skew_salted_join"     -> (Pipeline.x22 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

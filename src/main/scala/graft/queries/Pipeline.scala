@@ -48,4 +48,20 @@ object Pipeline {
       .agg(count(lit(1)).as("n_clean"), sum(col("n_chars")).as("n_chars"))
       .orderBy("lang")
   }
+
+  /** x22: skew-salted fact⋈dim join ([[graft.engine.Skew.saltedJoin]]) —
+    * events joined to per-user totals on user_id, spread 8 ways so a hot
+    * user cannot serialize one reducer. The salt is pmod(xxhash64(event_id))
+    * — deterministic per row, engine-internal, never in the output — and the
+    * aggregate result is row-identical to the unsalted join, so the oracle
+    * is the plain SQL join. */
+  def x22(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val userTotals = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+    graft.engine.Skew
+      .saltedJoin(ev, userTotals, "user_id", xxhash64(col("event_id")), 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("user_events")).as("sum_user_events"))
+      .orderBy("event_type")
+  }
 }

@@ -44,6 +44,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), "fact joins should be pinned to SMJ")
   }
 
+  test("x22: the salt reaches the join — SMJ keyed on (user_id, __salt)") {
+    val p = plan(graft.queries.Pipeline.x22(spark, sfSmoke))
+    assert(p.contains("SortMergeJoin"), "salted join must stay a shuffle join")
+    assert(p.contains("__salt"), "salt column must be part of the join keys")
+  }
+
   test("q24: global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = plan(Relational2.q24(spark, sfSmoke))
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
