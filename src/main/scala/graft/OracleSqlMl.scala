@@ -277,5 +277,8 @@ object OracleSqlMl {
 
   def all: Map[String, String] =
     ml ++ llm ++ ext ++ reshape ++ pipeline ++
-      Map("x06_chi_estimator_fit" -> ml("q42_ml_chi_classify"))
+      Map("x06_chi_estimator_fit" -> ml("q42_ml_chi_classify"),
+          // the native as-of operator must produce exactly the composed form's
+          // results — same oracle as q11
+          "x23_asof_join_native" -> OracleSql.relational("q11_join_asof_prior"))
 }

@@ -101,5 +101,7 @@ object GraftExtensions {
       FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "shingles"),
       (args: Seq[Expression]) => Shingles(args(0), args(1))))
+    // whole-operator extension: native as-of join (graft.plans.AsOfJoinPlan)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

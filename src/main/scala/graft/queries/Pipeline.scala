@@ -64,4 +64,20 @@ object Pipeline {
       .agg(count(lit(1)).as("n"), sum(col("user_events")).as("sum_user_events"))
       .orderBy("event_type")
   }
+
+  /** x23: q11's as-of semantics through the NATIVE operator
+    * ([[graft.plans.AsOf]]) instead of the equi-join + max composition —
+    * one merge pass over (key, ts)-sorted sides, no pair materialization.
+    * Registered against q11's oracle SQL: identical results, different plan. */
+  def x23(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    graft.plans.AsOf.joinAsOf(p, c, "user_id", "ts", "ts", "prior_click_ts")
+      .filter(col("prior_click_ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("prior_click_ts")).as("prior_click_us"))
+      .orderBy("event_id")
+  }
 }
