@@ -272,7 +272,38 @@ object OracleSqlMl {
         |            FROM events GROUP BY user_id)
         |SELECT e.event_type, COUNT(*) AS n, SUM(ut.user_events) AS sum_user_events
         |FROM events e JOIN ut ON e.user_id = ut.user_id
-        |GROUP BY e.event_type ORDER BY event_type""".stripMargin
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
+
+    // x24: same fingerprint CTEs as x13, then connected components as a
+    // recursive-CTE transitive closure with min label per node.
+    "x24_dedup_components" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |  [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS t FROM documents),
+        |toks AS (
+        |  SELECT doc_id, gs.i AS pos, t[gs.i] AS tok
+        |  FROM d, generate_series(1, 256) AS gs(i) WHERE gs.i <= len(t)),
+        |coded AS (
+        |  SELECT doc_id, pos, code AS c0,
+        |    LEAD(code,1) OVER w AS c1, LEAD(code,2) OVER w AS c2,
+        |    LEAD(code,3) OVER w AS c3, LEAD(code,4) OVER w AS c4
+        |  FROM (SELECT doc_id, pos,
+        |        CAST(ascii(substr(tok,1,1))*4096 + ascii(substr(tok,2,1))*64
+        |             + length(tok) AS BIGINT) AS code FROM toks)
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |fps AS (
+        |  SELECT DISTINCT doc_id,
+        |    ((((((c4*131 + c3) % 1000000007) * 131 + c2) % 1000000007) * 131 + c1)
+        |      % 1000000007 * 131 + c0) % 1000000007 AS fp
+        |  FROM coded WHERE c4 IS NOT NULL),
+        |edges AS (
+        |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id <> b.doc_id),
+        |reach(node, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.u, r.lab FROM reach r JOIN edges e ON e.v = r.node)
+        |SELECT node AS doc_id, MIN(lab) AS comp
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
   )
 
   def all: Map[String, String] =

@@ -88,7 +88,8 @@ object SparkEntry {
     "x20_split_hash"           -> (Pipeline.x20 _),
     "x21_decontaminate"        -> (Pipeline.x21 _),
     "x22_skew_salted_join"     -> (Pipeline.x22 _),
-    "x23_asof_join_native"     -> (Pipeline.x23 _)
+    "x23_asof_join_native"     -> (Pipeline.x23 _),
+    "x24_dedup_components"     -> (Pipeline.x24 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -226,8 +226,10 @@ object LlmExt2 {
     * BIGINT-exact on any engine ⇒ oracle-checked). Output per doc: window
     * count, distinct fingerprints, min fingerprint — the building block for
     * shingle-level copy detection. */
-  def x13(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+  /** Per-doc 5-token-window rolling-hash fingerprints (x13's core, shared
+    * with the x24 dedup-cluster operator): (doc_id, fp) rows, BIGINT-exact. */
+  private[queries] def docFingerprints(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), posexplode(filter(split(lower(col("text")), " "),
         t => t =!= "")))
       .select(col("doc_id"), col("pos"), col("col").as("tok"))
@@ -235,7 +237,6 @@ object LlmExt2 {
     val code = (ascii(substring(col("tok"), 1, 1)) * 4096 +
                 ascii(substring(col("tok"), 2, 1)) * 64 +
                 length(col("tok"))).cast(LongType)
-    val w = Window.partitionBy("doc_id").orderBy("pos")
     val coded = toks.select(col("doc_id"), col("pos"), code.as("c0"),
       lead(code, 1).over(Window.partitionBy("doc_id").orderBy("pos")).as("c1"),
       lead(code, 2).over(Window.partitionBy("doc_id").orderBy("pos")).as("c2"),
@@ -245,9 +246,12 @@ object LlmExt2 {
     val B = 131L
     val horner = ((((((col("c4") * B + col("c3")) % M) * B + col("c2")) % M)
       * B + col("c1")) % M * B + col("c0")) % M
-    val fp = coded.filter(col("c4").isNotNull)
+    coded.filter(col("c4").isNotNull)
       .select(col("doc_id"), horner.as("fp"))
-    fp.groupBy("doc_id")
+  }
+
+  def x13(spark: SparkSession, dir: String): DataFrame = {
+    docFingerprints(Tables.documents(spark, dir)).groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
            countDistinct(col("fp")).as("n_distinct_fp"),
            min(col("fp")).as("min_fp"))

@@ -80,4 +80,50 @@ object Pipeline {
       .select(col("event_id"), unix_micros(col("prior_click_ts")).as("prior_click_us"))
       .orderBy("event_id")
   }
+
+  /** x24: dedup CLUSTER formation — pairs are not enough; deduplication needs
+    * whole near-dup groups with one canonical representative. Documents are
+    * vertices, sharing any x13 rolling-hash fingerprint is an edge, and the
+    * component label is the minimum doc_id — computed by min-label
+    * propagation run to fixpoint, each round one join + one min-aggregate,
+    * both key-partitioned (no driver data, convergence checked by a 1-row
+    * sum that can only decrease). Rounds grow with component diameter —
+    * fingerprint-overlap graphs are clique-heavy so the fixpoint is near
+    * immediate; a 100 TB run with adversarial chain-shaped components would
+    * switch to the O(log n)-round small-star/large-star variant of the same
+    * loop. Oracle: DuckDB recursive-CTE transitive closure, min per node. */
+  def x24(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fp = LlmExt2.docFingerprints(docs).distinct()
+    val edges = fp.as("a").join(fp.as("b"), Seq("fp"))
+      .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist()
+    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("label"))
+      .persist()
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val prop = edges.join(labels, col("v") === col("node"))
+        .select(col("u").as("node"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .persist()
+      val s = next.agg(sum(col("label"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum // labels only ever decrease
+      prevSum = s
+      rounds += 1
+    }
+    // materialize before dropping the caches: the returned frame must not
+    // lazily re-run the whole iteration after its inputs are unpersisted
+    val out = labels.select(col("node").as("doc_id"), col("label").as("comp"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    edges.unpersist()
+    labels.unpersist()
+    out
+  }
 }

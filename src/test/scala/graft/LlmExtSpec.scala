@@ -100,6 +100,15 @@ class LlmExtSpec extends AnyFunSuite {
     assert(top.getDouble(1) <= 1.000001 && top.getDouble(1) >= -1.0)
   }
 
+  test("x24 components: every exact-duplicate pair shares a component") {
+    val comp = graft.queries.Pipeline.x24(spark, sfBig)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === graft.engine.Tables.documents(spark, sfBig).count())
+    for ((a, b) <- exactDupPairs)
+      assert(comp(a) === comp(b), s"dup pair ($a,$b) split across components")
+    assert(comp.values.toSet.size < comp.size, "sf0.1 must have non-trivial clusters")
+  }
+
   test("native shingles == interpreted HOF chain on real docs and edge cases") {
     import spark.implicits._
     val edge = Seq("", " ", "  ", "a", "a b", "A  b C", "x y z w", "a b c",
