@@ -99,31 +99,39 @@ object Pipeline {
       .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .persist()
+    // Each round MUST cut lineage (eager localCheckpoint): a persisted-only
+    // loop leaves the logical plan nesting one level per round, and Catalyst
+    // re-optimizes the whole ever-growing tree — round 8 took 60s on 3k
+    // edges before this; with checkpointing every round is ~0.5s flat.
     var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("label"))
-      .persist()
+      .localCheckpoint(true)
     var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
+      // neighbor min-propagation …
       val prop = edges.join(labels, col("v") === col("node"))
         .select(col("u").as("node"), col("label"))
-      val next = labels.unionByName(prop)
+      val nm = labels.unionByName(prop)
         .groupBy("node").agg(min(col("label")).as("label"))
-        .persist()
+      // … then pointer doubling (adopt the label's own label), which squares
+      // the propagation distance per round: O(log diameter) rounds total
+      val jumped = nm.as("x")
+        .join(nm.select(col("node").as("jn"), col("label").as("jl")).as("y"),
+              col("x.label") === col("jn"), "left")
+        .select(col("x.node").as("node"),
+                least(col("x.label"), coalesce(col("jl"), col("x.label"))).as("label"))
+      val next = jumped.localCheckpoint(true)
       val s = next.agg(sum(col("label"))).head().getLong(0)
-      labels.unpersist()
       labels = next
       converged = s == prevSum // labels only ever decrease
       prevSum = s
       rounds += 1
     }
-    // materialize before dropping the caches: the returned frame must not
-    // lazily re-run the whole iteration after its inputs are unpersisted
     val out = labels.select(col("node").as("doc_id"), col("label").as("comp"))
       .orderBy("doc_id")
       .localCheckpoint(true)
     edges.unpersist()
-    labels.unpersist()
     out
   }
 }
