@@ -54,6 +54,18 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(unix_micros(col("window.start")).as("bucket_us"), col("cnt"))
 
+  /** x25 transform: streaming exact dedup — the streaming twin of q44's
+    * batch dedup. `dropDuplicatesWithinWatermark` keeps per-key state only
+    * until the watermark passes it (bounded state, the 100 TB requirement);
+    * the guarantee is exact dedup WITHIN the watermark horizon — a duplicate
+    * arriving after its key's state was GC'd is re-emitted, which the spec
+    * asserts explicitly. */
+  def streamDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
   /** x19 transform: 30-minute-gap sessionization with CUSTOM keyed state —
     * `flatMapGroupsWithState` instead of `session_window` (x03). This is the
     * escape hatch for session semantics the built-in operator can't express
@@ -172,6 +184,15 @@ object StreamingOps {
     * CLOSED by gap or by the final watermark are emitted (Append mode);
     * sessions still open at end-of-stream stay in state — the MemoryStream
     * spec asserts exact equivalence with q37 on controlled batches. */
+  /** x25 entry: streaming dedup over the replay; the single-batch AvailableNow
+    * replay never expires state mid-batch, so the key set equals the batch
+    * distinct and only the (deterministic) key columns are emitted. */
+  def x25(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, streamDedup(eventsStream(spark, dir)),
+               s"x25_sink_${System.nanoTime()}", "append")
+      .groupBy("event_type").agg(count(lit(1)).as("n_keys"))
+      .orderBy("event_type")
+
   def x19(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, customStateSessions(eventsStream(spark, dir)).toDF(),
                s"x19_sink_${System.nanoTime()}", "append")

@@ -123,4 +123,31 @@ class StreamingSpec extends AnyFunSuite {
                  r.getLong(2) / 60000000L - B, r.getLong(3))).toSet
     assert(got === expected)
   }
+
+  test("x25 streaming dedup == batch distinct on single-batch replay") {
+    val batch = graft.engine.Tables.events(spark, sfSmoke)
+      .select("user_id", "event_type").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_keys"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val stream = graft.streaming.StreamingOps.x25(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(stream === batch)
+  }
+
+  test("x25 dedup within watermark drops; re-emits after state expiry") {
+    val mem = MemoryStream[Ev](spark)
+    val B = 600L
+    val out = runStream(mem, graft.streaming.StreamingOps.streamDedup,
+      "append", "x25_test",
+      batches = Seq(
+        Seq(Ev(1, ts(B), 1, "view", 1.0, "{}")),          // first sighting
+        Seq(Ev(2, ts(B + 1), 1, "view", 1.0, "{}")),      // dup in-watermark → dropped
+        Seq(Ev(3, ts(B + 100), 2, "view", 1.0, "{}")),    // watermark → B+90, expires key 1
+        Seq(Ev(4, ts(B + 95), 1, "view", 1.0, "{}"))))    // state gone → re-emitted
+    val counts = out.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1L -> 2L, 2L -> 1L),
+      "key 1: first sighting + post-expiry re-emission; in-watermark dup dropped")
+  }
 }
