@@ -26,7 +26,10 @@ object Skew {
     * salting matters the dim side is past broadcast size anyway. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltSrc: Column, buckets: Int): DataFrame = {
-    val fs = fact.withColumn("__salt", pmod(saltSrc, lit(buckets.toLong)))
+    // a null saltSrc must not drop the row (the contract is row-identity
+    // with the unsalted join) — park it in bucket 0
+    val fs = fact.withColumn("__salt",
+      coalesce(pmod(saltSrc, lit(buckets.toLong)), lit(0L)))
     val ds = dim.withColumn("__salt",
       explode(array((0 until buckets).map(b => lit(b.toLong)): _*)))
     fs.join(ds.hint("merge"), Seq(key, "__salt")).drop("__salt")

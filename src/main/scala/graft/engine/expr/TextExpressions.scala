@@ -43,8 +43,15 @@ case class Shingles(left: Expression, right: Expression)
 }
 
 object Shingles {
+  private val emptyShingle: ArrayData =
+    new GenericArrayData(Array[Any](UTF8String.fromString("")))
+
   /** Shared by interpreted eval and generated code. */
   def compute(text: UTF8String, n: Int): ArrayData = {
+    // n = 0 mirrors the HOF chain (every slice is empty → one "" shingle);
+    // negative n is an error there too, just a clearer one here
+    if (n == 0) return emptyShingle
+    require(n > 0, s"shingles: n must be non-negative, got $n")
     // UTF8String.toLowerCase is exactly Spark's lower(); splitting on the
     // single byte 0x20 equals regex-split " " with limit -1 (a space byte
     // never occurs inside a multi-byte UTF-8 sequence).

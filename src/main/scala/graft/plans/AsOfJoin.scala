@@ -153,10 +153,18 @@ object AsOf {
     def attr(out: Seq[Attribute], name: String): Attribute =
       out.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${out.map(_.name)}"))
+    def req(a: Attribute, t: org.apache.spark.sql.types.DataType): Attribute = {
+      // fail at construction, not as a per-task ClassCastException after the
+      // shuffles have already run
+      require(a.dataType == t, s"as-of column ${a.name} must be $t, got ${a.dataType}")
+      a
+    }
     val tsOut = AttributeReference(outCol, TimestampType, nullable = true)()
     org.apache.spark.sql.classic.GraftBridge.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan,
-        attr(lPlan.output, key), attr(rPlan.output, key),
-        attr(lPlan.output, leftTsCol), attr(rPlan.output, rightTsCol), tsOut))
+        req(attr(lPlan.output, key), org.apache.spark.sql.types.LongType),
+        req(attr(rPlan.output, key), org.apache.spark.sql.types.LongType),
+        req(attr(lPlan.output, leftTsCol), TimestampType),
+        req(attr(rPlan.output, rightTsCol), TimestampType), tsOut))
   }
 }

@@ -123,6 +123,7 @@ object Pipeline {
                 least(col("x.label"), coalesce(col("jl"), col("x.label"))).as("label"))
       val next = jumped.localCheckpoint(true)
       val s = next.agg(sum(col("label"))).head().getLong(0)
+      labels.unpersist() // next is materialized; drop the superseded round
       labels = next
       converged = s == prevSum // labels only ever decrease
       prevSum = s
@@ -131,6 +132,7 @@ object Pipeline {
     val out = labels.select(col("node").as("doc_id"), col("label").as("comp"))
       .orderBy("doc_id")
       .localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
     out
   }

@@ -184,6 +184,13 @@ object StreamingOps {
     * CLOSED by gap or by the final watermark are emitted (Append mode);
     * sessions still open at end-of-stream stay in state — the MemoryStream
     * spec asserts exact equivalence with q37 on controlled batches. */
+  def x19(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, customStateSessions(eventsStream(spark, dir)).toDF(),
+               s"x19_sink_${System.nanoTime()}", "append")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_closed_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy("user_id")
+
   /** x25 entry: streaming dedup over the replay; the single-batch AvailableNow
     * replay never expires state mid-batch, so the key set equals the batch
     * distinct and only the (deterministic) key columns are emitted. */
@@ -192,11 +199,4 @@ object StreamingOps {
                s"x25_sink_${System.nanoTime()}", "append")
       .groupBy("event_type").agg(count(lit(1)).as("n_keys"))
       .orderBy("event_type")
-
-  def x19(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark, customStateSessions(eventsStream(spark, dir)).toDF(),
-               s"x19_sink_${System.nanoTime()}", "append")
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_closed_sessions"), sum(col("n_events")).as("n_events"))
-      .orderBy("user_id")
 }

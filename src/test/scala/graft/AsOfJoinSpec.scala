@@ -10,8 +10,6 @@ class AsOfJoinSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
-  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
-
   test("crafted cases: latest-strictly-earlier, ties, no-match, cross-key") {
     val leftDf = Seq(
       (1L, 10L, 1000000L),  // user 10: clicks at 100, 900 -> match 900
