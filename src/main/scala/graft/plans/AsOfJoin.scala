@@ -3,11 +3,11 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
 
 /** Native as-of join — the whole-operator rung of the custom-Catalyst ladder
   * (SURVEY.md §4.3c): logical node + planner strategy + physical exec,
@@ -146,14 +146,12 @@ object AsOf {
     // right column up front so the tree is conflict-free before analysis.
     val rPlan =
       if (rPlan0.output.exists(lPlan.outputSet.contains))
-        org.apache.spark.sql.catalyst.plans.logical.Project(
-          rPlan0.output.map(a =>
-            org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rPlan0)
+        Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
       else rPlan0
     def attr(out: Seq[Attribute], name: String): Attribute =
       out.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${out.map(_.name)}"))
-    def req(a: Attribute, t: org.apache.spark.sql.types.DataType): Attribute = {
+    def req(a: Attribute, t: DataType): Attribute = {
       // fail at construction, not as a per-task ClassCastException after the
       // shuffles have already run
       require(a.dataType == t, s"as-of column ${a.name} must be $t, got ${a.dataType}")
@@ -162,8 +160,8 @@ object AsOf {
     val tsOut = AttributeReference(outCol, TimestampType, nullable = true)()
     org.apache.spark.sql.classic.GraftBridge.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan,
-        req(attr(lPlan.output, key), org.apache.spark.sql.types.LongType),
-        req(attr(rPlan.output, key), org.apache.spark.sql.types.LongType),
+        req(attr(lPlan.output, key), LongType),
+        req(attr(rPlan.output, key), LongType),
         req(attr(lPlan.output, leftTsCol), TimestampType),
         req(attr(rPlan.output, rightTsCol), TimestampType), tsOut))
   }
