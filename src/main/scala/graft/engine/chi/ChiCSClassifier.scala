@@ -155,7 +155,14 @@ class ChiCSClassifier(override val uid: String)
     val mu = feats.zipWithIndex.map { case (f, i) =>
       ChiCore.membershipAt(col(f), col(s"__n$i"), parts(i))
     }.reduce(_ * _)
-    val w = round(costExpr * mu, 12).cast(DecimalType(38, 12)) * col("__m")
+    // DECIMAL(18,12) × DECIMAL(10,0) → DECIMAL(29,12): the product keeps
+    // scale 12 EXACTLY. A (38,12) term here would overflow precision against
+    // the bigint count and Spark's allowPrecisionLoss would silently round
+    // every product to scale 6 — invisible on large sums (relative drift
+    // ~1e-10 under the final 6dp round) but wrong on small ones. Weights are
+    // ≤ max cost (< 1e6), counts < 1e10, so both casts are loss-free.
+    val w = round(costExpr * mu, 12).cast(DecimalType(18, 12)) *
+      col("__m").cast(DecimalType(10, 0))
 
     val sums = neighbors
       .join(broadcast(candidates), col("__nant") === col("__cant"))

@@ -25,7 +25,6 @@ import graft.engine.chi.ChiCore.TriPartition
 object ChiMl {
   private[queries] val P1 = TriPartition(1.0, 50.0)  // l_quantity
   private[queries] val P2 = TriPartition(0.0, 0.1)   // l_discount
-  private val dec38 = DecimalType(38, 12)
 
   /** Labeled, fuzzy-labeled training view: one row per lineitem with
     * (x1, x2, cls, a1, a2) where a_i is the argmax membership label. */
@@ -70,11 +69,14 @@ object ChiMl {
     val gex = gex0.crossJoin(broadcast(costsDf))
     val ants = gex0.select(col("a1").as("ra1"), col("a2").as("ra2"),
                            col("cls").as("rcls")).distinct()
+    // DECIMAL(18,12) × DECIMAL(10,0) keeps scale 12 exactly; a (38,12) term
+    // would overflow against the bigint count and allowPrecisionLoss would
+    // round each product to scale 6 (see ChiCSClassifier.fit note)
     val w = round(
         when(col("cls") === 1, col("c1")).otherwise(col("c0")) *
           ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
           ChiCore.membershipAt(col("x2"), col("ra2"), P2),
-        12).cast(dec38) * col("mcnt")
+        12).cast(DecimalType(18, 12)) * col("mcnt").cast(DecimalType(10, 0))
     val m = gex.crossJoin(broadcast(ants))
       .select(col("ra1"), col("ra2"), col("rcls"), col("cls"), w.as("w"))
       .groupBy("ra1", "ra2", "rcls")
