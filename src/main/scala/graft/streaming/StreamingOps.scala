@@ -143,10 +143,11 @@ object StreamingOps {
   private def runToTable(spark: SparkSession, streamed: DataFrame,
                          name: String, outputMode: String): DataFrame = {
     // streaming state stores are per shuffle partition; these replays carry
-    // tiny keyed state, so 8 partitions beat the batch default (the value is
-    // fixed into the query at start and restored for batch work after)
+    // tiny keyed state, so a handful of partitions beats the batch default
+    // (measured: 4 < 8 < 2 ≈ 32 on the sf0.1 replay; the value is fixed into
+    // the query at start and restored for batch work after)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = streamed.writeStream
         .format("memory").queryName(name)
