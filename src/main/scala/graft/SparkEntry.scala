@@ -90,7 +90,8 @@ object SparkEntry {
     "x22_skew_salted_join"     -> (Pipeline.x22 _),
     "x23_asof_join_native"     -> (Pipeline.x23 _),
     "x24_dedup_components"     -> (Pipeline.x24 _),
-    "x25_stream_dedup"         -> (graft.streaming.StreamingOps.x25 _)
+    "x25_stream_dedup"         -> (graft.streaming.StreamingOps.x25 _),
+    "x26_multimodal_frames"    -> (MultimodalOps.x26 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

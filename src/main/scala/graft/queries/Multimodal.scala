@@ -73,6 +73,38 @@ object MultimodalOps {
     }
   }
 
+  /** One sampled video frame: per-frame features under a (doc, frame) key. */
+  final case class FrameRow(doc_id: Long, frame_id: Int, feature: Array[Double])
+
+  /** STUB resize — halves the 16-bin histogram into 8 bins (adjacent sums, so
+    * total mass is preserved exactly — the test invariant) and scales the
+    * fake dimensions the way a real resampler scales pixels. */
+  def resizeStub(width: Int, height: Int, feature: Array[Double],
+                 targetWidth: Int): (Int, Int, Array[Double]) = {
+    val scale = targetWidth.toDouble / math.max(width, 1)
+    val nh = math.max(1, math.round(height * scale).toInt)
+    (targetWidth, nh, Array.tabulate(8)(i => feature(2 * i) + feature(2 * i + 1)))
+  }
+
+  /** Frame sampling: one video row in, n frame rows out — the generator shape
+    * of video processing. The fake "frames" are contiguous payload chunks run
+    * through the decode stub; a real pipeline swaps in a demuxer that seeks
+    * key-frames. Frame count is bounded by `maxFrames`, so the fan-out (and
+    * with it the shuffle that follows) is capped per document — the knob that
+    * keeps a 100 TB video corpus from exploding into unbounded frame rows. */
+  def sampleFrames(media: Dataset[MediaRow], maxFrames: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.format == "mp4").flatMap { r =>
+      val n = math.min(maxFrames, math.max(1, r.content.length / 256))
+      (0 until n).iterator.map { f =>
+        val lo = f * r.content.length / n
+        val hi = (f + 1) * r.content.length / n
+        val (_, _, feat) = decodeStub("frame", java.util.Arrays.copyOfRange(r.content, lo, hi))
+        FrameRow(r.doc_id, f, feat)
+      }
+    }
+  }
+
   /** x14 entry: metadata-pruned scan → per-partition decode → aggregate.
     * Output: per format, count + mean feature-vector norm (rounded). */
   def x14(spark: SparkSession, dir: String): DataFrame = {
@@ -87,5 +119,21 @@ object MultimodalOps {
            round(avg(col("width")), 6).as("avg_width"),
            round(avg(col("height")), 6).as("avg_height"))
       .orderBy("format")
+  }
+
+  /** x26 entry: the video path — frame-sample each mp4 payload (bounded
+    * fan-out), resize every frame, aggregate per document. */
+  def x26(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = sampleFrames(mediaTable(spark, dir), maxFrames = 8)
+    frames.map { fr =>
+        val (w, h, feat) = resizeStub(64, 64, fr.feature, targetWidth = 32)
+        (fr.doc_id, fr.frame_id, w, h, feat.map(x => x * x).sum)
+      }
+      .toDF("doc_id", "frame_id", "width", "height", "energy")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+           round(avg(sqrt(col("energy"))), 6).as("avg_frame_norm"))
+      .orderBy("doc_id")
   }
 }

@@ -95,6 +95,24 @@ class LlmExtSpec extends AnyFunSuite {
     assert(a.map(_.getLong(1)).sum === media.count())
   }
 
+  test("x26 frame sampling: bounded fan-out, mass-preserving resize, deterministic") {
+    val media = MultimodalOps.mediaTable(spark, TestSpark.sfSmoke)
+    val frames = MultimodalOps.sampleFrames(media, maxFrames = 8).collect()
+    assert(frames.nonEmpty)
+    val perDoc = frames.groupBy(_.doc_id).values.map(_.length)
+    assert(perDoc.max <= 8, "fan-out must be capped at maxFrames")
+    // resize halves 16 bins into 8 preserving total mass exactly
+    val f0 = frames.head
+    val (w, h, half) = MultimodalOps.resizeStub(64, 48, f0.feature, 32)
+    assert(w === 32 && h === 24 && half.length === 8)
+    assert(math.abs(half.sum - f0.feature.sum) < 1e-12)
+    // deterministic end-to-end
+    val a = MultimodalOps.x26(spark, TestSpark.sfSmoke).collect().toSeq
+    val b = MultimodalOps.x26(spark, TestSpark.sfSmoke).collect().toSeq
+    assert(a === b && a.nonEmpty)
+    assert(a.map(_.getLong(1)).sum === frames.length.toLong)
+  }
+
   test("x45/x46 exact kernels agree: q45 top-1 is the max-cosine neighbor") {
     val top = LlmExt.q45(spark, TestSpark.sfSmoke).head()
     assert(top.getDouble(1) <= 1.000001 && top.getDouble(1) >= -1.0)
