@@ -134,6 +134,10 @@ class ChiCSClassifier(override val uid: String)
           c -> (if (cnt == minN && minN != maxN) maxN.toDouble / cnt else 1.0)
         }.toMap
       }
+    // DECIMAL(18,12) weight terms carry 6 integer digits; a bigger cost would
+    // null out in the cast and silently corrupt the sums — reject it here
+    require(costs.values.forall(c => c >= 0 && c < 1e6),
+      s"class costs must be in [0, 1e6), got $costs (cost × μ must fit DECIMAL(18,12))")
     val costExpr = classes.foldLeft(when(lit(false), 0.0)) { (acc, c) =>
       acc.when(col("__cls") === c, costs(c))
     }.otherwise(1.0)
@@ -155,14 +159,15 @@ class ChiCSClassifier(override val uid: String)
     val mu = feats.zipWithIndex.map { case (f, i) =>
       ChiCore.membershipAt(col(f), col(s"__n$i"), parts(i))
     }.reduce(_ * _)
-    // DECIMAL(18,12) × DECIMAL(10,0) → DECIMAL(29,12): the product keeps
-    // scale 12 EXACTLY. A (38,12) term here would overflow precision against
-    // the bigint count and Spark's allowPrecisionLoss would silently round
-    // every product to scale 6 — invisible on large sums (relative drift
-    // ~1e-10 under the final 6dp round) but wrong on small ones. Weights are
-    // ≤ max cost (< 1e6), counts < 1e10, so both casts are loss-free.
+    // DECIMAL(18,12) × DECIMAL(19,0) → DECIMAL(38,12): the product keeps
+    // scale 12 EXACTLY and precision lands on exactly 38 — no overflow, no
+    // adjustment. A (38,12) term would overflow precision against the bigint
+    // count and Spark's allowPrecisionLoss would silently round every product
+    // to scale 6 — invisible on large sums (relative drift ~1e-10 under the
+    // final 6dp round) but wrong on small ones. (19,0) covers every possible
+    // long count; the weight needs 6 integer digits, enforced on costs above.
     val w = round(costExpr * mu, 12).cast(DecimalType(18, 12)) *
-      col("__m").cast(DecimalType(10, 0))
+      col("__m").cast(DecimalType(19, 0))
 
     val sums = neighbors
       .join(broadcast(candidates), col("__nant") === col("__cant"))

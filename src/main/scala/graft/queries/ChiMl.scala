@@ -69,14 +69,15 @@ object ChiMl {
     val gex = gex0.crossJoin(broadcast(costsDf))
     val ants = gex0.select(col("a1").as("ra1"), col("a2").as("ra2"),
                            col("cls").as("rcls")).distinct()
-    // DECIMAL(18,12) × DECIMAL(10,0) keeps scale 12 exactly; a (38,12) term
-    // would overflow against the bigint count and allowPrecisionLoss would
-    // round each product to scale 6 (see ChiCSClassifier.fit note)
+    // DECIMAL(18,12) × DECIMAL(19,0) → exactly (38,12): scale 12 kept, any
+    // long count representable; a (38,12) term would overflow against the
+    // bigint count and allowPrecisionLoss would round each product to
+    // scale 6 (see ChiCSClassifier.fit note)
     val w = round(
         when(col("cls") === 1, col("c1")).otherwise(col("c0")) *
           ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
           ChiCore.membershipAt(col("x2"), col("ra2"), P2),
-        12).cast(DecimalType(18, 12)) * col("mcnt").cast(DecimalType(10, 0))
+        12).cast(DecimalType(18, 12)) * col("mcnt").cast(DecimalType(19, 0))
     val m = gex.crossJoin(broadcast(ants))
       .select(col("ra1"), col("ra2"), col("rcls"), col("cls"), w.as("w"))
       .groupBy("ra1", "ra2", "rcls")

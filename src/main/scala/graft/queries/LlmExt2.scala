@@ -233,6 +233,10 @@ object LlmExt2 {
       .select(col("doc_id"), posexplode(filter(split(lower(col("text")), " "),
         t => t =!= "")))
       .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      // the analysis window is the first 256 tokens per doc, matching the
+      // oracle's generate_series cap — an unbounded window would diverge from
+      // it on longer documents, and a real fingerprint pass caps per-doc work
+      .filter(col("pos") < 256)
     // cheap portable token code: first two char codes + length
     val code = (ascii(substring(col("tok"), 1, 1)) * 4096 +
                 ascii(substring(col("tok"), 2, 1)) * 64 +

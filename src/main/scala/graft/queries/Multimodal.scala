@@ -97,8 +97,9 @@ object MultimodalOps {
     media.filter(_.format == "mp4").flatMap { r =>
       val n = math.min(maxFrames, math.max(1, r.content.length / 256))
       (0 until n).iterator.map { f =>
-        val lo = f * r.content.length / n
-        val hi = (f + 1) * r.content.length / n
+        // long arithmetic: f * length overflows Int past ~268 MB payloads
+        val lo = (f.toLong * r.content.length / n).toInt
+        val hi = ((f + 1).toLong * r.content.length / n).toInt
         val (_, _, feat) = decodeStub("frame", java.util.Arrays.copyOfRange(r.content, lo, hi))
         FrameRow(r.doc_id, f, feat)
       }
@@ -127,10 +128,10 @@ object MultimodalOps {
     import spark.implicits._
     val frames = sampleFrames(mediaTable(spark, dir), maxFrames = 8)
     frames.map { fr =>
-        val (w, h, feat) = resizeStub(64, 64, fr.feature, targetWidth = 32)
-        (fr.doc_id, fr.frame_id, w, h, feat.map(x => x * x).sum)
+        val (_, _, feat) = resizeStub(64, 64, fr.feature, targetWidth = 32)
+        (fr.doc_id, fr.frame_id, feat.map(x => x * x).sum)
       }
-      .toDF("doc_id", "frame_id", "width", "height", "energy")
+      .toDF("doc_id", "frame_id", "energy")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_frames"),
            round(avg(sqrt(col("energy"))), 6).as("avg_frame_norm"))

@@ -105,7 +105,13 @@ object Pipeline {
     // edges before this; with checkpointing every round is ~0.5s flat.
     var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("label"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // sum() of an empty input is SQL NULL — treat as 0 (empty corpus: the
+    // loop converges immediately and returns an empty component table)
+    def labelSum(d: DataFrame): Long = {
+      val row = d.agg(sum(col("label"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -122,8 +128,12 @@ object Pipeline {
         .select(col("x.node").as("node"),
                 least(col("x.label"), coalesce(col("jl"), col("x.label"))).as("label"))
       val next = jumped.localCheckpoint(true)
-      val s = next.agg(sum(col("label"))).head().getLong(0)
-      labels.unpersist() // next is materialized; drop the superseded round
+      val s = labelSum(next)
+      // superseded rounds' checkpoint blocks are reclaimed by the
+      // ContextCleaner once the old Dataset is unreferenced (localCheckpoint
+      // bypasses the cache manager, so Dataset.unpersist would be a no-op);
+      // each round's table is |docs| rows, so the transient footprint is
+      // bounded by rounds × |docs| ids until GC runs
       labels = next
       converged = s == prevSum // labels only ever decrease
       prevSum = s
@@ -132,7 +142,6 @@ object Pipeline {
     val out = labels.select(col("node").as("doc_id"), col("label").as("comp"))
       .orderBy("doc_id")
       .localCheckpoint(true)
-    labels.unpersist()
     edges.unpersist()
     out
   }
