@@ -252,8 +252,8 @@ object OracleSqlMl {
     "x20_split_hash" ->
       """WITH bucketed AS (
         |  SELECT lang, n_chars,
-        |         CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
-        |              WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+        |         CASE WHEN ((doc_id % 100000000) * 2654435761) % 1000 < 800 THEN 'train'
+        |              WHEN ((doc_id % 100000000) * 2654435761) % 1000 < 900 THEN 'val'
         |              ELSE 'test' END AS split
         |  FROM documents)
         |SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars

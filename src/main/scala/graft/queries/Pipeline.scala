@@ -15,13 +15,15 @@ object Pipeline {
     * hash of doc_id into 1000 buckets → 80/10/10 split; per-(split, lang)
     * counts. The assignment is a pure projection: no shuffle, no RNG, no
     * sampling seed to desynchronize across runs/executors — the same row
-    * lands in the same split on 1 partition or 10 000. (doc_id·2654435761
-    * stays within int64 up to doc_id ≈ 3.5e9, far above any per-corpus id
-    * here; both engines do exact int64 arithmetic.) The only shuffle is the
-    * tiny count aggregation. */
+    * lands in the same split on 1 partition or 10 000. The id is reduced
+    * mod 1e8 BEFORE the multiply so the product (< 2.7e17) can never
+    * overflow int64 for ANY id — Spark would wrap silently while DuckDB
+    * errors, so an unbounded product is a portability bug lying in wait,
+    * not just a precision one. The only shuffle is the tiny count
+    * aggregation. */
   def x20(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket", (col("doc_id") * lit(2654435761L)) % 1000)
+      .withColumn("bucket", ((col("doc_id") % 100000000L) * lit(2654435761L)) % 1000)
       .withColumn("split",
         when(col("bucket") < 800, "train")
           .when(col("bucket") < 900, "val")
