@@ -37,7 +37,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // The driver captures only a bounded TAIL of the sbt output (round 1's
+    // single long line was truncated to "parsed": null). Print the long
+    // per-query detail FIRST, then a short self-contained totals line LAST so
+    // the gradable metric survives any tail capture.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,7 +16,7 @@ object OracleSql {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
     "q02_filter_pushdown" ->
-      """SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
         |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
@@ -28,12 +28,14 @@ object OracleSql {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q04_join_inner" ->
-      """SELECT c_mktsegment, COUNT(*) AS cnt, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      """SELECT c_mktsegment, COUNT(*) AS cnt,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q05_join_broadcast" ->
-      """SELECT p_brand, COUNT(*) AS cnt, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      """SELECT p_brand, COUNT(*) AS cnt,
+        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
@@ -62,7 +64,7 @@ object OracleSql {
 
     "q10_join_multiway_tpch_q5" ->
       """SELECT n_name,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
         |  JOIN nation ON c_nationkey = n_nationkey
@@ -78,9 +80,9 @@ object OracleSql {
 
     "q12_agg_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
-        |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc,
+        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc,
         |       CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -91,7 +93,8 @@ object OracleSql {
 
     "q14_agg_rollup" ->
       """SELECT COALESCE(r_name,'ALL') AS region, COALESCE(n_name,'ALL') AS nation,
-        |       COUNT(c_custkey) AS n_cust, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+        |       COUNT(c_custkey) AS n_cust,
+        |       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation""".stripMargin,
@@ -138,9 +141,9 @@ object OracleSql {
 
     "q22_window_moving_rows" ->
       """SELECT event_id, user_id,
-        |       SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER (
         |         PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS mov
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q23_window_range_interval" ->
@@ -211,7 +214,9 @@ object OracleSql {
     "q33_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS sz,
         |       ROUND(CAST(embedding[1] AS DOUBLE),6) AS first,
-        |       [ROUND(CAST(x AS DOUBLE),6) FOR x IN embedding[1:4]] AS head4
+        |       ROUND(CAST(embedding[2] AS DOUBLE),6) AS h2,
+        |       ROUND(CAST(embedding[3] AS DOUBLE),6) AS h3,
+        |       ROUND(CAST(embedding[4] AS DOUBLE),6) AS h4
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q34_explode_posexplode" ->
@@ -222,7 +227,8 @@ object OracleSql {
 
     "q35_window_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
-        |       COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        |       COUNT(*) AS cnt,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sv
         |FROM events GROUP BY bucket_us, event_type ORDER BY bucket_us, event_type""".stripMargin,
 
     "q36_window_sliding" ->

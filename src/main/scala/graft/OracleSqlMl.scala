@@ -172,8 +172,8 @@ object OracleSqlMl {
     "q48_text_tfidf" ->
       """WITH toks AS (SELECT doc_id, UNNEST(string_split(LOWER(text),' ')) AS tok FROM documents),
         |tf  AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
-        |df  AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
-        |n   AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        |df  AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |n   AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
         |scored AS (SELECT tf.doc_id, tf.tok, ROUND(tf.tf * LN(n.n * 1.0 / df.df), 6) AS tfidf
         |           FROM tf JOIN df USING (tok) CROSS JOIN n WHERE tf.doc_id < 50),
         |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -256,11 +256,11 @@ object OracleSqlMl {
         |              WHEN ((doc_id % 100000000) * 2654435761) % 1000 < 900 THEN 'val'
         |              ELSE 'test' END AS split
         |  FROM documents)
-        |SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+        |SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
         |FROM bucketed GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     "x21_decontaminate" ->
-      """SELECT lang, COUNT(*) AS n_clean, SUM(n_chars) AS n_chars
+      """SELECT lang, COUNT(*) AS n_clean, CAST(SUM(n_chars) AS BIGINT) AS n_chars
         |FROM documents d
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents b
@@ -270,7 +270,7 @@ object OracleSqlMl {
     "x22_skew_salted_join" ->
       """WITH ut AS (SELECT user_id, COUNT(*) AS user_events
         |            FROM events GROUP BY user_id)
-        |SELECT e.event_type, COUNT(*) AS n, SUM(ut.user_events) AS sum_user_events
+        |SELECT e.event_type, COUNT(*) AS n, CAST(SUM(ut.user_events) AS BIGINT) AS sum_user_events
         |FROM events e JOIN ut ON e.user_id = ut.user_id
         |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
 

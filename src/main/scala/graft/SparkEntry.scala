@@ -62,6 +62,9 @@ object SparkEntry {
     "q43_ml_metrics"           -> (ChiMl.q43 _),
     "q44_dedup_exact"          -> (LlmExt.q44 _),
     "q45_similarity_cosine_topk" -> (LlmExt.q45 _),
+    // q46 is the ORACLE-EXACT kNN baseline (broadcasts all candidates —
+    // deliberately not a 100 TB plan); x18_ann_ivf / x09_embedding_neardup_lsh
+    // are its bucketed scale paths, recall-tested against it. docs/PLANS.md.
     "q46_knn_label_vote"       -> (LlmExt.q46 _),
     "q47_text_tokenize_topk"   -> (LlmExt.q47 _),
     "q48_text_tfidf"           -> (LlmExt.q48 _),

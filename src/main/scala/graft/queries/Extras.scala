@@ -39,7 +39,9 @@ object Extras {
                      lit(",type="), col("event_type")).as("kv"))
       .select(col("event_id"), str_to_map(col("kv"), lit(","), lit("=")).as("m"))
       .select(col("event_id"),
-              array_sort(map_keys(col("m"))).as("keys"),
+              // sorted keys joined to ONE string: array-typed output columns
+              // crash the driver comparator (output-type protocol, Relational1)
+              concat_ws(",", array_sort(map_keys(col("m")))).as("keys"),
               element_at(col("m"), "k").cast(IntegerType).as("k_val"),
               element_at(col("m"), "type").as("type_val"))
       .orderBy("event_id")

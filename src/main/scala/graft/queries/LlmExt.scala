@@ -40,8 +40,14 @@ object LlmExt {
   }
 
   /** q46: 5-NN majority-vote label. The candidate side (all embeddings) is
-    * broadcast under a nested-loop join — exact kNN is inherently all-pairs;
-    * the scale path buckets candidates with LSH first (Extras). */
+    * broadcast under a nested-loop join — exact kNN is inherently all-pairs.
+    *
+    * SCALE CONTRACT: this is the one declared plan that deliberately cannot
+    * run at 100 TB (broadcasting the full embedding table is impossible
+    * there); it exists as the ORACLE-EXACT baseline. The scale paths are its
+    * approximate twins — x18 (IVF: centroid pruning, nprobe cells) and x09
+    * (hyperplane-LSH bucketed near-dup) — whose recall is property-tested
+    * against exactly this query (AnnIvfSpec, LlmExtSpec). See PLANS.md. */
   def q46(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // the BNLJ inherits the left side's partitioning — fan the 100 query
@@ -76,15 +82,18 @@ object LlmExt {
   /** q48: tf·idf top term per document. The corpus count is a 1-row
     * broadcast; the df side is UNhinted — a vocabulary is unbounded on a real
     * corpus (typos, unicode), so stats pick broadcast at test scale and a
-    * token-keyed shuffle join at 100 TB. tf shuffles once on (doc_id, tok). */
+    * token-keyed shuffle join at 100 TB. tf shuffles once on (doc_id, tok);
+    * df and n both derive FROM tf (tf is already distinct per (doc_id, tok),
+    * so df is a plain count and n never rescans documents — one source scan
+    * total; n counts docs with ≥1 token, mirrored in the oracle CTE). */
   def q48(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-    val n = docs.agg(countDistinct(col("doc_id")).as("n"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
     val scored = tf.filter(col("doc_id") < 50)
       .join(df, "tok").crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"),

@@ -83,24 +83,38 @@ object Pipeline {
       .orderBy("event_id")
   }
 
+  /** Star edges over fingerprint buckets: every doc sharing fingerprint `fp`
+    * links to the bucket's MINIMUM doc_id (both directions, so min-label
+    * propagation flows either way). A star has exactly the same connected
+    * components as the clique the round-1 all-pairs self-join built, but
+    * O(bucket) edges instead of O(bucket²) — one ubiquitous boilerplate
+    * 5-gram shared by k docs costs 2(k−1) edge rows, not k². The groupBy and
+    * the join share the `fp` key, so this is one exchange reused.
+    * Linearity is property-tested in LlmExtSpec (planted boilerplate). */
+  private[graft] def fingerprintStarEdges(fp: DataFrame): DataFrame = {
+    val rep = fp.groupBy("fp").agg(min(col("doc_id")).as("rep"))
+    val star = fp.join(rep, "fp")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("u"), col("rep").as("v"))
+    star.unionByName(star.select(col("v").as("u"), col("u").as("v"))).distinct()
+  }
+
   /** x24: dedup CLUSTER formation — pairs are not enough; deduplication needs
     * whole near-dup groups with one canonical representative. Documents are
-    * vertices, sharing any x13 rolling-hash fingerprint is an edge, and the
-    * component label is the minimum doc_id — computed by min-label
-    * propagation run to fixpoint, each round one join + one min-aggregate,
-    * both key-partitioned (no driver data, convergence checked by a 1-row
-    * sum that can only decrease). Rounds grow with component diameter —
-    * fingerprint-overlap graphs are clique-heavy so the fixpoint is near
-    * immediate; a 100 TB run with adversarial chain-shaped components would
-    * switch to the O(log n)-round small-star/large-star variant of the same
-    * loop. Oracle: DuckDB recursive-CTE transitive closure, min per node. */
+    * vertices, sharing any x13 rolling-hash fingerprint is an edge (star
+    * edges per bucket — see [[fingerprintStarEdges]]; identical components to
+    * the all-pairs clique at O(bucket) cost), and the component label is the
+    * minimum doc_id — computed by min-label propagation run to fixpoint, each
+    * round one join + one min-aggregate, both key-partitioned (no driver
+    * data, convergence checked by a 1-row sum that can only decrease).
+    * Rounds grow with component diameter; pointer doubling below keeps the
+    * fixpoint at O(log diameter) rounds.
+    * Oracle: DuckDB recursive-CTE transitive closure, min per node —
+    * unchanged by the star rewrite because components are identical. */
   def x24(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val fp = LlmExt2.docFingerprints(docs).distinct()
-    val edges = fp.as("a").join(fp.as("b"), Seq("fp"))
-      .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .persist()
+    val edges = fingerprintStarEdges(fp).persist()
     // Each round MUST cut lineage (eager localCheckpoint): a persisted-only
     // loop leaves the logical plan nesting one level per round, and Catalyst
     // re-optimizes the whole ever-growing tree — round 8 took 60s on 3k

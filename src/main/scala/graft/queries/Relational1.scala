@@ -11,9 +11,19 @@ import graft.engine.Tables
   * money-like doubles are summed as DECIMAL(18,2) (exact, order-independent);
   * counts are BIGINT. Scale notes per query explain why the plan survives a
   * 1000-executor / 100 TB deployment.
+  *
+  * Output-type protocol (§7.4 addendum, round 2): DECIMAL never leaves a
+  * query. The sums stay decimal INTERNALLY (exact, order-independent), but the
+  * final projection is `round(dec, 2).cast(double)` mirrored by
+  * `CAST(ROUND(…, 2) AS DOUBLE)` in the oracle — engines render decimals with
+  * different scales/trailing zeros (Spark dec(28,2) vs DuckDB dec(38,2)) and
+  * the driver hashes the repr, while a scale-2 value cast to double is the
+  * same correctly-rounded IEEE value on both. Enforced by OutputContractSpec.
   */
 object Relational1 {
   private val dec = DecimalType(18, 2)
+  /** Exact decimal aggregate → repr-stable double output (see protocol above). */
+  private def money(c: Column): Column = round(c, 2).cast(DoubleType)
 
   /** q01: projection + global sort. Scan reads only 4 columns (column pruning
     * reaches the parquet scan); sort is a range-partitioned exchange — scales
@@ -30,7 +40,7 @@ object Relational1 {
       .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
               col("l_shipdate") <  lit("1996-01-01").cast(TimestampType) &&
               col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
-      .agg(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec)).as("revenue"))
+      .agg(money(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec))).as("revenue"))
 
   /** q03: complex boolean predicate mix; pushes the supported conjuncts down,
     * evaluates the rest in codegen'd Filter. */
@@ -49,7 +59,7 @@ object Relational1 {
     Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice").cast(dec)).as("total"))
+      .agg(count(lit(1)).as("cnt"), money(sum(col("o_totalprice").cast(dec))).as("total"))
       .orderBy("c_mktsegment")
 
   /** q05: dimension join. `part` is left UNhinted: unlike nation/region it
@@ -60,7 +70,7 @@ object Relational1 {
     Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
-      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast(dec)).as("qty"))
+      .agg(count(lit(1)).as("cnt"), money(sum(col("l_quantity").cast(dec))).as("qty"))
       .orderBy("p_brand")
 
   /** q06: left outer join preserving 0-order customers, double aggregation. */
@@ -128,7 +138,7 @@ object Relational1 {
     Tables.lineitem(spark, dir)
       .join(asiaOrders.hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("n_name")
-      .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))).as("revenue"))
+      .agg(money(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))).as("revenue"))
       .orderBy("n_name")
   }
 
@@ -152,9 +162,9 @@ object Relational1 {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(dec)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec)).as("sum_base"),
-        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))).as("sum_disc"),
+        money(sum(col("l_quantity").cast(dec))).as("sum_qty"),
+        money(sum(col("l_extendedprice").cast(dec))).as("sum_base"),
+        money(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))).as("sum_disc"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -172,7 +182,7 @@ object Relational1 {
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(col("c_custkey")).as("n_cust"), sum(col("c_acctbal").cast(dec)).as("bal"))
+      .agg(count(col("c_custkey")).as("n_cust"), money(sum(col("c_acctbal").cast(dec))).as("bal"))
       .select(coalesce(col("r_name"), lit("ALL")).as("region"),
               coalesce(col("n_name"), lit("ALL")).as("nation"),
               col("n_cust"), col("bal"))

@@ -21,7 +21,10 @@ object Relational2 {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"),
-              rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+              // long, not Spark's native int32: dtype parity with DuckDB's
+              // BIGINT window functions (output-type protocol)
+              rank().over(w).cast(LongType).as("rnk"),
+              dense_rank().over(w).cast(LongType).as("drnk"))
       .orderBy("o_orderpriority", "rnk", "o_orderkey")
   }
 
@@ -32,7 +35,7 @@ object Relational2 {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-              row_number().over(w).as("rn"))
+              row_number().over(w).cast(LongType).as("rn"))
       .filter(col("rn") <= 3)
       .orderBy("o_custkey", "rn")
   }
@@ -48,13 +51,15 @@ object Relational2 {
       .drop("ts")
   }
 
-  /** q22: moving decimal sum over a ROWS frame. */
+  /** q22: moving decimal sum over a ROWS frame — summed exact as decimal,
+    * output as `round(…,2).cast(double)` per the output-type protocol
+    * (Relational1 Scaladoc): DECIMAL reprs differ across engines. */
   def q22(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(-2, Window.currentRow)
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"),
-              sum(col("value").cast(dec)).over(w).as("mov"))
+              round(sum(col("value").cast(dec)).over(w), 2).cast(DoubleType).as("mov"))
       .orderBy("user_id", "ts", "event_id")
       .drop("ts")
   }
@@ -174,14 +179,21 @@ object Relational2 {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("kmod")
 
-  /** q33: array function family over the 64-dim embedding column. */
+  /** q33: array function family over the 64-dim embedding column. The
+    * transform/slice work happens on the array, but the OUTPUT columns are
+    * scalars (h2–h4 extracted from the sliced array): array-typed output
+    * columns crash the driver comparator's pandas sort (unhashable ndarray),
+    * so arrays never leave a query — output-type protocol, Relational1. */
   def q33(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
+      .withColumn("head4", transform(slice(col("embedding"), 1, 4),
+                                     x => round(x.cast(DoubleType), 6)))
       .select(col("vec_id"),
               size(col("embedding")).cast(LongType).as("sz"),
               round(element_at(col("embedding"), 1).cast(DoubleType), 6).as("first"),
-              transform(slice(col("embedding"), 1, 4),
-                        x => round(x.cast(DoubleType), 6)).as("head4"))
+              element_at(col("head4"), 2).as("h2"),
+              element_at(col("head4"), 3).as("h3"),
+              element_at(col("head4"), 4).as("h4"))
       .orderBy("vec_id")
 
   /** q34: generator/UDTF — posexplode; 1-based position to match the oracle. */

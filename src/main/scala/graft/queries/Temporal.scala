@@ -20,7 +20,9 @@ object Temporal {
     Tables.events(spark, dir)
       .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"),
                col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value").cast(dec)).as("sv"))
+      .agg(count(lit(1)).as("cnt"),
+           // exact decimal sum internally; double out (output-type protocol)
+           round(sum(col("value").cast(dec)), 2).cast(DoubleType).as("sv"))
       .orderBy("bucket_us", "event_type")
 
   /** q36: 1h windows sliding 15min via the native `window()` generator — each

@@ -33,7 +33,10 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-           sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+           // exact decimal sum internally, double out — matches the q35 batch
+           // twin under the output-type protocol (Relational1 Scaladoc)
+           round(sum(col("value").cast(DecimalType(18, 2))), 2)
+             .cast(DoubleType).as("sv"))
       .select(unix_micros(col("window.start")).as("bucket_us"),
               col("event_type"), col("cnt"), col("sv"))
 

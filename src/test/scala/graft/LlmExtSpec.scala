@@ -127,6 +127,28 @@ class LlmExtSpec extends AnyFunSuite {
     assert(comp.values.toSet.size < comp.size, "sf0.1 must have non-trivial clusters")
   }
 
+  test("x24 star edges: edge count is linear in bucket size (hot fingerprint)") {
+    import spark.implicits._
+    // planted boilerplate: 200 docs all sharing fingerprint 42 (one ubiquitous
+    // 5-gram), plus a few singleton fingerprints. Round 1's all-pairs self-join
+    // made 200*199 = 39800 edge rows from the hot bucket; the star builder
+    // must emit 2*(200-1) and still connect the whole bucket to its min doc.
+    val hot = (1L to 200L).map(id => (id, 42L))
+    val cold = Seq((301L, 7L), (302L, 8L), (303L, 9L))
+    val fp = (hot ++ cold).toDF("doc_id", "fp")
+    val edges = graft.queries.Pipeline.fingerprintStarEdges(fp).collect()
+    assert(edges.length === 2 * 199, s"expected linear edges, got ${edges.length}")
+    // connectivity identical to the clique: every hot doc reaches min doc 1
+    val toMin = edges.map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 == 1L).map(_._1).toSet
+    assert(toMin === (2L to 200L).toSet, "every bucket member must link to the min doc")
+    // symmetric edges so min-label propagation flows both directions
+    val es = edges.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(es.forall { case (u, v) => es.contains((v, u)) })
+    // singleton buckets contribute no edges
+    assert(!es.exists { case (u, v) => u > 300 || v > 300 })
+  }
+
   test("native shingles == interpreted HOF chain on real docs and edge cases") {
     import spark.implicits._
     val edge = Seq("", " ", "  ", "a", "a b", "A  b C", "x y z w", "a b c",

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The output-type protocol (Relational1 Scaladoc / SURVEY.md §7.4 addendum),
+  * enforced for EVERY registered query — oracle-checked or not, because the
+  * driver loads every query's parquet dump into pandas and sorts it:
+  *
+  *   - no DecimalType output column: Spark renders SUM(DECIMAL(18,2)) as
+  *     decimal(28,2), DuckDB as decimal(38,2); the driver hashes reprs, so
+  *     trailing-zero/scale drift flips correct values red (8 round-1 fails).
+  *     Decimals stay internal; the final projection casts to double/long.
+  *   - no ArrayType / MapType output column: pandas sort_values throws
+  *     "unhashable type: numpy.ndarray" before any compare (q33/x05 round 1).
+  *
+  * Schema inspection only (no job runs) for the lazy queries; the handful of
+  * eagerly-materializing operators (x24's fixpoint loop, x06's fit, the
+  * streaming twins) do execute at sf0.001 — that cost buys the guarantee that
+  * the whole registry stays driver-comparable.
+  */
+class OutputContractSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def offending(dt: DataType): Boolean = dt match {
+    case _: DecimalType => true
+    case _: ArrayType   => true
+    case _: MapType     => true
+    case _              => false
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name output schema is driver-comparable (no decimal/array/map)") {
+      val schema = fn(spark, TestSpark.sfSmoke).schema
+      val bad = schema.fields.filter(f => offending(f.dataType))
+      assert(bad.isEmpty,
+        s"$name emits non-portable output columns: " +
+          bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+    }
+  }
+}
