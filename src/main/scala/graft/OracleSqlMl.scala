@@ -188,6 +188,18 @@ object OracleSqlMl {
 
   /** Oracle SQL for the arithmetic-portable extended operators. */
   val ext: Map[String, String] = Map(
+    // x05 rebuilds a map from "k=<json k>,type=<event_type>" then emits
+    // sorted keys + two lookups. Both keys exist on every row, so the
+    // portable statement of the expected output is direct: the sorted key
+    // list is the constant "k,type" and the lookups are the source values.
+    // The Spark side still exercises str_to_map/map_keys/element_at; the
+    // oracle pins what they must produce.
+    "x05_map_funcs" ->
+      """SELECT event_id, 'k,type' AS keys,
+        |       CAST(json_extract_string(props,'$.k') AS INTEGER) AS k_val,
+        |       event_type AS type_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "x11_text_quality" ->
       """WITH t AS (SELECT doc_id, n_chars,
         |  [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS toks
@@ -306,8 +318,76 @@ object OracleSqlMl {
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
   )
 
+  /** Oracles for the streaming twins (round-2 addition). Each replay is ONE
+    * AvailableNow batch over one parquet file, which makes the stream output
+    * a deterministic function of the data:
+    *   - x02/x03 run in COMPLETE mode → every window/session is emitted
+    *     regardless of watermark, so the output equals the batch aggregate.
+    *   - x04 runs in UPDATE mode and the entry takes max(cnt) per window —
+    *     update-mode counts are cumulative, so the max IS the final count
+    *     even if the source ever split into multiple batches.
+    *   - x25's dedup state cannot expire mid-batch (the watermark advances
+    *     only between batches), so the emitted key set equals batch DISTINCT.
+    * x19 stays property-tested (StreamingSpec): its APPEND-mode output omits
+    * sessions still open at end-of-stream, a boundary set by ms-truncated
+    * event-time timers — portable SQL cannot pin that edge exactly. */
+  val streaming: Map[String, String] = Map(
+    // complete-mode tumbling replay == the q35 batch aggregate, same columns
+    "x02_stream_tumbling_watermark" -> OracleSql.relational("q35_window_tumbling"),
+
+    "x03_stream_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |sess AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "x04_stream_late_data" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, COUNT(*) AS cnt
+        |FROM events GROUP BY bucket_us ORDER BY bucket_us""".stripMargin,
+
+    "x25_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_keys
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+
+  /** x10 lang-ID is pure deterministic relational algebra (top-20 token
+    * profile per language, argmax hits per doc, explicit tiebreaks) —
+    * portable to DuckDB verbatim. */
+  val langid: Map[String, String] = Map(
+    "x10_text_langid" ->
+      """WITH langtoks AS (
+        |  SELECT doc_id, lang, tok FROM (
+        |    SELECT doc_id, lang, UNNEST(string_split(LOWER(text),' ')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |profile AS (
+        |  SELECT lang AS p_lang, tok FROM (
+        |    SELECT lang, tok,
+        |           ROW_NUMBER() OVER (PARTITION BY lang
+        |                              ORDER BY COUNT(*) DESC, tok) AS rn
+        |    FROM langtoks GROUP BY lang, tok) WHERE rn <= 20),
+        |hits AS (
+        |  SELECT t.doc_id, p.p_lang, COUNT(*) AS hits
+        |  FROM langtoks t JOIN profile p USING (tok)
+        |  GROUP BY t.doc_id, p.p_lang),
+        |predicted AS (
+        |  SELECT doc_id, p_lang AS predicted FROM (
+        |    SELECT doc_id, p_lang,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                              ORDER BY hits DESC, p_lang) AS rn
+        |    FROM hits) WHERE rn = 1)
+        |SELECT d.lang, COALESCE(p.predicted,'unknown') AS predicted, COUNT(*) AS n
+        |FROM documents d LEFT JOIN predicted p USING (doc_id)
+        |GROUP BY d.lang, predicted ORDER BY d.lang, predicted""".stripMargin
+  )
+
   def all: Map[String, String] =
-    ml ++ llm ++ ext ++ reshape ++ pipeline ++
+    ml ++ llm ++ ext ++ reshape ++ pipeline ++ streaming ++ langid ++
       Map("x06_chi_estimator_fit" -> ml("q42_ml_chi_classify"),
           // the native as-of operator must produce exactly the composed form's
           // results — same oracle as q11
