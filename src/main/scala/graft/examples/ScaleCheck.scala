@@ -8,11 +8,14 @@ import graft.engine.Tables
   * join fan-outs honest (a plain row duplication would square them).
   *
   * Observed (local[32], this container): q10/q12/q41/q44/x23 run 10× the data
-  * in 1.0–1.6× the time (fixed job overhead still dominates at this size —
+  * in 1.0–1.9× the time (fixed job overhead still dominates at this size —
   * the distributed work is far from the bottleneck). x08 grows ~11×: the
   * synthetic copy gives EVERY document 10 near-duplicates, so candidate
   * pairs per LSH bucket grow quadratically in the duplication factor and the
-  * output itself grows ~50× — linear in the true pair workload.
+  * output itself grows ~50× — linear in the true pair workload. x24 grows
+  * 1.6× on 10× data even though every fingerprint bucket is 10× hotter —
+  * the star-edge builder (Pipeline.fingerprintStarEdges) keeps edge volume
+  * linear where the round-1 all-pairs self-join would have gone quadratic.
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
@@ -45,7 +48,11 @@ object ScaleCheck {
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     for (q <- Seq("q10_join_multiway_tpch_q5", "q12_agg_tpch_q1",
                   "q41_ml_chi_rule_weights", "q44_dedup_exact",
-                  "x08_dedup_ngram_jaccard", "x23_asof_join_native")) {
+                  "x08_dedup_ngram_jaccard", "x23_asof_join_native",
+                  // x24: the 10× copy makes every fingerprint bucket 10×
+                  // hotter — exactly the regime the star-edge builder must
+                  // keep linear (the round-1 all-pairs form went quadratic)
+                  "x24_dedup_components")) {
       graft.SparkEntry.queries(q)(spark, src).collect() // warm
       val t1 = System.nanoTime; graft.SparkEntry.queries(q)(spark, src).collect()
       val small = (System.nanoTime - t1) / 1e9
