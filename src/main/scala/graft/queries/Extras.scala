@@ -6,9 +6,11 @@ import org.apache.spark.sql.types._
 import graft.engine.Tables
 import graft.engine.chi.ChiCSClassifier
 
-/** Non-oracle operators x01/x05/x06 (SURVEY.md §2.5): in `queries` for
-  * bench/smoke, asserted by ScalaTest properties instead of the DuckDB hash
-  * (engine-salted hashes and map ordering are not SQL-portable).
+/** Extended operators x01/x05/x06 (SURVEY.md §2.5). x01 is property-tested
+  * only (MinHash bucketing is xxhash64-salted, not SQL-portable); x05 and x06
+  * ARE oracle-checked — x05 against a direct statement of its deterministic
+  * map-rebuild output, x06 against q42's oracle (it must reproduce the
+  * estimator pipeline exactly).
   */
 object Extras {
 

@@ -22,8 +22,7 @@ import graft.engine.Tables
   */
 object Relational1 {
   private val dec = DecimalType(18, 2)
-  /** Exact decimal aggregate → repr-stable double output (see protocol above). */
-  private def money(c: Column): Column = round(c, 2).cast(DoubleType)
+  import graft.engine.OutTypes.money
 
   /** q01: projection + global sort. Scan reads only 4 columns (column pruning
     * reaches the parquet scan); sort is a range-partitioned exchange — scales

@@ -59,7 +59,7 @@ object Relational2 {
       .rowsBetween(-2, Window.currentRow)
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"),
-              round(sum(col("value").cast(dec)).over(w), 2).cast(DoubleType).as("mov"))
+              graft.engine.OutTypes.money(sum(col("value").cast(dec)).over(w)).as("mov"))
       .orderBy("user_id", "ts", "event_id")
       .drop("ts")
   }

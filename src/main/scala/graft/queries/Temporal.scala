@@ -22,7 +22,7 @@ object Temporal {
                col("event_type"))
       .agg(count(lit(1)).as("cnt"),
            // exact decimal sum internally; double out (output-type protocol)
-           round(sum(col("value").cast(dec)), 2).cast(DoubleType).as("sv"))
+           graft.engine.OutTypes.money(sum(col("value").cast(dec))).as("sv"))
       .orderBy("bucket_us", "event_type")
 
   /** q36: 1h windows sliding 15min via the native `window()` generator — each

@@ -35,8 +35,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"),
            // exact decimal sum internally, double out — matches the q35 batch
            // twin under the output-type protocol (Relational1 Scaladoc)
-           round(sum(col("value").cast(DecimalType(18, 2))), 2)
-             .cast(DoubleType).as("sv"))
+           graft.engine.OutTypes.money(sum(col("value").cast(DecimalType(18, 2)))).as("sv"))
       .select(unix_micros(col("window.start")).as("bucket_us"),
               col("event_type"), col("cnt"), col("sv"))
 
@@ -142,7 +141,15 @@ object StreamingOps {
   }
 
   /** Runs a streaming transform to completion (AvailableNow) into a memory
-    * sink and returns the result table. */
+    * sink and returns the result table.
+    *
+    * GUARD: the x02/x03/x04/x25 DuckDB oracles are sound only because the
+    * whole replay is ONE data micro-batch (watermarks advance — and dedup
+    * state can expire, late rows drop — only BETWEEN batches). That holds
+    * today because each scale factor's events table is a single parquet
+    * file; if a data refresh ever makes it a multi-part directory or an
+    * admission option splits the replay, the oracles would silently diverge
+    * on the driver. Fail loudly here instead. */
   private def runToTable(spark: SparkSession, streamed: DataFrame,
                          name: String, outputMode: String): DataFrame = {
     // streaming state stores are per shuffle partition; these replays carry
@@ -158,6 +165,11 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"$name replayed in $dataBatches data micro-batches; the registered " +
+        "streaming oracles assume a single-batch replay (see Scaladoc) — " +
+        "re-derive or retire the oracle before trusting this result")
       spark.table(name)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }

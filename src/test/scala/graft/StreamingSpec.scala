@@ -6,6 +6,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import java.sql.Timestamp
 
+/** Synthetic event row for the MemoryStream specs. Top-level, not nested in
+  * the suite: Janino cannot reach an inner class's accessors, so a nested
+  * case class makes every encoder projection fall back to interpreter mode
+  * (a wall of "Expr codegen error" warnings in the test log). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
 /** x02–x04: streaming twins equal their batch queries on in-order data, and
   * the watermark actually drops late rows (SURVEY.md §2.5). */
 class StreamingSpec extends AnyFunSuite {
@@ -13,9 +20,6 @@ class StreamingSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
-
-  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
-                        event_type: String, value: Double, props: String)
 
   private def runStream(mem: MemoryStream[Ev],
                         transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
