@@ -356,6 +356,18 @@ object OracleSqlMl {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
+  /** x28: exact percentiles — both engines compute the type-7 linear
+    * interpolation at index p·(n−1) over the sorted group. */
+  val percentile: Map[String, String] = Map(
+    "x28_percentile_exact" ->
+      """SELECT o_orderpriority,
+        |       ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+        |       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+        |       ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+
   /** x10 lang-ID is pure deterministic relational algebra (top-20 token
     * profile per language, argmax hits per doc, explicit tiebreaks) —
     * portable to DuckDB verbatim. */
@@ -387,9 +399,12 @@ object OracleSqlMl {
   )
 
   def all: Map[String, String] =
-    ml ++ llm ++ ext ++ reshape ++ pipeline ++ streaming ++ langid ++
+    ml ++ llm ++ ext ++ reshape ++ pipeline ++ streaming ++ langid ++ percentile ++
       Map("x06_chi_estimator_fit" -> ml("q42_ml_chi_classify"),
           // the native as-of operator must produce exactly the composed form's
           // results — same oracle as q11
-          "x23_asof_join_native" -> OracleSql.relational("q11_join_asof_prior"))
+          "x23_asof_join_native" -> OracleSql.relational("q11_join_asof_prior"),
+          // the stream-static join is x22's semantics through the streaming
+          // runtime (complete-mode single-batch replay) — same oracle
+          "x27_stream_static_join" -> pipeline("x22_skew_salted_join"))
 }

@@ -94,7 +94,9 @@ object SparkEntry {
     "x23_asof_join_native"     -> (Pipeline.x23 _),
     "x24_dedup_components"     -> (Pipeline.x24 _),
     "x25_stream_dedup"         -> (graft.streaming.StreamingOps.x25 _),
-    "x26_multimodal_frames"    -> (MultimodalOps.x26 _)
+    "x26_multimodal_frames"    -> (MultimodalOps.x26 _),
+    "x27_stream_static_join"   -> (graft.streaming.StreamingOps.x27 _),
+    "x28_percentile_exact"     -> (Reshape.x28 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -26,6 +26,22 @@ object Reshape {
            percentile_approx(col("o_totalprice"), lit(0.95), lit(10000)).as("p95"))
       .orderBy("o_orderpriority")
 
+  /** x28: EXACT grouped percentiles — x15's ground-truth twin, the same
+    * exact↔approximate pairing as q46↔x18 (docs/PLANS.md). `percentile` sorts
+    * each group's value multiset, so memory is bounded by distinct values per
+    * group — fine for bounded groups (6 priorities here), while an unbounded
+    * 100 TB group belongs to x15's constant-memory sketch. Both engines
+    * compute the type-7 linear interpolation at index p·(n−1); rounded 6dp.
+    * Oracle: DuckDB `quantile_cont`. */
+  def x28(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
+           round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+           round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"),
+           round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"))
+      .orderBy("o_orderpriority")
+
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** x16: pivot — events long → wide counts per (user, event_type). The

@@ -215,4 +215,31 @@ object StreamingOps {
                s"x25_sink_${System.nanoTime()}", "append")
       .groupBy("event_type").agg(count(lit(1)).as("n_keys"))
       .orderBy("event_type")
+
+  /** x27: STREAM-STATIC join — the enrichment shape of a production pipeline:
+    * a live event stream joined per micro-batch against a static (batch-built)
+    * dimension, here each user's lifetime event count. Spark re-plans the join
+    * every micro-batch; the hinted broadcast ships the dimension to executors
+    * once per batch and the stream side never shuffles for the join.
+    *
+    * 100 TB posture: the static side is the output of a batch aggregation —
+    * bounded by |users|, the classic broadcast-able enrichment table. If it
+    * outgrew broadcast, the unhinted fallback is a per-batch shuffle join on
+    * user_id. This is x22's semantics through the streaming runtime (same
+    * oracle): the salting x22 needs for a skewed BATCH shuffle is unnecessary
+    * here precisely because the broadcast join never partitions by the hot
+    * key.
+    *
+    * Determinism: complete-mode aggregation over the single-batch replay (the
+    * runToTable guard) — the result equals the batch join+agg exactly. */
+  def x27(spark: SparkSession, dir: String): DataFrame = {
+    val userTotals = graft.engine.Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("user_events"))
+    val joined = eventsStream(spark, dir)
+      .join(broadcast(userTotals), "user_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("user_events")).as("sum_user_events"))
+    runToTable(spark, joined, s"x27_sink_${System.nanoTime()}", "complete")
+      .orderBy("event_type")
+  }
 }

@@ -22,6 +22,27 @@ class ReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("x28 exact percentiles are monotone and bracket x15's approximations") {
+    val exact = Reshape.x28(spark, sfSmoke).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val bounds = graft.engine.Tables.orders(spark, sfSmoke)
+      .groupBy("o_orderpriority")
+      .agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((prio, (p25, p50, p75, p95)) <- exact) {
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95, s"$prio not monotone")
+      val (mn, mx) = bounds(prio)
+      assert(p25 >= mn && p95 <= mx, s"$prio percentiles outside [min,max]")
+    }
+    // the approximate sketch's p50 must sit within the exact p25..p75 band
+    for (r <- Reshape.x15(spark, sfSmoke).collect()) {
+      val (p25, _, p75, _) = exact(r.getString(0))
+      assert(r.getDouble(2) >= p25 && r.getDouble(2) <= p75,
+        s"${r.getString(0)}: approx p50 ${r.getDouble(2)} outside exact [$p25,$p75]")
+    }
+  }
+
   test("x16 pivot row sums equal per-user event counts; x17 inverts x16") {
     val perUser = graft.engine.Tables.events(spark, sfSmoke)
       .groupBy("user_id").agg(count(lit(1)).as("n"))

@@ -40,6 +40,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
+  test("x27 stream-static join == x22 batch join+agg on single-batch replay") {
+    val batch = graft.queries.Pipeline.x22(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val stream = graft.streaming.StreamingOps.x27(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stream === batch)
+  }
+
   test("x03 streaming session count == q37 batch sessions per user") {
     val batch = graft.queries.Temporal.q37(spark, sfSmoke)
       .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
