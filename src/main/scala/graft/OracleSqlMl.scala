@@ -353,7 +353,17 @@ object OracleSqlMl {
 
     "x25_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_keys
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // x29: inner stream-stream joins emit every match present in the batch;
+    // the batch twin is a plain range join (q09's family)
+    "x29_stream_stream_join" ->
+      """SELECT p.event_id AS p_id, COUNT(*) AS n_clicks_10m
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |GROUP BY p_id ORDER BY p_id""".stripMargin
   )
 
   /** x28: exact percentiles — both engines compute the type-7 linear

@@ -242,4 +242,35 @@ object StreamingOps {
     runToTable(spark, joined, s"x27_sink_${System.nanoTime()}", "complete")
       .orderBy("event_type")
   }
+
+  /** x29: STREAM-STREAM join — purchases joined to the same user's clicks in
+    * the 10 minutes before the purchase, both sides live streams. The
+    * event-time range condition plus both watermarks is what makes this run
+    * forever at scale: Spark derives how long each side's state must be kept
+    * (10 min + watermark delay) and GCs older rows — without the time bound
+    * the join state would grow without limit.
+    *
+    * Determinism: INNER stream-stream joins emit a match as soon as both rows
+    * are present; the watermark only expires state for LATER batches, so the
+    * single-batch replay (runToTable guard) emits exactly the batch join.
+    * The per-purchase count happens batch-side on the sink table — appending
+    * an aggregation AFTER a stream-stream join would emit only
+    * watermark-closed groups and drop the stream tail's purchases. */
+  def x29(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = p.join(c,
+      col("user_id") === col("c_uid") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("p_id"))
+    runToTable(spark, joined, s"x29_sink_${System.nanoTime()}", "append")
+      .groupBy("p_id").agg(count(lit(1)).as("n_clicks_10m"))
+      .orderBy("p_id")
+  }
 }

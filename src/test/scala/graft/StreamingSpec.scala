@@ -48,6 +48,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
+  test("x29 stream-stream join == batch range join on single-batch replay") {
+    val e = graft.engine.Tables.events(spark, sfSmoke)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"))
+    val batch = p.join(c, col("user_id") === col("c_uid") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("p_ts"))
+      .groupBy("p_id").agg(count(lit(1)).as("n")).orderBy("p_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val stream = graft.streaming.StreamingOps.x29(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stream === batch)
+  }
+
   test("x03 streaming session count == q37 batch sessions per user") {
     val batch = graft.queries.Temporal.q37(spark, sfSmoke)
       .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
