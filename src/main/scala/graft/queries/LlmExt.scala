@@ -84,14 +84,19 @@ object LlmExt {
     * corpus (typos, unicode), so stats pick broadcast at test scale and a
     * token-keyed shuffle join at 100 TB. tf shuffles once on (doc_id, tok);
     * df and n both derive FROM tf (tf is already distinct per (doc_id, tok),
-    * so df is a plain count and n never rescans documents — one source scan
-    * total; n counts docs with ≥1 token, mirrored in the oracle CTE). */
+    * so df is a plain count; n counts docs with ≥1 token, mirrored in the
+    * oracle CTE). tf is PERSISTED because it has three consumers
+    * (scored/df/n) and Catalyst's column pruning specializes each branch's
+    * subtree, defeating exchange reuse — uncached, the source scan + explode
+    * + aggregate would run three times (PlanSpec pins the single scan). At
+    * 100 TB this trades one spill-safe materialization of the (doc, tok)
+    * table against three full passes over the raw corpus. */
   def q48(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).persist()
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = tf.agg(countDistinct(col("doc_id")).as("n"))
     val scored = tf.filter(col("doc_id") < 50)

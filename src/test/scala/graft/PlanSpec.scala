@@ -66,6 +66,27 @@ class PlanSpec extends AnyFunSuite {
       "partial and final HashAggregate expected")
   }
 
+  test("q48: tf-idf scans the documents table at most once (tf cached, df/n derive from it)") {
+    // AQE off for this assertion: the adaptive wrapper and query stages are
+    // leaf nodes, so only a plain plan tree lets collect() visit every
+    // operator. InMemoryTableScanExec is itself a leaf — cached subtrees'
+    // embedded file scans are correctly NOT counted as live scans.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = LlmExt.q48(spark, sfSmoke)
+      df.collect()
+      val p = df.queryExecution.executedPlan
+      val docScans = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.count(_.toString.contains("documents"))
+      // round 1: three live source scans (tf, df, n each recomputed the
+      // explode+aggregate). Now ≤1: the persisted tf feeds all consumers
+      // (0 if a previous run's cache entry is still registered).
+      assert(docScans <= 1, s"documents has $docScans live scans:\n" + p.toString.take(800))
+      assert(p.toString.contains("InMemoryTableScan"), "tf must be served from cache")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q44: dedup groupBy keys the exchange on the normalized text") {
     val p = plan(LlmExt.q44(spark, sfSmoke))
     assert(p.contains("HashAggregate") && p.contains("Exchange"))
