@@ -79,19 +79,13 @@ object LlmExt {
       .orderBy(col("n").desc, col("tok"))
       .limit(50)
 
-  /** q48: tf·idf top term per document. The corpus count is a 1-row
-    * broadcast; the df side is UNhinted — a vocabulary is unbounded on a real
-    * corpus (typos, unicode), so stats pick broadcast at test scale and a
-    * token-keyed shuffle join at 100 TB. tf shuffles once on (doc_id, tok);
-    * df and n both derive FROM tf (tf is already distinct per (doc_id, tok),
-    * so df is a plain count; n counts docs with ≥1 token, mirrored in the
-    * oracle CTE). tf is PERSISTED because it has three consumers
-    * (scored/df/n) and Catalyst's column pruning specializes each branch's
-    * subtree, defeating exchange reuse — uncached, the source scan + explode
-    * + aggregate would run three times (PlanSpec pins the single scan). At
-    * 100 TB this trades one spill-safe materialization of the (doc, tok)
-    * table against three full passes over the raw corpus. */
-  def q48(spark: SparkSession, dir: String): DataFrame = {
+  /** q48's DAG before materialization, exposed so PlanSpec can assert the
+    * single-scan property on the live plan. Returns (tf, result): tf is
+    * PERSISTED because it has three consumers (scored/df/n) and Catalyst's
+    * column pruning specializes each branch's subtree, defeating exchange
+    * reuse — uncached, the source scan + explode + aggregate would run three
+    * times. The caller owns the unpersist. */
+  private[graft] def tfidfDag(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
@@ -104,9 +98,28 @@ object LlmExt {
       .select(col("doc_id"), col("tok"),
               round(col("tf") * log(col("n") * lit(1.0) / col("df")), 6).as("tfidf"))
     val perDoc = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
-    scored.withColumn("rn", row_number().over(perDoc)).filter(col("rn") === 1)
+    val out = scored.withColumn("rn", row_number().over(perDoc)).filter(col("rn") === 1)
       .select(col("doc_id"), col("tok"), col("tfidf"))
       .orderBy("doc_id")
+    (tf, out)
+  }
+
+  /** q48: tf·idf top term per document. The corpus count is a 1-row
+    * broadcast; the df side is UNhinted — a vocabulary is unbounded on a real
+    * corpus (typos, unicode), so stats pick broadcast at test scale and a
+    * token-keyed shuffle join at 100 TB. tf shuffles once on (doc_id, tok);
+    * df and n both derive FROM it (tf is already distinct per (doc_id, tok),
+    * so df is a plain count; n counts docs with ≥1 token, mirrored in the
+    * oracle CTE); the persisted tf serves all three consumers from one
+    * corpus scan (see [[tfidfDag]]). The tiny result is materialized
+    * (x24's localCheckpoint pattern) so tf can be unpersisted HERE — a bare
+    * persist would leak a session-lifetime cache entry per directory and let
+    * a re-run serve tf from cache, timing only the tail of the query. */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    val (tf, out) = tfidfDag(spark, dir)
+    val snap = out.localCheckpoint(true)
+    tf.unpersist()
+    snap
   }
 
   /** q49: per-(lang, source) corpus statistics — plain partial+final agg. */

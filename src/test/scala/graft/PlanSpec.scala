@@ -71,20 +71,24 @@ class PlanSpec extends AnyFunSuite {
     // leaf nodes, so only a plain plan tree lets collect() visit every
     // operator. InMemoryTableScanExec is itself a leaf — cached subtrees'
     // embedded file scans are correctly NOT counted as live scans.
+    // Asserted on the pre-materialization DAG (tfidfDag): the public q48
+    // returns a checkpointed snapshot whose plan no longer shows the scan.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (tf, out) = LlmExt.tfidfDag(spark, sfSmoke)
     try {
-      val df = LlmExt.q48(spark, sfSmoke)
-      df.collect()
-      val p = df.queryExecution.executedPlan
+      out.collect()
+      val p = out.queryExecution.executedPlan
       val docScans = p.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }.count(_.toString.contains("documents"))
       // round 1: three live source scans (tf, df, n each recomputed the
-      // explode+aggregate). Now ≤1: the persisted tf feeds all consumers
-      // (0 if a previous run's cache entry is still registered).
+      // explode+aggregate). Now ≤1: the persisted tf feeds all consumers.
       assert(docScans <= 1, s"documents has $docScans live scans:\n" + p.toString.take(800))
       assert(p.toString.contains("InMemoryTableScan"), "tf must be served from cache")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally {
+      tf.unpersist()
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("q44: dedup groupBy keys the exchange on the normalized text") {
