@@ -271,6 +271,19 @@ object OracleSqlMl {
         |SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
         |FROM bucketed GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
+    "x30_corpus_mix" ->
+      """WITH m AS (
+        |  SELECT lang, n_chars,
+        |         ((doc_id % 100000000) * 2246822519) % 1000 AS bucket,
+        |         CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 800
+        |                   WHEN 'fr' THEN 700 WHEN 'zh' THEN 900
+        |                   ELSE 1000 END AS thresh
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_total,
+        |       CAST(SUM(CASE WHEN bucket < thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN bucket < thresh THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+
     "x21_decontaminate" ->
       """SELECT lang, COUNT(*) AS n_clean, CAST(SUM(n_chars) AS BIGINT) AS n_chars
         |FROM documents d

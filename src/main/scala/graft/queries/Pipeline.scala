@@ -51,6 +51,34 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** x30: corpus MIXING — per-language sampling rates applied by
+    * deterministic hash threshold, the step that turns raw corpora into a
+    * training mix (downsample the majority language, keep the rest). Same
+    * multiplicative-hash machinery as x20 but a DIFFERENT odd constant, so
+    * mix membership is independent of split assignment (a correlated
+    * constant would make "test" systematically over-sample downweighted
+    * languages). No RNG, no sampling seed: the same row is kept on 1
+    * partition or 10 000 — and the operand is bounded (< 2.3e17) so the
+    * product can never overflow int64 on either engine. The only shuffle is
+    * the 5-row aggregate. */
+  def x30(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = ((col("doc_id") % 100000000L) * lit(2246822519L)) % 1000
+    // per-language keep rates ×1000: en is downsampled hardest (majority)
+    val thresh = when(col("lang") === "en", 500)
+      .when(col("lang") === "de", 800)
+      .when(col("lang") === "fr", 700)
+      .when(col("lang") === "zh", 900)
+      .otherwise(1000)
+    val kept = col("bucket") < col("thresh")
+    Tables.documents(spark, dir)
+      .withColumn("bucket", bucket).withColumn("thresh", thresh)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+           sum(when(kept, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("lang")
+  }
+
   /** x22: skew-salted fact⋈dim join ([[graft.engine.Skew.saltedJoin]]) —
     * events joined to per-user totals on user_id, spread 8 ways so a hot
     * user cannot serialize one reducer. The salt is pmod(xxhash64(event_id))

@@ -149,6 +149,17 @@ class LlmExtSpec extends AnyFunSuite {
     assert(!es.exists { case (u, v) => u > 300 || v > 300 })
   }
 
+  test("x30 corpus mix: achieved keep-rate tracks the per-language target") {
+    val targets = Map("en" -> 0.5, "de" -> 0.8, "fr" -> 0.7, "zh" -> 0.9, "es" -> 1.0)
+    for (r <- graft.queries.Pipeline.x30(spark, sfBig).collect()) {
+      val (lang, total, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val achieved = kept.toDouble / total
+      // multiplicative-hash buckets are near-uniform: ±7pp at sf0.1 counts
+      assert(math.abs(achieved - targets(lang)) <= 0.07,
+        s"$lang: achieved $achieved vs target ${targets(lang)} ($kept/$total)")
+    }
+  }
+
   test("native shingles == interpreted HOF chain on real docs and edge cases") {
     import spark.implicits._
     val edge = Seq("", " ", "  ", "a", "a b", "A  b C", "x y z w", "a b c",
