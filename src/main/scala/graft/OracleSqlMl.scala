@@ -299,6 +299,34 @@ object OracleSqlMl {
         |FROM events e JOIN ut ON e.user_id = ut.user_id
         |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
 
+    // x31: same fingerprint CTEs as x13, then drop documents sharing any
+    // fingerprint with the benchmark slice (doc_id % 97 = 0).
+    "x31_decontaminate_ngram" ->
+      """WITH d AS (SELECT doc_id,
+        |  [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS t FROM documents),
+        |toks AS (
+        |  SELECT doc_id, gs.i AS pos, t[gs.i] AS tok
+        |  FROM d, generate_series(1, 256) AS gs(i) WHERE gs.i <= len(t)),
+        |coded AS (
+        |  SELECT doc_id, pos, code AS c0,
+        |    LEAD(code,1) OVER w AS c1, LEAD(code,2) OVER w AS c2,
+        |    LEAD(code,3) OVER w AS c3, LEAD(code,4) OVER w AS c4
+        |  FROM (SELECT doc_id, pos,
+        |        CAST(ascii(substr(tok,1,1))*4096 + ascii(substr(tok,2,1))*64
+        |             + length(tok) AS BIGINT) AS code FROM toks)
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |fps AS (
+        |  SELECT DISTINCT doc_id,
+        |    ((((((c4*131 + c3) % 1000000007) * 131 + c2) % 1000000007) * 131 + c1)
+        |      % 1000000007 * 131 + c0) % 1000000007 AS fp
+        |  FROM coded WHERE c4 IS NOT NULL),
+        |bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
+        |contaminated AS (SELECT DISTINCT doc_id FROM fps JOIN bench USING (fp))
+        |SELECT lang, COUNT(*) AS n_clean, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM documents doc
+        |WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = doc.doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // x24: same fingerprint CTEs as x13, then connected components as a
     // recursive-CTE transitive closure with min label per node.
     "x24_dedup_components" ->

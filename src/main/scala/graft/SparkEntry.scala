@@ -98,7 +98,8 @@ object SparkEntry {
     "x27_stream_static_join"   -> (graft.streaming.StreamingOps.x27 _),
     "x28_percentile_exact"     -> (Reshape.x28 _),
     "x29_stream_stream_join"   -> (graft.streaming.StreamingOps.x29 _),
-    "x30_corpus_mix"           -> (Pipeline.x30 _)
+    "x30_corpus_mix"           -> (Pipeline.x30 _),
+    "x31_decontaminate_ngram"  -> (Pipeline.x31 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

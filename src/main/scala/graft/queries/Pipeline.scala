@@ -51,6 +51,28 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** x31: N-GRAM decontamination — the industry-standard stronger form of
+    * x21: a document is contaminated if it shares ANY 5-token rolling-hash
+    * fingerprint (x13's machinery) with the held-out benchmark slice, not
+    * only if its whole text matches. Catches partial copies, quoted answers,
+    * and templated paraphrases that exact-text matching misses.
+    *
+    * 100 TB: the fingerprint join is keyed on fp (bucketed, never all-pairs);
+    * the benchmark fingerprint set is small and stats-driven broadcastable;
+    * the final anti-join keys on doc_id. Documents shorter than one window
+    * (< 5 tokens) have no fingerprints and pass through — by construction
+    * the n-gram rule has nothing to say about them. */
+  def x31(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fp = LlmExt2.docFingerprints(docs).distinct()
+    val benchFps = fp.filter(col("doc_id") % 97 === 0).select("fp").distinct()
+    val contaminated = fp.join(benchFps, "fp").select("doc_id").distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_clean"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("lang")
+  }
+
   /** x30: corpus MIXING — per-language sampling rates applied by
     * deterministic hash threshold, the step that turns raw corpora into a
     * training mix (downsample the majority language, keep the rest). Same

@@ -149,6 +149,27 @@ class LlmExtSpec extends AnyFunSuite {
     assert(!es.exists { case (u, v) => u > 300 || v > 300 })
   }
 
+  test("x31 n-gram decontamination subsumes exact-text decontamination on fingerprintable docs") {
+    val docs = graft.engine.Tables.documents(spark, sfBig)
+    val fp = LlmExt2.x13(spark, sfBig).select(col("doc_id")) // docs with ≥1 fingerprint
+      .collect().map(_.getLong(0)).toSet
+    // exact-contaminated: lower(text) matches some benchmark doc's text
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(lower(col("text")).as("b")).distinct()
+    val exactDropped = docs.join(bench, lower(col("text")) === col("b"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // n-gram-contaminated = all docs minus x31 survivors
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ngramClean = graft.queries.Pipeline.x31(spark, sfBig)
+      .agg(sum(col("n_clean"))).head().getLong(0)
+    val ngramDroppedCount = all.size - ngramClean
+    // every exact-dropped doc that CAN be fingerprinted must be n-gram-dropped
+    val mustDrop = exactDropped.intersect(fp)
+    assert(mustDrop.nonEmpty, "sf0.1 benchmark slice must hit some exact dups")
+    assert(ngramDroppedCount >= mustDrop.size,
+      s"n-gram dropped $ngramDroppedCount < exact-dropped-and-fingerprintable ${mustDrop.size}")
+  }
+
   test("x30 corpus mix: achieved keep-rate tracks the per-language target") {
     val targets = Map("en" -> 0.5, "de" -> 0.8, "fr" -> 0.7, "zh" -> 0.9, "es" -> 1.0)
     for (r <- graft.queries.Pipeline.x30(spark, sfBig).collect()) {
