@@ -187,6 +187,45 @@ object OracleSqlMl {
   )
 
   /** Oracle SQL for the arithmetic-portable extended operators. */
+  /** Shared rolling-hash fingerprint prelude (x13's machinery): tokenized
+    * docs → positioned tokens (first 256) → 5-token Horner codes. Callers
+    * append their own `fps` head (with or without DISTINCT). */
+  private val fpCodedCtes =
+    """d AS (SELECT doc_id,
+      |  [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS t FROM documents),
+      |toks AS (
+      |  SELECT doc_id, gs.i AS pos, t[gs.i] AS tok
+      |  FROM d, generate_series(1, 256) AS gs(i) WHERE gs.i <= len(t)),
+      |coded AS (
+      |  SELECT doc_id, pos, code AS c0,
+      |    LEAD(code,1) OVER w AS c1, LEAD(code,2) OVER w AS c2,
+      |    LEAD(code,3) OVER w AS c3, LEAD(code,4) OVER w AS c4
+      |  FROM (SELECT doc_id, pos,
+      |        CAST(ascii(substr(tok,1,1))*4096 + ascii(substr(tok,2,1))*64
+      |             + length(tok) AS BIGINT) AS code FROM toks)
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos))""".stripMargin
+
+  /** Distinct per-doc fingerprints over the prelude. */
+  private val fpsDistinctCte =
+    """fps AS (
+      |  SELECT DISTINCT doc_id,
+      |    ((((((c4*131 + c3) % 1000000007) * 131 + c2) % 1000000007) * 131 + c1)
+      |      % 1000000007 * 131 + c0) % 1000000007 AS fp
+      |  FROM coded WHERE c4 IS NOT NULL)""".stripMargin
+
+  /** x24's connected components (recursive transitive closure, min label per
+    * node) — shared by the x33 survivor-selection oracle. */
+  private val componentCtes =
+    fpCodedCtes + ",\n" + fpsDistinctCte + ",\n" +
+      """edges AS (
+        |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id <> b.doc_id),
+        |reach(node, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.u, r.lab FROM reach r JOIN edges e ON e.v = r.node),
+        |comp AS (SELECT node AS doc_id, MIN(lab) AS comp FROM reach GROUP BY node)""".stripMargin
+
   val ext: Map[String, String] = Map(
     // x05 rebuilds a map from "k=<json k>,type=<event_type>" then emits
     // sorted keys + two lookups. Both keys exist on every row, so the
@@ -219,27 +258,49 @@ object OracleSqlMl {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x13_text_fingerprint" ->
-      """WITH d AS (SELECT doc_id,
-        |  [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS t FROM documents),
-        |toks AS (
-        |  SELECT doc_id, gs.i AS pos, t[gs.i] AS tok
-        |  FROM d, generate_series(1, 256) AS gs(i) WHERE gs.i <= len(t)),
-        |coded AS (
-        |  SELECT doc_id, pos, code AS c0,
-        |    LEAD(code,1) OVER w AS c1, LEAD(code,2) OVER w AS c2,
-        |    LEAD(code,3) OVER w AS c3, LEAD(code,4) OVER w AS c4
-        |  FROM (SELECT doc_id, pos,
-        |        CAST(ascii(substr(tok,1,1))*4096 + ascii(substr(tok,2,1))*64
-        |             + length(tok) AS BIGINT) AS code FROM toks)
-        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |fps AS (
-        |  SELECT doc_id,
-        |    ((((((c4*131 + c3) % 1000000007) * 131 + c2) % 1000000007) * 131 + c1)
-        |      % 1000000007 * 131 + c0) % 1000000007 AS fp
-        |  FROM coded WHERE c4 IS NOT NULL)
-        |SELECT doc_id, COUNT(*) AS n_windows, COUNT(DISTINCT fp) AS n_distinct_fp,
-        |       MIN(fp) AS min_fp
-        |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      ("WITH " + fpCodedCtes + ",\n" +
+        """fps AS (
+          |  SELECT doc_id,
+          |    ((((((c4*131 + c3) % 1000000007) * 131 + c2) % 1000000007) * 131 + c1)
+          |      % 1000000007 * 131 + c0) % 1000000007 AS fp
+          |  FROM coded WHERE c4 IS NOT NULL)
+          |SELECT doc_id, COUNT(*) AS n_windows, COUNT(DISTINCT fp) AS n_distinct_fp,
+          |       MIN(fp) AS min_fp
+          |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // x34: token-level filler strip — list comprehension preserves token
+    // order on both engines, so the rejoined text lengths match exactly.
+    "x34_text_clean" ->
+      """WITH cleaned AS (
+        |  SELECT doc_id, lang,
+        |    [x FOR x IN string_split(text, ' ')
+        |       IF x <> '' AND x <> 'a' AND x <> 'the'] AS kept,
+        |    [x FOR x IN string_split(text, ' ') IF x <> ''] AS alltok
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       CAST(len(alltok) - len(kept) AS BIGINT) AS n_removed,
+        |       CAST(length(array_to_string(kept, ' ')) AS BIGINT) AS clean_chars
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
+
+    "x35_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, x AS tok FROM documents,
+        |    UNNEST([x FOR x IN string_split(LOWER(text),' ') IF x <> '']) AS u(x)),
+        |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       CAST(MAX(c) AS BIGINT) AS max_tok_cnt,
+        |       ROUND(MAX(c) * 1.0 / SUM(c), 6) AS rep_frac
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x36_vocab_build" ->
+      """WITH toks AS (
+        |  SELECT x AS tok FROM documents,
+        |    UNNEST([x FOR x IN string_split(LOWER(text),' ') IF x <> '']) AS u(x)),
+        |vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+        |          HAVING COUNT(*) >= 5)
+        |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS token_id, tok,
+        |       CAST(cnt AS BIGINT) AS cnt
+        |FROM vocab ORDER BY token_id""".stripMargin
   )
 
   /** Pivot/unpivot over a fixed value list — portable conditional agg. */
@@ -302,61 +363,46 @@ object OracleSqlMl {
     // x31: same fingerprint CTEs as x13, then drop documents sharing any
     // fingerprint with the benchmark slice (doc_id % 97 = 0).
     "x31_decontaminate_ngram" ->
-      """WITH d AS (SELECT doc_id,
-        |  [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS t FROM documents),
-        |toks AS (
-        |  SELECT doc_id, gs.i AS pos, t[gs.i] AS tok
-        |  FROM d, generate_series(1, 256) AS gs(i) WHERE gs.i <= len(t)),
-        |coded AS (
-        |  SELECT doc_id, pos, code AS c0,
-        |    LEAD(code,1) OVER w AS c1, LEAD(code,2) OVER w AS c2,
-        |    LEAD(code,3) OVER w AS c3, LEAD(code,4) OVER w AS c4
-        |  FROM (SELECT doc_id, pos,
-        |        CAST(ascii(substr(tok,1,1))*4096 + ascii(substr(tok,2,1))*64
-        |             + length(tok) AS BIGINT) AS code FROM toks)
-        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |fps AS (
-        |  SELECT DISTINCT doc_id,
-        |    ((((((c4*131 + c3) % 1000000007) * 131 + c2) % 1000000007) * 131 + c1)
-        |      % 1000000007 * 131 + c0) % 1000000007 AS fp
-        |  FROM coded WHERE c4 IS NOT NULL),
-        |bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
-        |contaminated AS (SELECT DISTINCT doc_id FROM fps JOIN bench USING (fp))
-        |SELECT lang, COUNT(*) AS n_clean, CAST(SUM(n_chars) AS BIGINT) AS n_chars
-        |FROM documents doc
-        |WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = doc.doc_id)
-        |GROUP BY lang ORDER BY lang""".stripMargin,
+      ("WITH " + fpCodedCtes + ",\n" + fpsDistinctCte + ",\n" +
+        """bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
+          |contaminated AS (SELECT DISTINCT doc_id FROM fps JOIN bench USING (fp))
+          |SELECT lang, COUNT(*) AS n_clean, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+          |FROM documents doc
+          |WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = doc.doc_id)
+          |GROUP BY lang ORDER BY lang""".stripMargin),
 
     // x24: same fingerprint CTEs as x13, then connected components as a
     // recursive-CTE transitive closure with min label per node.
     "x24_dedup_components" ->
-      """WITH RECURSIVE d AS (SELECT doc_id,
-        |  [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS t FROM documents),
-        |toks AS (
-        |  SELECT doc_id, gs.i AS pos, t[gs.i] AS tok
-        |  FROM d, generate_series(1, 256) AS gs(i) WHERE gs.i <= len(t)),
-        |coded AS (
-        |  SELECT doc_id, pos, code AS c0,
-        |    LEAD(code,1) OVER w AS c1, LEAD(code,2) OVER w AS c2,
-        |    LEAD(code,3) OVER w AS c3, LEAD(code,4) OVER w AS c4
-        |  FROM (SELECT doc_id, pos,
-        |        CAST(ascii(substr(tok,1,1))*4096 + ascii(substr(tok,2,1))*64
-        |             + length(tok) AS BIGINT) AS code FROM toks)
-        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |fps AS (
-        |  SELECT DISTINCT doc_id,
-        |    ((((((c4*131 + c3) % 1000000007) * 131 + c2) % 1000000007) * 131 + c1)
-        |      % 1000000007 * 131 + c0) % 1000000007 AS fp
-        |  FROM coded WHERE c4 IS NOT NULL),
-        |edges AS (
-        |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id <> b.doc_id),
-        |reach(node, lab) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.u, r.lab FROM reach r JOIN edges e ON e.v = r.node)
-        |SELECT node AS doc_id, MIN(lab) AS comp
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+      ("WITH RECURSIVE " + componentCtes + "\n" +
+        "SELECT doc_id, comp FROM comp ORDER BY doc_id"),
+
+    // x33: x24's components, then the canonical survivor per component
+    // (longest text, ties to smallest doc_id) plus cluster mass.
+    "x33_dedup_canonical" ->
+      ("WITH RECURSIVE " + componentCtes + ",\n" +
+        """ranked AS (
+          |  SELECT c.comp, c.doc_id, doc.n_chars,
+          |    ROW_NUMBER() OVER (PARTITION BY c.comp
+          |                       ORDER BY doc.n_chars DESC, c.doc_id) AS rn
+          |  FROM comp c JOIN documents doc USING (doc_id))
+          |SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members,
+          |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |       MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+          |       CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS survivor_chars
+          |FROM ranked GROUP BY comp ORDER BY comp""".stripMargin),
+
+    // x32: per-shard running offsets are exact BIGINT window sums; window
+    // assignment is integer division on both engines.
+    "x32_sequence_pack" ->
+      """WITH c AS (
+        |  SELECT doc_id, doc_id % 8 AS shard, n_chars,
+        |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM documents)
+        |SELECT shard, CAST(start_off // 16384 AS BIGINT) AS window_id,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Oracles for the streaming twins (round-2 addition). Each replay is ONE

@@ -99,7 +99,12 @@ object SparkEntry {
     "x28_percentile_exact"     -> (Reshape.x28 _),
     "x29_stream_stream_join"   -> (graft.streaming.StreamingOps.x29 _),
     "x30_corpus_mix"           -> (Pipeline.x30 _),
-    "x31_decontaminate_ngram"  -> (Pipeline.x31 _)
+    "x31_decontaminate_ngram"  -> (Pipeline.x31 _),
+    "x32_sequence_pack"        -> (Pipeline.x32 _),
+    "x33_dedup_canonical"      -> (Pipeline.x33 _),
+    "x34_text_clean"           -> (TextOps.x34 _),
+    "x35_text_repetition"      -> (TextOps.x35 _),
+    "x36_vocab_build"          -> (TextOps.x36 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 
@@ -99,6 +100,55 @@ object Pipeline {
            sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
            sum(when(kept, col("n_chars")).otherwise(0L)).as("kept_chars"))
       .orderBy("lang")
+  }
+
+  /** x32: SEQUENCE PACKING — concatenate documents per shard in doc_id order
+    * and chop the stream into fixed 16384-char context windows (the GPT-style
+    * pack-then-chop step that turns a cleaned corpus into training sequences;
+    * documents may straddle a window boundary by design). A doc's start
+    * offset is the running sum of prior doc lengths, so window assignment is
+    * `start_off div 16384` — pure window-function algebra, no RNG, no
+    * sequential driver loop.
+    *
+    * 100 TB: packing is embarrassingly parallel ACROSS shards — the window
+    * function partitions by shard, so each shard's running sum is an
+    * independent sorted stream; shard count (8 here, doc_id mod) scales with
+    * the cluster and nothing is global. The output aggregate is one narrow
+    * (shard, window) groupBy that reuses the shard partitioning. */
+  def x32(spark: SparkSession, dir: String): DataFrame = {
+    val prior = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"), col("n_chars"))
+      .withColumn("start_off", coalesce(sum(col("n_chars")).over(prior), lit(0L)))
+      .groupBy(col("shard"), expr("start_off div 16384").as("window_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("shard", "window_id")
+
+  }
+
+  /** x33: dedup SURVIVOR SELECTION — the step after x24's cluster formation:
+    * per near-dup component keep one canonical document (longest text, ties
+    * to the smallest doc_id) and report the cluster's mass. Together
+    * x13 → x24 → x33 is the complete fingerprint-dedup pipeline: detect
+    * shared shingles, form components, elect survivors.
+    *
+    * 100 TB: one key-partitioned join (components ⋈ doc lengths on doc_id),
+    * one window rank partitioned by component, one groupBy(comp) — all
+    * shuffles on keys whose cardinality shrinks with dedup, never all-pairs.
+    * Oracle: x24's recursive-CTE closure extended with the same ranking. */
+  def x33(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val byPref = Window.partitionBy("comp")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    x24(spark, dir).join(docs, "doc_id")
+      .withColumn("rn", row_number().over(byPref))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_members"),
+           sum(col("n_chars")).as("total_chars"),
+           max(when(col("rn") === 1, col("doc_id"))).as("survivor_id"),
+           max(when(col("rn") === 1, col("n_chars"))).as("survivor_chars"))
+      .orderBy("comp")
   }
 
   /** x22: skew-salted fact⋈dim join ([[graft.engine.Skew.saltedJoin]]) —

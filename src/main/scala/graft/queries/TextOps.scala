@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.engine.Tables
+
+/** Text-cleaning and vocabulary stages of the training-data pipeline:
+  * boilerplate/stopword stripping (x34), repetition signal (x35), and
+  * tokenizer-vocabulary construction (x36). All three are token-level
+  * arithmetic — portable to DuckDB term-for-term, so every one is
+  * oracle-checked (not just property-tested).
+  */
+object TextOps {
+
+  /** Non-empty lowercase whitespace tokens of the `text` column. */
+  private def toks =
+    filter(split(lower(col("text")), " "), t => t =!= "")
+
+  /** x34: TEXT CLEANING — strip filler tokens ("a", "the" here; a config
+    * list in production) and report per document how much was removed and
+    * the cleaned length. Token-level filtering (split → filter → rejoin)
+    * rather than regex replacement: the token algebra is exact and
+    * engine-portable, where regex word-boundary semantics differ subtly
+    * between Java regex and RE2.
+    *
+    * 100 TB: a pure per-row projection — no shuffle at all except the
+    * output ordering; cleaning pipelines stream map-only over the corpus. */
+  def x34(spark: SparkSession, dir: String): DataFrame = {
+    val all = filter(split(col("text"), " "), t => t =!= "")
+    val kept = filter(split(col("text"), " "),
+      t => t =!= "" && t =!= "a" && t =!= "the")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+              (size(all) - size(kept)).cast(LongType).as("n_removed"),
+              length(array_join(kept, " ")).cast(LongType).as("clean_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** x35: REPETITION SIGNAL — the Gopher-style "most frequent token
+    * fraction" quality heuristic: a document whose single most common token
+    * dominates is boilerplate or generation loop output. Complements x11's
+    * lexical-diversity score (distinct/total) with the max-frequency view.
+    *
+    * 100 TB: explode → two key-partitioned aggregates, both with map-side
+    * partials; the (doc_id, tok) key is near-unique so the first shuffle is
+    * ~token count, the second one row per doc. */
+  def x35(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+           max(col("c")).as("max_tok_cnt"),
+           round(max(col("c")) * lit(1.0) / sum(col("c")), 6).as("rep_frac"))
+      .orderBy("doc_id")
+
+  /** x36: VOCABULARY CONSTRUCTION — count every token across the corpus,
+    * keep those above a minimum frequency (5), and assign dense token IDs by
+    * descending count (ties lexicographic) — the id-assignment step of
+    * building a tokenizer vocab from a corpus.
+    *
+    * 100 TB: the heavy stage (token counting) is one distributed groupBy
+    * with map-side partials over ~10^12 tokens; the global row_number window
+    * runs AFTER the min-count threshold, on the surviving vocabulary — a set
+    * bounded by the language (≤ a few million rows), not by corpus size, so
+    * the single-partition rank is deliberate and safe. */
+  def x36(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+    vocab
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok")))
+          .cast(LongType))
+      .select(col("token_id"), col("tok"), col("cnt"))
+      .orderBy("token_id")
+  }
+}
