@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console RAW: sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks the driver's JSON-line
+// parser for Bench/Verify output (BENCH_r02 "parsed": null despite an intact
+// totals line in the tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -41,7 +41,10 @@ object Bench {
     // single long line was truncated to "parsed": null). Print the long
     // per-query detail FIRST, then a short self-contained totals line LAST so
     // the gradable metric survives any tail capture.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Distinct metric names so a parser that collects every metric line does
+    // not double-count the total (ADVICE r2): the long per-query line is
+    // "total_detail", the short gradable line is "total" and prints LAST.
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }

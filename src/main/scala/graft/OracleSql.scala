@@ -242,7 +242,7 @@ object OracleSql {
     "q37_sessionize_gap" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,
-        |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
         |                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id

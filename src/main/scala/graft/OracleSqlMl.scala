@@ -425,7 +425,9 @@ object OracleSqlMl {
     "x03_stream_session_window" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,
-        |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         -- >= not >: session_window is half-open [start, last+gap), so
+        |         -- an event at EXACTLY last+gap starts a new session (ADVICE r2)
+        |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
         |                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id

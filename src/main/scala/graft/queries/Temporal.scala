@@ -45,7 +45,11 @@ object Temporal {
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev_us", lag(col("us"), 1).over(w))
       .withColumn("new_s",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+        // >= not >: mirrors session_window's half-open [start, last+gap) —
+        // an event at EXACTLY last+gap opens a new session, so the batch rule,
+        // the streaming twin (x03), and the custom-state twin (x19) all agree
+        // at the boundary regardless of data refresh (ADVICE r2).
+        when(col("prev_us").isNull || col("us") - col("prev_us") >= 1800000000L, 1)
           .otherwise(0))
       .withColumn("sid", sum(col("new_s")).over(wRun))
       .groupBy("user_id", "sid")

@@ -105,8 +105,10 @@ object StreamingOps {
               (e.ts.getNanos / 1000) % 1000).toArray.sorted
             val closed = Seq.newBuilder[ClosedSession]
             var open = state.getOption
+            // strict <: session_window is half-open [start, last+gap), so an
+            // event at exactly last+gap starts a NEW session (matches q37/x03)
             for (t <- ts) open match {
-              case Some(s) if t - s.last_us <= gapUs =>
+              case Some(s) if t - s.last_us < gapUs =>
                 open = Some(s.copy(last_us = math.max(s.last_us, t), n = s.n + 1))
               case Some(s) =>
                 closed += close(s)
