@@ -12,7 +12,7 @@ package graft
 object OracleSql {
   val relational: Map[String, String] = Map(
     "q01_scan_project" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
     "q02_filter_pushdown" ->
@@ -153,7 +153,7 @@ object OracleSql {
         |FROM events ORDER BY user_id, epoch_us(ts), event_id""".stripMargin,
 
     "q24_topk_global" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
 
     "q25_set_union_all" ->
@@ -188,7 +188,7 @@ object OracleSql {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q30_math_funcs" ->
-      """SELECT l_orderkey, l_linenumber, ROUND(ABS(l_discount - 0.05),6) AS a,
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, ROUND(ABS(l_discount - 0.05),6) AS a,
         |       CAST(CEIL(l_quantity) AS BIGINT) AS c, CAST(FLOOR(l_quantity) AS BIGINT) AS f,
         |       ROUND(SQRT(l_extendedprice),6) AS sq, ROUND(LN(l_extendedprice),6) AS lg,
         |       ROUND(POW(l_tax + 1, 2),6) AS pw,

@@ -87,7 +87,7 @@ object OracleSqlMl {
     "q39_ml_fuzzy_membership" ->
       """WITH p AS (SELECT l_orderkey, l_linenumber, l_quantity AS x1, l_discount AS x2
         |           FROM lineitem WHERE l_orderkey < 100)
-        |SELECT l_orderkey, l_linenumber,
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  ROUND(GREATEST(0, 1 - ABS(x1 - 1.0)/24.5),6)  AS q_lo,
         |  ROUND(GREATEST(0, 1 - ABS(x1 - 25.5)/24.5),6) AS q_mid,
         |  ROUND(GREATEST(0, 1 - ABS(x1 - 50.0)/24.5),6) AS q_hi,
@@ -173,7 +173,7 @@ object OracleSqlMl {
       """WITH toks AS (SELECT doc_id, UNNEST(string_split(LOWER(text),' ')) AS tok FROM documents),
         |tf  AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
         |df  AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-        |n   AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+        |n   AS (SELECT COUNT(doc_id) AS n FROM documents),
         |scored AS (SELECT tf.doc_id, tf.tok, ROUND(tf.tf * LN(n.n * 1.0 / df.df), 6) AS tfidf
         |           FROM tf JOIN df USING (tok) CROSS JOIN n WHERE tf.doc_id < 50),
         |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -235,7 +235,7 @@ object OracleSqlMl {
     // oracle pins what they must produce.
     "x05_map_funcs" ->
       """SELECT event_id, 'k,type' AS keys,
-        |       CAST(json_extract_string(props,'$.k') AS INTEGER) AS k_val,
+        |       CAST(json_extract_string(props,'$.k') AS BIGINT) AS k_val,
         |       event_type AS type_val
         |FROM events ORDER BY event_id""".stripMargin,
 

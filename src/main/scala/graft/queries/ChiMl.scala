@@ -140,7 +140,7 @@ object ChiMl {
               col("l_quantity").as("x1"), col("l_discount").as("x2"))
     val q = ChiCore.memberships(col("x1"), P1)
     val d = ChiCore.memberships(col("x2"), P2)
-    li.select(col("l_orderkey"), col("l_linenumber"),
+    li.select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
               round(q(0), 6).as("q_lo"), round(q(1), 6).as("q_mid"), round(q(2), 6).as("q_hi"),
               round(d(0), 6).as("d_lo"), round(d(1), 6).as("d_mid"), round(d(2), 6).as("d_hi"),
               col("x1"), col("x2"))

@@ -44,7 +44,9 @@ object Extras {
               // sorted keys joined to ONE string: array-typed output columns
               // crash the driver comparator (output-type protocol, Relational1)
               concat_ws(",", array_sort(map_keys(col("m")))).as("keys"),
-              element_at(col("m"), "k").cast(IntegerType).as("k_val"),
+              // BIGINT, not int32: the no-int32 output rule (ADVICE r2) —
+              // both engines emit int64 so the driver compare is load-path-proof
+              element_at(col("m"), "k").cast(LongType).as("k_val"),
               element_at(col("m"), "type").as("type_val"))
       .orderBy("event_id")
 

@@ -92,7 +92,10 @@ object LlmExt {
       .filter(col("tok") =!= "")
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).persist()
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
+    // n = corpus size over documents, NOT distinct doc_id over tf: a doc with
+    // empty/whitespace-only text still counts toward N in standard tf-idf
+    // (ADVICE r3). One extra 1-column parquet scan — cheap at any scale.
+    val n = docs.agg(count(col("doc_id")).as("n"))
     val scored = tf.filter(col("doc_id") < 50)
       .join(df, "tok").crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"),
@@ -108,9 +111,10 @@ object LlmExt {
     * broadcast; the df side is UNhinted — a vocabulary is unbounded on a real
     * corpus (typos, unicode), so stats pick broadcast at test scale and a
     * token-keyed shuffle join at 100 TB. tf shuffles once on (doc_id, tok);
-    * df and n both derive FROM it (tf is already distinct per (doc_id, tok),
-    * so df is a plain count; n counts docs with ≥1 token, mirrored in the
-    * oracle CTE); the persisted tf serves all three consumers from one
+    * df derives FROM it (tf is already distinct per (doc_id, tok), so df is
+    * a plain count); n is the corpus size counted over documents itself
+    * (empty docs count toward N — standard tf-idf, mirrored in the oracle
+    * CTE); the persisted tf serves both consumers from one
     * corpus scan (see [[tfidfDag]]). The tiny result is materialized
     * (x24's localCheckpoint pattern) so tf can be unpersisted HERE — a bare
     * persist would leak a session-lifetime cache entry per directory and let

@@ -29,7 +29,8 @@ object Relational1 {
     * linearly, no single-node bottleneck. */
   def q01(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+              col("l_quantity"), col("l_extendedprice"))
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
   /** q02: TPC-H Q6 shape. All three predicates push down to the parquet scan

@@ -82,7 +82,8 @@ object Relational2 {
     * top-k then merge), never a full global sort. */
   def q24(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+              col("l_extendedprice"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(100)
 
@@ -144,7 +145,7 @@ object Relational2 {
   def q30(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_orderkey") < 1000)
-      .select(col("l_orderkey"), col("l_linenumber"),
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
               round(abs(col("l_discount") - 0.05), 6).as("a"),
               ceil(col("l_quantity")).cast(LongType).as("c"),
               floor(col("l_quantity")).cast(LongType).as("f"),

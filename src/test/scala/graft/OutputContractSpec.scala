@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, IntegerType, MapType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The output-type protocol (Relational1 Scaladoc / SURVEY.md §7.4 addendum),
@@ -26,6 +26,9 @@ class OutputContractSpec extends AnyFunSuite {
     case _: DecimalType => true
     case _: ArrayType   => true
     case _: MapType     => true
+    // int32 outputs depend on both load paths agreeing on width (ADVICE r2's
+    // x05 note): integral output columns must be BIGINT end to end.
+    case IntegerType    => true
     case _              => false
   }
 
