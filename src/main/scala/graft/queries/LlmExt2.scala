@@ -229,29 +229,39 @@ object LlmExt2 {
   /** Per-doc 5-token-window rolling-hash fingerprints (x13's core, shared
     * with the x24 dedup-cluster operator): (doc_id, fp) rows, BIGINT-exact. */
   private[queries] def docFingerprints(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), posexplode(filter(split(lower(col("text")), " "),
-        t => t =!= "")))
-      .select(col("doc_id"), col("pos"), col("col").as("tok"))
-      // the analysis window is the first 256 tokens per doc, matching the
-      // oracle's generate_series cap — an unbounded window would diverge from
-      // it on longer documents, and a real fingerprint pass caps per-doc work
-      .filter(col("pos") < 256)
+    // Whole computation as higher-order array expressions — NO shuffle at
+    // all (the previous posexplode + 5×lead window formulation shuffled
+    // every (doc, token) row by doc_id just to see 4 tokens ahead; at 100 TB
+    // that is a full-corpus shuffle for a per-row computation). One explode
+    // at the end yields the same (doc_id, fp) rows.
+    // The analysis window is the first 256 tokens per doc, matching the
+    // oracle's generate_series cap — an unbounded window would diverge from
+    // it on longer documents, and a real fingerprint pass caps per-doc work.
+    val toks = slice(filter(split(lower(col("text")), " "), t => t =!= ""),
+                     1, 256)
     // cheap portable token code: first two char codes + length
-    val code = (ascii(substring(col("tok"), 1, 1)) * 4096 +
-                ascii(substring(col("tok"), 2, 1)) * 64 +
-                length(col("tok"))).cast(LongType)
-    val coded = toks.select(col("doc_id"), col("pos"), code.as("c0"),
-      lead(code, 1).over(Window.partitionBy("doc_id").orderBy("pos")).as("c1"),
-      lead(code, 2).over(Window.partitionBy("doc_id").orderBy("pos")).as("c2"),
-      lead(code, 3).over(Window.partitionBy("doc_id").orderBy("pos")).as("c3"),
-      lead(code, 4).over(Window.partitionBy("doc_id").orderBy("pos")).as("c4"))
+    def code(t: org.apache.spark.sql.Column) =
+      (ascii(substring(t, 1, 1)) * 4096 +
+       ascii(substring(t, 2, 1)) * 64 + length(t)).cast(LongType)
     val M = 1000000007L
     val B = 131L
-    val horner = ((((((col("c4") * B + col("c3")) % M) * B + col("c2")) % M)
-      * B + col("c1")) % M * B + col("c0")) % M
-    coded.filter(col("c4").isNotNull)
-      .select(col("doc_id"), horner.as("fp"))
+    def horner(c: Int => org.apache.spark.sql.Column) =
+      ((((((c(4) * B + c(3)) % M) * B + c(2)) % M)
+        * B + c(1)) % M * B + c(0)) % M
+    docs
+      // explode(array(…)) is a deliberate barrier: higher-order functions
+      // are interpreted (no codegen CSE), and CollapseProject would inline
+      // the `codes` definition into every element_at below — re-running the
+      // 256-token transform per window per tap. A Generate node materializes
+      // codes once per row; the fps projection then reads a bound attribute.
+      .select(col("doc_id"), explode(array(transform(toks, code(_)))).as("codes"))
+      // window starts: 0-based i in [0, n-5]; sequence() descends for a
+      // negative bound, so guard docs with fewer than 5 tokens explicitly
+      .withColumn("fps", when(size(col("codes")) >= 5,
+        transform(sequence(lit(0), size(col("codes")) - 5),
+          i => horner(k => element_at(col("codes"), i + k + 1))))
+        .otherwise(array().cast(ArrayType(LongType))))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
   }
 
   def x13(spark: SparkSession, dir: String): DataFrame = {

@@ -192,8 +192,11 @@ object Pipeline {
     * the join share the `fp` key, so this is one exchange reused.
     * Linearity is property-tested in LlmExtSpec (planted boilerplate). */
   private[graft] def fingerprintStarEdges(fp: DataFrame): DataFrame = {
-    val rep = fp.groupBy("fp").agg(min(col("doc_id")).as("rep"))
-    val star = fp.join(rep, "fp")
+    // rep per bucket via a window over ONE fp-partitioned shuffle — the
+    // groupBy+self-join formulation evaluated the (expensive) fingerprint
+    // subtree twice; this reads it once and never joins
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val star = fp.withColumn("rep", min(col("doc_id")).over(w))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("u"), col("rep").as("v"))
     star.unionByName(star.select(col("v").as("u"), col("u").as("v"))).distinct()
