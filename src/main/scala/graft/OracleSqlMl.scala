@@ -497,8 +497,62 @@ object OracleSqlMl {
         |GROUP BY d.lang, predicted ORDER BY d.lang, predicted""".stripMargin
   )
 
+  /** x37–x40: pattern-mining extensions (round 4) — exact window/integer
+    * arithmetic, portable term-for-term. */
+  val mining: Map[String, String] = Map(
+    // x37: ntile among TIES is order-dependent — the custkey tiebreak makes
+    // the window order total, so bucket assignment matches across engines
+    "x37_analytic_ranks" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       ntile(4)        OVER w AS bucket,
+        |       ROUND(percent_rank() OVER w, 6) AS pr,
+        |       ROUND(cume_dist()    OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "x38_fuzzy_match_join" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract(p_name, '^([a-z]+)', 1) AS tok,
+        |         COUNT(*) AS n_parts
+        |  FROM part WHERE regexp_extract(p_name, '^([a-z]+)', 1) <> ''
+        |  GROUP BY 1),
+        |probes AS (SELECT * FROM (VALUES ('cld'), ('bleu'), ('largee'),
+        |                                 ('hut'), ('smal'), ('redd')) v(probe))
+        |SELECT probe, tok, CAST(levenshtein(tok, probe) AS BIGINT) AS dist,
+        |       n_parts
+        |FROM toks JOIN probes
+        |  ON abs(length(tok) - length(probe)) <= 2
+        | AND levenshtein(tok, probe) <= 2
+        |ORDER BY probe, tok""".stripMargin,
+
+    "x39_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin,
+
+    // x40: DuckDB 1.0's generate_series cannot take a lateral column stop —
+    // fixed bound 32 + WHERE, the same pattern as the x13 fingerprint CTEs;
+    // the engine side caps at 32 identically (tokens are ≤8 chars [MEASURED])
+    "x40_bpe_pair_counts" ->
+      """WITH toks AS (
+        |  SELECT x AS tok FROM documents,
+        |    UNNEST([x FOR x IN string_split(LOWER(text),' ') IF x <> '']) AS u(x)),
+        |pairs AS (
+        |  SELECT substr(tok, CAST(g.i AS INTEGER), 2) AS pair
+        |  FROM toks, generate_series(1, 32) g(i)
+        |  WHERE g.i <= length(tok) - 1)
+        |SELECT pair, COUNT(*) AS cnt FROM pairs
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+  )
+
   def all: Map[String, String] =
-    ml ++ llm ++ ext ++ reshape ++ pipeline ++ streaming ++ langid ++ percentile ++
+    ml ++ llm ++ ext ++ reshape ++ pipeline ++ streaming ++ langid ++ percentile ++ mining ++
       Map("x06_chi_estimator_fit" -> ml("q42_ml_chi_classify"),
           // the native as-of operator must produce exactly the composed form's
           // results — same oracle as q11

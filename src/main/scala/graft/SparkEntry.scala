@@ -104,7 +104,11 @@ object SparkEntry {
     "x33_dedup_canonical"      -> (Pipeline.x33 _),
     "x34_text_clean"           -> (TextOps.x34 _),
     "x35_text_repetition"      -> (TextOps.x35 _),
-    "x36_vocab_build"          -> (TextOps.x36 _)
+    "x36_vocab_build"          -> (TextOps.x36 _),
+    "x37_analytic_ranks"       -> (Mining.x37 _),
+    "x38_fuzzy_match_join"     -> (Mining.x38 _),
+    "x39_event_transitions"    -> (Mining.x39 _),
+    "x40_bpe_pair_counts"      -> (Mining.x40 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

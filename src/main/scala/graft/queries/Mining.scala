@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+import graft.engine.Tables
+
+/** Pattern-mining / analytic extensions of the training-data pipeline
+  * (round 4): quantile bucketing for stratified splits (x37), edit-distance
+  * fuzzy matching (x38), event-sequence transition mining (x39), and the
+  * first BPE merge step — corpus character-pair counts (x40). All four are
+  * exact integer/window arithmetic — portable to DuckDB term-for-term, so
+  * every one is oracle-checked.
+  */
+object Mining {
+
+  /** x37: ANALYTIC RANK FAMILY — ntile quantile buckets + percent_rank +
+    * cume_dist per market segment over account balance. The ordering is made
+    * TOTAL with the custkey tiebreak: ntile assignment among ties is
+    * order-dependent, so a non-total order would be engine-divergent.
+    *
+    * 100 TB: one hash-partitioned window per segment — the partition count
+    * is the segment cardinality, so per-partition work is |customers|/|segs|;
+    * for a skewed single-segment corpus the range-partitioned global-sort
+    * variant of q19 applies instead. */
+  def x37(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+              ntile(4).over(w).cast(LongType).as("bucket"),
+              round(percent_rank().over(w), 6).as("pr"),
+              round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** Probe terms for x38 — deliberate misspellings of the part-name lead
+    * tokens (cold/blue/large/hot/small/red families in the testdata). */
+  private[queries] val fuzzyProbes =
+    Seq("cld", "bleu", "largee", "hut", "smal", "redd")
+
+  /** x38: FUZZY MATCH JOIN — edit-distance ≤ 2 match of probe terms against
+    * the distinct lead tokens of part names. The length band
+    * |len(a)−len(b)| ≤ 2 is a SOUND blocking predicate (edit distance ≥
+    * length difference), evaluated before the O(len²) levenshtein kernel.
+    *
+    * 100 TB: the probe side is a literal broadcast (entity-resolution probe
+    * sets are small); the token side is pre-aggregated to DISTINCT tokens
+    * with counts — the quadratic kernel runs on |vocab|×|probes|, never on
+    * |corpus|×|probes|. For large×large fuzzy joins, x08's n-gram blocking
+    * composes with this: band by length, block by shared n-gram, verify by
+    * levenshtein. */
+  def x38(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.part(spark, dir)
+      .select(regexp_extract(col("p_name"), "^([a-z]+)", 1).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("n_parts"))
+    val probes = spark.createDataFrame(
+      fuzzyProbes.map(Tuple1.apply)).toDF("probe")
+    toks.join(broadcast(probes),
+        abs(length(col("tok")) - length(col("probe"))) <= 2 &&
+        levenshtein(col("tok"), col("probe")) <= 2)
+      .select(col("probe"), col("tok"),
+              levenshtein(col("tok"), col("probe")).cast(LongType).as("dist"),
+              col("n_parts"))
+      .orderBy("probe", "tok")
+  }
+
+  /** x39: EVENT-SEQUENCE TRANSITION MINING — per-user consecutive
+    * event-type bigrams (the Markov transition counts a next-event model
+    * trains on). The per-user order is total via (ts, event_id).
+    *
+    * 100 TB: one shuffle by user_id for the lag window (state is one row),
+    * then a 25-group aggregate — partial map-side combine makes the second
+    * shuffle negligible. */
+  def x39(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+              lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** x40: BPE FIRST MERGE STEP — corpus-wide adjacent character-pair counts
+    * over whitespace tokens (each token occurrence contributes its pairs),
+    * top-20 by (count desc, pair). This is exactly the statistic the first
+    * iteration of byte-pair-encoding tokenizer training maximizes.
+    *
+    * 100 TB: pair expansion is per-row higher-order array algebra (NO
+    * shuffle — same shape as [[LlmExt2.docFingerprints]]); the only shuffle
+    * is the final pair aggregate, with map-side partial counts over a key
+    * space bounded by |alphabet|² — tiny regardless of corpus size. */
+  def x40(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("tok"))
+      // pair positions capped at 32 (tokens are ≤8 chars in every sf
+      // [MEASURED]; the cap bounds per-token work and mirrors the oracle's
+      // fixed generate_series bound — DuckDB 1.0 cannot take a lateral
+      // column as the series stop)
+      .select(explode(when(length(col("tok")) >= 2,
+        transform(sequence(lit(1), least(length(col("tok")) - 1, lit(32))),
+          i => col("tok").substr(i, lit(2))))
+        .otherwise(array().cast(ArrayType(StringType)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+}
