@@ -1,9 +1,9 @@
 package graft.engine.expr
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `shingles(text, n)` — the distinct word n-gram shingles of `lower(text)`
@@ -78,6 +78,85 @@ object Shingles {
     val it = seen.iterator()
     i = 0
     while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `rolling_fps(text)` — the 5-token-window Rabin-Karp rolling-hash
+  * fingerprints of `lower(text)` (LlmExt2.docFingerprints's math), fused
+  * into one native codegen'd pass.
+  *
+  * Replaces the interpreted chain
+  * `transform(sequence(...), i -> horner(element_at(codes, i+k)))` over
+  * `codes = transform(slice(filter(split(lower(text), " "), ...), 1, 256),
+  * code)`, whose lambda interpreter dominated x13/x24/x31/x33 profiles.
+  * Semantics replicated exactly, all code-point based (ascii() == first
+  * code point, length() == codePointCount — probed against Spark AND
+  * DuckDB on non-ASCII input):
+  *   - tokens: split on the space byte, empties dropped, first 256 kept;
+  *   - token code: cp(first)·4096 + cp(second)·64 + numChars (cp of a
+  *     missing second char is 0, matching ascii(substring(t,2,1)) on "");
+  *   - fingerprint per window i..i+4 (i ≤ n−5):
+  *     ((((c4·131 + c3) mod M)·131 + c2 mod M)·131 + c1 mod M)·131 + c0
+  *     mod M with M = 1e9+7 — every step < 1.4e11, BIGINT-exact. */
+case class RollingHashFps(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_fps"
+
+  override protected def nullSafeEval(text: Any): Any =
+    RollingHashFps.compute(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.engine.expr.RollingHashFps.compute($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHashFps {
+  private val M = 1000000007L
+  private val B = 131L
+  private val empty: ArrayData = new GenericArrayData(Array.emptyLongArray)
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(text: UTF8String): ArrayData = {
+    // toLowerCase is exactly Spark's lower(); the space byte never occurs
+    // inside a multi-byte UTF-8 sequence, so char-level scanning for ' '
+    // equals split(" ") on the original
+    val s = text.toLowerCase.toString
+    val codes = new Array[Long](256)
+    var nTok = 0
+    var i = 0
+    val len = s.length
+    while (i < len && nTok < 256) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && s.charAt(i) != ' ') i += 1
+        // token is s[start, i): first two code points + code-point count
+        val c1 = s.codePointAt(start)
+        val p2 = start + Character.charCount(c1)
+        val c2 = if (p2 < i) s.codePointAt(p2) else 0
+        codes(nTok) = c1.toLong * 4096 + c2.toLong * 64 +
+          s.codePointCount(start, i)
+        nTok += 1
+      }
+    }
+    if (nTok < 5) return empty
+    val out = new Array[Long](nTok - 4)
+    var w = 0
+    while (w <= nTok - 5) {
+      var h = codes(w + 4) * B + codes(w + 3)
+      h %= M; h = h * B + codes(w + 2)
+      h %= M; h = h * B + codes(w + 1)
+      h %= M; h = h * B + codes(w)
+      out(w) = h % M
+      w += 1
+    }
     new GenericArrayData(out)
   }
 }

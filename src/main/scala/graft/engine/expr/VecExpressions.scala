@@ -101,6 +101,10 @@ object GraftExtensions {
       FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "shingles"),
       (args: Seq[Expression]) => Shingles(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("rolling_fps"),
+      new ExpressionInfo(classOf[RollingHashFps].getName, "rolling_fps"),
+      (args: Seq[Expression]) => RollingHashFps(args(0))))
     // whole-operator extension: native as-of join (graft.plans.AsOfJoinPlan)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -228,15 +228,21 @@ object LlmExt2 {
     * shingle-level copy detection. */
   /** Per-doc 5-token-window rolling-hash fingerprints (x13's core, shared
     * with the x24 dedup-cluster operator): (doc_id, fp) rows, BIGINT-exact. */
-  private[queries] def docFingerprints(docs: DataFrame): DataFrame = {
-    // Whole computation as higher-order array expressions — NO shuffle at
-    // all (the previous posexplode + 5×lead window formulation shuffled
-    // every (doc, token) row by doc_id just to see 4 tokens ahead; at 100 TB
-    // that is a full-corpus shuffle for a per-row computation). One explode
-    // at the end yields the same (doc_id, fp) rows.
-    // The analysis window is the first 256 tokens per doc, matching the
-    // oracle's generate_series cap — an unbounded window would diverge from
-    // it on longer documents, and a real fingerprint pass caps per-doc work.
+  private[graft] def docFingerprints(docs: DataFrame): DataFrame =
+    // One native codegen'd pass per row, NO shuffle at all (a posexplode +
+    // lead-window formulation would shuffle every (doc, token) row by doc_id
+    // just to see 4 tokens ahead — at 100 TB a full-corpus shuffle for a
+    // per-row computation; the interpreted HOF chain it replaced is kept in
+    // LlmExtSpec as the equivalence reference). The analysis window is the
+    // first 256 tokens per doc, matching the oracle's generate_series cap.
+    docs.select(col("doc_id"),
+                explode(call_function("rolling_fps", col("text"))).as("fp"))
+
+  /** The interpreted higher-order-function formulation of
+    * [[docFingerprints]]'s math — retained ONLY as the equivalence oracle
+    * for the native `rolling_fps` expression (LlmExtSpec asserts identical
+    * (doc_id, fp) multisets on real corpus data). */
+  private[graft] def docFingerprintsHof(docs: DataFrame): DataFrame = {
     val toks = slice(filter(split(lower(col("text")), " "), t => t =!= ""),
                      1, 256)
     // cheap portable token code: first two char codes + length

@@ -217,12 +217,22 @@ object Pipeline {
   def x24(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val fp = LlmExt2.docFingerprints(docs).distinct()
-    val edges = fingerprintStarEdges(fp).persist()
+    // persisted pre-partitioned on v — every round's propagation join reads
+    // edges by v, so the exchange happens once here, not once per round
+    val edges = fingerprintStarEdges(fp).repartition(col("v")).persist()
     // Each round MUST cut lineage (eager localCheckpoint): a persisted-only
     // loop leaves the logical plan nesting one level per round, and Catalyst
     // re-optimizes the whole ever-growing tree — round 8 took 60s on 3k
     // edges before this; with checkpointing every round is ~0.5s flat.
-    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("label"))
+    // seed labels with the star-neighborhood min (self ∪ neighbors) — this
+    // IS round 1 of plain min-propagation, computed as one narrow agg + one
+    // join instead of a full loop round (join + union-agg + doubling join +
+    // checkpoint); the loop below then starts from distance-1 labels
+    val nbMin = edges.groupBy("u").agg(min(col("v")).as("nb"))
+    var labels = docs.select(col("doc_id").as("node"))
+      .join(nbMin, col("node") === col("u"), "left")
+      .select(col("node"),
+              least(col("node"), coalesce(col("nb"), col("node"))).as("label"))
       .localCheckpoint(true)
     // sum() of an empty input is SQL NULL — treat as 0 (empty corpus: the
     // loop converges immediately and returns an empty component table)

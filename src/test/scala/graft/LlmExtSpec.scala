@@ -118,6 +118,25 @@ class LlmExtSpec extends AnyFunSuite {
     assert(top.getDouble(1) <= 1.000001 && top.getDouble(1) >= -1.0)
   }
 
+  test("native rolling_fps equals the interpreted HOF formulation (incl. unicode)") {
+    import spark.implicits._
+    val corpus = graft.engine.Tables.documents(spark, TestSpark.sfSmoke)
+      .select(col("doc_id"), col("text"))
+    val edge = Seq(
+      (9001L, ""), (9002L, "one two three four"),          // < 5 tokens
+      (9003L, "a b c d e"), (9004L, "  double  spaced  x y z w v  "),
+      (9005L, "\u00e9clair caf\u00e9 na\u00efve \u20acuro \u65e5\u672c\u8a9e tokens seven"),
+      (9006L, ("tok " * 300).trim)                          // > 256 tokens
+    ).toDF("doc_id", "text")
+    val docs = corpus.unionByName(edge)
+    val native = graft.queries.LlmExt2.docFingerprints(docs)
+      .groupBy("doc_id", "fp").count()
+    val hof = graft.queries.LlmExt2.docFingerprintsHof(docs)
+      .groupBy("doc_id", "fp").count()
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      "native rolling_fps diverges from the HOF reference")
+  }
+
   test("x24 components: every exact-duplicate pair shares a component") {
     val comp = graft.queries.Pipeline.x24(spark, sfBig)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
