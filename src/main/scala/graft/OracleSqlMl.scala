@@ -548,7 +548,44 @@ object OracleSqlMl {
         |  FROM toks, generate_series(1, 32) g(i)
         |  WHERE g.i <= length(tok) - 1)
         |SELECT pair, COUNT(*) AS cnt FROM pairs
-        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "x41_class_rebalance" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN l_extendedprice > 95000 THEN 1 ELSE 0 END AS label,
+        |         ((CAST(l_orderkey AS BIGINT) * 10 + l_linenumber) % 100000000)
+        |           * 2971215073 % 1000 AS bucket
+        |  FROM lineitem)
+        |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_total,
+        |       CAST(SUM(CASE WHEN label = 1 OR bucket < 110
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM t GROUP BY label ORDER BY label""".stripMargin,
+
+    // x42: modulus 61 (prime) — % 64 would cancel the char terms (multiples
+    // of 64) and collapse the hash to length-only buckets
+    "x42_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, x AS tok FROM documents,
+        |    UNNEST([x FOR x IN string_split(LOWER(text),' ') IF x <> '']) AS u(x)
+        |  WHERE doc_id < 20)
+        |SELECT doc_id,
+        |       CAST((ascii(substr(tok,1,1)) * 4096 + ascii(substr(tok,2,1)) * 64
+        |             + length(tok)) % 61 AS BIGINT) AS bucket,
+        |       COUNT(*) AS cnt
+        |FROM toks GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
+
+    "x43_cooccurrence" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    [x FOR x IN string_split(LOWER(text),' ') IF x <> ''][1:256] AS t
+        |  FROM documents),
+        |p1 AS (SELECT t[g.i] || ' ' || t[g.i+1] AS pair
+        |       FROM d, generate_series(1, 255) g(i) WHERE g.i + 1 <= len(t)),
+        |p2 AS (SELECT t[g.i] || ' ' || t[g.i+2] AS pair
+        |       FROM d, generate_series(1, 254) g(i) WHERE g.i + 2 <= len(t)),
+        |u AS (SELECT pair FROM p1 UNION ALL SELECT pair FROM p2)
+        |SELECT pair, COUNT(*) AS cnt FROM u
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
   )
 
   def all: Map[String, String] =

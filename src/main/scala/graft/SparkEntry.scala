@@ -108,7 +108,10 @@ object SparkEntry {
     "x37_analytic_ranks"       -> (Mining.x37 _),
     "x38_fuzzy_match_join"     -> (Mining.x38 _),
     "x39_event_transitions"    -> (Mining.x39 _),
-    "x40_bpe_pair_counts"      -> (Mining.x40 _)
+    "x40_bpe_pair_counts"      -> (Mining.x40 _),
+    "x41_class_rebalance"      -> (Mining.x41 _),
+    "x42_feature_hash"         -> (Mining.x42 _),
+    "x43_cooccurrence"         -> (Mining.x43 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

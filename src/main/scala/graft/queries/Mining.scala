@@ -8,10 +8,11 @@ import graft.engine.Tables
 
 /** Pattern-mining / analytic extensions of the training-data pipeline
   * (round 4): quantile bucketing for stratified splits (x37), edit-distance
-  * fuzzy matching (x38), event-sequence transition mining (x39), and the
-  * first BPE merge step — corpus character-pair counts (x40). All four are
-  * exact integer/window arithmetic — portable to DuckDB term-for-term, so
-  * every one is oracle-checked.
+  * fuzzy matching (x38), event-sequence transition mining (x39), the first
+  * BPE merge step — corpus character-pair counts (x40), deterministic class
+  * rebalancing (x41), hashing-trick featurization (x42), and skip-gram
+  * co-occurrence counts (x43). All are exact integer/window arithmetic —
+  * portable to DuckDB term-for-term, so every one is oracle-checked.
   */
 object Mining {
 
@@ -109,5 +110,84 @@ object Mining {
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(20)
+  }
+
+  /** x41: CLASS REBALANCING — deterministic downsampling of the majority
+    * class to ≈ the minority size (the sampling-based alternative to q38's
+    * cost weighting for imbalanced learning). The keep decision is a
+    * multiplicative-hash threshold on the row key — shuffle-free, exactly
+    * reproducible, and decorrelated from x20's split and x30's mix by its
+    * own odd constant. The 110‰ rate matches the measured IR ≈ 9.3 of the
+    * derived label; production computes it from q38's class counts in a
+    * first cheap pass.
+    *
+    * 100 TB: a pure per-row projection + one 2-group aggregate — sampling
+    * never shuffles the corpus. Duplicate (orderkey, linenumber) rows hash
+    * identically, so duplicates are kept or dropped TOGETHER (deterministic
+    * under re-runs). */
+  def x41(spark: SparkSession, dir: String): DataFrame = {
+    val label = when(col("l_extendedprice") > 95000, 1L).otherwise(0L)
+    val bucket =
+      (((col("l_orderkey").cast(LongType) * 10 + col("l_linenumber"))
+        % 100000000L) * lit(2971215073L)) % 1000
+    val kept = col("label") === 1L || col("bucket") < 110
+    Tables.lineitem(spark, dir)
+      .select(label.as("label"), bucket.as("bucket"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("label")
+  }
+
+  /** x42: FEATURE HASHING — the hashing-trick vectorizer: token → one of 61
+    * buckets (prime modulus) via the portable token code (first two char
+    * codes + length, the same code docFingerprints uses), per-document
+    * bucket counts for a probe slice. The fixed bucket space makes the feature schema
+    * corpus-independent — the property that lets a 100 TB featurization run
+    * without a vocabulary pass.
+    *
+    * 100 TB: explode + one (doc, bucket)-keyed aggregate with map-side
+    * partials; output width is bounded by the bucket count, not the vocab. */
+  def x42(spark: SparkSession, dir: String): DataFrame = {
+    val code = ascii(substring(col("tok"), 1, 1)) * 4096 +
+      ascii(substring(col("tok"), 2, 1)) * 64 + length(col("tok"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+              explode(filter(split(lower(col("text")), " "), t => t =!= ""))
+                .as("tok"))
+      // modulus 61 (prime), NOT a power of two: the char terms are multiples
+      // of 64, so code % 64 would collapse the hash to length-only buckets
+      .select(col("doc_id"), (code.cast(LongType) % 61).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  /** x43: CO-OCCURRENCE COUNTS — skip-gram (token, context) pair counts at
+    * distances 1 and 2 over the first 256 tokens per doc, top-30 pairs: the
+    * sufficient statistic word2vec/GloVe-style embedding training consumes.
+    *
+    * 100 TB: pair expansion is per-row array algebra over a bound attribute
+    * (NO shuffle — docFingerprints' shape); the aggregate's key space is
+    * vocab², cut to the observed pairs, with map-side partials. The 256-token
+    * cap matches the oracle's fixed generate_series bound and bounds
+    * per-document work. */
+  def x43(spark: SparkSession, dir: String): DataFrame = {
+    val toks = slice(filter(split(lower(col("text")), " "), t => t =!= ""),
+                     1, 256)
+    def pairsAt(d: Int) =
+      when(size(col("tk")) >= d + 1,
+        transform(sequence(lit(1), size(col("tk")) - d),
+          i => concat(element_at(col("tk"), i), lit(" "),
+                      element_at(col("tk"), i + d))))
+        .otherwise(array().cast(ArrayType(StringType)))
+    Tables.documents(spark, dir)
+      // Generate barrier: tk is materialized once per row (HOFs are
+      // interpreted — CollapseProject would re-run the tokenizer per tap)
+      .select(explode(array(toks)).as("tk"))
+      .select(explode(concat(pairsAt(1), pairsAt(2))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(30)
   }
 }
