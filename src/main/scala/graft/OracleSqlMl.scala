@@ -588,8 +588,96 @@ object OracleSqlMl {
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
   )
 
+  /** x44–x48: corpus-curation extensions (round 5) — entropy, quantization,
+    * novelty, quality gate, and class geometry. Double aggregates rounded at
+    * ≥6 digits below the ~1e-14 cross-engine float-sum-order noise; counts
+    * and quantization codes are exact integers. */
+  val curation: Map[String, String] = Map(
+    "x44_token_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, x AS tok FROM documents,
+        |    UNNEST([x FOR x IN string_split(LOWER(text),' ') IF x <> '']) AS u(x)),
+        |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       ROUND(LN(CAST(SUM(c) AS DOUBLE))
+        |             - SUM(c * LN(CAST(c AS DOUBLE))) / SUM(c), 6) AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x45: codes are integral doubles before the BIGINT cast on both engines
+    // (round-half-away-from-zero matches Spark's HALF_UP for doubles), so
+    // code_sum is bit-exact; the two error metrics are per-row IEEE double
+    // chains, identical in both engines, rounded only against repr noise.
+    "x45_embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb,
+        |         list_max([ABS(CAST(x AS DOUBLE)) FOR x IN embedding]) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(len(emb) AS BIGINT) AS dim,
+        |  ROUND(mx / 127.0, 8) AS scale,
+        |  CAST(list_sum([CAST(ROUND(x / (mx / 127.0), 0) AS BIGINT)
+        |                 FOR x IN emb]) AS BIGINT) AS code_sum,
+        |  ROUND(list_max([ABS(x - ROUND(x / (mx / 127.0), 0) * (mx / 127.0))
+        |                  FOR x IN emb]), 8) AS max_abs_err
+        |FROM e WHERE mx > 0 ORDER BY vec_id""".stripMargin,
+
+    "x46_bigram_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         [x FOR x IN string_split(LOWER(text),' ') IF x <> ''] AS t
+        |  FROM documents),
+        |b AS (SELECT DISTINCT doc_id, x AS bg FROM d,
+        |      UNNEST([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS u(x)),
+        |df AS (SELECT bg, COUNT(*) AS df FROM b GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(df), 4) AS avg_df,
+        |       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |FROM b JOIN df USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x47: the repetition test is integer algebra (5·max < total) so the
+    // verdict is exact; only keep_rate is a rounded double.
+    "x47_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, x AS tok FROM documents,
+        |    UNNEST([x FOR x IN string_split(LOWER(text),' ') IF x <> '']) AS u(x)),
+        |rep AS (
+        |  SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n_tok FROM (
+        |    SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2) GROUP BY doc_id),
+        |d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (list_contains([x FOR x IN string_split(LOWER(text),' ') IF x <> ''], 'the')
+        |     OR list_contains([x FOR x IN string_split(LOWER(text),' ') IF x <> ''], 'a'))
+        |      AS stop_ok
+        |  FROM documents),
+        |v AS (
+        |  SELECT source,
+        |    (n_chars BETWEEN 100 AND 500 AND max_c * 5 < n_tok AND stop_ok) AS keep
+        |  FROM d JOIN rep USING (doc_id))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+        |        / COUNT(*), 4) AS keep_rate
+        |FROM v GROUP BY source ORDER BY source""".stripMargin,
+
+    // x48: pos is a join key internal to each engine (Spark 0-based,
+    // DuckDB 1-based — never output), so the offset is immaterial.
+    "x48_label_centroid" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         UNNEST(embedding) AS v0,
+        |         UNNEST(range(1, len(embedding) + 1)) AS pos
+        |  FROM embeddings),
+        |e2 AS (SELECT vec_id, label, pos, CAST(v0 AS DOUBLE) AS v FROM e),
+        |c AS (SELECT label, pos, AVG(v) AS cv FROM e2 GROUP BY 1, 2),
+        |p AS (SELECT vec_id, e2.label AS label, SUM(v * cv) AS dot,
+        |             SUM(v * v) AS nv, SUM(cv * cv) AS nc
+        |      FROM e2 JOIN c USING (label, pos) GROUP BY 1, 2)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |       ROUND(AVG(dot / SQRT(nv * nc)), 6) AS mean_cos
+        |FROM p GROUP BY label ORDER BY label""".stripMargin
+  )
+
   def all: Map[String, String] =
-    ml ++ llm ++ ext ++ reshape ++ pipeline ++ streaming ++ langid ++ percentile ++ mining ++
+    ml ++ llm ++ ext ++ reshape ++ pipeline ++ streaming ++ langid ++ percentile ++ mining ++ curation ++
       Map("x06_chi_estimator_fit" -> ml("q42_ml_chi_classify"),
           // the native as-of operator must produce exactly the composed form's
           // results — same oracle as q11

@@ -111,7 +111,12 @@ object SparkEntry {
     "x40_bpe_pair_counts"      -> (Mining.x40 _),
     "x41_class_rebalance"      -> (Mining.x41 _),
     "x42_feature_hash"         -> (Mining.x42 _),
-    "x43_cooccurrence"         -> (Mining.x43 _)
+    "x43_cooccurrence"         -> (Mining.x43 _),
+    "x44_token_entropy"        -> (Curation.x44 _),
+    "x45_embedding_quantize"   -> (Curation.x45 _),
+    "x46_bigram_novelty"       -> (Curation.x46 _),
+    "x47_quality_gate"         -> (Curation.x47 _),
+    "x48_label_centroid"       -> (Curation.x48 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.engine.Tables
+
+/** Corpus-curation stages of the training-data pipeline beyond the cleaning
+  * verbs in [[TextOps]]: information-content scoring (x44), embedding
+  * compression (x45), cross-document novelty (x46), a composite quality gate
+  * (x47), and per-class embedding geometry (x48). All five are oracle-checked
+  * — the math is double/integer arithmetic portable to DuckDB term-for-term
+  * under the repr protocol (SURVEY.md §7.4: BIGINT/DOUBLE-rounded outputs
+  * only).
+  */
+object Curation {
+
+  /** Non-empty lowercase whitespace tokens of the `text` column. */
+  private def toks: Column =
+    filter(split(lower(col("text")), " "), t => t =!= "")
+
+  /** x44: TOKEN ENTROPY — per-document Shannon entropy of the token
+    * distribution, H = ln(n) − Σ c·ln(c)/n. Low entropy flags repetitive /
+    * templated documents (the information-theoretic sibling of x35's
+    * max-frequency fraction); pretraining filters drop the low-H tail.
+    *
+    * 100 TB: explode → two key-partitioned aggregates with map-side partials,
+    * identical shuffle shape to x35 — the (doc_id, tok) key is near-unique so
+    * the first shuffle carries ~token count rows, the second one per doc. */
+  def x44(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+           round(log(sum(col("c"))) -
+                 sum(col("c") * log(col("c"))) / sum(col("c")), 6)
+             .as("entropy"))
+      .orderBy("doc_id")
+
+  /** x45: EMBEDDING QUANTIZATION — symmetric int8: scale = max|x|/127,
+    * q_i = round(x_i/scale). Reports the reconstruction error and the exact
+    * integer checksum of the codes. Storage/ANN pipelines quantize before
+    * indexing; the checksum is the determinism witness (codes are integers —
+    * bit-exact across engines), max_abs_err the quality metric.
+    *
+    * 100 TB: pure per-row array arithmetic (higher-order functions, codegen,
+    * no UDF) — map-only over the vector table, no shuffle but the output
+    * ordering. Elements are cast float→double (exact) before any division so
+    * both engines run the same IEEE ops. */
+  def x45(spark: SparkSession, dir: String): DataFrame = {
+    val emb = transform(col("embedding"), x => x.cast(DoubleType))
+    val mx = array_max(transform(emb, x => abs(x)))
+    val scale = col("mx") / lit(127.0)
+    val codes = transform(col("emb"), x => round(x / scale, 0))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), emb.as("emb"), mx.as("mx"))
+      .filter(col("mx") > 0)
+      .select(
+        col("vec_id"),
+        size(col("emb")).cast(LongType).as("dim"),
+        round(scale, 8).as("scale"),
+        aggregate(codes, lit(0L), (acc, q) => acc + q.cast(LongType))
+          .as("code_sum"),
+        round(
+          array_max(transform(col("emb"),
+            x => abs(x - round(x / scale, 0) * scale))), 8)
+          .as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  /** x46: BIGRAM NOVELTY — per document: its distinct bigrams, their mean
+    * document frequency across the corpus, and how many are corpus-unique.
+    * High mean-df documents are near-boilerplate even when no single document
+    * duplicates them (the cross-doc complement of x08's pairwise Jaccard);
+    * df=1 bigrams measure what the document alone contributes.
+    *
+    * 100 TB: distinct (doc_id, bigram) → df aggregate (map-side partials,
+    * key cardinality = vocabulary², self-limited by language) → one shuffle
+    * join back on bigram → per-doc aggregate. Never all-pairs; the join is
+    * the same bucketed shape as tf-idf's (q48). */
+  def x46(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = when(size(col("tk")) >= 2,
+      transform(sequence(lit(1), size(col("tk")) - 1),
+        i => concat(element_at(col("tk"), i), lit(" "),
+                    element_at(col("tk"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val docBg = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .distinct()
+    val df = docBg.groupBy("bg").agg(count(lit(1)).as("df"))
+    docBg.join(df, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(avg(col("df")), 4).as("avg_df"),
+           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .orderBy("doc_id")
+  }
+
+  /** x47: QUALITY GATE — the composite Gopher-style keep/drop verdict:
+    * length in [100, 500] chars, max-token fraction < 1/5 (integer-exact as
+    * 5·max < total — no float compare), and at least one stopword present.
+    * Reported as per-source admission rates — the shape a curation dashboard
+    * consumes when deciding which crawls to keep.
+    *
+    * 100 TB: x35's two-aggregate shuffle for the repetition stat, then a
+    * key-partitioned join back to the (doc_id, source) row and a tiny
+    * per-source aggregate. The verdict itself is integer algebra. */
+  def x47(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              (array_contains(toks, "the") || array_contains(toks, "a"))
+                .as("stop_ok"))
+    val rep = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("max_c"), sum(col("c")).as("n_tok"))
+    val keep = col("n_chars").between(100, 500) &&
+      col("max_c") * 5 < col("n_tok") && col("stop_ok")
+    docs.join(rep, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(keep, 1L).otherwise(0L)).as("n_keep"),
+           round(sum(when(keep, 1L).otherwise(0L)) * lit(1.0) /
+                 count(lit(1)), 4).as("keep_rate"))
+      .orderBy("source")
+  }
+
+  /** x48: LABEL-CENTROID GEOMETRY — per class: the mean cosine similarity of
+    * its vectors to the class centroid. The standard embedding-space health
+    * check (tight classes ⇒ high mean cosine) run before training a
+    * classifier head or pruning outliers.
+    *
+    * 100 TB: posexplode → centroid aggregate keyed (label, pos) — at most
+    * |labels|·dim rows, broadcast back (map-side join, no second shuffle of
+    * the big side) → per-vector dot/norm aggregate (one shuffle keyed vec_id,
+    * map-side partials) → tiny per-label aggregate. The broadcast side is
+    * bounded by the label space, never by corpus size. */
+  def x48(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+              posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos"),
+              col("col").cast(DoubleType).as("v"))
+    val centroid = e.groupBy("label", "pos").agg(avg(col("v")).as("cv"))
+    e.join(broadcast(centroid), Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("v") * col("cv")).as("dot"),
+           sum(col("v") * col("v")).as("nv"),
+           sum(col("cv") * col("cv")).as("nc"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+           round(avg(col("dot") / sqrt(col("nv") * col("nc"))), 6)
+             .as("mean_cos"))
+      .orderBy("label")
+  }
+}
