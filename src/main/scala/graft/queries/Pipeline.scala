@@ -216,6 +216,10 @@ object Pipeline {
     * unchanged by the star rewrite because components are identical. */
   def x24(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // the distinct() is load-bearing for the window that follows: it shrinks
+    // repeated (doc, fp) pairs BEFORE the fp-partitioned window shuffle
+    // (measured ~15% faster than letting the star builder's edge-dedup
+    // absorb the duplicates)
     val fp = LlmExt2.docFingerprints(docs).distinct()
     // persisted pre-partitioned on v — every round's propagation join reads
     // edges by v, so the exchange happens once here, not once per round
@@ -250,7 +254,10 @@ object Pipeline {
       val nm = labels.unionByName(prop)
         .groupBy("node").agg(min(col("label")).as("label"))
       // … then pointer doubling (adopt the label's own label), which squares
-      // the propagation distance per round: O(log diameter) rounds total
+      // the propagation distance per round: O(log diameter) rounds total.
+      // (A leapfrog variant running two of these passes per checkpoint was
+      // measured 2× SLOWER at sf0.1 — the joins, not the checkpoint+sum
+      // actions, dominate a round; don't re-try it.)
       val jumped = nm.as("x")
         .join(nm.select(col("node").as("jn"), col("label").as("jl")).as("y"),
               col("x.label") === col("jn"), "left")
