@@ -658,6 +658,25 @@ object OracleSqlMl {
         |        / COUNT(*), 4) AS keep_rate
         |FROM v GROUP BY source ORDER BY source""".stripMargin,
 
+    "x49_source_cap" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rn <= 20 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_kept
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "x50_length_histogram" ->
+      """SELECT lang, CAST(n_chars // 50 AS BIGINT) AS bin,
+        |       COUNT(*) AS n_docs,
+        |       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
     // x48: pos is a join key internal to each engine (Spark 0-based,
     // DuckDB 1-based — never output), so the offset is immaterial.
     "x48_label_centroid" ->

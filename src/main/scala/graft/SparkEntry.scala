@@ -116,7 +116,9 @@ object SparkEntry {
     "x45_embedding_quantize"   -> (Curation.x45 _),
     "x46_bigram_novelty"       -> (Curation.x46 _),
     "x47_quality_gate"         -> (Curation.x47 _),
-    "x48_label_centroid"       -> (Curation.x48 _)
+    "x48_label_centroid"       -> (Curation.x48 _),
+    "x49_source_cap"           -> (Curation.x49 _),
+    "x50_length_histogram"     -> (Curation.x50 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -128,6 +128,47 @@ object Curation {
       .orderBy("source")
   }
 
+  /** x49: PER-SOURCE QUOTA CAP — keep at most 20 documents per source,
+    * preferring the longest (ties to the smallest doc_id), and report what
+    * the cap admitted. The anti-domination step of corpus assembly: one
+    * crawl/domain must not flood the mix regardless of its size (the
+    * per-source twin of x30's per-language rates).
+    *
+    * 100 TB: rank + cap is a single source-partitioned window — no global
+    * sort, no driver state; per-source data is the only thing co-located.
+    * Skewed sources are exactly the ones the cap truncates, so the window's
+    * worst partition is bounded by the biggest source, pre-cap — if that
+    * itself overwhelms an executor, cap in two stages (per-partition pre-cap
+    * to 20, then the window over survivors). */
+  def x49(spark: SparkSession, dir: String): DataFrame = {
+    val byPref = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(byPref))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("rn") <= 20, 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("rn") <= 20, col("n_chars")).otherwise(0L))
+             .as("chars_kept"))
+      .orderBy("source")
+  }
+
+  /** x50: LENGTH HISTOGRAM — fixed-width (50-char) document-length bins per
+    * language: the distribution a curation run inspects before choosing
+    * length cutoffs (x47's band is read off exactly this histogram).
+    *
+    * 100 TB: one map-side-combinable aggregate on a derived integer key;
+    * output width is bounded by bins × languages, independent of corpus
+    * size. */
+  def x50(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), expr("n_chars DIV 50").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("n_chars")).as("min_chars"),
+           max(col("n_chars")).as("max_chars"))
+      .orderBy("lang", "bin")
+
   /** x48: LABEL-CENTROID GEOMETRY — per class: the mean cosine similarity of
     * its vectors to the class centroid. The standard embedding-space health
     * check (tight classes ⇒ high mean cosine) run before training a

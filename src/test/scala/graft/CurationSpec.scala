@@ -73,6 +73,32 @@ class CurationSpec extends AnyFunSuite {
     assert(total === docs)
   }
 
+  test("x49 caps every source at 20 and kept mass never exceeds source mass") {
+    val rows = Curation.x49(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val chars = graft.engine.Tables.documents(spark, sfSmoke)
+      .groupBy("source").agg(sum(col("n_chars")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      val (src, nDocs, nKept, kept) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nKept === math.min(nDocs, 20L), s"$src kept $nKept of $nDocs")
+      assert(kept <= chars(src), s"$src kept-chars exceed total")
+    }
+  }
+
+  test("x50 bins partition the corpus and bracket their own lengths") {
+    val rows = Curation.x50(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (bin, mn, mx) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(mn >= bin * 50 && mx < (bin + 1) * 50 && mn <= mx,
+        s"bin $bin holds lengths outside [${bin * 50},${bin * 50 + 49}]")
+    }
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === graft.engine.Tables.documents(spark, sfSmoke).count())
+  }
+
   test("x48 mean cosine to own centroid is in [-1,1] and vectors all counted") {
     val rows = Curation.x48(spark, sfSmoke).collect()
     assert(rows.nonEmpty)
