@@ -42,6 +42,9 @@ object Bench {
     // so a collect-all parser cannot double-count, per ADVICE r2), times
     // rounded to 0.1 ms, and the one gradable "total" line LAST so it — and
     // every detail chunk — survives any tail capture.
+    // stop BEFORE printing: nothing (executor shutdown warnings, context
+    // cleaner logs) may land between the metric lines and the tail's end
+    spark.stop()
     val chunks = results.toSeq.grouped(24).toSeq
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       val qs = chunk
@@ -50,6 +53,5 @@ object Bench {
       println(s"""{"metric":"detail_${i + 1}of${chunks.size}","queries":$qs}""")
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
-    spark.stop()
   }
 }

@@ -49,6 +49,10 @@ object ScaleCheck {
     for (q <- Seq("q10_join_multiway_tpch_q5", "q12_agg_tpch_q1",
                   "q41_ml_chi_rule_weights", "q44_dedup_exact",
                   "x08_dedup_ngram_jaccard", "x23_asof_join_native",
+                  // q09: user-count shifting keeps per-user history length
+                  // constant, so the bucketed range join must stay ~linear
+                  // (the bare equi-join it replaced was per-key quadratic)
+                  "q09_join_range_pairs",
                   // x24: the 10× copy makes every fingerprint bucket 10×
                   // hotter — exactly the regime the star-edge builder must
                   // keep linear (the round-1 all-pairs form went quadratic)
