@@ -13,9 +13,11 @@ import graft.engine.Tables
   * synthetic copy gives EVERY document 10 near-duplicates, so candidate
   * pairs per LSH bucket grow quadratically in the duplication factor and the
   * output itself grows ~50× — linear in the true pair workload. x24 grows
-  * 1.6× on 10× data even though every fingerprint bucket is 10× hotter —
+  * 1.6–1.9× on 10× data even though every fingerprint bucket is 10× hotter —
   * the star-edge builder (Pipeline.fingerprintStarEdges) keeps edge volume
   * linear where the round-1 all-pairs self-join would have gone quadratic.
+  * q09 runs 10× events (user-shifted: per-user history constant) at ~3× —
+  * the bucketed range join tracks total row volume, not per-key pair counts.
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
