@@ -229,14 +229,17 @@ object Pipeline {
     // re-optimizes the whole ever-growing tree — round 8 took 60s on 3k
     // edges before this; with checkpointing every round is ~0.5s flat.
     // seed labels with the star-neighborhood min (self ∪ neighbors) — this
-    // IS round 1 of plain min-propagation, computed as one narrow agg + one
-    // join instead of a full loop round (join + union-agg + doubling join +
-    // checkpoint); the loop below then starts from distance-1 labels
-    val nbMin = edges.groupBy("u").agg(min(col("v")).as("nb"))
-    var labels = docs.select(col("doc_id").as("node"))
-      .join(nbMin, col("node") === col("u"), "left")
-      .select(col("node"),
-              least(col("node"), coalesce(col("nb"), col("node"))).as("label"))
+    // IS round 1 of plain min-propagation, computed as one narrow agg
+    // instead of a full loop round (join + union-agg + doubling join +
+    // checkpoint); the loop below then starts from distance-1 labels.
+    // The LOOP runs over edge-touched nodes ONLY: an isolated document's
+    // label is itself forever, so iterating over it is pure waste — and at
+    // corpus scale near-dup members are a small fraction of all documents,
+    // so the fixpoint's working set shrinks from |docs| to |dup candidates|.
+    // Isolated docs are attached by one left join after convergence.
+    var labels = edges.groupBy("u").agg(min(col("v")).as("nb"))
+      .select(col("u").as("node"),
+              least(col("u"), col("nb")).as("label"))
       .localCheckpoint(true)
     // sum() of an empty input is SQL NULL — treat as 0 (empty corpus: the
     // loop converges immediately and returns an empty component table)
@@ -275,7 +278,11 @@ object Pipeline {
       prevSum = s
       rounds += 1
     }
-    val out = labels.select(col("node").as("doc_id"), col("label").as("comp"))
+    // attach the (untouched) isolated documents: comp = own doc_id
+    val out = docs.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+              coalesce(col("label"), col("doc_id")).as("comp"))
       .orderBy("doc_id")
       .localCheckpoint(true)
     edges.unpersist()
