@@ -33,21 +33,26 @@ object OracleSqlMl {
       |         ELSE 2 END AS a2
       |  FROM base)""".stripMargin
 
-  /** Per-(example l × candidate a) cost-weighted matching degree, exact. */
-  private val wTerm =
-    """CAST(ROUND(
-      |      (CASE WHEN l.cls=1 THEN (SELECT c1 FROM costs) ELSE (SELECT c0 FROM costs) END)
-      |    * GREATEST(0,1-ABS(l.x1 - (CASE a.a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)
-      |    * GREATEST(0,1-ABS(l.x2 - (CASE a.a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05),
-      |    12) AS DECIMAL(38,12))""".stripMargin
+  /** Per-(example l × candidate a) matching degree, exact; the cost factor
+    * is 1.0 for the base (non-CS) variant. */
+  private def wTermWith(costFactor: String) =
+    s"""CAST(ROUND(
+       |      $costFactor
+       |    * GREATEST(0,1-ABS(l.x1 - (CASE a.a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)
+       |    * GREATEST(0,1-ABS(l.x2 - (CASE a.a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05),
+       |    12) AS DECIMAL(38,12))""".stripMargin
 
-  private val ruleBaseCtes =
+  private val wTerm = wTermWith(
+    "(CASE WHEN l.cls=1 THEN (SELECT c1 FROM costs) ELSE (SELECT c0 FROM costs) END)")
+  private val wTermBase = wTermWith("1.0")
+
+  private def ruleBaseCtesWith(wt: String) =
     s"""$mlCte,
        |ants AS (SELECT DISTINCT a1, a2, cls FROM lab),
        |m AS (
        |  SELECT a.a1, a.a2, a.cls AS rule_cls,
-       |    SUM(CASE WHEN l.cls = a.cls THEN $wTerm END) AS w_match,
-       |    SUM($wTerm) AS w_all
+       |    SUM(CASE WHEN l.cls = a.cls THEN $wt END) AS w_match,
+       |    SUM($wt) AS w_all
        |  FROM ants a CROSS JOIN lab l GROUP BY a.a1, a.a2, a.cls),
        |rw AS (SELECT a1, a2, rule_cls,
        |              CAST(ROUND(2*w_match - w_all, 6) AS DOUBLE)/CAST(ROUND(w_all, 6) AS DOUBLE) AS rw
@@ -55,13 +60,16 @@ object OracleSqlMl {
        |rb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY a1,a2
        |                                    ORDER BY rw DESC, rule_cls) AS rn FROM rw)""".stripMargin
 
+  private val ruleBaseCtes = ruleBaseCtesWith(wTerm)
+  private val ruleBaseCtesBase = ruleBaseCtesWith(wTermBase)
+
   // Classification is per DISTINCT feature vector with multiplicity m:
   // (l_orderkey, l_linenumber) is not unique in lineitem, so a per-"row"
   // window would merge different examples and order cross-example score ties
   // arbitrarily. Identical vectors classify identically, so weighting by m
   // preserves per-row confusion counts exactly.
-  private val classifyCtes =
-    s"""$ruleBaseCtes,
+  private def classifyCtesWith(rbCtes: String) =
+    s"""$rbCtes,
        |final_rb AS (SELECT a1, a2, rule_cls, rw FROM rb WHERE rn=1 AND rw > 0),
        |gex AS (SELECT x1, x2, cls, COUNT(*) AS m FROM lab GROUP BY x1, x2, cls),
        |scored AS (
@@ -72,6 +80,9 @@ object OracleSqlMl {
        |  FROM gex g CROSS JOIN final_rb r),
        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY x1, x2, actual
        |                                      ORDER BY score DESC, rule_cls) AS rn FROM scored)""".stripMargin
+
+  private val classifyCtes = classifyCtesWith(ruleBaseCtes)
+  private val classifyCtesBase = classifyCtesWith(ruleBaseCtesBase)
 
   val ml: Map[String, String] = Map(
     "q38_ml_class_costs" ->
@@ -669,6 +680,20 @@ object OracleSqlMl {
         |  CAST(SUM(CASE WHEN rn <= 20 THEN n_chars ELSE 0 END) AS BIGINT)
         |    AS chars_kept
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // x51/x52: the q41/q42 chains with unit costs — the base Chi-FRBCS
+    // variant the CS algorithm extends
+    "x51_ml_chi_base_weights" ->
+      s"""$ruleBaseCtesBase
+         |SELECT CAST(a1 AS BIGINT) AS a1, CAST(a2 AS BIGINT) AS a2,
+         |       CAST(rule_cls AS BIGINT) AS cls, ROUND(rw,6) AS rw
+         |FROM rb WHERE rn=1 AND rw > 0 ORDER BY a1, a2""".stripMargin,
+
+    "x52_ml_chi_base_classify" ->
+      s"""$classifyCtesBase
+         |SELECT CAST(actual AS BIGINT) AS actual, CAST(rule_cls AS BIGINT) AS predicted,
+         |       CAST(SUM(m) AS BIGINT) AS n
+         |FROM best WHERE rn=1 GROUP BY actual, rule_cls ORDER BY actual, predicted""".stripMargin,
 
     "x50_length_histogram" ->
       """SELECT lang, CAST(n_chars // 50 AS BIGINT) AS bin,

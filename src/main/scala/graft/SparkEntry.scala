@@ -118,7 +118,9 @@ object SparkEntry {
     "x47_quality_gate"         -> (Curation.x47 _),
     "x48_label_centroid"       -> (Curation.x48 _),
     "x49_source_cap"           -> (Curation.x49 _),
-    "x50_length_histogram"     -> (Curation.x50 _)
+    "x50_length_histogram"     -> (Curation.x50 _),
+    "x51_ml_chi_base_weights"  -> (ChiMl.x51 _),
+    "x52_ml_chi_base_classify" -> (ChiMl.x52 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

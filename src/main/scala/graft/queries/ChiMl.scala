@@ -39,8 +39,13 @@ object ChiMl {
       .withColumn("a2", ChiCore.argmaxLabel(ChiCore.memberships(col("x2"), P2)))
 
   /** The final rule base (the result of R4–R7): cost-sensitive PCF weight per
-    * candidate (antecedent, class), conflict-resolved to max weight, RW>0. */
-  private[queries] def ruleBase(spark: SparkSession, dir: String): DataFrame = {
+    * candidate (antecedent, class), conflict-resolved to max weight, RW>0.
+    * With costSensitive=false this is the BASE Chi-FRBCS rule base (the
+    * algorithm the CS variant extends: every example weighs 1, PCF = plain
+    * penalized certainty factor) — x51/x52 expose it so the cost vector's
+    * effect on the learned rules is directly observable. */
+  private[queries] def ruleBase(spark: SparkSession, dir: String,
+                                costSensitive: Boolean = true): DataFrame = {
     val lab = labeled(spark, dir)
     // Pre-aggregate to DISTINCT feature vectors with multiplicity before the
     // candidate fan-out: W is a pure function of (x1, x2, cls), and
@@ -66,15 +71,18 @@ object ChiMl {
       withC.agg(max(when(col("cls") === 1, col("c"))).as("c1"),
                 max(when(col("cls") === 0, col("c"))).as("c0"))
     }
-    val gex = gex0.crossJoin(broadcast(costsDf))
+    val gex = if (costSensitive) gex0.crossJoin(broadcast(costsDf)) else gex0
     val ants = gex0.select(col("a1").as("ra1"), col("a2").as("ra2"),
                            col("cls").as("rcls")).distinct()
+    val costFactor =
+      if (costSensitive) when(col("cls") === 1, col("c1")).otherwise(col("c0"))
+      else lit(1.0)
     // DECIMAL(18,12) × DECIMAL(19,0) → exactly (38,12): scale 12 kept, any
     // long count representable; a (38,12) term would overflow against the
     // bigint count and allowPrecisionLoss would round each product to
     // scale 6 (see ChiCSClassifier.fit note)
     val w = round(
-        when(col("cls") === 1, col("c1")).otherwise(col("c0")) *
+        costFactor *
           ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
           ChiCore.membershipAt(col("x2"), col("ra2"), P2),
         12).cast(DecimalType(18, 12)) * col("mcnt").cast(DecimalType(19, 0))
@@ -109,10 +117,11 @@ object ChiMl {
     * let cross-example score ties order arbitrarily — and the 100 TB plan:
     * distinct feature vectors ≪ rows, so the expensive fan-out shrinks by the
     * duplication factor. */
-  private[queries] def classified(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def classified(spark: SparkSession, dir: String,
+                                  costSensitive: Boolean = true): DataFrame = {
     val gex = labeled(spark, dir)
       .groupBy("x1", "x2", "cls").agg(count(lit(1)).as("m"))
-    val scored = gex.crossJoin(broadcast(ruleBase(spark, dir)))
+    val scored = gex.crossJoin(broadcast(ruleBase(spark, dir, costSensitive)))
       .withColumn("score",
         round(ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
               ChiCore.membershipAt(col("x2"), col("ra2"), P2) * col("rw"), 12))
@@ -157,19 +166,35 @@ object ChiMl {
       .orderBy("a1", "a2", "cls")
 
   /** q41: the final rule base with CS-PCF weights (R5–R7). */
-  def q41(spark: SparkSession, dir: String): DataFrame =
-    ruleBase(spark, dir)
-      .select(col("ra1").cast(LongType).as("a1"), col("ra2").cast(LongType).as("a2"),
+  private def ruleBaseOut(rb: DataFrame): DataFrame =
+    rb.select(col("ra1").cast(LongType).as("a1"), col("ra2").cast(LongType).as("a2"),
               col("rcls").cast(LongType).as("cls"), round(col("rw"), 6).as("rw"))
       .orderBy("a1", "a2")
 
-  /** q42: winning-rule classification → confusion matrix (R9/R10). */
-  def q42(spark: SparkSession, dir: String): DataFrame =
-    classified(spark, dir)
-      .groupBy("actual", "predicted").agg(sum(col("m")).as("n"))
+  private def confusionOut(cl: DataFrame): DataFrame =
+    cl.groupBy("actual", "predicted").agg(sum(col("m")).as("n"))
       .select(col("actual").cast(LongType).as("actual"),
               col("predicted").cast(LongType).as("predicted"), col("n"))
       .orderBy("actual", "predicted")
+
+  def q41(spark: SparkSession, dir: String): DataFrame =
+    ruleBaseOut(ruleBase(spark, dir))
+
+  /** q42: winning-rule classification → confusion matrix (R9/R10). */
+  def q42(spark: SparkSession, dir: String): DataFrame =
+    confusionOut(classified(spark, dir))
+
+  /** x51: the BASE (non-cost-sensitive) Chi-FRBCS rule base — q41's chain
+    * with unit costs. Same plan shape; the learned weights differ wherever
+    * the cost vector tipped a conflict toward the minority class. */
+  def x51(spark: SparkSession, dir: String): DataFrame =
+    ruleBaseOut(ruleBase(spark, dir, costSensitive = false))
+
+  /** x52: base-variant confusion matrix — q42 without cost weighting; read
+    * against q42 it quantifies what cost-sensitivity buys on the minority
+    * class (the reference family's own CS-vs-base comparison). */
+  def x52(spark: SparkSession, dir: String): DataFrame =
+    confusionOut(classified(spark, dir, costSensitive = false))
 
   /** q43: accuracy / TPR / TNR / GM / AUC from the confusion matrix (R10). */
   def q43(spark: SparkSession, dir: String): DataFrame = {
