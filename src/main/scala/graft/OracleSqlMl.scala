@@ -702,6 +702,41 @@ object OracleSqlMl {
         |       CAST(MAX(n_chars) AS BIGINT) AS max_chars
         |FROM documents GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
+    "x53_funnel_ordered" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |       JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |       JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS stage_n, 'signup' AS stage,
+        |       COUNT(*) AS users FROM s1
+        |UNION ALL SELECT 2, 'view_after_signup', COUNT(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase_after_view', COUNT(*) FROM s3
+        |ORDER BY stage_n""".stripMargin,
+
+    "x54_cohort_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |              epoch_us(ts) // 604800000000 AS week FROM events),
+        |cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, week FROM ev)
+        |SELECT cohort_week, (week - cohort_week) AS week_offset,
+        |       COUNT(*) AS users
+        |FROM active JOIN cohort USING (user_id)
+        |WHERE week - cohort_week <= 3
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "x55_inverted_index" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id, x AS tok FROM documents,
+        |    UNNEST([x FOR x IN string_split(LOWER(text),' ') IF x <> '']) AS u(x))
+        |SELECT tok, COUNT(*) AS df,
+        |       array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
+        |FROM t GROUP BY tok HAVING COUNT(*) >= 5 ORDER BY tok""".stripMargin,
+
     // x48: pos is a join key internal to each engine (Spark 0-based,
     // DuckDB 1-based — never output), so the offset is immaterial.
     "x48_label_centroid" ->

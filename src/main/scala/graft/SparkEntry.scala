@@ -120,7 +120,10 @@ object SparkEntry {
     "x49_source_cap"           -> (Curation.x49 _),
     "x50_length_histogram"     -> (Curation.x50 _),
     "x51_ml_chi_base_weights"  -> (ChiMl.x51 _),
-    "x52_ml_chi_base_classify" -> (ChiMl.x52 _)
+    "x52_ml_chi_base_classify" -> (ChiMl.x52 _),
+    "x53_funnel_ordered"       -> (Analytics.x53 _),
+    "x54_cohort_retention"     -> (Analytics.x54 _),
+    "x55_inverted_index"       -> (Analytics.x55 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
