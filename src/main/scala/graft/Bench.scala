@@ -48,10 +48,14 @@ object Bench {
     val chunks = results.toSeq.grouped(24).toSeq
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       val qs = chunk
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       println(s"""{"metric":"detail_${i + 1}of${chunks.size}","queries":$qs}""")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // BASELINE.md's 13.79 s covers ONLY the 49 declared queries (q01–q49);
+    // the x-series extensions have no DuckDB baseline. declared_total is the
+    // number comparable to the baseline; value stays the full-registry sum.
+    val declared = results.collect { case (k, v) if k.startsWith("q") => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","declared_total":$declared,"declared_n":${results.count(_._1.startsWith("q"))},"n_queries":${results.size},"sf":"$sfDir"}""")
   }
 }
