@@ -160,3 +160,77 @@ object RollingHashFps {
     new GenericArrayData(out)
   }
 }
+
+/** `token_stats(text)` — one fused pass over the lowercase space-split
+  * non-empty tokens of `text`, returning
+  * `struct<n_tokens:bigint, max_cnt:bigint, sum_clnc:double>` where
+  * `sum_clnc = Σ_tok c·ln(c)` over per-token counts c.
+  *
+  * These three numbers are the sufficient statistics for the per-document
+  * token-distribution operators: Shannon entropy (x44:
+  * `ln(n) − sum_clnc/n`), the Gopher max-frequency fraction (x35:
+  * `max_cnt/n`), and the quality-gate repetition test (x47:
+  * `5·max_cnt < n`, integer-exact). The explode → groupBy(doc, tok) →
+  * groupBy(doc) formulation shuffles the entire token stream TWICE to
+  * compute what is a pure per-row function — at corpus scale that is the
+  * difference between a map-only scan and ~10¹² shuffled rows. Per-row
+  * float summation order is fixed by the row's own token order (stable
+  * across runs and partitionings); cross-engine agreement is the same
+  * ~1e-14 class the grouped sums already had, far under the 6-digit output
+  * rounding.
+  */
+case class TokenStats(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = TokenStats.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_stats"
+
+  override protected def nullSafeEval(text: Any): Any =
+    TokenStats.compute(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.engine.expr.TokenStats.compute($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenStats {
+  import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("max_cnt", LongType, nullable = false),
+    StructField("sum_clnc", DoubleType, nullable = false)))
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toLowerCase.toString
+    val counts = new java.util.HashMap[String, Array[Long]]()
+    var i = 0
+    val len = s.length
+    var n = 0L
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && s.charAt(i) != ' ') i += 1
+        val c = counts.computeIfAbsent(s.substring(start, i), _ => new Array[Long](1))
+        c(0) += 1
+        n += 1
+      }
+    }
+    var maxC = 0L
+    var sumClnc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c > maxC) maxC = c
+      if (c > 1) sumClnc += c * math.log(c.toDouble)  // ln(1) term is 0
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, maxC, sumClnc))
+  }
+}

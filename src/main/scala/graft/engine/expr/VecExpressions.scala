@@ -105,6 +105,10 @@ object GraftExtensions {
       FunctionIdentifier("rolling_fps"),
       new ExpressionInfo(classOf[RollingHashFps].getName, "rolling_fps"),
       (args: Seq[Expression]) => RollingHashFps(args(0))))
+    e.injectFunction((
+      FunctionIdentifier("token_stats"),
+      new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
+      (args: Seq[Expression]) => TokenStats(args(0))))
     // whole-operator extension: native as-of join (graft.plans.AsOfJoinPlan)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -24,18 +24,18 @@ object Curation {
     * templated documents (the information-theoretic sibling of x35's
     * max-frequency fraction); pretraining filters drop the low-H tail.
     *
-    * 100 TB: explode → two key-partitioned aggregates with map-side partials,
-    * identical shuffle shape to x35 — the (doc_id, tok) key is near-unique so
-    * the first shuffle carries ~token count rows, the second one per doc. */
+    * 100 TB: SHUFFLE-FREE — H is a pure per-row function of the token
+    * distribution; the native `token_stats` expression returns the
+    * sufficient statistics (n, Σ c·ln c) in one fused pass, replacing the
+    * double token-stream shuffle of the explode formulation. */
   def x44(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_tokens"),
-           round(log(sum(col("c"))) -
-                 sum(col("c") * log(col("c"))) / sum(col("c")), 6)
-             .as("entropy"))
+      .select(col("doc_id"), call_function("token_stats", col("text")).as("ts"))
+      .filter(col("ts.n_tokens") > 0)
+      .select(col("doc_id"),
+              col("ts.n_tokens").as("n_tokens"),
+              round(log(col("ts.n_tokens")) -
+                    col("ts.sum_clnc") / col("ts.n_tokens"), 6).as("entropy"))
       .orderBy("doc_id")
 
   /** x45: EMBEDDING QUANTIZATION — symmetric int8: scale = max|x|/127,
@@ -104,22 +104,20 @@ object Curation {
     * Reported as per-source admission rates — the shape a curation dashboard
     * consumes when deciding which crawls to keep.
     *
-    * 100 TB: x35's two-aggregate shuffle for the repetition stat, then a
-    * key-partitioned join back to the (doc_id, source) row and a tiny
-    * per-source aggregate. The verdict itself is integer algebra. */
+    * 100 TB: SHUFFLE-FREE except the tiny per-source aggregate — every
+    * check (length band, token_stats repetition, stopword membership) is a
+    * per-row projection, so the gate is a map-only corpus scan. The verdict
+    * itself is integer algebra. */
   def x47(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("n_chars"),
+      .select(col("source"), col("n_chars"),
               (array_contains(toks, "the") || array_contains(toks, "a"))
-                .as("stop_ok"))
-    val rep = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max(col("c")).as("max_c"), sum(col("c")).as("n_tok"))
+                .as("stop_ok"),
+              call_function("token_stats", col("text")).as("ts"))
+      .filter(col("ts.n_tokens") > 0)
     val keep = col("n_chars").between(100, 500) &&
-      col("max_c") * 5 < col("n_tok") && col("stop_ok")
-    docs.join(rep, "doc_id")
+      col("ts.max_cnt") * 5 < col("ts.n_tokens") && col("stop_ok")
+    docs
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            sum(when(keep, 1L).otherwise(0L)).as("n_keep"),

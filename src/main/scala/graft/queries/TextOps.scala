@@ -43,17 +43,21 @@ object TextOps {
     * dominates is boilerplate or generation loop output. Complements x11's
     * lexical-diversity score (distinct/total) with the max-frequency view.
     *
-    * 100 TB: explode → two key-partitioned aggregates, both with map-side
-    * partials; the (doc_id, tok) key is near-unique so the first shuffle is
-    * ~token count, the second one row per doc. */
+    * 100 TB: SHUFFLE-FREE — the per-doc token distribution is a pure
+    * per-row function, fused into the native `token_stats` expression
+    * (expr/TextExpressions.scala); the earlier explode → groupBy(doc,tok) →
+    * groupBy(doc) form shuffled the whole token stream twice for the same
+    * three numbers. The n_tokens>0 filter reproduces explode semantics
+    * (token-less docs emit no rows). */
   def x35(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_tokens"),
-           max(col("c")).as("max_tok_cnt"),
-           round(max(col("c")) * lit(1.0) / sum(col("c")), 6).as("rep_frac"))
+      .select(col("doc_id"), call_function("token_stats", col("text")).as("ts"))
+      .filter(col("ts.n_tokens") > 0)
+      .select(col("doc_id"),
+              col("ts.n_tokens").as("n_tokens"),
+              col("ts.max_cnt").as("max_tok_cnt"),
+              round(col("ts.max_cnt") * lit(1.0) / col("ts.n_tokens"), 6)
+                .as("rep_frac"))
       .orderBy("doc_id")
 
   /** x36: VOCABULARY CONSTRUCTION — count every token across the corpus,

@@ -33,6 +33,32 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(one - math.log(4.0)) < 1e-5)
   }
 
+  test("native token_stats equals the explode/groupBy formulation exactly") {
+    val docs = graft.engine.Tables.documents(spark, sfSmoke)
+    val tk = filter(split(lower(col("text")), " "), t => t =!= "")
+    val viaExplode = docs.select(col("doc_id"), explode(tk).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"), max(col("c")).as("mx"),
+           sum(col("c") * log(col("c"))).as("clnc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val viaNative = docs
+      .select(col("doc_id"), call_function("token_stats", col("text")).as("ts"))
+      .filter(col("ts.n_tokens") > 0)
+      .collect().map { r =>
+        val s = r.getStruct(1)
+        r.getLong(0) -> (s.getLong(0), s.getLong(1), s.getDouble(2))
+      }.toMap
+    assert(viaNative.keySet === viaExplode.keySet)
+    for ((id, (n, mx, clnc)) <- viaExplode) {
+      val (nn, nmx, nclnc) = viaNative(id)
+      assert(nn === n && nmx === mx, s"doc $id integer stats diverge")
+      // float sums may differ only by summation order (~1e-14 relative)
+      assert(math.abs(nclnc - clnc) <= 1e-9 * math.max(1.0, math.abs(clnc)),
+        s"doc $id: sum_clnc $nclnc vs $clnc")
+    }
+  }
+
   test("x45 quantization error is bounded by scale/2 and codes by ±127·dim") {
     val rows = Curation.x45(spark, sfSmoke).collect()
     assert(rows.nonEmpty)
