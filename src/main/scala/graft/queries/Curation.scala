@@ -30,8 +30,11 @@ object Curation {
     * double token-stream shuffle of the explode formulation. */
   def x44(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // trim-guard ≡ n_tokens>0 (space-split drops only space runs), placed
+      // BEFORE token_stats so pushdown cannot duplicate the fused pass into
+      // the filter (it did: see the pre-fix x44 plan note in docs/PLANS.md)
+      .filter(trim(col("text")) =!= "")
       .select(col("doc_id"), call_function("token_stats", col("text")).as("ts"))
-      .filter(col("ts.n_tokens") > 0)
       .select(col("doc_id"),
               col("ts.n_tokens").as("n_tokens"),
               round(log(col("ts.n_tokens")) -
@@ -110,11 +113,12 @@ object Curation {
     * itself is integer algebra. */
   def x47(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+      // trim-guard ≡ n_tokens>0, before the project (see x44's plan note)
+      .filter(trim(col("text")) =!= "")
       .select(col("source"), col("n_chars"),
               (array_contains(toks, "the") || array_contains(toks, "a"))
                 .as("stop_ok"),
               call_function("token_stats", col("text")).as("ts"))
-      .filter(col("ts.n_tokens") > 0)
     val keep = col("n_chars").between(100, 500) &&
       col("ts.max_cnt") * 5 < col("ts.n_tokens") && col("stop_ok")
     docs

@@ -51,8 +51,11 @@ object TextOps {
     * (token-less docs emit no rows). */
   def x35(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // trim-guard ≡ n_tokens>0 (space-split drops only space runs), placed
+      // BEFORE token_stats so pushdown cannot duplicate the fused pass into
+      // the filter (it did: see the pre-fix x44 plan note in docs/PLANS.md)
+      .filter(trim(col("text")) =!= "")
       .select(col("doc_id"), call_function("token_stats", col("text")).as("ts"))
-      .filter(col("ts.n_tokens") > 0)
       .select(col("doc_id"),
               col("ts.n_tokens").as("n_tokens"),
               col("ts.max_cnt").as("max_tok_cnt"),
