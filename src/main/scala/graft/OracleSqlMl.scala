@@ -702,6 +702,27 @@ object OracleSqlMl {
         |       CAST(MAX(n_chars) AS BIGINT) AS max_chars
         |FROM documents GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
+    // x56: x36's vocab (min-count 5, ids by desc count then tok) applied to
+    // each doc's first 20 tokens; OOV encodes as 0
+    "x56_encode_tokens" ->
+      """WITH t0 AS (
+        |  SELECT x AS tok FROM documents,
+        |    UNNEST([x FOR x IN string_split(LOWER(text),' ') IF x <> '']) AS u(x)),
+        |vocab AS (
+        |  SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS token_id
+        |  FROM (SELECT tok, COUNT(*) AS cnt FROM t0 GROUP BY tok)
+        |  WHERE cnt >= 5),
+        |d AS (SELECT doc_id,
+        |        [x FOR x IN string_split(LOWER(text),' ') IF x <> ''][1:20] AS t
+        |      FROM documents),
+        |p AS (SELECT doc_id, unnest(t) AS tok,
+        |             unnest(range(1, len(t) + 1)) AS pos FROM d),
+        |enc AS (SELECT doc_id, pos, COALESCE(v.token_id, 0) AS id
+        |        FROM p LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id, COUNT(*) AS n_enc,
+        |       string_agg(id, ',' ORDER BY pos) AS ids
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "x53_funnel_ordered" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
         |            WHERE event_type = 'signup' GROUP BY user_id),

@@ -123,7 +123,8 @@ object SparkEntry {
     "x52_ml_chi_base_classify" -> (ChiMl.x52 _),
     "x53_funnel_ordered"       -> (Analytics.x53 _),
     "x54_cohort_retention"     -> (Analytics.x54 _),
-    "x55_inverted_index"       -> (Analytics.x55 _)
+    "x55_inverted_index"       -> (Analytics.x55 _),
+    "x56_encode_tokens"        -> (TextOps.x56 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -73,6 +73,32 @@ object TextOps {
     * runs AFTER the min-count threshold, on the surviving vocabulary — a set
     * bounded by the language (≤ a few million rows), not by corpus size, so
     * the single-partition rank is deliberate and safe. */
+  /** x56: TOKENIZER APPLY — encode each document's first 20 tokens through
+    * x36's vocabulary (token_id, OOV → 0), emitted as one CSV string under
+    * the no-array output protocol. Build (x36) → apply (x56) is the full
+    * tokenizer round trip a training pipeline runs over the corpus.
+    *
+    * 100 TB: the vocabulary is bounded by the language (≤ millions of rows),
+    * so the encode join is a BROADCAST join against the full corpus scan —
+    * per-doc reassembly is one groupBy(doc) whose payload is capped at 20
+    * ids/doc. The ordered rebuild sorts structs per group (array_sort on
+    * (pos, id)), never a global sort. */
+  def x56(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = x36(spark, dir).select(col("tok"), col("token_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(slice(toks, 1, 20)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("p"),
+              coalesce(col("token_id"), lit(0L)).as("id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_enc"),
+           concat_ws(",",
+             transform(array_sort(collect_list(struct(col("p"), col("id")))),
+                       s => s.getField("id").cast("string"))).as("ids"))
+      .orderBy("doc_id")
+  }
+
   def x36(spark: SparkSession, dir: String): DataFrame = {
     val vocab = Tables.documents(spark, dir)
       .select(explode(toks).as("tok"))

@@ -33,6 +33,27 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("x56 encodings round-trip through x36's vocabulary") {
+    val vocab = graft.queries.TextOps.x36(spark, sfSmoke).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap // token_id -> tok
+    val docToks = graft.engine.Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"),
+              filter(split(lower(col("text")), " "), t => t =!= "").as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    for (r <- graft.queries.TextOps.x56(spark, sfSmoke).collect()) {
+      val (id, nEnc, ids) =
+        (r.getLong(0), r.getLong(1), r.getString(2).split(",").map(_.toLong))
+      val toks = docToks(id)
+      assert(nEnc === math.min(20, toks.length).toLong, s"doc $id n_enc")
+      assert(ids.length === nEnc, s"doc $id id count")
+      for ((tid, tok) <- ids.zip(toks)) {
+        if (tid == 0L) assert(!vocab.contains(tid), s"doc $id OOV id 0")
+        else assert(vocab(tid) === tok,
+          s"doc $id: id $tid decodes to ${vocab(tid)}, expected $tok")
+      }
+    }
+  }
+
   test("x55 postings hold min(df,10) ascending doc_ids") {
     for (r <- Analytics.x55(spark, sfSmoke).collect()) {
       val (df, posts) = (r.getLong(1), r.getString(2).split(",").map(_.toLong))
