@@ -702,6 +702,55 @@ object OracleSqlMl {
         |       CAST(MAX(n_chars) AS BIGINT) AS max_chars
         |FROM documents GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
+    // x14/x26: the multimodal decode STUB is a deterministic pure function
+    // of the payload bytes (16-bin high-nibble histogram / payload-size
+    // dims), and the corpus is ASCII (MultimodalSpec guards this), so
+    // char-indexed SQL reproduces the byte math exactly. Pair-sums in x26
+    // are 2-term float additions — commutative, hence order-exact.
+    "x14_multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |         WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+        |    length(text) AS len, text
+        |  FROM documents),
+        |bins AS (
+        |  SELECT doc_id, ascii(substr(text, CAST(u.i AS INTEGER), 1)) // 16 AS bin
+        |  FROM b, UNNEST(range(1, len + 1)) AS u(i)),
+        |h AS (SELECT doc_id, bin, COUNT(*) AS c FROM bins GROUP BY 1, 2),
+        |per AS (
+        |  SELECT b.doc_id, b.format,
+        |         COALESCE(SQRT(SUM((h.c * 1.0 / b.len) * (h.c * 1.0 / b.len))), 0.0) AS norm,
+        |         64 + b.len % 64 AS width, 64 + (b.len // 64) % 64 AS height
+        |  FROM b LEFT JOIN h USING (doc_id) GROUP BY b.doc_id, b.format, b.len)
+        |SELECT format, COUNT(*) AS n, ROUND(AVG(norm), 6) AS avg_norm,
+        |       ROUND(AVG(width), 6) AS avg_width, ROUND(AVG(height), 6) AS avg_height
+        |FROM per GROUP BY format ORDER BY format""".stripMargin,
+
+    "x26_multimodal_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id, length(text) AS len, text FROM documents
+        |  WHERE doc_id % 4 = 3),
+        |f AS (SELECT doc_id, len, text,
+        |             LEAST(8, GREATEST(1, len // 256)) AS n FROM b),
+        |fr AS (SELECT doc_id, text, u.f AS frame_id,
+        |              (u.f * len) // n AS lo, ((u.f + 1) * len) // n AS hi
+        |       FROM f, UNNEST(range(0, n)) AS u(f)),
+        |h16 AS (
+        |  SELECT doc_id, frame_id, hi - lo AS flen,
+        |         ascii(substr(text, CAST(lo + u2.i + 1 AS INTEGER), 1)) // 16 AS bin
+        |  FROM fr, UNNEST(range(0, hi - lo)) AS u2(i)),
+        |hc AS (SELECT doc_id, frame_id, flen, bin, COUNT(*) AS c
+        |       FROM h16 GROUP BY 1, 2, 3, 4),
+        |g AS (SELECT doc_id, frame_id, bin // 2 AS gb,
+        |             SUM(c * 1.0 / flen) AS v
+        |      FROM hc GROUP BY doc_id, frame_id, flen, bin // 2),
+        |per AS (SELECT doc_id, frame_id, SQRT(SUM(v * v)) AS fnorm
+        |        FROM g GROUP BY doc_id, frame_id)
+        |SELECT doc_id, COUNT(*) AS n_frames,
+        |       ROUND(AVG(fnorm), 6) AS avg_frame_norm
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // x56: x36's vocab (min-count 5, ids by desc count then tok) applied to
     // each doc's first 20 tokens; OOV encodes as 0
     "x56_encode_tokens" ->

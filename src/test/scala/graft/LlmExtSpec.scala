@@ -79,6 +79,23 @@ class LlmExtSpec extends AnyFunSuite {
       s"accuracy ${correct.toDouble / total} should beat the 1/5 chance rate")
   }
 
+  test("corpus is ASCII at every scale factor (x14/x26 oracle precondition)") {
+    // the x14/x26 DuckDB oracles index CHARS while the Spark stub hashes
+    // BYTES — equivalent only while the corpus is pure ASCII. A data refresh
+    // that introduces multi-byte text must fail HERE, not as a silent
+    // driver-side hash mismatch. (Pattern: ADVICE r2's session-gap guard.)
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(s"$dir/documents.parquet").exists) {
+        val nonAscii = graft.engine.Tables.documents(spark, dir)
+          .filter(octet_length(col("text")) =!= length(col("text")))
+          .count()
+        assert(nonAscii === 0, s"$sf has $nonAscii non-ASCII documents — " +
+          "retire or re-derive the x14/x26 oracles before trusting them")
+      }
+    }
+  }
+
   test("x14 multimodal: schema, batch shape, and deterministic stub features") {
     val media = MultimodalOps.mediaTable(spark, TestSpark.sfSmoke)
     val schema = media.schema
