@@ -426,9 +426,13 @@ object OracleSqlMl {
     *     even if the source ever split into multiple batches.
     *   - x25's dedup state cannot expire mid-batch (the watermark advances
     *     only between batches), so the emitted key set equals batch DISTINCT.
-    * x19 stays property-tested (StreamingSpec): its APPEND-mode output omits
-    * sessions still open at end-of-stream, a boundary set by ms-truncated
-    * event-time timers — portable SQL cannot pin that edge exactly. */
+    * x19 (APPEND mode) emits: every non-final session per user (closed
+    * in-batch by a later event), plus final sessions whose event-time
+    * timeout fired — Spark fires when timeout_ms < watermark_ms with
+    * timeout_ms = (last_us+gap)/1000 and watermark_ms = max_us/1000 − delay,
+    * all integer-floor µs→ms. That boundary is replicated digit-for-digit
+    * below (// 1000 both sides, strict <); StreamingSpec guards the one
+    * case where < vs <= could diverge (exact-equality timeouts). */
   val streaming: Map[String, String] = Map(
     // complete-mode tumbling replay == the q35 batch aggregate, same columns
     "x02_stream_tumbling_watermark" -> OracleSql.relational("q35_window_tumbling"),
@@ -454,6 +458,26 @@ object OracleSqlMl {
     "x25_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_keys
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x19_stream_custom_state" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, us,
+        |        CASE WHEN LAG(us) OVER w IS NULL
+        |                  OR us - LAG(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, us,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                       ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |sess AS (SELECT user_id, sid, MAX(us) AS last_us, COUNT(*) AS n
+        |         FROM s GROUP BY 1, 2),
+        |wm AS (SELECT MAX(us) AS mx FROM e),
+        |closed AS (
+        |  SELECT sess.* FROM sess
+        |  WHERE sid < (SELECT MAX(sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
+        |     OR (last_us + 1800000000) // 1000 < (SELECT mx FROM wm) // 1000 - 600000)
+        |SELECT user_id, COUNT(*) AS n_closed_sessions,
+        |       CAST(SUM(n) AS BIGINT) AS n_events
+        |FROM closed GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // x29: inner stream-stream joins emit every match present in the batch;
     // the batch twin is a plain range join (q09's family)

@@ -178,4 +178,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts === Map(1L -> 2L, 2L -> 1L),
       "key 1: first sighting + post-expiry re-emission; in-watermark dup dropped")
   }
+
+  test("no final session sits exactly on the x19 timeout boundary (oracle guard)") {
+    // The x19 oracle replicates Spark's event-time timeout as
+    // (last_us+gap)//1000 < max_us//1000 - 600000 (strict <). The one case
+    // where < vs <= would diverge is EXACT equality — assert the data never
+    // produces it, so a refresh fails here instead of flipping the driver
+    // compare red silently. (Pattern: ADVICE r2's session-gap guard.)
+    import org.apache.spark.sql.functions._
+    val spark2 = TestSpark.spark
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(s"$dir/events.parquet").exists) {
+        val e = graft.engine.Tables.events(spark2, dir)
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        val mx = e.agg(max(col("us"))).head().getLong(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("us")
+        val finals = e
+          .withColumn("brk", when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) >= 1800000000L, 1).otherwise(0))
+          .withColumn("sid", sum(col("brk")).over(
+            w.rowsBetween(Long.MinValue, 0)))
+          .groupBy("user_id", "sid").agg(max(col("us")).as("last_us"))
+        val onBoundary = finals
+          .filter(expr("(last_us + 1800000000) DIV 1000") === mx / 1000 - 600000L)
+          .count()
+        assert(onBoundary === 0,
+          s"$sf: $onBoundary sessions at the exact timeout boundary - " +
+          "re-derive or retire the x19 oracle before trusting it")
+      }
+    }
+  }
 }
