@@ -252,5 +252,6 @@ object OracleSql {
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
   )
 
-  def all: Map[String, String] = relational ++ OracleSqlMl.all
+  def all: Map[String, String] =
+    relational ++ OracleSqlMl.all ++ OracleSqlWrangle.wrangle
 }

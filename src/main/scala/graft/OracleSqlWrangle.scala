@@ -1,0 +1,124 @@
+package graft
+
+/** DuckDB oracle statements for the round-5 wrangling operators
+  * ([[graft.queries.Wrangle]] x57–x60). Same repr protocol as the rest
+  * (SURVEY.md §7.4): BIGINT / ROUND(…, k) DOUBLE / VARCHAR outputs only,
+  * every column aliased identically to the Spark side. */
+object OracleSqlWrangle {
+
+  val wrangle: Map[String, String] = Map(
+    // x57: range(0, n_chars, 150) is exclusive-stop — exactly Spark's
+    // sequence(0, n_chars-1, 150) inclusive-stop generation; substr is
+    // 1-based on both engines and the corpus is ASCII (char = byte).
+    "x57_doc_chunk" ->
+      """SELECT doc_id, CAST(u.i // 150 AS BIGINT) AS chunk_idx,
+        |       CAST(u.i AS BIGINT) AS start_off,
+        |       CAST(LEAST(200, n_chars - u.i) AS BIGINT) AS chunk_len,
+        |       substr(text, CAST(u.i + 1 AS INTEGER), 8) AS prefix
+        |FROM documents, UNNEST(range(0, n_chars, 150)) AS u(i)
+        |WHERE n_chars > 0
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // x58: the cents conversion rounds each double ONCE per row (identical
+    // IEEE value both engines) before the exact BIGINT sum — no
+    // float-summation-order hazard.
+    "x58_upsert_latest" ->
+      """WITH r AS (
+        |  SELECT event_type, value, ts,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_keys,
+        |       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS value_cents,
+        |       MAX(epoch_us(ts)) AS max_ts_us
+        |FROM r WHERE rn = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // x59: every count is exact BIGINT; each pmi is one integer-ratio
+    // division + one ln — bit-identical doubles before the 6-digit round.
+    "x59_bigram_pmi" ->
+      """WITH d AS (
+        |  SELECT [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT x AS tok, COUNT(*) AS u
+        |  FROM d, UNNEST(t) AS s(x) GROUP BY 1),
+        |pr AS (
+        |  SELECT x AS bg, COUNT(*) AS b FROM d,
+        |    UNNEST([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS s(x)
+        |  GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(u) FROM uni) AS n_tokens,
+        |               (SELECT SUM(b) FROM pr) AS m)
+        |SELECT string_split(bg, ' ')[1] AS tok_a,
+        |       string_split(bg, ' ')[2] AS tok_b,
+        |       CAST(b AS BIGINT) AS n_pair,
+        |       ROUND(LN(CAST(b * n_tokens * n_tokens AS DOUBLE)
+        |                / CAST(m * ua.u * ub.u AS DOUBLE)), 6) AS pmi
+        |FROM pr, tot
+        |JOIN uni ua ON ua.tok = string_split(bg, ' ')[1]
+        |JOIN uni ub ON ub.tok = string_split(bg, ' ')[2]
+        |WHERE b >= 5
+        |ORDER BY tok_a, tok_b""".stripMargin,
+
+    // x60: each term's ratio is one exact-BIGINT division + one ln; only the
+    // final per-source sum is a float accumulation, rounded to 6 (x44's
+    // tolerance class — the term count is vocab-bounded).
+    "x60_source_kl" ->
+      """WITH t AS (
+        |  SELECT source, x AS tok FROM documents,
+        |    UNNEST([x FOR x IN string_split(LOWER(text), ' ') IF x <> ''])
+        |      AS s(x)),
+        |st AS (SELECT source, tok, COUNT(*) AS c_st FROM t GROUP BY 1, 2),
+        |tt AS (SELECT tok, SUM(c_st) AS c_t FROM st GROUP BY 1),
+        |srt AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY 1),
+        |tot AS (SELECT SUM(c_t) AS n_corpus FROM tt)
+        |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+        |       COUNT(*) AS n_distinct,
+        |       ROUND(SUM(c_st * LN(CAST(c_st * n_corpus AS DOUBLE)
+        |                           / CAST(n_s * c_t AS DOUBLE)))
+        |             / MAX(n_s), 6) AS kl
+        |FROM st JOIN tt USING (tok) JOIN srt USING (source), tot
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // x61: the Bloom pre-filter is an engine-internal pruning step — false
+    // positives are removed by the exact semi join, so the oracle is the
+    // plain EXISTS; cents-exact sum per x58's per-row rounding rule.
+    "x61_bloom_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS acctbal_cents
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // x62: the sketch pass is engine-internal candidate pruning (survivor
+    // guarantee: any token with count > N/65) — the exact recount makes the
+    // output the plain top-20, which is what the oracle states. The
+    // (cnt DESC, tok) order is total, so LIMIT is deterministic.
+    "x62_heavy_hitters" ->
+      """SELECT x AS tok, COUNT(*) AS cnt
+        |FROM documents,
+        |  UNNEST([t FOR t IN string_split(LOWER(text), ' ') IF t <> ''])
+        |    AS s(x)
+        |GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+
+    // x63: the hash order is exact BIGINT arithmetic on both engines
+    // (products stay < 2^63), ties broken by doc_id — a total order, so the
+    // per-stratum rank is engine-identical.
+    "x63_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY ((doc_id % 100000000) * 1540483477) % 1000000, doc_id)
+        |      AS rn
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rn <= 30 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_kept
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

@@ -124,7 +124,14 @@ object SparkEntry {
     "x53_funnel_ordered"       -> (Analytics.x53 _),
     "x54_cohort_retention"     -> (Analytics.x54 _),
     "x55_inverted_index"       -> (Analytics.x55 _),
-    "x56_encode_tokens"        -> (TextOps.x56 _)
+    "x56_encode_tokens"        -> (TextOps.x56 _),
+    "x57_doc_chunk"            -> (Wrangle.x57 _),
+    "x58_upsert_latest"        -> (Wrangle.x58 _),
+    "x59_bigram_pmi"           -> (Wrangle.x59 _),
+    "x60_source_kl"            -> (Wrangle.x60 _),
+    "x61_bloom_semi_join"      -> (Wrangle.x61 _),
+    "x62_heavy_hitters"        -> (Wrangle.x62 _),
+    "x63_stratified_sample"    -> (Wrangle.x63 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -109,6 +109,10 @@ object GraftExtensions {
       FunctionIdentifier("token_stats"),
       new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
       (args: Seq[Expression]) => TokenStats(args(0))))
+    e.injectFunction((
+      FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
+      (args: Seq[Expression]) => FreqSketch.fromArgs(args)))
     // whole-operator extension: native as-of join (graft.plans.AsOfJoinPlan)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

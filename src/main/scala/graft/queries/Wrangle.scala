@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.engine.Tables
+
+/** Data-wrangling stages of the training/serving pipeline (round 5):
+  * retrieval-style document chunking (x57), CDC latest-wins compaction
+  * (x58), bigram pointwise mutual information (x59), and per-source
+  * distribution drift as KL divergence (x60). All four are exact
+  * integer/window arithmetic or fixed-order double chains — portable to
+  * DuckDB term-for-term, so every one is oracle-checked (SURVEY.md §7.4
+  * repr protocol: BIGINT / rounded-DOUBLE / STRING outputs only).
+  */
+object Wrangle {
+
+  /** Non-empty lowercase whitespace tokens of the `text` column. */
+  private def toks: Column =
+    filter(split(lower(col("text")), " "), t => t =!= "")
+
+  /** x57: DOCUMENT CHUNKING — fixed 200-char windows on a 150-char stride
+    * (50-char overlap), the RAG/retrieval indexing step that turns documents
+    * into embedding-sized passages. Emits one row per chunk with its offset,
+    * exact length, and an 8-char prefix witness (the corpus is ASCII-guarded
+    * — MultimodalSpec — so char offsets are byte offsets on both engines).
+    *
+    * 100 TB: SHUFFLE-FREE — chunk generation is per-row array algebra
+    * (`sequence` + `posexplode`) inside whole-stage codegen; fan-out is
+    * bounded by n_chars/stride per document, so output mass is a fixed
+    * ~1.33× of corpus mass. The orderBy exists for the oracle diff only —
+    * a production chunker writes the exploded rows partition-local. */
+  def x57(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+              posexplode(sequence(lit(0L), col("n_chars") - 1, lit(150L))))
+      .select(col("doc_id"),
+              col("pos").cast(LongType).as("chunk_idx"),
+              col("col").as("start_off"),
+              least(lit(200L), col("n_chars") - col("col")).as("chunk_len"),
+              col("text").substr(col("col").cast("int") + 1, lit(8))
+                .as("prefix"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** x58: CDC LATEST-WINS COMPACTION — per (user_id, event_type) keep only
+    * the newest event (total order: ts desc, event_id desc) — the
+    * merge-on-read compaction every upsert/changelog table needs before
+    * serving. Reported per event_type: live-key count, exact value mass of
+    * the surviving rows (cents-exact: the double is rounded to an integer
+    * cent count PER ROW, then summed as BIGINT — no float-summation-order
+    * hazard), and the newest timestamp.
+    *
+    * 100 TB: one hash shuffle on the compaction key (the same exchange a
+    * MERGE INTO dedup pass does), row_number + filter stream through without
+    * materializing groups, then a tiny per-type aggregate with map-side
+    * partials. Hot keys are impossible by construction — a key's group is
+    * its own changelog, bounded by update frequency. */
+  def x58(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_keys"),
+           sum(round(col("value") * 100, 0).cast(LongType)).as("value_cents"),
+           max(unix_micros(col("ts"))).as("max_ts_us"))
+      .orderBy("event_type")
+  }
+
+  /** x59: BIGRAM PMI — pointwise mutual information of adjacent token pairs,
+    * ln((B·N²)/(M·U(a)·U(b))) with B the pair count, U the unigram counts,
+    * N/M the token/bigram totals: the collocation statistic that seeds
+    * phrase detection (word2vec-phrases) and tokenizer merge scoring.
+    * Support-filtered at B ≥ 5. All counts are exact BIGINT; each PMI is ONE
+    * integer-ratio division and ONE ln — no float summation, so the doubles
+    * are bit-identical across engines before the 6-digit round. (The BIGINT
+    * numerator B·N² caps the exact path at ~N=10⁶ tokens; at corpus scale
+    * the same statistic runs as ln B + 2 ln N − ln M − ln Ua − ln Ub in
+    * doubles — the exact form IS the oracle for that path.)
+    *
+    * 100 TB: pair expansion is per-row higher-order array algebra (x40's
+    * shape — no shuffle); unigram and bigram aggregates are map-side-combined
+    * shuffles over a VOCAB-bounded key space; the three joins attach
+    * vocab-sized sides — broadcast, never a corpus shuffle. */
+  def x59(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(toks.as("tk"))
+    // vocab-bounded and read three times (N total, U(a) join, U(b) join) —
+    // materialize once instead of re-running the corpus explode per consumer
+    val uni = d.select(explode(col("tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("u"))
+      .localCheckpoint(true)
+    // ALL pair counts, materialized once (vocab²-bounded): M must be the
+    // total bigram mass — summing it after the support filter would inflate
+    // every PMI — and the checkpoint lets the tiny M aggregate and the
+    // supported-pair join both read this table instead of re-running the
+    // corpus explode (x24's lineage-cut pattern).
+    val pairsAll = d.select(explode(when(size(col("tk")) >= 2,
+        transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("tok_a"),
+                      element_at(col("tk"), i + 1).as("tok_b"))))
+        .otherwise(array().cast("array<struct<tok_a:string,tok_b:string>>")))
+        .as("p"))
+      .select(col("p.tok_a"), col("p.tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("b"))
+      .localCheckpoint(true)
+    val totals = uni.agg(sum(col("u")).as("n_tokens"))
+      .crossJoin(pairsAll.agg(sum(col("b")).as("m")))
+    pairsAll.filter(col("b") >= 5)
+      .join(uni.select(col("tok").as("tok_a"), col("u").as("ua")), "tok_a")
+      .join(uni.select(col("tok").as("tok_b"), col("u").as("ub")), "tok_b")
+      .crossJoin(broadcast(totals))
+      .select(col("tok_a"), col("tok_b"), col("b").as("n_pair"),
+              round(log((col("b") * col("n_tokens") * col("n_tokens"))
+                          .cast(DoubleType) /
+                        (col("m") * col("ua") * col("ub")).cast(DoubleType)),
+                    6).as("pmi"))
+      .orderBy("tok_a", "tok_b")
+  }
+
+  /** x60: SOURCE DRIFT (KL) — per-source KL divergence between the source's
+    * token distribution and the corpus distribution,
+    * KL(s‖c) = Σ_t (c_st/n_s)·ln((c_st·N)/(n_s·c_t)) — the drift metric a
+    * curation run watches to spot a crawl whose language shifted (domain
+    * shift detection before mixing, the distributional sibling of x30's
+    * rate-based mixing). Each term's ratio is ONE exact-BIGINT division and
+    * one ln; only the final Σ is a float sum, rounded to 6 (same tolerance
+    * class as x44's entropy sum — vocab-bounded, ~30 terms).
+    *
+    * 100 TB: a (source, token) aggregate and a token aggregate — both
+    * map-side-combined, both vocab×sources-bounded outputs; the corpus
+    * total is a 1-row broadcast. No corpus-sized shuffle anywhere. */
+  def x60(spark: SparkSession, dir: String): DataFrame = {
+    // sources×vocab-bounded and read three times (token totals, source
+    // totals, the term join) — materialize once, one corpus scan total
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true)
+    val tokTot = st.groupBy("tok").agg(sum(col("c_st")).as("c_t"))
+    val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+    val corpus = tokTot.agg(sum(col("c_t")).as("n_corpus"))
+    st.join(tokTot, "tok").join(srcTot, "source")
+      .crossJoin(broadcast(corpus))
+      .select(col("source"), col("n_s"),
+              (col("c_st") * log((col("c_st") * col("n_corpus"))
+                                   .cast(DoubleType) /
+                                 (col("n_s") * col("c_t")).cast(DoubleType)))
+                .as("term"))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"),
+           count(lit(1)).as("n_distinct"),
+           round(sum(col("term")) / max(col("n_s")), 6).as("kl"))
+      .orderBy("source")
+  }
+
+  /** x61: BLOOM-PRUNED SEMI JOIN — customers with ≥1 urgent order, with the
+    * build side first collapsed to a Bloom filter that pre-prunes the probe
+    * side BEFORE the exact semi join confirms survivors (false positives
+    * cannot reach the output, so the filter's fpp only costs recheck work,
+    * never correctness). This is the manual form of the runtime-filter /
+    * semi-join-pushdown pattern: ship an O(bits) sketch instead of an
+    * O(keys) build table to every probe-side task.
+    *
+    * 100 TB: the Bloom filter is built by `DataFrameStatFunctions` as a
+    * distributed treeAggregate (each partition folds its keys locally,
+    * merges log-tree to the driver) and broadcast once — at 1000 executors
+    * that is megabytes, vs shuffling the probe side's full width to a
+    * shuffle join. The exact confirm join then runs on the pruned remnant,
+    * which AQE downgrades to broadcast when the prune bites. */
+  def x61(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val bloom = urgent.stat.bloomFilter("o_custkey", 200000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContain(k))
+    Tables.customer(spark, dir)
+      .filter(mightContain(col("c_custkey")))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           // cents-exact: per-row rounding before the BIGINT sum (x58's rule)
+           sum(round(col("c_acctbal") * 100, 0).cast(LongType))
+             .as("acctbal_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** x62: HEAVY HITTERS, TWO-PASS — exact top-20 corpus tokens found by (1)
+    * a Misra–Gries `freq_sketch` aggregate ([[graft.engine.expr.FreqSketch]],
+    * capacity 64) whose state is BOUNDED at 64 entries per partition and per
+    * merge regardless of vocabulary, then (2) an exact recount restricted to
+    * the ≤64 surviving candidates. The sketch guarantees every token with
+    * true count > N/65 survives pass 1, so the top-20 is exact whenever the
+    * 20th frequency clears that bar (trivially true here: the corpus
+    * vocabulary is 31 < 64, so survivors = all tokens; the bar is what makes
+    * the same plan safe on an open vocabulary).
+    *
+    * 100 TB: pass 1 never shuffles token strings — each task reduces to a
+    * 64-entry summary, merged log-tree; pass 2 broadcasts the candidate
+    * list and aggregates over a 64-key space. A full groupBy(token) count
+    * would shuffle |vocab| keys — unbounded for real text. */
+  def x62(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir).select(explode(toks).as("tok"))
+    val cands = tok
+      .agg(call_function("freq_sketch", col("tok"), lit(64)).as("sk"))
+      .select(explode(map_keys(col("sk"))).as("tok"))
+    tok.join(broadcast(cands), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(20)
+  }
+
+  /** x63: STRATIFIED HASH SAMPLE — exactly ≤30 documents per language,
+    * chosen by ranking each stratum under a multiplicative-hash order
+    * (pseudo-random but fully deterministic; own odd constant, decorrelated
+    * from x20's split, x30's mix, and x41's rebalance), ties to doc_id. The
+    * per-stratum-quota twin of x41's rate-based sampling: rates cannot
+    * promise exact stratum sizes, a rank under a hash order can.
+    *
+    * 100 TB: one lang-partitioned window (rank + cap — x49's shape, hash
+    * order instead of length order); no global sort, no driver state.
+    * Output is |langs| rows. */
+  def x63(spark: SparkSession, dir: String): DataFrame = {
+    val hk = ((col("doc_id") % 100000000L) * lit(1540483477L)) % 1000000L
+    val w = Window.partitionBy("lang").orderBy(hk, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("rn") <= 30, 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("rn") <= 30, col("n_chars")).otherwise(0L))
+             .as("chars_kept"))
+      .orderBy("lang")
+  }
+}

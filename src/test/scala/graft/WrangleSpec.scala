@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Wrangle
+
+/** x57–x60 semantic properties (the oracle compare pins exact values; these
+  * pin the math's invariants so a refactor that stays repr-identical but
+  * breaks semantics still fails fast). */
+class WrangleSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfSmoke}
+
+  test("x57 chunks tile every document: stride 150, len = min(200, rest), full coverage") {
+    val docs = graft.engine.Tables.documents(spark, sfSmoke)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = Wrangle.x57(spark, sfSmoke).collect()
+    assert(chunks.nonEmpty)
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet === docs.keySet, "every non-empty doc is chunked")
+    for ((id, cs) <- byDoc) {
+      val n = docs(id)
+      val sorted = cs.sortBy(_.getLong(1))
+      // chunk_idx is dense from 0; start = idx*150; expected count
+      assert(sorted.map(_.getLong(1)).toSeq === sorted.indices.map(_.toLong))
+      assert(sorted.length === ((n - 1) / 150 + 1),
+        s"doc $id: ${sorted.length} chunks for $n chars")
+      for (c <- sorted) {
+        val (idx, off, len) = (c.getLong(1), c.getLong(2), c.getLong(3))
+        assert(off === idx * 150)
+        assert(len === math.min(200L, n - off))
+      }
+      // the last chunk reaches the end of the document exactly
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) === n)
+    }
+  }
+
+  test("x58 keeps exactly one row per live (user, type) key and is idempotent") {
+    val ev = graft.engine.Tables.events(spark, sfSmoke)
+    val liveKeys = ev.select(col("user_id"), col("event_type"))
+      .distinct().groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Wrangle.x58(spark, sfSmoke).collect()
+    assert(out.map(_.getString(0)).toSet === liveKeys.keySet)
+    for (r <- out)
+      assert(r.getLong(1) === liveKeys(r.getString(0)),
+        s"${r.getString(0)}: n_keys != distinct live keys")
+    // the newest surviving timestamp per type can never precede the newest
+    // raw event of ANY of its keys (latest-wins picks the max per key)
+    val maxRaw = ev.groupBy("event_type").agg(max(unix_micros(col("ts"))).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- out) assert(r.getLong(3) === maxRaw(r.getString(0)),
+      s"${r.getString(0)}: max surviving ts must equal max raw ts")
+  }
+
+  test("x59 PMI matches the closed form on a recomputed pair and respects support") {
+    val rows = Wrangle.x59(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) >= 5), "support filter b >= 5")
+    // recompute one pair end-to-end from the raw corpus
+    val d = graft.engine.Tables.documents(spark, sfSmoke)
+      .select(filter(split(lower(col("text")), " "), t => t =!= "").as("tk"))
+    val toksFlat = d.select(explode(col("tk")).as("tok"))
+    val n = toksFlat.count()
+    val uni = toksFlat.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bg = d.collect().iterator
+      .flatMap(_.getSeq[String](0).sliding(2).filter(_.length == 2))
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val m = bg.valuesIterator.sum
+    val probe = rows.head
+    val (a, b) = (probe.getString(0), probe.getString(1))
+    val expect = math.log(bg(Seq(a, b)).toDouble * n * n /
+                          (m.toDouble * uni(a) * uni(b)))
+    assert(math.abs(probe.getDouble(3) - expect) < 1e-5,
+      s"pmi($a,$b): ${probe.getDouble(3)} vs $expect")
+  }
+
+  test("x60 KL is non-negative per source and zero for a uniform corpus") {
+    val rows = Wrangle.x60(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    // Gibbs: KL(p||q) >= 0, up to the 6-digit output rounding
+    for (r <- rows)
+      assert(r.getDouble(3) >= -5e-7, s"${r.getString(0)}: KL ${r.getDouble(3)} < 0")
+    // a source whose distribution IS the corpus distribution has KL = 0:
+    // total n_tokens across sources equals the corpus total used in terms
+    val totalTokens = rows.map(_.getLong(1)).sum
+    val corpusTokens = graft.engine.Tables.documents(spark, sfSmoke)
+      .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")))
+      .count()
+    assert(totalTokens === corpusTokens)
+  }
+
+  test("x61 equals the plain (bloom-free) semi join exactly") {
+    val plain = graft.engine.Tables.customer(spark, sfSmoke)
+      .join(graft.engine.Tables.orders(spark, sfSmoke)
+              .filter(col("o_orderpriority") === "1-URGENT")
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           sum(round(col("c_acctbal") * 100, 0).cast("long")).as("acctbal_cents"))
+      .orderBy("c_mktsegment").collect().toSeq
+    val pruned = Wrangle.x61(spark, sfSmoke).collect().toSeq
+    assert(pruned === plain, "bloom pre-filter must never change the result")
+  }
+
+  test("freq_sketch honors the Misra-Gries survivor guarantee and weight bounds") {
+    val tok = graft.engine.Tables.documents(spark, sfSmoke)
+      .select(explode(filter(split(lower(col("text")), " "), t => t =!= ""))
+                .as("tok"))
+      .repartition(8) // force real partial buffers + merges
+    val exact = tok.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val cap = 4 // far below vocab so compression genuinely fires
+    val sk = tok.agg(call_function("freq_sketch", col("tok"), lit(cap)))
+      .head().getMap[String, Long](0)
+    assert(sk.size <= cap, s"sketch holds ${sk.size} > capacity $cap")
+    val bound = n / (cap + 1)
+    for ((k, c) <- exact if c > bound)
+      assert(sk.contains(k), s"heavy key $k (count $c > N/${cap + 1}=$bound) evicted")
+    for ((k, w) <- sk) {
+      assert(w <= exact(k), s"$k: sketch weight $w exceeds true count ${exact(k)}")
+      assert(w >= exact(k) - bound, s"$k: weight $w under-estimates beyond N/(cap+1)")
+    }
+  }
+
+  test("x62 equals the exact full top-20 (sketch candidates lose nothing here)") {
+    val exact = graft.engine.Tables.documents(spark, sfSmoke)
+      .select(explode(filter(split(lower(col("text")), " "), t => t =!= ""))
+                .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(20).collect().toSeq
+    assert(Wrangle.x62(spark, sfSmoke).collect().toSeq === exact)
+  }
+
+  test("x63 keeps at most 30 docs per language and never more than exist") {
+    for (r <- Wrangle.x63(spark, sfSmoke).collect()) {
+      val (nDocs, nKept) = (r.getLong(1), r.getLong(2))
+      assert(nKept === math.min(30L, nDocs),
+        s"${r.getString(0)}: kept $nKept of $nDocs")
+    }
+  }
+}
