@@ -91,6 +91,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x57: chunk fan-out is shuffle-free (only the oracle-order range exchange)") {
+    val p = plan(Wrangle.x57(spark, sfSmoke))
+    assert(!p.contains("hashpartitioning"),
+      "chunk generation must not hash-shuffle — it is per-row array algebra")
+    assert(p.contains("Generate"), "sequence+posexplode fan-out expected")
+  }
+
+  test("x62: freq_sketch aggregates partial+merge and the candidate join is broadcast") {
+    val p = plan(Wrangle.x62(spark, sfSmoke))
+    assert("freq_sketch".r.findAllIn(p).size >= 2,
+      "partial and merge freq_sketch stages expected (mergeable sketch)")
+    assert(p.contains("ObjectHashAggregate"),
+      "TypedImperativeAggregate should run in ObjectHashAggregate")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate recount must broadcast the <=capacity survivor list")
+  }
+
+  test("x63: one lang-keyed exchange feeds the window rank") {
+    val p = plan(Wrangle.x63(spark, sfSmoke))
+    assert(p.contains("hashpartitioning(lang"),
+      "stratum rank must partition by lang only")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "rank should be a streaming window, not a groupBy materialization")
+  }
+
   test("q44: dedup groupBy keys the exchange on the normalized text") {
     val p = plan(LlmExt.q44(spark, sfSmoke))
     assert(p.contains("HashAggregate") && p.contains("Exchange"))
