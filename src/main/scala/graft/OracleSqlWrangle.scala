@@ -119,6 +119,39 @@ object OracleSqlWrangle {
         |  CAST(SUM(CASE WHEN rn <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(SUM(CASE WHEN rn <= 30 THEN n_chars ELSE 0 END) AS BIGINT)
         |    AS chars_kept
-        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // x64: five independent violation counts; all-zero on the synthetic
+    // data is expected and still hash-compared.
+    "x64_integrity_audit" ->
+      """SELECT 'customer_dup_key' AS check, COUNT(*) AS n_bad FROM (
+        |  SELECT c_custkey FROM customer GROUP BY 1 HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'lineitem_nonpositive_price', COUNT(*) FROM lineitem
+        |  WHERE l_extendedprice <= 0
+        |UNION ALL
+        |SELECT 'lineitem_orphan', COUNT(*) FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT 'order_dup_key', COUNT(*) FROM (
+        |  SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'order_no_customer', COUNT(*) FROM orders
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |ORDER BY "check"""".stripMargin,
+
+    // x65: µs-exact interval arithmetic under a total per-user order.
+    "x65_scd2_intervals" ->
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                  ORDER BY ts, event_id) AS next_us
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_intervals,
+        |  CAST(SUM(CASE WHEN next_us IS NOT NULL THEN next_us - us
+        |                ELSE 0 END) AS BIGINT) AS closed_dur_us,
+        |  CAST(SUM(CASE WHEN next_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_open
+        |FROM iv GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -131,7 +131,9 @@ object SparkEntry {
     "x60_source_kl"            -> (Wrangle.x60 _),
     "x61_bloom_semi_join"      -> (Wrangle.x61 _),
     "x62_heavy_hitters"        -> (Wrangle.x62 _),
-    "x63_stratified_sample"    -> (Wrangle.x63 _)
+    "x63_stratified_sample"    -> (Wrangle.x63 _),
+    "x64_integrity_audit"      -> (Wrangle.x64 _),
+    "x65_scd2_intervals"       -> (Wrangle.x65 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -236,4 +236,62 @@ object Wrangle {
              .as("chars_kept"))
       .orderBy("lang")
   }
+
+  /** x64: INTEGRITY AUDIT — the referential / domain / key-uniqueness checks
+    * a lakehouse runs before promoting a snapshot: orphan facts (lineitem
+    * without its order, order without its customer), domain violations
+    * (non-positive extended price), and duplicate primary keys. One row per
+    * check with its violation count — the shape a data-quality dashboard
+    * ingests. All-zero on healthy data is the expected (and still
+    * hash-checked) output.
+    *
+    * 100 TB: each orphan check is an anti join — keyed shuffle (or broadcast
+    * when the parent side is dimension-sized, as AQE decides here); dup
+    * checks are partial-agg counts over the key space; the domain check is a
+    * map-only scan. The five 1-row aggregates union at zero cost. */
+  def x64(spark: SparkSession, dir: String): DataFrame =
+    audit(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+          Tables.customer(spark, dir))
+
+  /** The x64 audit core over arbitrary (lineitem, orders, customer)-shaped
+    * inputs — split out so the spec can plant violations and assert each
+    * check fires with the exact count. */
+  private[graft] def audit(li: DataFrame, ord: DataFrame, cust: DataFrame): DataFrame = {
+    def one(name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_bad")).select(lit(name).as("check"), col("n_bad"))
+    def dups(d: DataFrame, key: String): DataFrame =
+      d.groupBy(col(key)).agg(count(lit(1)).as("c")).filter(col("c") > 1)
+    one("customer_dup_key", dups(cust, "c_custkey"))
+      .unionByName(one("lineitem_nonpositive_price",
+        li.filter(col("l_extendedprice") <= 0)))
+      .unionByName(one("lineitem_orphan",
+        li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")))
+      .unionByName(one("order_dup_key", dups(ord, "o_orderkey")))
+      .unionByName(one("order_no_customer",
+        ord.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")))
+      .orderBy("check")
+  }
+
+  /** x65: SCD2 INTERVALS — reconstruct type-2 validity intervals from the
+    * events changelog: per user each event opens an interval that the next
+    * event (total order: ts, event_id) closes; the newest stays open. The
+    * dimension-history build step of every warehouse load, reported per
+    * event_type: interval count, total closed duration (µs-exact BIGINT),
+    * open-interval count.
+    *
+    * 100 TB: x39's exact shape — one user-keyed shuffle for the lead window
+    * (single-row state), then a tiny per-type aggregate with map-side
+    * partials. Pure integer arithmetic end to end. */
+  def x65(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+              lead(unix_micros(col("ts")), 1).over(w).as("next_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"),
+           sum(when(col("next_us").isNotNull, col("next_us") - col("us"))
+                 .otherwise(0L)).as("closed_dur_us"),
+           sum(when(col("next_us").isNull, 1L).otherwise(0L)).as("n_open"))
+      .orderBy("event_type")
+  }
 }

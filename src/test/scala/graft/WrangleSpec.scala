@@ -144,4 +144,41 @@ class WrangleSpec extends AnyFunSuite {
         s"${r.getString(0)}: kept $nKept of $nDocs")
     }
   }
+
+  test("x64 audit is all-zero on the shipped data and each check fires on planted rot") {
+    import spark.implicits._
+    val clean = Wrangle.x64(spark, sfSmoke).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.keySet === Set("customer_dup_key", "lineitem_nonpositive_price",
+      "lineitem_orphan", "order_dup_key", "order_no_customer"))
+    assert(clean.values.forall(_ === 0L), s"shipped data must audit clean: $clean")
+    // planted violations: 2 orphan lineitems, 1 bad price, dup order key,
+    // dup customer key, 1 order pointing at a missing customer
+    val cust = Seq((1L, 0), (2L, 0), (2L, 0)).toDF("c_custkey", "pad")
+    val ord = Seq((10L, 1L), (11L, 1L), (11L, 2L), (12L, 99L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq((10L, 5.0), (10L, -1.0), (77L, 5.0), (78L, 5.0))
+      .toDF("l_orderkey", "l_extendedprice")
+    val rotten = Wrangle.audit(li, ord, cust).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rotten("lineitem_orphan") === 2L)
+    assert(rotten("lineitem_nonpositive_price") === 1L)
+    assert(rotten("order_dup_key") === 1L, "one KEY is duplicated")
+    assert(rotten("customer_dup_key") === 1L)
+    assert(rotten("order_no_customer") === 1L)
+  }
+
+  test("x65 interval identities: rows = events, opens = users, closed mass = user spans") {
+    val out = Wrangle.x65(spark, sfSmoke).collect()
+    val ev = graft.engine.Tables.events(spark, sfSmoke)
+    assert(out.map(_.getLong(1)).sum === ev.count(), "one interval per event")
+    assert(out.map(_.getLong(3)).sum === ev.select("user_id").distinct().count(),
+      "exactly one open interval per user")
+    // consecutive closed intervals telescope: total closed duration equals
+    // the sum over users of (max ts - min ts)
+    val spans = ev.groupBy("user_id")
+      .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span"))
+      .agg(sum(col("span"))).head().getLong(0)
+    assert(out.map(_.getLong(2)).sum === spans)
+  }
 }
