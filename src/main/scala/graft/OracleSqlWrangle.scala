@@ -152,6 +152,25 @@ object OracleSqlWrangle {
         |                ELSE 0 END) AS BIGINT) AS closed_dur_us,
         |  CAST(SUM(CASE WHEN next_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_open
-        |FROM iv GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM iv GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // x66: each surprisal term is one exact-BIGINT ratio + one ln; the
+    // per-doc AVG is a float sum in x44's tolerance class (round 6). Docs
+    // with <2 tokens yield no bigrams and are absent on both engines.
+    "x66_bigram_surprisal" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS tok_a, t[i+1] AS tok_b
+        |  FROM d, UNNEST(range(1, len(t))) AS u(i)),
+        |pc AS (SELECT tok_a, tok_b, COUNT(*) AS b FROM bg GROUP BY 1, 2),
+        |hc AS (SELECT tok_a, SUM(b) AS h FROM pc GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |       ROUND(AVG(LN(CAST(h AS DOUBLE) / CAST(b AS DOUBLE))), 6)
+        |         AS surprisal
+        |FROM bg JOIN pc USING (tok_a, tok_b) JOIN hc USING (tok_a)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

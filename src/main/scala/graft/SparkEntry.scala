@@ -133,7 +133,8 @@ object SparkEntry {
     "x62_heavy_hitters"        -> (Wrangle.x62 _),
     "x63_stratified_sample"    -> (Wrangle.x63 _),
     "x64_integrity_audit"      -> (Wrangle.x64 _),
-    "x65_scd2_intervals"       -> (Wrangle.x65 _)
+    "x65_scd2_intervals"       -> (Wrangle.x65 _),
+    "x66_bigram_surprisal"     -> (Wrangle.x66 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

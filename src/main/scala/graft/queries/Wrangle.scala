@@ -97,13 +97,7 @@ object Wrangle {
     // every PMI — and the checkpoint lets the tiny M aggregate and the
     // supported-pair join both read this table instead of re-running the
     // corpus explode (x24's lineage-cut pattern).
-    val pairsAll = d.select(explode(when(size(col("tk")) >= 2,
-        transform(sequence(lit(1), size(col("tk")) - 1),
-          i => struct(element_at(col("tk"), i).as("tok_a"),
-                      element_at(col("tk"), i + 1).as("tok_b"))))
-        .otherwise(array().cast("array<struct<tok_a:string,tok_b:string>>")))
-        .as("p"))
-      .select(col("p.tok_a"), col("p.tok_b"))
+    val pairsAll = docBigrams(spark, dir)
       .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("b"))
       .localCheckpoint(true)
     val totals = uni.agg(sum(col("u")).as("n_tokens"))
@@ -293,5 +287,48 @@ object Wrangle {
                  .otherwise(0L)).as("closed_dur_us"),
            sum(when(col("next_us").isNull, 1L).otherwise(0L)).as("n_open"))
       .orderBy("event_type")
+  }
+
+  /** Per-document adjacent-bigram occurrences (doc_id, tok_a, tok_b) — the
+    * shared expansion of x66's two passes. Per-row HOF algebra, no shuffle. */
+  private def docBigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), explode(when(size(col("tk")) >= 2,
+        transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("tok_a"),
+                      element_at(col("tk"), i + 1).as("tok_b"))))
+        .otherwise(array().cast("array<struct<tok_a:string,tok_b:string>>")))
+        .as("p"))
+      .select(col("doc_id"), col("p.tok_a"), col("p.tok_b"))
+
+  /** x66: BIGRAM SURPRISAL — per-document mean negative log-likelihood of
+    * its adjacent bigrams under the corpus bigram MLE,
+    * (1/n) Σ ln(H(a)/B(a,b)) with B the pair count and H(a)=Σ_b B(a,b) the
+    * head mass. This is the cheap in-engine stand-in for perplexity-based
+    * quality filtering: a doc whose transitions are corpus-typical scores
+    * low, templated-but-rare or garbled text scores high. Train-then-score
+    * in two passes over the corpus — exactly the shape of filtering against
+    * a fitted n-gram LM. Each term is ONE exact-BIGINT ratio and one ln;
+    * the per-doc mean is a float sum in x44's tolerance class (rounded 6).
+    *
+    * 100 TB: pass 1 aggregates the vocab²-bounded LM (map-side combined,
+    * checkpointed); pass 2 re-expands bigrams per row (no shuffle) and joins
+    * the BROADCAST model tables — the only corpus-sized exchange is the
+    * final doc-keyed aggregate. The model never grows with corpus size. */
+  def x66(spark: SparkSession, dir: String): DataFrame = {
+    val score = docBigrams(spark, dir)
+    val pairCnt = docBigrams(spark, dir)
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("b"))
+      .localCheckpoint(true)
+    val headCnt = pairCnt.groupBy("tok_a").agg(sum(col("b")).as("h"))
+    score
+      .join(broadcast(pairCnt), Seq("tok_a", "tok_b"))
+      .join(broadcast(headCnt), Seq("tok_a"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(avg(log(col("h").cast(DoubleType) /
+                         col("b").cast(DoubleType))), 6).as("surprisal"))
+      .orderBy("doc_id")
   }
 }

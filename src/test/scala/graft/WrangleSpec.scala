@@ -181,4 +181,21 @@ class WrangleSpec extends AnyFunSuite {
       .agg(sum(col("span"))).head().getLong(0)
     assert(out.map(_.getLong(2)).sum === spans)
   }
+
+  test("x66 surprisal is non-negative and covers every multi-token doc's bigrams") {
+    val out = Wrangle.x66(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    // ln(H(a)/B(a,b)) >= 0 termwise since B <= H; mean inherits it
+    for (r <- out)
+      assert(r.getDouble(2) >= -5e-7, s"doc ${r.getLong(0)}: surprisal < 0")
+    // per-doc bigram count = token count - 1 (multi-token docs only)
+    val expect = graft.engine.Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"),
+              size(filter(split(lower(col("text")), " "), t => t =!= ""))
+                .cast("long").as("n"))
+      .filter(col("n") >= 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) - 1)).toMap
+    assert(out.map(_.getLong(0)).toSet === expect.keySet)
+    for (r <- out) assert(r.getLong(1) === expect(r.getLong(0)))
+  }
 }
