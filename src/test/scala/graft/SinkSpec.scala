@@ -29,6 +29,27 @@ class SinkSpec extends AnyFunSuite {
     assert(one.count() === direct)
   }
 
+  test("JSONL corpus interchange: write documents as JSON lines, read back losslessly") {
+    // JSONL is the de-facto LLM-corpus interchange format; the engine must
+    // both emit it and re-ingest it with an EXPLICIT schema (schema inference
+    // is a second full scan at 100 TB — never rely on it)
+    val docs = graft.engine.Tables.documents(spark, sfSmoke)
+    val out = Files.createTempDirectory("jsonl").toString + "/documents"
+    docs.write.mode("overwrite").json(out)
+    val back = spark.read.schema(docs.schema).json(out)
+    assert(back.schema === docs.schema, "explicit schema must be preserved")
+    val a = docs.orderBy("doc_id").collect().toSeq
+    val b = back.orderBy("doc_id").collect().toSeq
+    assert(b === a, "JSONL round-trip must be lossless")
+    // projection still prunes the parsed fields even though JSON rows are
+    // read whole: the scan's ReadSchema narrows to the requested columns
+    val narrow = back.select("doc_id", "lang")
+    narrow.collect()
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "JSON scan must parse only the projected fields:\n" + plan.take(500))
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS b_orders")
