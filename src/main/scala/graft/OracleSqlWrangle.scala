@@ -171,6 +171,43 @@ object OracleSqlWrangle {
         |       ROUND(AVG(LN(CAST(h AS DOUBLE) / CAST(b AS DOUBLE))), 6)
         |         AS surprisal
         |FROM bg JOIN pc USING (tok_a, tok_b) JOIN hc USING (tok_a)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x67: the same five power iterations, unrolled as CTEs (recursive CTEs
+    // cannot aggregate in the recursive term). All constants are CAST to
+    // DOUBLE so no DECIMAL literal arithmetic sneaks in; contribution sums
+    // are x44-class float adds, rounded 6 only at the end.
+    "x67_token_pagerank" ->
+      """WITH d AS (
+        |  SELECT [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS t
+        |  FROM documents),
+        |bg AS (SELECT t[i] AS a, t[i+1] AS b
+        |       FROM d, UNNEST(range(1, len(t))) AS u(i)),
+        |pc AS (SELECT a, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |e AS (SELECT src, dst, SUM(c) AS w FROM (
+        |        SELECT a AS src, b AS dst, c FROM pc
+        |        UNION ALL SELECT b, a, c FROM pc) GROUP BY 1, 2),
+        |s AS (SELECT src, SUM(w) AS strength FROM e GROUP BY 1),
+        |oe AS (SELECT e.src, e.dst,
+        |              CAST(w AS DOUBLE) / CAST(strength AS DOUBLE) AS frac
+        |       FROM e JOIN s USING (src)),
+        |v AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM e),
+        |p0 AS (SELECT DISTINCT src AS tok, CAST(1.0 AS DOUBLE) / (SELECT n FROM v) AS p FROM e),
+        |p1 AS (SELECT oe.dst AS tok, CAST(0.15 AS DOUBLE) / (SELECT n FROM v)
+        |              + CAST(0.85 AS DOUBLE) * SUM(p0.p * oe.frac) AS p
+        |       FROM oe JOIN p0 ON p0.tok = oe.src GROUP BY oe.dst),
+        |p2 AS (SELECT oe.dst AS tok, CAST(0.15 AS DOUBLE) / (SELECT n FROM v)
+        |              + CAST(0.85 AS DOUBLE) * SUM(p1.p * oe.frac) AS p
+        |       FROM oe JOIN p1 ON p1.tok = oe.src GROUP BY oe.dst),
+        |p3 AS (SELECT oe.dst AS tok, CAST(0.15 AS DOUBLE) / (SELECT n FROM v)
+        |              + CAST(0.85 AS DOUBLE) * SUM(p2.p * oe.frac) AS p
+        |       FROM oe JOIN p2 ON p2.tok = oe.src GROUP BY oe.dst),
+        |p4 AS (SELECT oe.dst AS tok, CAST(0.15 AS DOUBLE) / (SELECT n FROM v)
+        |              + CAST(0.85 AS DOUBLE) * SUM(p3.p * oe.frac) AS p
+        |       FROM oe JOIN p3 ON p3.tok = oe.src GROUP BY oe.dst),
+        |p5 AS (SELECT oe.dst AS tok, CAST(0.15 AS DOUBLE) / (SELECT n FROM v)
+        |              + CAST(0.85 AS DOUBLE) * SUM(p4.p * oe.frac) AS p
+        |       FROM oe JOIN p4 ON p4.tok = oe.src GROUP BY oe.dst)
+        |SELECT tok, ROUND(p, 6) AS pr FROM p5 ORDER BY tok""".stripMargin
   )
 }

@@ -134,7 +134,8 @@ object SparkEntry {
     "x63_stratified_sample"    -> (Wrangle.x63 _),
     "x64_integrity_audit"      -> (Wrangle.x64 _),
     "x65_scd2_intervals"       -> (Wrangle.x65 _),
-    "x66_bigram_surprisal"     -> (Wrangle.x66 _)
+    "x66_bigram_surprisal"     -> (Wrangle.x66 _),
+    "x67_token_pagerank"       -> (Wrangle.x67 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -331,4 +331,47 @@ object Wrangle {
                          col("b").cast(DoubleType))), 6).as("surprisal"))
       .orderBy("doc_id")
   }
+
+  /** x67: TOKEN PAGERANK — five power iterations (d = 0.85) over the
+    * symmetrized token co-occurrence graph (edge weight = B(a,b)+B(b,a)
+    * from the adjacent-bigram counts). The iterative-graph-analytics sibling
+    * of x24's components: fixed iteration count instead of a fixpoint, so
+    * the output is a closed-form function of the data and oracle-checkable
+    * (the DuckDB twin unrolls the same five iterations as CTEs). Nodes are
+    * tokens that occur in ≥1 bigram, so every node has out-strength > 0 —
+    * no dangling-mass term needed.
+    *
+    * 100 TB: the graph is aggregated ONCE from the corpus (vocab²-bounded,
+    * checkpointed); each iteration is a join + sum over the GRAPH, not the
+    * corpus — cost independent of corpus size. Per-target contribution sums
+    * are float adds in x44's tolerance class (round 6 after 5 iterations). */
+  def x67(spark: SparkSession, dir: String): DataFrame = {
+    val pairCnt = docBigrams(spark, dir)
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("b"))
+      .localCheckpoint(true)
+    // symmetrize: w(a,b) = B(a,b) + B(b,a), one row per directed edge
+    val edges = pairCnt.select(col("tok_a").as("src"), col("tok_b").as("dst"), col("b"))
+      .unionByName(pairCnt.select(col("tok_b").as("src"), col("tok_a").as("dst"), col("b")))
+      .groupBy("src", "dst").agg(sum(col("b")).as("w"))
+      .localCheckpoint(true)
+    val strength = edges.groupBy("src").agg(sum(col("w")).as("s"))
+    val outEdges = edges.join(strength, "src")
+      .select(col("src"), col("dst"),
+              (col("w").cast(DoubleType) / col("s").cast(DoubleType)).as("frac"))
+      .localCheckpoint(true)
+    val nV = outEdges.select(col("src")).distinct().count()
+    var pr = outEdges.select(col("src").as("tok")).distinct()
+      .withColumn("p", lit(1.0 / nV))
+      .localCheckpoint(true)
+    for (_ <- 1 to 5) {
+      pr = outEdges
+        .join(pr, col("src") === col("tok"))
+        .groupBy(col("dst").as("tok2"))
+        .agg(sum(col("p") * col("frac")).as("mass"))
+        .select(col("tok2").as("tok"),
+                (lit(0.15 / nV) + lit(0.85) * col("mass")).as("p"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("tok"), round(col("p"), 6).as("pr")).orderBy("tok")
+  }
 }

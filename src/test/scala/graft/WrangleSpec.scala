@@ -198,4 +198,18 @@ class WrangleSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSet === expect.keySet)
     for (r <- out) assert(r.getLong(1) === expect(r.getLong(0)))
   }
+
+  test("x67 PageRank conserves mass and respects the teleport floor") {
+    val out = Wrangle.x67(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    val n = out.length
+    // every node keeps at least the teleport mass (1-d)/N
+    for (r <- out)
+      assert(r.getDouble(1) >= 0.15 / n - 5e-7,
+        s"${r.getString(0)}: pr ${r.getDouble(1)} below teleport floor")
+    // symmetrized graph has no dangling nodes, so total mass stays 1
+    val total = out.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) < n * 5e-7 + 1e-9,
+      s"PageRank mass $total != 1")
+  }
 }
