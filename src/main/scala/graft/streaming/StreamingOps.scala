@@ -276,3 +276,60 @@ object StreamingOps {
       .orderBy("p_id")
   }
 }
+
+/** Idempotent latest-wins UPSERT sink for `foreachBatch` — the streaming
+  * MERGE INTO pattern on plain parquet (x58's compaction, maintained
+  * incrementally by a stream instead of rebuilt by a batch job).
+  *
+  * Contract: `foreachBatch` guarantees at-least-once delivery with a stable
+  * `batchId`; the SINK must make re-delivery harmless. Here every batch
+  * merges into the previous committed version and writes an immutable new
+  * version directory named BY THE BATCH ID — a retried batch re-derives and
+  * overwrites ITS OWN version from the same inputs rather than
+  * double-applying, so replays converge to identical state. Readers resolve
+  * the highest complete version (`_SUCCESS` present).
+  *
+  * 100 TB: the merge is one keyed shuffle of |table|+|batch| (the same
+  * exchange a MERGE INTO dedup pass costs); versioned-dir commits are how
+  * table formats (Delta/Iceberg) structure exactly-once sinks — those add a
+  * transaction log where this keeps the minimal parquet-only form. Compaction
+  * of old versions is the caller's retention policy. */
+object UpsertSink {
+  import org.apache.spark.sql.expressions.Window
+
+  private def versions(path: String): Seq[Long] = {
+    val d = new java.io.File(path)
+    if (!d.exists) Seq.empty
+    else d.listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+        new java.io.File(f, "_SUCCESS").exists)
+      .map(_.getName.stripPrefix("v=").toLong)
+  }
+
+  /** The current committed table state (empty schema-less read is the
+    * caller's concern before the first commit — returns None then). */
+  def read(spark: SparkSession, path: String): Option[DataFrame] =
+    versions(path).maxOption.map(v => spark.read.parquet(s"$path/v=$v"))
+
+  /** Latest-wins merge of `batch` into `existing` on (user_id, event_type),
+    * newest (ts, event_id) survives — exactly x58's total order. */
+  private[graft] def merge(existing: Option[DataFrame], batch: DataFrame): DataFrame = {
+    val all = existing.fold(batch)(_.unionByName(batch))
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The `foreachBatch` body. Usage:
+    * `stream.writeStream.foreachBatch(UpsertSink.into(path) _)`. */
+  def into(path: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // a retry re-merges against the version BELOW batchId (its own partial
+    // prior write is excluded), so the rewrite is a pure function of
+    // committed state + batch input
+    val base = versions(path).filter(_ < batchId).maxOption
+      .map(v => spark.read.parquet(s"$path/v=$v"))
+    merge(base, batch).write.mode("overwrite").parquet(s"$path/v=$batchId")
+  }
+}

@@ -179,6 +179,36 @@ class StreamingSpec extends AnyFunSuite {
       "key 1: first sighting + post-expiry re-emission; in-watermark dup dropped")
   }
 
+  test("UpsertSink: foreachBatch latest-wins merge, idempotent under batch retry") {
+    import graft.streaming.UpsertSink
+    val mem = MemoryStream[Ev](spark)
+    val path = java.nio.file.Files.createTempDirectory("upsert").toString + "/tbl"
+    val q = mem.toDF.writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        UpsertSink.into(path)(b, id))
+      .start()
+    // batch 0: two versions of (user 1, click) + one (user 2, view)
+    mem.addData(Seq(
+      Ev(1, ts(10), 1, "click", 1.0, "{}"), Ev(2, ts(20), 1, "click", 2.0, "{}"),
+      Ev(3, ts(15), 2, "view", 3.0, "{}")))
+    q.processAllAvailable()
+    // batch 1: newer (user 1, click) + first (user 2, click)
+    val b1 = Seq(Ev(4, ts(30), 1, "click", 9.0, "{}"),
+                 Ev(5, ts(5), 2, "click", 7.0, "{}"))
+    mem.addData(b1)
+    q.processAllAvailable()
+    q.stop()
+    def state() = UpsertSink.read(spark, path).get
+      .select("event_id", "user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expect = Set((4L, 1L, "click"), (3L, 2L, "view"), (5L, 2L, "click"))
+    assert(state() === expect, "newest row per (user, type) must survive")
+    // RETRY batch 1 (at-least-once redelivery): re-applying the same batch
+    // id with the same data must converge to the identical table
+    UpsertSink.into(path)(b1.toDF(), 1L)
+    assert(state() === expect, "batch retry must be a no-op")
+  }
+
   test("no final session sits exactly on the x19 timeout boundary (oracle guard)") {
     // The x19 oracle replicates Spark's event-time timeout as
     // (last_us+gap)//1000 < max_us//1000 - 600000 (strict <). The one case
