@@ -208,6 +208,46 @@ object OracleSqlWrangle {
         |p5 AS (SELECT oe.dst AS tok, CAST(0.15 AS DOUBLE) / (SELECT n FROM v)
         |              + CAST(0.85 AS DOUBLE) * SUM(p4.p * oe.frac) AS p
         |       FROM oe JOIN p4 ON p4.tok = oe.src GROUP BY oe.dst)
-        |SELECT tok, ROUND(p, 6) AS pr FROM p5 ORDER BY tok""".stripMargin
+        |SELECT tok, ROUND(p, 6) AS pr FROM p5 ORDER BY tok""".stripMargin,
+
+    // x68: the fill is a running last_value IGNORE NULLS under the same
+    // total order on both engines; cents sums are per-row-rounded (x58).
+    "x68_forward_fill" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_type <> 'error' THEN value END AS v,
+        |         LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END
+        |                    IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS filled
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN v IS NULL AND filled IS NOT NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |  CAST(SUM(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unfilled,
+        |  CAST(SUM(CAST(ROUND(COALESCE(filled, 0.0) * 100, 0) AS BIGINT))
+        |       AS BIGINT) AS filled_cents
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // x69: generate_series over dates yields timestamps — cast back to DATE;
+    // the VARCHAR day matches Spark's date-to-string 'YYYY-MM-DD'.
+    "x69_date_spine" ->
+      """WITH b AS (
+        |  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+        |         MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+        |s AS (SELECT CAST(u.d AS DATE) AS day
+        |      FROM b, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS u(d)),
+        |p AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+        |             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+        |                  AS BIGINT) AS revenue_cents
+        |      FROM orders GROUP BY 1)
+        |SELECT CAST(s.day AS VARCHAR) AS day,
+        |       CAST(CASE WHEN dayofweek(s.day) IN (0, 6) THEN 1 ELSE 0 END
+        |            AS BIGINT) AS is_weekend,
+        |       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+        |       CAST(COALESCE(revenue_cents, 0) AS BIGINT) AS revenue_cents
+        |FROM s LEFT JOIN p USING (day) ORDER BY day""".stripMargin
   )
 }

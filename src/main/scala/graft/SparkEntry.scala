@@ -135,7 +135,9 @@ object SparkEntry {
     "x64_integrity_audit"      -> (Wrangle.x64 _),
     "x65_scd2_intervals"       -> (Wrangle.x65 _),
     "x66_bigram_surprisal"     -> (Wrangle.x66 _),
-    "x67_token_pagerank"       -> (Wrangle.x67 _)
+    "x67_token_pagerank"       -> (Wrangle.x67 _),
+    "x68_forward_fill"         -> (Wrangle.x68 _),
+    "x69_date_spine"           -> (Wrangle.x69 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

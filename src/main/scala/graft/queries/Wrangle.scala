@@ -374,4 +374,63 @@ object Wrangle {
     }
     pr.select(col("tok"), round(col("p"), 6).as("pr")).orderBy("tok")
   }
+
+  /** x68: FORWARD FILL — timeseries imputation: error readings (the
+    * synthetic stand-in for sensor dropouts) are nulled and replaced by the
+    * user's most recent valid reading (`last_value` IGNORE NULLS under the
+    * total (ts, event_id) order); leading gaps stay null. Reported per
+    * event_type: rows, filled count, still-null count, cents-exact filled
+    * mass (x58's per-row rounding rule).
+    *
+    * 100 TB: one user-keyed window — the fill is a running last-value with
+    * O(1) state per row, no self-join, no point lookups; then a tiny
+    * per-type aggregate. The window partition is per user, so skew equals
+    * user activity skew (salt or split by time range if one key dominates). */
+  def x68(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("v", when(col("event_type") =!= "error", col("value")))
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+           sum(when(col("v").isNull && col("filled").isNotNull, 1L)
+                 .otherwise(0L)).as("n_filled"),
+           sum(when(col("filled").isNull, 1L).otherwise(0L)).as("n_unfilled"),
+           sum(round(coalesce(col("filled"), lit(0.0)) * 100, 0)
+                 .cast(LongType)).as("filled_cents"))
+      .orderBy("event_type")
+  }
+
+  /** x69: CALENDAR SPINE — the dense date dimension every warehouse joins
+    * facts against: one row per day from the first to the last order date,
+    * zero-filled where no orders landed (a groupBy alone silently DROPS
+    * empty days — the spine is what makes gaps visible). Emits day, order
+    * count, cents-exact revenue, and a weekend flag.
+    *
+    * 100 TB: the spine generates from a 1-row min/max aggregate (a
+    * `sequence` fan-out, thousands of rows regardless of fact size) and the
+    * fact side pre-aggregates per day BEFORE the join — so the join is
+    * spine × |days|, never spine × facts. Broadcast whichever side is
+    * smaller; here the per-day aggregate is. */
+  def x69(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val perDay = ord.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(round(col("o_totalprice") * 100, 0).cast(LongType))
+             .as("revenue_cents"))
+    val bounds = ord.agg(min(to_date(col("o_orderdate"))).as("lo"),
+                         max(to_date(col("o_orderdate"))).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(broadcast(perDay), Seq("day"), "left_outer")
+      .select(col("day").cast("string").as("day"),
+              // Spark dayofweek: 1=Sunday..7=Saturday (the oracle's
+              // dayofweek is 0=Sunday..6=Saturday — both flag Sun/Sat)
+              when(dayofweek(col("day")).isin(1, 7), 1L).otherwise(0L)
+                .as("is_weekend"),
+              coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+              coalesce(col("revenue_cents"), lit(0L)).as("revenue_cents"))
+      .orderBy("day")
+  }
 }

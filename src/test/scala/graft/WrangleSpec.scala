@@ -212,4 +212,50 @@ class WrangleSpec extends AnyFunSuite {
     assert(math.abs(total - 1.0) < n * 5e-7 + 1e-9,
       s"PageRank mass $total != 1")
   }
+
+  test("x68 fills exactly the error rows that have a prior valid reading") {
+    val out = Wrangle.x68(spark, sfSmoke).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // only nulled (error) rows can be filled; non-error types never are
+    for ((t, (_, filled, _)) <- out if t != "error")
+      assert(filled === 0L, s"$t: non-error rows must not be filled")
+    val (errRows, errFilled, errUnfilled) = out("error")
+    assert(errFilled + errUnfilled === errRows,
+      "every error row is either filled or a leading gap")
+    assert(errFilled > 0, "the data has errors after valid readings")
+    // unfilled = error rows with NO prior non-error event for the user
+    val ev = graft.engine.Tables.events(spark, sfSmoke)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Long.MinValue, -1)
+    val expectUnfilled = ev
+      .withColumn("priorValid",
+        max(when(col("event_type") =!= "error", 1).otherwise(0)).over(w))
+      .filter(col("event_type") === "error" &&
+              (col("priorValid").isNull || col("priorValid") === 0))
+      .count()
+    assert(errUnfilled === expectUnfilled)
+  }
+
+  test("x69 spine is dense and conserves order count and revenue mass") {
+    val rows = Wrangle.x69(spark, sfSmoke).collect()
+    // dense daily spine: row count == days between min and max inclusive
+    val days = rows.map(r => java.time.LocalDate.parse(r.getString(0)))
+    val expected = java.time.temporal.ChronoUnit.DAYS
+      .between(days.min, days.max) + 1
+    assert(rows.length.toLong === expected, "spine must have no gaps")
+    assert(days.distinct.length === rows.length)
+    // zero-filled days exist in this data, and totals are conserved
+    val ord = graft.engine.Tables.orders(spark, sfSmoke)
+    assert(rows.map(_.getLong(2)).sum === ord.count())
+    val cents = ord.select(sum(round(col("o_totalprice") * 100, 0).cast("long")))
+      .head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum === cents)
+    // weekend flag matches the calendar
+    for (r <- rows.take(30)) {
+      val dow = java.time.LocalDate.parse(r.getString(0)).getDayOfWeek
+      val isWe = dow == java.time.DayOfWeek.SATURDAY || dow == java.time.DayOfWeek.SUNDAY
+      assert(r.getLong(1) === (if (isWe) 1L else 0L), s"${r.getString(0)}: weekend flag")
+    }
+  }
 }
