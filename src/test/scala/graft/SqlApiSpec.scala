@@ -61,4 +61,23 @@ class SqlApiSpec extends AnyFunSuite {
     val total = spark.sql("SELECT SUM(n_intervals) FROM scd2").head().getLong(0)
     assert(total === spark.table("events").count())
   }
+
+  test("Dataset.observe collects audit metrics in-flight, no second pass") {
+    // the zero-cost sibling of x64: data-quality counters ride along with
+    // the job that already reads the data (at 100 TB a separate audit scan
+    // doubles the read bill; observe() makes it free)
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val obs = Observation("lineitem_audit")
+    val docs = graft.engine.Tables.lineitem(spark, sfSmoke)
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("bad_price"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"))
+    val n = docs.filter(col("l_quantity") > 0).count() // the real job
+    val m = obs.get
+    assert(m("rows").asInstanceOf[Long] >= n)
+    assert(m("bad_price") === 0L)
+    assert(m("null_qty") === 0L)
+  }
 }
