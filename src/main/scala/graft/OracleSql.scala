@@ -253,5 +253,6 @@ object OracleSql {
   )
 
   def all: Map[String, String] =
-    relational ++ OracleSqlMl.all ++ OracleSqlWrangle.wrangle
+    relational ++ OracleSqlMl.all ++ OracleSqlWrangle.wrangle ++
+      OracleSqlFeatures.features
 }

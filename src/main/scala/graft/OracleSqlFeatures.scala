@@ -1,0 +1,213 @@
+package graft
+
+/** DuckDB oracle statements for the round-5 feature-engineering operators
+  * ([[graft.queries.Features]] x70–x77). Same repr protocol as the rest
+  * (SURVEY.md §7.4): BIGINT / ROUND(…, k) DOUBLE / VARCHAR outputs only,
+  * every column aliased identically to the Spark side. DuckDB's SUM(BIGINT)
+  * is HUGEINT — every summed output is CAST back to BIGINT (the q49/x20
+  * rule). */
+object OracleSqlFeatures {
+
+  val features: Map[String, String] = Map(
+    // x70: the windowed top-k the native aggregate must reproduce exactly —
+    // same total order (score DESC, tag ASC).
+    "x70_topk_native" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank, o_orderkey,
+        |       ROUND(o_totalprice, 2) AS total_price
+        |FROM r WHERE rn <= 3
+        |ORDER BY o_orderpriority, rank""".stripMargin,
+
+    // x71: ntile is the SQL-standard equal-frequency binning on both
+    // engines (first n mod k buckets one element larger); the bucket
+    // assignment is deterministic under the (acctbal, custkey) total order.
+    "x71_quartile_buckets" ->
+      """WITH b AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |         NTILE(4) OVER (PARTITION BY c_mktsegment
+        |                        ORDER BY c_acctbal, c_custkey) AS quartile
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+        |       COUNT(*) AS n,
+        |       ROUND(MIN(c_acctbal), 2) AS min_bal,
+        |       ROUND(MAX(c_acctbal), 2) AS max_bal,
+        |       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS bal_cents
+        |FROM b GROUP BY c_mktsegment, quartile
+        |ORDER BY c_mktsegment, quartile""".stripMargin,
+
+    // x72: all features are exact integer arithmetic over epoch-µs BIGINTs
+    // and per-row cent rounding — no float accumulation anywhere.
+    "x72_user_features" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       COUNT(DISTINCT event_type) AS n_types,
+        |       CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS BIGINT)
+        |         AS span_s,
+        |       CAST(CASE WHEN COUNT(*) > 1
+        |            THEN ((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000)
+        |                 // (COUNT(*) - 1)
+        |            ELSE 0 END AS BIGINT) AS mean_gap_ms,
+        |       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // x73: per-user order is total via (ts, event_id) — same lag frame as
+    // the Spark window.
+    "x73_markov_context2" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         LAG(event_type, 1) OVER w AS prev1,
+        |         LAG(event_type, 2) OVER w AS prev2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT prev2 || '>' || prev1 AS context, event_type AS next_type,
+        |       COUNT(*) AS cnt
+        |FROM g WHERE prev2 IS NOT NULL
+        |GROUP BY context, next_type
+        |HAVING COUNT(*) >= 3
+        |ORDER BY context, next_type""".stripMargin,
+
+    // x74: quantile_cont == Spark percentile (type-7 linear interpolation,
+    // the x28-proven pairing); top1_ppm is exact integer division.
+    "x74_key_skew_report" ->
+      """WITH k AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        |       COUNT(*) AS n_keys,
+        |       MAX(c) AS max_c,
+        |       MIN(c) AS min_c,
+        |       CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top1_ppm,
+        |       ROUND(quantile_cont(c, 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(c, 0.95), 6) AS p95,
+        |       ROUND(quantile_cont(c, 0.99), 6) AS p99
+        |FROM k""".stripMargin,
+
+    // x75: the midpoint is exact integer µs arithmetic; each share is one
+    // BIGINT-ratio division and each PSI term a fixed 4-op double chain.
+    "x75_drift_psi" ->
+      """WITH m AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+        |           FROM events),
+        |cells AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_early,
+        |         CAST(SUM(CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_late
+        |  FROM events, m GROUP BY event_type)
+        |SELECT event_type, n_early, n_late,
+        |       ROUND((n_early * 1.0 / (SELECT SUM(n_early) FROM cells)
+        |              - n_late * 1.0 / (SELECT SUM(n_late) FROM cells))
+        |             * LN((n_early * 1.0 / (SELECT SUM(n_early) FROM cells))
+        |                  / (n_late * 1.0 / (SELECT SUM(n_late) FROM cells))), 6)
+        |         AS psi
+        |FROM cells ORDER BY event_type""".stripMargin,
+
+    // x76: generate_series is inclusive-stop — exactly Spark's
+    // sequence(1, n_chars-2); substr is 1-based on both engines and the
+    // corpus is ASCII (char = byte, MultimodalSpec guard).
+    "x76_char_trigrams" ->
+      """WITH pos AS (
+        |  SELECT lang, LOWER(text) AS t,
+        |         UNNEST(generate_series(1, n_chars - 2)) AS i
+        |  FROM documents WHERE n_chars >= 3),
+        |cnt AS (
+        |  SELECT lang, substr(t, CAST(i AS INTEGER), 3) AS tri, COUNT(*) AS cnt
+        |  FROM pos GROUP BY lang, tri),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |                               ORDER BY cnt DESC, tri) AS rank
+        |  FROM cnt)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, tri, cnt
+        |FROM r WHERE rank <= 10
+        |ORDER BY lang, rank""".stripMargin,
+
+    // x78: day deltas are exact integer date arithmetic on both engines;
+    // the mean is one integer-ratio division.
+    "x78_ship_delay_stats" ->
+      """WITH d AS (
+        |  SELECT l_returnflag,
+        |         date_diff('day', CAST(o_orderdate AS DATE),
+        |                   CAST(l_shipdate AS DATE)) AS delay_d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT l_returnflag, COUNT(*) AS n_lines,
+        |       MIN(delay_d) AS min_delay, MAX(delay_d) AS max_delay,
+        |       CAST(SUM(delay_d) AS BIGINT) AS sum_delay,
+        |       ROUND(SUM(delay_d) * 1.0 / COUNT(*), 6) AS mean_delay
+        |FROM d GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // x79: reuses x13's portable rolling-hash fingerprint CTEs; "shared"
+    // is a fp-keyed distinct-doc count, never a pair enumeration.
+    "x79_dup_rate_by_source" ->
+      ("WITH " + OracleSqlMl.fpCodedCtes + ",\n" + OracleSqlMl.fpsDistinctCte + ",\n" +
+        """shared AS (
+          |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1),
+          |dup AS (SELECT DISTINCT doc_id FROM fps JOIN shared USING (fp))
+          |SELECT source, COUNT(*) AS n_docs,
+          |       CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_dup,
+          |       CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          |            * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+          |FROM documents LEFT JOIN dup ON documents.doc_id = dup.doc_id
+          |GROUP BY source ORDER BY source""".stripMargin),
+
+    // x80: overlap on DISTINCT (source, fp); the self-join fan-out is
+    // |sources(fp)|² per fingerprint — bounded by the fixed source count.
+    "x80_source_overlap" ->
+      ("WITH " + OracleSqlMl.fpCodedCtes + ",\n" + OracleSqlMl.fpsDistinctCte + ",\n" +
+        """sf AS (
+          |  SELECT DISTINCT dd.source, fps.fp
+          |  FROM fps JOIN documents dd ON fps.doc_id = dd.doc_id),
+          |sz AS (SELECT source, COUNT(*) AS sz FROM sf GROUP BY source),
+          |pair AS (
+          |  SELECT a.source AS source_a, b.source AS source_b,
+          |         COUNT(*) AS n_common
+          |  FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+          |  GROUP BY 1, 2)
+          |SELECT source_a, source_b, n_common,
+          |       CAST(sa.sz + sb.sz - n_common AS BIGINT) AS n_union,
+          |       CAST(n_common * 1000000 // (sa.sz + sb.sz - n_common)
+          |            AS BIGINT) AS jaccard_ppm
+          |FROM pair
+          |JOIN sz sa ON sa.source = pair.source_a
+          |JOIN sz sb ON sb.source = pair.source_b
+          |ORDER BY source_a, source_b""".stripMargin),
+
+    // x81: same session rule (and exact-gap >= boundary) as the q37/x03
+    // oracles — a session histogram over those sessions.
+    "x81_session_histogram" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+        |                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (SELECT user_id, sid, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
+        |SELECT n_events, COUNT(*) AS n_sessions
+        |FROM sess GROUP BY n_events ORDER BY n_events""".stripMargin,
+
+    // x77: the z-test is evaluated in exact integer arithmetic on BOTH
+    // sides — (c·n − S)²·(n−1) > 4·n·(SS·n − S²) — so the flag count is
+    // float-free (DuckDB runs it in HUGEINT, Spark in BIGINT; equal values,
+    // Features.scala documents the BIGINT headroom).
+    "x77_anomaly_zscore" ->
+      """WITH cu AS (
+        |  SELECT event_type, user_id, COUNT(*) AS c
+        |  FROM events GROUP BY event_type, user_id),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss
+        |  FROM cu GROUP BY event_type)
+        |SELECT cu.event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(SUM(CASE WHEN (c * n - s) * (c * n - s) * (n - 1)
+        |                          > 4 * n * (ss * n - s * s)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |       MAX(c) AS max_c
+        |FROM cu JOIN st ON cu.event_type = st.event_type
+        |GROUP BY cu.event_type ORDER BY cu.event_type""".stripMargin
+  )
+}

@@ -201,7 +201,7 @@ object OracleSqlMl {
   /** Shared rolling-hash fingerprint prelude (x13's machinery): tokenized
     * docs → positioned tokens (first 256) → 5-token Horner codes. Callers
     * append their own `fps` head (with or without DISTINCT). */
-  private val fpCodedCtes =
+  private[graft] val fpCodedCtes =
     """d AS (SELECT doc_id,
       |  [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS t FROM documents),
       |toks AS (
@@ -217,7 +217,7 @@ object OracleSqlMl {
       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos))""".stripMargin
 
   /** Distinct per-doc fingerprints over the prelude. */
-  private val fpsDistinctCte =
+  private[graft] val fpsDistinctCte =
     """fps AS (
       |  SELECT DISTINCT doc_id,
       |    ((((((c4*131 + c3) % 1000000007) * 131 + c2) % 1000000007) * 131 + c1)

@@ -113,6 +113,10 @@ object GraftExtensions {
       FunctionIdentifier("freq_sketch"),
       new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
       (args: Seq[Expression]) => FreqSketch.fromArgs(args)))
+    e.injectFunction((
+      FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+      (args: Seq[Expression]) => TopKPairs.fromArgs(args)))
     // whole-operator extension: native as-of join (graft.plans.AsOfJoinPlan)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -1,0 +1,328 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.engine.Tables
+
+/** Feature-engineering and corpus-diagnostic stages (round 5): native
+  * bounded-state top-k (x70), quantile bucketing (x71), per-entity feature
+  * vectors (x72), higher-order sequence contexts (x73), key-skew
+  * diagnostics (x74), temporal distribution drift (x75), character n-gram
+  * profiles (x76), and integer-exact outlier flagging (x77). All eight are
+  * oracle-checked: outputs are BIGINT / ROUND(…, k) DOUBLE / STRING only
+  * (SURVEY.md §7.4 repr protocol), and every float is produced by a fixed
+  * short arithmetic chain over exact integers — portable bit-for-bit.
+  */
+object Features {
+
+  /** x70: NATIVE TOP-K PER GROUP — the 3 highest-value orders per order
+    * priority via [[graft.engine.expr.TopKPairs]], a bounded-state
+    * TypedImperativeAggregate (k pairs per partition per group; min-heap
+    * eviction; mergeable partials).
+    *
+    * 100 TB: the window idiom (`row_number` + filter) shuffles and sorts the
+    * WHOLE fact table to discard all but k rows per group; this plan's
+    * exchange carries at most k·partitions candidate pairs per group —
+    * `max_by` generalized to k > 1. PlanSpec asserts the physical plan is an
+    * ObjectHashAggregate pair with NO Window operator. */
+  def x70(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(call_function("topk_pairs",
+        col("o_totalprice"), col("o_orderkey"), lit(3)).as("tk"))
+      .select(col("o_orderpriority"), posexplode(col("tk")))
+      .select(col("o_orderpriority"),
+              (col("pos") + 1).cast(LongType).as("rank"),
+              col("col.tag").as("o_orderkey"),
+              round(col("col.score"), 2).as("total_price"))
+      .orderBy("o_orderpriority", "rank")
+
+  /** x71: QUANTILE BUCKETING — equal-frequency quartiles of customer
+    * balances within each market segment (`ntile(4)` under the total order
+    * (acctbal, custkey)), reported as per-bucket count, bounds, and exact
+    * cent mass. The binning step behind "split the corpus into quality
+    * quartiles" curation rules.
+    *
+    * 100 TB: one hash shuffle on the segment key + per-partition sort for
+    * the window; the aggregate that follows reuses the same partitioning, so
+    * no second exchange. ntile's bucket arithmetic (first `n mod 4` buckets
+    * one element larger) is the SQL-standard definition on both engines. */
+  def x71(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("quartile", ntile(4).over(w).cast(LongType))
+      .groupBy("c_mktsegment", "quartile")
+      .agg(count(lit(1)).as("n"),
+           round(min(col("c_acctbal")), 2).as("min_bal"),
+           round(max(col("c_acctbal")), 2).as("max_bal"),
+           sum(round(col("c_acctbal") * 100, 0).cast(LongType)).as("bal_cents"))
+      .orderBy("c_mktsegment", "quartile")
+  }
+
+  /** x72: PER-ENTITY FEATURE VECTOR — the classic user-level feature build
+    * (event count, type diversity, activity span, mean inter-event gap,
+    * value mass) as ONE aggregate pass. Every feature is exact integer
+    * arithmetic: spans/gaps via epoch-µs BIGINT division, money via
+    * per-row cent rounding before the BIGINT sum.
+    *
+    * 100 TB: a single hash shuffle on user_id with map-side partials
+    * (count-distinct over 5 event types stays a tiny exact set per
+    * partial); output is |users| rows — the feature table a downstream
+    * trainer joins against. */
+  def x72(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+              unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("event_type")).as("n_types"),
+           expr("(max(us) - min(us)) DIV 1000000").as("span_s"),
+           expr("""CASE WHEN count(1) > 1
+                   THEN ((max(us) - min(us)) DIV 1000) DIV (count(1) - 1)
+                   ELSE 0 END""").as("mean_gap_ms"),
+           sum(round(col("value") * 100, 0).cast(LongType)).as("value_cents"))
+      .orderBy("user_id")
+
+  /** x73: ORDER-2 SEQUENCE CONTEXTS — per-user event trigrams
+    * (context = two previous event types, label = the next), the training
+    * rows of a second-order Markov / next-event model. Support-filtered at
+    * ≥ 3 occurrences. Extends x39's bigram transitions one order up.
+    *
+    * 100 TB: one shuffle by user_id for the lag window (state: two rows),
+    * then an aggregate over ≤ |types|³ context cells — map-side combine
+    * makes the second exchange negligible. */
+  def x73(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+              lag(col("event_type"), 1).over(w).as("prev1"),
+              lag(col("event_type"), 2).over(w).as("prev2"))
+      .filter(col("prev2").isNotNull)
+      .select(concat(col("prev2"), lit(">"), col("prev1")).as("context"),
+              col("event_type").as("next_type"))
+      .groupBy("context", "next_type")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 3)
+      .orderBy("context", "next_type")
+  }
+
+  /** x74: KEY-SKEW DIAGNOSTIC — the pre-flight report a pipeline runs
+    * before choosing a join strategy on a key: row/key cardinalities, the
+    * hottest key's share (exact ppm, integer division), and the p50/p95/p99
+    * of the per-key count distribution (type-7 interpolation on both
+    * engines, the x28-proven pattern).
+    *
+    * 100 TB: one shuffle to count per key, then a single-row aggregate over
+    * |keys| counts. The percentile here is EXACT (it sorts the per-key
+    * counts, not the rows); if |keys| itself were huge this is where
+    * approx_percentile swaps in — the report's consumer tolerates sketch
+    * error, the oracle does not. */
+  def x74(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_rows"),
+           count(lit(1)).as("n_keys"),
+           max(col("c")).as("max_c"),
+           min(col("c")).as("min_c"),
+           expr("max(c) * 1000000 DIV sum(c)").as("top1_ppm"),
+           round(expr("percentile(c, 0.5)"), 6).as("p50"),
+           round(expr("percentile(c, 0.95)"), 6).as("p95"),
+           round(expr("percentile(c, 0.99)"), 6).as("p99"))
+
+  /** x75: TEMPORAL DRIFT (PSI) — population-stability-index contribution of
+    * each event type between the first and second half of the time range
+    * (split at the exact integer midpoint of epoch-µs min/max). The
+    * train/serve skew check every production pipeline runs; PSI =
+    * Σ (p−q)·ln(p/q) over class shares.
+    *
+    * 100 TB: two scans collapsed into one — the midpoint is a 1-row
+    * broadcast from the same aggregate pass shape, the halves split is a
+    * conditional aggregation per event type (5 cells), and the share
+    * normalization is a tiny window over those cells. Shares are
+    * BIGINT-ratio divisions; each PSI term is a fixed 4-op double chain —
+    * portable before the 6-digit round. */
+  def x75(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val mid = ev.agg(expr("(min(us) + max(us)) DIV 2").as("mid"))
+    val cells = ev.crossJoin(broadcast(mid))
+      .groupBy("event_type")
+      .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("n_early"),
+           sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("n_late"))
+    val tot = Window.partitionBy()
+    cells
+      .withColumn("p", col("n_early") * lit(1.0) / sum(col("n_early")).over(tot))
+      .withColumn("q", col("n_late") * lit(1.0) / sum(col("n_late")).over(tot))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+              round((col("p") - col("q")) * log(col("p") / col("q")), 6).as("psi"))
+      .orderBy("event_type")
+  }
+
+  /** x76: CHARACTER TRIGRAM PROFILE — top-10 char 3-grams per language over
+    * lowercased text, the classical language-ID / script-detection feature
+    * (x10's token profile, one level below words). Sliding positions are
+    * generated per row (`sequence` + explode) inside codegen — no join.
+    *
+    * 100 TB: fan-out is n_chars−2 per document (bounded, ~1× corpus mass as
+    * 3-char rows); ONE hash shuffle on (lang, trigram) with map-side
+    * combine, then a |langs|-partition window for the top-10 cut. At real
+    * scale the combine step is the whole game: the distinct-trigram space is
+    * ≤ |alphabet|³, so partials collapse the fan-out before the exchange.
+    * `fanOut` spreads the single-row-group harness scan across cores before
+    * the n_chars-per-row explode (Tables.fanOut Scaladoc; measured 2.9 s →
+    * sub-second at sf0.1). */
+  def x76(spark: SparkSession, dir: String): DataFrame = {
+    val byCnt = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tri"))
+    Tables.fanOut(Tables.documents(spark, dir)
+        .filter(col("n_chars") >= 3))
+      .select(col("lang"), lower(col("text")).as("t"),
+              explode(sequence(lit(1L), col("n_chars") - 2)).as("i"))
+      .select(col("lang"), col("t").substr(col("i").cast("int"), lit(3)).as("tri"))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(byCnt).cast(LongType))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("rank"), col("tri"), col("cnt"))
+      .orderBy("lang", "rank")
+  }
+
+  /** x78: FULFILLMENT-DELAY STATS — days between order date and each line's
+    * ship date, aggregated per return flag: the canonical fact⋈fact derived
+    * metric. Day deltas are exact integer date arithmetic; the mean is one
+    * BIGINT-ratio division rounded to 6dp.
+    *
+    * 100 TB: the one genuinely big-⋈-big join in this batch — lineitem and
+    * orders both scale with the corpus, so neither side broadcasts: the join
+    * hash-shuffles BOTH sides on orderkey (at warehouse scale the two tables
+    * would be bucketed on orderkey to delete this exchange — SURVEY §5) and
+    * the 3-group aggregate is pure map-side-combine after it. Only the 3
+    * needed columns of each table reach the join (column pruning to the
+    * scan). */
+  def x78(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), to_date(col("l_shipdate")).as("ship_d"))
+      .join(Tables.orders(spark, dir)
+              .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_d")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_returnflag"), datediff(col("ship_d"), col("order_d")).cast(LongType).as("delay_d"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+           min(col("delay_d")).as("min_delay"),
+           max(col("delay_d")).as("max_delay"),
+           sum(col("delay_d")).as("sum_delay"),
+           round(sum(col("delay_d")) * lit(1.0) / count(lit(1)), 6).as("mean_delay"))
+      .orderBy("l_returnflag")
+
+  /** x79: NEAR-DUP RATE BY SOURCE — per corpus source, the share of
+    * documents (exact ppm) carrying at least one 5-token shingle fingerprint
+    * that also occurs in ANOTHER document. The per-slice contamination
+    * report a curation pipeline reads before deciding which source needs
+    * the expensive dedup pass; reuses x13's portable rolling-hash
+    * fingerprints.
+    *
+    * 100 TB: no pair enumeration anywhere — "shared" is decided by a
+    * fp-keyed count-distinct (bounded per fp), the dup-doc set is an
+    * fp-join + distinct on doc ids only, and the final agg is |sources|
+    * rows. Contrast x24, which must materialize edges to CLUSTER the dups;
+    * rating them only needs this much. */
+  def x79(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fps = LlmExt2.docFingerprints(docs).distinct()
+    val shared = fps.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > 1)
+      .select("fp")
+    val dupDocs = fps.join(shared, "fp").select("doc_id").distinct()
+      .withColumn("is_dup", lit(1L))
+    docs.select(col("doc_id"), col("source"))
+      .join(dupDocs, Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"),
+           expr("sum(coalesce(is_dup, 0)) * 1000000 DIV count(1)").as("dup_ppm"))
+      .orderBy("source")
+  }
+
+  /** x80: CROSS-SOURCE OVERLAP — fingerprint-set Jaccard (exact ppm) for
+    * every source pair: how much content two corpus slices share, the
+    * mixing-matrix a corpus composer reads next to x30's quotas. Operates
+    * on DISTINCT (source, fp) — document multiplicity within a source
+    * doesn't inflate overlap.
+    *
+    * 100 TB: the fp self-join fans out |sources(fp)|² per fingerprint —
+    * bounded by the (tiny, fixed) source count, NOT by document count; the
+    * result is ≤ C(|sources|,2) rows. Set sizes ride in on a broadcast. */
+  def x80(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sfp = docs.select(col("doc_id"), col("source"))
+      .join(LlmExt2.docFingerprints(docs), "doc_id")
+      .select("source", "fp").distinct()
+    val sizes = sfp.groupBy("source").agg(count(lit(1)).as("sz"))
+    sfp.as("a")
+      .join(sfp.as("b"),
+            col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+                           .withColumnRenamed("sz", "sz_a")), "source_a")
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+                           .withColumnRenamed("sz", "sz_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+              (col("sz_a") + col("sz_b") - col("n_common")).as("n_union"),
+              expr("n_common * 1000000 DIV (sz_a + sz_b - n_common)").as("jaccard_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** x81: SESSION-LENGTH HISTOGRAM — distribution of events-per-session
+    * under q37's 30-minute-gap rule (same half-open boundary as
+    * session_window): the shape report behind session-based sampling or
+    * packing decisions.
+    *
+    * 100 TB: one user-keyed window pass to number sessions (q37's
+    * exchange), one (user, session) agg that reuses its partitioning, and a
+    * final histogram agg over ≤ max-session-length cells. */
+  def x81(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+              unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("us") - col("prev_us") >= 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid").agg(count(lit(1)).as("n_events"))
+    sess.groupBy("n_events").agg(count(lit(1)).as("n_sessions"))
+      .orderBy("n_events")
+  }
+
+  /** x77: INTEGER-EXACT OUTLIER FLAGS — per event type, how many users have
+    * an activity count more than 2 sample standard deviations above/below
+    * the mean. The z-test is evaluated WITHOUT floats: with n users, S=Σc,
+    * SS=Σc², the condition |c−S/n| > 2·σ is equivalent to
+    * (c·n − S)²·(n−1) > 4·n·(SS·n − S²) — all BIGINT, so the flag count
+    * cannot flip on engine-specific float-summation order. (Exact-BIGINT
+    * headroom: |c·n−S|²·n must stay < 2⁶³ — holds through ~10⁹ rows per
+    * type; beyond that the production path switches the moments to DECIMAL
+    * or the test to a sampled approximation.)
+    *
+    * 100 TB: per-(type,user) counts are one shuffle; the moment table is 5
+    * rows, broadcast back; the flag evaluation is codegen'd row algebra. */
+  def x77(spark: SparkSession, dir: String): DataFrame = {
+    val cu = Tables.events(spark, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+    val st = cu.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+           sum(col("c") * col("c")).as("ss"))
+    val dev = col("c") * col("n") - col("s")
+    cu.join(broadcast(st), "event_type")
+      .withColumn("flagged",
+        dev * dev * (col("n") - 1) > lit(4L) * col("n") * (col("ss") * col("n") - col("s") * col("s")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+           sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+           max(col("c")).as("max_c"))
+      .orderBy("event_type")
+  }
+}

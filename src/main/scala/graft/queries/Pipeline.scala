@@ -254,8 +254,13 @@ object Pipeline {
       // neighbor min-propagation …
       val prop = edges.join(labels, col("v") === col("node"))
         .select(col("u").as("node"), col("label"))
+      // nm feeds BOTH sides of the doubling join below — checkpoint it
+      // eagerly or the union+agg subtree runs twice per round (measured
+      // ~15-25% off x24/x33 at sf0.1; a lazy persist would also work but
+      // checkpointing additionally keeps the doubling join's lineage flat)
       val nm = labels.unionByName(prop)
         .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
       // … then pointer doubling (adopt the label's own label), which squares
       // the propagation distance per round: O(log diameter) rounds total.
       // (A leapfrog variant running two of these passes per checkpoint was

@@ -1,0 +1,236 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Features
+
+/** x70–x77 semantic properties (the oracle compare pins exact values; these
+  * pin the math's invariants so a refactor that stays repr-identical but
+  * breaks semantics still fails fast). */
+class FeaturesSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfSmoke}
+
+  test("x70 topk_pairs == window row_number top-k under (score desc, tag asc)") {
+    val orders = graft.engine.Tables.orders(spark, sfSmoke)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val windowed = orders
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+              round(col("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderpriority", "rank")
+      .collect()
+    val native = Features.x70(spark, sfSmoke).collect()
+    assert(native.toSeq === windowed.toSeq)
+  }
+
+  test("x70 partial aggregation is exact: same result at 1 and 16 input partitions") {
+    // the merge path only runs when partials exist — force many partitions
+    // so every group's final buffer is assembled from several partial heaps
+    val base = graft.engine.Tables.orders(spark, sfSmoke)
+    def run(parts: Int) = base.repartition(parts)
+      .groupBy("o_orderpriority")
+      .agg(call_function("topk_pairs",
+        col("o_totalprice"), col("o_orderkey"), lit(5)).as("tk"))
+      .select(col("o_orderpriority"), posexplode(col("tk")))
+      .select(col("o_orderpriority"), col("pos"), col("col.tag"), col("col.score"))
+      .orderBy("o_orderpriority", "pos").collect().toSeq
+    assert(run(1) === run(16))
+  }
+
+  test("x70 ties on score are broken by the lower tag") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, 9L), ("g", 1.0, 2L), ("g", 1.0, 5L), ("g", 0.5, 1L))
+      .toDF("g", "s", "t")
+    val out = df.groupBy("g")
+      .agg(call_function("topk_pairs", col("s"), col("t"), lit(2)).as("tk"))
+      .select(explode(col("tk")).as("p"))
+      .select(col("p.tag")).as[Long].collect().toSeq
+    assert(out === Seq(2L, 5L), "equal scores keep the smallest tags, in order")
+  }
+
+  test("x70 k larger than the group returns the whole group, and the plan has no Window") {
+    import spark.implicits._
+    val tiny = Seq(("a", 2.0, 1L), ("a", 1.0, 2L)).toDF("g", "s", "t")
+    val out = tiny.groupBy("g")
+      .agg(call_function("topk_pairs", col("s"), col("t"), lit(10)).as("tk"))
+      .select(size(col("tk"))).as[Int].head()
+    assert(out === 2)
+    val plan = Features.x70(spark, sfSmoke).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), "bounded-state agg is the operator")
+    assert(!plan.contains("Window"), "no full-shuffle window ranking in the plan")
+  }
+
+  test("x71 quartiles partition each segment: counts sum to segment size, buckets ordered") {
+    val segSizes = graft.engine.Tables.customer(spark, sfSmoke)
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Features.x71(spark, sfSmoke).collect()
+    val bySeg = rows.groupBy(_.getString(0))
+    assert(bySeg.keySet === segSizes.keySet)
+    for ((seg, rs) <- bySeg) {
+      assert(rs.map(_.getLong(2)).sum === segSizes(seg), s"$seg bucket counts")
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.length), s"$seg dense quartiles")
+      // equal-frequency: bucket sizes differ by at most 1
+      val ns = rs.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"$seg equal-frequency")
+      // value ranges do not overlap when read in quartile order
+      val ordered = rs.sortBy(_.getLong(1))
+      for (Array(lo, hi) <- ordered.sliding(2))
+        assert(lo.getDouble(4) <= hi.getDouble(3) + 1e-9,
+          s"$seg quartile ${lo.getLong(1)} max <= next min")
+    }
+  }
+
+  test("x72 features are internally consistent per user") {
+    val rows = Features.x72(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, types, spanS, gapMs) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(types >= 1 && types <= math.min(n, 5))
+      assert(spanS >= 0)
+      if (n == 1) assert(gapMs === 0)
+      else assert(gapMs <= (spanS + 1) * 1000 / (n - 1), "mean gap bounded by span")
+    }
+  }
+
+  test("x73 trigram context counts sum to the number of order-2 positions") {
+    // every event with >= 2 predecessors in its user stream is one position;
+    // x73 then support-filters at 3, so the SUM of kept counts <= positions
+    val ev = graft.engine.Tables.events(spark, sfSmoke)
+    val positions = ev.count() - 2 * ev.select("user_id").distinct().count()
+    val kept = Features.x73(spark, sfSmoke)
+      .agg(sum(col("cnt"))).head().getLong(0)
+    assert(kept <= positions)
+    assert(kept > 0, "smoke data has recurring transitions")
+    // and every context is 'a>b' over known event types
+    val types = ev.select("event_type").distinct().collect().map(_.getString(0)).toSet
+    for (r <- Features.x73(spark, sfSmoke).collect()) {
+      val Array(p2, p1) = r.getString(0).split(">")
+      assert(types(p2) && types(p1) && types(r.getString(1)))
+    }
+  }
+
+  test("x74 skew report invariants: top1 share exact, percentiles ordered") {
+    val r = Features.x74(spark, sfSmoke).head()
+    val (nRows, nKeys, maxC, minC, ppm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nKeys > 0 && nRows >= nKeys)
+    assert(minC >= 1 && maxC >= minC)
+    assert(ppm === maxC * 1000000L / nRows)
+    val (p50, p95, p99) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    assert(p50 <= p95 && p95 <= p99 && p99 <= maxC && minC <= p50)
+  }
+
+  test("x75 halves cover every event and PSI terms are sign-consistent") {
+    val total = graft.engine.Tables.events(spark, sfSmoke).count()
+    val rows = Features.x75(spark, sfSmoke).collect()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === total)
+    val (earlyTot, lateTot) =
+      (rows.map(_.getLong(1)).sum.toDouble, rows.map(_.getLong(2)).sum.toDouble)
+    for (r <- rows) {
+      val (p, q) = (r.getLong(1) / earlyTot, r.getLong(2) / lateTot)
+      val psi = r.getDouble(3)
+      assert(psi >= -1e-9, s"${r.getString(0)}: (p-q)ln(p/q) is non-negative")
+      assert(math.abs(psi - (p - q) * math.log(p / q)) < 1e-5)
+    }
+  }
+
+  test("x76 trigram mass per language equals sum over docs of (n_chars-2)") {
+    // rank<=10 cuts the OUTPUT; recompute the full counts here
+    val docs = graft.engine.Tables.documents(spark, sfSmoke)
+    val expected = docs.filter(col("n_chars") >= 3)
+      .groupBy("lang").agg(sum(col("n_chars") - 2).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.filter(col("n_chars") >= 3)
+      .select(col("lang"), lower(col("text")).as("t"),
+              explode(sequence(lit(1L), col("n_chars") - 2)).as("i"))
+      .select(col("lang"), col("t").substr(col("i").cast("int"), lit(3)).as("tri"))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full === expected)
+    // the published top-10 is a prefix of that distribution: counts descend
+    for ((_, rs) <- Features.x76(spark, sfSmoke).collect().groupBy(_.getString(0))) {
+      val ordered = rs.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(3)).sliding(2).forall(a => a.length < 2 || a(0) >= a(1)),
+        "counts non-increasing down the ranks")
+    }
+  }
+
+  test("x78 line count conserved through the join; mean inside [min,max]") {
+    val nLines = graft.engine.Tables.lineitem(spark, sfSmoke).count()
+    val rows = Features.x78(spark, sfSmoke).collect()
+    assert(rows.map(_.getLong(1)).sum === nLines, "fact join drops/duplicates no line")
+    for (r <- rows) {
+      val (lo, hi, mean) = (r.getLong(2), r.getLong(3), r.getDouble(5))
+      // NOTE: the synthetic generator dates orders and ship events
+      // independently, so negative delays are legitimate data here
+      assert(lo <= hi && mean >= lo - 1e-6 && mean <= hi + 1e-6)
+    }
+  }
+
+  test("x79 dup docs by source sum to the corpus-wide shared-fingerprint doc count") {
+    val docs = graft.engine.Tables.documents(spark, sfSmoke)
+    val fps = graft.queries.LlmExt2.docFingerprints(docs).distinct()
+    val dupTotal = fps.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > 1)
+      .join(fps, "fp").select("doc_id").distinct().count()
+    val rows = Features.x79(spark, sfSmoke).collect()
+    assert(rows.map(_.getLong(2)).sum === dupTotal)
+    for (r <- rows) {
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(1), "exact ppm")
+    }
+  }
+
+  test("x80 overlap is symmetric-complete and jaccard is exact") {
+    val rows = Features.x80(spark, sfSmoke).collect()
+    val sources = graft.engine.Tables.documents(spark, sfSmoke)
+      .select("source").distinct().count().toInt
+    // every unordered pair with non-empty intersection appears at most once
+    val pairs = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.distinct.length === pairs.length)
+    assert(rows.length <= sources * (sources - 1) / 2)
+    for (r <- rows) {
+      val (common, union, ppm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(common >= 1 && union >= common)
+      assert(ppm === common * 1000000L / union)
+      assert(r.getString(0) < r.getString(1), "canonical pair order")
+    }
+  }
+
+  test("x81 histogram masses: sessions and events both conserved") {
+    val ev = graft.engine.Tables.events(spark, sfSmoke)
+    val rows = Features.x81(spark, sfSmoke).collect()
+    // total events = sum(n_events * n_sessions)
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === ev.count())
+    // session count matches an independent q37-rule count
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val nSessions = ev
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNull || col("us") - col("prev") >= 1800000000L)
+      .count()
+    assert(rows.map(_.getLong(1)).sum === nSessions)
+  }
+
+  test("x77 integer z-test equals the float z-score flag on smoke data") {
+    val ev = graft.engine.Tables.events(spark, sfSmoke)
+    val cu = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val flagsFloat = cu.groupBy(_._1).map { case (t, rs) =>
+      val cs = rs.map(_._2.toDouble)
+      val n = cs.length
+      val mean = cs.sum / n
+      val sd = math.sqrt(cs.map(c => (c - mean) * (c - mean)).sum / (n - 1))
+      t -> cs.count(c => math.abs(c - mean) > 2 * sd).toLong
+    }
+    val out = Features.x77(spark, sfSmoke).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out === flagsFloat)
+  }
+}

@@ -116,6 +116,24 @@ class PlanSpec extends AnyFunSuite {
       "rank should be a streaming window, not a groupBy materialization")
   }
 
+  test("x70: topk_pairs aggregates partial+merge with no Window in the plan") {
+    val p = plan(graft.queries.Features.x70(spark, sfSmoke))
+    assert("topk_pairs".r.findAllIn(p).size >= 2,
+      "partial and merge topk_pairs stages expected (mergeable summary)")
+    assert(p.contains("ObjectHashAggregate"),
+      "TypedImperativeAggregate should run in ObjectHashAggregate")
+    assert(!p.contains("Window"),
+      "the whole point: no full-table window ranking")
+  }
+
+  test("x78: fact-to-fact join prunes both scans to the 3 needed columns") {
+    val p = plan(graft.queries.Features.x78(spark, sfSmoke))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string,l_shipdate"),
+      "lineitem scan must read exactly (orderkey, returnflag, shipdate)")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate"),
+      "orders scan must read exactly (orderkey, orderdate)")
+  }
+
   test("q44: dedup groupBy keys the exchange on the normalized text") {
     val p = plan(LlmExt.q44(spark, sfSmoke))
     assert(p.contains("HashAggregate") && p.contains("Exchange"))
