@@ -254,6 +254,10 @@ object Features {
     * result is ≤ C(|sources|,2) rows. Set sizes ride in on a broadcast. */
   def x80(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // sfp feeds three consumers (both self-join sides + sizes) but is NOT
+    // materialized: the distinct's exchange is reused across consumers
+    // (ReusedExchange), and an eager localCheckpoint here measured SLOWER
+    // (1.27s vs 1.02s at sf0.1) than letting the reuse do its job
     val sfp = docs.select(col("doc_id"), col("source"))
       .join(LlmExt2.docFingerprints(docs), "doc_id")
       .select("source", "fp").distinct()
