@@ -191,6 +191,75 @@ object OracleSqlFeatures {
         |SELECT n_events, COUNT(*) AS n_sessions
         |FROM sess GROUP BY n_events ORDER BY n_events""".stripMargin,
 
+    // x82: per-cell χ² contributions only — each value is one fixed
+    // arithmetic chain over BIGINT marginals; no cross-engine float sum.
+    "x82_length_chi2" ->
+      """WITH cells AS (
+        |  SELECT lang, LEAST(n_chars // 200, 4) AS band, COUNT(*) AS observed
+        |  FROM documents GROUP BY lang, band),
+        |m AS (
+        |  SELECT lang, band, observed,
+        |         SUM(observed) OVER (PARTITION BY lang) AS row_tot,
+        |         SUM(observed) OVER (PARTITION BY band) AS col_tot,
+        |         SUM(observed) OVER () AS n
+        |  FROM cells)
+        |SELECT lang, CAST(band AS BIGINT) AS band,
+        |       CAST(observed AS BIGINT) AS observed,
+        |       ROUND(row_tot * col_tot * 1.0 / n, 6) AS expected,
+        |       ROUND((observed - row_tot * col_tot * 1.0 / n)
+        |             * (observed - row_tot * col_tot * 1.0 / n)
+        |             / (row_tot * col_tot * 1.0 / n), 6) AS chi2_contrib
+        |FROM m ORDER BY lang, band""".stripMargin,
+
+    // x83: quantities are whole-valued doubles so the int cast agrees
+    // across engines; each Gini is one exact integer-ratio chain.
+    "x83_split_gain" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN l_extendedprice > 95000 THEN 1 ELSE 0 END AS pos,
+        |         (CAST(l_quantity AS INTEGER) - 1) // 10 AS band
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT CAST(band AS BIGINT) AS band, COUNT(*) AS n,
+        |         CAST(SUM(pos) AS BIGINT) AS n_pos
+        |  FROM d GROUP BY band
+        |  UNION ALL
+        |  SELECT -1, COUNT(*), CAST(SUM(pos) AS BIGINT) FROM d)
+        |SELECT band, n, n_pos,
+        |       ROUND(1.0 - (n_pos * n_pos + (n - n_pos) * (n - n_pos))
+        |                   * 1.0 / (n * n), 6) AS gini
+        |FROM g ORDER BY band""".stripMargin,
+
+    // x84: exact rolling distinct via a ≤7-day band join on the (day, user)
+    // grid — both engines truncate the UTC timestamp to a date.
+    "x84_rolling_active_users" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+        |wau AS (
+        |  SELECT d.day, COUNT(DISTINCT a.user_id) AS wau
+        |  FROM days d JOIN du a ON a.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day)
+        |SELECT CAST(dau.day AS VARCHAR) AS day, dau, wau
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY day""".stripMargin,
+
+    // x85: strictly-prior as-of semantics (q11's c.ts < p.ts rule) then a
+    // 24-cell attribution aggregate; cents are rounded per row before the
+    // BIGINT sum.
+    "x85_attribution_asof" ->
+      """WITH attr AS (
+        |  SELECT p.event_id, p.value,
+        |         MAX(c.ts) AS click_ts
+        |  FROM events p JOIN events c
+        |    ON p.user_id = c.user_id AND c.ts < p.ts AND c.event_type = 'click'
+        |  WHERE p.event_type = 'purchase'
+        |  GROUP BY p.event_id, p.value)
+        |SELECT CAST(hour(click_ts) AS BIGINT) AS click_hour,
+        |       COUNT(*) AS n_purchases,
+        |       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM attr GROUP BY click_hour ORDER BY click_hour""".stripMargin,
+
     // x77: the z-test is evaluated in exact integer arithmetic on BOTH
     // sides — (c·n − S)²·(n−1) > 4·n·(SS·n − S²) — so the flag count is
     // float-free (DuckDB runs it in HUGEINT, Spark in BIGINT; equal values,

