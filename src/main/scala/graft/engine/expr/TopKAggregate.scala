@@ -17,14 +17,16 @@ import org.apache.spark.sql.types._
   * score-descending `array<struct<score double, tag bigint>>`.
   *
   * This is the scale path for "top-k rows per group". The window idiom
-  * (`row_number() OVER (PARTITION BY g ORDER BY s DESC)` + `rn <= k`)
-  * shuffles and sorts EVERY row of the fact table before discarding all but
-  * k per group; this aggregate keeps at most k pairs per (partition, group)
-  * in a min-heap, so the exchange carries k rows per group per map task and
-  * the merge side never sees more than k·partitions candidates per group —
-  * the same partial/final shape as `max_by`, generalized to k > 1. At 100 TB
-  * the difference is shuffling the whole table vs shuffling a bounded
-  * summary.
+  * Spark 4's own `WindowGroupLimit` rewrite already bounds the window
+  * idiom's (`row_number() OVER (...)` + `rn <= k`) shuffle to k rows per
+  * partition per group — but it still FULLY SORTS every input partition on
+  * (group, order) before the partial limit, and sorts again after the
+  * exchange (verified against the executed plan, round 5). This aggregate
+  * replaces both sorts with an O(k) min-heap per (partition, group):
+  * O(n log k) map-side work with no sort buffer, the same partial/final
+  * shape as `max_by` generalized to k > 1, and — unlike the window — it
+  * composes into a single aggregation pass when other aggregates ride the
+  * same groupBy.
   *
   * Exactness: top-k under a total order is a mergeable summary (the k best
   * of a union is contained in the union of the per-part k bests), so

@@ -22,11 +22,13 @@ object Features {
     * TypedImperativeAggregate (k pairs per partition per group; min-heap
     * eviction; mergeable partials).
     *
-    * 100 TB: the window idiom (`row_number` + filter) shuffles and sorts the
-    * WHOLE fact table to discard all but k rows per group; this plan's
-    * exchange carries at most k·partitions candidate pairs per group —
-    * `max_by` generalized to k > 1. PlanSpec asserts the physical plan is an
-    * ObjectHashAggregate pair with NO Window operator. */
+    * 100 TB: Spark's WindowGroupLimit already bounds the window idiom's
+    * shuffle to k rows per partition per group, but still sorts every input
+    * partition twice (pre- and post-exchange); this plan replaces both
+    * sorts with O(k) heaps — O(n log k), no sort buffer — and the exchange
+    * carries at most k·partitions pairs per group. PlanSpec asserts the
+    * physical plan is an ObjectHashAggregate pair with NO Window (hence no
+    * sort) anywhere. */
   def x70(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
