@@ -260,6 +260,106 @@ object OracleSqlFeatures {
         |         AS value_cents
         |FROM attr GROUP BY click_hour ORDER BY click_hour""".stripMargin,
 
+    // x86: every stage is exact BIGINT modular arithmetic over x13's
+    // portable fingerprints; the 0.5 threshold is the integer test
+    // 2·common >= union, so no float boundary exists anywhere.
+    "x86_minhash_oracle_lsh" ->
+      ("WITH " + OracleSqlMl.fpCodedCtes + ",\n" + OracleSqlMl.fpsDistinctCte + ",\n" +
+        """hs AS (SELECT * FROM (VALUES
+          |  (0, 1540483477, 11), (1, 1103515245, 12345), (2, 69069, 7),
+          |  (3, 1664525, 1013904223), (4, 22695477, 1), (5, 134775813, 1),
+          |  (6, 214013, 2531011), (7, 1597334677, 3)) AS v(j, a, b)),
+          |sig AS (
+          |  SELECT doc_id, j, MIN((a * fp + b) % 2147483647) AS mh
+          |  FROM fps, hs GROUP BY doc_id, j),
+          |banded AS (
+          |  SELECT doc_id, j // 2 AS band,
+          |         STRING_AGG(CAST(mh AS VARCHAR), ':' ORDER BY j) AS key
+          |  FROM sig GROUP BY doc_id, j // 2),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+          |sz AS (SELECT doc_id, COUNT(*) AS s FROM fps GROUP BY doc_id),
+          |cm AS (
+          |  SELECT doc_a, doc_b, COUNT(*) AS c
+          |  FROM cand
+          |  JOIN fps fa ON fa.doc_id = cand.doc_a
+          |  JOIN fps fb ON fb.doc_id = cand.doc_b AND fb.fp = fa.fp
+          |  GROUP BY doc_a, doc_b)
+          |SELECT doc_a, doc_b,
+          |       ROUND(c * 1.0 / (sa.s + sb.s - c), 6) AS jaccard
+          |FROM cm
+          |JOIN sz sa ON sa.doc_id = cm.doc_a
+          |JOIN sz sb ON sb.doc_id = cm.doc_b
+          |WHERE 2 * c >= sa.s + sb.s - c
+          |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // x87: ln values quantized once per row to 1e-3 integer units, moments
+    // as exact BIGINT sums, statistics as fixed double chains — the
+    // regression is bit-portable (regr_slope-style float aggregation is
+    // not).
+    "x87_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT unnest([x FOR x IN string_split(LOWER(text), ' ') IF x <> ''])
+        |           AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok),
+        |ranked AS (
+        |  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r FROM freq),
+        |q AS (
+        |  SELECT CAST(ROUND(LN(CAST(r AS DOUBLE)) * 1e3, 0) AS BIGINT) AS x,
+        |         CAST(ROUND(LN(CAST(f AS DOUBLE)) * 1e3, 0) AS BIGINT) AS y
+        |  FROM ranked),
+        |s AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |         CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(y * y) AS BIGINT) AS syy,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM q)
+        |SELECT n AS n_vocab,
+        |       ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS slope,
+        |       ROUND((sy * 1.0 - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx)
+        |             / n / 1e3, 6) AS intercept,
+        |       ROUND((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy)
+        |             / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6) AS r2
+        |FROM s""".stripMargin,
+
+    // x88: counts exact; z is ONE fixed double chain mirrored
+    // op-for-op (and the 1.96 cut reads the unrounded z on both sides).
+    "x88_ab_conversion_ztest" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        |  FROM f WHERE rn = 1),
+        |arms AS (
+        |  SELECT user_id % 2 AS arm, COUNT(*) AS n,
+        |         CAST(SUM(conv) AS BIGINT) AS c
+        |  FROM pu GROUP BY arm),
+        |ab AS (
+        |  SELECT CAST(MAX(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+        |         CAST(MAX(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS c0,
+        |         CAST(MAX(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+        |         CAST(MAX(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS c1
+        |  FROM arms),
+        |zc AS (
+        |  SELECT n0, c0, n1, c1,
+        |         (c1 * 1.0 / n1 - c0 * 1.0 / n0)
+        |           / SQRT((c0 + c1) * 1.0 / (n0 + n1)
+        |                  * (1.0 - (c0 + c1) * 1.0 / (n0 + n1))
+        |                  * (1.0 / n0 + 1.0 / n1)) AS z
+        |  FROM ab)
+        |SELECT n0, c0, n1, c1, ROUND(z, 6) AS z,
+        |       CAST(CASE WHEN ABS(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS significant
+        |FROM zc""".stripMargin,
+
     // x77: the z-test is evaluated in exact integer arithmetic on BOTH
     // sides — (c·n − S)²·(n−1) > 4·n·(SS·n − S²) — so the flag count is
     // float-free (DuckDB runs it in HUGEINT, Spark in BIGINT; equal values,

@@ -270,6 +270,54 @@ object LlmExt2 {
       .select(col("doc_id"), explode(col("fps")).as("fp"))
   }
 
+  /** x86: ORACLE-CHECKED MinHash-LSH — the x01 pipeline rebuilt on fully
+    * PORTABLE arithmetic so the whole near-dup path (signatures → bands →
+    * candidate pairs → exact Jaccard) verifies against DuckDB: minhashes
+    * are `min((a·fp + b) mod 2147483647)` over x13's rolling-hash shingle
+    * fingerprints (exact BIGINT on any engine; a·fp < 2⁶¹), 8 hashes in 4
+    * bands of 2, candidates from band-key buckets, then exact shingle-set
+    * Jaccard with an INTEGER threshold test (2·common ≥ union — no float
+    * boundary). x01 keeps the engine-native xxhash64 variant; this is the
+    * cross-engine-reproducible twin.
+    *
+    * 100 TB: identical shape to x01 — per-doc signature is one groupBy;
+    * banding is a union of 4 key projections; the bucket self-join never
+    * enumerates cross-bucket pairs; Jaccard touches only candidate pairs. */
+  def x86(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L
+    val hs = Seq((1540483477L, 11L), (1103515245L, 12345L), (69069L, 7L),
+                 (1664525L, 1013904223L), (22695477L, 1L), (134775813L, 1L),
+                 (214013L, 2531011L), (1597334677L, 3L))
+    val fps = docFingerprints(Tables.documents(spark, dir)).distinct()
+    val sig = fps.groupBy("doc_id").agg(
+      min((col("fp") * hs.head._1 + hs.head._2) % P).as("mh0"),
+      hs.tail.zipWithIndex.map { case ((a, b), i) =>
+        min((col("fp") * a + b) % P).as(s"mh${i + 1}") }: _*)
+    val banded = (0 until 4).map { bI =>
+      sig.select(col("doc_id"), lit(bI.toLong).as("band"),
+                 concat_ws(":", col(s"mh${2 * bI}"), col(s"mh${2 * bI + 1}")).as("key"))
+    }.reduce(_ unionByName _)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sz = fps.groupBy("doc_id").agg(count(lit(1)).as("s"))
+    val common = cand
+      .join(fps.select(col("doc_id").as("doc_a"), col("fp")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp")), Seq("doc_b", "fp"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    common
+      .join(sz.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("u", col("sa") + col("sb") - col("c"))
+      .filter(col("c") * 2 >= col("u")) // jaccard >= 0.5, integer-exact
+      .select(col("doc_a"), col("doc_b"),
+              round(col("c") * lit(1.0) / col("u"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def x13(spark: SparkSession, dir: String): DataFrame = {
     docFingerprints(Tables.documents(spark, dir)).groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.engine.Tables
+
+/** Statistical-modeling operators (round 5): least-squares regression and a
+  * two-proportion hypothesis test, both evaluated with the repo's
+  * quantized-exact discipline — float inputs are rounded ONCE per row to
+  * integer micro-units, all accumulation is exact BIGINT, and the final
+  * statistic is a fixed short double chain. That makes a REGRESSION and a
+  * Z-TEST oracle-checkable bit-for-bit, which `regr_slope`-style float
+  * aggregation (whose summation order differs per engine) is not.
+  */
+object Stats {
+
+  /** x87: ZIPF SLOPE — least-squares fit of ln(freq) on ln(rank) over the
+    * corpus token distribution (the Zipf exponent, with fit r²): the
+    * vocabulary-shape diagnostic behind tokenizer sizing and quality
+    * filters. x = ln(rank), y = ln(freq) are quantized ONCE per row to
+    * 1e−3 units; Sx/Sy/Sxx/Syy/Sxy are exact BIGINT sums; slope/intercept/
+    * r² are fixed double chains over those six integers (the scales cancel
+    * in the slope; the intercept rescales once). The quantization shifts
+    * the fitted slope by O(1e−3) relative — identically on both engines,
+    * which is the point.
+    *
+    * 100 TB: one token-count shuffle (map-side combined), one |vocab| rank
+    * window, one 1-row aggregate. BIGINT headroom: n·Sxy ≤ V²·2e8 — exact
+    * through ~10⁵ vocab rows per fit (fit the tail on a rank sample past
+    * that). */
+  def x87(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+    val ranked = freq.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("tok"))).cast(LongType))
+    val q = ranked.select(
+      round(log(col("r").cast("double")) * 1e3, 0).cast(LongType).as("x"),
+      round(log(col("f").cast("double")) * 1e3, 0).cast(LongType).as("y"))
+    val s = q.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+                  sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+                  sum(col("y") * col("y")).as("syy"),
+                  sum(col("x") * col("y")).as("sxy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denx = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    s.select(col("n").as("n_vocab"),
+             round(num * lit(1.0) / denx, 6).as("slope"),
+             // intercept in y units: ((Sy − slope·Sx)/n) / 1e3
+             round((col("sy") * lit(1.0) - num * lit(1.0) / denx * col("sx"))
+                   / col("n") / 1e3, 6).as("intercept"),
+             round(num * lit(1.0) * num / (denx * lit(1.0) * deny), 6).as("r2"))
+  }
+
+  /** x88: A/B CONVERSION Z-TEST — two-proportion z on a DETERMINISTIC user
+    * split (user_id parity — the assignment a reproducible experiment
+    * framework would persist): conversion = "the user's FIRST event (by
+    * ts, event_id) is a purchase" — a rate that stays non-degenerate at
+    * every data volume (an any-purchase flag saturates to 1 for every
+    * user once streams are long, making the pooled variance zero). Counts
+    * are exact BIGINT; p₀/p₁/pooled-p and z are one fixed double chain, so
+    * the 1.96 significance cut is bit-identical across engines.
+    *
+    * 100 TB: one user-keyed window pass picks the first event (O(1) state
+    * per row), then a 2-row arm aggregate. */
+  def x88(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val perUser = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+              when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+      .withColumn("arm", col("user_id") % 2)
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val a = arms.filter(col("arm") === 0).select(col("n").as("n0"), col("c").as("c0"))
+    val b = arms.filter(col("arm") === 1).select(col("n").as("n1"), col("c").as("c1"))
+    val p0 = col("c0") * lit(1.0) / col("n0")
+    val p1 = col("c1") * lit(1.0) / col("n1")
+    val pp = (col("c0") + col("c1")) * lit(1.0) / (col("n0") + col("n1"))
+    val z = (p1 - p0) /
+      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+    a.crossJoin(b)
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+              round(z, 6).as("z"),
+              when(abs(z) > 1.96, 1L).otherwise(0L).as("significant"))
+  }
+}

@@ -271,6 +271,68 @@ class FeaturesSpec extends AnyFunSuite {
       assert(r.getLong(0) >= 0 && r.getLong(0) <= 23)
   }
 
+  test("x86 portable minhash-LSH: candidates superset-check against exact jaccard>=0.5 pairs") {
+    // every pair the exact all-pairs computation puts at jaccard >= 0.5
+    // SHOULD be surfaced by the banded candidates unless all 4 bands miss —
+    // with 2-hash bands at j >= 0.5 a miss is possible but must be rare;
+    // on the smoke corpus we require full recall of j >= 0.8 pairs
+    val docs = graft.engine.Tables.documents(spark, sfSmoke)
+    val fps = graft.queries.LlmExt2.docFingerprints(docs).distinct()
+    val pairs = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    val sz = fps.groupBy("doc_id").agg(count(lit(1)).as("s"))
+    val exact = pairs
+      .join(sz.select(col("doc_id").as("da"), col("s").as("sa")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("s").as("sb")), "db")
+      .withColumn("u", col("sa") + col("sb") - col("c"))
+      .filter(col("c") * lit(10) >= col("u") * lit(8)) // jaccard >= 0.8
+      .select(col("da"), col("db")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.queries.LlmExt2.x86(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(got),
+      s"high-similarity pairs missed by banding: ${exact -- got}")
+    assert(got.forall { case (a, b) => a < b }, "canonical pair order")
+  }
+
+  test("x87 slope is negative (Zipf) and r2 in [0,1]; quantization matches a direct fit") {
+    val r = graft.queries.Stats.x87(spark, sfSmoke).head()
+    val (n, slope, r2) = (r.getLong(0), r.getDouble(1), r.getDouble(3))
+    assert(n > 1)
+    assert(slope < 0, "token frequency decreases with rank")
+    assert(r2 >= 0 && r2 <= 1)
+    // recompute with plain doubles: quantization shifts the fit by O(1e-3)
+    val freq = graft.engine.Tables.documents(spark, sfSmoke)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "").groupBy("tok").count()
+      .collect().map(_.getLong(1)).sortBy(-_)
+    val xs = freq.indices.map(i => math.log(i + 1.0))
+    val ys = freq.map(f => math.log(f.toDouble))
+    val nn = xs.length
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val direct = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    assert(math.abs(slope - direct) < 5e-3, s"$slope vs direct $direct")
+  }
+
+  test("x88 arm counts partition the users and z matches a direct computation") {
+    val r = graft.queries.Stats.x88(spark, sfSmoke).head()
+    val (n0, c0, n1, c1, z) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val users = graft.engine.Tables.events(spark, sfSmoke)
+      .select("user_id").distinct().count()
+    assert(n0 + n1 === users)
+    assert(c0 <= n0 && c1 <= n1)
+    val (p0, p1) = (c0.toDouble / n0, c1.toDouble / n1)
+    val pp = (c0 + c1).toDouble / (n0 + n1)
+    val direct = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+    assert(math.abs(z - direct) < 1e-5)
+    assert(r.getLong(5) === (if (math.abs(direct) > 1.96) 1L else 0L))
+  }
+
   test("x77 integer z-test equals the float z-score flag on smoke data") {
     val ev = graft.engine.Tables.events(spark, sfSmoke)
     val cu = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
