@@ -340,22 +340,24 @@ object Features {
     * the consumer (a float sum over bands — the spec computes and checks
     * it).
     *
-    * 100 TB: two conditional aggregates (bands, parent) over one scan
-    * union'd — both map-side combinable, output ≤ bands+1 rows. Cast
-    * caveat: quantities are whole-valued doubles, so the int cast agrees
-    * across engines (Spark truncates, DuckDB rounds — equal on integers). */
+    * 100 TB: ONE conditional aggregate over one scan; the parent (band −1)
+    * row is re-aggregated from the ≤5 band rows, not from a second corpus
+    * pass (measured 1.6 s → 0.5 s at sf0.1). Cast caveat: quantities are
+    * whole-valued doubles, so the int cast agrees across engines (Spark
+    * truncates, DuckDB rounds — equal on integers). */
   def x83(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.lineitem(spark, dir)
+    val bands = Tables.lineitem(spark, dir)
       .select(when(col("l_extendedprice") > 95000, 1L).otherwise(0L).as("pos"),
               expr("(CAST(l_quantity AS INT) - 1) DIV 10").cast(LongType).as("band"))
-    def gini(g: org.apache.spark.sql.RelationalGroupedDataset) = g
-      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      .groupBy("band").agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      .localCheckpoint(true) // ≤5 rows; feeds itself + the parent re-agg
+    val parent = bands.agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"))
+      .select(lit(-1L).as("band"), col("n"), col("n_pos"))
+    bands.unionByName(parent)
       .select(col("band"), col("n"), col("n_pos"),
               round(lit(1.0) -
                 (col("n_pos") * col("n_pos") + (col("n") - col("n_pos")) * (col("n") - col("n_pos")))
                 * lit(1.0) / (col("n") * col("n")), 6).as("gini"))
-    gini(d.groupBy("band"))
-      .unionByName(gini(d.withColumn("band", lit(-1L)).groupBy("band")))
       .orderBy("band")
   }
 
