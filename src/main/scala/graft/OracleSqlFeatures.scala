@@ -360,6 +360,53 @@ object OracleSqlFeatures {
         |         AS significant
         |FROM zc""".stripMargin,
 
+    // x89: the KS numerator is an exact BIGINT max at every observed value;
+    // one division per source at the end.
+    "x89_ks_drift" ->
+      """WITH d AS (SELECT source, n_chars AS v FROM documents),
+        |cnt AS (SELECT source, v, COUNT(*) AS c FROM d GROUP BY source, v),
+        |grid AS (
+        |  SELECT s.source, sp.v, COALESCE(cnt.c, 0) AS c
+        |  FROM (SELECT DISTINCT v FROM d) sp
+        |  CROSS JOIN (SELECT DISTINCT source FROM d) s
+        |  LEFT JOIN cnt ON cnt.source = s.source AND cnt.v = sp.v),
+        |cums AS (
+        |  SELECT source, v,
+        |         SUM(c) OVER (PARTITION BY source ORDER BY v
+        |                      ROWS UNBOUNDED PRECEDING) AS cum_s
+        |  FROM grid),
+        |ac AS (
+        |  SELECT v, SUM(COUNT(*)) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |           AS cum_all
+        |  FROM d GROUP BY v),
+        |sz AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source),
+        |tt AS (SELECT COUNT(*) AS n FROM d)
+        |SELECT cums.source, CAST(MAX(n_s) AS BIGINT) AS n_s,
+        |       ROUND(MAX(ABS(cum_s * (n - n_s) - (cum_all - cum_s) * n_s))
+        |             * 1.0 / (MAX(n_s) * (MAX(n) - MAX(n_s))), 6) AS ks_d
+        |FROM cums
+        |JOIN ac ON ac.v = cums.v
+        |JOIN sz ON sz.source = cums.source
+        |CROSS JOIN tt
+        |GROUP BY cums.source ORDER BY cums.source""".stripMargin,
+
+    // x90: the power is spelled exp(0.7*ln x) on both engines; per-source
+    // terms quantized once to 1e-9 units, the normalizer an exact BIGINT
+    // sum, each weight one division.
+    "x90_temperature_mix" ->
+      """WITH s AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         COUNT(*) * 1.0 / SUM(COUNT(*)) OVER () AS share
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT source, n_docs, share,
+        |         CAST(ROUND(EXP(0.7 * LN(share)) * 1e9, 0) AS BIGINT) AS tq
+        |  FROM s)
+        |SELECT source, n_docs, ROUND(share, 6) AS share,
+        |       ROUND(tq * 1.0 / (SELECT CAST(SUM(tq) AS BIGINT) FROM t), 6)
+        |         AS weight
+        |FROM t ORDER BY source""".stripMargin,
+
     // x77: the z-test is evaluated in exact integer arithmetic on BOTH
     // sides — (c·n − S)²·(n−1) > 4·n·(SS·n − S²) — so the flag count is
     // float-free (DuckDB runs it in HUGEINT, Spark in BIGINT; equal values,

@@ -54,6 +54,76 @@ object Stats {
              round(num * lit(1.0) * num / (denx * lit(1.0) * deny), 6).as("r2"))
   }
 
+  /** x89: TWO-SAMPLE KS DRIFT — per source, the exact Kolmogorov–Smirnov
+    * distance between its doc-length distribution and the REST of the
+    * corpus: the continuous-feature drift test beside x75's categorical
+    * PSI. Evaluated entirely in integers: at every observed value v,
+    * |F_s(v) − F_rest(v)| = |cum_s·(N−n_s) − (cum_all−cum_s)·n_s| /
+    * (n_s·(N−n_s)) — the numerator max is an exact BIGINT max, the
+    * division happens once per source. (BIGINT headroom: cum·N ≤ N² —
+    * exact through N ≈ 3·10⁹ rows; past that, compute per-stratum on a
+    * deterministic sample.)
+    *
+    * 100 TB: the grid is |distinct values| × |sources| (bounded by the
+    * value domain, NOT row count); rows collapse to (source, v) counts in
+    * one map-side-combinable agg, the spine cross join is tiny, and the
+    * cumulative windows partition by source. */
+  def x89(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir).select(col("source"), col("n_chars").as("v"))
+    val cnt = d.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val grid = d.select("v").distinct()
+      .crossJoin(d.select("source").distinct())
+      .join(cnt, Seq("source", "v"), "left_outer")
+      .na.fill(0L, Seq("c"))
+    val bySrc = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allCum = d.groupBy("v").agg(count(lit(1)).as("ca"))
+      .withColumn("cum_all", sum(col("ca")).over(
+        Window.partitionBy().orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("v", "cum_all")
+    val sizes = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val total = d.agg(count(lit(1)).as("n"))
+    grid.withColumn("cum_s", sum(col("c")).over(bySrc))
+      .join(allCum, "v")
+      .join(broadcast(sizes), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("num",
+        abs(col("cum_s") * (col("n") - col("n_s"))
+            - (col("cum_all") - col("cum_s")) * col("n_s")))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_s"),
+           round(max(col("num")) * lit(1.0)
+                 / (max(col("n_s")) * (max(col("n")) - max(col("n_s")))), 6)
+             .as("ks_d"))
+      .orderBy("source")
+  }
+
+  /** x90: TEMPERATURE-BASED MIX WEIGHTS — the multinomial source-sampling
+    * weights w_s ∝ (n_s/N)^α at α = 0.7, the standard recipe for
+    * up-weighting low-resource slices when composing a multilingual /
+    * multi-source training corpus. The power is spelled exp(α·ln x)
+    * identically on both engines; each term is quantized ONCE to 1e−9
+    * integer units so the normalizing sum is exact BIGINT, and each weight
+    * is one final division — no cross-engine float-sum order anywhere.
+    *
+    * 100 TB: one |sources|-cell count agg; everything after is arithmetic
+    * over ≤ |sources| rows. */
+  def x90(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", col("n_docs") * lit(1.0) / sum(col("n_docs")).over(tot))
+      .withColumn("t",
+        round(exp(lit(0.7) * log(col("share"))) * 1e9, 0).cast(LongType))
+      .withColumn("weight", col("t") * lit(1.0) / sum(col("t")).over(tot))
+      .select(col("source"), col("n_docs"), round(col("share"), 6).as("share"),
+              round(col("weight"), 6).as("weight"))
+      .orderBy("source")
+  }
+
   /** x88: A/B CONVERSION Z-TEST — two-proportion z on a DETERMINISTIC user
     * split (user_id parity — the assignment a reproducible experiment
     * framework would persist): conversion = "the user's FIRST event (by

@@ -333,6 +333,42 @@ class FeaturesSpec extends AnyFunSuite {
     assert(r.getLong(5) === (if (math.abs(direct) > 1.96) 1L else 0L))
   }
 
+  test("x89 KS distance in [0,1] and equals a driver-side exact recompute") {
+    val rows = graft.queries.Stats.x89(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val data = graft.engine.Tables.documents(spark, sfSmoke)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = data.length
+    for (r <- rows) {
+      val (src, nS, d) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      assert(d >= 0 && d <= 1)
+      val mine = data.filter(_._1 == src).map(_._2).sorted
+      val rest = data.filter(_._1 != src).map(_._2).sorted
+      assert(mine.length === nS && rest.length === n - nS)
+      val points = (mine ++ rest).distinct.sorted
+      val direct = points.map { v =>
+        math.abs(mine.count(_ <= v).toDouble / nS - rest.count(_ <= v).toDouble / (n - nS))
+      }.max
+      assert(math.abs(d - direct) < 1e-6, s"$src: $d vs direct $direct")
+    }
+  }
+
+  test("x90 weights normalize to 1 and up-weight small sources (alpha < 1)") {
+    val rows = graft.queries.Stats.x90(spark, sfSmoke).collect()
+    val wSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4, "shares sum to 1")
+    // temperature alpha=0.7 compresses: every source's weight/share ratio
+    // exceeds 1 for below-average sources and is below it for above-average
+    val nAvg = rows.map(_.getLong(1)).sum.toDouble / rows.length
+    for (r <- rows) {
+      val boost = r.getDouble(3) / r.getDouble(2)
+      if (r.getLong(1) < nAvg * 0.99) assert(boost > 1, s"${r.getString(0)} under-boosted")
+      if (r.getLong(1) > nAvg * 1.01) assert(boost < 1, s"${r.getString(0)} over-boosted")
+    }
+  }
+
   test("x77 integer z-test equals the float z-score flag on smoke data") {
     val ev = graft.engine.Tables.events(spark, sfSmoke)
     val cu = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
