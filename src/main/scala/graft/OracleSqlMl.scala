@@ -437,6 +437,12 @@ object OracleSqlMl {
     // complete-mode tumbling replay == the q35 batch aggregate, same columns
     "x02_stream_tumbling_watermark" -> OracleSql.relational("q35_window_tumbling"),
 
+    // x91: a capacity-64 Misra–Gries summary of a 31-token vocabulary never
+    // evicts, so the streamed sketch weights ARE the exact counts — the
+    // plain batch top-20 (x62's oracle) pins it; the sketch's lossy regime
+    // is property-tested in WrangleSpec instead.
+    "x91_stream_heavy_hitters" -> OracleSqlWrangle.wrangle("x62_heavy_hitters"),
+
     "x03_stream_session_window" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,

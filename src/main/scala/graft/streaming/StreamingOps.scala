@@ -142,6 +142,48 @@ object StreamingOps {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** The documents parquet replayed as a stream (same staging trick as
+    * [[eventsStream]]). */
+  private def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Paths.get(
+      "/tmp/graft_stream_docs", dir.replaceAll("[^A-Za-z0-9]", "_"))
+    java.nio.file.Files.createDirectories(staged)
+    val link = staged.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(dir, "documents.parquet"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream.schema(schema).parquet(staged.toString)
+  }
+
+  /** x91: the Misra–Gries `freq_sketch` (a custom TypedImperativeAggregate)
+    * running INSIDE a Structured Streaming aggregation — heavy-hitter
+    * tracking over a live token stream, with the sketch buffer living in
+    * the streaming state store between micro-batches. Demonstrates that
+    * the native aggregate is streaming-safe (serialize/deserialize is the
+    * state-store round trip).
+    *
+    * Determinism/oracle: capacity 64 exceeds this corpus's whole
+    * vocabulary, and a Misra–Gries summary with NO evictions is exact —
+    * so the complete-mode output equals the plain batch top-20 token
+    * count (x62's oracle). The spec, not the oracle, covers the lossy
+    * regime. 100 TB: state is ≤ capacity entries regardless of vocabulary
+    * — the bounded-state property is exactly what a streaming agg needs. */
+  def x91(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documentsStream(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val sketched = toks.agg(call_function("freq_sketch", col("tok"), lit(64)).as("sk"))
+    runToTable(spark, sketched, s"x91_sink_${System.nanoTime()}", "complete")
+      .select(explode(col("sk")))
+      .select(col("key").as("tok"), col("value").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(20)
+  }
+
   /** Runs a streaming transform to completion (AvailableNow) into a memory
     * sink and returns the result table.
     *
