@@ -18,6 +18,16 @@ import graft.engine.Tables
   * linear where the round-1 all-pairs self-join would have gone quadratic.
   * q09 runs 10× events (user-shifted: per-user history constant) at ~3× —
   * the bucketed range join tracks total row volume, not per-key pair counts.
+  *
+  * Round-5 additions (same container): x70 runs 10× the data at ~1× — the
+  * top-k heap aggregate's exchange is k-bounded, so the extra rows only pay
+  * scan+update cost. x78 (fact⋈fact SMJ, both sides 10× with disjoint key
+  * shifts) lands at ~2× — linear in row volume. x86 grows ~22×: the
+  * synthetic copy hands every document 9 true near-duplicates, so the
+  * CORRECT output itself grows ~450× (every copy pair is a real j=1.0
+  * pair); 22× runtime against 450× output is the same sublinear-in-true-
+  * workload behavior as x08, not a plan defect — on production data where
+  * duplicates are rare, candidates track the dup rate, not the corpus².
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
@@ -58,7 +68,16 @@ object ScaleCheck {
                   // x24: the 10× copy makes every fingerprint bucket 10×
                   // hotter — exactly the regime the star-edge builder must
                   // keep linear (the round-1 all-pairs form went quadratic)
-                  "x24_dedup_components")) {
+                  "x24_dedup_components",
+                  // x70: the heap aggregate's exchange stays k-bounded, so
+                  // 10× input should cost ~scan time only
+                  "x70_topk_native",
+                  // x78: both join sides grow 10× with disjoint keyshifts —
+                  // the orderkey SMJ must track row volume linearly
+                  "x78_ship_delay_stats",
+                  // x86: every fingerprint bucket is 10× hotter, same
+                  // candidate-pair pressure as x24/x08's regime
+                  "x86_minhash_oracle_lsh")) {
       graft.SparkEntry.queries(q)(spark, src).collect() // warm
       val t1 = System.nanoTime; graft.SparkEntry.queries(q)(spark, src).collect()
       val small = (System.nanoTime - t1) / 1e9
