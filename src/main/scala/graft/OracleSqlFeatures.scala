@@ -407,6 +407,52 @@ object OracleSqlFeatures {
         |         AS weight
         |FROM t ORDER BY source""".stripMargin,
 
+    // x92: same q37 session rule; hour-coverage is exact integer ceil
+    // arithmetic, so no interval join exists on either engine.
+    "x92_concurrent_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+        |                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sid, MIN(us) AS s_us, MAX(us) + 1800000000 AS e_us
+        |  FROM s GROUP BY user_id, sid),
+        |hrs AS (
+        |  SELECT UNNEST(generate_series((s_us + 3599999999) // 3600000000,
+        |                                (e_us + 3599999999) // 3600000000 - 1))
+        |           AS hour_idx
+        |  FROM sess
+        |  WHERE (e_us + 3599999999) // 3600000000 - 1
+        |        >= (s_us + 3599999999) // 3600000000)
+        |SELECT CAST(hour_idx * 3600000000 AS BIGINT) AS hour_us,
+        |       COUNT(*) AS n_open_sessions
+        |FROM hrs GROUP BY hour_idx ORDER BY hour_us""".stripMargin,
+
+    // x93: durations are exact integer seconds; quantile_cont == Spark
+    // percentile (type-7), the x28-proven pairing.
+    "x93_time_to_convert" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2, MIN(s1.t1) AS t1
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1
+        |  GROUP BY e.user_id),
+        |d AS (SELECT (t2 - t1) // 1000000 AS secs FROM conv)
+        |SELECT COUNT(*) AS n_converted,
+        |       ROUND(quantile_cont(secs, 0.25), 6) AS p25,
+        |       ROUND(quantile_cont(secs, 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(secs, 0.75), 6) AS p75,
+        |       ROUND(quantile_cont(secs, 0.95), 6) AS p95
+        |FROM d""".stripMargin,
+
     // x77: the z-test is evaluated in exact integer arithmetic on BOTH
     // sides — (c·n − S)²·(n−1) > 4·n·(SS·n − S²) — so the flag count is
     // float-free (DuckDB runs it in HUGEINT, Spark in BIGINT; equal values,

@@ -12,6 +12,70 @@ import graft.engine.Tables
   */
 object Analytics {
 
+  /** x92: CONCURRENT SESSIONS OVER TIME — how many q37-rule sessions are
+    * OPEN at each hour boundary: the load/occupancy curve behind capacity
+    * planning and activity dashboards. A session [first_us, last_us +
+    * 30 min) covers the hour marks in (ceil(start/1h) .. ceil(end/1h)−1);
+    * the fan-out per session is its span in hours (tiny for gap-bounded
+    * sessions), so coverage is per-row `sequence` algebra — NO interval
+    * join at all.
+    *
+    * 100 TB: one user-keyed session window (q37's exchange), a per-session
+    * aggregate on the same partitioning, the hour fan-out inside codegen,
+    * and a final ≤|hours| histogram agg with map-side combine. */
+  def x92(spark: SparkSession, dir: String): DataFrame = {
+    val H = 3600000000L // one hour in µs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+              unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("us") - col("prev_us") >= 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                      org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("us")).as("s_us"), (max(col("us")) + 1800000000L).as("e_us"))
+    // hour marks covered: first = ceil(s/H), last = ceil(e/H) - 1 (end excl.)
+    sess
+      .withColumn("h0", expr(s"(s_us + ${H - 1}) DIV $H"))
+      .withColumn("h1", expr(s"(e_us + ${H - 1}) DIV $H - 1"))
+      .filter(col("h1") >= col("h0"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hour_idx"))
+      .groupBy("hour_idx")
+      .agg(count(lit(1)).as("n_open_sessions"))
+      .select((col("hour_idx") * H).as("hour_us"), col("n_open_sessions"))
+      .orderBy("hour_us")
+  }
+
+  /** x93: TIME-TO-CONVERT DISTRIBUTION — seconds from a user's first signup
+    * to their first purchase AFTER it, summarized as exact p25/p50/p75/p95
+    * (x28's proven percentile pairing): the latency histogram behind
+    * conversion-window decisions. Per-user durations are exact integer
+    * seconds (µs difference, integer division).
+    *
+    * 100 TB: two conditional per-user min-aggregates (x53's shape), one
+    * broadcast-sized join after reduction, percentiles over |converting
+    * users| durations. */
+  def x93(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t1"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .join(s1, "user_id").filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"), min(col("t1")).as("t1"))
+      .select(expr("(t2 - t1) DIV 1000000").as("secs"))
+    conv.agg(count(lit(1)).as("n_converted"),
+             round(expr("percentile(secs, 0.25)"), 6).as("p25"),
+             round(expr("percentile(secs, 0.5)"), 6).as("p50"),
+             round(expr("percentile(secs, 0.75)"), 6).as("p75"),
+             round(expr("percentile(secs, 0.95)"), 6).as("p95"))
+  }
+
   /** x53: ORDERED FUNNEL — signup → view → purchase with STRICT time order
     * per user: a later stage counts only if it happens after the user's
     * earliest qualifying previous stage (min-ts chaining, the standard

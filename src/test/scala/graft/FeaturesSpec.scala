@@ -369,6 +369,48 @@ class FeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("x92 hour-coverage mass equals the sum of per-session hour spans") {
+    // recompute sessions independently and count covered hour marks
+    val ev = graft.engine.Tables.events(spark, sfSmoke)
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime * 1000L))
+      .sortBy(t => (t._1, t._3, t._2))
+    val H = 3600000000L
+    val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var curUser = -1L; var start = 0L; var last = 0L
+    def close(): Unit = if (curUser != -1L) sessions += ((start, last + 1800000000L))
+    for ((u, _, us) <- ev) {
+      if (u != curUser || us - last >= 1800000000L) { close(); curUser = u; start = us }
+      last = us
+    }
+    close()
+    val expected = sessions.flatMap { case (s, e) =>
+      val h0 = (s + H - 1) / H; val h1 = (e + H - 1) / H - 1
+      h0 to h1
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.queries.Analytics.x92(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0) / H) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("x93 percentiles are ordered and the converted count matches the funnel") {
+    val r = graft.queries.Analytics.x93(spark, sfSmoke).head()
+    val n = r.getLong(0)
+    assert(n > 0)
+    val (p25, p50, p75, p95) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(p25 <= p50 && p50 <= p75 && p75 <= p95)
+    assert(p25 >= 0, "purchase is strictly after signup")
+    // n equals the users with a purchase after their first signup
+    val ev = graft.engine.Tables.events(spark, sfSmoke)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val direct = ev.filter(col("event_type") === "purchase")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .select("user_id").distinct().count()
+    assert(n === direct)
+  }
+
   test("x77 integer z-test equals the float z-score flag on smoke data") {
     val ev = graft.engine.Tables.events(spark, sfSmoke)
     val cu = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
