@@ -453,6 +453,30 @@ object OracleSqlFeatures {
         |       ROUND(quantile_cont(secs, 0.95), 6) AS p95
         |FROM d""".stripMargin,
 
+    // x94: the payloads are the UTF-8 text bytes (ASCII-guarded corpus, so
+    // ascii(char) == byte) and the stub stats are exact integers — the
+    // window offset/overlap/clip arithmetic verifies byte-for-byte.
+    "x94_audio_windows" ->
+      """WITH b AS (
+        |  SELECT doc_id, length(text) AS len, text FROM documents
+        |  WHERE doc_id % 4 = 2 AND length(text) > 0),
+        |pos AS (
+        |  SELECT doc_id, u.i AS p,
+        |         ascii(substr(text, CAST(u.i AS INTEGER), 1)) AS v
+        |  FROM b, UNNEST(range(1, len + 1)) AS u(i)),
+        |w AS (SELECT doc_id, len, UNNEST(range(0, len, 512)) AS s FROM b),
+        |ws AS (
+        |  SELECT w.doc_id, w.s, COUNT(*) AS w_len, CAST(SUM(pos.v) AS BIGINT)
+        |           AS w_sum
+        |  FROM w JOIN pos ON pos.doc_id = w.doc_id
+        |                 AND pos.p > w.s AND pos.p <= w.s + 1024
+        |  GROUP BY w.doc_id, w.s)
+        |SELECT doc_id, COUNT(*) AS n_windows,
+        |       CAST(SUM(w_len) AS BIGINT) AS covered_bytes,
+        |       CAST(SUM(w_sum) AS BIGINT) AS window_mass,
+        |       ROUND(SUM(w_sum) * 1.0 / SUM(w_len), 6) AS mean_level
+        |FROM ws GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // x77: the z-test is evaluated in exact integer arithmetic on BOTH
     // sides — (c·n − S)²·(n−1) > 4·n·(SS·n − S²) — so the flag count is
     // float-free (DuckDB runs it in HUGEINT, Spark in BIGINT; equal values,

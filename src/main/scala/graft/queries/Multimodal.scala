@@ -122,6 +122,52 @@ object MultimodalOps {
       .orderBy("format")
   }
 
+  /** One hop window over an audio payload: exact byte statistics per
+    * window (the stub "DSP" — a real pipeline would run an FFT/filterbank
+    * here; the OFFSET/OVERLAP plumbing is the part that survives the
+    * swap). */
+  final case class AudioWindow(doc_id: Long, win_idx: Long, w_len: Long, w_sum: Long)
+
+  /** The audio path's windowing stage: fixed 1024-byte windows on a
+    * 512-byte hop (half-overlap, the standard STFT layout), emitted from
+    * mapPartitions so a real codec/DSP handle is initialized once per
+    * partition. Fan-out is len/hop per payload — bounded, ~2× payload mass
+    * counting overlap. */
+  def windowAudio(media: Dataset[MediaRow],
+                  win: Int = 1024, hop: Int = 512): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.content.length
+        (0 until n by hop).zipWithIndex.map { case (s, i) =>
+          val e = math.min(s + win, n)
+          var sum = 0L
+          var j = s
+          while (j < e) { sum += (r.content(j) & 0xFF); j += 1 }
+          AudioWindow(r.doc_id, i.toLong, (e - s).toLong, sum)
+        }
+      }
+    }
+  }
+
+  /** x94 entry: the audio path — hop-window each wav payload, aggregate
+    * exact per-window byte statistics per document (window count, covered
+    * bytes incl. overlap, mass, mean level). Every output is exact BIGINT
+    * or one final division, so the windowing arithmetic — offsets, overlap,
+    * tail-window clipping — is oracle-pinned byte-for-byte. */
+  def x94(spark: SparkSession, dir: String): DataFrame = {
+    val wav = mediaTable(spark, dir)
+      .filter(col("format") === "wav" && col("n_bytes") > 0)
+    windowAudio(wav).toDF()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+           sum(col("w_len")).as("covered_bytes"),
+           sum(col("w_sum")).as("window_mass"),
+           round(sum(col("w_sum")) * lit(1.0) / sum(col("w_len")), 6)
+             .as("mean_level"))
+      .orderBy("doc_id")
+  }
+
   /** x26 entry: the video path — frame-sample each mp4 payload (bounded
     * fan-out), resize every frame, aggregate per document. */
   def x26(spark: SparkSession, dir: String): DataFrame = {

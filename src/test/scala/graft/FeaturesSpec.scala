@@ -411,6 +411,27 @@ class FeaturesSpec extends AnyFunSuite {
     assert(n === direct)
   }
 
+  test("x94 window tiling: counts/coverage follow from payload length exactly") {
+    val rows = graft.queries.MultimodalOps.x94(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val lens = graft.engine.Tables.documents(spark, sfSmoke)
+      .filter(col("doc_id") % 4 === 2 && col("n_chars") > 0)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getLong(0)).toSet === lens.keySet)
+    for (r <- rows) {
+      val n = lens(r.getLong(0))
+      val expectedWindows = (n + 511) / 512
+      assert(r.getLong(1) === expectedWindows, s"doc ${r.getLong(0)} windows")
+      // covered = sum over starts of min(1024, n-s): every byte once, plus
+      // overlap bytes (those past each 512 hop up to 1024) once more
+      val covered = (0L until n by 512L).map(s => math.min(1024L, n - s)).sum
+      assert(r.getLong(2) === covered, s"doc ${r.getLong(0)} coverage")
+      val mean = r.getDouble(4)
+      assert(mean > 0 && mean < 256, "byte mean in range")
+    }
+  }
+
   test("x77 integer z-test equals the float z-score flag on smoke data") {
     val ev = graft.engine.Tables.events(spark, sfSmoke)
     val cu = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
