@@ -63,6 +63,20 @@ class FeaturesSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "no full-shuffle window ranking in the plan")
   }
 
+  test("x70 topk_pairs skips null inputs and returns empty for all-null groups") {
+    import spark.implicits._
+    val df = Seq[(String, Option[Double], Option[Long])](
+      ("g", Some(3.0), Some(1L)), ("g", None, Some(2L)), ("g", Some(5.0), None),
+      ("h", None, None))
+      .toDF("g", "s", "t")
+    val out = df.groupBy("g")
+      .agg(call_function("topk_pairs", col("s"), col("t"), lit(3)).as("tk"))
+      .select(col("g"), size(col("tk")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out === Map("g" -> 1, "h" -> 0),
+      "only the one row with BOTH score and tag non-null survives")
+  }
+
   test("x71 quartiles partition each segment: counts sum to segment size, buckets ordered") {
     val segSizes = graft.engine.Tables.customer(spark, sfSmoke)
       .groupBy("c_mktsegment").count().collect()
