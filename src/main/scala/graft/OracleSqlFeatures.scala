@@ -477,6 +477,43 @@ object OracleSqlFeatures {
         |       ROUND(SUM(w_sum) * 1.0 / SUM(w_len), 6) AS mean_level
         |FROM ws GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // x95: the RRF score is one add of two single-division terms — a fixed
+    // chain, not a variable-order float sum; ranks have explicit tiebreaks.
+    "x95_rrf_fusion" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(len(list_distinct(
+        |           [x FOR x IN string_split(LOWER(text), ' ') IF x <> '']))
+        |           AS BIGINT) AS n_distinct
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r_len,
+        |         ROW_NUMBER() OVER (ORDER BY n_distinct DESC, doc_id) AS r_div
+        |  FROM base)
+        |SELECT doc_id, CAST(r_len AS BIGINT) AS r_len,
+        |       CAST(r_div AS BIGINT) AS r_div,
+        |       ROUND(1.0 / (r_len + 60) + 1.0 / (r_div + 60), 6) AS rrf
+        |FROM ranked ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // x96: same edge rule as x43 (distinct within-doc token pairs);
+    // degrees and the histogram are exact integers.
+    "x96_degree_distribution" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id, x AS tok
+        |  FROM documents,
+        |       UNNEST([x FOR x IN string_split(LOWER(text), ' ') IF x <> ''])
+        |         AS s(x)),
+        |edges AS (
+        |  SELECT DISTINCT a.tok AS ta, b.tok AS tb
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok),
+        |deg AS (
+        |  SELECT tok, COUNT(*) AS degree FROM (
+        |    SELECT ta AS tok FROM edges UNION ALL SELECT tb FROM edges)
+        |  GROUP BY tok)
+        |SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_tokens
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+
     // x77: the z-test is evaluated in exact integer arithmetic on BOTH
     // sides — (c·n − S)²·(n−1) > 4·n·(SS·n − S²) — so the flag count is
     // float-free (DuckDB runs it in HUGEINT, Spark in BIGINT; equal values,

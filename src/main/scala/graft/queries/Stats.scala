@@ -124,6 +124,61 @@ object Stats {
       .orderBy("source")
   }
 
+  /** x95: RECIPROCAL-RANK FUSION — combine two independent document
+    * rankers (corpus length rank and lexical-diversity rank) with the
+    * standard RRF formula score = Σ 1/(60 + rᵢ): the ranking-fusion step a
+    * retrieval stack runs over its candidate lists. The score is a fixed
+    * TWO-term chain per row (one add of two single-division terms — no
+    * variable-order float sum), so it is bit-portable; ranks come from
+    * total orders with explicit doc_id tiebreaks.
+    *
+    * 100 TB: two global rank windows over the (tiny) per-doc stat table —
+    * at real scale these arrive as the rankers' top-k lists (k-bounded),
+    * and the fusion join is k×k at most. */
+  def x95(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+              size(array_distinct(filter(split(lower(col("text")), " "),
+                                         t => t =!= ""))).cast(LongType).as("n_distinct"))
+    val byLen = Window.orderBy(col("n_chars").desc, col("doc_id"))
+    val byDiv = Window.orderBy(col("n_distinct").desc, col("doc_id"))
+    base
+      .withColumn("r_len", row_number().over(byLen).cast(LongType))
+      .withColumn("r_div", row_number().over(byDiv).cast(LongType))
+      .select(col("doc_id"), col("r_len"), col("r_div"),
+              round(lit(1.0) / (col("r_len") + 60) + lit(1.0) / (col("r_div") + 60), 6)
+                .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** x96: CO-OCCURRENCE DEGREE DISTRIBUTION — the degree histogram of the
+    * token co-occurrence graph (same edge rule as x43: distinct token pairs
+    * within a document): how connected the vocabulary is, the first graph
+    * statistic any corpus-graph analysis reads. Degrees and the histogram
+    * are exact integers.
+    *
+    * 100 TB: edges aggregate once ((a,b) distinct pairs, vocab²-bounded);
+    * degree = one agg over edges counted from both endpoints; histogram is
+    * ≤ max-degree cells. */
+  def x96(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              explode(array_distinct(filter(split(lower(col("text")), " "),
+                                            t => t =!= ""))).as("tok"))
+    val edges = toks.as("a")
+      .join(toks.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .select(col("a.tok").as("ta"), col("b.tok").as("tb"))
+      .distinct()
+    val degrees = edges.select(col("ta").as("tok"))
+      .unionByName(edges.select(col("tb").as("tok")))
+      .groupBy("tok").agg(count(lit(1)).as("degree"))
+    degrees.groupBy("degree").agg(count(lit(1)).as("n_tokens"))
+      .orderBy("degree")
+  }
+
   /** x88: A/B CONVERSION Z-TEST — two-proportion z on a DETERMINISTIC user
     * split (user_id parity — the assignment a reproducible experiment
     * framework would persist): conversion = "the user's FIRST event (by

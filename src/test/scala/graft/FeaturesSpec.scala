@@ -446,6 +446,40 @@ class FeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("x95 RRF: scores decompose into the two rank terms and ordering is stable") {
+    val rows = graft.queries.Stats.x95(spark, sfSmoke).collect()
+    assert(rows.length === 20)
+    for (r <- rows) {
+      val (rl, rd, rrf) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(rl >= 1 && rd >= 1)
+      val direct = 1.0 / (rl + 60) + 1.0 / (rd + 60)
+      assert(math.abs(rrf - direct) < 1e-6)
+    }
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.sliding(2).forall(a => a.length < 2 || a(0) >= a(1)),
+      "descending by fused score")
+  }
+
+  test("x96 degree histogram masses: token count and handshake identity hold") {
+    val rows = graft.queries.Stats.x96(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.engine.Tables.documents(spark, sfSmoke)
+    val vocabWithEdges = docs
+      .select(col("doc_id"), explode(array_distinct(
+        filter(split(lower(col("text")), " "), t => t =!= ""))).as("tok"))
+      .groupBy("doc_id").agg(countDistinct(col("tok")).as("k"))
+      .filter(col("k") >= 2) // docs with 1 token create no edges
+    assert(vocabWithEdges.count() > 0)
+    // Σ degree·n_tokens = 2·|edges| (handshake): recompute edges directly
+    val toks = docs.select(col("doc_id"), explode(array_distinct(
+      filter(split(lower(col("text")), " "), t => t =!= ""))).as("tok"))
+    val nEdges = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .select(col("a.tok"), col("b.tok")).distinct().count()
+    val mass = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(mass === 2 * nEdges)
+  }
+
   test("x77 integer z-test equals the float z-score flag on smoke data") {
     val ev = graft.engine.Tables.events(spark, sfSmoke)
     val cu = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
