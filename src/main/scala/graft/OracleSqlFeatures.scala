@@ -514,6 +514,20 @@ object OracleSqlFeatures {
         |SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_tokens
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
 
+    // x97: the same first-signup→first-later-purchase rule as x93, emitted
+    // per user — mutually verifying with the declarative formulation.
+    "x97_cogroup_convert" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2, MIN(s1.t1) AS t1
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1
+        |  GROUP BY e.user_id)
+        |SELECT user_id, CAST((t2 - t1) // 1000000 AS BIGINT) AS lag_secs
+        |FROM c ORDER BY user_id""".stripMargin,
+
     // x77: the z-test is evaluated in exact integer arithmetic on BOTH
     // sides — (c·n − S)²·(n−1) > 4·n·(SS·n − S²) — so the flag count is
     // float-free (DuckDB runs it in HUGEINT, Spark in BIGINT; equal values,

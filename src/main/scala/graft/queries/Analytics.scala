@@ -10,6 +10,9 @@ import graft.engine.Tables
   * search/RAG pipeline runs over its corpus. All three are exact integer /
   * timestamp algebra, oracle-checked term-for-term.
   */
+/** Typed row for the x97 cogroup (user, epoch-µs timestamp). */
+final case class UserStamp(user_id: Long, us: Long)
+
 object Analytics {
 
   /** x92: CONCURRENT SESSIONS OVER TIME — how many q37-rule sessions are
@@ -74,6 +77,42 @@ object Analytics {
              round(expr("percentile(secs, 0.5)"), 6).as("p50"),
              round(expr("percentile(secs, 0.75)"), 6).as("p75"),
              round(expr("percentile(secs, 0.95)"), 6).as("p95"))
+  }
+
+  /** x97: TYPED COGROUP — x93's per-user conversion lag computed through
+    * `KeyValueGroupedDataset.cogroup`, the typed escape hatch for per-key
+    * logic that won't fit join+agg algebra (here it WOULD — x93 proves it —
+    * which is exactly what makes the two entries mutually verifying: same
+    * oracle rule, declarative vs imperative mechanism, like x03 vs x19 on
+    * the streaming side). Emits one (user, lag_secs) row per converting
+    * user.
+    *
+    * 100 TB: cogroup shuffles both sides by user once, then streams each
+    * user's two iterators through the function; this body materializes only
+    * the signup timestamps (bounded per user) and folds purchases lazily.
+    * The declarative x93 shape remains the first choice — this is the
+    * mechanism demo, priced honestly (no codegen inside the lambda). */
+  def x97(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).as[UserStamp]
+    side("signup").groupByKey(_.user_id)
+      .cogroup(side("purchase").groupByKey(_.user_id)) { (uid, signups, purchases) =>
+        // materialize ONLY the signup stamps (iterator semantics: isEmpty
+        // would consume the head); purchases fold lazily below
+        val ss = signups.map(_.us).toArray
+        if (ss.isEmpty) Iterator.empty
+        else {
+          val t1 = ss.min
+          var best = Long.MaxValue
+          purchases.foreach(p => if (p.us > t1 && p.us < best) best = p.us)
+          if (best == Long.MaxValue) Iterator.empty
+          else Iterator((uid, (best - t1) / 1000000L))
+        }
+      }
+      .toDF("user_id", "lag_secs")
+      .orderBy("user_id")
   }
 
   /** x53: ORDERED FUNNEL — signup → view → purchase with STRICT time order

@@ -480,6 +480,25 @@ class FeaturesSpec extends AnyFunSuite {
     assert(mass === 2 * nEdges)
   }
 
+  test("x97 cogroup lags agree with x93's percentile input row-for-row") {
+    // the typed-cogroup mechanism must reproduce the declarative rule
+    val lags = graft.queries.Analytics.x97(spark, sfSmoke).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n93 = graft.queries.Analytics.x93(spark, sfSmoke).head().getLong(0)
+    assert(lags.size === n93, "same converting-user population as x93")
+    assert(lags.values.forall(_ >= 0), "purchase strictly after signup")
+    // independent recompute for a few users
+    val ev = graft.engine.Tables.events(spark, sfSmoke)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime * 1000L))
+    for (uid <- lags.keys.take(10)) {
+      val mine = ev.filter(_._1 == uid)
+      val t1 = mine.filter(_._2 == "signup").map(_._3).min
+      val t2 = mine.filter(e => e._2 == "purchase" && e._3 > t1).map(_._3).min
+      assert(lags(uid) === (t2 - t1) / 1000000L, s"user $uid lag")
+    }
+  }
+
   test("x77 integer z-test equals the float z-score flag on smoke data") {
     val ev = graft.engine.Tables.events(spark, sfSmoke)
     val cu = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
