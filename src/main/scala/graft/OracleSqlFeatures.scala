@@ -528,6 +528,108 @@ object OracleSqlFeatures {
         |SELECT user_id, CAST((t2 - t1) // 1000000 AS BIGINT) AS lag_secs
         |FROM c ORDER BY user_id""".stripMargin,
 
+    // x98: weights in exact integer milliseconds, values exact cents; the
+    // TWA is one final division.
+    "x98_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+        |         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                  ORDER BY ts, event_id) AS next_us
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, cents, (next_us - us) // 1000 AS dur_ms
+        |  FROM e WHERE next_us IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |       CAST(SUM(dur_ms) AS BIGINT) AS held_ms,
+        |       CAST(SUM(cents * dur_ms) AS BIGINT) AS mass,
+        |       ROUND(SUM(cents * dur_ms) * 1.0 / SUM(dur_ms), 6) AS twa_cents
+        |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // x99: deciles by integer rank formula; shares exact ppm division.
+    "x99_revenue_pareto" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT cents,
+        |         ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rank,
+        |         COUNT(*) OVER () AS n
+        |  FROM spend),
+        |d AS (
+        |  SELECT (rank - 1) * 10 // n AS decile, COUNT(*) AS n_cust,
+        |         CAST(SUM(cents) AS BIGINT) AS decile_cents
+        |  FROM r GROUP BY decile)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_cust, decile_cents,
+        |       CAST(decile_cents * 1000000 // (SELECT SUM(decile_cents) FROM d)
+        |            AS BIGINT) AS share_ppm
+        |FROM d ORDER BY decile""".stripMargin,
+
+    // x100: the whole curation DAG assembled from the proven fragments —
+    // x47's gate, q44's dedup key, x86's LSH pair chain, x21's benchmark
+    // rule — so stage ORDER and survivor tie-breaks verify end to end.
+    "x100_curation_pipeline" ->
+      ("WITH " + OracleSqlMl.fpCodedCtes + ",\n" + OracleSqlMl.fpsDistinctCte + ",\n" +
+        """hs AS (SELECT * FROM (VALUES
+          |  (0, 1540483477, 11), (1, 1103515245, 12345), (2, 69069, 7),
+          |  (3, 1664525, 1013904223), (4, 22695477, 1), (5, 134775813, 1),
+          |  (6, 214013, 2531011), (7, 1597334677, 3)) AS v(j, a, b)),
+          |sig AS (
+          |  SELECT doc_id, j, MIN((a * fp + b) % 2147483647) AS mh
+          |  FROM fps, hs GROUP BY doc_id, j),
+          |banded AS (
+          |  SELECT doc_id, j // 2 AS band,
+          |         STRING_AGG(CAST(mh AS VARCHAR), ':' ORDER BY j) AS key
+          |  FROM sig GROUP BY doc_id, j // 2),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+          |szf AS (SELECT doc_id, COUNT(*) AS s FROM fps GROUP BY doc_id),
+          |cm AS (
+          |  SELECT doc_a, doc_b, COUNT(*) AS c
+          |  FROM cand
+          |  JOIN fps fa ON fa.doc_id = cand.doc_a
+          |  JOIN fps fb ON fb.doc_id = cand.doc_b AND fb.fp = fa.fp
+          |  GROUP BY doc_a, doc_b),
+          |losers AS (
+          |  SELECT DISTINCT cm.doc_b AS doc_id
+          |  FROM cm JOIN szf sa ON sa.doc_id = cm.doc_a
+          |          JOIN szf sb ON sb.doc_id = cm.doc_b
+          |  WHERE 2 * c >= sa.s + sb.s - c),
+          |tok AS (
+          |  SELECT doc_id, x AS tok FROM documents,
+          |    UNNEST([x FOR x IN string_split(LOWER(text),' ') IF x <> '']) AS u(x)),
+          |rep AS (
+          |  SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n_tok FROM (
+          |    SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+          |  GROUP BY doc_id),
+          |gated AS (
+          |  SELECT dd.doc_id, dd.source, dd.n_chars, lower(dd.text) AS norm
+          |  FROM documents dd JOIN rep ON rep.doc_id = dd.doc_id
+          |  WHERE dd.n_chars BETWEEN 100 AND 500
+          |    AND rep.max_c * 5 < rep.n_tok
+          |    AND (list_contains([x FOR x IN string_split(LOWER(dd.text),' ')
+          |                        IF x <> ''], 'the')
+          |         OR list_contains([x FOR x IN string_split(LOWER(dd.text),' ')
+          |                           IF x <> ''], 'a'))),
+          |deduped AS (
+          |  SELECT * FROM (
+          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id)
+          |             AS rn
+          |    FROM gated) WHERE rn = 1),
+          |surv AS (
+          |  SELECT d.source, d.n_chars FROM deduped d
+          |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+          |    AND NOT EXISTS (SELECT 1 FROM documents b
+          |                    WHERE b.doc_id % 97 = 0
+          |                      AND lower(b.text) = d.norm))
+          |SELECT source, COUNT(*) AS n_docs,
+          |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+          |FROM surv GROUP BY source ORDER BY source""".stripMargin),
+
     // x77: the z-test is evaluated in exact integer arithmetic on BOTH
     // sides — (c·n − S)²·(n−1) > 4·n·(SS·n − S²) — so the flag count is
     // float-free (DuckDB runs it in HUGEINT, Spark in BIGINT; equal values,

@@ -214,7 +214,55 @@ object Pipeline {
     * fixpoint at O(log diameter) rounds.
     * Oracle: DuckDB recursive-CTE transitive closure, min per node —
     * unchanged by the star rewrite because components are identical. */
-  def x24(spark: SparkSession, dir: String): DataFrame = {
+  def x24(spark: SparkSession, dir: String): DataFrame = x24Impl(spark, dir)
+
+  /** x100: THE CURATION DAG AS ONE ORACLE-CHECKED QUERY — the capstone:
+    * x47's integer quality gate → exact dedup on the q44 key (min-id
+    * survivor among GATED docs) → x86's portable near-dup pair removal
+    * (drop the higher id of every candidate pair) → x21's benchmark
+    * decontamination (doc_id % 97 slice) → per-source survivor report.
+    * Every stage reuses a registered operator's exact rule, so the DuckDB
+    * oracle is an assembly of already-proven CTE fragments and the WHOLE
+    * pipeline's composition — stage order, key choices, survivor
+    * tie-breaks — is hash-verified end to end (CorpusPipelineDemo is the
+    * narrative twin; this is the gate).
+    *
+    * 100 TB: the gate is a map-only scan (native token_stats); dedup is
+    * one text-keyed shuffle; near-dup losers come from the banded LSH path
+    * (never all-pairs); decontamination keys are the (tiny) benchmark
+    * slice, broadcast. No stage widens data — the DAG only shrinks. */
+  def x100(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    // 1. x47's gate: length band + repetition cap + stopword witness
+    val gated = docs.filter(trim(col("text")) =!= "")
+      .withColumn("ts", call_function("token_stats", col("text")))
+      .filter(col("n_chars").between(100, 500) &&
+              col("ts.max_cnt") * 5 < col("ts.n_tokens") &&
+              (array_contains(toks, "the") || array_contains(toks, "a")))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              lower(col("text")).as("norm"))
+    // 2. q44's key: min doc_id survives per normalized text
+    val deduped = gated
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("norm").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    // 3. x86's near-dup pairs (raw corpus): the higher id of each pair loses
+    val losers = LlmExt2.x86(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    // 4. x21's rule: drop anything text-identical to the benchmark slice
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(lower(col("text")).as("norm")).distinct()
+    deduped
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(broadcast(bench), Seq("norm"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("source")
+  }
+
+  private def x24Impl(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // the distinct() is load-bearing for the window that follows: it shrinks
     // repeated (doc, fp) pairs BEFORE the fp-partitioned window shuffle

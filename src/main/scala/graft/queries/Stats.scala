@@ -179,6 +179,62 @@ object Stats {
       .orderBy("degree")
   }
 
+  /** x98: TIME-WEIGHTED AVERAGE — each user's event value averaged by how
+    * long it was "held" (until the next event): the correct aggregate for
+    * irregularly-sampled measurements, where a plain mean over-weights
+    * bursts. Weights are exact integer milliseconds, values exact cents;
+    * Σ(cents·dur_ms) and Σdur_ms are BIGINT sums and the TWA is one final
+    * division. (Headroom: cents·dur_ms ≤ 10⁴·3·10⁹ ≈ 3·10¹³ per interval —
+    * exact through ~10⁵ intervals per user.)
+    *
+    * 100 TB: one user-keyed lead window (O(1) state) feeding one agg on the
+    * same partitioning. */
+  def x98(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+              unix_micros(col("ts")).as("us"),
+              round(col("value") * 100, 0).cast(LongType).as("cents"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur_ms", expr("(next_us - us) DIV 1000"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+           sum(col("dur_ms")).as("held_ms"),
+           sum(col("cents") * col("dur_ms")).as("mass"),
+           round(sum(col("cents") * col("dur_ms")) * lit(1.0) / sum(col("dur_ms")), 6)
+             .as("twa_cents"))
+      .orderBy("user_id")
+  }
+
+  /** x99: LORENZ / PARETO CURVE — revenue concentration by customer decile
+    * ("the top 10% of customers carry X% of revenue"): the inequality
+    * diagnostic behind skew-aware quota decisions. Deciles come from an
+    * integer rank formula, shares are exact ppm integer division — no
+    * float anywhere. (Headroom: decile_cents·10⁶ < 2⁶³ through ~10¹²
+    * total cents.)
+    *
+    * 100 TB: one custkey agg, one global rank window over |customers|
+    * rows (already reduced), ≤10-cell aggs after. */
+  def x99(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast(LongType)).as("cents"))
+    val tot = Window.partitionBy()
+    spend
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cents").desc, col("o_custkey"))))
+      .withColumn("n", count(lit(1)).over(tot))
+      .withColumn("decile", expr("(rank - 1) * 10 DIV n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("decile_cents"))
+      .withColumn("share_ppm",
+        expr("decile_cents * 1000000 DIV (sum(decile_cents) OVER ())"))
+      .orderBy("decile")
+  }
+
   /** x88: A/B CONVERSION Z-TEST — two-proportion z on a DETERMINISTIC user
     * split (user_id parity — the assignment a reproducible experiment
     * framework would persist): conversion = "the user's FIRST event (by

