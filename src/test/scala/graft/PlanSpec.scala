@@ -134,6 +134,14 @@ class PlanSpec extends AnyFunSuite {
       "orders scan must read exactly (orderkey, orderdate)")
   }
 
+  test("x100: the curation DAG has no cartesian product and broadcasts the benchmark keys") {
+    val p = plan(graft.queries.Pipeline.x100(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"), "no unbounded pair enumeration")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the tiny benchmark-slice anti-join must broadcast")
+    assert(p.contains("token_stats"), "the gate runs the native fused expression")
+  }
+
   test("q44: dedup groupBy keys the exchange on the normalized text") {
     val p = plan(LlmExt.q44(spark, sfSmoke))
     assert(p.contains("HashAggregate") && p.contains("Exchange"))
