@@ -630,6 +630,26 @@ object OracleSqlFeatures {
           |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
           |FROM surv GROUP BY source ORDER BY source""".stripMargin),
 
+    // x101: the same rolling-hash stream as x13 with POSITIONS kept; the
+    // boundary rule and gaps are exact integers. Spark's posexplode is
+    // 0-based and the oracle's pos is 1-based — gaps are differences, so
+    // the offset cancels.
+    "x101_cdc_boundaries" ->
+      ("WITH " + OracleSqlMl.fpCodedCtes + ",\n" +
+        """fpos AS (
+          |  SELECT doc_id, pos,
+          |    ((((((c4*131 + c3) % 1000000007) * 131 + c2) % 1000000007) * 131 + c1)
+          |      % 1000000007 * 131 + c0) % 1000000007 AS fp
+          |  FROM coded WHERE c4 IS NOT NULL),
+          |b AS (SELECT doc_id, pos FROM fpos WHERE fp % 64 = 0),
+          |g AS (
+          |  SELECT doc_id,
+          |         pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+          |  FROM b)
+          |SELECT CAST(gap AS BIGINT) AS gap, COUNT(*) AS n_chunks
+          |FROM g WHERE gap IS NOT NULL
+          |GROUP BY gap ORDER BY gap""".stripMargin),
+
     // x77: the z-test is evaluated in exact integer arithmetic on BOTH
     // sides — (c·n − S)²·(n−1) > 4·n·(SS·n − S²) — so the flag count is
     // float-free (DuckDB runs it in HUGEINT, Spark in BIGINT; equal values,

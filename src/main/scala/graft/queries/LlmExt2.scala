@@ -318,6 +318,32 @@ object LlmExt2 {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** x101: CONTENT-DEFINED CHUNK BOUNDARIES — the rsync/LBFS chunking rule
+    * over the rolling-hash stream: a 5-token window whose fingerprint ≡ 0
+    * (mod 64) is a cut point, and the distribution of gaps between
+    * consecutive cut points is the chunk-size profile (expected gap = the
+    * modulus; heavy tails mean pathological content). Content-defined cuts
+    * are what make dedup STORAGE incremental — an edit only reshuffles the
+    * chunks around it, unlike x57's fixed offsets where one insertion
+    * shifts every later chunk.
+    *
+    * 100 TB: fingerprints are the same shuffle-free native `rolling_fps`
+    * pass as x13; boundary detection is a per-row filter; the gap lag is
+    * a doc-keyed window; the histogram is ≤max-gap cells. */
+  def x101(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              posexplode(call_function("rolling_fps", col("text"))))
+      .filter(col("col") % 64 === 0)
+      .select(col("doc_id"), col("pos"))
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("gap").cast(LongType).as("gap"))
+      .agg(count(lit(1)).as("n_chunks"))
+      .orderBy("gap")
+  }
+
   def x13(spark: SparkSession, dir: String): DataFrame = {
     docFingerprints(Tables.documents(spark, dir)).groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),

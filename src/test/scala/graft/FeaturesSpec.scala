@@ -552,6 +552,22 @@ class FeaturesSpec extends AnyFunSuite {
     assert(benchTexts.nonEmpty)
   }
 
+  test("x101 boundary gaps: mass equals boundaries minus docs-with-boundaries") {
+    // each doc with k >= 1 boundaries contributes exactly k-1 gaps
+    val docs = graft.engine.Tables.documents(spark, sfSmoke)
+    val bounds = graft.queries.LlmExt2.docFingerprints(docs) // (doc_id, fp) in stream order
+      .filter(col("fp") % 64 === 0)
+      .groupBy("doc_id").count().collect()
+    val expectedGaps = bounds.map(_.getLong(1) - 1).sum
+    val rows = graft.queries.LlmExt2.x101(spark, sfSmoke).collect()
+    assert(rows.map(_.getLong(1)).sum === expectedGaps)
+    assert(rows.forall(_.getLong(0) >= 1), "gaps are positive token distances")
+    // expected gap ≈ the modulus (64) for a uniform hash: sanity band only
+    val mean = rows.map(r => r.getLong(0) * r.getLong(1)).sum.toDouble /
+      math.max(rows.map(_.getLong(1)).sum, 1)
+    assert(mean > 8 && mean < 512, s"mean gap $mean wildly off the 64 modulus")
+  }
+
   test("x77 integer z-test equals the float z-score flag on smoke data") {
     val ev = graft.engine.Tables.events(spark, sfSmoke)
     val cu = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
