@@ -55,6 +55,20 @@ class SqlApiSpec extends AnyFunSuite {
     assert(math.abs(dot - 11.0) < 1e-9)
   }
 
+  test("spark.sql can call the injected native aggregates (topk_pairs, freq_sketch)") {
+    graft.engine.Tables.orders(spark, TestSpark.sfSmoke)
+      .createOrReplaceTempView("sql_orders_agg")
+    val topk = spark.sql(
+      """SELECT o_orderpriority, topk_pairs(o_totalprice, o_orderkey, 2) AS tk
+        |FROM sql_orders_agg GROUP BY o_orderpriority""".stripMargin)
+    val rows = topk.selectExpr("o_orderpriority", "size(tk) AS n").collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(1) === 2))
+    val sk = spark.sql(
+      """SELECT freq_sketch(o_orderpriority, 8) AS m FROM sql_orders_agg""")
+      .selectExpr("size(m) AS n").head().getInt(0)
+    assert(sk >= 1 && sk <= 8, "sketch respects its capacity from SQL")
+  }
+
   test("a registered operator round-trips through a SQL view of its own output") {
     viewsReady()
     graft.queries.Wrangle.x65(spark, sfSmoke).createOrReplaceTempView("scd2")
