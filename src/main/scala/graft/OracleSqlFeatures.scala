@@ -650,6 +650,63 @@ object OracleSqlFeatures {
           |FROM g WHERE gap IS NOT NULL
           |GROUP BY gap ORDER BY gap""".stripMargin),
 
+    // x102: x86's candidate chain with the asymmetric cut 5·common ≥
+    // 4·|side| — integer-exact on both engines.
+    "x102_containment_pairs" ->
+      ("WITH " + OracleSqlMl.fpCodedCtes + ",\n" + OracleSqlMl.fpsDistinctCte + ",\n" +
+        """hs AS (SELECT * FROM (VALUES
+          |  (0, 1540483477, 11), (1, 1103515245, 12345), (2, 69069, 7),
+          |  (3, 1664525, 1013904223), (4, 22695477, 1), (5, 134775813, 1),
+          |  (6, 214013, 2531011), (7, 1597334677, 3)) AS v(j, a, b)),
+          |sig AS (
+          |  SELECT doc_id, j, MIN((a * fp + b) % 2147483647) AS mh
+          |  FROM fps, hs GROUP BY doc_id, j),
+          |banded AS (
+          |  SELECT doc_id, j // 2 AS band,
+          |         STRING_AGG(CAST(mh AS VARCHAR), ':' ORDER BY j) AS key
+          |  FROM sig GROUP BY doc_id, j // 2),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+          |sz AS (SELECT doc_id, COUNT(*) AS s FROM fps GROUP BY doc_id),
+          |cm AS (
+          |  SELECT doc_a, doc_b, COUNT(*) AS c
+          |  FROM cand
+          |  JOIN fps fa ON fa.doc_id = cand.doc_a
+          |  JOIN fps fb ON fb.doc_id = cand.doc_b AND fb.fp = fa.fp
+          |  GROUP BY doc_a, doc_b)
+          |SELECT doc_a, doc_b,
+          |       ROUND(c * 1.0 / sa.s, 6) AS contain_a,
+          |       ROUND(c * 1.0 / sb.s, 6) AS contain_b
+          |FROM cm
+          |JOIN sz sa ON sa.doc_id = cm.doc_a
+          |JOIN sz sb ON sb.doc_id = cm.doc_b
+          |WHERE 5 * c >= 4 * sa.s OR 5 * c >= 4 * sb.s
+          |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // x103: every card value is an exact BIGINT over one corpus scan
+    // family.
+    "x103_dataset_card" ->
+      """WITH toks AS (
+        |  SELECT doc_id, x AS tok FROM documents,
+        |    UNNEST([x FOR x IN string_split(LOWER(text),' ') IF x <> '']) AS u(x)),
+        |card AS (
+        |  SELECT 'n_docs' AS metric, COUNT(*) AS value FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(SUM(n_chars) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'n_langs', COUNT(DISTINCT lang) FROM documents
+        |  UNION ALL SELECT 'n_sources', COUNT(DISTINCT source) FROM documents
+        |  UNION ALL SELECT 'n_empty',
+        |    CAST(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM documents
+        |  UNION ALL SELECT 'n_tokens', COUNT(*) FROM toks
+        |  UNION ALL SELECT 'vocab', COUNT(DISTINCT tok) FROM toks
+        |  UNION ALL SELECT 'n_exact_dups',
+        |    CAST(SUM(n - 1) AS BIGINT) FROM (
+        |      SELECT COUNT(*) AS n FROM documents GROUP BY lower(text)))
+        |SELECT metric, CAST(value AS BIGINT) AS value
+        |FROM card ORDER BY metric""".stripMargin,
+
     // x77: the z-test is evaluated in exact integer arithmetic on BOTH
     // sides — (c·n − S)²·(n−1) > 4·n·(SS·n − S²) — so the flag count is
     // float-free (DuckDB runs it in HUGEINT, Spark in BIGINT; equal values,

@@ -318,6 +318,52 @@ object LlmExt2 {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** x102: CONTAINMENT PAIRS — the asymmetric twin of x86's Jaccard:
+    * C(A→B) = |A∩B|/|A| flags "A is quoted inside B" even when the
+    * symmetric Jaccard is diluted by B's extra content. Same candidate
+    * chain as x86; the ≥0.8 cut is the integer test 5·common ≥ 4·|side|
+    * (no float boundary). Scale caveat (documented, not hidden): candidates
+    * come from Jaccard-tuned LSH bands, so a tiny A swallowed by a huge B
+    * can be missed — exhaustive containment needs prefix filtering; this
+    * operator reports containment ON the near-dup candidate set, which is
+    * the curation use (choosing the survivor direction).
+    *
+    * 100 TB: identical shape to x86 — banded buckets, candidate-only
+    * set intersection, no all-pairs stage. */
+  def x102(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L
+    val hs = Seq((1540483477L, 11L), (1103515245L, 12345L), (69069L, 7L),
+                 (1664525L, 1013904223L), (22695477L, 1L), (134775813L, 1L),
+                 (214013L, 2531011L), (1597334677L, 3L))
+    val fps = docFingerprints(Tables.documents(spark, dir)).distinct()
+    val sig = fps.groupBy("doc_id").agg(
+      min((col("fp") * hs.head._1 + hs.head._2) % P).as("mh0"),
+      hs.tail.zipWithIndex.map { case ((a, b), i) =>
+        min((col("fp") * a + b) % P).as(s"mh${i + 1}") }: _*)
+    val banded = (0 until 4).map { bI =>
+      sig.select(col("doc_id"), lit(bI.toLong).as("band"),
+                 concat_ws(":", col(s"mh${2 * bI}"), col(s"mh${2 * bI + 1}")).as("key"))
+    }.reduce(_ unionByName _)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sz = fps.groupBy("doc_id").agg(count(lit(1)).as("s"))
+    cand
+      .join(fps.select(col("doc_id").as("doc_a"), col("fp")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp")), Seq("doc_b", "fp"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .filter(col("c") * 5 >= col("sa") * 4 || col("c") * 5 >= col("sb") * 4)
+      .select(col("doc_a"), col("doc_b"),
+              round(col("c") * lit(1.0) / col("sa"), 6).as("contain_a"),
+              round(col("c") * lit(1.0) / col("sb"), 6).as("contain_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** x101: CONTENT-DEFINED CHUNK BOUNDARIES — the rsync/LBFS chunking rule
     * over the rolling-hash stream: a 5-token window whose fingerprint ≡ 0
     * (mod 64) is a cut point, and the distribution of gaps between

@@ -235,6 +235,45 @@ object Stats {
       .orderBy("decile")
   }
 
+  /** x103: DATASET CARD — the one-page corpus datasheet as a (metric,
+    * value) table: document/token/char masses, vocabulary size, language
+    * and source cardinalities, exact-duplicate count, and empty-doc count.
+    * Every value is an exact BIGINT, so the whole card is hash-verifiable;
+    * it is the summary a corpus release ships next to the data.
+    *
+    * 100 TB: a handful of map-side-combinable aggregates over one corpus
+    * scan family (token stats via the native fused expression — no
+    * explode), union'd into ≤10 rows. */
+  def x103(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(when(trim(col("text")) === "", 1L).otherwise(0L)).as("n_empty"))
+    val toks = docs.filter(trim(col("text")) =!= "")
+      .select(call_function("token_stats", col("text")).as("ts"))
+      .agg(sum(col("ts.n_tokens")).as("n_tokens"))
+    val vocab = docs
+      .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    val dups = docs.groupBy(lower(col("text")).as("norm"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") - 1).as("n_exact_dups"))
+    def row(name: String, c: org.apache.spark.sql.Column, from: DataFrame) =
+      from.select(lit(name).as("metric"), c.cast(LongType).as("value"))
+    row("n_docs", col("n_docs"), base)
+      .unionByName(row("n_chars", col("n_chars"), base))
+      .unionByName(row("n_langs", col("n_langs"), base))
+      .unionByName(row("n_sources", col("n_sources"), base))
+      .unionByName(row("n_empty", col("n_empty"), base))
+      .unionByName(row("n_tokens", col("n_tokens"), toks))
+      .unionByName(row("vocab", col("vocab"), vocab))
+      .unionByName(row("n_exact_dups", col("n_exact_dups"), dups))
+      .orderBy("metric")
+  }
+
   /** x88: A/B CONVERSION Z-TEST — two-proportion z on a DETERMINISTIC user
     * split (user_id parity — the assignment a reproducible experiment
     * framework would persist): conversion = "the user's FIRST event (by

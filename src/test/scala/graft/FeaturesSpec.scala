@@ -568,6 +568,38 @@ class FeaturesSpec extends AnyFunSuite {
     assert(mean > 8 && mean < 512, s"mean gap $mean wildly off the 64 modulus")
   }
 
+  test("x102 containment bounds jaccard: every x86 pair passes the containment cut") {
+    // jaccard >= 0.5 implies max-containment >= 0.5... but the x102 cut is
+    // 0.8 — instead verify set relations: containment >= jaccard pairwise,
+    // and containments are valid ratios
+    val j = graft.queries.LlmExt2.x86(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val c = graft.queries.LlmExt2.x102(spark, sfSmoke).collect()
+    assert(c.nonEmpty)
+    for (r <- c) {
+      val (ca, cb) = (r.getDouble(2), r.getDouble(3))
+      assert(ca > 0 && ca <= 1 + 1e-9 && cb > 0 && cb <= 1 + 1e-9)
+      assert(math.max(ca, cb) >= 0.8 - 1e-9, "the integer cut admits only >= 0.8")
+      j.get((r.getLong(0), r.getLong(1))).foreach { jac =>
+        assert(ca >= jac - 1e-6 && cb >= jac - 1e-6,
+          "containment dominates jaccard on a shared pair")
+      }
+    }
+  }
+
+  test("x103 dataset card: cross-metric identities hold") {
+    val card = graft.queries.Stats.x103(spark, sfSmoke).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.engine.Tables.documents(spark, sfSmoke)
+    assert(card("n_docs") === docs.count())
+    assert(card("n_chars") === docs.agg(sum(col("n_chars"))).head().getLong(0))
+    assert(card("n_exact_dups") ===
+      card("n_docs") - docs.select(lower(col("text"))).distinct().count())
+    assert(card("vocab") <= card("n_tokens"))
+    assert(card("n_empty") <= card("n_docs"))
+    assert(card("n_langs") >= 1 && card("n_sources") >= 1)
+  }
+
   test("x77 integer z-test equals the float z-score flag on smoke data") {
     val ev = graft.engine.Tables.events(spark, sfSmoke)
     val cu = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
