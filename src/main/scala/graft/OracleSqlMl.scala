@@ -250,6 +250,16 @@ object OracleSqlMl {
         |       event_type AS type_val
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // x106: every aggregate is over the BIGINT-cast parse of the single
+    // real props field; `parsed` counts successful parses on both engines.
+    "x106_json_typed_parse" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS parsed,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "x11_text_quality" ->
       """WITH t AS (SELECT doc_id, n_chars,
         |  [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS toks
@@ -551,6 +561,39 @@ object OracleSqlMl {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    // x104: identical statement (exact decimal cross-multiplication, never a
+    // float AVG) — both engines decorrelate; values compare bit-for-bit.
+    "x104_correlated_subquery" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders o
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) *
+        |        (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |      > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
+
+    // x105: the oracle restates min_by/max_by/mode as window rn=1 picks
+    // under the same total orders (price,key asc | price,key desc | freq
+    // desc, value asc) — proving the aggregates against first principles.
+    "x105_mode_argmax" ->
+      """WITH b AS (SELECT o_orderpriority AS pri, o_orderkey AS k,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |lo AS (SELECT pri, k AS cheapest_key FROM
+        |        (SELECT pri, k, ROW_NUMBER() OVER (PARTITION BY pri ORDER BY p, k) AS rn
+        |         FROM b) WHERE rn = 1),
+        |hi AS (SELECT pri, k AS priciest_key FROM
+        |        (SELECT pri, k, ROW_NUMBER() OVER (PARTITION BY pri ORDER BY p DESC, k DESC) AS rn
+        |         FROM b) WHERE rn = 1),
+        |md AS (SELECT pri, s AS mode_status FROM
+        |        (SELECT o_orderpriority AS pri, o_orderstatus AS s, COUNT(*) AS c
+        |         FROM orders GROUP BY 1, 2) t
+        |       QUALIFY ROW_NUMBER() OVER (PARTITION BY pri ORDER BY c DESC, s) = 1)
+        |SELECT lo.pri AS o_orderpriority, cheapest_key, priciest_key, mode_status
+        |FROM lo JOIN hi ON lo.pri = hi.pri JOIN md ON lo.pri = md.pri
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "x38_fuzzy_match_join" ->
       """WITH toks AS (

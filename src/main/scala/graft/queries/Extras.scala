@@ -67,4 +67,29 @@ object Extras {
       .agg(count(lit(1)).as("n"))
       .orderBy("actual", "predicted")
   }
+
+  /** x106: TYPED JSON PARSE — `from_json` with an explicit schema over
+    * `events.props`, then typed-struct aggregation. Complements q32
+    * (per-field string `get_json_object`): here the row is parsed ONCE into
+    * a struct and every downstream field access is a free struct read —
+    * the right shape whenever more than one field is consumed, since N
+    * `get_json_object` taps re-parse the string N times. `parsed` counts
+    * non-null parse results, making the malformed-row policy (NULL, not
+    * error) part of the checked contract.
+    *
+    * 100 TB: JsonToStructs is a map-only codegen'd expression; Catalyst
+    * prunes the parse schema to the fields actually consumed
+    * (OptimizeJsonExprs), so a wide props schema costs only the used
+    * subset. One aggregate after — |event_type| groups, map-side combined. */
+  def x106(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+              from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).as("p"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+           count(col("p.k")).as("parsed"),
+           sum(col("p.k")).as("sum_k"),
+           min(col("p.k")).cast(LongType).as("min_k"),
+           max(col("p.k")).cast(LongType).as("max_k"))
+      .orderBy("event_type")
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, LongType, StringType}
 import graft.engine.Tables
 
 /** Pattern-mining / analytic extensions of the training-data pipeline
@@ -189,5 +189,59 @@ object Mining {
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(30)
+  }
+
+  /** x104: CORRELATED SCALAR SUBQUERY — orders strictly above their own
+    * customer's average order value, counted per priority. Stated in SQL so
+    * Catalyst's decorrelation actually runs: each correlated aggregate is
+    * rewritten to a groupBy(o_custkey) + equi-join on the correlation key
+    * (PlanSpec pins the shape). The comparison is kept exact with the
+    * cross-multiplication `price·n > Σprice` — DECIMAL(18,2)·BIGINT on
+    * both engines, no float average whose summation order could flip a
+    * borderline row.
+    *
+    * 100 TB: each decorrelated aggregate is map-side combined down to
+    * |customers| rows before its join — never a per-row re-scan (the naive
+    * nested-loop reading of the SQL). Catalyst merges only UNcorrelated
+    * scalar subqueries, so the two subqueries plan as two aggregate+join
+    * pairs; where that constant factor matters, hand-fuse them into one
+    * `groupBy(custkey).agg(count, sum)` + single join — the shape the
+    * repo's q06-style operators use. */
+  def x104(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("x104_orders")
+    spark.sql(
+      """SELECT o.o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM x104_orders o
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) *
+        |        (SELECT COUNT(*) FROM x104_orders o2
+        |         WHERE o2.o_custkey = o.o_custkey)
+        |      > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        |         FROM x104_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin)
+  }
+
+  /** x105: ARGMAX AGGREGATE FAMILY — `min_by`/`max_by` with a struct
+    * ordering key and the deterministic `mode`. Per priority: the orderkey
+    * of the cheapest and priciest order (struct(price, key) makes the
+    * ordering TOTAL — ties resolve to the smallest/largest key instead of
+    * whichever partial arrived first) and the most frequent order status
+    * (`mode(s, true)` = lowest value among tied frequencies — the only
+    * engine-portable mode). The oracle states the same three picks as
+    * window rn=1 rules, proving the aggregates against first principles.
+    *
+    * 100 TB: all three are single-pass partial+final aggregates with
+    * CONSTANT per-group state (one candidate row for min_by/max_by, a
+    * |distinct statuses|-sized map for mode) — the scalable replacement for
+    * the sort-per-group + rn=1 plan when only the argmax row is needed. */
+  def x105(spark: SparkSession, dir: String): DataFrame = {
+    val p = col("o_totalprice").cast(DecimalType(18, 2))
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(min_by(col("o_orderkey"), struct(p, col("o_orderkey"))).as("cheapest_key"),
+           max_by(col("o_orderkey"), struct(p, col("o_orderkey"))).as("priciest_key"),
+           expr("mode(o_orderstatus, true)").as("mode_status"))
+      .orderBy("o_orderpriority")
   }
 }

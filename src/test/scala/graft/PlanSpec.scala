@@ -151,4 +151,30 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Relational2.q30(spark, sfSmoke))
     assert(p.contains("*(1)"), "scalar pipeline must be codegen'd (the *(n) stage marker)")
   }
+
+  // AQE's toString prints "== Final Plan ==" then "== Initial Plan ==" —
+  // shape counts must look at the final section only or every node doubles
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val p = plan(df)
+    val cut = p.indexOf("== Initial Plan ==")
+    if (cut >= 0) p.substring(0, cut) else p
+  }
+
+  test("x104: correlated subqueries decorrelate to custkey aggregate+join pairs (no nested-loop re-scan)") {
+    val p = finalPlan(Mining.x104(spark, sfSmoke))
+    // the per-row correlated reading would be a CartesianProduct or a
+    // per-row Subquery re-execution; the decorrelated form is a join per
+    // subquery (Catalyst merges only UNcorrelated scalar subqueries)
+    assert(!p.contains("CartesianProduct"), "decorrelation must not fall back to a cross product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "the correlation key must become a hash-join key")
+    val custkeyAggs = "HashAggregate\\(keys=\\[o_custkey".r.findAllIn(p).size
+    assert(custkeyAggs == 4, s"two partial+final custkey aggregate pairs (one per subquery), had $custkeyAggs")
+  }
+
+  test("x105: min_by/max_by/mode all compute in one partial+final aggregate pass (no Window, no sort-per-group)") {
+    val p = finalPlan(Mining.x105(spark, sfSmoke))
+    assert(!p.contains("Window"), "argmax aggregates must replace the rn=1 window plan")
+    assert(p.contains("partial_min_by"), "map-side combine for min_by")
+    assert("HashAggregate".r.findAllIn(p).size == 2, "one partial+final pair over o_orderpriority")
+  }
 }
