@@ -575,6 +575,19 @@ object OracleSqlMl {
         |GROUP BY o.o_orderpriority
         |ORDER BY o.o_orderpriority""".stripMargin,
 
+    // x107: same integer-cents arithmetic; DuckDB's integer floor division
+    // is `//` (Spark spells it DIV), and its BIGINT SUM widens to HUGEINT —
+    // cast back so dtypes align.
+    "x107_scalar_subquery_share" ->
+      """WITH l AS (SELECT o_orderpriority,
+        |                  CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+        |           FROM orders)
+        |SELECT o_orderpriority, CAST(SUM(c) AS BIGINT) AS cents,
+        |       CAST(SUM(c) * 1000000 // (SELECT SUM(c) FROM l) AS BIGINT) AS rev_ppm,
+        |       CAST(COUNT(*) * 1000000 // (SELECT COUNT(*) FROM l) AS BIGINT) AS cnt_ppm
+        |FROM l GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // x105: the oracle restates min_by/max_by/mode as window rn=1 picks
     // under the same total orders (price,key asc | price,key desc | freq
     // desc, value asc) — proving the aggregates against first principles.

@@ -222,6 +222,32 @@ object Mining {
         |ORDER BY o.o_orderpriority""".stripMargin)
   }
 
+  /** x107: UNCORRELATED SCALAR SUBQUERIES — each priority's share of global
+    * order revenue and order count, in exact ppm (integer cents, floor
+    * division — no float division whose rounding could differ). The two
+    * globals are written as two scalar subqueries over the same table so
+    * MergeScalarSubqueries actually fires: Catalyst fuses them into ONE
+    * 1-row aggregate, reused by both taps (PlanSpec pins the ReusedSubquery
+    * node). Complements x104, whose CORRELATED subqueries cannot merge.
+    *
+    * 100 TB: the merged subquery is a single map-side-combined global
+    * aggregate producing one broadcast scalar row — the per-group shares
+    * then need no second shuffle beyond the groupBy itself. BIGINT
+    * headroom: Σcents·10⁶ stays under 2⁶³ through ~9×10¹² total cents
+    * (≈ $90 B revenue); past that, compute shares on DECIMAL(38,0). */
+  def x107(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("x107_orders")
+    spark.sql(
+      """WITH l AS (SELECT o_orderpriority,
+        |                  CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+        |           FROM x107_orders)
+        |SELECT o_orderpriority, SUM(c) AS cents,
+        |       SUM(c) * 1000000L DIV (SELECT SUM(c) FROM l) AS rev_ppm,
+        |       COUNT(*) * 1000000L DIV (SELECT COUNT(*) FROM l) AS cnt_ppm
+        |FROM l GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** x105: ARGMAX AGGREGATE FAMILY — `min_by`/`max_by` with a struct
     * ordering key and the deterministic `mode`. Per priority: the orderkey
     * of the cheapest and priciest order (struct(price, key) makes the

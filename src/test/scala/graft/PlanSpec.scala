@@ -171,6 +171,15 @@ class PlanSpec extends AnyFunSuite {
     assert(custkeyAggs == 4, s"two partial+final custkey aggregate pairs (one per subquery), had $custkeyAggs")
   }
 
+  test("x107: the two uncorrelated scalar subqueries merge into one reused global aggregate") {
+    val df = Mining.x107(spark, sfSmoke)
+    df.collect()
+    // subqueries print in the full tree string (plan() sees only the main
+    // tree); MergeScalarSubqueries leaves one Subquery + one ReusedSubquery
+    val p = df.queryExecution.executedPlan.treeString
+    assert(p.contains("ReusedSubquery"), "SUM and COUNT globals must compute once and be reused")
+  }
+
   test("x105: min_by/max_by/mode all compute in one partial+final aggregate pass (no Window, no sort-per-group)") {
     val p = finalPlan(Mining.x105(spark, sfSmoke))
     assert(!p.contains("Window"), "argmax aggregates must replace the rn=1 window plan")
