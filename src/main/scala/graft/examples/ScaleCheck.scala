@@ -28,6 +28,10 @@ import graft.engine.Tables
   * pair); 22× runtime against 450× output is the same sublinear-in-true-
   * workload behavior as x08, not a plan defect — on production data where
   * duplicates are rare, candidates track the dup rate, not the corpus².
+  * x104 (correlated subqueries, decorrelated to custkey aggregates +
+  * joins) runs 10× the data — 10× the customers under the disjoint key
+  * shift — at ~1.4×: the aggregate reduces before either join, so the
+  * joins see |customers| rows, never |orders|².
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
@@ -77,7 +81,11 @@ object ScaleCheck {
                   "x78_ship_delay_stats",
                   // x86: every fingerprint bucket is 10× hotter, same
                   // candidate-pair pressure as x24/x08's regime
-                  "x86_minhash_oracle_lsh")) {
+                  "x86_minhash_oracle_lsh",
+                  // x104: decorrelated subqueries — the custkey aggregates
+                  // and their joins must track row volume (customer count
+                  // grows 10× under the disjoint custkey shift)
+                  "x104_correlated_subquery")) {
       graft.SparkEntry.queries(q)(spark, src).collect() // warm
       val t1 = System.nanoTime; graft.SparkEntry.queries(q)(spark, src).collect()
       val small = (System.nanoTime - t1) / 1e9
