@@ -41,4 +41,22 @@ class OutputContractSpec extends AnyFunSuite {
           bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
     }
   }
+
+  // x106's contract includes the malformed-row policy (NULL, not error) —
+  // the testdata is all well-formed, so pin the policy on hostile inputs
+  test("x106's typed JSON parse NULLs malformed/missing rows instead of erroring") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("""{"k": 7}""", """{"k": "notanint"}""", "not json at all",
+                 """{"other": 1}""", null)
+      .toDF("props")
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", IntegerType)))).as("p"))
+    val agg = df.agg(count(lit(1)).as("cnt"), count(col("p.k")).as("parsed"),
+                     sum(col("p.k")).as("sum_k")).head()
+    assert(agg.getLong(0) === 5)
+    assert(agg.getLong(1) === 1, "only the well-formed integer row parses")
+    assert(agg.getLong(2) === 7L)
+  }
 }
