@@ -42,6 +42,34 @@ object Reshape {
            round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"))
       .orderBy("o_orderpriority")
 
+  /** x108: MERGEABLE HLL SKETCH ROLLUP — the pattern x15's
+    * `approx_count_distinct` cannot express: DataSketches HLL sketches as
+    * FIRST-CLASS mergeable values. Per priority, distinct customers three
+    * ways: exact, a direct sketch, and a TWO-LEVEL rollup (per-month tile
+    * sketches → `hll_union_agg`). The tiled estimate must equal the direct
+    * one exactly — sketch state is an order-independent set/register-max,
+    * so pre-aggregated tiles lose nothing (ReshapeSpec pins tile-count
+    * invariance too). Not SQL-expressible in DuckDB (sketch binaries), so
+    * property-tested rather than oracle-checked.
+    *
+    * 100 TB: THE re-aggregation pattern — persist tiny per-partition/day
+    * sketch tiles once, answer any distinct-count rollup (month, year,
+    * ad-hoc priority sets) by unioning tiles, never rescanning the corpus.
+    * approx_count_distinct's HLL++ state is internal-only; these sketches
+    * are columns you can store and re-merge across jobs. */
+  def x108(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val tiles = o
+      .groupBy(col("o_orderpriority"), date_trunc("month", col("o_orderdate")).as("mo"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val tiled = tiles.groupBy("o_orderpriority")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_tiled"))
+    val direct = o.groupBy("o_orderpriority")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est_direct"),
+           countDistinct(col("o_custkey")).as("exact_custs"))
+    direct.join(tiled, Seq("o_orderpriority")).orderBy("o_orderpriority")
+  }
+
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** x16: pivot — events long → wide counts per (user, event_type). The

@@ -59,4 +59,27 @@ class ReshapeSpec extends AnyFunSuite {
       .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
     assert(long === direct)
   }
+
+  test("x108 tiled sketch union reproduces the direct sketch exactly and tracks the exact count") {
+    val rows = Reshape.x108(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (direct, exact, tiled) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // merge transparency: register-max/coupon-set state is grouping-
+      // independent, so pre-aggregated monthly tiles lose NOTHING
+      assert(tiled === direct, s"priority ${r.getString(0)}: tiled union must equal direct sketch")
+      // lgK=12 default: relative error ~1.6%; allow 5x slack at small n
+      assert(math.abs(direct - exact) <= math.max(1L, (exact * 0.08).toLong),
+             s"priority ${r.getString(0)}: est $direct vs exact $exact")
+    }
+    // tile-count invariance: coarser tiles (year) give the same union estimate
+    val o = graft.engine.Tables.orders(spark, sfSmoke)
+    val byYear = o.groupBy(col("o_orderpriority"), date_trunc("year", col("o_orderdate")).as("y"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .groupBy("o_orderpriority")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- rows)
+      assert(byYear(r.getString(0)) === r.getLong(1), "year tiles == direct too")
+  }
 }
