@@ -252,12 +252,15 @@ object OracleSqlMl {
 
     // x106: every aggregate is over the BIGINT-cast parse of the single
     // real props field; `parsed` counts successful parses on both engines.
+    // TRY_CAST, not CAST: the Spark side's from_json contract is
+    // NULL-on-malformed (pinned by OutputContractSpec), and DuckDB's CAST
+    // would ABORT on a hostile/non-numeric k instead of matching that.
     "x106_json_typed_parse" ->
       """SELECT event_type, COUNT(*) AS cnt,
-        |       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS parsed,
-        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-        |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS parsed,
+        |       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "x11_text_quality" ->

@@ -54,21 +54,33 @@ case class TopKPairs(
   override def prettyName: String = "topk_pairs"
 
   /** Heap order: the queue's MAX is the WEAKEST held pair (lowest score;
-    * score ties: highest tag), so `dequeue()` evicts the right victim. */
+    * score ties: highest tag), so `dequeue()` evicts the right victim.
+    * Scores compare via `java.lang.Double.compare` — a TOTAL order that
+    * ranks NaN as the largest double, matching Spark's window-sort
+    * semantics; `a > b` alone is non-total under NaN and would let a NaN
+    * enqueued under capacity sit unevictable forever. */
   private def evictionOrder: Ordering[(Double, Long)] =
     Ordering.fromLessThan { (a, b) =>
-      if (a._1 != b._1) a._1 > b._1 else a._2 < b._2
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c > 0 else a._2 < b._2
     }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty(evictionOrder)
 
-  private def add(buf: mutable.PriorityQueue[(Double, Long)], s: Double, t: Long): Unit =
+  /** Spark's sort treats -0.0 == 0.0 (ties then break on tag); Double.compare
+    * does not, so normalize before any comparison is stored. */
+  private def norm(s: Double): Double = if (s == 0.0d) 0.0d else s
+
+  private def add(buf: mutable.PriorityQueue[(Double, Long)], s0: Double, t: Long): Unit = {
+    val s = norm(s0)
     if (buf.size < k) buf.enqueue((s, t))
     else {
       val (ws, wt) = buf.head // current weakest
-      if (s > ws || (s == ws && t < wt)) { buf.dequeue(); buf.enqueue((s, t)) }
+      val c = java.lang.Double.compare(s, ws)
+      if (c > 0 || (c == 0 && t < wt)) { buf.dequeue(); buf.enqueue((s, t)) }
     }
+  }
 
   override def update(
       buf: mutable.PriorityQueue[(Double, Long)],

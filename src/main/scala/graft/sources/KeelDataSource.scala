@@ -51,6 +51,11 @@ class KeelDataSource extends RelationProvider
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(s"keel target already exists: $path")
       case SaveMode.Ignore if exists => ()
+      // A KEEL file has exactly one @data section, so Append has no sane
+      // meaning; silently rewriting (the old behavior) is a data-loss path.
+      case SaveMode.Append =>
+        throw new UnsupportedOperationException(
+          "keel source does not support SaveMode.Append; use Overwrite")
       case _ =>
         val relation = parameters.getOrElse("relation", "graft_export")
         val outputCol = parameters.getOrElse("outputCol", data.columns.last)

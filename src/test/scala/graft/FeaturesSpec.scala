@@ -77,6 +77,30 @@ class FeaturesSpec extends AnyFunSuite {
       "only the one row with BOTH score and tag non-null survives")
   }
 
+  test("x70 topk_pairs ranks NaN as the largest score (window-sort parity) and can evict it") {
+    import spark.implicits._
+    // NaN enqueued while under capacity must still be evictable/orderable:
+    // java.lang.Double.compare ranks NaN above every finite double, exactly
+    // like Spark's ORDER BY score DESC, so the k=2 answer is (NaN,4),(9.0,1)
+    val df = Seq(("g", 9.0, 1L), ("g", Double.NaN, 4L), ("g", 7.0, 2L),
+                 ("g", Double.NaN, 3L))
+      .toDF("g", "s", "t")
+    val out = df.groupBy("g")
+      .agg(call_function("topk_pairs", col("s"), col("t"), lit(2)).as("tk"))
+      .select(explode(col("tk")).as("p"))
+      .select(col("p.score"), col("p.tag"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out.map(_._2).toSeq === Seq(3L, 4L), "two NaNs outrank 9.0; tag asc breaks the NaN tie")
+    assert(out.forall(p => p._1.isNaN))
+    // and -0.0 ties 0.0 exactly like Spark's sort: tag decides
+    val z = Seq(("z", 0.0, 5L), ("z", -0.0, 4L)).toDF("g", "s", "t")
+      .groupBy("g")
+      .agg(call_function("topk_pairs", col("s"), col("t"), lit(1)).as("tk"))
+      .select(explode(col("tk")).as("p")).select(col("p.tag"))
+      .as[Long].head()
+    assert(z === 4L, "-0.0 == 0.0 for ranking; the lower tag wins the single slot")
+  }
+
   test("x71 quartiles partition each segment: counts sum to segment size, buckets ordered") {
     val segSizes = graft.engine.Tables.customer(spark, sfSmoke)
       .groupBy("c_mktsegment").count().collect()

@@ -79,4 +79,17 @@ class KeelDataSourceSpec extends AnyFunSuite {
     val back = spark.read.format("keel").load(out)
     assert(back.collect().map(_.getDouble(0)).toSeq === Seq(1.0))
   }
+
+  test("save modes: Append throws (one @data section) and must NOT clobber the target") {
+    val df = Seq((1.0, "a")).toDF("x", "cls")
+    val out = Files.createTempDirectory("keelappend").resolve("a.dat").toString
+    df.write.format("keel").mode("overwrite").save(out)
+    val df2 = Seq((9.0, "b")).toDF("x", "cls")
+    intercept[UnsupportedOperationException] {
+      df2.write.format("keel").mode("append").save(out)
+    }
+    // the refused append left the original data untouched
+    val back = spark.read.format("keel").load(out)
+    assert(back.collect().map(_.getDouble(0)).toSeq === Seq(1.0))
+  }
 }
