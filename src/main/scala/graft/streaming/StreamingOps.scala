@@ -184,6 +184,28 @@ object StreamingOps {
       .limit(20)
   }
 
+  /** The RocksDB state-store provider — the scale path for streaming state.
+    * The default HDFSBackedStateStoreProvider keeps EVERY key's state as
+    * deserialized JVM objects on the executor heap (maps doubled during
+    * snapshot), which is exactly what dies first on 100 TB-class
+    * sessionization: state size is bounded by live keys, not by memory.
+    * RocksDB keeps state off-heap in a native LSM with block-cache bounds,
+    * so the nine streaming operators here run under it BY DEFAULT; the
+    * HDFS-backed provider remains only as the parity baseline in
+    * StreamingSpec (identical results, asserted). */
+  private[graft] val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Test hook: StreamingSpec swaps in the HDFS-backed provider to assert
+    * provider-independence of every streaming result. */
+  @volatile private[graft] var providerOverride: Option[String] = None
+
+  /** State-operator progress of the last completed replay (all micro-batches,
+    * flattened) — lets specs assert bounded state and the provider actually
+    * used without re-plumbing the StreamingQuery handle out. */
+  @volatile private[graft] var lastStateProgress:
+    Seq[org.apache.spark.sql.streaming.StateOperatorProgress] = Seq.empty
+
   /** Runs a streaming transform to completion (AvailableNow) into a memory
     * sink and returns the result table.
     *
@@ -201,7 +223,10 @@ object StreamingOps {
     // (measured: 4 < 8 < 2 ≈ 32 on the sf0.1 replay; the value is fixed into
     // the query at start and restored for batch work after)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      providerOverride.getOrElse(RocksDbProvider))
     try {
       val q = streamed.writeStream
         .format("memory").queryName(name)
@@ -209,13 +234,20 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      lastStateProgress = q.recentProgress.toSeq.flatMap(_.stateOperators)
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       require(dataBatches <= 1,
         s"$name replayed in $dataBatches data micro-batches; the registered " +
         "streaming oracles assume a single-batch replay (see Scaladoc) — " +
         "re-derive or retire the oracle before trusting this result")
       spark.table(name)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   /** x02 entry: equals q35 on in-order replay (complete mode, no late data). */

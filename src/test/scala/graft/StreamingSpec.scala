@@ -209,6 +209,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() === expect, "batch retry must be a no-op")
   }
 
+  test("replays run on RocksDB state by default: rocksdb metrics, bounded state, HDFS parity") {
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.StreamingOps
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+    // RocksDB (the default): built-in session state (x03), custom
+    // flatMapGroupsWithState state (x19), and a TypedImperativeAggregate
+    // buffer (x91's Misra-Gries sketch) all round-trip the native store
+    val rocks = Map(
+      "x03" -> rows(StreamingOps.x03(spark, sfSmoke)),
+      "x19" -> rows(StreamingOps.x19(spark, sfSmoke)),
+      "x91" -> rows(StreamingOps.x91(spark, sfSmoke)))
+    // the last replay's state metrics must actually come from RocksDB —
+    // provider-specific custom metrics are the proof the conf took effect
+    val prog = StreamingOps.lastStateProgress
+    assert(prog.nonEmpty, "replay must report state-operator progress")
+    val metricKeys = prog.flatMap(_.customMetrics.keySet().asScala)
+    assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"expected RocksDB custom metrics, saw: ${metricKeys.distinct.take(10)}")
+    // bounded state: the x91 sketch holds <= capacity(64) entries per
+    // partition-group, never one row per input token
+    assert(prog.map(_.numRowsTotal).max <= 64 * 8,
+      "sketch state must stay bounded by capacity, not token volume")
+    // provider-independence: identical results on the HDFS-backed baseline
+    StreamingOps.providerOverride = Some(
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    try {
+      for ((k, r) <- rocks) {
+        val hdfs = k match {
+          case "x03" => rows(StreamingOps.x03(spark, sfSmoke))
+          case "x19" => rows(StreamingOps.x19(spark, sfSmoke))
+          case "x91" => rows(StreamingOps.x91(spark, sfSmoke))
+        }
+        assert(hdfs === r, s"$k must be provider-independent")
+      }
+      val hdfsKeys = StreamingOps.lastStateProgress
+        .flatMap(_.customMetrics.keySet().asScala)
+      assert(!hdfsKeys.exists(_.toLowerCase.contains("rocksdb")),
+        "override must actually switch the provider back")
+    } finally StreamingOps.providerOverride = None
+  }
+
   test("no final session sits exactly on the x19 timeout boundary (oracle guard)") {
     // The x19 oracle replicates Spark's event-time timeout as
     // (last_us+gap)//1000 < max_us//1000 - 600000 (strict <). The one case
