@@ -50,6 +50,54 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__salt"), "salt column must be part of the join keys")
   }
 
+  test("AQE OptimizeSkewedJoin splits the hot key an UNsalted join leaves whole (x22's runtime twin)") {
+    import org.apache.spark.sql.functions._
+    // x22 is the EXPLICIT fix for a hot shuffle key; this pins the runtime
+    // fix for keys the user did NOT hand-salt: AQE detects the oversized
+    // partition from map-output stats and splits it, giving the same rows.
+    // Skew fixture: one key holds ~83% of a 1.2M-row fact; the dim is one
+    // row per key, forced off broadcast so the join is a shuffled SMJ.
+    // The dim is a LITERAL table: OptimizeSkewedJoin pattern-matches
+    // SMJ(Sort(shuffle-stage), Sort(shuffle-stage)) only — an aggregate
+    // between the dim's sort and its shuffle would disqualify the join.
+    val fact = spark.range(0, 1200000).select(
+      when(col("id") < 1000000, lit(7L))
+        .otherwise(pmod(col("id"), lit(50L)) + 100L).as("k"),
+      col("id"))
+    import spark.implicits._
+    val dim = ((7L, 1000000L) +: (0 until 50).map(i => (100L + i, 4000L)))
+      .toDF("k", "kn")
+    def agged(joined: org.apache.spark.sql.DataFrame) =
+      joined.groupBy(pmod(col("id"), lit(3L)).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("kn")).as("s"))
+        .orderBy("g")
+    // ground truth via the manual salt (the oracle-checked x22 mechanism)
+    val salted = agged(graft.engine.Skew.saltedJoin(fact, dim, "k", xxhash64(col("id")), 8))
+      .collect().map(_.toSeq).toSeq
+    val confs = Seq(
+      // dim must not broadcast or there is no shuffle to skew
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // tuned so the multi-MB hot partition trips the detector (size >
+      // max(threshold, factor * median)) and splits to ~advisory-size reads
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "128KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val prev = confs.map { case (key, _) => key -> spark.conf.getOption(key) }
+    confs.foreach { case (key, v) => spark.conf.set(key, v) }
+    try {
+      val unsalted = agged(fact.join(dim, "k"))
+      val rows = unsalted.collect().map(_.toSeq).toSeq
+      assert(rows === salted, "AQE-split unsalted join must be row-identical to the salted join")
+      val p = unsalted.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), "the join under test must be the shuffled SMJ")
+      assert(p.contains("skew=true") || p.toLowerCase.contains("skewed"),
+        "OptimizeSkewedJoin must have marked the join / shuffle read as skew-split:\n" + p.take(1500))
+    } finally prev.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
+    }
+  }
+
   test("q24: global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = plan(Relational2.q24(spark, sfSmoke))
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
