@@ -685,6 +685,22 @@ object OracleSqlFeatures {
           |WHERE 5 * c >= 4 * sa.s OR 5 * c >= 4 * sb.s
           |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // x109: the oracle is the EXHAUSTIVE inverted-index all-pairs
+    // containment (ground truth) — matching it hash-for-hash is the proof
+    // that the Spark side's prefix-filter candidate rule misses nothing.
+    "x109_containment_prefix" ->
+      ("WITH " + OracleSqlMl.fpCodedCtes + ",\n" + OracleSqlMl.fpsDistinctCte + ",\n" +
+        """sz AS (SELECT doc_id, COUNT(*) AS s FROM fps GROUP BY doc_id),
+          |cm AS (
+          |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id, COUNT(*) AS c
+          |  FROM fps a JOIN fps b ON b.fp = a.fp AND b.doc_id <> a.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT contained_id, container_id,
+          |       ROUND(c * 1.0 / sa.s, 6) AS containment
+          |FROM cm JOIN sz sa ON sa.doc_id = cm.contained_id
+          |WHERE 5 * c >= 4 * sa.s
+          |ORDER BY contained_id, container_id""".stripMargin),
+
     // x103: every card value is an exact BIGINT over one corpus scan
     // family.
     "x103_dataset_card" ->

@@ -364,6 +364,66 @@ object LlmExt2 {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** x109: EXHAUSTIVE containment join via PREFIX FILTERING — closes x102's
+    * documented gap: a short doc quoted verbatim inside a long one has high
+    * containment but tiny symmetric Jaccard, so x86's Jaccard-tuned LSH
+    * bands (x102's candidate source) can miss the pair entirely. Prefix
+    * filtering (the PPJoin family's candidate rule) is EXHAUSTIVE at the
+    * threshold, no probability involved:
+    *
+    * order all fingerprints globally (rarest first: document frequency asc,
+    * fp asc) and take each doc A's first p = |A| − ⌈t·|A|⌉ + 1 = |A| DIV 5
+    * + 1 (t = 4/5) fingerprints as its prefix. If a pair (A,B) shares NO
+    * prefix element of A, then A∩B ⊆ A∖prefix, so |A∩B| ≤ |A| − p < t·|A| —
+    * the pair cannot pass the threshold. Contrapositive: every qualifying
+    * pair shares a prefix element, so blocking on (A-prefix fp = any B fp)
+    * generates a candidate superset. The DuckDB oracle is the full
+    * inverted-index ALL-pairs containment — ground truth — so the hash
+    * compare proves the no-miss property on real data, not just in theory.
+    *
+    * Output: one row per DIRECTED pair, A contained in B with
+    * C(A→B) = |A∩B|/|A| ≥ 0.8 (integer cut 5c ≥ 4|A|).
+    *
+    * 100 TB: every stage is keyed — df is one fp-keyed agg, ranking is one
+    * doc-keyed window, probing joins only the ~|A|/5+1 RAREST fingerprints
+    * of each doc against the index (rare ⇒ short postings lists; that
+    * choice, not the prefix length, is what kills the candidate blow-up),
+    * and the exact intersection touches candidates only. No all-pairs
+    * stage anywhere; the oracle's all-pairs join exists on the DuckDB side
+    * alone. */
+  def x109(spark: SparkSession, dir: String): DataFrame =
+    containmentPrefix(docFingerprints(Tables.documents(spark, dir)).distinct())
+
+  /** x109's core on an arbitrary (doc_id, fp) set — factored out so specs
+    * can drive planted corpora through the identical plan. */
+  private[graft] def containmentPrefix(fps: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("dffp", "fp")
+    val sz = fps.groupBy("doc_id").agg(count(lit(1)).as("s"))
+    val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("dffp"))
+    val prefix = fps
+      .join(dfreq, "fp")
+      .withColumn("rn", row_number().over(w))
+      .join(sz, "doc_id")
+      // p = |A| DIV 5 + 1 (exactly |A| - ceil(4|A|/5) + 1 for t = 4/5);
+      // DIV, not /: Spark's / on integers is DOUBLE division
+      .filter(col("rn") <= expr("s DIV 5") + 1)
+      .select(col("doc_id").as("contained_id"), col("fp"))
+    val cand = prefix
+      .join(fps.select(col("doc_id").as("container_id"), col("fp")), "fp")
+      .filter(col("contained_id") =!= col("container_id"))
+      .select("contained_id", "container_id").distinct()
+    cand
+      .join(fps.select(col("doc_id").as("contained_id"), col("fp")), "contained_id")
+      .join(fps.select(col("doc_id").as("container_id"), col("fp")),
+            Seq("container_id", "fp"))
+      .groupBy("contained_id", "container_id").agg(count(lit(1)).as("c"))
+      .join(sz.select(col("doc_id").as("contained_id"), col("s").as("sa")), "contained_id")
+      .filter(col("c") * 5 >= col("sa") * 4)
+      .select(col("contained_id"), col("container_id"),
+              round(col("c") * lit(1.0) / col("sa"), 6).as("containment"))
+      .orderBy("contained_id", "container_id")
+  }
+
   /** x101: CONTENT-DEFINED CHUNK BOUNDARIES — the rsync/LBFS chunking rule
     * over the rolling-hash stream: a 5-token window whose fingerprint ≡ 0
     * (mod 64) is a cut point, and the distribution of gaps between

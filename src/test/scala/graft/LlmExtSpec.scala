@@ -234,4 +234,38 @@ class LlmExtSpec extends AnyFunSuite {
           .select("text", "nat", "hof").take(3).mkString("; "))
     }
   }
+
+  test("x109 prefix-filter containment catches the quotation pair x102's LSH bands miss") {
+    import spark.implicits._
+    // Planted corpus: doc 1 is a 10-token sentence quoted VERBATIM inside
+    // doc 2's ~120 tokens of unrelated text → containment C(1→2) = 1.0 but
+    // symmetric Jaccard ≈ 6/116 ≪ 0.5, the regime x86/x102's
+    // Jaccard-tuned bands are not built to catch. Filler docs give the LSH
+    // hashes a realistic corpus.
+    val quote = "zephyr quantum marble octopus vivid lantern crimson saddle nebula forge"
+    val junk = (0 until 55).map(i => s"filler${i}a common${i}b").mkString(" ")
+    val junk2 = (0 until 55).map(i => s"pad${i}x word${i}y").mkString(" ")
+    val docs = Seq(
+      (1L, quote, "en", "web", quote.length.toLong),
+      (2L, s"$junk $quote $junk2", "en", "web", 1L),
+      (3L, junk, "en", "web", 1L),
+      (4L, junk2, "en", "web", 1L),
+      (5L, (0 until 40).map(i => s"other$i").mkString(" "), "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("x109corpus").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // x102 (banded-LSH candidates) does NOT see the pair...
+    val x102Pairs = LlmExt2.x102(spark, dir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!x102Pairs.contains((1L, 2L)),
+      "fixture invalid: the LSH bands caught the quotation — replant with lower Jaccard")
+    // ...the exhaustive prefix-filter path MUST (and at exactly 1.0: every
+    // 5-token window of doc 1 appears in doc 2)
+    val x109Rows = LlmExt2.x109(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(x109Rows.exists(r => r._1 == 1L && r._2 == 2L && r._3 === 1.0),
+      s"planted (1 contained-in 2) missing from ${x109Rows.toSeq}")
+    // direction is semantic: the huge doc is NOT contained in the quote
+    assert(!x109Rows.exists(r => r._1 == 2L && r._2 == 1L))
+  }
 }
