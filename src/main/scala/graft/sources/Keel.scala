@@ -119,6 +119,25 @@ object Keel {
         if (f.dataType == IntegerType || f.dataType == LongType) IntegerType else DoubleType,
         Some((lo, hi)), None)
     }
+    // KEEL nominal attributes are low-cardinality class/category dictionaries
+    // by construction; a free-text or id column pointed at this collect would
+    // OOM the DRIVER at scale. Guard with a distributed estimate and fail
+    // fast — approx_count_distinct is one map-side-combined pass, and its
+    // ±5% default error is irrelevant at a 10^4 threshold.
+    val maxNominalValues = 10000L
+    if (nominal.nonEmpty) {
+      val est = df.agg(
+        approx_count_distinct(col(nominal.head.name)).as(nominal.head.name),
+        nominal.tail.map(f => approx_count_distinct(col(f.name)).as(f.name)): _*).head()
+      nominal.foreach { f =>
+        val n = est.getAs[Long](f.name)
+        require(n <= maxNominalValues,
+          s"column '${f.name}' has ~$n distinct values — too many for a KEEL " +
+          s"nominal dictionary (limit $maxNominalValues). Nominal attributes " +
+          "are class/category columns; bucket or drop high-cardinality strings " +
+          "before generating a header.")
+      }
+    }
     val nomAttrs = nominal.map { f =>
       val values = df.select(f.name).distinct().orderBy(f.name)
         .collect().map(_.getString(0)).toSeq

@@ -96,4 +96,16 @@ class KeelSpec extends AnyFunSuite {
     assert(back.schema("v").dataType.typeName === "double")
     assert(back.orderBy("v").collect().map(_.getDouble(0)).toSeq === Seq(1.0, 2.0, 3.5))
   }
+
+  test("generateHeader fails fast on a high-cardinality string column (driver OOM guard)") {
+    // a unique-id string column is NOT a nominal dictionary — the guard must
+    // fire from the distributed estimate BEFORE any driver-side collect
+    val df = spark.range(0, 50000)
+      .selectExpr("CAST(id AS DOUBLE) AS v", "CONCAT('id_', id) AS c")
+    val e = intercept[IllegalArgumentException] {
+      Keel.generateHeader(df, "gen", "c")
+    }
+    assert(e.getMessage.contains("distinct values"))
+    assert(e.getMessage.contains("'c'"))
+  }
 }
