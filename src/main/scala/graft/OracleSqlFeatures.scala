@@ -701,6 +701,47 @@ object OracleSqlFeatures {
           |WHERE 5 * c >= 4 * sa.s
           |ORDER BY contained_id, container_id""".stripMargin),
 
+    // x110–x112: accuracy matrices for the hash-seeded/sketch operators.
+    // The oracle states the THEOREM side: planted exact twins must all be
+    // found (recall 100% — identical inputs collide deterministically in
+    // every chain), and every sketch-accuracy flag must be 1. The Spark
+    // side computes `found`/`ok` by actually running the engine chains, so
+    // any banding/vote/assignment/sketch regression breaks the hash match.
+    "x110_neardup_recall_matrix" ->
+      """WITH slice AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |tok AS (SELECT doc_id,
+        |  len([x FOR x IN string_split(LOWER(text),' ') IF x <> '']) AS nt FROM slice)
+        |SELECT * FROM (VALUES
+        |  ('x01_minhash_lsh',
+        |   (SELECT COUNT(*) FROM slice), (SELECT COUNT(*) FROM slice)),
+        |  ('x07_simhash',
+        |   (SELECT COUNT(*) FROM tok WHERE nt >= 1),
+        |   (SELECT COUNT(*) FROM tok WHERE nt >= 1)),
+        |  ('x08_ngram_jaccard',
+        |   (SELECT COUNT(*) FROM slice), (SELECT COUNT(*) FROM slice))
+        |) AS m(method, found_pairs, planted_pairs) ORDER BY method""".stripMargin,
+
+    "x111_ann_recall_matrix" ->
+      """WITH slice AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+        |nz AS (SELECT COUNT(*) AS c FROM slice
+        |       WHERE list_dot_product(embedding, embedding) > 0)
+        |SELECT * FROM (VALUES
+        |  ('x09_hyperplane_lsh', (SELECT c FROM nz), (SELECT c FROM nz)),
+        |  ('x18_ivf_same_cell',
+        |   (SELECT COUNT(*) FROM slice), (SELECT COUNT(*) FROM slice))
+        |) AS m(method, found_pairs, planted_pairs) ORDER BY method""".stripMargin,
+
+    "x112_sketch_error_matrix" ->
+      """WITH ex AS (SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS e
+        |            FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(e) AS BIGINT) AS v FROM ex)
+        |SELECT * FROM (VALUES
+        |  ('x108_tiled_near_direct', (SELECT v FROM t), CAST(1 AS BIGINT)),
+        |  ('x108_within_5pct',     (SELECT v FROM t), CAST(1 AS BIGINT)),
+        |  ('x15_hll_within_5pct',  (SELECT v FROM t), CAST(1 AS BIGINT)),
+        |  ('x15_p50_rank_ok',      (SELECT v FROM t), CAST(1 AS BIGINT))
+        |) AS m(metric, exact_value, ok) ORDER BY metric""".stripMargin,
+
     // x103: every card value is an exact BIGINT over one corpus scan
     // family.
     "x103_dataset_card" ->

@@ -24,9 +24,10 @@ object AnnIvf {
   private val nprobe = 4
   private val dim = 64
 
-  /** Cell assignments + centroids for the embeddings table. */
-  private def quantize(spark: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
-    val emb = Tables.embeddings(spark, dir)
+  /** Cell assignments + centroids for an arbitrary embeddings frame.
+    * The prediction function is deterministic: identical vectors always land
+    * in the same cell — the property the x111 recall matrix pins. */
+  private[queries] def quantizeEmb(emb: DataFrame): (DataFrame, Array[Array[Double]]) = {
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val feats = emb.withColumn("features", toVec(col("embedding")))
     val km = new KMeans().setK(nlist).setSeed(7L).setMaxIter(10)
@@ -35,6 +36,10 @@ object AnnIvf {
     (model.transform(feats).select(col("vec_id"), col("embedding"), col("cell")),
      model.clusterCenters.map(_.toArray))
   }
+
+  /** Cell assignments + centroids for the embeddings table. */
+  private def quantize(spark: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
+    quantizeEmb(Tables.embeddings(spark, dir))
 
   /** x18 entry: top-20 cosine neighbors of vec_id 0 searching only the
     * nprobe nearest IVF cells. */

@@ -29,19 +29,26 @@ object LlmExt2 {
     * fingerprint; all linear in token count. (An earlier form exploded every
     * token ×64 bits into a (doc, bit) shuffle — 64× the exchanged rows for
     * the same votes.) */
-  def x07(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(Tables.fanOut(Tables.documents(spark, dir)))
+  def x07(spark: SparkSession, dir: String): DataFrame =
+    simhashFingerprints(Tables.documents(spark, dir))
+      .groupBy("simhash")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+      .orderBy("rep")
+
+  /** x07's fingerprint stage on an arbitrary documents frame — (doc_id,
+    * simhash), one row per doc WITH at least one token (token-less docs
+    * have no votes and thus no fingerprint). Shared with the x110 recall
+    * matrix. */
+  private[queries] def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val toks = tokens(Tables.fanOut(docs))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val votes = toks.groupBy("doc_id").agg(
       sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("v0"),
       (1 until 64).map(b =>
         sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")): _*)
-    val fp = votes.select(col("doc_id"),
+    votes.select(col("doc_id"),
       (0 until 64).map(b =>
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _).as("simhash"))
-    fp.groupBy("simhash")
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
-      .orderBy("rep")
   }
 
   /** x08: near-duplicate pairs by exact token-shingle Jaccard ≥ 0.8 — 4

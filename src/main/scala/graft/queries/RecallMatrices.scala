@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Tables, VectorKernels}
+
+/** x110–x112: DRIVER-CHECKABLE accuracy matrices for the seven hash-seeded /
+  * sketch operators the DuckDB oracle cannot replay directly
+  * (x01/x07/x08/x09/x15/x18/x108 — engine-salted xxhash64, KMeans cells,
+  * sketch binaries). Their recall/error properties were ScalaTest-only;
+  * these keys restate each property as a tiny deterministic BIGINT frame
+  * whose EXPECTED value is SQL-derivable, so the per-round CORRECTNESS gate
+  * pins them too.
+  *
+  * The trick: the corpus has no exact duplicates at the driver's scale
+  * factor, so each matrix PLANTS its own ground truth in-query — every doc
+  * (vec) with id % 7 == 0 is re-added under id + 1,000,000 with identical
+  * content. For identical inputs, recall is a THEOREM, not a probability:
+  * identical text ⇒ identical shingle/token sets ⇒ identical MinHash
+  * signatures / SimHash votes ⇒ same buckets; identical vectors ⇒ identical
+  * hyperplane signs / same nearest centroid. So `found == planted` exactly,
+  * and the oracle can state both sides as plain SQL counts. A banding,
+  * signature, vote, or assignment regression breaks the equality and the
+  * driver's hash compare goes red — the ScalaTest specs still cover the
+  * PROBABILISTIC regimes (near-identical inputs) these matrices don't.
+  *
+  * 100 TB: each matrix runs the REAL operator chain (same code paths, same
+  * shuffles) on corpus + twins — nothing here is a test stub.
+  */
+object RecallMatrices {
+
+  private val Offset = 1000000L
+
+  /** One (method, found, planted) row from two 1-row aggregates. */
+  private def matrixRow(method: String, found: DataFrame, planted: DataFrame): DataFrame =
+    found.crossJoin(planted).select(lit(method).as("method"),
+      col("found_pairs"), col("planted_pairs"))
+
+  /** x110: text near-dup recall matrix — x01 (MinHash LSH, 3 bands), x07
+    * (SimHash), x08 (n-gram Jaccard, 4 bands) against planted exact twins. */
+  def x110(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val slice = docs.filter(col("doc_id") % 7 === 0)
+    val planted = docs.unionByName(
+      slice.withColumn("doc_id", col("doc_id") + Offset))
+    // every doc yields >= 1 shingle (shingles keeps empty tokens), so the
+    // MinHash denominators are the whole slice
+    val shingleDenom = slice.agg(count(lit(1)).as("planted_pairs"))
+    def twinPairs(pairs: DataFrame, a: String, b: String): DataFrame =
+      pairs.filter(col(b) - col(a) === Offset).agg(count(lit(1)).as("found_pairs"))
+    val x01Found = twinPairs(
+      LlmExt2.jaccardPairs(planted, numBands = 3, minJaccard = 0.8), "a", "b")
+    val x08Found = twinPairs(
+      LlmExt2.jaccardPairs(planted, numBands = 4, minJaccard = 0.8), "a", "b")
+    // SimHash: only docs with >= 1 token carry a fingerprint
+    val fp = LlmExt2.simhashFingerprints(planted)
+    val x07Found = fp.as("x").join(fp.as("y"),
+        col("y.doc_id") === col("x.doc_id") + Offset &&
+          col("x.simhash") === col("y.simhash"))
+      .agg(count(lit(1)).as("found_pairs"))
+    val tokenDenom = slice
+      .filter(size(filter(split(lower(col("text")), " "), t => t =!= "")) >= 1)
+      .agg(count(lit(1)).as("planted_pairs"))
+    matrixRow("x01_minhash_lsh", x01Found, shingleDenom)
+      .unionByName(matrixRow("x07_simhash", x07Found, tokenDenom))
+      .unionByName(matrixRow("x08_ngram_jaccard", x08Found, shingleDenom))
+      .orderBy("method")
+  }
+
+  /** x111: embedding near-dup / ANN recall matrix — x09 (hyperplane LSH)
+    * must pair every planted twin; x18's quantizer must put identical
+    * vectors in the same IVF cell (which is what guarantees any
+    * nprobe >= 1 probe finds an exact duplicate at top-1). */
+  def x111(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val slice = emb.filter(col("vec_id") % 7 === 0)
+    val planted = emb.unionByName(
+      slice.withColumn("vec_id", col("vec_id") + Offset))
+    // zero-norm vectors have no cosine and can never be paired — exclude
+    // from the LSH denominator on both engines
+    val lshDenom = slice
+      .filter(VectorKernels.dot(col("embedding"), col("embedding")) > lit(0f))
+      .agg(count(lit(1)).as("planted_pairs"))
+    val x09Found = LlmExt2.nearDupPairs(planted, 0.99)
+      .filter(col("vec_b") - col("vec_a") === Offset)
+      .agg(count(lit(1)).as("found_pairs"))
+    val (assigned, _) = AnnIvf.quantizeEmb(planted)
+    val cells = assigned.select(col("vec_id"), col("cell"))
+    val x18Found = cells.as("x").join(cells.as("y"),
+        col("y.vec_id") === col("x.vec_id") + Offset &&
+          col("x.cell") === col("y.cell"))
+      .agg(count(lit(1)).as("found_pairs"))
+    val cellDenom = slice.agg(count(lit(1)).as("planted_pairs"))
+    matrixRow("x09_hyperplane_lsh", x09Found, lshDenom)
+      .unionByName(matrixRow("x18_ivf_same_cell", x18Found, cellDenom))
+      .orderBy("method")
+  }
+
+  /** x112: sketch error matrix — x15's HLL++ distinct counts and
+    * approximate percentiles, and x108's tiled-vs-direct DataSketches HLL
+    * rollup, each reduced to (metric, exact BIGINT, ok 0/1) where the
+    * oracle states the exact value in SQL and ok = 1:
+    *   - x15_hll_within_5pct: every priority's approx_count_distinct(0.02)
+    *     within 5% of exact;
+    *   - x15_p50_rank_ok: every priority's percentile_approx(0.5, 10000)
+    *     sits at rank 0.49n..0.51n of its group (rank error, the sketch's
+    *     actual contract — value error is data-dependent);
+    *   - x108_tiled_near_direct: per-month tile union estimate within 2% of
+    *     the direct sketch estimate. NOT exact equality: union promotes to
+    *     an HLL_8 target whose estimator can differ slightly from the
+    *     direct HLL_4 sketch once past coupon mode (measured ~1.3% at
+    *     sf0.01; exactly equal at sf0.001 where sketches stay coupon-exact);
+    *   - x108_within_5pct: the direct estimate within 5% of exact.
+    * exact_value is the SUM of per-priority exact distinct customers (one
+    * portable scalar pinning the same ground truth for all rows). */
+  def x112(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val per = o.groupBy("o_orderpriority").agg(
+      approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
+      countDistinct(col("o_custkey")).as("exact_custs"),
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
+      count(lit(1)).as("n"))
+    // tie-safe rank bounds: values <= p50 must reach rank 0.49n and values
+    // STRICTLY BELOW p50 must not pass 0.51n — the pair of one-sided bounds
+    // holds for any correct median under duplicates, where a single
+    // count(<=) bound would not
+    val ranked = per.join(
+      o.join(per.select(col("o_orderpriority"), col("p50")), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(sum(when(col("o_totalprice") <= col("p50"), 1L).otherwise(0L)).as("rank_le"),
+             sum(when(col("o_totalprice") < col("p50"), 1L).otherwise(0L)).as("rank_lt")),
+      "o_orderpriority")
+    val x15 = ranked.agg(
+      sum(col("exact_custs")).as("exact_value"),
+      min(when(abs(col("approx_custs") - col("exact_custs")) * 20 <= col("exact_custs"), 1L)
+        .otherwise(0L)).as("hll_ok"),
+      min(when(col("rank_le") * 100 >= col("n") * 49 &&
+               col("rank_lt") * 100 <= col("n") * 51, 1L)
+        .otherwise(0L)).as("p50_ok"))
+    val tiles = o
+      .groupBy(col("o_orderpriority"), date_trunc("month", col("o_orderdate")).as("mo"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val tiled = tiles.groupBy("o_orderpriority")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_tiled"))
+    val direct = o.groupBy("o_orderpriority")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est_direct"),
+           countDistinct(col("o_custkey")).as("exact_custs"))
+    val x108 = direct.join(tiled, Seq("o_orderpriority")).agg(
+      sum(col("exact_custs")).as("exact_value"),
+      min(when(abs(col("est_tiled") - col("est_direct")) * 50 <= col("est_direct"), 1L)
+        .otherwise(0L)).as("near_ok"),
+      min(when(abs(col("est_direct") - col("exact_custs")) * 20 <= col("exact_custs"), 1L)
+        .otherwise(0L)).as("err_ok"))
+    x15.select(lit("x15_hll_within_5pct").as("metric"), col("exact_value"),
+               col("hll_ok").as("ok"))
+      .unionByName(x15.select(lit("x15_p50_rank_ok").as("metric"), col("exact_value"),
+                              col("p50_ok").as("ok")))
+      .unionByName(x108.select(lit("x108_tiled_near_direct").as("metric"), col("exact_value"),
+                               col("near_ok").as("ok")))
+      .unionByName(x108.select(lit("x108_within_5pct").as("metric"), col("exact_value"),
+                               col("err_ok").as("ok")))
+      .orderBy("metric")
+  }
+}

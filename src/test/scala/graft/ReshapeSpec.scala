@@ -65,8 +65,11 @@ class ReshapeSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     for (r <- rows) {
       val (direct, exact, tiled) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      // merge transparency: register-max/coupon-set state is grouping-
-      // independent, so pre-aggregated monthly tiles lose NOTHING
+      // merge transparency: coupon-set state is grouping-independent, so
+      // monthly tiles lose NOTHING at sfSmoke's cardinalities. EXACT
+      // equality is a coupon-mode property only — past it the union's
+      // HLL_8 target re-estimates within sketch error (x112 pins the
+      // 2% bound at sf0.01 through the driver oracle)
       assert(tiled === direct, s"priority ${r.getString(0)}: tiled union must equal direct sketch")
       // lgK=12 default: relative error ~1.6%; allow 5x slack at small n
       assert(math.abs(direct - exact) <= math.max(1L, (exact * 0.08).toLong),
