@@ -9,13 +9,16 @@ import graft.engine.Tables
   * columns with a typed metadata struct, processed by a per-partition decode/
   * feature-extract stage.
   *
-  * The container has no image/audio codecs, so [[MultimodalOps.decodeStub]]
-  * is a clearly-marked DETERMINISTIC FAKE (byte histogram + synthetic
-  * dimensions); everything around it — the media schema, the batched
-  * mapPartitions shape (one decoder init per partition, the expensive part in
-  * a real deployment), partition sizing, and the downstream aggregation — is
-  * the real 100 TB plumbing and is tested. Swap `decodeStub` for a codec call
-  * and nothing else changes.
+  * The container has no external image/audio codecs, so the REGISTERED
+  * queries use [[MultimodalOps.decodeStub]] — a clearly-marked DETERMINISTIC
+  * FAKE (byte histogram + synthetic dimensions) whose output the oracle can
+  * pin on the text-byte payloads. Everything around it — the media schema,
+  * the batched mapPartitions shape (one decoder init per partition, the
+  * expensive part in a real deployment), partition sizing, and the
+  * downstream aggregation — is the real 100 TB plumbing. The swap-a-codec-in
+  * claim is DEMONSTRATED, not just asserted: [[MultimodalOps.decodeImage]]
+  * is a real JDK `javax.imageio` decoder behind the same interface, and the
+  * spec drives genuine encoded PNGs through the identical pipeline.
   */
 object MultimodalOps {
 
@@ -59,15 +62,53 @@ object MultimodalOps {
       .as[MediaRow]
   }
 
+  /** REAL JVM codec for the container formats the JDK ships decoders for
+    * (PNG/BMP/GIF via `javax.imageio` — no external libs): true pixel
+    * dimensions + a 16-bin LUMINANCE histogram normalized to mass 1, the
+    * same (width, height, feature) interface as [[decodeStub]]. The
+    * registered x14 entry keeps the stub — the corpus payloads are text
+    * bytes, not encoded images, and the oracle pins the stub's
+    * deterministic output — while the spec drives REAL encoded PNGs
+    * through this decoder via the identical mapPartitions plumbing. */
+  def decodeImage(format: String, bytes: Array[Byte]): (Int, Int, Array[Double]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"no JVM ImageIO decoder accepted a '$format' payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val hist = new Array[Double](16)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        // integer Rec.601 luma, exact and portable
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                   (rgb & 0xFF) * 114) / 1000
+        hist(lum >> 4) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(w * h, 1)
+    var j = 0
+    while (j < 16) { hist(j) /= n; j += 1 }
+    (w, h, hist)
+  }
+
   /** The decode/feature-extract stage: mapPartitions so a real decoder is
     * initialized once per partition and rows stream through it batched —
-    * the shape a GPU/codec pipeline needs. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    * the shape a GPU/codec pipeline needs. `decoder` defaults to the
+    * deterministic stub (the oracle twin); pass [[decodeImage]] to run the
+    * actual JDK codec through the same plumbing. */
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      decoder: (String, Array[Byte]) => (Int, Int, Array[Double]) = decodeStub)
+    : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real pipeline: decoder/codec/model handle initialized HERE, once
       rows.map { r =>
-        val (w, h, feat) = decodeStub(r.format, r.content)
+        val (w, h, feat) = decoder(r.format, r.content)
         MediaFeatures(r.doc_id, r.format, w, h, feat)
       }
     }

@@ -112,6 +112,44 @@ class LlmExtSpec extends AnyFunSuite {
     assert(a.map(_.getLong(1)).sum === media.count())
   }
 
+  test("x14 plumbing runs a REAL JVM decode (javax.imageio PNG) behind the stub's interface") {
+    import spark.implicits._
+    import MultimodalOps.MediaRow
+    // genuine encoded PNGs, built in-memory: the decoder must recover the
+    // TRUE pixel dimensions (the stub derives fake ones from byte length,
+    // so agreement cannot be accidental) and a mass-1 luminance histogram
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 31 + y * 17 + seed) * 131071) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "png", 0L, png(40, 25, 1)),
+      MediaRow(2L, "png", 0L, png(17, 9, 2)),
+      MediaRow(3L, "png", 0L, png(3, 300, 3)))
+    val media = spark.createDataset(rows)
+    val out = MultimodalOps
+      .extractFeatures(media, MultimodalOps.decodeImage _)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).width === 40 && out(1L).height === 25)
+    assert(out(2L).width === 17 && out(2L).height === 9)
+    assert(out(3L).width === 3 && out(3L).height === 300)
+    for (f <- out.values) {
+      assert(f.feature.length === 16)
+      assert(math.abs(f.feature.sum - 1.0) < 1e-9, "luma histogram mass 1")
+    }
+    // a non-image payload must fail loudly, not decode garbage
+    val bad = spark.createDataset(Seq(MediaRow(9L, "png", 0L, Array[Byte](1, 2, 3))))
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.extractFeatures(bad, MultimodalOps.decodeImage _).collect()
+    }
+    assert(e.getMessage.contains("ImageIO") || e.getCause != null)
+  }
+
   test("x26 frame sampling: bounded fan-out, mass-preserving resize, deterministic") {
     val media = MultimodalOps.mediaTable(spark, TestSpark.sfSmoke)
     val frames = MultimodalOps.sampleFrames(media, maxFrames = 8).collect()
