@@ -85,7 +85,12 @@ object ScaleCheck {
                   // x104: decorrelated subqueries — the custkey aggregates
                   // and their joins must track row volume (customer count
                   // grows 10× under the disjoint custkey shift)
-                  "x104_correlated_subquery")) {
+                  "x104_correlated_subquery",
+                  // x109: 10 identical copies of every doc make each
+                  // fingerprint 10× hotter AND the true containment output
+                  // grow ~90× (all ordered twin pairs) — the prefix filter
+                  // must keep candidates tracking true pairs, not corpus²
+                  "x109_containment_prefix")) {
       graft.SparkEntry.queries(q)(spark, src).collect() // warm
       val t1 = System.nanoTime; graft.SparkEntry.queries(q)(spark, src).collect()
       val small = (System.nanoTime - t1) / 1e9

@@ -98,6 +98,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x109: exhaustive containment stays keyed — no cartesian, no nested-loop, prefix rank is one doc-keyed window") {
+    val p = plan(LlmExt2.x109(spark, sfSmoke))
+    // the PPJoin prefix filter exists precisely to avoid the all-pairs
+    // shape; a cartesian/BNLJ anywhere means the filter degenerated
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    // rarest-p prefix selection is a doc-keyed row_number window
+    assert(p.contains("Window"), "prefix rank must be a window, not a self-join")
+  }
+
   test("q24: global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = plan(Relational2.q24(spark, sfSmoke))
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
