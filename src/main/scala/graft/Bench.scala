@@ -36,19 +36,22 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver captures only a bounded TAIL (~4 KB) of the sbt output: round
-    // 1's single long line truncated to "parsed": null, and round 4's single
-    // "total_detail" line lost the first 38 of 92 per-query times. Emit the
-    // detail as several SHORT self-contained JSON lines (distinct metric names
-    // so a collect-all parser cannot double-count, per ADVICE r2), times
-    // rounded to 0.1 ms, and the one gradable "total" line LAST so it — and
-    // every detail chunk — survives any tail capture.
+    // 1's single long line truncated to "parsed": null, round 4's single
+    // "total_detail" line lost the first 38 of 92 per-query times, and round
+    // 5's 24-per-line full-name chunks still overflowed the tail (only 61 of
+    // 157 survived). Emit the detail as several SHORT self-contained JSON
+    // lines (distinct metric names so a collect-all parser cannot
+    // double-count, per ADVICE r2) under COMPACT keys — the "q12"/"x110"
+    // prefix before the first underscore, unique across the registry — so
+    // the full per-query map fits in ~2 KB, and the one gradable "total"
+    // line LAST so it — and every detail chunk — survives any tail capture.
     // stop BEFORE printing: nothing (executor shutdown warnings, context
     // cleaner logs) may land between the metric lines and the tail's end
     spark.stop()
-    val chunks = results.toSeq.grouped(24).toSeq
+    val chunks = results.toSeq.grouped(40).toSeq
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       val qs = chunk
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       println(s"""{"metric":"detail_${i + 1}of${chunks.size}","queries":$qs}""")
     }

@@ -36,4 +36,13 @@ class QuerySmokeSpec extends AnyFunSuite {
     val qk = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
   }
+
+  test("compact bench keys (prefix before first underscore) are unique") {
+    // Bench emits per-query detail under "q12"/"x110"-style prefixes so the
+    // full map fits the driver's ~4 KB tail capture; a colliding prefix
+    // would silently overwrite a timing in the emitted JSON object
+    val prefixes = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    assert(prefixes.distinct.size === prefixes.size,
+      prefixes.groupBy(identity).collect { case (p, v) if v.size > 1 => p }.mkString(","))
+  }
 }
