@@ -781,6 +781,17 @@ object OracleSqlFeatures {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
         |       MAX(c) AS max_c
         |FROM cu JOIN st ON cu.event_type = st.event_type
-        |GROUP BY cu.event_type ORDER BY cu.event_type""".stripMargin
+        |GROUP BY cu.event_type ORDER BY cu.event_type""".stripMargin,
+
+    // x113: bucketing is a LAYOUT property — the join's rows are identical
+    // to the plain shuffled join, so the oracle is the ordinary SQL join.
+    // The co-location claim itself (no Exchange on either side) is a
+    // physical-plan fact DuckDB cannot witness; PlanSpec pins it.
+    "x113_colocated_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+        |       CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS max_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

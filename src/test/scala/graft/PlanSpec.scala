@@ -247,4 +247,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min_by"), "map-side combine for min_by")
     assert("HashAggregate".r.findAllIn(p).size == 2, "one partial+final pair over o_orderpriority")
   }
+
+  test("x113: bucketed-table join reads co-located buckets — SMJ with zero Exchange on either side") {
+    // the layout claim itself: both scans are 8-way bucketed on the join
+    // key, so the sort-merge join's clustering requirement is satisfied at
+    // the SCAN and EnsureRequirements must not insert a shuffle. Asserted
+    // on the pre-aggregation join (the registered x113 adds a tiny
+    // group-set exchange after the join, which is fine and unrelated).
+    val p = plan(graft.queries.Layout.colocatedJoin(spark, sfSmoke))
+    assert(p.contains("SortMergeJoin"), p.take(400))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed-by-key inputs must not re-shuffle for the join:\n" + p.take(2000))
+    assert(p.contains("SelectedBucketsCount"), "scans must report bucketed reads")
+  }
 }
