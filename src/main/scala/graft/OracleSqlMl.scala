@@ -478,6 +478,13 @@ object OracleSqlMl {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_keys
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // x114: on the single-batch replay the transformWithState processor
+    // emits each user exactly once with lifetime totals — the plain batch
+    // per-user aggregate. Cross-batch accumulation is MemoryStream-tested.
+    "x114_stream_transform_state" ->
+      """SELECT user_id, COUNT(*) AS n_events, MAX(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "x19_stream_custom_state" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |g AS (SELECT user_id, us,

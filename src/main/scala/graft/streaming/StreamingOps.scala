@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Input row for the custom-state sessionizer (x19). */
@@ -11,6 +11,45 @@ case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
 case class OpenSession(start_us: Long, last_us: Long, n: Long)
 /** Emitted when a session closes (30-min gap or event-time timeout). */
 case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+/** x114 keyed state: a user's running (event count, latest epoch-µs). */
+case class UserRunning(n: Long, last_us: Long)
+/** x114 output: the running totals as of the processed batch. */
+case class UserTotals(user_id: Long, n_events: Long, last_us: Long)
+
+/** x114 processor: per-user running totals through the `transformWithState`
+  * API — Spark 4's successor to `flatMapGroupsWithState` (x19). State is a
+  * NAMED, individually-evolvable `ValueState` handle owned by the operator
+  * (vs x19's single opaque state object), TTL-capable, and requires the
+  * RocksDB provider — the composable-state surface production pipelines are
+  * migrating to. Top-level class: the processor is serialized to executors.
+  *
+  * 100 TB posture: state is one 16-byte record per DISTINCT user, partitioned
+  * across executors in RocksDB (off-heap, block-cache-bounded); per batch
+  * each key folds its rows in one pass — no sort, no buffering. A production
+  * deployment would set a TTL on the handle ([[TTLConfig]]) to GC dormant
+  * users; here TTL is NONE so the single-batch oracle replay sees every user. */
+class RunningTotalsProcessor extends StatefulProcessor[Long, UserEvent, UserTotals] {
+  @transient private var totals: ValueState[UserRunning] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[UserRunning](
+      "totals", Encoders.product[UserRunning], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[UserEvent],
+                               timers: TimerValues): Iterator[UserTotals] = {
+    var n = 0L
+    var last = Long.MinValue
+    rows.foreach { e =>
+      n += 1
+      val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000
+      if (us > last) last = us
+    }
+    val prev = if (totals.exists()) totals.get() else UserRunning(0L, Long.MinValue)
+    val merged = UserRunning(prev.n + n, math.max(prev.last_us, last))
+    totals.update(merged)
+    Iterator.single(UserTotals(user, merged.n, merged.last_us))
+  }
+}
 
 /** Structured Streaming operators x02–x04 (SURVEY.md §2.5): the
   * streaming-proper twins of the batch window queries q35/q37.
@@ -349,6 +388,30 @@ object StreamingOps {
       .groupBy("p_id").agg(count(lit(1)).as("n_clicks_10m"))
       .orderBy("p_id")
   }
+
+  /** x114 transform: the [[RunningTotalsProcessor]] over the keyed event
+    * stream. Update mode — each batch re-emits the keys it touched with
+    * their post-batch running totals. */
+  def runningUserTotals(events: DataFrame): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** x114 entry: on the single-batch replay (runToTable guard) every user is
+    * emitted exactly once with lifetime totals, so the oracle is the plain
+    * batch per-user aggregate. The cross-batch accumulation semantics — the
+    * part a single-batch oracle cannot witness — is asserted on a two-batch
+    * MemoryStream in StreamingSpec. */
+  def x114(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, runningUserTotals(eventsStream(spark, dir)).toDF(),
+               s"x114_sink_${System.nanoTime()}", "update")
+      .orderBy("user_id")
 }
 
 /** Idempotent latest-wins UPSERT sink for `foreachBatch` — the streaming

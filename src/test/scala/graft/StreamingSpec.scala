@@ -251,6 +251,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally StreamingOps.providerOverride = None
   }
 
+  test("x114 transformWithState accumulates per-user ValueState across batches") {
+    import graft.streaming.StreamingOps
+    // the part x114's single-batch oracle cannot witness: the named
+    // ValueState handle persists between micro-batches, so a second batch
+    // emits LIFETIME totals, not batch-local ones. transformWithState
+    // requires the RocksDB provider — pin it for the MemoryStream run.
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, StreamingOps.RocksDbProvider)
+    try {
+      val mem = MemoryStream[Ev](spark)
+      val q = StreamingOps.runningUserTotals(mem.toDF).toDF.writeStream
+        .format("memory").queryName("x114_test").outputMode("update").start()
+      // batch 1: user 1 twice (min 0, 5), user 2 once (min 3)
+      mem.addData(Seq(Ev(1, ts(0), 1, "view", 1.0, "{}"),
+                      Ev(2, ts(5), 1, "view", 1.0, "{}"),
+                      Ev(3, ts(3), 2, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      // batch 2: user 1 once more (min 10) — must emit n=3, not n=1
+      mem.addData(Seq(Ev(4, ts(10), 1, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("x114_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.toSet === Set(
+        (1L, 2L, 5L * 60000000L),   // batch 1: user 1 running total
+        (2L, 1L, 3L * 60000000L),   // batch 1: user 2
+        (1L, 3L, 10L * 60000000L)), // batch 2: ACCUMULATED user-1 total
+        s"state must persist across batches, got: ${out.toSeq}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(conf, p)
+        case None => spark.conf.unset(conf)
+      }
+    }
+  }
+
   test("no final session sits exactly on the x19 timeout boundary (oracle guard)") {
     // The x19 oracle replicates Spark's event-time timeout as
     // (last_us+gap)//1000 < max_us//1000 - 600000 (strict <). The one case
