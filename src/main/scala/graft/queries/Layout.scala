@@ -32,11 +32,27 @@ object Layout {
     * get distinct tables, and re-runs overwrite deterministically. */
   private val written = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
+  /** A managed-table location can survive the JVM that created it (the
+    * in-memory catalog dies with the session; /tmp/graft_warehouse does
+    * not), and Spark refuses a managed CTAS into a non-empty orphan
+    * location (LOCATION_ALREADY_EXISTS). Reset both halves: the catalog
+    * entry if present, and the orphaned directory if not. */
+  private def reset(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").stripPrefix("//")
+    val loc = new java.io.File(wh, table)
+    if (loc.exists())
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
+  }
+
   private[graft] def bucketedPair(spark: SparkSession, dir: String): (String, String) =
     written.getOrElseUpdate(dir, {
       val tag = java.lang.Integer.toHexString(dir.hashCode)
       val ord = s"x113_orders_$tag"
       val cust = s"x113_customer_$tag"
+      reset(spark, ord)
+      reset(spark, cust)
       Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
         .write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ord)
