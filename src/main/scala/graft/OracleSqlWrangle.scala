@@ -248,6 +248,22 @@ object OracleSqlWrangle {
         |            AS BIGINT) AS is_weekend,
         |       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
         |       CAST(COALESCE(revenue_cents, 0) AS BIGINT) AS revenue_cents
-        |FROM s LEFT JOIN p USING (day) ORDER BY day""".stripMargin
+        |FROM s LEFT JOIN p USING (day) ORDER BY day""".stripMargin,
+
+    // x115: identical FULL OUTER statement — USING coalesces the key on
+    // both engines; counts are BIGINT on both sides.
+    "x115_join_full_outer" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n_clicks
+        |           FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT user_id, COUNT(*) AS n_purchases
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT user_id,
+        |       COALESCE(n_clicks, 0) AS n_clicks,
+        |       COALESCE(n_purchases, 0) AS n_purchases,
+        |       CASE WHEN COALESCE(n_clicks, 0) = 0 THEN 'purchase_only'
+        |            WHEN COALESCE(n_purchases, 0) = 0 THEN 'click_only'
+        |            ELSE 'both' END AS status
+        |FROM c FULL OUTER JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin
   )
 }

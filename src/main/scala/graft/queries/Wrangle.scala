@@ -433,4 +433,32 @@ object Wrangle {
               coalesce(col("revenue_cents"), lit(0L)).as("revenue_cents"))
       .orderBy("day")
   }
+
+  /** x115: FULL OUTER reconciliation — the one outer-join shape the surface
+    * lacked (q06 left, q07 semi, q08 anti): per-user click vs purchase
+    * activity from two aggregated slices of the same log, preserving users
+    * present on EITHER side, classified click_only / purchase_only / both.
+    * This is the reconcile-two-systems query of every migration audit.
+    *
+    * 100 TB: a full outer preserves both inputs, so neither side can be a
+    * broadcast build side — Spark plans SMJ (or shuffled-hash) on the key,
+    * which is the right and only scalable shape; both inputs pre-aggregate
+    * to |users| rows before the join, and the using-join coalesces the key
+    * without a post-join projection shuffle. */
+  def x115(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+    clicks.join(purchases, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+              coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+              coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .withColumn("status",
+        when(col("n_clicks") === 0, "purchase_only")
+          .when(col("n_purchases") === 0, "click_only")
+          .otherwise("both"))
+      .orderBy("user_id")
+  }
 }

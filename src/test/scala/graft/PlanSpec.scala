@@ -260,4 +260,13 @@ class PlanSpec extends AnyFunSuite {
       "bucketed-by-key inputs must not re-shuffle for the join:\n" + p.take(2000))
     assert(p.contains("SelectedBucketsCount"), "scans must report bucketed reads")
   }
+
+  test("x115: full outer join stays a merge join — neither side on a broadcast build") {
+    // a full outer preserves BOTH inputs, so a broadcast build side is
+    // semantically unavailable; the scalable shape is the keyed SMJ over
+    // the two pre-aggregated (|users|-sized) sides
+    val p = plan(graft.queries.Wrangle.x115(spark, sfSmoke))
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p.take(600))
+    assert(!p.contains("BroadcastHashJoin"), "full outer cannot broadcast")
+  }
 }
