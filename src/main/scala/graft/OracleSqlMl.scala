@@ -294,6 +294,34 @@ object OracleSqlMl {
 
     // x34: token-level filler strip — list comprehension preserves token
     // order on both engines, so the rejoined text lengths match exactly.
+    // x116: identical planting, identical RE2/Java-agreeing patterns; 'g'
+    // flag on regexp_replace because DuckDB replaces only the first match
+    // by default where Spark replaces all.
+    "x116_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com from 10.2.'
+        |              || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |              || CAST(doc_id % 100 AS VARCHAR)
+        |         ELSE text END AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT source, t,
+        |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |    regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
+        |  FROM planted)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN n_emails + n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+        |       CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+        |       CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+        |       CAST(SUM(len(t) - len(clean)) AS BIGINT) AS chars_removed
+        |FROM red GROUP BY source ORDER BY source""".stripMargin,
+
     "x34_text_clean" ->
       """WITH cleaned AS (
         |  SELECT doc_id, lang,

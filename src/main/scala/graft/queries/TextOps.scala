@@ -111,4 +111,49 @@ object TextOps {
       .select(col("token_id"), col("tok"), col("cnt"))
       .orderBy("token_id")
   }
+
+  /** Conservative PII patterns shared with the oracle: restricted to the
+    * regex subset where Java and RE2 (DuckDB) agree — ASCII classes,
+    * bounded repetition, `\b` word boundaries; no lookaround, no unicode
+    * classes (x34's Scaladoc records why that subset matters). */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** x116: PII REDACTION — the scrub stage every LLM training pipeline runs
+    * before anything else touches the text: detect and mask emails and
+    * IPv4 addresses, report per source how many documents carried PII, how
+    * many instances of each type, and how many characters redaction
+    * removed. The synthetic corpus is PII-free, so (x110's planting trick)
+    * a deterministic slice (doc_id % 13) gets a synthetic contact line
+    * appended in-query — both engines plant the identical string, so every
+    * count is oracle-pinned, including that the OTHER 12/13 of the corpus
+    * yields zero matches (no false positives on clean text).
+    *
+    * 100 TB: detection and masking are codegen'd per-row regex projections
+    * — a map-only scan; the only shuffle is the |sources|-row aggregate
+    * with map-side partials. Redaction replaces with fixed tags rather
+    * than deleting, preserving token positions for downstream chunkers. */
+  def x116(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).withColumn("t",
+      when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" contact u"),
+               col("doc_id").cast("string"), lit("@example.com from 10.2."),
+               (col("doc_id") % 256).cast("string"), lit("."),
+               (col("doc_id") % 100).cast("string")))
+        .otherwise(col("text")))
+    val red = planted
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast(LongType))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("t"), lit(Ipv4Re), lit(0))).cast(LongType))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"))
+    red.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_ips") > 0, 1L).otherwise(0L)).as("n_pii_docs"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_ips")).as("n_ips"),
+        sum((length(col("t")) - length(col("clean"))).cast(LongType)).as("chars_removed"))
+      .orderBy("source")
+  }
 }
