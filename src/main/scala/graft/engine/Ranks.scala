@@ -1,0 +1,60 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global row numbering — the scalable replacement for
+  * `row_number().over(Window.orderBy(...))`, whose empty partition spec
+  * forces EVERY row through one partition (Spark even warns: "No Partition
+  * Defined for Window operation"). Fine on 60k rows; dead at 100 TB.
+  *
+  * The plan here is the classic two-phase zipWithIndex shape, stated in
+  * pure DataFrame algebra so Catalyst/AQE keep optimizing it:
+  *
+  *   1. `repartitionByRange(order)` + `sortWithinPartitions(order)` — one
+  *      range shuffle; partition i holds a contiguous key range below
+  *      partition i+1's.
+  *   2. `monotonically_increasing_id()` gives each row
+  *      (partition << 33) + local-index in the sorted order; subtracting
+  *      the partition's `min(mid)` recovers the LOCAL 0-based rank with no
+  *      window at all.
+  *   3. Per-partition row counts (one map-side-combined aggregate of
+  *      |partitions| rows) prefix-sum into offsets — the one place a
+  *      global window IS right, over rows bounded by the shuffle
+  *      partition count — and broadcast-join back. No second shuffle of
+  *      the data side.
+  *
+  * global rank = offset(partition) + local rank + 1, identical to the
+  * single-partition window's answer whenever `order` is a TOTAL order
+  * (callers must include a unique tiebreak column — the same requirement
+  * the engine's determinism protocol already imposes on every ORDER BY).
+  * Determinism note: both consumers of the ranged exchange (the data side
+  * and the counts side) recompute `monotonically_increasing_id` after the
+  * shuffle read, and the re-sort is identical because the order is total,
+  * so the two sides agree row for row; the range partitioner's sampled
+  * boundaries affect only WHICH partition a row lands in, and the
+  * offset/min-mid subtraction cancels that choice out of the result.
+  */
+object Ranks {
+  /** Appends `out` = the 1-based global row number of `df` under `order`.
+    * `order` must be a total order (unique tiebreak) for a deterministic
+    * result. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val parts = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__minmid"))
+    val prior = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(prior), lit(0L)))
+      .select(col("__pid"), col("__minmid"), col("__off"))
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__off") + (col("__mid") - col("__minmid")) + lit(1L))
+      .drop("__pid", "__mid", "__minmid", "__off")
+  }
+}

@@ -132,20 +132,20 @@ object Stats {
     * variable-order float sum), so it is bit-portable; ranks come from
     * total orders with explicit doc_id tiebreaks.
     *
-    * 100 TB: two global rank windows over the (tiny) per-doc stat table —
-    * at real scale these arrive as the rankers' top-k lists (k-bounded),
-    * and the fusion join is k×k at most. */
+    * 100 TB: both global ranks run through the distributed two-phase rank
+    * ([[graft.engine.Ranks.globalRowNumber]]) — range shuffle + offset
+    * broadcast, never a single-partition window — so the fusion holds even
+    * when the ranked lists are whole-corpus-sized rather than the top-k
+    * lists a retrieval stack usually feeds it. */
   def x95(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
               size(array_distinct(filter(split(lower(col("text")), " "),
                                          t => t =!= ""))).cast(LongType).as("n_distinct"))
-    val byLen = Window.orderBy(col("n_chars").desc, col("doc_id"))
-    val byDiv = Window.orderBy(col("n_distinct").desc, col("doc_id"))
-    base
-      .withColumn("r_len", row_number().over(byLen).cast(LongType))
-      .withColumn("r_div", row_number().over(byDiv).cast(LongType))
+    val withLen = graft.engine.Ranks.globalRowNumber(
+      base, Seq(col("n_chars").desc, col("doc_id")), "r_len")
+    graft.engine.Ranks.globalRowNumber(
+        withLen, Seq(col("n_distinct").desc, col("doc_id")), "r_div")
       .select(col("doc_id"), col("r_len"), col("r_div"),
               round(lit(1.0) / (col("r_len") + 60) + lit(1.0) / (col("r_div") + 60), 6)
                 .as("rrf"))
@@ -215,18 +215,17 @@ object Stats {
     * float anywhere. (Headroom: decile_cents·10⁶ < 2⁶³ through ~10¹²
     * total cents.)
     *
-    * 100 TB: one custkey agg, one global rank window over |customers|
-    * rows (already reduced), ≤10-cell aggs after. */
+    * 100 TB: one custkey agg, then the distributed two-phase rank
+    * ([[graft.engine.Ranks.globalRowNumber]]) over |customers| rows and a
+    * 1-row broadcast total — no single-partition window touches the
+    * customer set; ≤10-cell aggs after. */
   def x99(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spend = Tables.orders(spark, dir)
       .groupBy("o_custkey")
       .agg(sum(round(col("o_totalprice") * 100, 0).cast(LongType)).as("cents"))
-    val tot = Window.partitionBy()
-    spend
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cents").desc, col("o_custkey"))))
-      .withColumn("n", count(lit(1)).over(tot))
+    graft.engine.Ranks
+      .globalRowNumber(spend, Seq(col("cents").desc, col("o_custkey")), "rank")
+      .crossJoin(broadcast(spend.agg(count(lit(1)).as("n"))))
       .withColumn("decile", expr("(rank - 1) * 10 DIV n"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("decile_cents"))

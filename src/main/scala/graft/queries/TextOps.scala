@@ -104,10 +104,11 @@ object TextOps {
       .select(explode(toks).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 5)
-    vocab
-      .withColumn("token_id",
-        row_number().over(Window.orderBy(col("cnt").desc, col("tok")))
-          .cast(LongType))
+    // token ids via the distributed rank (graft.engine.Ranks): a frontier
+    // vocabulary is 10⁷–10⁸ entries, too many for the single-partition
+    // row_number window this used through round 5
+    graft.engine.Ranks
+      .globalRowNumber(vocab, Seq(col("cnt").desc, col("tok")), "token_id")
       .select(col("token_id"), col("tok"), col("cnt"))
       .orderBy("token_id")
   }

@@ -269,4 +269,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p.take(600))
     assert(!p.contains("BroadcastHashJoin"), "full outer cannot broadcast")
   }
+
+  test("x95: global ranks run the distributed two-phase path — no single-partition exchange over the data") {
+    // Ranks.globalRowNumber: the only SinglePartition traffic allowed is
+    // the offsets prefix-sum over the |shuffle partitions|-row counts
+    // aggregate; the doc-sized side must go through range partitioning
+    val p = plan(Stats.x95(spark, sfSmoke))
+    assert(p.contains("Exchange rangepartitioning"), "range shuffle carries the data side")
+    assert(p.contains("__pid"), "per-partition offset machinery must be engaged")
+    var i = p.indexOf("Exchange SinglePartition")
+    while (i >= 0) {
+      val window = p.substring(i, math.min(p.length, i + 800))
+      assert(window.contains("HashAggregate(keys=[__pid"),
+        "a SinglePartition exchange may only feed the bounded offsets " +
+          "aggregate, found:\n" + window.take(400))
+      i = p.indexOf("Exchange SinglePartition", i + 1)
+    }
+  }
 }

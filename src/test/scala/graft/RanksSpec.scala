@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** graft.engine.Ranks: the distributed global row number must agree with
+  * the single-partition window's answer on every total order, including
+  * duplicate sort keys broken by a unique tiebreak. */
+class RanksSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("globalRowNumber == single-partition row_number under a total order") {
+    // duplicate keys (k = id % 7) force the tiebreak to matter; 12
+    // initial partitions force real range-partition boundaries
+    val df = spark.range(0, 5000, 1, 12).toDF("id")
+      .withColumn("k", col("id") % 7)
+    val got = graft.engine.Ranks
+      .globalRowNumber(df, Seq(col("k").desc, col("id")), "r")
+      .select(col("id"), col("r"))
+    val want = df.withColumn("r",
+        row_number().over(Window.orderBy(col("k").desc, col("id"))).cast("long"))
+      .select(col("id"), col("r"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "distributed rank must equal the window rank row-for-row")
+    // ranks are a permutation of 1..n (no gaps, no dups across partitions)
+    val n = got.count()
+    assert(got.agg(countDistinct(col("r")), min(col("r")), max(col("r")))
+      .as[(Long, Long, Long)].head() === ((n, 1L, n)))
+  }
+
+  test("globalRowNumber of an empty frame is empty (offset window edge)") {
+    val df = spark.range(0).toDF("id")
+    assert(graft.engine.Ranks
+      .globalRowNumber(df, Seq(col("id")), "r").count() === 0L)
+  }
+}
