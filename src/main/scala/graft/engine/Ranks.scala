@@ -57,4 +57,31 @@ object Ranks {
       .withColumn(out, col("__off") + (col("__mid") - col("__minmid")) + lit(1L))
       .drop("__pid", "__mid", "__minmid", "__off")
   }
+
+  /** Appends `out` = the running total of `value` over `order` (inclusive of
+    * the current row) — the distributed replacement for
+    * `sum(value).over(Window.orderBy(order))`, same two-phase shape as
+    * [[globalRowNumber]]: range-partition on the order, per-partition
+    * LOCAL running totals under a __pid-keyed (never global) window, and
+    * each partition's grand total prefix-summed into a broadcast offset.
+    * `order` must be a total order for a deterministic result. */
+  def globalPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
+                      out: String): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(p, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value)
+    val local = Window.partitionBy("__pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = ranged.withColumn("__cum", sum(col("__v")).over(local))
+    val parts = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("__tot"))
+    val prior = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts
+      .withColumn("__off", coalesce(sum(col("__tot")).over(prior), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    withLocal.join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__off") + col("__cum"))
+      .drop("__pid", "__v", "__cum", "__off")
+  }
 }

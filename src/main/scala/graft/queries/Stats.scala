@@ -78,10 +78,12 @@ object Stats {
       .na.fill(0L, Seq("c"))
     val bySrc = Window.partitionBy("source").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val allCum = d.groupBy("v").agg(count(lit(1)).as("ca"))
-      .withColumn("cum_all", sum(col("ca")).over(
-        Window.partitionBy().orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // pooled CDF via the distributed prefix sum (graft.engine.Ranks): the
+    // distinct-value grid of a continuous column is unbounded at scale, so
+    // the cumulative sum must never ride a single-partition window
+    val allCum = graft.engine.Ranks.globalPrefixSum(
+        d.groupBy("v").agg(count(lit(1)).as("ca")),
+        Seq(col("v")), col("ca"), "cum_all")
       .select("v", "cum_all")
     val sizes = d.groupBy("source").agg(count(lit(1)).as("n_s"))
     val total = d.agg(count(lit(1)).as("n"))

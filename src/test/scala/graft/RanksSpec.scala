@@ -35,4 +35,18 @@ class RanksSpec extends AnyFunSuite {
     assert(graft.engine.Ranks
       .globalRowNumber(df, Seq(col("id")), "r").count() === 0L)
   }
+
+  test("globalPrefixSum == single-partition cumulative sum under a total order") {
+    val df = spark.range(0, 3000, 1, 9).toDF("id")
+      .withColumn("v", (col("id") * 7) % 13)
+    val got = graft.engine.Ranks
+      .globalPrefixSum(df, Seq(col("id")), col("v"), "c")
+      .select(col("id"), col("c"))
+    val want = df.withColumn("c", sum(col("v")).over(
+        Window.orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("c"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "distributed prefix sum must equal the window answer row-for-row")
+  }
 }
