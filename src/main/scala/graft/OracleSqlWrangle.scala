@@ -264,6 +264,24 @@ object OracleSqlWrangle {
         |            WHEN COALESCE(n_purchases, 0) = 0 THEN 'click_only'
         |            ELSE 'both' END AS status
         |FROM c FULL OUTER JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // x117: DuckDB runs the same multiset operators natively.
+    "x117_set_ops_all" ->
+      """WITH i AS (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |x AS (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |ic AS (SELECT user_id, COUNT(*) AS n_matched FROM i GROUP BY 1),
+        |xc AS (SELECT user_id, COUNT(*) AS n_excess FROM x GROUP BY 1)
+        |SELECT user_id,
+        |       COALESCE(n_matched, 0) AS n_matched,
+        |       COALESCE(n_excess, 0) AS n_excess
+        |FROM ic FULL OUTER JOIN xc USING (user_id)
         |ORDER BY user_id""".stripMargin
   )
 }

@@ -112,6 +112,33 @@ object Relational2 {
         .select(col("s_nationkey").cast(LongType).as("nk")))
       .orderBy("nk")
 
+  /** x117: INTERSECT ALL / EXCEPT ALL — the MULTISET set operations q26/q27
+    * (distinct semantics) don't cover: per user, how many click events are
+    * matched one-for-one by purchase events (`intersectAll` keeps
+    * min(multiplicities)) and how many clicks remain after cancelling
+    * purchases one-for-one (`exceptAll` keeps the excess). Multiset algebra
+    * is how event-stream reconciliation counts unmatched occurrences, not
+    * just unmatched keys.
+    *
+    * 100 TB: Catalyst rewrites both operators to a keyed count aggregate +
+    * replication generate — two map-side-combined shuffles on user_id,
+    * never a row-by-row comparison; the final stitch is x115's full-outer
+    * SMJ over two already-|users|-sized sides. */
+  def x117(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click").select("user_id")
+    val purchases = e.filter(col("event_type") === "purchase").select("user_id")
+    val matched = clicks.intersectAll(purchases)
+      .groupBy("user_id").agg(count(lit(1)).as("n_matched"))
+    val excess = clicks.exceptAll(purchases)
+      .groupBy("user_id").agg(count(lit(1)).as("n_excess"))
+    matched.join(excess, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+              coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+              coalesce(col("n_excess"), lit(0L)).as("n_excess"))
+      .orderBy("user_id")
+  }
+
   /** q28: string function family — all codegen'd built-ins, zero UDFs. */
   def q28(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
