@@ -792,6 +792,74 @@ object OracleSqlFeatures {
         |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
         |       CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS max_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // x118: the Q18 shape as the IN-free formulation both planners prefer —
+    // aggregate first, HAVING on the exact DECIMAL sum, then join detail.
+    "x118_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(qty AS DOUBLE) AS total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // x119: ground truth is the naive a<b canonical-edge three-way self-join;
+    // the engine's degree-oriented count must equal it exactly — orientation
+    // changes the join sizes, never the triangle total.
+    "x119_triangle_count" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |nodes AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |       (SELECT CAST(COUNT(*) AS BIGINT)
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin,
+
+    // x120: x13's fingerprint CTEs kept as a per-window MULTISET (no
+    // DISTINCT — repeated spans inside one doc count every occurrence);
+    // shared fps are those seen in >1 distinct doc.
+    "x120_span_dup_stats" ->
+      ("WITH " + OracleSqlMl.fpCodedCtes + ",\n" +
+        """wins AS (
+          |  SELECT doc_id,
+          |    ((((((c4*131 + c3) % 1000000007) * 131 + c2) % 1000000007) * 131 + c1)
+          |      % 1000000007 * 131 + c0) % 1000000007 AS fp
+          |  FROM coded WHERE c4 IS NOT NULL),
+          |shared AS (SELECT fp FROM wins GROUP BY fp
+          |           HAVING COUNT(DISTINCT doc_id) > 1)
+          |SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+          |       CAST(COUNT(*) FILTER (WHERE s.fp IS NOT NULL) AS BIGINT) AS n_dup,
+          |       CAST(COUNT(*) FILTER (WHERE s.fp IS NOT NULL) * 1000000
+          |            // COUNT(*) AS BIGINT) AS dup_ppm
+          |FROM wins w LEFT JOIN shared s USING (fp)
+          |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin),
+
+    // x121: integer cents make every median a multiple of 0.5, every MAD a
+    // multiple of 0.25 — exactly representable, so `dev > 3*mad` is
+    // float-tolerance-free (Features.scala x121 doc).
+    "x121_mad_outliers" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (SELECT o_orderpriority, quantile_cont(cents, 0.5) AS med
+        |      FROM c GROUP BY o_orderpriority),
+        |d AS (SELECT c.o_orderpriority, ABS(cents - med) AS dev, med
+        |      FROM c JOIN m USING (o_orderpriority)),
+        |md AS (SELECT o_orderpriority, quantile_cont(dev, 0.5) AS mad
+        |       FROM d GROUP BY o_orderpriority)
+        |SELECT d.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       MAX(med) AS med_cents, MAX(mad) AS mad_cents,
+        |       CAST(SUM(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers
+        |FROM d JOIN md USING (o_orderpriority)
+        |GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority""".stripMargin
   )
 }

@@ -437,4 +437,42 @@ object Features {
            max(col("c")).as("max_c"))
       .orderBy("event_type")
   }
+
+  /** x121: ROBUST OUTLIERS (median/MAD) — x77's flag rule with the
+    * mean/stddev replaced by median and median-absolute-deviation, the
+    * estimator that does not move when the outliers themselves inflate the
+    * moments (50% breakdown vs 0% for z-scores — one huge order shifts a
+    * mean, not a median). Exactness discipline: prices quantize ONCE to
+    * BIGINT cents; a type-7 median of integers is then a multiple of 0.5,
+    * a MAD of those deviations a multiple of 0.25, and 3·MAD likewise —
+    * every quantity is exactly representable in binary, so the cut
+    * `dev > 3·MAD` is decided identically by both engines with no float
+    * tolerance anywhere. (That is why cents, not raw DOUBLE prices: type-7
+    * interpolation on arbitrary doubles rounds, and a 1-ulp disagreement
+    * at the cut would flip a count.)
+    *
+    * 100 TB: same posture as x28 — exact per-group medians sort each
+    * group's values, fine for bounded group counts (5 priorities); the
+    * median/MAD tables are group-cardinality-sized broadcasts back; the
+    * flag evaluation is codegen'd row algebra. Unbounded groups belong to
+    * x15's sketch percentiles. */
+  def x121(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+              round(col("o_totalprice") * 100, 0).cast(LongType).as("cents"))
+    val med = cents.groupBy("o_orderpriority")
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val dev = cents.join(broadcast(med), "o_orderpriority")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = dev.groupBy("o_orderpriority")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           max(col("med")).as("med_cents"),
+           max(col("mad")).as("mad_cents"),
+           sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+             .as("n_outliers"))
+      .orderBy("o_orderpriority")
+  }
 }

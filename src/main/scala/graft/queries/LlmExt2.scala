@@ -464,4 +464,36 @@ object LlmExt2 {
            min(col("fp")).as("min_fp"))
       .orderBy("doc_id")
   }
+
+  /** x120: DUPLICATED-SPAN FRACTION — per document, how many of its 5-token
+    * windows also occur in at least one OTHER document (the window-level
+    * statistic behind exact-substring training-data dedup, Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better", ACL'22:
+    * their remove-if-any-50-token-span-repeats rule is a threshold on
+    * exactly this per-doc fraction). Counts are window MULTISET counts —
+    * a doc that repeats a shared span twice has both occurrences flagged —
+    * and the fraction is exact integer ppm (floor DIV, q47's convention).
+    *
+    * 100 TB: the same shuffle-free native `rolling_fps` scan as x13, one
+    * fp-keyed agg to find cross-doc fingerprints (map-side combined; its
+    * distinct-doc count per fp is capped at 2 by the > 1 cut, so hot
+    * fingerprints cannot blow partial state), one fp-keyed LEFT SEMI join
+    * back (candidate windows only — no doc×doc stage anywhere), one
+    * doc-keyed count. Compare x08/x86, which answer WHICH docs pair; this
+    * answers HOW MUCH of each doc is duplicated — the removal decision
+    * needs both. */
+  def x120(spark: SparkSession, dir: String): DataFrame = {
+    val wins = docFingerprints(Tables.documents(spark, dir))
+    val shared = wins.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("fp")
+    val tot = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val dup = wins.join(shared, Seq("fp"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    tot.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+              coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000 DIV n_windows"))
+      .orderBy("doc_id")
+  }
 }

@@ -270,4 +270,33 @@ object Mining {
            expr("mode(o_orderstatus, true)").as("mode_status"))
       .orderBy("o_orderpriority")
   }
+
+  /** x118: LARGE-VOLUME ORDERS (the TPC-H Q18 shape) — customers whose
+    * orders aggregate past a quantity threshold, i.e. an IN-subquery over a
+    * grouped-HAVING derived table. Declaratively that is: aggregate the
+    * fact table FIRST (collapsing |lineitem| to |orders| rows), keep the
+    * handful of qualifying keys, and only then join the order/customer
+    * detail — never filter-then-rejoin row-by-row. Quantities sum on
+    * DECIMAL(18,2) so the HAVING cut is exact on both engines (a DOUBLE
+    * sum's grouping-order rounding could flip a boundary order).
+    *
+    * 100 TB: the lineitem aggregate is partial+final on l_orderkey (map-side
+    * combine collapses each order's ~4 lines before the shuffle); the
+    * orders⋈big join reuses the same orderkey hash partitioning, so AQE can
+    * plan it shuffle-local; the customer join is keyed SMJ — broadcastable
+    * only when the qualifying set is small, which is data-dependent, so it
+    * is left unhinted for AQE's runtime decision. */
+  def x118(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+      .filter(col("qty") > 300)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+              col("o_orderdate"), col("o_totalprice"),
+              col("qty").cast("double").as("total_qty"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -286,4 +286,38 @@ class PlanSpec extends AnyFunSuite {
       i = p.indexOf("Exchange SinglePartition", i + 1)
     }
   }
+
+  test("x118: lineitem aggregates BEFORE the detail joins and the HAVING cut prunes early") {
+    val p = plan(Mining.x118(spark, sfSmoke))
+    // the qty aggregate must be partial+final on l_orderkey (map-side
+    // combine collapses each order's lines before its one shuffle)
+    assert(p.contains("HashAggregate(keys=[l_orderkey"), p.take(600))
+    assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+      "Q18 shape must stay keyed joins end to end")
+  }
+
+  test("x119: triangle counting is keyed joins only — the 1-row stat stitch is the sole nested-loop site") {
+    val p = plan(Stats.x119(spark, sfSmoke))
+    // wedge build and wedge→edge closure must be keyed (hash or sort-merge)
+    // joins; the only BNLJ allowed is the final crossJoin of three 1-row
+    // aggregate scalars into the single stats row
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+             p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"),
+      "a CartesianProduct over edges would be the naive all-pairs plan")
+    // count in the final plan only — AQE's toString appends the initial
+    // plan too, which would double every node count
+    val fin = p.split("== Initial Plan ==")(0)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(fin).size
+    assert(bnlj <= 2, s"only the two 1-row stat crossJoins may be BNLJ, found $bnlj")
+  }
+
+  test("x120: duplicated-span counting joins windows by fingerprint semi-join, never doc x doc") {
+    val p = plan(LlmExt2.x120(spark, sfSmoke))
+    assert(p.contains("LeftSemi"), "shared-fp filter should be a semi join:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+      "span-dedup must never go all-pairs over documents")
+  }
 }
