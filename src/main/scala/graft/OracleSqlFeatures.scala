@@ -841,6 +841,60 @@ object OracleSqlFeatures {
           |FROM wins w LEFT JOIN shared s USING (fp)
           |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin),
 
+    // x122: the oracle states the exactness THEOREM, not the mechanism —
+    // tile-popcount sums must equal plain COUNT(DISTINCT) per day and per
+    // type (n_users_tiles == n_users_direct by construction on the oracle
+    // side; the hash match proves the engine's bit_or/bit_count tiles
+    // reproduce exact distincts). DuckDB cannot run the mechanism verbatim:
+    // its << raises on shift-by-63 rather than wrapping to the sign bit.
+    "x122_bitmap_distinct" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         COUNT(DISTINCT user_id) AS d
+        |  FROM events GROUP BY event_type, day),
+        |dagg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(d) AS BIGINT) AS sum_daily
+        |  FROM daily GROUP BY event_type),
+        |direct AS (
+        |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n_days, sum_daily,
+        |       n AS n_users_tiles, n AS n_users_direct
+        |FROM dagg JOIN direct USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    // x123: one conditional-aggregate row per declared rule; the FK rule is
+    // the NOT-EXISTS count. Pass flags restated as 0/1 BIGINTs.
+    "x123_expectation_checks" ->
+      """WITH o AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS v1,
+        |    SUM(CASE WHEN NOT (o_totalprice <= 400000) THEN 1 ELSE 0 END) AS v2,
+        |    SUM(CASE WHEN NOT (o_orderstatus IN ('F','O','P')) THEN 1 ELSE 0 END) AS v3,
+        |    SUM(CASE WHEN NOT (o_orderdate < TIMESTAMP '2001-01-01') THEN 1 ELSE 0 END) AS v4,
+        |    SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+        |                              WHERE c.c_custkey = o_custkey)
+        |        THEN 1 ELSE 0 END) AS v5
+        |  FROM orders),
+        |l AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 45) THEN 1 ELSE 0 END) AS v1,
+        |    SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.1) THEN 1 ELSE 0 END) AS v2
+        |  FROM lineitem),
+        |rows_out(table_name, rule_id, n_rows, n_violations) AS (
+        |  SELECT 'orders', 'price_positive', n, v1 FROM o
+        |  UNION ALL SELECT 'orders', 'price_under_400k', n, v2 FROM o
+        |  UNION ALL SELECT 'orders', 'status_domain', n, v3 FROM o
+        |  UNION ALL SELECT 'orders', 'date_before_2001', n, v4 FROM o
+        |  UNION ALL SELECT 'orders', 'custkey_in_customer', n, v5 FROM o
+        |  UNION ALL SELECT 'lineitem', 'qty_1_to_45', n, v1 FROM l
+        |  UNION ALL SELECT 'lineitem', 'discount_0_to_01', n, v2 FROM l)
+        |SELECT table_name, rule_id, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_violations AS BIGINT) AS n_violations,
+        |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM rows_out ORDER BY table_name, rule_id""".stripMargin,
+
     // x121: integer cents make every median a multiple of 0.5, every MAD a
     // multiple of 0.25 — exactly representable, so `dev > 3*mad` is
     // float-tolerance-free (Features.scala x121 doc).

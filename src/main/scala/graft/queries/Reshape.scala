@@ -78,6 +78,46 @@ object Reshape {
   /** x16: pivot — events long → wide counts per (user, event_type). The
     * value list is FIXED so the output schema is static and portable; Spark
     * plans it as a single conditional aggregation pass (no per-value scans). */
+  /** x122: EXACT DISTINCT COUNTS FROM MERGEABLE BITMAP TILES — x108's
+    * persist-tiles-rescan-never pattern with zero approximation error: each
+    * (event_type, day, user-bucket) tile is one BIGINT whose bits mark the
+    * 64 users of that id-bucket seen that day. Tiles OR together — across
+    * days, types, any ad-hoc slice — and popcount after the union is the
+    * EXACT distinct count (the Snowflake/ClickHouse BITMAP_* idiom). Output
+    * per type: Σ-of-daily distincts (tile popcounts summed), the all-days
+    * rollup distinct (tiles OR-merged THEN popcounted), and the direct
+    * `countDistinct` — rollup == direct is part of the pinned result, the
+    * exactness theorem the oracle re-states in SQL.
+    *
+    * 100 TB: tile state is |buckets| = max_user_id/64 BIGINTs per group —
+    * dense-id corpora only (64M users/day ≈ 8 MB of tiles/day, vs the
+    * sketch's KBs with ~1% error; sparse 2⁶³ key spaces need x108's HLL or
+    * a roaring bitmap). Both aggs are partial+final map-side-combined
+    * bit_or — no distinct-value shuffle anywhere, and persisted daily tiles
+    * answer any later rollup without touching raw events. */
+  def x122(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+              expr("user_id DIV 64").as("bucket"),
+              expr("shiftleft(1L, CAST(user_id % 64 AS INT))").as("m"))
+    val tiles = base.groupBy("event_type", "day", "bucket")
+      .agg(expr("bit_or(m)").as("bm"))
+    val daily = tiles.groupBy("event_type", "day")
+      .agg(sum(bit_count(col("bm"))).as("d"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("d")).as("sum_daily"))
+    val rolled = tiles.groupBy("event_type", "bucket")
+      .agg(expr("bit_or(bm)").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(bit_count(col("bm"))).cast(LongType).as("n_users_tiles"))
+    val direct = Tables.events(spark, dir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users_direct"))
+    daily.join(rolled, "event_type").join(direct, "event_type")
+      .select(col("event_type"), col("n_days"), col("sum_daily"),
+              col("n_users_tiles"), col("n_users_direct"))
+      .orderBy("event_type")
+  }
+
   def x16(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("user_id")

@@ -461,4 +461,50 @@ object Wrangle {
           .otherwise("both"))
       .orderBy("user_id")
   }
+
+  /** x123: EXPECTATION CHECKS — a declarative data-quality suite (the
+    * Deequ/Great-Expectations shape) evaluated engine-side: per rule, the
+    * scanned row count, violation count, and pass flag. Predicate rules
+    * (domain, range, positivity) compile to conditional aggregates so ALL
+    * of a table's rules evaluate in ONE scan; the referential-integrity
+    * rule is the q08 anti-join. Violation counts — not just pass/fail —
+    * because a 100 TB gate triages by magnitude (6k bad rows ≠ 6 bad rows),
+    * and x64's audit counts nulls/dups while this checks USER-DECLARED
+    * invariants.
+    *
+    * 100 TB: one map-side-combined full scan per table (rules are codegen'd
+    * CASE arithmetic, so adding a rule is free); the FK check is one keyed
+    * LEFT ANTI join — the only shuffle in the suite. */
+  def x123(spark: SparkSession, dir: String): DataFrame = {
+    def suite(df: DataFrame, table: String, rules: Seq[(String, Column)]): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+             map(rules.flatMap { case (id, pred) =>
+               Seq(lit(id), sum(when(!pred, 1L).otherwise(0L)))
+             }: _*).as("viol"))
+        .select(explode(col("viol")).as(Seq("rule_id", "n_violations")),
+                col("n_rows"))
+        .select(lit(table).as("table_name"), col("rule_id"), col("n_rows"),
+                col("n_violations"),
+                (col("n_violations") === 0).cast(LongType).as("pass"))
+    val orders = suite(Tables.orders(spark, dir), "orders", Seq(
+      "price_positive" -> (col("o_totalprice") > 0),
+      "price_under_400k" -> (col("o_totalprice") <= 400000),
+      "status_domain" -> col("o_orderstatus").isin("F", "O", "P"),
+      "date_before_2001" -> (col("o_orderdate") < lit("2001-01-01").cast("date"))))
+    val lineitem = suite(Tables.lineitem(spark, dir), "lineitem", Seq(
+      "qty_1_to_45" -> (col("l_quantity") >= 1 && col("l_quantity") <= 45),
+      "discount_0_to_01" -> (col("l_discount") >= 0 && col("l_discount") <= 0.1)))
+    val orphans = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+    val nOrders = Tables.orders(spark, dir).agg(count(lit(1)).as("n_rows"))
+    val fk = orphans.agg(count(lit(1)).as("n_violations"))
+      .crossJoin(nOrders)
+      .select(lit("orders").as("table_name"),
+              lit("custkey_in_customer").as("rule_id"), col("n_rows"),
+              col("n_violations"),
+              (col("n_violations") === 0).cast(LongType).as("pass"))
+    orders.unionByName(lineitem).unionByName(fk)
+      .orderBy("table_name", "rule_id")
+  }
 }
