@@ -895,6 +895,35 @@ object OracleSqlFeatures {
         |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
         |FROM rows_out ORDER BY table_name, rule_id""".stripMargin,
 
+    // x124: DuckDB's ordered STRING_AGG is the direct statement of the
+    // sorted-collect + join the engine runs.
+    "x124_string_agg_ordered" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |                  ORDER BY o_orderkey) AS order_keys
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // x125: the literal EXISTS / NOT EXISTS formulation — the oracle keeps
+    // the correlated form; the engine must reach the same rows through its
+    // decorrelated semi/anti joins.
+    "x125_sole_late_supplier" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |         date_diff('day', CAST(o_orderdate AS DATE),
+        |                   CAST(l_shipdate AS DATE)) > 80 AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT s_suppkey, s_name, numwait FROM (
+        |  SELECT l1.sk, CAST(COUNT(DISTINCT l1.ok) AS BIGINT) AS numwait
+        |  FROM li l1
+        |  WHERE l1.late
+        |    AND EXISTS (SELECT 1 FROM li l2
+        |                WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+        |    AND NOT EXISTS (SELECT 1 FROM li l3
+        |                    WHERE l3.ok = l1.ok AND l3.sk <> l1.sk AND l3.late)
+        |  GROUP BY l1.sk) w
+        |JOIN supplier ON sk = s_suppkey
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin,
+
     // x121: integer cents make every median a multiple of 0.5, every MAD a
     // multiple of 0.25 — exactly representable, so `dev > 3*mad` is
     // float-tolerance-free (Features.scala x121 doc).

@@ -236,4 +236,41 @@ object Relational1 {
            round(avg(col("c_acctbal")).cast(DoubleType), 4).as("av"),
            round(stddev_samp(col("c_acctbal")).cast(DoubleType), 4).as("sd"))
       .orderBy("c_mktsegment")
+
+  /** x125: MULTI-EXISTS CORRELATION (the TPC-H Q21 shape) — suppliers who
+    * were the SOLE late shipper of a multi-supplier order: a late line,
+    * EXISTS another supplier's line in the same order, NOT EXISTS another
+    * supplier's LATE line. The declarative form is one EXISTS plus one NOT
+    * EXISTS over the same fact — Spark must turn both into keyed
+    * LeftSemi/LeftAnti joins on orderkey (no per-row re-scan), which is
+    * the whole point of the operator: three correlated predicates, zero
+    * nested loops. "Late" is shipdate > orderdate + 80 days — exact
+    * integer day arithmetic on both engines.
+    *
+    * 100 TB: the late flag rides the one lineitem⋈orders join (orderkey-
+    * keyed); semi and anti then REUSE that orderkey partitioning, so the
+    * chain is one shuffle lineage, not three; the supplier name join is a
+    * dimension join AQE may broadcast. */
+  def x125(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+              (datediff(col("l_shipdate"), col("o_orderdate")) > 80).as("late"))
+    val late = li.filter(col("late"))
+    val multiSupp = late.as("l1")
+      .join(li.as("l2"),
+            col("l1.ok") === col("l2.ok") && col("l1.sk") =!= col("l2.sk"),
+            "left_semi")
+    val sole = multiSupp.as("c")
+      .join(late.as("l3"),
+            col("c.ok") === col("l3.ok") && col("c.sk") =!= col("l3.sk"),
+            "left_anti")
+    sole.groupBy("sk")
+      .agg(countDistinct(col("ok")).as("numwait"))
+      .join(Tables.supplier(spark, dir), col("sk") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), col("s_suppkey"))
+  }
 }

@@ -232,4 +232,26 @@ object Relational2 {
       .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"),
               round(col("col").cast(DoubleType), 6).as("val"))
       .orderBy("vec_id", "pos")
+
+  /** x124: ORDERED STRING AGGREGATION (LISTAGG/STRING_AGG) — each
+    * customer's order keys as one deterministic CSV string. The pipeline
+    * use is assembling per-entity token/chunk sequences into a single
+    * training record (x32 packs by length; this CONCATENATES in key
+    * order). Determinism requires the explicit sort: `collect_list` order
+    * is partial-merge-arrival order, so the sort must be on the collected
+    * NUMERIC array (a lexicographic string sort would put 10 before 9 —
+    * engine-portable but wrong); cast to string only after sorting.
+    *
+    * 100 TB: one partial+final agg; per-group state is the group's own
+    * rows (bounded here by orders-per-customer). An unbounded group needs
+    * the two-level chunk pattern — aggregate fixed-size chunks first, then
+    * concatenate chunk strings — or x57's chunker upstream. */
+  def x124(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           array_join(
+             transform(sort_array(collect_list(col("o_orderkey"))),
+                       x => x.cast(StringType)), ",").as("order_keys"))
+      .orderBy("o_custkey")
 }

@@ -313,6 +313,15 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 2, s"only the two 1-row stat crossJoins may be BNLJ, found $bnlj")
   }
 
+  test("x125: both correlated EXISTS predicates run as keyed semi/anti joins — no nested re-scan") {
+    val p = plan(Relational1.x125(spark, sfSmoke))
+    assert(p.contains("LeftSemi"), "EXISTS must become a semi join:\n" + p.take(600))
+    assert(p.contains("LeftAnti"), "NOT EXISTS must become an anti join:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+      "the sk <> sk inequality must ride the ok-keyed join, not force a nested loop")
+  }
+
   test("x120: duplicated-span counting joins windows by fingerprint semi-join, never doc x doc") {
     val p = plan(LlmExt2.x120(spark, sfSmoke))
     assert(p.contains("LeftSemi"), "shared-fp filter should be a semi join:\n" + p.take(600))
