@@ -924,6 +924,53 @@ object OracleSqlFeatures {
         |JOIN supplier ON sk = s_suppkey
         |ORDER BY numwait DESC, s_suppkey""".stripMargin,
 
+    // x126: the budget line restated as the same cross-multiplied integer
+    // inequality; DuckDB windows are identical.
+    "x126_quality_mass_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id
+        |                       ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(n_chars) OVER (PARTITION BY source) AS total
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS mass_total,
+        |       CAST(SUM(CASE WHEN 2 * (cum - n_chars) < total
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN 2 * (cum - n_chars) < total
+        |                     THEN n_chars ELSE 0 END) AS BIGINT) AS mass_kept
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // x127: every survivorship rule restated from first principles — the
+    // overall latest as a window rn=1, the scoped latests as a filtered
+    // window / filtered MAX; max_by's struct order must agree with these.
+    "x127_golden_record" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+        |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |lt AS (SELECT user_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY us DESC, event_id DESC) AS rn
+        |       FROM e),
+        |lp AS (SELECT user_id, cents,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY us DESC, event_id DESC) AS rn
+        |       FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.n_events, lt.event_type AS last_type,
+        |       lp.cents AS last_purchase_cents, le.us AS last_error_us
+        |FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        |      FROM e GROUP BY user_id) c
+        |LEFT JOIN (SELECT user_id, event_type FROM lt WHERE rn = 1) lt
+        |  USING (user_id)
+        |LEFT JOIN (SELECT user_id, cents FROM lp WHERE rn = 1) lp
+        |  USING (user_id)
+        |LEFT JOIN (SELECT user_id, MAX(us) AS us FROM e
+        |           WHERE event_type = 'error' GROUP BY user_id) le
+        |  USING (user_id)
+        |ORDER BY c.user_id""".stripMargin,
+
     // x121: integer cents make every median a multiple of 0.5, every MAD a
     // multiple of 0.25 — exactly representable, so `dev > 3*mad` is
     // float-tolerance-free (Features.scala x121 doc).

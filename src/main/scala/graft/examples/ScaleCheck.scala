@@ -64,6 +64,7 @@ object ScaleCheck {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     spark.read.parquet(s"$src/nation.parquet").write.mode("overwrite").parquet(s"$out/nation.parquet")
     spark.read.parquet(s"$src/region.parquet").write.mode("overwrite").parquet(s"$out/region.parquet")
+    spark.read.parquet(s"$src/supplier.parquet").write.mode("overwrite").parquet(s"$out/supplier.parquet")
     // events: duplicate the RAW ns-long file so Tables.events still normalizes
     val evRaw = spark.read.parquet(s"$src/events.parquet")
     (0 until copies).map(i => evRaw
@@ -104,7 +105,20 @@ object ScaleCheck {
                   // exchange-free co-located join — both must track row
                   // volume; the join itself reads co-located buckets at
                   // any scale
-                  "x113_colocated_join")) {
+                  "x113_colocated_join",
+                  // x119: 10× orders over the SAME part vocabulary — each
+                  // part meets more partners, but the co-purchase graph
+                  // saturates (pairs are drawn from a fixed vocab²), so
+                  // edge growth is sublinear and the O(√m) out-degree
+                  // bound keeps intersection work tracking edges
+                  "x119_triangle_count",
+                  // x120: every fingerprint bucket is 10× hotter AND every
+                  // window of a copied doc becomes cross-doc duplicated —
+                  // the fp-keyed semi join must track window volume
+                  "x120_span_dup_stats",
+                  // x125: semi+anti reuse the orderkey lineage — 10× both
+                  // fact sides with disjoint keys must stay ~linear
+                  "x125_sole_late_supplier")) {
       // warm BOTH dirs: steady-state on each side, so one-time costs (JIT,
       // codegen, x113's bucketed ingest — a layout cost paid once on a real
       // warehouse) stay out of the ratio

@@ -199,4 +199,35 @@ object Curation {
              .as("mean_cos"))
       .orderBy("label")
   }
+
+  /** x126: QUALITY-MASS BUDGET CAP ("nucleus" curation) — keep each
+    * source's best documents until HALF its total quality mass is spent,
+    * the score-weighted refinement of x49's fixed per-source COUNT cap:
+    * a source of many thin docs keeps many, a source of few dense docs
+    * keeps few — budget follows mass, not headcount (the top-p/nucleus
+    * rule of sampling, applied to corpus curation). The crossing doc is
+    * kept (nucleus convention), so every source keeps ≥ 1. All-integer:
+    * mass is BIGINT chars and the budget line is the cross-multiplied
+    * `2·(cum − score) < total` — no float share anywhere.
+    *
+    * 100 TB: one source-keyed window cumsum (O(1) state) over a
+    * source-keyed 1-row-per-source total — same single shuffle lineage;
+    * output is |sources| rows. */
+  def x126(spark: SparkSession, dir: String): DataFrame = {
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(cum))
+      .withColumn("total", sum(col("n_chars")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .withColumn("keep", lit(2) * (col("cum") - col("n_chars")) < col("total"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("mass_total"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("mass_kept"))
+      .orderBy("source")
+  }
 }

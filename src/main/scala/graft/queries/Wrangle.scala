@@ -462,6 +462,36 @@ object Wrangle {
       .orderBy("user_id")
   }
 
+  /** x127: GOLDEN-RECORD SURVIVORSHIP — the MDM merge step: one
+    * consolidated record per user where each FIELD independently takes its
+    * value from the latest event satisfying that field's own predicate
+    * (latest event overall → type; latest PURCHASE → monetary; latest
+    * ERROR → timestamp). x58 picks one whole surviving ROW per key; real
+    * survivorship is per-field — three different "latest" rules in one
+    * record. Each rule is a `max_by` over the TOTAL order struct(us,
+    * event_id) (arrival order of partial merges must not matter — the
+    * x105 discipline) with a FILTER clause scoping its slice; the oracle
+    * restates every rule as a window rn=1 / filtered MAX from first
+    * principles.
+    *
+    * 100 TB: ONE partial+final aggregate pass with O(1) state per (user,
+    * field) — one candidate row each; the rn=1 formulation would sort
+    * every user's history three times. */
+  def x127(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              unix_micros(col("ts")).as("us"),
+              round(col("value") * 100, 0).cast(LongType).as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+           expr("max_by(event_type, struct(us, event_id))").as("last_type"),
+           expr("max_by(cents, struct(us, event_id)) " +
+                "FILTER (WHERE event_type = 'purchase')")
+             .as("last_purchase_cents"),
+           expr("max(us) FILTER (WHERE event_type = 'error')")
+             .as("last_error_us"))
+      .orderBy("user_id")
+
   /** x123: EXPECTATION CHECKS — a declarative data-quality suite (the
     * Deequ/Great-Expectations shape) evaluated engine-side: per rule, the
     * scanned row count, violation count, and pass flag. Predicate rules
