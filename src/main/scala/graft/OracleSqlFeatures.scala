@@ -971,6 +971,66 @@ object OracleSqlFeatures {
         |  USING (user_id)
         |ORDER BY c.user_id""".stripMargin,
 
+    // x128: moments widen to HUGEINT natively (DuckDB) — exactly equal to
+    // the engine's DECIMAL(38,0) sums; the r chain is the identical IEEE
+    // double expression on both sides.
+    "x128_corr_matrix" ->
+      """WITH b AS (
+        |  SELECT CAST(ROUND(l_quantity * 10, 0) AS BIGINT) AS q,
+        |         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c,
+        |         CAST(ROUND(l_discount * 1000, 0) AS BIGINT) AS d
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT COUNT(*) AS n, SUM(q) AS sq, SUM(c) AS sc, SUM(d) AS sd,
+        |         SUM(q*q) AS sqq, SUM(c*c) AS scc, SUM(d*d) AS sdd,
+        |         SUM(q*c) AS sqc, SUM(q*d) AS sqd, SUM(c*d) AS scd
+        |  FROM b)
+        |SELECT var_x, var_y, CAST(n AS BIGINT) AS n, ROUND(r, 6) AS r FROM (
+        |  SELECT 'quantity' AS var_x, 'price' AS var_y, n,
+        |    (CAST(n AS DOUBLE)*CAST(sqc AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sc AS DOUBLE))
+        |    / SQRT((CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE))
+        |         * (CAST(n AS DOUBLE)*CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE))) AS r
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'quantity', 'discount', n,
+        |    (CAST(n AS DOUBLE)*CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sd AS DOUBLE))
+        |    / SQRT((CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE))
+        |         * (CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE)))
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'price', 'discount', n,
+        |    (CAST(n AS DOUBLE)*CAST(scd AS DOUBLE) - CAST(sc AS DOUBLE)*CAST(sd AS DOUBLE))
+        |    / SQRT((CAST(n AS DOUBLE)*CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE))
+        |         * (CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE)))
+        |  FROM m) t
+        |ORDER BY var_x, var_y""".stripMargin,
+
+    // x129: same pair window + floor-DIV credit; the direct channel is the
+    // NOT-EXISTS remainder.
+    "x129_multi_touch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, us AS p_us FROM e
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type AS channel, us AS t_us FROM e
+        |      WHERE event_type <> 'purchase'),
+        |pairs AS (
+        |  SELECT p.p_id, t.channel FROM p JOIN t USING (user_id)
+        |  WHERE t.t_us >= p.p_us - 3600000000 AND t.t_us < p.p_us),
+        |counted AS (
+        |  SELECT channel, p_id, COUNT(*) OVER (PARTITION BY p_id) AS n_touches
+        |  FROM pairs),
+        |credited AS (
+        |  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches_total,
+        |         CAST(SUM(1000000 // n_touches) AS BIGINT) AS credit_ppm
+        |  FROM counted GROUP BY channel),
+        |direct AS (
+        |  SELECT 'direct' AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches_total,
+        |         CAST(COUNT(*) * 1000000 AS BIGINT) AS credit_ppm
+        |  FROM p WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.p_id = p.p_id))
+        |SELECT * FROM credited UNION ALL SELECT * FROM direct
+        |ORDER BY channel""".stripMargin,
+
     // x121: integer cents make every median a multiple of 0.5, every MAD a
     // multiple of 0.25 — exactly representable, so `dev > 3*mad` is
     // float-tolerance-free (Features.scala x121 doc).

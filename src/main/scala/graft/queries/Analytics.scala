@@ -188,4 +188,46 @@ object Analytics {
       .filter(col("df") >= 5)
       .orderBy("tok")
   }
+
+  /** x129: MULTI-TOUCH ATTRIBUTION — each purchase's credit split EQUALLY
+    * across every event the user produced in the preceding hour (linear
+    * attribution; x85 is the last-touch single-winner variant), plus a
+    * `direct` channel for purchases with no prior touch. Credit is exact
+    * integer ppm: each touch earns `1000000 DIV n_touches` of its
+    * purchase (floor — a 3-touch purchase distributes 999,999 ppm; the
+    * remainder is deliberately dropped, not redistributed, so every
+    * credit is a pure function of n_touches on both engines).
+    *
+    * 100 TB: one user-keyed join purchases⋈touches with the hour window
+    * as an in-join predicate — pair fan-out is bounded by events-per-
+    * (user, hour)², the q09/x92 bounded-history posture (unbounded
+    * per-user firehoses would take q09's time-bucketed range join); the
+    * no-touch remainder is the same join's LEFT ANTI twin on one shared
+    * lineage; final agg is |channels| rows. */
+  def x129(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              unix_micros(col("ts")).as("us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"))
+    val touches = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("channel"),
+              col("us").as("t_us"))
+    val pairs = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_us") >= col("p_us") - lit(3600000000L) &&
+                col("t_us") < col("p_us"))
+    val credited = pairs
+      .withColumn("n_touches",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("p_id")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touches_total"),
+           sum(expr("1000000 DIV n_touches")).as("credit_ppm"))
+    val direct = purchases
+      .join(pairs.select("p_id").distinct(), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_touches_total"))
+      .select(lit("direct").as("channel"), col("n_touches_total"),
+              (col("n_touches_total") * 1000000L).as("credit_ppm"))
+    credited.unionByName(direct).orderBy("channel")
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.engine.Tables
 
 /** Statistical-modeling operators (round 5): least-squares regression and a
@@ -308,6 +308,60 @@ object Stats {
       .select(col("n0"), col("c0"), col("n1"), col("c1"),
               round(z, 6).as("z"),
               when(abs(z) > 1.96, 1L).otherwise(0L).as("significant"))
+  }
+
+  /** x128: PAIRWISE CORRELATION MATRIX — Pearson r between the three
+    * lineitem measures, from ONE single-pass moment aggregate (n, Σx, Σx²,
+    * Σxy for every pair). The quantized-exact discipline end to end:
+    * measures quantize once to integer units, per-row products stay under
+    * 2⁶³, and the SUMS accumulate on DECIMAL(38,0) — Σcents² is ~10²¹ at
+    * sf0.1, past BIGINT, where Spark's long sum would wrap silently while
+    * DuckDB widens to HUGEINT (a cross-engine trap, not just overflow).
+    * The final r is one fixed double chain over exactly-equal moments —
+    * same IEEE expression tree on both engines — rounded 6dp. Built-in
+    * `corr` is exactly what this replaces: its float accumulation order
+    * differs per engine and per partition count.
+    *
+    * 100 TB: one map-side-combined aggregate, one 1-row result exploded to
+    * |pairs| rows — no second scan, no shuffle beyond the single global
+    * agg. */
+  def x128(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    val m = Tables.lineitem(spark, dir)
+      .select(round(col("l_quantity") * 10, 0).cast(LongType).as("q"),
+              round(col("l_extendedprice") * 100, 0).cast(LongType).as("c"),
+              round(col("l_discount") * 1000, 0).cast(LongType).as("d"))
+      .agg(count(lit(1)).as("n"),
+           sum(expr(s"CAST(q AS $dec)")).as("sq"),
+           sum(expr(s"CAST(c AS $dec)")).as("sc"),
+           sum(expr(s"CAST(d AS $dec)")).as("sd"),
+           sum(expr(s"CAST(q * q AS $dec)")).as("sqq"),
+           sum(expr(s"CAST(c * c AS $dec)")).as("scc"),
+           sum(expr(s"CAST(d * d AS $dec)")).as("sdd"),
+           sum(expr(s"CAST(q * c AS $dec)")).as("sqc"),
+           sum(expr(s"CAST(q * d AS $dec)")).as("sqd"),
+           sum(expr(s"CAST(c * d AS $dec)")).as("scd"))
+    def r(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+      (col("n").cast(DoubleType) * col(sxy).cast(DoubleType)
+         - col(sx).cast(DoubleType) * col(sy).cast(DoubleType)) /
+        sqrt((col("n").cast(DoubleType) * col(sxx).cast(DoubleType)
+                - col(sx).cast(DoubleType) * col(sx).cast(DoubleType)) *
+             (col("n").cast(DoubleType) * col(syy).cast(DoubleType)
+                - col(sy).cast(DoubleType) * col(sy).cast(DoubleType)))
+    m.select(col("n"),
+             r("sq", "sc", "sqq", "scc", "sqc").as("rqc"),
+             r("sq", "sd", "sqq", "sdd", "sqd").as("rqd"),
+             r("sc", "sd", "scc", "sdd", "scd").as("rcd"))
+      .select(col("n"), explode(array(
+        struct(lit("quantity").as("var_x"), lit("price").as("var_y"),
+               col("rqc").as("r")),
+        struct(lit("quantity").as("var_x"), lit("discount").as("var_y"),
+               col("rqd").as("r")),
+        struct(lit("price").as("var_x"), lit("discount").as("var_y"),
+               col("rcd").as("r")))).as("p"))
+      .select(col("p.var_x").as("var_x"), col("p.var_y").as("var_y"),
+              col("n"), round(col("p.r"), 6).as("r"))
+      .orderBy("var_x", "var_y")
   }
 
   /** x119: DISTRIBUTED TRIANGLE COUNT over the part-co-purchase graph
