@@ -37,10 +37,16 @@ import graft.engine.Tables
   * timing so one-time costs (JIT, x113's bucketed ingest — a layout
   * cost paid once on a real warehouse) stay out of the ratio. x113
   * runs the co-located join on 10× the data at ~2.3× — the exchange-
-  * free SMJ tracks scan volume; x109 lands at ~4.4× against a true
+  * free SMJ tracks scan volume; x109 lands at ~4.4–6× against a true
   * containment output that grows ~90× (every ordered twin pair of the
   * 10 identical copies), the same sublinear-in-true-workload behavior
-  * as x08/x86.
+  * as x08/x86. x119 runs 10× orders at ~1.2× — the co-purchase graph
+  * saturates over the fixed part vocabulary, and the degree-oriented
+  * adjacency intersection tracks edges, not wedges; x120 at ~1.5×
+  * (window volume); x125 at ~1.2× — AQE reuses an orderkey exchange
+  * across the semi/anti chain's identical lineitem⋈orders subplans
+  * (one ReusedExchange in the adaptive plan) instead of re-shuffling
+  * each arm.
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
