@@ -1031,6 +1031,60 @@ object OracleSqlFeatures {
         |SELECT * FROM credited UNION ALL SELECT * FROM direct
         |ORDER BY channel""".stripMargin,
 
+    // x130: identical rank/index arithmetic; the pooled rank is a plain
+    // window here (DuckDB is single-node — the engine side is what must
+    // avoid the single-partition sort).
+    "x130_quantile_normalize" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY n_chars, doc_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_s,
+        |    (SELECT COUNT(*) FROM d) AS n_total
+        |  FROM d),
+        |pooled AS (
+        |  SELECT n_chars AS norm_chars,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS g
+        |  FROM d)
+        |SELECT r.doc_id, r.source, r.n_chars, pooled.norm_chars
+        |FROM (SELECT doc_id, source, n_chars,
+        |        CASE WHEN n_s = 1 THEN (n_total + 1) // 2
+        |             ELSE 1 + (r - 1) * (n_total - 1) // (n_s - 1) END AS g
+        |      FROM r) r
+        |JOIN pooled USING (g)
+        |ORDER BY r.doc_id""".stripMargin,
+
+    // x131: moments widen to HUGEINT natively; identical double chain.
+    "x131_group_trend" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |         (us - MIN(us) OVER (PARTITION BY event_type)) // 1000000 AS x,
+        |         cents AS y
+        |  FROM e),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x*x) AS sxx, SUM(x*y) AS sxy
+        |  FROM b GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6)
+        |    AS slope_cents_per_s,
+        |  ROUND((CAST(sy AS DOUBLE)
+        |         - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |           / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |           * CAST(sx AS DOUBLE))
+        |        / CAST(n AS DOUBLE), 6) AS intercept_cents
+        |FROM m ORDER BY event_type""".stripMargin,
+
     // x121: integer cents make every median a multiple of 0.5, every MAD a
     // multiple of 0.25 — exactly representable, so `dev > 3*mad` is
     // float-tolerance-free (Features.scala x121 doc).

@@ -200,6 +200,46 @@ object Curation {
       .orderBy("label")
   }
 
+  /** x130: QUANTILE NORMALIZATION ACROSS SOURCES — each document's score
+    * (n_chars) replaced by the POOLED distribution's value at the same
+    * quantile position: rank r of n_s within its source maps to pooled
+    * index 1 + (r−1)·(N−1) DIV (n_s−1) (endpoints map to endpoints;
+    * singleton sources take the pooled median). The bioinformatics
+    * quantile-normalization recipe applied to corpus scores — after it,
+    * every source has an identical score distribution, so a single global
+    * threshold cuts every source at the same quantile (otherwise a verbose
+    * source dominates any length-based gate). All-integer: ranks, DIV
+    * index arithmetic, and integer scores — no interpolation.
+    *
+    * 100 TB: the per-source rank is a source-keyed window; the POOLED rank
+    * must never be a single-partition window, so it runs the distributed
+    * two-phase rank ([[graft.engine.Ranks.globalRowNumber]] — range
+    * shuffle + offset broadcast); the remap is one join keyed on the
+    * pooled index. */
+  def x130(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val withRank = docs
+      .withColumn("r", row_number().over(bySrc).cast(LongType))
+      .withColumn("n_s", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+    val pooled = graft.engine.Ranks.globalRowNumber(
+        docs.select(col("n_chars"), col("doc_id")),
+        Seq(col("n_chars"), col("doc_id")), "g")
+      .select(col("g"), col("n_chars").as("norm_chars"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    withRank.crossJoin(broadcast(total))
+      .withColumn("g",
+        when(col("n_s") === 1, expr("(n_total + 1) DIV 2"))
+          .otherwise(lit(1) +
+            expr("(r - 1) * (n_total - 1) DIV (n_s - 1)")))
+      .join(pooled, "g")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("norm_chars"))
+      .orderBy("doc_id")
+  }
+
   /** x126: QUALITY-MASS BUDGET CAP ("nucleus" curation) — keep each
     * source's best documents until HALF its total quality mass is spent,
     * the score-weighted refinement of x49's fixed per-source COUNT cap:

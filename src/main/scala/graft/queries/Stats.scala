@@ -364,6 +364,48 @@ object Stats {
       .orderBy("var_x", "var_y")
   }
 
+  /** x131: GROUP-WISE TREND REGRESSION — per event type, the least-squares
+    * slope and intercept of spend (cents) over time (whole seconds since
+    * the GROUP's first event — the per-group re-centering that keeps Σx²
+    * in range and makes the intercept the value at the group's own t=0,
+    * not at 1970): the trend-feature extractor of feature stores, and
+    * x87's global-fit discipline generalized to grouped fits. Moments are
+    * exact (per-row products < 2⁶³; sums on DECIMAL(38,0) — x128's
+    * headroom rule: Σx² ≈ 10²⁰ per group at sf0.1 would wrap a silent
+    * BIGINT sum); slope/intercept are fixed double chains, 6dp. This is
+    * what built-in `regr_slope` cannot give cross-engine: its float
+    * accumulation order is partition-dependent.
+    *
+    * 100 TB: one broadcast-joined per-group min, one map-side-combined
+    * moment aggregate — two passes, no window, state is 5 numbers per
+    * group. */
+  def x131(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+              round(col("value") * 100, 0).cast(LongType).as("cents"))
+    val mins = e.groupBy("event_type").agg(min(col("us")).as("us0"))
+    val m = e.join(broadcast(mins), "event_type")
+      .select(col("event_type"), expr("(us - us0) DIV 1000000").as("x"),
+              col("cents").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(expr(s"CAST(x AS $dec)")).as("sx"),
+           sum(expr(s"CAST(y AS $dec)")).as("sy"),
+           sum(expr(s"CAST(x * x AS $dec)")).as("sxx"),
+           sum(expr(s"CAST(x * y AS $dec)")).as("sxy"))
+    val nD = col("n").cast(DoubleType)
+    val slope = (nD * col("sxy").cast(DoubleType)
+                   - col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+                (nD * col("sxx").cast(DoubleType)
+                   - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+    m.select(col("event_type"), col("n"),
+             round(slope, 6).as("slope_cents_per_s"),
+             round((col("sy").cast(DoubleType) - slope * col("sx").cast(DoubleType)) / nD,
+                   6).as("intercept_cents"))
+      .orderBy("event_type")
+  }
+
   /** x119: DISTRIBUTED TRIANGLE COUNT over the part-co-purchase graph
     * (parts are adjacent when some order contains both), by DEGREE-ORIENTED
     * EDGE ITERATION (the compact forward/cf algorithm of Schank & Wagner
