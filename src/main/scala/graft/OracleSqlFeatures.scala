@@ -1085,6 +1085,48 @@ object OracleSqlFeatures {
         |        / CAST(n AS DOUBLE), 6) AS intercept_cents
         |FROM m ORDER BY event_type""".stripMargin,
 
+    // x132: entry prefix restated as rn ≤ 3 + ordered string_agg; the
+    // same (count desc, path) top-20 total order.
+    "x132_top_journeys" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |         string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    // x133: identical discrete-index fences and clamp; only the mean
+    // divides, as the same double chain.
+    "x133_winsorized_stats" ->
+      """WITH c AS (
+        |  SELECT event_type, event_id,
+        |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY cents, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM c),
+        |f AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = (n - 1) * 5 // 100 + 1 THEN cents END) AS lo,
+        |    MAX(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN cents END) AS hi
+        |  FROM r GROUP BY event_type)
+        |SELECT c.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MAX(lo) AS lo_cents, MAX(hi) AS hi_cents,
+        |       CAST(SUM(GREATEST(lo, LEAST(hi, cents))) AS BIGINT) AS wsum_cents,
+        |       ROUND(CAST(SUM(GREATEST(lo, LEAST(hi, cents))) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 6) AS wmean_cents
+        |FROM c JOIN f USING (event_type)
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
+
     // x121: integer cents make every median a multiple of 0.5, every MAD a
     // multiple of 0.25 — exactly representable, so `dev > 3*mad` is
     // float-tolerance-free (Features.scala x121 doc).

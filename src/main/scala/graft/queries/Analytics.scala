@@ -189,6 +189,35 @@ object Analytics {
       .orderBy("tok")
   }
 
+  /** x132: TOP ENTRY JOURNEYS — the most common FIRST-3-EVENT type paths
+    * (the journey-mining read on x39's single transitions and x73's fixed
+    * 2-contexts: ranked multi-step paths; truncated to the entry prefix
+    * because complete paths are near-unique per user and count to 1).
+    * Each user's prefix becomes one arrow-joined string in (ts, event_id)
+    * order — x124's collect-sort-stringify discipline on struct keys —
+    * then paths group-count and the top 20 (count desc, path tiebreak)
+    * survive.
+    *
+    * 100 TB: per-user agg state is the user's own history (bounded-history
+    * posture; a heap-based "3 smallest structs" TypedImperativeAggregate —
+    * x70's pattern — would cap it at O(3) if histories were unbounded);
+    * the path count is map-side combinable on a string key; the global
+    * top-k is the q24 TakeOrderedAndProject pattern, never a full sort. */
+  def x132(spark: SparkSession, dir: String): DataFrame = {
+    val paths = Tables.events(spark, dir)
+      .select(col("user_id"),
+              struct(unix_micros(col("ts")).as("us"),
+                     col("event_id").as("eid"),
+                     col("event_type").as("t")).as("s"))
+      .groupBy("user_id")
+      .agg(array_join(transform(slice(sort_array(collect_list(col("s"))), 1, 3),
+                                s => s.getField("t")), ">").as("path"))
+    paths.groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
   /** x129: MULTI-TOUCH ATTRIBUTION — each purchase's credit split EQUALLY
     * across every event the user produced in the preceding hour (linear
     * attribution; x85 is the last-touch single-winner variant), plus a

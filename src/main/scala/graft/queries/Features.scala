@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.engine.Tables
 
 /** Feature-engineering and corpus-diagnostic stages (round 5): native
@@ -435,6 +435,44 @@ object Features {
       .agg(count(lit(1)).as("n_users"),
            sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
            max(col("c")).as("max_c"))
+      .orderBy("event_type")
+  }
+
+  /** x133: WINSORIZED STATISTICS — per event type, the mean after clamping
+    * spend into its [p05, p95] band: the robust aggregate that NEUTRALIZES
+    * tails instead of flagging them (x121 counts outliers; x77 z-flags
+    * them; this reports the statistic as if they were at the fence).
+    * Percentiles are DISCRETE — the element at integer index
+    * (n−1)·p DIV 100 + 1 of the sorted multiset, so the fences are actual
+    * data values and every quantity (fences, clamped cents, sums) is exact
+    * BIGINT; only the final mean divides, as one fixed double, 6dp.
+    *
+    * 100 TB: one type-keyed rank window + ONE conditional aggregate picks
+    * both fences (the rn = index rows) — no per-percentile re-sort; the
+    * |types|-row fence table broadcasts back; the clamp is codegen'd row
+    * algebra. Same bounded-group posture as x28/x121. */
+  def x133(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+              round(col("value") * 100, 0).cast(LongType).as("cents"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents"), col("event_id"))
+    val ranked = c
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val fences = ranked.groupBy("event_type")
+      .agg(max(when(col("rn") === expr("(n - 1) * 5 DIV 100 + 1"),
+                    col("cents"))).as("lo"),
+           max(when(col("rn") === expr("(n - 1) * 95 DIV 100 + 1"),
+                    col("cents"))).as("hi"))
+    c.join(broadcast(fences), "event_type")
+      .select(col("event_type"), col("lo"), col("hi"),
+              greatest(col("lo"), least(col("hi"), col("cents"))).as("wc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(col("lo")).as("lo_cents"),
+           max(col("hi")).as("hi_cents"), sum(col("wc")).as("wsum_cents"))
+      .withColumn("wmean_cents",
+        round(col("wsum_cents").cast(DoubleType) / col("n").cast(DoubleType), 6))
       .orderBy("event_type")
   }
 
