@@ -513,6 +513,18 @@ object OracleSqlMl {
       """SELECT user_id, COUNT(*) AS n_events, MAX(epoch_us(ts)) AS last_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // x134: single-batch replay ⇒ each user's ListState journey equals the
+    // batch first-3-by-event-time path (x132's per-user prefix, no top-k).
+    // Late-event displacement is MemoryStream-tested.
+    "x134_stream_entry_journey" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |FROM r WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "x19_stream_custom_state" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |g AS (SELECT user_id, us,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Input row for the custom-state sessionizer (x19). */
@@ -48,6 +48,49 @@ class RunningTotalsProcessor extends StatefulProcessor[Long, UserEvent, UserTota
     val merged = UserRunning(prev.n + n, math.max(prev.last_us, last))
     totals.update(merged)
     Iterator.single(UserTotals(user, merged.n, merged.last_us))
+  }
+}
+
+/** x134 input: an event with the identity/type fields journey ordering
+  * needs (x114's [[UserEvent]] plus event_id and event_type). */
+case class TypedEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                      event_type: String)
+/** x134 state element: one journey step, ordered by (us, event_id). */
+case class JourneyStep(us: Long, event_id: Long, event_type: String)
+/** x134 output: the user's entry journey as of the processed batch. */
+case class UserJourney(user_id: Long, path: String)
+
+/** x134 processor: each user's ENTRY JOURNEY (first-3-events-by-EVENT-TIME
+  * path, x132's statistic) maintained incrementally through a
+  * `transformWithState` `ListState` handle — the second state shape of the
+  * new API beside x114's `ValueState`. The list is explicitly re-truncated
+  * to the 3 event-time-smallest steps on every batch (`put`, not a blind
+  * `appendValue`), which is the point: state stays O(3) per user forever,
+  * AND a late-arriving earlier event DISPLACES a later step — the journey
+  * is event-time ordered, not arrival ordered (StreamingSpec pins exactly
+  * that displacement on a two-batch MemoryStream).
+  *
+  * 100 TB posture: bounded 3-element state per user in RocksDB; per batch
+  * each key folds its rows through one sort of ≤ 3 + batch-local steps. An
+  * unbounded `appendValue` journey log would be the scale bug this design
+  * refuses. */
+class EntryJourneyProcessor extends StatefulProcessor[Long, TypedEvent, UserJourney] {
+  @transient private var steps: ListState[JourneyStep] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    steps = getHandle.getListState[JourneyStep](
+      "entry_steps", Encoders.product[JourneyStep], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[TypedEvent],
+                               timers: TimerValues): Iterator[UserJourney] = {
+    val incoming = rows.map { e =>
+      val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000
+      JourneyStep(us, e.event_id, e.event_type)
+    }.toSeq
+    val kept = (steps.get().toSeq ++ incoming)
+      .sortBy(s => (s.us, s.event_id)).take(3)
+    steps.put(kept.toArray)
+    Iterator.single(UserJourney(user, kept.map(_.event_type).mkString(">")))
   }
 }
 
@@ -411,6 +454,30 @@ object StreamingOps {
   def x114(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, runningUserTotals(eventsStream(spark, dir)).toDF(),
                s"x114_sink_${System.nanoTime()}", "update")
+      .orderBy("user_id")
+
+  /** x134 transform: the [[EntryJourneyProcessor]] over the keyed event
+    * stream. Update mode — each batch re-emits touched users with their
+    * post-batch entry journey. */
+  def entryJourneys(events: DataFrame): Dataset[UserJourney] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withWatermark("ts", "10 minutes")
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new EntryJourneyProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** x134 entry: on the single-batch replay every user is emitted exactly
+    * once with the journey over its full history, so the oracle is x132's
+    * per-user prefix path without the top-k. The late-event displacement —
+    * what the single-batch oracle cannot witness — is pinned in
+    * StreamingSpec. */
+  def x134(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, entryJourneys(eventsStream(spark, dir)).toDF(),
+               s"x134_sink_${System.nanoTime()}", "update")
       .orderBy("user_id")
 }
 

@@ -251,6 +251,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally StreamingOps.providerOverride = None
   }
 
+  test("x134 ListState journey re-sorts by event time — a late event displaces a later step") {
+    import graft.streaming.StreamingOps
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, StreamingOps.RocksDbProvider)
+    try {
+      val mem = MemoryStream[Ev](spark)
+      val q = StreamingOps.entryJourneys(mem.toDF).toDF.writeStream
+        .format("memory").queryName("x134_test").outputMode("update").start()
+      // batch 1: user 1 sees view → click → purchase (event-time order)
+      mem.addData(Seq(Ev(10, ts(2), 1, "view", 1.0, "{}"),
+                      Ev(11, ts(4), 1, "click", 1.0, "{}"),
+                      Ev(12, ts(6), 1, "purchase", 1.0, "{}")))
+      q.processAllAvailable()
+      // batch 2: a LATE signup at t=1 must displace the purchase from the
+      // entry prefix — the journey is event-time ordered, not arrival order
+      mem.addData(Seq(Ev(13, ts(1), 1, "signup", 1.0, "{}")))
+      q.processAllAvailable()
+      q.stop()
+      val paths = spark.table("x134_test").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(paths.contains((1L, "view>click>purchase")), s"batch-1 emission, got ${paths.toSeq}")
+      assert(paths.last === (1L, "signup>view>click"),
+        s"late event must displace the last step, got ${paths.toSeq}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(conf, p)
+        case None => spark.conf.unset(conf)
+      }
+    }
+  }
+
   test("x114 transformWithState accumulates per-user ValueState across batches") {
     import graft.streaming.StreamingOps
     // the part x114's single-batch oracle cannot witness: the named
