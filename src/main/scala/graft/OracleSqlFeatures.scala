@@ -1127,6 +1127,30 @@ object OracleSqlFeatures {
         |FROM c JOIN f USING (event_type)
         |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
 
+    // x135: identical canonical-pair counts + ppm floor arithmetic; both
+    // rule directions from one a<b count.
+    "x135_association_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM lineitem),
+        |item AS (SELECT l_partkey AS p, COUNT(*) AS c_item FROM li GROUP BY p),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c_ab
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY pa, pb HAVING COUNT(*) >= 3),
+        |dirs AS (
+        |  SELECT pa AS ante, pb AS cons, c_ab FROM pairs
+        |  UNION ALL SELECT pb AS ante, pa AS cons, c_ab FROM pairs)
+        |SELECT ante, cons, c_ab, ia.c_item AS c_a, ib.c_item AS c_b,
+        |  CAST(c_ab * 1000000 // ia.c_item AS BIGINT) AS conf_ppm,
+        |  CAST(c_ab * n_baskets * 1000000 // (ia.c_item * ib.c_item) AS BIGINT)
+        |    AS lift_ppm
+        |FROM dirs
+        |JOIN item ia ON ia.p = ante
+        |JOIN item ib ON ib.p = cons
+        |CROSS JOIN nb
+        |ORDER BY lift_ppm DESC, ante, cons LIMIT 20""".stripMargin,
+
     // x121: integer cents make every median a multiple of 0.5, every MAD a
     // multiple of 0.25 — exactly representable, so `dev > 3*mad` is
     // float-tolerance-free (Features.scala x121 doc).

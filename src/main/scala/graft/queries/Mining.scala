@@ -271,6 +271,53 @@ object Mining {
       .orderBy("o_orderpriority")
   }
 
+  /** x135: ASSOCIATION RULES — support / confidence / lift for co-purchased
+    * part pairs (the a-priori first pass x40/x43 count but never SCORE):
+    * rule a→b with support c_ab, confidence c_ab/c_a, lift
+    * c_ab·N/(c_a·c_b), reported for pairs with support ≥ 3 as exact ppm
+    * integers (floor DIV — no float ratio whose rounding could reorder the
+    * ranking). Both rule directions emerge from one canonical a<b pair
+    * count joined to the item-count table twice.
+    *
+    * 100 TB: basket pairs from the order-keyed self-join (bounded by
+    * lines-per-order², ~4² here); pair counts map-side combine to the
+    * \|co-occurring pairs\| grid; the two item-count attach joins are
+    * broadcasts of the \|parts\|-row table. BIGINT headroom: c_ab·N·10⁶ ≤
+    * 10⁴·6·10⁵·10⁶ ≈ 6·10¹⁵ at sf0.1; past ~10⁹ baskets the lift numerator
+    * moves to DECIMAL(38,0) (x128's rule). */
+  def x135(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val nb = li.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val item = li.distinct().groupBy(col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("c_item"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"),
+              col("a.l_orderkey").as("ok"))
+      .distinct()
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 3)
+    val both = pairs
+      .select(col("pa").as("ante"), col("pb").as("cons"), col("c_ab"))
+      .unionByName(pairs
+        .select(col("pb").as("ante"), col("pa").as("cons"), col("c_ab")))
+    both
+      .join(broadcast(item.select(col("p").as("ante"), col("c_item").as("c_a"))),
+            "ante")
+      .join(broadcast(item.select(col("p").as("cons"), col("c_item").as("c_b"))),
+            "cons")
+      .crossJoin(broadcast(nb))
+      .select(col("ante"), col("cons"), col("c_ab"), col("c_a"), col("c_b"),
+              expr("c_ab * 1000000 DIV c_a").as("conf_ppm"),
+              expr("c_ab * n_baskets * 1000000 DIV (c_a * c_b)")
+                .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("ante"), col("cons"))
+      .limit(20)
+  }
+
   /** x118: LARGE-VOLUME ORDERS (the TPC-H Q18 shape) — customers whose
     * orders aggregate past a quantity threshold, i.e. an IN-subquery over a
     * grouped-HAVING derived table. Declaratively that is: aggregate the
