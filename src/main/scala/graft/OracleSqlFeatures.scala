@@ -1151,6 +1151,25 @@ object OracleSqlFeatures {
         |CROSS JOIN nb
         |ORDER BY lift_ppm DESC, ante, cons LIMIT 20""".stripMargin,
 
+    // x136: identical cents rollup; shares restated as window sums with
+    // the same floor-DIV ppm.
+    "x136_hierarchy_shares" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(cents AS BIGINT) AS cents,
+        |  CAST(cents * 1000000 // SUM(cents) OVER (PARTITION BY r_name)
+        |       AS BIGINT) AS nation_in_region_ppm,
+        |  CAST(SUM(cents) OVER (PARTITION BY r_name) * 1000000
+        |       // SUM(cents) OVER () AS BIGINT) AS region_in_global_ppm
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
+
     // x121: integer cents make every median a multiple of 0.5, every MAD a
     // multiple of 0.25 — exactly representable, so `dev > 3*mad` is
     // float-tolerance-free (Features.scala x121 doc).

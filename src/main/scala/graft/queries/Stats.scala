@@ -310,6 +310,42 @@ object Stats {
               when(abs(z) > 1.96, 1L).otherwise(0L).as("significant"))
   }
 
+  /** x136: HIERARCHY SHARES (ratio-to-parent) — revenue rolled up
+    * region→nation with each level's share of its PARENT in exact ppm:
+    * nation-within-region and region-within-global, the drill-down report
+    * every BI layer renders. Cents sum exactly (BIGINT); shares are floor
+    * DIV ppm — x107's discipline extended from one global parent to a
+    * two-level hierarchy. Orders join customers (fact⋈dim), then nation
+    * and region attach as broadcast dimensions — the q10 join chain
+    * re-aggregated at two grains.
+    *
+    * 100 TB: one custkey-keyed fact join + two broadcast dimension joins;
+    * the rollup grains are |nations| and |regions| rows, so both share
+    * windows run over tiny aggregates, not the fact table. */
+  def x136(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"),
+              round(col("o_totalprice") * 100, 0).cast(LongType).as("cents"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+    rev
+      .withColumn("region_cents",
+        sum(col("cents")).over(Window.partitionBy("r_name")))
+      .withColumn("global_cents",
+        sum(col("cents")).over(Window.partitionBy()))
+      .select(col("r_name"), col("n_name"), col("n_orders"), col("cents"),
+              expr("cents * 1000000 DIV region_cents").as("nation_in_region_ppm"),
+              expr("region_cents * 1000000 DIV global_cents").as("region_in_global_ppm"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** x128: PAIRWISE CORRELATION MATRIX — Pearson r between the three
     * lineitem measures, from ONE single-pass moment aggregate (n, Σx, Σx²,
     * Σxy for every pair). The quantized-exact discipline end to end:
