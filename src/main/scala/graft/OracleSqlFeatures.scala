@@ -1170,6 +1170,21 @@ object OracleSqlFeatures {
         |       // SUM(cents) OVER () AS BIGINT) AS region_in_global_ppm
         |FROM rev ORDER BY r_name, n_name""".stripMargin,
 
+    // x137: the theorem form again (x122's rule): tile-window popcounts
+    // must equal COUNT(DISTINCT) over the raw trailing-7-day join.
+    "x137_sliding_distinct" ->
+      """WITH td AS (
+        |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events),
+        |e AS (
+        |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+        |  FROM events)
+        |SELECT td.event_type, td.day,
+        |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS d7_users
+        |FROM td JOIN e ON e.event_type = td.event_type
+        |  AND e.day BETWEEN td.day - 6 AND td.day
+        |GROUP BY td.event_type, td.day
+        |ORDER BY td.event_type, td.day""".stripMargin,
+
     // x121: integer cents make every median a multiple of 0.5, every MAD a
     // multiple of 0.25 — exactly representable, so `dev > 3*mad` is
     // float-tolerance-free (Features.scala x121 doc).

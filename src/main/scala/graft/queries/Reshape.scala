@@ -118,6 +118,48 @@ object Reshape {
       .orderBy("event_type")
   }
 
+  /** x137: SLIDING DISTINCT FROM TILES — trailing-7-day distinct users per
+    * (event_type, day), computed by OR-merging x122's daily bitmap tiles
+    * across the window frame and popcounting the union: the incremental
+    * answer to "7-day actives" that never re-touches raw events (x84 walks
+    * a row-level window over the raw user stream; this walks a
+    * |buckets|-row window over pre-reduced tiles — at 100 TB that is the
+    * difference between re-scanning a week of events per day and merging
+    * 8-byte tiles). The frame runs per (type, bucket) ordered by day; days
+    * where a bucket has no tile contribute nothing, so the day spine per
+    * bucket is densified from the type's OWN day set first (an absent
+    * frame row would silently shrink the window).
+    *
+    * 100 TB: tiles aggregate once (map-side bit_or); the spine join is
+    * \|days\|×\|buckets\| per type — calendar-sized, not event-sized; the
+    * sliding bit_or window carries O(1) state per step. The oracle states
+    * the theorem: tile-window popcounts == COUNT(DISTINCT) over the raw
+    * 7-day join — exactness of OR-merge under ANY regrouping, x122's
+    * invariant extended to window frames. */
+  def x137(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tiles = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+              expr("user_id DIV 64").as("bucket"),
+              expr("shiftleft(1L, CAST(user_id % 64 AS INT))").as("m"))
+      .groupBy("event_type", "day", "bucket")
+      .agg(expr("bit_or(m)").as("bm"))
+    val spine = tiles.select("event_type", "day").distinct()
+      .join(tiles.select("event_type", "bucket").distinct(), Seq("event_type"))
+    // RANGE over the day NUMBER, not ROWS over spine rows: a calendar gap
+    // in the type's day set would make a 7-ROW frame span more than 7
+    // calendar days
+    val w = Window.partitionBy("event_type", "bucket")
+      .orderBy(col("dayn")).rangeBetween(-6, 0)
+    spine.join(tiles, Seq("event_type", "day", "bucket"), "left")
+      .withColumn("dayn",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+      .withColumn("wbm", expr("bit_or(bm)").over(w))
+      .groupBy("event_type", "day")
+      .agg(sum(coalesce(bit_count(col("wbm")), lit(0))).as("d7_users"))
+      .orderBy("event_type", "day")
+  }
+
   def x16(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("user_id")
