@@ -1185,6 +1185,22 @@ object OracleSqlFeatures {
         |GROUP BY td.event_type, td.day
         |ORDER BY td.event_type, td.day""".stripMargin,
 
+    // x138: same stats via json_extract + TRY_CAST (the NULL-not-error
+    // policy the ADVICE r5 note pinned for x106's oracle).
+    "x138_variant_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |         TRY_CAST(json_extract_string(props, '$.absent') AS BIGINT) AS miss
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(COUNT(k) AS BIGINT) AS parsed,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       MAX(k) AS max_k,
+        |       CAST(SUM(CASE WHEN miss IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_no_path
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // x121: integer cents make every median a multiple of 0.5, every MAD a
     // multiple of 0.25 — exactly representable, so `dev > 3*mad` is
     // float-tolerance-free (Features.scala x121 doc).

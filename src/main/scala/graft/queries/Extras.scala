@@ -92,4 +92,30 @@ object Extras {
            min(col("p.k")).cast(LongType).as("min_k"),
            max(col("p.k")).cast(LongType).as("max_k"))
       .orderBy("event_type")
+
+  /** x138: VARIANT EXTRACTION — x106's JSON stats through Spark 4's native
+    * VARIANT type: `parse_json` shreds the document once into the binary
+    * variant encoding and `variant_get` navigates it with a typed path —
+    * the schema-on-read path for semi-structured columns at scale, where
+    * `from_json` re-parses text per access and demands a schema up front.
+    * `try_variant_get` on an ABSENT path pins the NULL-not-error policy
+    * (`n_no_path` = every row, stated in the output); the oracle expresses
+    * the same stats and policy with `json_extract` + `TRY_CAST`.
+    *
+    * 100 TB: one map-side parse per row feeding a partial+final aggregate;
+    * variant shredding is what lets the scan skip untouched fields when
+    * the column is stored as VARIANT in parquet. */
+  def x138(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+              expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+              expr("try_variant_get(parse_json(props), '$.absent', 'bigint')")
+                .as("miss"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+           count(col("k")).as("parsed"),
+           sum(col("k")).as("sum_k"),
+           max(col("k")).as("max_k"),
+           sum(when(col("miss").isNull, 1L).otherwise(0L)).as("n_no_path"))
+      .orderBy("event_type")
 }
