@@ -130,33 +130,39 @@ object Reshape {
     * bucket is densified from the type's OWN day set first (an absent
     * frame row would silently shrink the window).
     *
-    * 100 TB: tiles aggregate once (map-side bit_or); the spine join is
-    * \|days\|×\|buckets\| per type — calendar-sized, not event-sized; the
-    * sliding bit_or window carries O(1) state per step. The oracle states
-    * the theorem: tile-window popcounts == COUNT(DISTINCT) over the raw
-    * 7-day join — exactness of OR-merge under ANY regrouping, x122's
-    * invariant extended to window frames. */
+    * 100 TB: tiles aggregate once (map-side bit_or) and the corpus is
+    * scanned ONCE — each tile then fans out to the ≤ 7 anchor days it can
+    * serve (a bounded explode over the PRE-REDUCED tile table, never over
+    * events; the earlier spine-join + RANGE-window draft re-scanned events
+    * three times because column pruning made its three tile references
+    * non-identical, killing exchange reuse). Anchors where the type had no
+    * events of its own are dropped by the `observed` flag — a tile always
+    * serves its own day, so observedness needs no second pass. The oracle
+    * states the theorem: tile-union popcounts == COUNT(DISTINCT) over the
+    * raw 7-day join — exactness of OR-merge under ANY regrouping, x122's
+    * invariant extended to sliding frames. */
   def x137(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tiles = Tables.events(spark, dir)
-      .select(col("event_type"), to_date(col("ts")).as("day"),
+      .select(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+                .as("dayn"),
               expr("user_id DIV 64").as("bucket"),
               expr("shiftleft(1L, CAST(user_id % 64 AS INT))").as("m"))
-      .groupBy("event_type", "day", "bucket")
+      .groupBy("event_type", "dayn", "bucket")
       .agg(expr("bit_or(m)").as("bm"))
-    val spine = tiles.select("event_type", "day").distinct()
-      .join(tiles.select("event_type", "bucket").distinct(), Seq("event_type"))
-    // RANGE over the day NUMBER, not ROWS over spine rows: a calendar gap
-    // in the type's day set would make a 7-ROW frame span more than 7
-    // calendar days
-    val w = Window.partitionBy("event_type", "bucket")
-      .orderBy(col("dayn")).rangeBetween(-6, 0)
-    spine.join(tiles, Seq("event_type", "day", "bucket"), "left")
-      .withColumn("dayn",
-        datediff(col("day"), lit("1970-01-01").cast("date")))
-      .withColumn("wbm", expr("bit_or(bm)").over(w))
-      .groupBy("event_type", "day")
-      .agg(sum(coalesce(bit_count(col("wbm")), lit(0))).as("d7_users"))
+    tiles
+      .select(col("event_type"), col("bucket"), col("bm"), col("dayn"),
+              explode(sequence(col("dayn"), col("dayn") + 6)).as("adayn"))
+      .groupBy("event_type", "adayn", "bucket")
+      .agg(expr("bit_or(bm)").as("wbm"),
+           max(when(col("dayn") === col("adayn"), 1L).otherwise(0L)).as("own"))
+      .groupBy("event_type", "adayn")
+      .agg(sum(bit_count(col("wbm"))).as("d7_users"),
+           max(col("own")).as("observed"))
+      .filter(col("observed") === 1)
+      .select(col("event_type"),
+              date_add(lit("1970-01-01").cast("date"), col("adayn")).as("day"),
+              col("d7_users"))
       .orderBy("event_type", "day")
   }
 
