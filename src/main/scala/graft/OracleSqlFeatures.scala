@@ -1201,6 +1201,34 @@ object OracleSqlFeatures {
         |         AS n_no_path
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // x139: identical planted-twin corpus + split hash; pair expansion
+    // restated as an explicit ordered self-join over each group's split
+    // set.
+    "x139_split_leakage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000003, text FROM documents WHERE doc_id % 7 = 0),
+        |s AS (
+        |  SELECT LOWER(text) AS norm,
+        |    CASE WHEN ((doc_id % 100000000) * 2654435761) % 1000 < 800 THEN 'train'
+        |         WHEN ((doc_id % 100000000) * 2654435761) % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM corpus),
+        |g AS (
+        |  SELECT norm, COUNT(*) AS n_members FROM s GROUP BY norm),
+        |gs AS (
+        |  SELECT DISTINCT norm, split FROM s),
+        |leaks AS (
+        |  SELECT a.norm, a.split AS split_a, b.split AS split_b
+        |  FROM gs a JOIN gs b ON a.norm = b.norm AND a.split < b.split)
+        |SELECT split_a, split_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_leaking_groups,
+        |       CAST(SUM(n_members) AS BIGINT) AS n_leaking_docs
+        |FROM leaks JOIN g USING (norm)
+        |GROUP BY split_a, split_b
+        |ORDER BY split_a, split_b""".stripMargin,
+
     // x121: integer cents make every median a multiple of 0.5, every MAD a
     // multiple of 0.25 — exactly representable, so `dev > 3*mad` is
     // float-tolerance-free (Features.scala x121 doc).

@@ -33,6 +33,54 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy("split", "lang")
 
+  /** x139: SPLIT-LEAKAGE AUDIT — the check every x20-style split must pass
+    * before training: count normalized-text groups (q44's dedup key) whose
+    * members land in MORE THAN ONE of x20's train/val/test splits — i.e.
+    * duplicates that cross the split boundary and leak evaluation data into
+    * training. x21 removes leakage against an EXTERNAL benchmark; this
+    * audits the corpus's own split against its own duplicates. Reported per
+    * ordered split pair (train↔test etc.) plus each group's size mass, all
+    * exact integers. The split hash keys on doc_id while the leak key is
+    * the TEXT — precisely why leakage is possible and must be measured
+    * (hash-splitting by text instead is the fix x33's canonical ids feed).
+    * The corpus is duplicate-free at every sf, so a doc_id%7 slice is
+    * re-added at +1000003 (x110's planted-twin device; the offset must NOT
+    * be ≡ 0 mod 1000 — the multiplicative split hash is linear mod 1000,
+    * so a +1e6 twin would land in its original's split every time and the
+    * audit would vacuously pass): twins then hash to independent splits,
+    * making the measured leakage a deterministic non-trivial matrix.
+    *
+    * 100 TB: one text-keyed aggregate (the q44 shuffle) collecting a ≤
+    * 3-element split set per group (collect_set, bounded by |splits|);
+    * pair expansion is over groups that actually leak — output is ≤ 3
+    * pair rows. */
+  def x139(spark: SparkSession, dir: String): DataFrame = {
+    val split =
+      when((((col("doc_id") % 100000000L) * lit(2654435761L)) % 1000) < 800, "train")
+        .when((((col("doc_id") % 100000000L) * lit(2654435761L)) % 1000) < 900, "val")
+        .otherwise("test")
+    val base = Tables.documents(spark, dir)
+    val planted = base.unionByName(
+      base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000003L))
+    val groups = planted
+      .select(lower(col("text")).as("norm"), split.as("split"))
+      .groupBy("norm")
+      .agg(sort_array(collect_set(col("split"))).as("splits"),
+           count(lit(1)).as("n_members"))
+      .filter(size(col("splits")) > 1)
+    groups
+      .select(explode(expr(
+        """flatten(transform(splits, (a, i) ->
+          |  transform(slice(splits, i + 2, size(splits)), b -> struct(a, b))))"""
+            .stripMargin)).as("p"),
+        col("n_members"))
+      .groupBy(col("p.a").as("split_a"), col("p.b").as("split_b"))
+      .agg(count(lit(1)).as("n_leaking_groups"),
+           sum(col("n_members")).as("n_leaking_docs"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** x21: benchmark decontamination — drop every document whose normalized
     * text appears in the held-out benchmark set, then count survivors per
     * lang. The benchmark here is a deterministic slice of the corpus
