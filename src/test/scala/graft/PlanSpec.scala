@@ -322,6 +322,20 @@ class PlanSpec extends AnyFunSuite {
       "the sk <> sk inequality must ride the ok-keyed join, not force a nested loop")
   }
 
+  test("x122: bitmap tiles aggregate partial+final — bit_or map-side combines, no distinct-value shuffle for the tile paths") {
+    val p = plan(Reshape.x122(spark, sfSmoke))
+    assert(p.contains("partial_bit_or"),
+      "tile bit_or must have a map-side partial:\n" + p.take(600))
+  }
+
+  test("x137: sliding distinct reads events exactly ONCE (the spine-join draft re-scanned 3x)") {
+    val df = Reshape.x137(spark, sfSmoke)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected a single events scan, found $scans")
+  }
+
   test("x120: duplicated-span counting joins windows by fingerprint semi-join, never doc x doc") {
     val p = plan(LlmExt2.x120(spark, sfSmoke))
     assert(p.contains("LeftSemi"), "shared-fp filter should be a semi join:\n" + p.take(600))
