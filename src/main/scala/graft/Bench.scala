@@ -48,6 +48,22 @@ object Bench {
     // stop BEFORE printing: nothing (executor shutdown warnings, context
     // cleaner logs) may land between the metric lines and the tail's end
     spark.stop()
+    // The tail capture still drops chunks some rounds (r6 lost detail_1of5,
+    // ~40 timings — blocking per-key regression tracking between rounds), so
+    // ALSO persist the complete per-key map to a file committed with the
+    // round's artifacts: full query names, seconds at millisecond precision,
+    // one stable sorted object so diffs between rounds are line-readable.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT",
+      "/root/repo/BENCH_DETAIL.json")
+    try {
+      val body = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"""    "$k": ${f"$v%.3f"}""" }
+        .mkString("{\n  \"sf\": \"" + sfDir + "\",\n  \"queries\": {\n",
+          ",\n", "\n  }\n}\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        body.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: $e") }
     val chunks = results.toSeq.grouped(40).toSeq
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       val qs = chunk

@@ -38,8 +38,19 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
   /** Appends `out` = the 1-based global row number of `df` under `order`.
-    * `order` must be a total order (unique tiebreak) for a deterministic
-    * result. */
+    *
+    * Caller contract (BOTH required for a deterministic result):
+    *   - `order` must be a total order (unique tiebreak column);
+    *   - `df`'s lineage must itself be DETERMINISTIC under recomputation.
+    *     The two-phase shape reads the ranged exchange twice (data side and
+    *     counts side) and relies on both reads recomputing identical
+    *     partition assignment and row order; that holds for any
+    *     deterministic lineage (deterministic range sampling + exchange
+    *     reuse), but an input containing `sample()`, `rand()`, another
+    *     `monotonically_increasing_id()`, or a non-idempotent source can
+    *     diverge between the two reads and silently mis-rank. Callers with
+    *     such inputs must materialize first (`localCheckpoint()`/`persist()`
+    *     + count) before ranking. */
   def globalRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(p, order: _*)

@@ -98,9 +98,11 @@ object Extras {
     * variant encoding and `variant_get` navigates it with a typed path —
     * the schema-on-read path for semi-structured columns at scale, where
     * `from_json` re-parses text per access and demands a schema up front.
-    * `try_variant_get` on an ABSENT path pins the NULL-not-error policy
-    * (`n_no_path` = every row, stated in the output); the oracle expresses
-    * the same stats and policy with `json_extract` + `TRY_CAST`.
+    * BOTH extractions use `try_variant_get`, matching the oracle's
+    * `TRY_CAST` on both paths: a present-but-non-numeric `k` yields NULL
+    * (the x106 NULL-on-malformed policy) instead of throwing, and the
+    * ABSENT path pins the same NULL-not-error policy observably
+    * (`n_no_path` = every row, stated in the output).
     *
     * 100 TB: one map-side parse per row feeding a partial+final aggregate;
     * variant shredding is what lets the scan skip untouched fields when
@@ -108,7 +110,7 @@ object Extras {
   def x138(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
-              expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+              expr("try_variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
               expr("try_variant_get(parse_json(props), '$.absent', 'bigint')")
                 .as("miss"))
       .groupBy("event_type")

@@ -32,6 +32,16 @@ object Layout {
     * get distinct tables, and re-runs overwrite deterministically. */
   private val written = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
+  /** Collision-resistant dir tag: first 16 hex chars of SHA-256(dir).
+    * `String.hashCode` is 32-bit — two data dirs colliding in one
+    * JVM/warehouse would overwrite each other's bucketed tables and serve
+    * the wrong dir's data through the cached name pair; 64 bits of a
+    * cryptographic digest makes that practically impossible. */
+  private def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+
   /** A managed-table location can survive the JVM that created it (the
     * in-memory catalog dies with the session; /tmp/graft_warehouse does
     * not), and Spark refuses a managed CTAS into a non-empty orphan
@@ -48,7 +58,7 @@ object Layout {
 
   private[graft] def bucketedPair(spark: SparkSession, dir: String): (String, String) =
     written.getOrElseUpdate(dir, {
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val tag = dirTag(dir)
       val ord = s"x113_orders_$tag"
       val cust = s"x113_customer_$tag"
       reset(spark, ord)

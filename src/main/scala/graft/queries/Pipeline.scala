@@ -59,7 +59,10 @@ object Pipeline {
       when((((col("doc_id") % 100000000L) * lit(2654435761L)) % 1000) < 800, "train")
         .when((((col("doc_id") % 100000000L) * lit(2654435761L)) % 1000) < 900, "val")
         .otherwise("test")
-    val base = Tables.documents(spark, dir)
+    // same planted-twin guard as the recall matrices: base ids must sit
+    // below the twin offset or planted/real ids could collide
+    val base = RecallMatrices.guardIds(
+      Tables.documents(spark, dir), "doc_id", 1000003L)
     val planted = base.unionByName(
       base.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 1000003L))

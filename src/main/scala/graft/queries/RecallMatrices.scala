@@ -31,6 +31,19 @@ object RecallMatrices {
 
   private val Offset = 1000000L
 
+  /** Guards the planted-twin device: every BASE id must sit below the twin
+    * offset, else a planted id could collide with a real id — or a real
+    * pair could differ by exactly `offset` — and silently skew the
+    * found/planted counts. Checked map-side per row via `assert_true`
+    * (NULL when the predicate holds, so the `where` passes every valid row
+    * and the job FAILS LOUDLY on the first violation); zero extra shuffle,
+    * no driver action. With all base ids < offset, `b - a == offset` can
+    * only be a twin pair: base ids can't span the offset, and two planted
+    * ids differing by `offset` would need equal base ids. */
+  private[graft] def guardIds(df: DataFrame, id: String, offset: Long): DataFrame =
+    df.where(assert_true(col(id) < lit(offset),
+      lit(s"planted-twin offset $offset must exceed every base $id")).isNull)
+
   /** One (method, found, planted) row from two 1-row aggregates. */
   private def matrixRow(method: String, found: DataFrame, planted: DataFrame): DataFrame =
     found.crossJoin(planted).select(lit(method).as("method"),
@@ -39,7 +52,7 @@ object RecallMatrices {
   /** x110: text near-dup recall matrix — x01 (MinHash LSH, 3 bands), x07
     * (SimHash), x08 (n-gram Jaccard, 4 bands) against planted exact twins. */
   def x110(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = guardIds(Tables.documents(spark, dir), "doc_id", Offset)
     val slice = docs.filter(col("doc_id") % 7 === 0)
     val planted = docs.unionByName(
       slice.withColumn("doc_id", col("doc_id") + Offset))
@@ -72,7 +85,7 @@ object RecallMatrices {
     * vectors in the same IVF cell (which is what guarantees any
     * nprobe >= 1 probe finds an exact duplicate at top-1). */
   def x111(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = guardIds(Tables.embeddings(spark, dir), "vec_id", Offset)
     val slice = emb.filter(col("vec_id") % 7 === 0)
     val planted = emb.unionByName(
       slice.withColumn("vec_id", col("vec_id") + Offset))
