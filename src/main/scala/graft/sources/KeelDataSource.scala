@@ -12,10 +12,13 @@ import org.apache.spark.sql.types.StructType
   * API (short name via META-INF/services, like every built-in format)
   * instead of calling [[Keel]] helpers directly.
   *
-  * Read side implements [[PrunedScan]]: Catalyst pushes the required-column
-  * list down, and only those columns are projected out of the distributed
-  * CSV scan (the line must still be parsed — inherent to a row-oriented text
-  * format, same as Spark's own CSV source). Write side derives the header
+  * Read side implements [[PrunedFilteredScan]]: Catalyst pushes down both
+  * the required-column list AND the predicate set, so only matching rows of
+  * only the needed columns leave the distributed CSV scan (the line must
+  * still be parsed — inherent to a row-oriented text format, same as
+  * Spark's own CSV source — but non-matching rows are dropped at the source
+  * instead of surviving a full-table handoff; the reference's selective
+  * single-table read path at scale). Write side derives the header
   * from the DataFrame with [[Keel.generateHeader]] (R11) — options:
   * `relation` (header name), `outputCol` (class attribute, defaults to the
   * last column).
@@ -66,18 +69,50 @@ class KeelDataSource extends RelationProvider
 }
 
 /** Lazy-schema relation over one `.dat` file; the scan delegates to the
-  * distributed typed read and projects the pruned column set. */
+  * distributed typed read, applies every translatable pushed filter, and
+  * projects the pruned column set. */
 case class KeelRelation(path: String)(@transient val sqlContext: SQLContext)
-  extends BaseRelation with PrunedScan {
+  extends BaseRelation with PrunedFilteredScan {
 
   @transient private lazy val header =
     Keel.readHeader(sqlContext.sparkSession, path)
 
   override def schema: StructType = header.schema
 
-  override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
+  /** `sources.Filter` → `Column` predicate; `None` = not translatable (the
+    * default `unhandledFilters` keeps Spark re-checking every filter above
+    * the scan, so a partial translation only ever prunes, never drops). */
+  private def toPredicate(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === v)
+    case EqualNullSafe(a, v) => Some(col(a) <=> v)
+    case GreaterThan(a, v) => Some(col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case LessThan(a, v) => Some(col(a) < v)
+    case LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case Not(c) => toPredicate(c).map(!_)
+    // one translatable And side alone is still a sound (weaker) prune
+    case And(l, r) => (toPredicate(l), toPredicate(r)) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (one, None) => one
+      case (None, one) => one
+    }
+    // an Or needs BOTH sides to stay sound
+    case Or(l, r) => for { a <- toPredicate(l); b <- toPredicate(r) } yield a || b
+    case _ => None
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
     val df = Keel.read(sqlContext.sparkSession, path)
+    val filtered = filters.flatMap(toPredicate)
+      .foldLeft(df)((d, p) => d.filter(p))
     // empty projection (e.g. count(*)) still has to preserve row count
-    df.select(requiredColumns.toSeq.map(col): _*).rdd
+    filtered.select(requiredColumns.toSeq.map(col): _*).rdd
   }
 }

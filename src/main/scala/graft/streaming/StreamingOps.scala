@@ -25,15 +25,20 @@ case class UserTotals(user_id: Long, n_events: Long, last_us: Long)
   *
   * 100 TB posture: state is one 16-byte record per DISTINCT user, partitioned
   * across executors in RocksDB (off-heap, block-cache-bounded); per batch
-  * each key folds its rows in one pass — no sort, no buffering. A production
-  * deployment would set a TTL on the handle ([[TTLConfig]]) to GC dormant
-  * users; here TTL is NONE so the single-batch oracle replay sees every user. */
-class RunningTotalsProcessor extends StatefulProcessor[Long, UserEvent, UserTotals] {
+  * each key folds its rows in one pass — no sort, no buffering. The `ttl`
+  * parameter is the dormant-key GC path: with a [[TTLConfig]] duration set,
+  * a user untouched for longer than the TTL has its ValueState evicted by
+  * the store (the 100 TB OOM guard — unbounded distinct users must not mean
+  * unbounded state). StreamingSpec fires the eviction for real; the
+  * registered x114 replay keeps TTL NONE so the single-batch oracle sees
+  * every user. */
+class RunningTotalsProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[Long, UserEvent, UserTotals] {
   @transient private var totals: ValueState[UserRunning] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     totals = getHandle.getValueState[UserRunning](
-      "totals", Encoders.product[UserRunning], TTLConfig.NONE)
+      "totals", Encoders.product[UserRunning], ttl)
 
   override def handleInputRows(user: Long, rows: Iterator[UserEvent],
                                timers: TimerValues): Iterator[UserTotals] = {
@@ -434,16 +439,22 @@ object StreamingOps {
 
   /** x114 transform: the [[RunningTotalsProcessor]] over the keyed event
     * stream. Update mode — each batch re-emits the keys it touched with
-    * their post-batch running totals. */
-  def runningUserTotals(events: DataFrame): Dataset[UserTotals] = {
+    * their post-batch running totals. A non-NONE `ttl` switches the query
+    * to ProcessingTime mode (state TTL is processing-time based) and turns
+    * on dormant-key eviction. */
+  def runningUserTotals(events: DataFrame,
+                        ttl: TTLConfig = TTLConfig.NONE): Dataset[UserTotals] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeMode =
+      if (ttl.ttlDuration == null || ttl.ttlDuration.isZero) TimeMode.None()
+      else TimeMode.ProcessingTime()
     events.select(col("user_id"), col("ts"))
       .withWatermark("ts", "10 minutes")
       .as[UserEvent]
       .groupByKey(_.user_id)
-      .transformWithState(new RunningTotalsProcessor,
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new RunningTotalsProcessor(ttl),
+        timeMode, OutputMode.Update())
   }
 
   /** x114 entry: on the single-batch replay (runToTable guard) every user is

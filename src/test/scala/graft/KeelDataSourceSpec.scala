@@ -51,6 +51,30 @@ class KeelDataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("keel").load(path).count() === 4)
   }
 
+  test("filter pushdown: predicates prune rows AT THE SOURCE, not above it") {
+    val path = writeToy()
+    // end-to-end: the physical scan node must advertise the pushed filters
+    val df = spark.read.format("keel").load(path)
+      .filter(col("x1") > 0.9 && col("cls") === "neg")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+    }.getOrElse(fail("expected a RowDataSourceScanExec over the keel relation"))
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThan(x1,0.9)") &&
+           pushed.contains("EqualTo(cls,neg)"),
+      s"both predicates must reach the source, got: $pushed")
+    assert(df.collect().map(_.getDouble(0)).sorted.toSeq === Seq(1.0, 9.5))
+    // source-level: buildScan itself must return the pruned row set — the
+    // filters act BEFORE Spark's re-check, not only above the scan
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    val rel = graft.sources.KeelRelation(path)(spark.sqlContext)
+    val rows = rel.buildScan(Array("x1"),
+      Array(GreaterThan("x1", 0.9), EqualTo("cls", "neg"))).collect()
+    assert(rows.map(_.getDouble(0)).sorted.toSeq === Seq(1.0, 9.5))
+    // untranslatable filters degrade to no pruning, never to wrong rows
+    assert(rel.buildScan(Array("x1"), Array.empty).count() === 4)
+  }
+
   test("write round trip: header generated from the frame, data survives") {
     val df = Seq((0.5, 0.1, "neg"), (1.0, 0.2, "neg"), (5.0, 0.55, "pos"))
       .toDF("x1", "x2", "cls")

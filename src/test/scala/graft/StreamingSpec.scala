@@ -5,6 +5,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import java.sql.Timestamp
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** Synthetic event row for the MemoryStream specs. Top-level, not nested in
   * the suite: Janino cannot reach an inner class's accessors, so a nested
@@ -312,6 +314,85 @@ class StreamingSpec extends AnyFunSuite {
         (2L, 1L, 3L * 60000000L),   // batch 1: user 2
         (1L, 3L, 10L * 60000000L)), // batch 2: ACCUMULATED user-1 total
         s"state must persist across batches, got: ${out.toSeq}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(conf, p)
+        case None => spark.conf.unset(conf)
+      }
+    }
+  }
+
+  test("x114 ValueState TTL evicts dormant keys while recently-touched keys survive") {
+    import graft.streaming.StreamingOps
+    // Fires the dormant-key GC path the x114 Scaladoc claims: with a
+    // processing-time TTL on the ValueState handle, a user untouched for
+    // longer than the TTL must READ AS ABSENT (running total restarts),
+    // while a user touched within the TTL must keep accumulating.
+    //
+    // Drive shape: in TimeMode.ProcessingTime the operator's
+    // shouldRunAnotherBatch is unconditionally true (processing time
+    // always advances), so BOTH processAllAvailable() on a continuous
+    // query AND Trigger.AvailableNow's MultiBatchExecutor spin empty
+    // cleanup batches forever (measured). The only bounded drive is
+    // Trigger.Once's SingleBatchExecutor — exactly one batch per start,
+    // termination unconditional. Each phase = addData + Once-run from a
+    // shared checkpoint (which also proves TTL state round-trips the
+    // checkpoint), with one wall-clock sleep moving the TTL clock past
+    // expiry. Margins: TTL 8 s; the dormant key is ≥12 s stale at its
+    // re-read; the live key's staleness is only the phase-3 query
+    // restart latency (seconds) — far under TTL.
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, StreamingOps.RocksDbProvider)
+    try {
+      val ckpt = Files.createTempDirectory("x114_ttl_ckpt").toString
+      val mem = MemoryStream[Ev](spark)
+      val ttl = org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofSeconds(8))
+      // deprecated in favor of AvailableNow, but AvailableNow cannot bound
+      // a ProcessingTime-mode stateful query (see drive-shape note above)
+      val onceTrigger: Trigger = (Trigger.Once(): @annotation.nowarn("cat=deprecation"))
+      var removed = 0L
+      def phase(evs: Seq[Ev]): Seq[(Long, Long)] = {
+        mem.addData(evs)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val q = StreamingOps.runningUserTotals(mem.toDF, ttl).toDF.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(onceTrigger)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val rows = b.collect().map(r => (r.getLong(0), r.getLong(1)))
+            buf.synchronized { buf ++= rows }; ()
+          }
+          .start()
+        assert(q.awaitTermination(120000), "TTL phase must terminate")
+        removed += q.recentProgress.toSeq.flatMap(_.stateOperators)
+          .map(op => op.numRowsRemoved +
+            op.customMetrics.entrySet().iterator().asScala
+              .filter(_.getKey.toLowerCase.contains("removed"))
+              .map(_.getValue.longValue).sum).sum
+        buf.synchronized(buf.toSeq)
+      }
+      // phase 1: both users born
+      val p1 = phase(Seq(Ev(1, ts(0), 1, "view", 1.0, "{}"),
+                         Ev(2, ts(1), 2, "view", 1.0, "{}")))
+      Thread.sleep(12000) // both now well past the 8 s TTL
+      // phase 2: refresh ONLY user 1 — expired state reads absent, so the
+      // total RESTARTS at n=1 and user 1's TTL clock restarts now; the
+      // batch's TTL cleanup also physically evicts user 2's dormant row
+      val p2 = phase(Seq(Ev(3, ts(10), 1, "view", 1.0, "{}")))
+      // phase 3 immediately: user 1 is only query-restart-latency stale
+      // (seconds « TTL) so it accumulates; user 2 (dormant since phase 1,
+      // ≥12 s) restarts
+      val p3 = phase(Seq(Ev(4, ts(20), 1, "view", 1.0, "{}"),
+                         Ev(5, ts(21), 2, "view", 1.0, "{}")))
+      assert(p1.toSet === Set((1L, 1L), (2L, 1L)), s"phase 1 emitted $p1")
+      assert(p2 === Seq((1L, 1L)),
+        s"user 1 must restart at n=1 after TTL expiry, got $p2")
+      assert(p3.toSet === Set((1L, 2L), (2L, 1L)),
+        s"live user 1 must accumulate to n=2 and dormant user 2 restart, got $p3")
+      assert(removed > 0,
+        "state store must report evicted rows (numRowsRemoved / TTL metrics)")
     } finally {
       prev match {
         case Some(p) => spark.conf.set(conf, p)
