@@ -728,7 +728,11 @@ object OracleSqlFeatures {
         |SELECT * FROM (VALUES
         |  ('x09_hyperplane_lsh', (SELECT c FROM nz), (SELECT c FROM nz)),
         |  ('x18_ivf_same_cell',
-        |   (SELECT COUNT(*) FROM slice), (SELECT COUNT(*) FROM slice))
+        |   (SELECT COUNT(*) FROM slice), (SELECT COUNT(*) FROM slice)),
+        |  ('x18_nprobe1_twin_top1', (SELECT c FROM nz), (SELECT c FROM nz)),
+        |  ('x18_nprobe2_twin_top1', (SELECT c FROM nz), (SELECT c FROM nz)),
+        |  ('x18_nprobe4_twin_top1', (SELECT c FROM nz), (SELECT c FROM nz)),
+        |  ('x18_probe_cost_monotone', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
         |) AS m(method, found_pairs, planted_pairs) ORDER BY method""".stripMargin,
 
     "x112_sketch_error_matrix" ->

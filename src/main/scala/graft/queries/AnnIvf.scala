@@ -41,6 +41,57 @@ object AnnIvf {
   private def quantize(spark: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
     quantizeEmb(Tables.embeddings(spark, dir))
 
+  /** `(qid, cell)` rows: the `np` nearest IVF cells per query vector, ranked
+    * by Euclidean centroid distance with cell id as the deterministic
+    * tie-break (same order [[x18]] uses driver-side for its single query).
+    * Fully distributed: queries × centroids is a broadcast of the TINY
+    * centroid set (nlist rows — at 100 TB still nlist rows), the distance is
+    * a codegen'd `zip_with`/`aggregate` fold, and the per-query rank window
+    * partitions on qid — never a global window. A query assigned to cell c
+    * always probes c first (its own centroid is its nearest by definition of
+    * the assignment), which is what makes twin recall exact at any np >= 1.
+    *
+    * `queries` must have columns `(qid, qe)`; result preserves that grain. */
+  private[queries] def probedCells(queries: DataFrame,
+                                   centers: Array[Array[Double]],
+                                   np: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    import org.apache.spark.sql.expressions.Window
+    queries.join(broadcast(cents))
+      .withColumn("dist2", expr(
+        """aggregate(zip_with(centroid, qe,
+          |  (a, b) -> (a - CAST(b AS DOUBLE)) * (a - CAST(b AS DOUBLE))),
+          |  0D, (s, x) -> s + x)""".stripMargin))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist2"), col("cell"))))
+      .filter(col("probe_rank") <= np)
+      .select(col("qid"), col("qe"), col("cell"))
+  }
+
+  /** Top-`k` IVF search for a whole query frame at probe width `np`:
+    * candidates are the vectors of the probed cells (self excluded), ranked
+    * per query by (cosine desc, vec_id) — the same total order the exact
+    * q45 baseline uses, so a full probe (np = nlist) reproduces brute force
+    * EXACTLY and the AnnIvfSpec recall curve is monotone by construction. */
+  private[graft] def ivfTopK(emb: DataFrame, queries: DataFrame,
+                             np: Int, k: Int): DataFrame = {
+    val (assigned, centers) = quantizeEmb(emb)
+    import org.apache.spark.sql.expressions.Window
+    probedCells(queries, centers, np)
+      .join(assigned, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", VectorKernels.cosine6(col("embedding"), col("qe"))
+        .cast(DoubleType))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rk"))
+  }
+
   /** x18 entry: top-20 cosine neighbors of vec_id 0 searching only the
     * nprobe nearest IVF cells. */
   def x18(spark: SparkSession, dir: String): DataFrame = {

@@ -83,7 +83,12 @@ object RecallMatrices {
   /** x111: embedding near-dup / ANN recall matrix — x09 (hyperplane LSH)
     * must pair every planted twin; x18's quantizer must put identical
     * vectors in the same IVF cell (which is what guarantees any
-    * nprobe >= 1 probe finds an exact duplicate at top-1). */
+    * nprobe >= 1 probe finds an exact duplicate at top-1); and the
+    * nprobe ∈ {1,2,4} sweep runs the real distributed probe per twin query,
+    * pinning twin recall = 1 at every width plus scanned-candidate
+    * monotonicity (the cost side of the quality/cost tradeoff). The
+    * PROBABILISTIC recall curve vs brute-force truth lives in AnnIvfSpec,
+    * where no SQL oracle is required. */
   def x111(spark: SparkSession, dir: String): DataFrame = {
     val emb = guardIds(Tables.embeddings(spark, dir), "vec_id", Offset)
     val slice = emb.filter(col("vec_id") % 7 === 0)
@@ -97,15 +102,55 @@ object RecallMatrices {
     val x09Found = LlmExt2.nearDupPairs(planted, 0.99)
       .filter(col("vec_b") - col("vec_a") === Offset)
       .agg(count(lit(1)).as("found_pairs"))
-    val (assigned, _) = AnnIvf.quantizeEmb(planted)
+    val (assigned, centers) = AnnIvf.quantizeEmb(planted)
     val cells = assigned.select(col("vec_id"), col("cell"))
     val x18Found = cells.as("x").join(cells.as("y"),
         col("y.vec_id") === col("x.vec_id") + Offset &&
           col("x.cell") === col("y.cell"))
       .agg(count(lit(1)).as("found_pairs"))
     val cellDenom = slice.agg(count(lit(1)).as("planted_pairs"))
+    // nprobe sweep: run the REAL multi-query IVF probe at np ∈ {1,2,4} with
+    // every (nonzero-norm) twin as a query. A twin's own cell is always its
+    // first probe and holds its identical base, so at ANY np >= 1 the probed
+    // candidate set contains a cosine≈1 match — recall of planted twins is
+    // exactly 1 and both matrix columns are plain SQL counts. (Float sqrt
+    // keeps cosine6(v,v) within 1e-6 of 1, hence the 0.999999 floor; random
+    // 64-dim non-twin pairs never reach it, and even if one did it could
+    // only re-confirm an already-found twin — the count is per twin, not
+    // per pair.) The quality/cost tradeoff the sweep makes driver-visible:
+    // recall on exact duplicates stays 1 while the scanned-candidate volume
+    // shrinks ~np/nlist — pinned by the cost-monotonicity row below
+    // (probe sets are nested in np by construction, so scanned counts must
+    // be non-decreasing; a 0 there means the probe ranking broke).
+    val nzTwins = planted
+      .filter(col("vec_id") >= Offset &&
+        VectorKernels.dot(col("embedding"), col("embedding")) > lit(0f))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val twinDenom = nzTwins.agg(count(lit(1)).as("planted_pairs"))
+    def sweep(np: Int): (DataFrame, DataFrame) = {
+      val cand = AnnIvf.probedCells(nzTwins, centers, np)
+        .join(assigned, "cell")
+        .filter(col("vec_id") =!= col("qid"))
+      val found = cand
+        .groupBy("qid")
+        .agg(max(VectorKernels.cosine6(col("embedding"), col("qe"))
+          .cast("double")).as("best"))
+        .filter(col("best") >= 0.999999d)
+        .agg(count(lit(1)).as("found_pairs"))
+      (found, cand.agg(count(lit(1)).as("scanned")))
+    }
+    val (f1, s1) = sweep(1); val (f2, s2) = sweep(2); val (f4, s4) = sweep(4)
+    val costOk = s1.crossJoin(s2.withColumnRenamed("scanned", "s2"))
+      .crossJoin(s4.withColumnRenamed("scanned", "s4"))
+      .select(when(col("scanned") <= col("s2") && col("s2") <= col("s4"), 1L)
+        .otherwise(0L).as("found_pairs"))
+    val one = spark.range(1).select(lit(1L).as("planted_pairs"))
     matrixRow("x09_hyperplane_lsh", x09Found, lshDenom)
       .unionByName(matrixRow("x18_ivf_same_cell", x18Found, cellDenom))
+      .unionByName(matrixRow("x18_nprobe1_twin_top1", f1, twinDenom))
+      .unionByName(matrixRow("x18_nprobe2_twin_top1", f2, twinDenom))
+      .unionByName(matrixRow("x18_nprobe4_twin_top1", f4, twinDenom))
+      .unionByName(matrixRow("x18_probe_cost_monotone", costOk, one))
       .orderBy("method")
   }
 

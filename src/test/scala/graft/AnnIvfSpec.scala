@@ -17,4 +17,41 @@ class AnnIvfSpec extends AnyFunSuite {
     val again = graft.queries.AnnIvf.x18(spark, sfSmoke).collect().map(_.getLong(0)).toSet
     assert(again === approx)
   }
+
+  test("nprobe sweep: recall@10 is monotone in probe width and exact at full probe") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.{Tables, VectorKernels}
+    // The quality/cost curve x111's oracle rows can't state: recall@10
+    // against brute-force truth per nprobe. Monotone because probe sets are
+    // nested and the candidate ranking uses the same total order
+    // (cos desc, vec_id) as the exact baseline; np = nlist probes every
+    // cell, so its top-10 IS brute force — recall exactly 1.
+    val emb = Tables.embeddings(spark, sfSmoke)
+      .filter(VectorKernels.dot(col("embedding"), col("embedding")) > lit(0f))
+    val queries = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // brute-force truth: same ranking over ALL candidates (self excluded)
+    val truth = queries.join(emb)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", VectorKernels.cosine6(col("embedding"), col("qe")).cast("double"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recallAt(np: Int): Double = {
+      val got = graft.queries.AnnIvf.ivfTopK(emb, queries, np, 10)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val per = truth.map { case (q, t) =>
+        (t & got.getOrElse(q, Set.empty)).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val curve = Seq(1, 2, 4, 16).map(np => np -> recallAt(np))
+    for (Seq((npA, rA), (npB, rB)) <- curve.sliding(2))
+      assert(rA <= rB + 1e-12, s"recall must not drop: np=$npA→$rA, np=$npB→$rB")
+    assert(curve.last._2 === 1.0, s"full probe must equal brute force, got $curve")
+    assert(curve.head._2 > 0.0, s"np=1 must recall something, got $curve")
+  }
 }
