@@ -9,16 +9,19 @@ import graft.engine.Tables
   * columns with a typed metadata struct, processed by a per-partition decode/
   * feature-extract stage.
   *
-  * The container has no external image/audio codecs, so the REGISTERED
-  * queries use [[MultimodalOps.decodeStub]] — a clearly-marked DETERMINISTIC
-  * FAKE (byte histogram + synthetic dimensions) whose output the oracle can
-  * pin on the text-byte payloads. Everything around it — the media schema,
-  * the batched mapPartitions shape (one decoder init per partition, the
-  * expensive part in a real deployment), partition sizing, and the
-  * downstream aggregation — is the real 100 TB plumbing. The swap-a-codec-in
-  * claim is DEMONSTRATED, not just asserted: [[MultimodalOps.decodeImage]]
-  * is a real JDK `javax.imageio` decoder behind the same interface, and the
-  * spec drives genuine encoded PNGs through the identical pipeline.
+  * The container has no external image/audio codecs, so by DEFAULT the
+  * registered queries use [[MultimodalOps.decodeStub]] — a clearly-marked
+  * DETERMINISTIC FAKE (byte histogram + synthetic dimensions) whose output
+  * the oracle can pin on the text-byte payloads. Everything around it — the
+  * media schema, the batched mapPartitions shape (one decoder init per
+  * partition, the expensive part in a real deployment), partition sizing,
+  * and the downstream aggregation — is the real 100 TB plumbing. The
+  * swap-a-codec-in claim is DEMONSTRATED through the registered operator
+  * itself: setting `spark.graft.multimodal.codec=imageio` routes image
+  * formats through [[MultimodalOps.decodeImage]] (real JDK `javax.imageio`
+  * pixels, no external libs), and a dir carrying a genuine `media.parquet`
+  * is read as-is — the spec runs REAL encoded PNGs through the exact
+  * `SparkEntry.queries` entry and checks true pixel dimensions come out.
   */
 object MultimodalOps {
 
@@ -47,12 +50,23 @@ object MultimodalOps {
     (width, height, hist)
   }
 
-  /** Build the media table: document text bytes standing in for encoded
-    * media; format assigned deterministically. At 100 TB this is the layout —
-    * one binary column, metadata columns the optimizer can prune/filter on
-    * WITHOUT touching the payload. */
+  /** Build the media table: one binary column, metadata columns the
+    * optimizer can prune/filter on WITHOUT touching the payload — at 100 TB
+    * this is the layout. If the data dir ships a real `media.parquet`
+    * (doc_id, format, n_bytes, content — what an ingestion job writes in a
+    * real deployment), it is read directly; otherwise document text bytes
+    * stand in for encoded media with formats assigned deterministically, so
+    * the harness dirs (which have no media table) keep their oracle-pinned
+    * behavior byte-for-byte. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
+    val real = new org.apache.hadoop.fs.Path(s"$dir/media.parquet")
+    val fs = real.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(real))
+      return spark.read.parquet(real.toString)
+        .select(col("doc_id").cast(LongType), col("format"),
+                col("n_bytes").cast(LongType), col("content"))
+        .as[MediaRow]
     Tables.documents(spark, dir)
       .select(col("doc_id"),
               element_at(array(lit("jpeg"), lit("png"), lit("wav"), lit("mp4")),
@@ -66,10 +80,12 @@ object MultimodalOps {
     * (PNG/BMP/GIF via `javax.imageio` — no external libs): true pixel
     * dimensions + a 16-bin LUMINANCE histogram normalized to mass 1, the
     * same (width, height, feature) interface as [[decodeStub]]. The
-    * registered x14 entry keeps the stub — the corpus payloads are text
-    * bytes, not encoded images, and the oracle pins the stub's
-    * deterministic output — while the spec drives REAL encoded PNGs
-    * through this decoder via the identical mapPartitions plumbing. */
+    * registered x14 entry selects it via `spark.graft.multimodal.codec=
+    * imageio` (see [[codec]]); on the harness dirs the default stays the
+    * stub — the corpus payloads are text bytes, not encoded images, and
+    * the oracle pins the stub's deterministic output — while the spec
+    * drives REAL encoded PNGs through the REGISTERED operator on a dir
+    * carrying a genuine `media.parquet`. */
   def decodeImage(format: String, bytes: Array[Byte]): (Int, Int, Array[Double]) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, s"no JVM ImageIO decoder accepted a '$format' payload")
@@ -147,10 +163,37 @@ object MultimodalOps {
     }
   }
 
+  /** Codec registry for the registered x14 path, selected by the session
+    * conf `spark.graft.multimodal.codec`:
+    *   - `"stub"` (default): [[decodeStub]] for every format — the
+    *     deterministic oracle twin the harness dirs pin.
+    *   - `"imageio"`: [[decodeImage]] (real JDK pixels) for the container
+    *     formats the JVM ships decoders for; non-image formats still route
+    *     to the stub, the per-format dispatch a mixed-modality media table
+    *     needs.
+    * Unknown names fail loudly — a silently-wrong codec on 100 TB of media
+    * is an expensive way to learn about a typo. */
+  def codec(name: String): (String, Array[Byte]) => (Int, Int, Array[Double]) =
+    name match {
+      case "stub" => decodeStub
+      case "imageio" =>
+        (fmt, bytes) =>
+          if (Set("png", "jpeg", "jpg", "bmp", "gif")(fmt.toLowerCase))
+            decodeImage(fmt, bytes)
+          else decodeStub(fmt, bytes)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.multimodal.codec=$other (expected stub|imageio)")
+    }
+
   /** x14 entry: metadata-pruned scan → per-partition decode → aggregate.
-    * Output: per format, count + mean feature-vector norm (rounded). */
+    * Output: per format, count + mean feature-vector norm (rounded).
+    * The decode stage honors `spark.graft.multimodal.codec` (see [[codec]]),
+    * so the SAME registered operator runs the deterministic stub on the
+    * harness dirs and real JDK pixel decoding on dirs that carry genuine
+    * encoded payloads in `media.parquet`. */
   def x14(spark: SparkSession, dir: String): DataFrame = {
-    val feats = extractFeatures(mediaTable(spark, dir))
+    val chosen = codec(spark.conf.get("spark.graft.multimodal.codec", "stub"))
+    val feats = extractFeatures(mediaTable(spark, dir), chosen)
     feats.toDF()
       .select(col("doc_id"), col("format"), col("width"), col("height"),
               sqrt(aggregate(transform(col("feature"), x => x * x),
