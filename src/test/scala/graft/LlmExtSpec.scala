@@ -150,6 +150,47 @@ class LlmExtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ImageIO") || e.getCause != null)
   }
 
+  test("x14 REGISTERED entry decodes real PNGs when media.parquet + codec=imageio are present") {
+    import spark.implicits._
+    import MultimodalOps.MediaRow
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 31 + y * 17 + seed) * 131071) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    val rows = Seq(
+      MediaRow(1L, "png", 0L, png(40, 25, 1)),
+      MediaRow(2L, "png", 0L, png(40, 25, 2)),
+      // a non-image modality in the same table: must route to the stub
+      MediaRow(3L, "wav", 0L, Array.tabulate[Byte](640)(_.toByte)))
+    spark.createDataset(rows).write.parquet(s"$dir/media.parquet")
+    val entry = SparkEntry.queries("x14_multimodal_features")
+    try {
+      spark.conf.set("spark.graft.multimodal.codec", "imageio")
+      val out = entry(spark, dir).collect()
+        .map(r => r.getString(0) -> r).toMap
+      // TRUE pixel dimensions through the registered operator: the stub
+      // derives fake dims from byte length (a 40x25 PNG is nowhere near
+      // 40 + 25 encoded bytes), so agreement cannot be accidental
+      assert(out("png").getDouble(3) === 40.0 && out("png").getDouble(4) === 25.0)
+      // the wav row still gets the stub's size-derived dims (mixed dispatch)
+      val wavBytes = 640
+      assert(out("wav").getDouble(3) === (64 + wavBytes % 64).toDouble)
+      // default codec on the same dir: fake dims everywhere, not 40x25
+      spark.conf.unset("spark.graft.multimodal.codec")
+      val stub = entry(spark, dir).collect().map(r => r.getString(0) -> r).toMap
+      assert(stub("png").getDouble(3) !== 40.0)
+      // unknown codec names fail loudly
+      spark.conf.set("spark.graft.multimodal.codec", "nope")
+      intercept[IllegalArgumentException] { entry(spark, dir) }
+    } finally spark.conf.unset("spark.graft.multimodal.codec")
+  }
+
   test("x26 frame sampling: bounded fan-out, mass-preserving resize, deterministic") {
     val media = MultimodalOps.mediaTable(spark, TestSpark.sfSmoke)
     val frames = MultimodalOps.sampleFrames(media, maxFrames = 8).collect()
