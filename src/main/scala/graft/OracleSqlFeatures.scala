@@ -1233,6 +1233,86 @@ object OracleSqlFeatures {
         |GROUP BY split_a, split_b
         |ORDER BY split_a, split_b""".stripMargin,
 
+    // x140: the same 2-round Lloyd iteration, restated: distances as the
+    // identical left-to-right list_sum fold (bit-identical to Spark's
+    // aggregate/zip_with), centroid components ROUNDed at 6 dp after AVG so
+    // round-2 inputs match bit for bit, argmin via (d2, cell) row_number.
+    "x140_kmeans_cells" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |ev AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+        |              UNNEST(range(1, len(embedding) + 1)) AS pos FROM e),
+        |c0 AS (SELECT vec_id AS cell, [CAST(x AS DOUBLE) FOR x IN embedding] AS ce
+        |       FROM embeddings WHERE vec_id < 8),
+        |d1 AS (SELECT e.vec_id, c.cell,
+        |         ROUND(list_sum([(c.ce[i] - CAST(e.embedding[i] AS DOUBLE))
+        |                       * (c.ce[i] - CAST(e.embedding[i] AS DOUBLE))
+        |                         FOR i IN generate_series(1, 64)]), 6) AS d2
+        |       FROM e, c0 c),
+        |a1 AS (SELECT vec_id, cell FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                                      ORDER BY d2, cell) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |m AS (SELECT a1.cell, ev.pos, ROUND(AVG(ev.v), 6) AS cv
+        |      FROM a1 JOIN ev USING (vec_id) GROUP BY a1.cell, ev.pos),
+        |c1 AS (SELECT cell, list(cv ORDER BY pos) AS ce FROM m GROUP BY cell),
+        |d2s AS (SELECT e.vec_id, c.cell,
+        |          ROUND(list_sum([(c.ce[i] - CAST(e.embedding[i] AS DOUBLE))
+        |                        * (c.ce[i] - CAST(e.embedding[i] AS DOUBLE))
+        |                          FOR i IN generate_series(1, 64)]), 6) AS d2
+        |        FROM e, c1 c),
+        |a2 AS (SELECT vec_id, cell, d2 FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                                      ORDER BY d2, cell) AS rn
+        |         FROM d2s) WHERE rn = 1)
+        |SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       ROUND(AVG(d2), 6) AS mean_d2
+        |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // x141: fixed-codebook PQ encode — per (vector, subspace) argmin over
+    // the 8 codewords, subvector slices addressed as sub*16+i.
+    "x141_pq_encode" ->
+      """WITH cb AS (SELECT vec_id AS code, embedding AS ce
+        |            FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT UNNEST(range(0, 4)) AS sub),
+        |d AS (SELECT e.vec_id, s.sub, cb.code,
+        |        ROUND(list_sum([
+        |          (CAST(cb.ce[s.sub * 16 + i] AS DOUBLE)
+        |             - CAST(e.embedding[s.sub * 16 + i] AS DOUBLE))
+        |        * (CAST(cb.ce[s.sub * 16 + i] AS DOUBLE)
+        |             - CAST(e.embedding[s.sub * 16 + i] AS DOUBLE))
+        |            FOR i IN generate_series(1, 16)]), 6) AS d2
+        |      FROM embeddings e, s, cb),
+        |a AS (SELECT vec_id, sub, code, d2 FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+        |                                     ORDER BY d2, code) AS rn
+        |        FROM d) WHERE rn = 1)
+        |SELECT CAST(sub AS BIGINT) AS subspace, code,
+        |       CAST(COUNT(*) AS BIGINT) AS n_vecs, ROUND(AVG(d2), 6) AS mean_err
+        |FROM a GROUP BY sub, code ORDER BY subspace, code""".stripMargin,
+
+    // x142: BM25 with the +1 idf form (strictly positive), k1=1.2 b=0.75;
+    // argmax per doc under (bm25 DESC, tok) — q48's statistics plus
+    // document-length normalization.
+    "x142_bm25_topterm" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS tok
+        |              FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |       WHERE tok <> '' GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks
+        |       WHERE tok <> '' GROUP BY doc_id),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |st AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |scored AS (SELECT tf.doc_id, tf.tok,
+        |             ROUND(LN((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |                   (tf.tf * 2.2) / (tf.tf + 1.2 *
+        |                     (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS bm25
+        |           FROM tf JOIN dl USING (doc_id) JOIN df USING (tok)
+        |           CROSS JOIN st WHERE tf.doc_id < 50),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                      ORDER BY bm25 DESC, tok) AS rn
+        |         FROM scored)
+        |SELECT doc_id, tok, bm25 FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     // x121: integer cents make every median a multiple of 0.5, every MAD a
     // multiple of 0.25 — exactly representable, so `dev > 3*mad` is
     // float-tolerance-free (Features.scala x121 doc).

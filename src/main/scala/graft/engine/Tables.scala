@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Schema-checked loaders for the harness parquet tables.
   *
@@ -23,17 +23,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map to
-    * TimestampType. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (see [[Sessions]]), so the raw column arrives as epoch-ns BIGINT; we
-    * normalize to µs TimestampType here (`DIV 1000` — exact: the dataset has
-    * no sub-µs residue, verified in FIXTURES/this session) so every query
-    * downstream sees an ordinary timestamp column. */
+  /** `events.ts` normalization — the harness has shipped this column under
+    * THREE parquet encodings across rounds, so the loader adapts on the
+    * file's actual schema rather than assuming one:
+    *   - TIMESTAMP(NANOS): Spark 4 refuses to map it to TimestampType;
+    *     Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`, so it
+    *     arrives as epoch-ns BIGINT → `DIV 1000` to µs (exact: the dataset
+    *     has no sub-µs residue, verified in FIXTURES).
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round-8 regeneration):
+    *     arrives as TIMESTAMP_NTZ, which functions like `unix_micros`
+    *     reject → cast to TimestampType (exact: the session timezone is
+    *     pinned to UTC in [[Sessions]], so NTZ→instant is the identity).
+    *   - TIMESTAMP(MICROS, UTC): already TimestampType; pass through.
+    * Downstream queries always see an ordinary µs TimestampType column. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+
+/** x140–x142: corpus-organization operators over the embedding / document
+  * tables — deterministic (oracle-checked) clustering, product-quantization
+  * encoding, and BM25 relevance scoring. These complete the similarity stack:
+  * x18 holds the ML-trained IVF index (seeded KMeans — no SQL oracle by
+  * nature); x140/x141 are its EXACTLY-REPRODUCIBLE twins, built so every
+  * arithmetic step pins to the determinism protocol (SURVEY §7.4: cast
+  * float→double before arithmetic, round at every cross-engine boundary,
+  * total-order tie-breaks) and therefore hash-match DuckDB bit for bit.
+  */
+object Clustering {
+
+  private val kCells = 8
+
+  /** Squared L2 between a double-array column and a float-array column,
+    * folded left-to-right — the same sequential order DuckDB's `list_sum`
+    * over a comprehension uses, so the un-rounded doubles are bit-identical
+    * across engines (identical inputs, identical op order). */
+  private def l2sqExpr(ce: String, emb: String): Column = expr(
+    s"""aggregate(zip_with($ce, $emb,
+       |  (a, b) -> (a - CAST(b AS DOUBLE)) * (a - CAST(b AS DOUBLE))),
+       |  0D, (s, x) -> s + x)""".stripMargin)
+
+  /** Nearest-centroid assignment: broadcast the (bounded) centroid table,
+    * score every (vector, centroid) pair in-map, and collapse to the argmin
+    * with a `min_by` partial aggregate — the shuffle carries ONE row per
+    * vector, never the |V|×k distance grid. Distances round at 6 dp before
+    * the argmin so the (d2, cell) total order is identical on both engines. */
+  private def assign(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("d2", round(l2sqExpr("ce", "embedding"), 6))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cell"), col("d2")),
+                  struct(col("d2"), col("cell"))).as("best"))
+      .select(col("vec_id"),
+              col("best.cell").as("cell"), col("best.d2").as("d2"))
+
+  /** x140: DETERMINISTIC K-MEANS (2 Lloyd rounds, k = 8, init = the first k
+    * vectors by id) — per-cell population and mean squared distance after
+    * the second assignment. The oracle-checked twin of x18's seeded ML
+    * KMeans: same algorithm, but every step is exactly reproducible, so the
+    * whole clustering — not just a recall proxy — is verified against
+    * DuckDB.
+    *
+    * Determinism protocol: centroid components ROUND at 6 dp after the AVG
+    * (a ~1e-12-relative FP-order difference between engines is crushed by
+    * the rounding grain, so round-2 inputs are bit-identical arrays);
+    * distances round at 6 dp before every argmin; ties break on cell id.
+    *
+    * 100 TB: per round, one broadcast of k·d doubles + a map-side `min_by`
+    * (shuffle = |V| rows), then a posexplode partial-agg whose shuffle is
+    * k·d rows — the canonical distributed Lloyd shape. Rounds are a fixed
+    * small constant (2 here; convergence-driven in production, each round
+    * the same two exchanges). */
+  def x140(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val c0 = emb.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cell"),
+              transform(col("embedding"), _.cast(DoubleType)).as("ce"))
+    val a1 = assign(emb, c0)
+    val c1 = a1.join(emb, "vec_id")
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy("cell", "pos")
+      .agg(round(avg(col("col").cast(DoubleType)), 6).as("cv"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pv"))
+      .select(col("cell"), expr("transform(pv, x -> x.cv)").as("ce"))
+    val a2 = assign(emb, c1)
+    a2.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("d2")), 6).as("mean_d2"))
+      .select(col("cell").cast(LongType).as("cell"), col("n_vecs"),
+              col("mean_d2"))
+      .orderBy("cell")
+  }
+
+  /** x141: PRODUCT-QUANTIZATION ENCODE — split the 64-dim embedding into 4
+    * subspaces of 16 dims, encode each subvector as its nearest codeword
+    * (codebook = the first 8 vectors' subvectors — fixed, so the encoding is
+    * oracle-checkable; production would train per-subspace codebooks with
+    * x18's KMeans device), and report per-(subspace, codeword) population
+    * and mean reconstruction error. PQ is the memory side of large-scale
+    * ANN: 64 floats compress to 4 code bytes, and x18's IVF cells + these
+    * codes are the classic IVF-PQ layout.
+    *
+    * 100 TB: the codebook broadcast is k·d doubles; encoding is one map
+    * pass (each vector scores 8 codewords per subspace in-line); the argmin
+    * collapses through the same `min_by` partial-aggregate shape as x140,
+    * so the shuffle carries 4 rows per vector (one per subspace), then the
+    * stats aggregate to the 32-row (subspace, code) grid. */
+  def x141(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cb = emb.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("code"),
+              transform(col("embedding"), _.cast(DoubleType)).as("ce"))
+    emb.withColumn("sub", explode(sequence(lit(0), lit(3))))
+      .crossJoin(broadcast(cb))
+      .withColumn("d2", round(expr(
+        """aggregate(zip_with(slice(ce, sub * 16 + 1, 16),
+          |                   slice(embedding, sub * 16 + 1, 16),
+          |  (a, b) -> (a - CAST(b AS DOUBLE)) * (a - CAST(b AS DOUBLE))),
+          |  0D, (s, x) -> s + x)""".stripMargin), 6))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(struct(col("code"), col("d2")),
+                  struct(col("d2"), col("code"))).as("best"))
+      .groupBy(col("sub").cast(LongType).as("subspace"),
+               col("best.code").as("code"))
+      .agg(count(lit(1)).as("n_vecs"),
+           round(avg(col("best.d2")), 6).as("mean_err"))
+      .orderBy("subspace", "code")
+  }
+
+  /** x142: BM25 RELEVANCE SCORING — the strongest term per document under
+    * BM25 (k1 = 1.2, b = 0.75), the ranking function behind every classical
+    * retrieval stack (and the lexical half of hybrid search next to
+    * x95's RRF fusion). Extends q48's tf-idf: same (tf, df, N) statistics
+    * plus the document-length normalization tf-idf lacks.
+    *
+    * idf uses the BM25+1 form LN((N - df + 0.5)/(df + 0.5) + 1) — strictly
+    * positive, so the argmax never flips sign on corpus-frequent terms.
+    *
+    * 100 TB: tokenize+count is a partial+final agg on (doc, token); df is a
+    * second partial+final agg on token; N and avgdl are one broadcast scalar
+    * row; the per-doc argmax is a `max_by` partial aggregate — one shuffled
+    * row per document, no window sort. */
+  def x142(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+                       avg(col("dl").cast(DoubleType)).as("avgdl"))
+    tf.filter(col("doc_id") < 50)
+      .join(dl, "doc_id")
+      .join(df, "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25", round(
+        expr("""LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+               |  (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"""
+          .stripMargin), 6))
+      .groupBy("doc_id")
+      // argmax under (bm25 DESC, tok ASC): min_by over the (−bm25, tok)
+      // struct — scores are strictly positive so the negation is safe
+      .agg(min_by(struct(col("bm25"), col("tok")),
+                  struct(negate(col("bm25")), col("tok"))).as("best"))
+      .select(col("doc_id"), col("best.tok").as("tok"),
+              col("best.bm25").as("bm25"))
+      .orderBy("doc_id")
+  }
+}

@@ -39,28 +39,43 @@ object LlmExt {
       .limit(20)
   }
 
-  /** q46: 5-NN majority-vote label. The candidate side (all embeddings) is
-    * broadcast under a nested-loop join — exact kNN is inherently all-pairs.
+  /** q46: 5-NN majority-vote label — exact kNN as a SINGLE STREAMING PASS
+    * over the candidate table. The bounded side of the all-pairs kernel is
+    * the QUERY set (100 rows), so that is what gets broadcast; candidates
+    * stay partitioned on their scan and never leave their executor at full
+    * width. Per (candidate-partition, query) the 5 nearest collapse into a
+    * [[graft.engine.expr.TopKPairs]] partial state (score = −d2 so
+    * "strongest" = nearest; tag = nid breaks ties exactly like the oracle's
+    * `ORDER BY d2, nid`), and the exchange carries only |queries| k-pair
+    * states — not the |queries|×|candidates| distance grid the window idiom
+    * would shuffle-and-sort. Labels re-attach to the 500 winning (qid, nid)
+    * pairs by a keyed join against the embedding table, and the majority
+    * vote runs on that bounded set.
     *
-    * SCALE CONTRACT: this is the one declared plan that deliberately cannot
-    * run at 100 TB (broadcasting the full embedding table is impossible
-    * there); it exists as the ORACLE-EXACT baseline. The scale paths are its
-    * approximate twins — x18 (IVF: centroid pruning, nprobe cells) and x09
-    * (hyperplane-LSH bucketed near-dup) — whose recall is property-tested
-    * against exactly this query (AnnIvfSpec, LlmExtSpec). See PLANS.md. */
+    * SCALE CONTRACT: unlike the pre-round-8 broadcast-BNLJ form, this plan
+    * IS the 100 TB shape for exact kNN with a bounded query set — compute
+    * stays O(|C|·|Q|) by definition of "exact", but memory is O(|Q|) per
+    * executor and shuffle is O(|Q|·k·partitions). x18 (IVF) / x09 (LSH)
+    * remain the sub-linear approximate paths for when the query set itself
+    * scales, recall-tested against exactly this query (AnnIvfSpec,
+    * LlmExtSpec). See PLANS.md. */
   def q46(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    // the BNLJ inherits the left side's partitioning — fan the 100 query
-    // rows out so the |queries|×|candidates| kernel work runs on all cores
-    val queries = Tables.fanOut(emb.filter(col("vec_id") < 100)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val queries = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val cands = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
                            col("label"))
-    val d = queries.join(broadcast(cands), col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("label"),
-              round(VectorKernels.l2Sq(col("qe"), col("ne")), 6).as("d2"))
-    val byDist = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
-    val votes = d.withColumn("rn", row_number().over(byDist)).filter(col("rn") <= 5)
+    // parallelism comes from the candidate SCAN's own splits — repartitioning
+    // the big side before a broadcast join would shuffle the full table for
+    // nothing (at sf0.1 the kernel is 2·10⁵ evals; at scale, many splits)
+    val scored = cands.join(broadcast(queries),
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+              (-round(VectorKernels.l2Sq(col("qe"), col("ne")), 6)).as("negd2"))
+    val top5 = scored.groupBy("qid")
+      .agg(call_function("topk_pairs", col("negd2"), col("nid"), lit(5)).as("tk"))
+      .select(col("qid"), explode(col("tk.tag")).as("nid"))
+    val votes = top5.join(cands.select("nid", "label"), "nid")
       .groupBy("qid", "label").agg(count(lit(1)).as("v"))
     val byVotes = Window.partitionBy("qid").orderBy(col("v").desc, col("label"))
     votes.withColumn("rn", row_number().over(byVotes)).filter(col("rn") === 1)

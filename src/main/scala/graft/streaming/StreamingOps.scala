@@ -212,7 +212,14 @@ object StreamingOps {
 
   /** The events parquet replayed as a genuine stream. The file source wants a
     * directory, so we stage a /tmp dir holding a symlink to the (read-only)
-    * events.parquet of the requested scale factor. */
+    * events.parquet of the requested scale factor.
+    *
+    * `readStream` demands an explicit schema, and the harness has shipped
+    * `ts` under several parquet encodings across rounds (raw NANOS → BIGINT
+    * under `nanosAsLong`; MICROS NTZ after the round-8 regeneration), so the
+    * replay borrows the batch loader's resolved schema — [[Tables.events]]
+    * already normalizes every variant to µs TimestampType — and applies the
+    * matching normalization on the stream side. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val staged = java.nio.file.Paths.get(
       "/tmp/graft_stream", dir.replaceAll("[^A-Za-z0-9]", "_"))
@@ -221,12 +228,18 @@ object StreamingOps {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(dir, "events.parquet"))
+    val rawType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", rawType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.readStream.schema(schema).parquet(staged.toString)
+    rawType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** The documents parquet replayed as a stream (same staging trick as
