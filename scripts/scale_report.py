@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Render docs/scale_soak.json (FullScaleSoak output) as docs/SCALE.md.
+
+Usage: python3 scripts/scale_report.py [scale_soak.json] [SCALE.md]
+
+Classifies each key's 10x-data time ratio:
+  - fixed-cost  : 10x time < 2x base   (job/micro-batch overhead dominates)
+  - linear-ish  : ratio <= 14          (tracks row volume on 10x data,
+                                        with headroom for local[32] noise)
+  - super-linear: ratio > 14           (must match a documented expectation
+                                        or it is a scale bug)
+"""
+import json, sys
+
+src = sys.argv[1] if len(sys.argv) > 1 else "docs/scale_soak.json"
+out = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE.md"
+d = json.load(open(src))
+keys = d["keys"]
+
+# Keys whose super-linear growth is EXPECTED on the synthetic 10x copy
+# (every document/vector gains 9 exact twins, so true near-dup work grows
+# ~quadratically in the copy factor) or that are deliberate brute-force
+# baselines / end-to-end diagnostic chains. Keep in sync with
+# FullScaleSoak's Scaladoc.
+EXPECTED_SUPERLINEAR = {
+    "x08_dedup_ngram_jaccard": "9 planted twins per doc: true near-dup pairs grow ~quadratically",
+    "x86_minhash_oracle_lsh": "same twin-quadratic candidate growth (oracle-countable LSH)",
+    "x109_containment_prefix": "prefix-filter candidates vs quadratic truth (documented r6)",
+    "q45_similarity_cosine_topk": "brute-force baseline: |C| scales 10x against a fixed query",
+    "q46_knn_label_vote": "exact kNN: O(|C|*|Q|) kernel by definition of exactness",
+    "x110_neardup_recall_matrix": "runs the three dedup chains end-to-end on corpus+twins",
+    "x111_ann_recall_matrix": "ANN recall sweep against brute-force truth on 10x corpus",
+    "x24_dedup_components": "twin components grow 10x in size: more label-prop rounds",
+}
+
+rows = sorted(keys.items())
+fails = [(k, v) for k, v in rows if v.get("error")]
+ok = [(k, v) for k, v in rows if not v.get("error")]
+
+def bucket(r):
+    if r is None: return "n/a"
+    if r < 2.0: return "fixed-cost"
+    if r <= 14.0: return "linear-ish"
+    return "super-linear"
+
+buckets = {}
+for k, v in ok:
+    buckets.setdefault(bucket(v.get("ratio")), []).append((k, v))
+
+lines = []
+lines.append("# SCALE — full-surface 10x soak (round 8)\n")
+lines.append(f"Source: `{src}` — every registered operator timed on "
+             f"`{d['src']}` and on a {d['copies']}x key-shifted copy of all "
+             "tables (FullScaleSoak methodology: disjoint id shifts keep join "
+             "fan-outs honest; dims copied verbatim so dimension keys get "
+             "10x hotter; both dirs warmed before timing; `.count()` like "
+             "`graft.Bench`).\n")
+lines.append(f"Keys: {len(rows)} total, {len(fails)} failures.\n")
+counts = {b: len(v) for b, v in buckets.items()}
+lines.append(f"Classification: {counts.get('fixed-cost',0)} fixed-cost "
+             f"(<2x — per-job/micro-batch overhead dominates), "
+             f"{counts.get('linear-ish',0)} linear-ish (<=14x), "
+             f"{counts.get('super-linear',0)} super-linear (>14x).\n")
+
+lines.append("\n## Super-linear keys (each must have a documented reason)\n")
+lines.append("| key | base s | 10x s | ratio | expected? |")
+lines.append("|---|---|---|---|---|")
+for k, v in sorted(buckets.get("super-linear", []),
+                   key=lambda kv: -(kv[1]["ratio"] or 0)):
+    why = EXPECTED_SUPERLINEAR.get(k, "**UNEXPECTED — investigate**")
+    lines.append(f"| {k} | {v['base_s']:.2f} | {v['x10_s']:.2f} | "
+                 f"{v['ratio']:.1f}x | {why} |")
+
+lines.append("\n## All keys\n")
+lines.append("| key | base s | 10x s | ratio | class |")
+lines.append("|---|---|---|---|---|")
+for k, v in rows:
+    if v.get("error"):
+        lines.append(f"| {k} | — | — | — | FAILED: {v['error'][:80]} |")
+    else:
+        r = v.get("ratio")
+        lines.append(f"| {k} | {v['base_s']:.2f} | {v['x10_s']:.2f} | "
+                     f"{(str(round(r,1)) + 'x') if r else 'n/a'} | {bucket(r)} |")
+
+unexpected = [k for k, v in buckets.get("super-linear", [])
+              if k not in EXPECTED_SUPERLINEAR]
+lines.append("")
+if fails:
+    lines.append(f"**{len(fails)} FAILURES** — see table.")
+if unexpected:
+    lines.append(f"**{len(unexpected)} UNEXPECTED super-linear keys:** "
+                 + ", ".join(unexpected))
+if not fails and not unexpected:
+    lines.append("No failures; every super-linear key matches a documented "
+                 "expectation. The remaining surface tracks row volume or "
+                 "fixed overhead — the partition/shuffle choices hold at 10x.")
+
+open(out, "w").write("\n".join(lines) + "\n")
+print(f"wrote {out}: {len(rows)} keys, {len(fails)} failures, "
+      f"unexpected super-linear: {unexpected}")

@@ -343,4 +343,40 @@ class PlanSpec extends AnyFunSuite {
              !p.contains("BroadcastNestedLoopJoin"),
       "span-dedup must never go all-pairs over documents")
   }
+
+  test("q46: exact kNN broadcasts the QUERY side and collapses top-5 through topk_pairs — no corpus broadcast, no distance-grid window sort") {
+    val p = plan(LlmExt.q46(spark, sfSmoke))
+    // the all-pairs kernel must be a nested-loop join whose BUILD side is
+    // the bounded query set (a filtered scan on vec_id < 100) — the
+    // candidate corpus side must never be the broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(p.contains("topk_pairs"),
+      "per-query top-5 must be the bounded-state partial aggregate:\n" + p.take(600))
+    // the only Window left is the 100-row majority vote, partitioned by qid;
+    // the |Q|x|C| distance grid must never reach a Window sort
+    assert(p.contains("ObjectHashAggregate"),
+      "topk_pairs should run in the object-hash aggregate path")
+  }
+
+  test("x140/x141: centroid and codebook assignments are broadcast + min_by partial aggregates — one shuffled row per (vector[, subspace])") {
+    for ((name, df) <- Seq(
+        "x140" -> Clustering.x140(spark, sfSmoke),
+        "x141" -> Clustering.x141(spark, sfSmoke))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$name: the k-row centroid/codebook side must broadcast:\n" + p.take(600))
+      assert(p.contains("partial_min_by"),
+        s"$name: argmin must be a map-side min_by partial aggregate, not a window sort")
+      assert(!p.contains("Window"),
+        s"$name: no distance-grid window sort anywhere:\n" + p.take(600))
+    }
+  }
+
+  test("x142: BM25 argmax per doc is a min_by partial aggregate and all stats joins stay keyed") {
+    val p = plan(Clustering.x142(spark, sfSmoke))
+    assert(p.contains("partial_min_by"),
+      "per-doc argmax must be a map-side min_by aggregate, not a window:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row stats stitch must be a broadcast, never a cartesian")
+  }
 }
