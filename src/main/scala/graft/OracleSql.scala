@@ -254,5 +254,5 @@ object OracleSql {
 
   def all: Map[String, String] =
     relational ++ OracleSqlMl.all ++ OracleSqlWrangle.wrangle ++
-      OracleSqlFeatures.features
+      OracleSqlFeatures.features ++ OracleSqlRound8.round8
 }

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+import graft.engine.Tables
+
+/** x143–x145: the three classic TPC-H "hard correlation" query shapes the
+  * inventory still lacked — Q17 (per-group-average correlated filter), Q20
+  * (aggregate-threshold semi-join chain), Q22 (scalar-subquery +
+  * anti-join) — adapted to the harness schema (no partsupp / phone
+  * columns; reference behavior per SURVEY §0's public TPC-H spec, not a
+  * mounted file). Every cross-engine comparison sits in exact integer
+  * arithmetic (quantities are integral doubles → BIGINT; money quantizes
+  * to per-row cents, SURVEY §7.4), so the avg/threshold boundaries cannot
+  * flip on float rounding.
+  */
+object Relational3 {
+
+  /** x143: TPC-H Q17 shape — revenue lost to "small" orders: lineitems of
+    * one brand's parts whose quantity is below HALF the part's average
+    * quantity. The correlated `avg` becomes one per-part aggregate joined
+    * back to the same rows; `2·q·n < Σq` restates `q < avg/2` in BIGINTs.
+    *
+    * 100 TB: the brand filter prunes parts before anything touches
+    * lineitem; the part join, the per-part aggregate, and the re-join all
+    * hash on `l_partkey`, so after the first exchange the aggregate and
+    * the self-attach reuse the SAME partitioning — Catalyst plans one
+    * shuffle of the pruned rows, and the stats side (≤ |brand parts| rows)
+    * broadcasts at test scale by statistics, degrading to the co-hashed
+    * join when a 100 TB part table outgrows it (deliberately unhinted). */
+  def x143(spark: SparkSession, dir: String): DataFrame = {
+    val brand = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#13").select("p_partkey")
+    val bl = Tables.lineitem(spark, dir)
+      .join(brand, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast(LongType).as("qty"),
+              round(col("l_extendedprice") * 100, 0).cast(LongType)
+                .as("price_cents"))
+    val stats = bl.groupBy("l_partkey")
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_li"))
+    bl.join(stats, "l_partkey")
+      .filter(col("qty") * lit(2L) * col("n_li") < col("sum_qty"))
+      .agg(count(lit(1)).as("n_small"),
+           sum(col("price_cents")).as("revenue_cents"))
+  }
+
+  /** x144: TPC-H Q20 shape — suppliers who shipped an above-average volume
+    * of 'small…' parts in 1996, with the threshold a scalar aggregate over
+    * the same shipped-volume frame (`qty·n > Σqty` ⇔ `qty > avg` in
+    * BIGINTs) and the names attached via the supplier dimension.
+    *
+    * 100 TB: the year filter + part-prefix semi-join prune lineitem before
+    * its only shuffle (the per-supplier aggregate); the threshold is a
+    * 1-row broadcast stitch over that ≤|suppliers| aggregate; the name
+    * attach joins a dimension bounded by |suppliers|. Nothing rescans the
+    * fact table. */
+  def x144(spark: SparkSession, dir: String): DataFrame = {
+    val pref = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    val shipped = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+              col("l_shipdate") <  lit("1997-01-01").cast(TimestampType))
+      .join(pref, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_quantity").cast(LongType)).as("qty"))
+    val thresh = shipped.agg(sum(col("qty")).as("tot_qty"),
+                             count(lit(1)).as("n_supp"))
+    shipped.crossJoin(broadcast(thresh))
+      .filter(col("qty") * col("n_supp") > col("tot_qty"))
+      .join(Tables.supplier(spark, dir),
+            col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("qty"))
+      .orderBy("s_suppkey")
+  }
+
+  /** x145: TPC-H Q22 shape — "lapsed rich customers": above-average
+    * positive balance AND no orders since 1999, counted per nation. The
+    * scalar subquery (avg positive balance) is a 1-row broadcast;
+    * `bal·n > Σbal` keeps the boundary exact after per-row cent
+    * quantization (c_acctbal carries sub-cent noise in the harness data —
+    * both engines quantize FIRST, so the positive-balance population is
+    * identical by construction).
+    *
+    * 100 TB: the date filter pushes into the orders scan before its only
+    * shuffle; the anti join hashes customers and the pruned orders on
+    * custkey once — the classic "has no recent fact rows" shape; the
+    * per-nation re-aggregation is ≤|nations| rows. */
+  def x145(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+              round(col("c_acctbal") * 100, 0).cast(LongType).as("bal_cents"))
+    val posAvg = cust.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(posAvg))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .join(Tables.orders(spark, dir)
+              .filter(col("o_orderdate") >=
+                      lit("1999-01-01").cast(TimestampType))
+              .select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast(LongType).as("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("bal_cents"))
+      .orderBy("c_nationkey")
+  }
+}

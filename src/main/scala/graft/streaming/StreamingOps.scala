@@ -503,6 +503,42 @@ object StreamingOps {
     runToTable(spark, entryJourneys(eventsStream(spark, dir)).toDF(),
                s"x134_sink_${System.nanoTime()}", "update")
       .orderBy("user_id")
+
+  /** x149: CHAINED STATEFUL WINDOW AGGREGATIONS — a 10-minute tumbling
+    * count per event type re-aggregated to hourly (max, sum) INSIDE the
+    * same streaming query: two stateful operators back to back, the
+    * multi-stateful-operator pipeline Spark 4 unlocked (`window_time`
+    * hands the first window's event-time column to the second window).
+    * The pre-Spark-3.5 workaround was two queries glued by a sink — twice
+    * the state I/O and no end-to-end exactly-once.
+    *
+    * Emission semantics (and the oracle): append mode emits a window only
+    * once the watermark (max event time − 10 min) passes its end. The
+    * AvailableNow replay's trailing no-data batch advances the watermark,
+    * which flushes the closed 10-minute windows through BOTH operators in
+    * cascade; hour windows whose end exceeds the final watermark stay in
+    * state. So the DuckDB twin filters both grains by the SAME watermark:
+    * 10-min buckets with end ≤ wm, rolled to hours, hours with end ≤ wm.
+    *
+    * 100 TB: each operator keeps (window × type)-bounded state and emits
+    * once per closed window — state size is a function of watermark delay,
+    * not stream length; the second operator's input is the first's
+    * AGGREGATE (one row per closed 10-min window per type), so the hourly
+    * re-agg shuffles ~1/10⁴ of the event volume. */
+  def x149(spark: SparkSession, dir: String): DataFrame = {
+    val tenMin = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w10"), col("event_type"))
+      .agg(count(lit(1)).as("n10"))
+    val hourly = tenMin
+      .groupBy(window(window_time(col("w10")), "1 hour").as("wh"),
+               col("event_type"))
+      .agg(max(col("n10")).as("max_10min"), sum(col("n10")).as("n_events"))
+    runToTable(spark, hourly, s"x149_sink_${System.nanoTime()}", "append")
+      .select(unix_micros(col("wh.start")).as("hour_us"), col("event_type"),
+              col("max_10min"), col("n_events"))
+      .orderBy("hour_us", "event_type")
+  }
 }
 
 /** Idempotent latest-wins UPSERT sink for `foreachBatch` — the streaming
