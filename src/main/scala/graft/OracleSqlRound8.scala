@@ -1,6 +1,6 @@
 package graft
 
-/** DuckDB oracle statements for x143–x149 (round 8) — TPC-H correlation
+/** DuckDB oracle statements for x143–x151 (round 8) — TPC-H correlation
   * shapes, interval/frame operators, and the chained stateful streaming
   * windows. Same determinism discipline as the rest of the registry
   * (SURVEY §7.4): integer qty/cents everywhere a threshold is compared,
@@ -139,6 +139,38 @@ object OracleSqlRound8 {
         |       CAST(SUM(n10) AS BIGINT) AS n_events
         |FROM closed
         |WHERE (b_us // 3600000000) * 3600000000 + 3600000000 <= wm_us
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // x150: the identical Morton arithmetic (ZOrder.zExpr renders `//` for
+    // DuckDB, `DIV` for Spark) over the same 8-bit quantization.
+    "x150_zorder_layout" ->
+      s"""WITH m AS (SELECT MAX(l_partkey) AS maxp, MAX(l_suppkey) AS maxs
+        |           FROM lineitem),
+        |q AS (
+        |  SELECT CAST((l_partkey * 256) // (maxp + 1) AS INT) AS px,
+        |         CAST((l_suppkey * 256) // (maxs + 1) AS INT) AS py
+        |  FROM lineitem CROSS JOIN m),
+        |z AS (SELECT px, py, ${graft.engine.ZOrder.zExpr("px", "py", "//")} AS z
+        |      FROM q)
+        |SELECT CAST(z // 256 AS BIGINT) AS tile, COUNT(*) AS n_rows,
+        |       CAST(MIN(px) AS BIGINT) AS min_px,
+        |       CAST(MAX(px) AS BIGINT) AS max_px,
+        |       CAST(MIN(py) AS BIGINT) AS min_py,
+        |       CAST(MAX(py) AS BIGINT) AS max_py
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x151: row_number under (h ASC, id ASC) — the same total order
+    // topk_pairs keeps under (−h DESC, id ASC).
+    "x151_group_hash_sample" ->
+      """WITH h AS (
+        |  SELECT event_type, event_id,
+        |         (event_id * 2654435761) % 2147483647 AS h
+        |  FROM events),
+        |r AS (SELECT event_type, event_id, h,
+        |             ROW_NUMBER() OVER (PARTITION BY event_type
+        |                                ORDER BY h, event_id) AS rank
+        |      FROM h)
+        |SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id, h
+        |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import graft.engine.{Tables, ZOrder}
+
+/** x150–x151: corpus-organization operators — a Z-order layout audit (the
+  * multi-dimensional clustering key behind data-skipping file layouts) and
+  * deterministic per-group sampling through the bounded-state native
+  * top-k aggregate. Both pure integer arithmetic → oracle-checked.
+  */
+object Organize {
+
+  /** x150: Z-ORDER LAYOUT AUDIT — quantize (l_partkey, l_suppkey) to 8
+    * bits each, interleave to a 16-bit Morton key ([[ZOrder.zExpr]] —
+    * portable div/mod arithmetic, no engine bit ops), bucket by the top 8
+    * bits (256 tiles), and report per-tile population plus min/max spans
+    * of BOTH dimensions. This is the audit a lakehouse layout job runs
+    * after clustering: on a Z-ordered file layout every tile's span is
+    * bounded in every interleaved dimension (≤ 2·quantile width here,
+    * pinned in Round8Spec), which is exactly what lets a two-sided
+    * predicate skip all but O(√tiles) of the files — a row-order or
+    * single-key sort bounds ONE dimension and leaves the other at full
+    * range.
+    *
+    * 100 TB: the z-key and tile are per-row map arithmetic on the scan;
+    * the audit is one partial+final agg to ≤256 rows; the two dimension
+    * maxima are 1-row broadcast stitches. An actual re-layout would
+    * `repartitionByRange(z)` + sortWithinPartitions — same key, one range
+    * exchange; the audit itself never shuffles fact rows. */
+  def x150(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+    val maxes = li.agg(max(col("l_partkey")).as("maxp"),
+                       max(col("l_suppkey")).as("maxs"))
+    val q = li.crossJoin(broadcast(maxes))
+      .withColumn("px", expr("CAST((l_partkey * 256) DIV (maxp + 1) AS INT)"))
+      .withColumn("py", expr("CAST((l_suppkey * 256) DIV (maxs + 1) AS INT)"))
+      .withColumn("z", expr(ZOrder.zExpr("px", "py", "DIV")))
+    q.withColumn("tile", expr("z DIV 256"))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_rows"),
+           min(col("px")).cast(LongType).as("min_px"),
+           max(col("px")).cast(LongType).as("max_px"),
+           min(col("py")).cast(LongType).as("min_py"),
+           max(col("py")).cast(LongType).as("max_py"))
+      .orderBy("tile")
+  }
+
+  /** x151: DETERMINISTIC PER-GROUP SAMPLE — the 5 events with the
+    * smallest portable multiplicative hash per event type: reproducible
+    * uniform-ish sampling (Knuth's 2654435761 mixer, mod the Mersenne
+    * prime 2³¹−1 — plain BIGINT arithmetic both engines replay; products
+    * stay < 2⁶³ for event ids < ~3.4·10⁹, the shifted-soak headroom).
+    * `topk_pairs(−h, id, 5)` keeps the k-best per (partition, group) in an
+    * O(k) heap — map-side partial aggregation, one shuffled row per group,
+    * no window sort anywhere (the row_number idiom the oracle uses would
+    * sort every partition). The curation move behind "show me 5
+    * representative documents per source" at corpus scale.
+    *
+    * 100 TB: fixed O(k·|groups|) state and output; sampling a different k
+    * or keying by (source, lang) changes constants, not shape. */
+  def x151(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+              col("event_id"),
+              ((col("event_id") * lit(2654435761L)) % lit(2147483647L))
+                .as("h"))
+      .groupBy("event_type")
+      .agg(call_function("topk_pairs",
+        negate(col("h").cast(DoubleType)), col("event_id"), lit(5)).as("tk"))
+      .select(col("event_type"), posexplode(col("tk")))
+      .select(col("event_type"), (col("pos") + 1).cast(LongType).as("rank"),
+              col("col.tag").as("event_id"),
+              negate(col("col.score")).cast(LongType).as("h"))
+      .orderBy("event_type", "rank")
+}

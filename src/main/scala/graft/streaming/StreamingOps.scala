@@ -539,6 +539,7 @@ object StreamingOps {
               col("max_10min"), col("n_events"))
       .orderBy("hour_us", "event_type")
   }
+
 }
 
 /** Idempotent latest-wins UPSERT sink for `foreachBatch` — the streaming

@@ -103,6 +103,33 @@ class Round8Spec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).distinct.length === out.length)
   }
 
+  test("x150 z-order tiles bound BOTH dimensions (the data-skipping property)") {
+    val rows = graft.queries.Organize.x150(spark, sfSmoke).collect()
+    // tile = top 8 interleaved bits = (px high nibble, py high nibble), so
+    // within any tile each quantized coordinate spans < 16 — the two-sided
+    // bound a single-key sort cannot give
+    rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 15, s"px span in tile ${r.getLong(0)}")
+      assert(r.getLong(5) - r.getLong(4) <= 15, s"py span in tile ${r.getLong(0)}")
+    }
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === Tables.lineitem(spark, sfSmoke).count())
+  }
+
+  test("x151 per-group sample: ranks contiguous, hash order, hash recomputes") {
+    val rows = graft.queries.Organize.x151(spark, sfSmoke).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length).toSeq)
+      val hs = sorted.map(_.getLong(3))
+      assert(hs.toSeq === hs.sorted.toSeq, "h must ascend with rank")
+      assert(sorted.length <= 5)
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) === (r.getLong(2) * 2654435761L) % 2147483647L)
+    }
+  }
+
   test("x149 chained stateful windows equal the batch twin under the final watermark") {
     val ev = Tables.events(spark, sfSmoke)
       .select(unix_micros(col("ts")).as("us"), col("event_type"))
