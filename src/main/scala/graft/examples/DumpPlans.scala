@@ -56,19 +56,33 @@ object DumpPlans {
       ("x125_sole_late_supplier", "EXISTS→LeftSemi and NOT EXISTS→LeftAnti on the orderkey lineage; AQE reuses the lineitem⋈orders exchange (ReusedExchange) instead of re-shuffling each arm",
        graft.queries.Relational1.x125(spark, dir)),
       ("x119_triangle_count", "degree-oriented adjacency intersection: keyed joins + one collect_list agg — the O(m^1.5) wedge set never enters a shuffle; the only BNLJ sites are the two 1-row stat crossJoins",
-       graft.queries.Stats.x119(spark, dir)))
+       graft.queries.Stats.x119(spark, dir)),
+      ("x143_tpch_q17_small_qty", "decorrelated Q17: both branches prune lineitem via the SAME part broadcast (ReusedExchange), each pruned scan hashes on l_partkey, attach join co-partitioned — the classic two-scan Q17 shape",
+       graft.queries.Relational3.x143(spark, dir)),
+      ("x146_sliding_median", "exact sliding median: the WindowExec sits ABOVE the (priority, day) partial+final aggregate — the fact-scale shuffle is the rollup, the sorted frame is bounded",
+       graft.queries.IntervalOps.x146(spark, dir)),
+      ("x148_pit_priority_lookup", "SCD2 point-in-time: version-interval window and probe join share the custkey hash partitioning — the lookup adds no exchange beyond the probe side's own",
+       graft.queries.IntervalOps.x148(spark, dir)),
+      ("x150_zorder_layout", "Morton layout audit: z-key and tile are map arithmetic inside WholeStageCodegen on the scan; one partial+final agg to <=256 tiles; dimension maxima are 1-row broadcast stitches",
+       graft.queries.Organize.x150(spark, dir)),
+      ("x151_group_hash_sample", "deterministic per-group sample: topk_pairs ObjectHashAggregate partial+final — no window, no sort, one shuffled row per group",
+       graft.queries.Organize.x151(spark, dir)))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries\n\n")
     sb.append("Generated by `graft.examples.DumpPlans` (AQE-finalized, sf0.001).\n")
     sb.append("What to look for per plan is noted above each block; the same\n")
     sb.append("properties are asserted programmatically in `PlanSpec`.\n\n")
     sb.append("## Exact baselines vs scale paths\n\n")
-    sb.append("Two registered operators are DELIBERATELY not 100 TB plans —\n")
-    sb.append("they are the oracle-exact baselines their approximate twins are\n")
-    sb.append("recall-tested against:\n\n")
+    sb.append("Two registered operators are DELIBERATELY exact brute-force\n")
+    sb.append("baselines: their KERNEL-EVAL count is |Q|*|C|, but their plan\n")
+    sb.append("shape is scale-safe since round 7 — a BOUNDED query set\n")
+    sb.append("broadcast over one candidate scan, collapsed by the\n")
+    sb.append("bounded-state topk_pairs partial aggregate (no corpus\n")
+    sb.append("broadcast, no BNLJ pair materialization). Their sub-linear\n")
+    sb.append("twins are recall-tested against them:\n\n")
     sb.append("| exact (oracle) | scale path | recall test |\n")
     sb.append("|---|---|---|\n")
-    sb.append("| `q46_knn_label_vote` (broadcasts ALL candidate embeddings under BNLJ) | `x18_ann_ivf` (centroid pruning, nprobe cells), `x09_embedding_neardup_lsh` (banded hyperplane LSH) | AnnIvfSpec / LlmExtSpec |\n")
+    sb.append("| `q46_knn_label_vote` (100-query broadcast, topk_pairs partial agg) | `x18_ann_ivf` (centroid pruning, nprobe cells), `x09_embedding_neardup_lsh` (banded hyperplane LSH) | AnnIvfSpec / LlmExtSpec + x111 matrix |\n")
     sb.append("| `q45_similarity_cosine_topk` (brute-force scan, fine: 1-row query broadcast) | `x18_ann_ivf` | AnnIvfSpec |\n")
     try {
       for ((name, note, df) <- picks) {

@@ -23,12 +23,15 @@ object Relational3 {
     * back to the same rows; `2·q·n < Σq` restates `q < avg/2` in BIGINTs.
     *
     * 100 TB: the brand filter prunes parts before anything touches
-    * lineitem; the part join, the per-part aggregate, and the re-join all
-    * hash on `l_partkey`, so after the first exchange the aggregate and
-    * the self-attach reuse the SAME partitioning — Catalyst plans one
-    * shuffle of the pruned rows, and the stats side (≤ |brand parts| rows)
-    * broadcasts at test scale by statistics, degrading to the co-hashed
-    * join when a 100 TB part table outgrows it (deliberately unhinted). */
+    * lineitem, and BOTH branches prune lineitem through the SAME part
+    * broadcast (a `ReusedExchange` in the executed plan). The classic Q17
+    * shape scans the fact twice — once to build per-part stats, once to
+    * re-attach them — each scan reduced to the ~2 % brand slice before its
+    * `l_partkey` exchange; the attach join is co-partitioned on that key
+    * (AQE picks broadcast at test scale, degrades to the co-hashed
+    * SortMergeJoin at 100 TB — deliberately unhinted). A cached `bl`
+    * would trade the second pruned scan for corpus-sized executor memory;
+    * at fact scale the re-scan is the cheaper side of that trade. */
   def x143(spark: SparkSession, dir: String): DataFrame = {
     val brand = Tables.part(spark, dir)
       .filter(col("p_brand") === "Brand#13").select("p_partkey")

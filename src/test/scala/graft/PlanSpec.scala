@@ -379,4 +379,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       "the 1-row stats stitch must be a broadcast, never a cartesian")
   }
+
+  test("x143: both Q17 branches prune lineitem through ONE part broadcast (ReusedExchange)") {
+    val p = plan(Relational3.x143(spark, sfSmoke))
+    assert(p.contains("ReusedExchange"),
+      "the brand broadcast must be built once and reused by the stats branch:\n" + p.take(600))
+    assert(p.contains("PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,Brand#13)"),
+      "the brand predicate must reach the part scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x146: the sliding-median WindowExec sits above the (priority, day) aggregate — never over raw orders") {
+    val p = plan(IntervalOps.x146(spark, sfSmoke))
+    // the plan prints children below their parent, so the daily aggregate
+    // must appear between the frame-collecting Window and the orders scan
+    val w = p.indexOf("Window [collect_list")
+    assert(w >= 0, "frame collection must run as a Window:\n" + p.take(400))
+    val below = p.substring(w)
+    val agg = below.indexOf("HashAggregate")
+    val scan = below.indexOf("FileScan parquet")
+    assert(agg >= 0 && scan >= 0 && agg < scan,
+      "window input must be the bounded daily aggregate, not fact rows")
+  }
+
+  test("x151: per-group sampling is a topk_pairs partial+final aggregate — no window, no per-partition sort of events") {
+    val p = plan(Organize.x151(spark, sfSmoke))
+    assert(p.contains("partial_topk_pairs"),
+      "map-side heap must partial-aggregate before the group shuffle:\n" + p.take(600))
+    assert(!p.contains("Window"), "the row_number idiom belongs to the oracle only")
+  }
 }
