@@ -171,6 +171,35 @@ object OracleSqlRound8 {
         |                                ORDER BY h, event_id) AS rank
         |      FROM h)
         |SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id, h
-        |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+        |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
+
+    // x152: correlated MIN decorrelated — arg_min is stated as the
+    // row_number twin so the (cost, suppkey) tie order is explicit.
+    "x152_tpch_q2_min_supplier" ->
+      """WITH costs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS cost_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size = 15
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |                ORDER BY cost_cents, l_suppkey) AS rn
+        |      FROM costs)
+        |SELECT l_partkey, l_suppkey, s_name, cost_cents
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
+
+    // x153: powers of two <= 2^20 are exact in doubles, the BIGINT cast
+    // exact on both engines — integer-deterministic time decay.
+    "x153_decay_engagement" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT MAX(us) AS max_us FROM ev)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(POWER(2.0, 20 - LEAST((max_us - us) // 604800000000,
+        |                                           20)) AS BIGINT)) AS BIGINT)
+        |         AS decay_score
+        |FROM ev CROSS JOIN m
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

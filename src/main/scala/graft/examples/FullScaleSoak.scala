@@ -91,22 +91,29 @@ object FullScaleSoak {
 
     case class R(key: String, base: Double, big: Double, err: String)
     val rows = keys.map { k =>
-      def once(dir: String): Either[String, Double] = {
+      def once(dir: String): Either[String, (Double, Long)] = {
         val t0 = System.nanoTime()
-        try { graft.SparkEntry.queries(k)(spark, dir).count()
-              Right((System.nanoTime() - t0) / 1e9) }
+        try { val n = graft.SparkEntry.queries(k)(spark, dir).count()
+              Right(((System.nanoTime() - t0) / 1e9, n)) }
         catch { case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
       }
       (once(src), once(out)) match {
-        case (Right(b), Right(g)) =>
+        // a 10x run that returns ZERO rows where the base returned some is
+        // a silently-broken measurement, not a fast one (the round-7 soak
+        // recorded 0.1x streaming "ratios" this way: the staged replay
+        // ingested no files) — fail the key instead of flattering it
+        case (Right((b, nb)), Right((g, ng))) if nb > 0 && ng == 0 =>
+          println(s"[soak] $k EMPTY at 10x ($nb base rows -> 0)")
+          R(k, b, g, s"10x returned 0 rows (base $nb)")
+        case (Right((b, _)), Right((g, _))) =>
           println(f"[soak] $k%-28s base=$b%6.2f s  10x=$g%6.2f s  ratio=${g / b}%5.1f")
           R(k, b, g, "")
         case (b, g) =>
           val err = Seq(b.left.toOption.map("base: " + _),
                         g.left.toOption.map("10x: " + _)).flatten.mkString("; ")
           println(s"[soak] $k FAILED — $err")
-          R(k, b.getOrElse(-1.0), g.getOrElse(-1.0), err)
+          R(k, b.map(_._1).getOrElse(-1.0), g.map(_._1).getOrElse(-1.0), err)
       }
     }
     val body = rows.map { r =>

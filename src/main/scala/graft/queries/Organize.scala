@@ -74,4 +74,29 @@ object Organize {
               col("col.tag").as("event_id"),
               negate(col("col.score")).cast(LongType).as("h"))
       .orderBy("event_type", "rank")
+
+  /** x153: HALF-LIFE DECAYED ENGAGEMENT — per-user recency-weighted event
+    * mass: each event contributes 2^(20 − min(age_weeks, 20)) where age is
+    * whole weeks before the corpus's newest event. The freshness score
+    * behind "prefer recently-active sources" curation and churn features —
+    * an EWMA with a 1-week half-life, but in EXACT integer arithmetic:
+    * weights are powers of two ≤ 2²⁰ (2^k is exact in doubles, the BIGINT
+    * cast exact on both engines), so the oracle hash cannot drift the way
+    * a float exp(−λΔt) would.
+    *
+    * 100 TB: the corpus max is a 1-row broadcast stitch; the weight is
+    * per-row map arithmetic; the per-user rollup is one partial+final agg
+    * — the same shape as any sum, decay adds zero shuffle. */
+  def x153(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val newest = ev.agg(max(col("us")).as("max_us"))
+    ev.crossJoin(broadcast(newest))
+      .withColumn("age_w", least(
+        expr("(max_us - us) DIV 604800000000"), lit(20L)))
+      .withColumn("w", expr("CAST(POWER(2.0D, 20 - age_w) AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("decay_score"))
+      .orderBy("user_id")
+  }
 }

@@ -106,4 +106,35 @@ object Relational3 {
       .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("bal_cents"))
       .orderBy("c_nationkey")
   }
+
+  /** x152: TPC-H Q2 shape — the CHEAPEST SUPPLIER per part of one size
+    * family: a correlated `= (SELECT MIN ...)` argmin decorrelated into a
+    * `min_by` partial aggregate over the per-(part, supplier) cost rollup,
+    * ties broken on suppkey so the winner is total-ordered (Q2's multi-key
+    * ORDER BY discipline).
+    *
+    * 100 TB: the size filter prunes parts before lineitem is touched
+    * (broadcast semi-join shape); the (part, supplier) rollup and the
+    * per-part argmin hash on l_partkey — the argmin rides the rollup's
+    * partitioning as a second partial+final `min_by` with NO window sort;
+    * the name attach is a |suppliers|-bounded broadcast. */
+  def x152(spark: SparkSession, dir: String): DataFrame = {
+    val sized = Tables.part(spark, dir)
+      .filter(col("p_size") === 15).select("p_partkey")
+    val costs = Tables.lineitem(spark, dir)
+      .join(sized, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast(LongType))
+             .as("cost_cents"))
+    costs.groupBy("l_partkey")
+      .agg(min_by(struct(col("l_suppkey"), col("cost_cents")),
+                  struct(col("cost_cents"), col("l_suppkey"))).as("best"))
+      .select(col("l_partkey"), col("best.l_suppkey").as("l_suppkey"),
+              col("best.cost_cents").as("cost_cents"))
+      .join(Tables.supplier(spark, dir),
+            col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("s_name"),
+              col("cost_cents"))
+      .orderBy("l_partkey")
+  }
 }

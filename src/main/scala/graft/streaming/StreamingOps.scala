@@ -220,14 +220,36 @@ object StreamingOps {
     * replay borrows the batch loader's resolved schema — [[Tables.events]]
     * already normalizes every variant to µs TimestampType — and applies the
     * matching normalization on the stream side. */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Stages `<dir>/<table>.parquet` for the file-stream source. The source
+    * lists the staged dir FLAT, so a symlink to a multi-part parquet
+    * DIRECTORY (the 10x soak copies) matches nothing and the replay
+    * silently ingests ZERO rows — exactly how the round-7 soak got its
+    * nonsense 0.1x streaming "ratios". Link part files individually for
+    * directories, the file itself otherwise. */
+  private def stageStreamInput(root: String, dir: String,
+                               table: String): java.nio.file.Path = {
     val staged = java.nio.file.Paths.get(
-      "/tmp/graft_stream", dir.replaceAll("[^A-Za-z0-9]", "_"))
+      root, dir.replaceAll("[^A-Za-z0-9]", "_"))
     java.nio.file.Files.createDirectories(staged)
-    val link = staged.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(dir, "events.parquet"))
+    val src = java.nio.file.Paths.get(dir, s"$table.parquet")
+    if (java.nio.file.Files.isDirectory(src)) {
+      java.nio.file.Files.list(src).forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val l = staged.resolve(p.getFileName.toString)
+          if (!java.nio.file.Files.exists(l))
+            java.nio.file.Files.createSymbolicLink(l, p)
+        }
+      }
+    } else {
+      val link = staged.resolve(s"$table.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, src)
+    }
+    staged
+  }
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageStreamInput("/tmp/graft_stream", dir, "events")
     val rawType = spark.read.parquet(s"$dir/events.parquet")
       .schema("ts").dataType
     val schema = StructType(Seq(
@@ -245,13 +267,7 @@ object StreamingOps {
   /** The documents parquet replayed as a stream (same staging trick as
     * [[eventsStream]]). */
   private def documentsStream(spark: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Paths.get(
-      "/tmp/graft_stream_docs", dir.replaceAll("[^A-Za-z0-9]", "_"))
-    java.nio.file.Files.createDirectories(staged)
-    val link = staged.resolve("documents.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(dir, "documents.parquet"))
+    val staged = stageStreamInput("/tmp/graft_stream_docs", dir, "documents")
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
@@ -525,20 +541,23 @@ object StreamingOps {
     * not stream length; the second operator's input is the first's
     * AGGREGATE (one row per closed 10-min window per type), so the hourly
     * re-agg shuffles ~1/10⁴ of the event volume. */
-  def x149(spark: SparkSession, dir: String): DataFrame = {
-    val tenMin = eventsStream(spark, dir)
-      .withWatermark("ts", "10 minutes")
+  /** The two-stateful-operator chain, factored out so the MemoryStream spec
+    * can drive it across batches (cross-batch accumulation + exactly-once
+    * flush are what the single-batch oracle cannot witness). */
+  def chainedWindows(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "10 minutes").as("w10"), col("event_type"))
       .agg(count(lit(1)).as("n10"))
-    val hourly = tenMin
       .groupBy(window(window_time(col("w10")), "1 hour").as("wh"),
                col("event_type"))
       .agg(max(col("n10")).as("max_10min"), sum(col("n10")).as("n_events"))
-    runToTable(spark, hourly, s"x149_sink_${System.nanoTime()}", "append")
+
+  def x149(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, chainedWindows(eventsStream(spark, dir)),
+               s"x149_sink_${System.nanoTime()}", "append")
       .select(unix_micros(col("wh.start")).as("hour_us"), col("event_type"),
               col("max_10min"), col("n_events"))
       .orderBy("hour_us", "event_type")
-  }
 
 }
 

@@ -130,6 +130,41 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("x152 each part's winner is the true per-part cost minimum") {
+    import graft.queries.Relational3
+    val out = Relational3.x152(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(0)).distinct.length === out.length,
+      "exactly one supplier per part")
+    // naive rebuild of the (part, supplier) cost grid
+    val costs = Tables.lineitem(spark, sfSmoke)
+      .join(Tables.part(spark, sfSmoke).filter(col("p_size") === 15),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("c"))
+      .collect().groupBy(_.getLong(0))
+    out.foreach { r =>
+      val grid = costs(r.getLong(0)).map(x => (x.getLong(2), x.getLong(1)))
+      assert((r.getLong(3), r.getLong(1)) === grid.min,
+        s"part ${r.getLong(0)}: winner must be min under (cost, suppkey)")
+    }
+  }
+
+  test("x153 decay weights are powers of two within [1, 2^20] and newest user is maximal") {
+    import graft.queries.Organize
+    val out = Organize.x153(spark, sfSmoke).collect()
+    out.foreach { r =>
+      val (n, s) = (r.getLong(1), r.getLong(2))
+      assert(s >= n && s <= n * (1L << 20), s"user ${r.getLong(0)} score out of range")
+    }
+    // the user owning the corpus's newest event must carry a full-weight
+    // (2^20) contribution
+    val newest = Tables.events(spark, sfSmoke)
+      .orderBy(col("ts").desc).select("user_id").head.getLong(0)
+    val top = out.find(_.getLong(0) === newest).get
+    assert(top.getLong(2) >= (1L << 20))
+  }
+
   test("x149 chained stateful windows equal the batch twin under the final watermark") {
     val ev = Tables.events(spark, sfSmoke)
       .select(unix_micros(col("ts")).as("us"), col("event_type"))

@@ -103,6 +103,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(total === evs.size.toLong)
   }
 
+  test("x149 chained windows accumulate across batches and flush each hour exactly once") {
+    val mem = MemoryStream[Ev](spark)
+    val B = 600L // minutes; clear of the epoch-0 initial watermark
+    val out = runStream(mem,
+      df => graft.streaming.StreamingOps.chainedWindows(df),
+      "append", "x149_test",
+      batches = Seq(
+        // batch 1: hour H gets 3 views in one 10-min window, 1 in another
+        Seq(Ev(1, ts(B), 1, "view", 1.0, "{}"),
+            Ev(2, ts(B + 2), 2, "view", 1.0, "{}"),
+            Ev(3, ts(B + 4), 3, "view", 1.0, "{}"),
+            Ev(4, ts(B + 15), 1, "view", 1.0, "{}")),
+        // batch 2: one more row in H's third 10-min window (the operator
+        // must MERGE it into hour-H state left from batch 1), plus a
+        // far-future row that pushes the watermark past H's end so BOTH
+        // stateful operators flush H — once
+        Seq(Ev(5, ts(B + 25), 2, "view", 1.0, "{}"),
+            Ev(6, ts(B + 600), 9, "view", 1.0, "{}"))))
+    val got = out
+      .select(unix_micros(col("wh.start")).as("h"), col("event_type"),
+              col("max_10min"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // hour containing B=600min (hour index 10) emitted exactly once:
+    // windows (3,1,1) → max 3, total 5. The far-future hour stays in state.
+    val hUs = (B / 60) * 3600000000L
+    assert(got.toSeq === Seq((hUs, "view", 3L, 5L)))
+  }
+
   test("x19 flatMapGroupsWithState sessions: gap close, timeout close, state kept open") {
     val mem = MemoryStream[Ev](spark)
     // minutes offset from epoch: rows AT the initial watermark (epoch 0) are
