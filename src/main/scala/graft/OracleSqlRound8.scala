@@ -200,6 +200,24 @@ object OracleSqlRound8 {
         |                                           20)) AS BIGINT)) AS BIGINT)
         |         AS decay_score
         |FROM ev CROSS JOIN m
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // x154: the anchor-date islands device — day − row_number() is
+    // constant exactly within a consecutive-day run.
+    "x154_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id,
+        |         day - ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                  ORDER BY day) AS anchor
+        |  FROM days),
+        |islands AS (
+        |  SELECT user_id, anchor, COUNT(*) AS len
+        |  FROM runs GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |       CAST(MAX(len) AS BIGINT) AS longest_streak
+        |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -99,4 +99,33 @@ object Organize {
       .agg(count(lit(1)).as("n_events"), sum(col("w")).as("decay_score"))
       .orderBy("user_id")
   }
+
+  /** x154: GAPS-AND-ISLANDS — per-user activity-day count and LONGEST
+    * consecutive-day streak, via the anchor-date device: over each user's
+    * distinct active days in order, `day − row_number() days` is constant
+    * exactly within a run of consecutive days, so grouping by that anchor
+    * materializes the islands without any self-join or iteration. The
+    * classic retention/habit metric (N-day streaks) and the canonical SQL
+    * pattern the surface still lacked.
+    *
+    * 100 TB: the distinct-day dedup is the only event-scale shuffle
+    * (partial+final on (user, day)); the window and both rollups all ride
+    * the user_id hash — per-user day counts are calendar-bounded (≤ a few
+    * thousand rows per key regardless of event volume), so the window
+    * partitions stay small even when users are hot. */
+  def x154(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("anchor", col("day") - row_number().over(w))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("n_active_days"),
+           max(col("len")).as("longest_streak"))
+      .orderBy("user_id")
+  }
 }

@@ -165,6 +165,27 @@ class Round8Spec extends AnyFunSuite {
     assert(top.getLong(2) >= (1L << 20))
   }
 
+  test("x154 islands: longest streak bounded by active days and matches a naive scan") {
+    import graft.queries.Organize
+    val out = Organize.x154(spark, sfSmoke).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (n, s) => assert(s >= 1 && s <= n) }
+    // naive per-user streak scan over the distinct active days
+    val days = Tables.events(spark, sfSmoke)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted)
+    days.foreach { case (u, ds) =>
+      val streaks = ds.foldLeft(List.empty[(Long, Long)]) { // (start, len)
+        case (acc @ ((s, l) :: t), d) if acc.nonEmpty && d == s + l => (s, l + 1) :: t
+        case (acc, d) => (d, 1L) :: acc
+      }
+      assert(out(u) === ((ds.length.toLong, streaks.map(_._2).max)),
+        s"user $u")
+    }
+  }
+
   test("x149 chained stateful windows equal the batch twin under the final watermark") {
     val ev = Tables.events(spark, sfSmoke)
       .select(unix_micros(col("ts")).as("us"), col("event_type"))
