@@ -254,5 +254,6 @@ object OracleSql {
 
   def all: Map[String, String] =
     relational ++ OracleSqlMl.all ++ OracleSqlWrangle.wrangle ++
-      OracleSqlFeatures.features ++ OracleSqlRound8.round8
+      OracleSqlFeatures.features ++ OracleSqlRound8.round8 ++
+      OracleSqlRound8b.round8b
 }
