@@ -159,6 +159,103 @@ object OracleSqlRound8b {
         |FROM v CROSS JOIN (SELECT CAST(SUM(value_u) AS BIGINT) AS total_u,
         |                          COUNT(*) AS n_parts FROM v) t
         |WHERE value_u * n_parts > total_u * 2
-        |ORDER BY value_u DESC, l_partkey""".stripMargin
+        |ORDER BY value_u DESC, l_partkey""".stripMargin,
+
+    // x165: Hamilton largest-remainder apportionment — quotas, remainders
+    // and ranks all exact BIGINTs; Σalloc == 1 000 000 by construction.
+    "x165_token_budget_apportion" ->
+      """WITH m AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(mass) AS BIGINT) AS total FROM m),
+        |b AS (SELECT source, mass,
+        |             CAST(mass * 1000000 // total AS BIGINT) AS base,
+        |             CAST((mass * 1000000) % total AS BIGINT) AS rem
+        |      FROM m CROSS JOIN t),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+        |             CAST(1000000 - SUM(base) OVER () AS BIGINT) AS leftover
+        |      FROM b)
+        |SELECT source, mass,
+        |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |            AS BIGINT) AS alloc
+        |FROM r ORDER BY source""".stripMargin,
+
+    // x166: the oracle states the SEMANTICS with the plain source join;
+    // the engine's (source, length-bucket) join is pinned exhaustive by
+    // Round8cSpec (|Δ| ≤ 25 < 128-char bucket width).
+    "x166_parallel_pair_candidates" ->
+      """SELECT a.source, a.doc_id AS en_doc, b.doc_id AS other_doc,
+        |       b.lang AS other_lang, CAST(a.n_chars AS BIGINT) AS en_chars,
+        |       CAST(b.n_chars AS BIGINT) AS other_chars
+        |FROM documents a JOIN documents b ON a.source = b.source
+        |WHERE a.lang = 'en' AND b.lang <> 'en'
+        |  AND ABS(a.n_chars - b.n_chars) <= 25
+        |ORDER BY a.source, en_doc, other_doc""".stripMargin,
+
+    "x167_table_profile" ->
+      """WITH o AS (SELECT o_custkey,
+        |                  CAST(ROUND(o_totalprice*100,0) AS BIGINT)
+        |                    AS total_cents,
+        |                  epoch_us(o_orderdate) AS odate_us FROM orders),
+        |s AS (SELECT
+        |  COUNT(o_custkey) AS c1, COUNT(DISTINCT o_custkey) AS d1,
+        |  MIN(o_custkey) AS mn1, MAX(o_custkey) AS mx1,
+        |  COUNT(total_cents) AS c2, COUNT(DISTINCT total_cents) AS d2,
+        |  MIN(total_cents) AS mn2, MAX(total_cents) AS mx2,
+        |  COUNT(odate_us) AS c3, COUNT(DISTINCT odate_us) AS d3,
+        |  MIN(odate_us) AS mn3, MAX(odate_us) AS mx3 FROM o)
+        |SELECT col_name, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'o_custkey' AS col_name, 'n_nonnull' AS metric, c1 AS value FROM s
+        |  UNION ALL SELECT 'o_custkey', 'n_distinct', d1 FROM s
+        |  UNION ALL SELECT 'o_custkey', 'min', mn1 FROM s
+        |  UNION ALL SELECT 'o_custkey', 'max', mx1 FROM s
+        |  UNION ALL SELECT 'total_cents', 'n_nonnull', c2 FROM s
+        |  UNION ALL SELECT 'total_cents', 'n_distinct', d2 FROM s
+        |  UNION ALL SELECT 'total_cents', 'min', mn2 FROM s
+        |  UNION ALL SELECT 'total_cents', 'max', mx2 FROM s
+        |  UNION ALL SELECT 'odate_us', 'n_nonnull', c3 FROM s
+        |  UNION ALL SELECT 'odate_us', 'n_distinct', d3 FROM s
+        |  UNION ALL SELECT 'odate_us', 'min', mn3 FROM s
+        |  UNION ALL SELECT 'odate_us', 'max', mx3 FROM s)
+        |ORDER BY col_name, metric""".stripMargin,
+
+    // x168: row_number rn=1 under (n_orders DESC, partner ASC) — the same
+    // total order as the engine's max_by(struct(n_orders, −partner)).
+    "x168_copurchase_top1" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pc AS (SELECT a.l_partkey AS part, b.l_partkey AS partner,
+        |              COUNT(*) AS n_orders
+        |       FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+        |                          AND a.l_partkey <> b.l_partkey
+        |       GROUP BY 1, 2),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY part
+        |                 ORDER BY n_orders DESC, partner) AS rn FROM pc)
+        |SELECT part, partner, CAST(n_orders AS BIGINT) AS n_orders
+        |FROM rk WHERE rn = 1 ORDER BY part""".stripMargin,
+
+    // x169: `cnt·n_days − total` clears the mean of division — the CUSUM
+    // and its peak are exact BIGINTs; peak ties break on earliest day.
+    "x169_event_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         epoch_us(DATE_TRUNC('day', ts)) // 86400000000 AS day,
+        |         COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |              CAST(SUM(cnt) AS BIGINT) AS total
+        |       FROM daily GROUP BY 1),
+        |dev AS (SELECT d.event_type, day,
+        |               CAST(cnt*n_days - total AS BIGINT) AS dev
+        |        FROM daily d JOIN st USING (event_type)),
+        |cs AS (SELECT event_type, day,
+        |              CAST(SUM(dev) OVER (PARTITION BY event_type
+        |                                  ORDER BY day) AS BIGINT) AS cusum
+        |       FROM dev)
+        |SELECT event_type, CAST(MAX(ABS(cusum)) AS BIGINT) AS max_abs_cusum,
+        |       CAST(MIN(CASE WHEN rnk = 1 THEN day END) AS BIGINT)
+        |         AS argmax_day
+        |FROM (SELECT *, RANK() OVER (PARTITION BY event_type
+        |                             ORDER BY ABS(cusum) DESC, day) AS rnk
+        |      FROM cs)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
