@@ -256,6 +256,51 @@ object OracleSqlRound8b {
         |FROM (SELECT *, RANK() OVER (PARTITION BY event_type
         |                             ORDER BY ABS(cusum) DESC, day) AS rnk
         |      FROM cs)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x170: the oracle states skip-gram semantics with the positional
+    // self-join; the engine builds pairs map-side from the token array
+    // (PlanSpec pins the join-free shape).
+    "x170_skipgram_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok, t.pos
+        |  FROM documents,
+        |       LATERAL (SELECT UNNEST(string_split(text, ' ')) AS tok,
+        |                generate_subscripts(string_split(text, ' '), 1)
+        |                  AS pos) t),
+        |pairs AS (
+        |  SELECT a.tok AS w1, b.tok AS w2
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2)
+        |SELECT w1, w2, COUNT(*) AS n_pairs
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY n_pairs DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // x171: med2 = the SUM of the two middle order statistics (median =
+    // med2/2, exact BIGINT; for odd n both ranks coincide and med2 = 2·v).
+    // The oracle full-sorts with row_number; the engine's two-phase
+    // histogram never sorts rows.
+    "x171_exact_median_histogram" ->
+      """WITH c AS (SELECT CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+        |           FROM orders),
+        |n AS (SELECT COUNT(*) AS n FROM c),
+        |r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rk FROM c)
+        |SELECT (SELECT n FROM n) AS n_rows,
+        |       CAST(SUM(CASE WHEN rk IN ((SELECT (n+1)//2 FROM n),
+        |                                 (SELECT n//2+1 FROM n))
+        |                     THEN cents ELSE 0 END)
+        |            * CASE WHEN (SELECT n FROM n) % 2 = 1 THEN 2 ELSE 1 END
+        |            AS BIGINT) AS med2_cents
+        |FROM r""".stripMargin,
+
+    // x172: ≤1000 mod-2⁵³ terms per range keep every sum below 2⁶³ on
+    // both engines; the checksum is a commutative sum, so partial
+    // aggregation is exact and partition-order-free.
+    "x172_range_checksums" ->
+      """SELECT o_orderkey // 1000 AS key_range, COUNT(*) AS n_rows,
+        |       CAST(SUM((o_orderkey * 2654435761 + o_custkey * 40503
+        |                 + CAST(ROUND(o_totalprice*100,0) AS BIGINT))
+        |                % 9007199254740881) AS BIGINT) AS checksum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

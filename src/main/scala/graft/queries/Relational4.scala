@@ -260,17 +260,21 @@ object Relational4 {
     * surface, ordered by suppkey.
     *
     * 100 TB: the date filter pushes into the fact scan; ONE per-supplier
-    * aggregate (≤|suppliers| rows) is both the max's input and the
-    * filter's input — Catalyst reuses the exchange (ReusedExchange in the
-    * executed plan) instead of scanning twice. */
+    * aggregate (≤|suppliers| rows), and the fact is scanned ONCE — the
+    * scalar max rides a global window over that bounded aggregate instead
+    * of a second aggregate branch (the cross-joined `agg(max)` form
+    * re-scans the fact when exchange reuse doesn't materialize under AQE;
+    * the window form can't — PlanSpec pins the single lineitem scan). */
   def x162(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
               col("l_shipdate") <  lit("1996-04-01").cast(TimestampType))
       .groupBy("l_suppkey")
       .agg(sum(revU).as("total_u"))
-    val top = rev.agg(max(col("total_u")).as("max_u"))
-    rev.crossJoin(broadcast(top))
+    val w = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    rev.withColumn("max_u", max(col("total_u")).over(w))
       .filter(col("total_u") === col("max_u"))
       .join(Tables.supplier(spark, dir),
             col("l_suppkey") === col("s_suppkey"))

@@ -408,4 +408,74 @@ class PlanSpec extends AnyFunSuite {
       "map-side heap must partial-aggregate before the group shuffle:\n" + p.take(600))
     assert(!p.contains("Window"), "the row_number idiom belongs to the oracle only")
   }
+
+  test("x158: Q9 profit never shuffles the fact on a high-cardinality key — every attach is broadcast") {
+    val p = plan(Relational4.x158(spark, sfSmoke))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "part/supplier attaches must broadcast; the only exchange is the (nation, year) aggregate")
+    assert(p.contains("PushedFilters: [IsNotNull(p_name), StringEndsWith(p_name,widget)"),
+      "the name filter must reach the part scan")
+  }
+
+  test("x161: the Q19 disjunction pushes into BOTH scans, not just the join residual") {
+    val p = plan(Relational4.x161(spark, sfSmoke))
+    // the OR-of-ANDs factors per side: quantity ranges reach lineitem's
+    // parquet scan, brand/size clauses reach part's
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      "quantity disjunction must reach the lineitem scan:\n" + p.take(800))
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      "brand/size disjunction must reach the part scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  // AQE's toString prints "== Final Plan ==" followed by the pre-adaptive
+  // "== Initial Plan ==" — scan-counting must look at the final section only
+  private def finalPlan(p: String): String = {
+    val i = p.indexOf("== Initial Plan ==")
+    if (i >= 0) p.substring(0, i) else p
+  }
+
+  test("x162: the Q15 scalar max costs no second fact scan — lineitem is read exactly once") {
+    val p = finalPlan(plan(Relational4.x162(spark, sfSmoke)))
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans === 1,
+      s"expected exactly one lineitem scan, found $scans:\n" + p.take(800))
+    assert(p.contains("Window"), "the max must ride the bounded-aggregate window")
+  }
+
+  test("x168: the co-purchase self-join scans lineitem once (ReusedExchange) and the argmax is windowless") {
+    val p = finalPlan(plan(Organize2.x168(spark, sfSmoke)))
+    assert(p.contains("ReusedExchange"),
+      "the distinct (order, part) exchange must be built once and reused:\n" + p.take(600))
+    assert(!p.contains("Window"), "argmax must be a max_by aggregate, not a window sort")
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected one lineitem scan, found $scans")
+  }
+
+  test("x170: skip-gram pairs are built MAP-SIDE — no join anywhere, top-k is a heap") {
+    val p = finalPlan(plan(Organize3.x170(spark, sfSmoke)))
+    assert(!p.contains("Join"),
+      "pairs must come from array zips on the scan, not a positional self-join:\n" +
+        p.take(600))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 must be a per-partition heap over the pair aggregate")
+  }
+
+  test("x171: the two-phase median sorts no rows — orders scanned twice, windows only over bounded aggregates") {
+    val df = Organize3.x171(spark, sfSmoke)
+    val p = finalPlan(plan(df))
+    val scans = "orders\\.parquet".r.findAllIn(p).size
+    assert(scans === 2, s"phase-1 histogram + pruned phase-2 rescan, found $scans")
+    // every Window sits above a HashAggregate (bucket or value rollup),
+    // never directly above the scan
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Window")).foreach { case (_, i) =>
+      val below = lines.drop(i + 1)
+      val agg = below.indexWhere(_.contains("HashAggregate"))
+      val scan = below.indexWhere(_.contains("FileScan"))
+      assert(agg >= 0 && (scan < 0 || agg < scan),
+        "window input must be a bounded aggregate, not fact rows")
+    }
+  }
 }
