@@ -301,6 +301,64 @@ object OracleSqlRound8b {
         |       CAST(SUM((o_orderkey * 2654435761 + o_custkey * 40503
         |                 + CAST(ROUND(o_totalprice*100,0) AS BIGINT))
         |                % 9007199254740881) AS BIGINT) AS checksum
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x173: the oracle is the ONE-PASS aggregate; the engine merges two
+    // partial states — equality is the incremental-maintenance theorem
+    // for decomposable aggregates.
+    "x173_incremental_agg_merge" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(MIN(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |    AS min_cents,
+        |  CAST(MAX(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |    AS max_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x174: both engines derive snapshot B with the same +1-cent drift
+    // and report each checksum-flagged range with its changed-row count.
+    "x174_snapshot_range_diff" ->
+      """WITH a AS (SELECT o_orderkey, o_custkey,
+        |                  CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+        |           FROM orders),
+        |b AS (SELECT o_orderkey, o_custkey,
+        |             cents + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END
+        |               AS cents FROM a),
+        |ca AS (SELECT o_orderkey // 1000 AS key_range,
+        |              CAST(SUM((o_orderkey*2654435761 + o_custkey*40503
+        |                        + cents) % 9007199254740881) AS BIGINT) AS cs
+        |       FROM a GROUP BY 1),
+        |cb AS (SELECT o_orderkey // 1000 AS key_range,
+        |              CAST(SUM((o_orderkey*2654435761 + o_custkey*40503
+        |                        + cents) % 9007199254740881) AS BIGINT) AS cs
+        |       FROM b GROUP BY 1),
+        |flagged AS (SELECT ca.key_range FROM ca JOIN cb USING (key_range)
+        |            WHERE ca.cs <> cb.cs)
+        |SELECT x.o_orderkey // 1000 AS key_range, COUNT(*) AS n_changed
+        |FROM a x JOIN b y USING (o_orderkey)
+        |WHERE x.cents <> y.cents
+        |  AND x.o_orderkey // 1000 IN (SELECT key_range FROM flagged)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x175: lower weighted median — smallest value whose doubled running
+    // weight reaches the group total; the oracle window-sorts per group,
+    // the engine's two-phase histogram never sorts rows.
+    "x175_weighted_median_grouped" ->
+      """WITH v AS (SELECT l_returnflag AS flag,
+        |                  CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+        |                    AS cents,
+        |                  CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |g AS (SELECT flag, cents, CAST(SUM(w) AS BIGINT) AS w
+        |      FROM v GROUP BY 1, 2),
+        |c AS (SELECT flag, cents, w,
+        |             CAST(SUM(w) OVER (PARTITION BY flag ORDER BY cents)
+        |                  AS BIGINT) AS cw,
+        |             CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+        |      FROM g)
+        |SELECT flag, tw AS total_weight,
+        |       CAST(MIN(CASE WHEN 2*cw >= tw THEN cents END) AS BIGINT)
+        |         AS wmed_cents
+        |FROM c GROUP BY flag, tw ORDER BY flag""".stripMargin
   )
 }

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.engine.Tables
+
+/** x173–x175: incremental-maintenance and robust-statistics operators —
+  * the partial-aggregate merge behind materialized-view delta refresh,
+  * the checksum-guided snapshot diff that row-compares only disagreeing
+  * ranges, and a grouped weighted median on the two-phase histogram (no
+  * per-group sort). All integer arithmetic → oracle-checked per §7.4.
+  */
+object Organize4 {
+
+  private def centsCol = round(col("o_totalprice") * 100, 0).cast(LongType)
+
+  /** x173: INCREMENTAL AGGREGATE MERGE — materialized-view delta refresh:
+    * the base partition (6/7 of orders) and the delta (1/7) are aggregated
+    * SEPARATELY, then merged by re-aggregating the two partial states
+    * (count→sum, sum→sum, min→min, max→max). The oracle computes the same
+    * statistics in one pass over everything — their equality IS the
+    * incremental-maintenance theorem for decomposable aggregates, checked
+    * row-by-row by the driver.
+    *
+    * 100 TB: this is WHY a 100 TB MV refresh costs only the delta: the
+    * base's partial state (≤|priorities| rows) persists between refreshes;
+    * each refresh aggregates the delta and merges two tiny states. The
+    * merge re-agg here is ≤2·|priorities| rows; both branch aggregates
+    * partial+final on the same key. (Decomposability has limits — exact
+    * count-distinct doesn't merge; x108's HLL is the mergeable stand-in.) */
+  def x173(spark: SparkSession, dir: String): DataFrame = {
+    def slice(pred: org.apache.spark.sql.Column): DataFrame =
+      Tables.orders(spark, dir).filter(pred)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum(centsCol).as("sum_cents"),
+             min(centsCol).as("min_cents"), max(centsCol).as("max_cents"))
+    val base  = slice(col("o_orderkey") % 7 =!= 0)
+    val delta = slice(col("o_orderkey") % 7 === 0)
+    base.unionByName(delta)
+      .groupBy("o_orderpriority")
+      .agg(sum(col("n_orders")).as("n_orders"),
+           sum(col("sum_cents")).as("sum_cents"),
+           min(col("min_cents")).as("min_cents"),
+           max(col("max_cents")).as("max_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** x174: SNAPSHOT RANGE DIFF — the Merkle protocol end-to-end: snapshot
+    * B is A with a deterministic in-flight mutation (+1 cent on every
+    * orderkey ≡ 0 mod 97); both sides roll up x172's range checksums; the
+    * row-level compare then joins ONLY the ranges whose checksums
+    * disagree. Reports each flagged range with its true changed-row
+    * count.
+    *
+    * 100 TB: the checksum pass is one partial+final agg per side; the
+    * expensive row-by-row compare is gated by the ≤|flagged| broadcast
+    * semi-join — for a 0.1 %-drift replica that's 0.1 % of ranges
+    * row-compared instead of the whole table. The +1-cent mutation is
+    * the test harness's stand-in for a real replica's drift. */
+  def x174(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), centsCol.as("cents"))
+    val b = a.withColumn("cents",
+      col("cents") + when(col("o_orderkey") % 97 === 0, 1L).otherwise(0L))
+    def sums(df: DataFrame): DataFrame = df
+      .groupBy(expr("o_orderkey DIV 1000").as("key_range"))
+      .agg(sum((col("o_orderkey") * lit(2654435761L) +
+                col("o_custkey") * lit(40503L) + col("cents")) %
+                 lit(9007199254740881L)).as("cs"))
+    val flagged = sums(a).as("ca")
+      .join(sums(b).as("cb"), "key_range")
+      .filter(col("ca.cs") =!= col("cb.cs"))
+      .select("key_range")
+    a.as("x").join(b.as("y"), "o_orderkey")
+      .filter(col("x.cents") =!= col("y.cents"))
+      .join(broadcast(flagged),
+            expr("o_orderkey DIV 1000") === col("key_range"), "left_semi")
+      .groupBy(expr("o_orderkey DIV 1000").as("key_range"))
+      .agg(count(lit(1)).as("n_changed"))
+      .orderBy("key_range")
+  }
+
+  /** x175: GROUPED WEIGHTED MEDIAN, NO PER-GROUP SORT — per return flag,
+    * the lower weighted median of extended price (weight = quantity):
+    * the smallest value whose cumulative weight reaches half the group
+    * total. x171's two-phase histogram, per group: phase 1 buckets each
+    * group into 8192-cent ranges and finds the bucket where the running
+    * weight crosses tw/2; phase 2 rescans only those |groups| buckets and
+    * reads the crossing value off a bounded per-cent cumulative. The
+    * `2·cw ≥ tw` comparison keeps the half exact in integers.
+    *
+    * 100 TB: the classic "weighted median per key" that defeats
+    * window-sort formulations (a hot group = one giant sorted partition);
+    * here every window runs over bounded aggregates (≤⌈max/8192⌉ buckets
+    * per group; ≤8192 values per selected bucket), and the phase-2 rescan
+    * is pruned to one bucket per group. */
+  def x175(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8192L
+    val v = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("flag"),
+      round(col("l_extendedprice") * 100, 0).cast(LongType).as("cents"),
+      col("l_quantity").cast(LongType).as("w"))
+    val h1 = v.groupBy(col("flag"), expr(s"cents DIV $W").as("b"))
+      .agg(sum(col("w")).as("bw"))
+    val wc = Window.partitionBy("flag").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wt = Window.partitionBy("flag")
+    val sel = h1
+      .withColumn("before", coalesce(sum(col("bw")).over(wc), lit(0L)))
+      .withColumn("tw", sum(col("bw")).over(wt))
+      .filter(lit(2L) * col("before") < col("tw") &&
+              lit(2L) * (col("before") + col("bw")) >= col("tw"))
+      .select(col("flag").as("s_flag"), col("b"),
+              col("before").as("bucket_before"), col("tw"))
+    val wv = Window.partitionBy("s_flag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    v.join(broadcast(sel),
+        col("flag") === col("s_flag") && expr(s"cents DIV $W") === col("b"))
+      .groupBy("s_flag", "cents", "bucket_before", "tw")
+      .agg(sum(col("w")).as("vw"))
+      .withColumn("cw", col("bucket_before") + sum(col("vw")).over(wv))
+      .filter(lit(2L) * col("cw") >= col("tw"))
+      .groupBy(col("s_flag").as("flag"))
+      .agg(max(col("tw")).as("total_weight"),
+           min(col("cents")).as("wmed_cents"))
+      .orderBy("flag")
+  }
+}
