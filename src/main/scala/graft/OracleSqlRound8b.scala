@@ -359,6 +359,42 @@ object OracleSqlRound8b {
         |SELECT flag, tw AS total_weight,
         |       CAST(MIN(CASE WHEN 2*cw >= tw THEN cents END) AS BIGINT)
         |         AS wmed_cents
-        |FROM c GROUP BY flag, tw ORDER BY flag""".stripMargin
+        |FROM c GROUP BY flag, tw ORDER BY flag""".stripMargin,
+
+    // x176: value-based deciles — boundary_d = min value whose cumulative
+    // count reaches ceil(d·n/10); the oracle sorts, the engine's
+    // histogram never does.
+    "x176_decile_boundaries" ->
+      """WITH c AS (SELECT CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+        |           FROM orders),
+        |n AS (SELECT COUNT(*) AS n FROM c),
+        |g AS (SELECT cents, COUNT(*) AS cnt FROM c GROUP BY 1),
+        |cw AS (SELECT cents,
+        |              CAST(SUM(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum
+        |       FROM g),
+        |t AS (SELECT d, CAST((d * (SELECT n FROM n) + 9) // 10 AS BIGINT)
+        |               AS target
+        |      FROM (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS d))
+        |SELECT CAST(d AS BIGINT) AS d,
+        |       CAST(MIN(cents) AS BIGINT) AS boundary_cents,
+        |       CAST(MIN(cum) AS BIGINT) AS n_at_or_below
+        |FROM t JOIN cw ON cum >= target
+        |GROUP BY d ORDER BY d""".stripMargin,
+
+    // x177: Σi·xᵢ is invariant under permutations of tied values, so
+    // row_number's arbitrary tie order cannot change the output.
+    "x177_customer_gini" ->
+      """WITH c AS (SELECT o_custkey,
+        |                  CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+        |           FROM orders),
+        |r AS (SELECT o_custkey, cents,
+        |             ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                                ORDER BY cents) AS i FROM c)
+        |SELECT o_custkey, COUNT(*) AS n_orders,
+        |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |       CAST(2*SUM(i*cents) - (COUNT(*)+1)*SUM(cents) AS BIGINT)
+        |         AS gini_num,
+        |       CAST(COUNT(*)*SUM(cents) AS BIGINT) AS gini_den
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

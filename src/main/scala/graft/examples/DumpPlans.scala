@@ -66,7 +66,19 @@ object DumpPlans {
       ("x150_zorder_layout", "Morton layout audit: z-key and tile are map arithmetic inside WholeStageCodegen on the scan; one partial+final agg to <=256 tiles; dimension maxima are 1-row broadcast stitches",
        graft.queries.Organize.x150(spark, dir)),
       ("x151_group_hash_sample", "deterministic per-group sample: topk_pairs ObjectHashAggregate partial+final — no window, no sort, one shuffled row per group",
-       graft.queries.Organize.x151(spark, dir)))
+       graft.queries.Organize.x151(spark, dir)),
+      ("x155_tpch_q3_shipping_priority", "Q3 top-10: segment semi-join prunes orders, date filters in both PushedFilters, one l_orderkey hash join, TakeOrderedAndProject heap — no global sort",
+       graft.queries.Relational4.x155(spark, dir)),
+      ("x161_tpch_q19_disjunctive", "Q19 OR-of-ANDs: the disjunction factors per side and reaches BOTH parquet scans' PushedFilters; residual evaluates inside the joined codegen stage",
+       graft.queries.Relational4.x161(spark, dir)),
+      ("x166_parallel_pair_candidates", "bucketed cross-lingual pairs: the (source, length-bucket) join key carries the length predicate into the shuffle hash — per-task pair volume bounded by band density, not source size",
+       graft.queries.Organize2.x166(spark, dir)),
+      ("x170_skipgram_pairs", "join-free skip-grams: pairs from array zips inside the scan's codegen stage, one (w1,w2) partial-aggregated exchange, TakeOrderedAndProject top-20",
+       graft.queries.Organize3.x170(spark, dir)),
+      ("x171_exact_median_histogram", "two-phase exact median: histogram agg + bounded cumulative window locate the middles, the second scan is pruned to the <=2 candidate buckets — no row-scale sort",
+       graft.queries.Organize3.x171(spark, dir)),
+      ("x175_weighted_median_grouped", "grouped weighted median: per-group histogram + bounded windows; phase-2 rescan pruned to one bucket per group — the window-sort formulation never appears",
+       graft.queries.Organize4.x175(spark, dir)))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries\n\n")
     sb.append("Generated by `graft.examples.DumpPlans` (AQE-finalized, sf0.001).\n")

@@ -127,4 +127,73 @@ object Organize4 {
            min(col("cents")).as("wmed_cents"))
       .orderBy("flag")
   }
+
+  /** x176: EXACT DECILE BOUNDARIES, NO GLOBAL SORT — x171's two-phase
+    * histogram generalized to a quantile VECTOR: the nine value-based
+    * decile boundaries of order totals (boundary_d = smallest value whose
+    * cumulative count reaches ⌈d·n/10⌉). Phase 1 locates the ≤9 buckets
+    * any target falls in; phase 2 rescans only those and reads all nine
+    * boundaries off one bounded per-value cumulative. Everything BIGINT.
+    *
+    * 100 TB: one histogram aggregate + one pruned rescan serve ALL nine
+    * quantiles (the sort-based form pays a full global sort; the
+    * percentile_approx form gives up exactness); the target list and the
+    * selected-bucket set are 9-row broadcasts; the only non-equi join is
+    * 9 targets against a bounded value aggregate. */
+  def x176(spark: SparkSession, dir: String): DataFrame = {
+    val W = 4096L
+    val c = Tables.orders(spark, dir).select(centsCol.as("cents"))
+    val h1 = c.groupBy(expr(s"cents DIV $W").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h1
+      .withColumn("before", coalesce(sum(col("cnt")).over(wc), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)))
+    val targets = cum.select(col("n")).limit(1)
+      .select(explode(sequence(lit(1), lit(9))).as("d"), col("n"))
+      .select(col("d").cast(LongType).as("d"),
+              expr("(d * n + 9) DIV 10").as("target"))
+    val selected = cum.join(broadcast(targets),
+        col("before") < col("target") &&
+        col("target") <= col("before") + col("cnt"))
+      .select("b", "before").distinct()
+    val wv = Window.partitionBy("b").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    c.join(broadcast(selected), expr(s"cents DIV $W") === col("b"))
+      .groupBy("b", "cents", "before")
+      .agg(count(lit(1)).as("vcnt"))
+      .withColumn("cum", col("before") + sum(col("vcnt")).over(wv))
+      .join(broadcast(targets), col("cum") >= col("target"))
+      .groupBy("d")
+      .agg(min(col("cents")).as("boundary_cents"),
+           min(col("cum")).as("n_at_or_below"))
+      .orderBy("d")
+  }
+
+  /** x177: PER-CUSTOMER GINI — order-value inequality per customer as an
+    * EXACT rational: with each customer's order cents ascending,
+    * gini_num = 2·Σi·xᵢ − (n+1)·Σx and gini_den = n·Σx (Gini =
+    * num/den). Ties contribute identically under any permutation of
+    * equal values (Σi·xᵢ is tie-invariant), so row_number's arbitrary
+    * tie order cannot change the output — the reason this window query
+    * is oracle-checkable at all.
+    *
+    * 100 TB: the rank window partitions by customer — bounded per-key
+    * order sets (the x65/x148 discipline), so partitions stay small
+    * however many customers there are; the rollup rides the same
+    * custkey hash. */
+  def x177(spark: SparkSession, dir: String): DataFrame = {
+    val wr = Window.partitionBy("o_custkey").orderBy("cents")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), centsCol.as("cents"))
+      .withColumn("i", row_number().over(wr).cast(LongType))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"),
+           (lit(2L) * sum(col("i") * col("cents")) -
+            (count(lit(1)) + lit(1L)) * sum(col("cents"))).as("gini_num"),
+           (count(lit(1)) * sum(col("cents"))).as("gini_den"))
+      .orderBy("o_custkey")
+  }
 }

@@ -58,4 +58,45 @@ class Round8eSpec extends AnyFunSuite {
       assert(vs.exists(_._1 == med), "median must be an attained value")
     }
   }
+
+  test("x176 boundaries match a full-sort rebuild; deciles are monotone") {
+    val got = Organize4.x176(spark, sfSmoke).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === (1L to 9L).toSet)
+    val cents = Tables.orders(spark, sfSmoke)
+      .select(round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    (1L to 9L).foreach { d =>
+      val target = (d * n + 9) / 10
+      val boundary = cents(target.toInt - 1) // rank `target` value
+      assert(got(d)._1 === boundary, s"decile $d boundary")
+      assert(got(d)._2 === cents.count(_ <= boundary).toLong,
+        s"decile $d n_at_or_below")
+    }
+    val bs = (1L to 9L).map(got(_)._1)
+    assert(bs === bs.sorted, "boundaries must be monotone")
+  }
+
+  test("x177 Gini: zero for constant values, bounded in [0, 1), tie-invariant") {
+    val out = Organize4.x177(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (num, den) = (r.getLong(3), r.getLong(4))
+      assert(num >= 0L, s"Gini >= 0 for ${r.getLong(0)}")
+      assert(num < den, s"Gini < 1 for ${r.getLong(0)}")
+    }
+    // spot-check one customer against a direct formula evaluation
+    val c0 = out.head
+    val vals = Tables.orders(spark, sfSmoke)
+      .filter(col("o_custkey") === c0.getLong(0))
+      .select(round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = vals.length.toLong
+    val s = vals.sum
+    val num = 2 * vals.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum -
+      (n + 1) * s
+    assert(c0.getLong(3) === num)
+    assert(c0.getLong(4) === n * s)
+  }
 }
