@@ -395,6 +395,49 @@ object OracleSqlRound8b {
         |       CAST(2*SUM(i*cents) - (COUNT(*)+1)*SUM(cents) AS BIGINT)
         |         AS gini_num,
         |       CAST(COUNT(*)*SUM(cents) AS BIGINT) AS gini_den
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x178_tpch_q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name, COUNT(*) AS n_li,
+        |       CAST(SUM($REV) AS BIGINT) AS lost_u
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_u DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "x179_tpch_q12_priority_classes" ->
+      """SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x180: decile of a row = smallest d whose boundary covers it (10 if
+    // none) — identical to the engine's "1 + boundaries strictly below"
+    // on monotone boundaries, tie-consistent.
+    "x180_decile_assign" ->
+      """WITH c AS (SELECT CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+        |           FROM orders),
+        |n AS (SELECT COUNT(*) AS n FROM c),
+        |g AS (SELECT cents, COUNT(*) AS cnt FROM c GROUP BY 1),
+        |cw AS (SELECT cents,
+        |              CAST(SUM(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum
+        |       FROM g),
+        |t AS (SELECT d, CAST((d * (SELECT n FROM n) + 9) // 10 AS BIGINT)
+        |               AS target
+        |      FROM (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS d)),
+        |b AS (SELECT d, CAST(MIN(cents) AS BIGINT) AS boundary
+        |      FROM t JOIN cw ON cum >= target GROUP BY d)
+        |SELECT COALESCE((SELECT CAST(MIN(d) AS BIGINT) FROM b
+        |                 WHERE c.cents <= b.boundary), 10) AS decile,
+        |       COUNT(*) AS n_orders, CAST(SUM(c.cents) AS BIGINT) AS sum_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -196,4 +196,30 @@ object Organize4 {
            (count(lit(1)) * sum(col("cents"))).as("gini_den"))
       .orderBy("o_custkey")
   }
+
+  /** x180: DECILE ASSIGNMENT — score banding: every order labeled with
+    * its value decile, rolled up to per-decile counts and mass. The
+    * boundaries come from x176's histogram (no sort); the 9-value result
+    * is collected to the driver — the same provably-bounded-collect
+    * discipline as the Chi rule base — and inlined as a literal array, so
+    * the assignment `1 + #{boundaries strictly below}` is branch-free
+    * map arithmetic inside whole-stage codegen: NO join, NO window, NO
+    * blow-up on the assignment pass.
+    *
+    * 100 TB: one histogram pass (x176) + one labeling scan with a
+    * ≤10-key rollup; the literal array is 72 bytes in the task binary.
+    * Equal-count deciles by construction (ties can only fatten a decile
+    * that shares its boundary value). */
+  def x180(spark: SparkSession, dir: String): DataFrame = {
+    val bs = x176(spark, dir).select("boundary_cents")
+      .collect().map(_.getLong(0)) // exactly 9 rows — driver-bounded
+    Tables.orders(spark, dir)
+      .select(centsCol.as("cents"))
+      .withColumn("decile", expr(
+        s"1L + size(filter(array(${bs.mkString("L,")}L), b -> cents > b))")
+        .cast(LongType))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .orderBy("decile")
+  }
 }

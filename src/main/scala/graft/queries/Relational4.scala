@@ -339,4 +339,60 @@ object Relational4 {
       .select(col("l_partkey"), col("value_u"))
       .orderBy(col("value_u").desc, col("l_partkey"))
   }
+
+  /** x178: TPC-H Q10 shape — RETURNED-ITEM REPORTING: the top-20
+    * customers by revenue lost to returns ('R' lineitems) against orders
+    * of one half-year, with nation names. The classic churn-triage query;
+    * the limit rides (lost revenue DESC, custkey) — tie-free.
+    *
+    * 100 TB: the return-flag and date filters push into their scans; ONE
+    * l_orderkey hash join, per-customer rollup on the o_custkey hash;
+    * customer/nation attach after the aggregate (≤|customers| rows, not
+    * fact rows); top-20 is TakeOrderedAndProject. */
+  def x178(spark: SparkSession, dir: String): DataFrame = {
+    val lost = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revU.as("rev_u"))
+      .join(Tables.orders(spark, dir)
+              .filter(col("o_orderdate") >=
+                        lit("1997-01-01").cast(TimestampType) &&
+                      col("o_orderdate") <
+                        lit("1997-07-01").cast(TimestampType))
+              .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_li"), sum(col("rev_u")).as("lost_u"))
+    lost
+      .join(Tables.customer(spark, dir),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+              col("n_li"), col("lost_u"))
+      .orderBy(col("lost_u").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** x179: TPC-H Q12 shape — SHIPPING-DELAY PRIORITY AUDIT: lineitems
+    * shipped more than 90 days after their order date, per ship year,
+    * split into critical (1-URGENT/2-HIGH) vs other priorities — Q12's
+    * "did cheap ship modes delay critical orders" with the harness's
+    * delay stand-in (no shipmode/commit/receipt columns).
+    *
+    * 100 TB: one l_orderkey hash join whose residual is the cross-table
+    * date comparison; the split is a conditional partial aggregate over
+    * ≤|years| keys — map-side collapse, no second pass. */
+  def x179(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+              .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(year(col("l_shipdate")).cast(LongType).as("ship_year"))
+      .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+                 .otherwise(0L)).as("high_line_count"),
+           sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+                 .otherwise(1L)).as("low_line_count"))
+      .orderBy("ship_year")
 }

@@ -144,4 +144,27 @@ class Round8bSpec extends AnyFunSuite {
     val expect = all.filter { case (_, v) => v * n > total * 2L }
     assert(out === expect)
   }
+
+  test("x178 Q10 top-20: tie-free descending order, returned lineitems only, TakeOrdered plan") {
+    val df = Relational4.x178(spark, sfSmoke)
+    val rows = df.collect()
+    assert(rows.length === 20)
+    val keys = rows.map(r => (-r.getLong(4), r.getLong(0)))
+    assert(keys.toSeq === keys.sorted.toSeq)
+    assert(keys.distinct.length === keys.length)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("x179 Q12 class split partitions the late-line population") {
+    val out = Relational4.x179(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    val total = out.map(r => r.getLong(1) + r.getLong(2)).sum
+    val late = Tables.lineitem(spark, sfSmoke)
+      .join(Tables.orders(spark, sfSmoke),
+            col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .count()
+    assert(total === late, "high + low must partition every late lineitem")
+  }
 }

@@ -99,4 +99,20 @@ class Round8eSpec extends AnyFunSuite {
     assert(c0.getLong(3) === num)
     assert(c0.getLong(4) === n * s)
   }
+
+  test("x180 deciles partition all orders into near-equal bands") {
+    val out = Organize4.x180(spark, sfSmoke).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === (1L to 10L).toSet)
+    val total = Tables.orders(spark, sfSmoke).count()
+    assert(out.values.map(_._1).sum === total)
+    // each band holds ceil/floor of n/10 modulo boundary-value ties
+    out.values.foreach { case (n, _) =>
+      assert(math.abs(n - total / 10) <= total / 10,
+        "a decile collapsed or doubled — boundary assignment broken")
+    }
+    // mass must be monotone: higher deciles hold more valuable orders
+    val mass = (1L to 10L).map(out(_)._2)
+    assert(mass === mass.sorted)
+  }
 }
