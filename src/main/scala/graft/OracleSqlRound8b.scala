@@ -438,6 +438,34 @@ object OracleSqlRound8b {
         |SELECT COALESCE((SELECT CAST(MIN(d) AS BIGINT) FROM b
         |                 WHERE c.cents <= b.boundary), 10) AS decile,
         |       COUNT(*) AS n_orders, CAST(SUM(c.cents) AS BIGINT) AS sum_cents
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x181: 3 unrolled sync-LPA rounds; row_number under (c DESC, label)
+    // is the same argmax the engine's max_by(struct(c, −label)) takes.
+    "x181_label_propagation" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |       FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+        |                          AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+        |r1 AS (SELECT n.u AS node, l.label, COUNT(*) AS c
+        |       FROM und n JOIN l0 l ON n.v = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |         SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |                ORDER BY c DESC, label) AS rn FROM r1) WHERE rn = 1),
+        |r2 AS (SELECT n.u AS node, l.label, COUNT(*) AS c
+        |       FROM und n JOIN l1 l ON n.v = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |         SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |                ORDER BY c DESC, label) AS rn FROM r2) WHERE rn = 1),
+        |r3 AS (SELECT n.u AS node, l.label, COUNT(*) AS c
+        |       FROM und n JOIN l2 l ON n.v = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (
+        |         SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |                ORDER BY c DESC, label) AS rn FROM r3) WHERE rn = 1)
+        |SELECT label, COUNT(*) AS n_nodes FROM l3 GROUP BY 1
+        |ORDER BY n_nodes DESC, label""".stripMargin
   )
 }

@@ -115,4 +115,49 @@ object Organize3 {
       .groupBy("key_range")
       .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
       .orderBy("key_range")
+
+  /** x181: LABEL-PROPAGATION COMMUNITIES — 3 synchronous LPA rounds over
+    * the support-≥2 co-purchase graph (parts co-ordered at least twice),
+    * labels initialized to node ids, each round relabeling every node
+    * with its neighbors' most frequent label (ties to the smallest — the
+    * deterministic tie-break that makes sync LPA oracle-checkable at
+    * all). Output is the community size distribution. Complements the
+    * graph family: x24 finds CONNECTED components, LPA finds DENSE
+    * communities inside them.
+    *
+    * 100 TB: each round is one keyed join (edges hashed on the neighbor
+    * end) + a (node, label) partial-aggregated count + a `max_by` argmax
+    * riding the node hash — the standard Pregel-free sync-LPA shape;
+    * rounds are FIXED (3), not data-dependent, so the plan is a static
+    * 3-fold composition with no driver-side convergence probe (contrast
+    * x24, where convergence is the point). The edge list is reused each
+    * round; labels stay |V|-sized throughout. */
+  def x181(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val e0 = op.as("a")
+      .join(op.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("u", "v")
+    val und = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    var labels = und.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to 3) {
+      labels = und
+        .join(labels, col("v") === col("node"))
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("u").as("node"))
+        .agg(max_by(struct(col("label")),
+                    struct(col("c"), negate(col("label")))).as("best"))
+        .select(col("node"), col("best.label").as("label"))
+    }
+    labels.groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("label"))
+  }
 }

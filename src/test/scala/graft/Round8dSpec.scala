@@ -72,4 +72,23 @@ class Round8dSpec extends AnyFunSuite {
     assert(got === naive)
     assert(got.values.map(_._1).sum === rows.length.toLong)
   }
+
+  test("x181 LPA: labels are attained node ids, sizes partition the graph") {
+    val out = Organize3.x181(spark, sfSmoke).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length > 1, "graph collapsed to one community — support filter broken")
+    // nodes of the support>=2 graph
+    val op = Tables.lineitem(spark, sfSmoke)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = op.groupBy(_._1).values.toSeq.flatMap { os =>
+      val ps = os.map(_._2).toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).collect { case (e, g) if g.size >= 2 => e }.toSeq
+    val nodes = pairs.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(out.map(_._2).sum === nodes.size.toLong,
+      "community sizes must partition the node set")
+    assert(out.forall(kv => nodes.contains(kv._1)),
+      "every community label is an attained node id")
+  }
 }
