@@ -466,6 +466,39 @@ object OracleSqlRound8b {
         |         SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
         |                ORDER BY c DESC, label) AS rn FROM r3) WHERE rn = 1)
         |SELECT label, COUNT(*) AS n_nodes FROM l3 GROUP BY 1
-        |ORDER BY n_nodes DESC, label""".stripMargin
+        |ORDER BY n_nodes DESC, label""".stripMargin,
+
+    // x182: subspace distances round at 6 dp then scale to integer
+    // micros, so the 4-lookup ADC sum is an exact BIGINT on both engines
+    // and the (adc, vec_id) top-10 is total-ordered.
+    "x182_pq_adc_topk" ->
+      """WITH cb AS (SELECT vec_id AS code, embedding AS ce
+        |            FROM embeddings WHERE vec_id < 8),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT UNNEST(range(0, 4)) AS sub),
+        |lut AS (SELECT s.sub, cb.code,
+        |          CAST(ROUND(ROUND(list_sum([
+        |            (CAST(cb.ce[s.sub * 16 + i] AS DOUBLE)
+        |               - CAST(q.qe[s.sub * 16 + i] AS DOUBLE))
+        |          * (CAST(cb.ce[s.sub * 16 + i] AS DOUBLE)
+        |               - CAST(q.qe[s.sub * 16 + i] AS DOUBLE))
+        |              FOR i IN generate_series(1, 16)]), 6) * 1000000, 0)
+        |            AS BIGINT) AS lm
+        |        FROM cb, q, s),
+        |d AS (SELECT e.vec_id, s.sub, cb.code,
+        |        ROUND(list_sum([
+        |          (CAST(cb.ce[s.sub * 16 + i] AS DOUBLE)
+        |             - CAST(e.embedding[s.sub * 16 + i] AS DOUBLE))
+        |        * (CAST(cb.ce[s.sub * 16 + i] AS DOUBLE)
+        |             - CAST(e.embedding[s.sub * 16 + i] AS DOUBLE))
+        |            FOR i IN generate_series(1, 16)]), 6) AS d2
+        |      FROM embeddings e, s, cb),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+        |                                         ORDER BY d2, code) AS rn
+        |            FROM d) WHERE rn = 1)
+        |SELECT vec_id, CAST(SUM(lm) AS BIGINT) AS adc_micros
+        |FROM codes JOIN lut USING (sub, code)
+        |GROUP BY 1 ORDER BY adc_micros, vec_id LIMIT 10""".stripMargin
   )
 }

@@ -155,4 +155,50 @@ object Clustering {
               col("best.bm25").as("bm25"))
       .orderBy("doc_id")
   }
+
+  /** x182: PQ ASYMMETRIC-DISTANCE TOP-K — the SERVING half of IVF-PQ,
+    * completing x141's encoding: the query (vec 0) precomputes a 4×8
+    * lookup table of subspace distances to every codeword; each database
+    * vector's approximate distance is then FOUR integer table lookups
+    * summed — never a 64-dim kernel against the query. Distances round
+    * at 6 dp then scale to integer micros, so the ADC sum is an exact
+    * BIGINT (order-free) and the (adc, vec_id) top-10 is total-ordered.
+    *
+    * 100 TB: the LUT is 32 rows broadcast (this is WHY PQ serves fast —
+    * the per-vector cost is table lookups, not arithmetic against the
+    * query); encoding reuses x141's argmin shape (one shuffled row per
+    * (vector, subspace)); the top-10 is TakeOrderedAndProject. The
+    * recall story against exact search lives with x111's matrix —
+    * this key pins the serving arithmetic itself. */
+  def x182(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cb = emb.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("code"),
+              transform(col("embedding"), _.cast(DoubleType)).as("ce"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val subKernel = expr(
+      """round(aggregate(zip_with(slice(ce, sub * 16 + 1, 16),
+        |                         slice(qe, sub * 16 + 1, 16),
+        |  (a, b) -> (a - CAST(b AS DOUBLE)) * (a - CAST(b AS DOUBLE))),
+        |  0D, (s, x) -> s + x), 6)""".stripMargin)
+    val lut = cb.crossJoin(broadcast(q))
+      .withColumn("sub", explode(sequence(lit(0), lit(3))))
+      .withColumn("lm", round(subKernel * 1000000d, 0).cast(LongType))
+      .select("sub", "code", "lm")
+    val codes = emb.withColumn("sub", explode(sequence(lit(0), lit(3))))
+      .crossJoin(broadcast(cb))
+      .withColumn("d2", round(expr(
+        """aggregate(zip_with(slice(ce, sub * 16 + 1, 16),
+          |                   slice(embedding, sub * 16 + 1, 16),
+          |  (a, b) -> (a - CAST(b AS DOUBLE)) * (a - CAST(b AS DOUBLE))),
+          |  0D, (s, x) -> s + x)""".stripMargin), 6))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("vec_id")
+      .agg(sum(col("lm")).as("adc_micros"))
+      .orderBy(col("adc_micros"), col("vec_id"))
+      .limit(10)
+  }
 }
