@@ -143,7 +143,13 @@ object Organize3 {
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select("u", "v")
+    // the edge list feeds every round: persist it pre-partitioned on the
+    // neighbor end so each propagation join reads the cached layout
+    // instead of re-running the pair-build (x24's pattern); each round
+    // localCheckpoints to keep the 3-fold lineage flat. Both handles are
+    // released before returning (LlmExt's leak rule).
     val und = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v")).persist()
     var labels = und.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to 3) {
@@ -155,9 +161,13 @@ object Organize3 {
         .agg(max_by(struct(col("label")),
                     struct(col("c"), negate(col("label")))).as("best"))
         .select(col("node"), col("best.label").as("label"))
+        .localCheckpoint(true)
     }
-    labels.groupBy("label")
+    val out = labels.groupBy("label")
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("n_nodes").desc, col("label"))
+      .localCheckpoint(true)
+    und.unpersist()
+    out
   }
 }
