@@ -1,0 +1,341 @@
+package graft
+
+/** DuckDB oracle statements for x183–x191 (prototyped against sf0.01 per
+  * FIXTURES §4 before the Spark side was written). Determinism per SURVEY
+  * §7.4: counts/cents are BIGINT end-to-end; every double division happens
+  * once, in the same operand order as the Spark expression, then
+  * ROUND(…, 6); day arithmetic is epoch-day BIGINTs (non-negative, so
+  * trunc-vs-floor division agree); Benford expectations are pinned 6-dp
+  * literals on both engines rather than live log10 calls.
+  */
+object OracleSqlRound8c {
+
+  /** x181's edge CTE verbatim — the shared support-≥2 co-purchase graph. */
+  private val EDGES =
+    """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      |       FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      |                          AND a.l_partkey < b.l_partkey
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)""".stripMargin
+
+  val round8c: Map[String, String] = Map(
+    "x183_benford_digit" ->
+      """WITH c AS (SELECT CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+        |           FROM orders
+        |           WHERE CAST(ROUND(o_totalprice*100,0) AS BIGINT) > 0),
+        |d AS (SELECT CAST(SUBSTR(CAST(cents AS VARCHAR),1,1) AS BIGINT)
+        |               AS digit,
+        |             COUNT(*) AS n FROM c GROUP BY 1),
+        |t AS (SELECT digit, n, SUM(n) OVER () AS total FROM d)
+        |SELECT digit, CAST(n AS BIGINT) AS n_orders,
+        |  ROUND(CAST(n AS DOUBLE)/total, 6) AS share,
+        |  CAST(CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+        |       WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+        |       WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+        |       WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+        |       ELSE 0.045757 END AS DOUBLE) AS benford,
+        |  ROUND(CAST(n AS DOUBLE)/total -
+        |        CAST(CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+        |             WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+        |             WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+        |             WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+        |             ELSE 0.045757 END AS DOUBLE), 6) AS excess
+        |FROM t ORDER BY digit""".stripMargin,
+
+    "x184_dow_seasonality" ->
+      """WITH g AS (SELECT o_orderpriority AS priority,
+        |                  CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+        |                  COUNT(*) AS n
+        |           FROM orders GROUP BY 1, 2),
+        |w AS (SELECT priority, dow, n,
+        |             SUM(n) OVER (PARTITION BY priority) AS np,
+        |             SUM(n) OVER (PARTITION BY dow) AS nd,
+        |             SUM(n) OVER () AS nt FROM g)
+        |SELECT priority, dow, CAST(n AS BIGINT) AS n_orders,
+        |       ROUND(CAST(n*nt AS DOUBLE)/CAST(np*nd AS DOUBLE), 6)
+        |         AS seasonal_idx
+        |FROM w ORDER BY priority, dow""".stripMargin,
+
+    "x185_autocorr_daily" ->
+      """WITH daily AS (SELECT epoch_us(o_orderdate)//86400000000 AS d,
+        |                      COUNT(*) AS x
+        |               FROM orders GROUP BY 1),
+        |lags AS (SELECT UNNEST([1,2,3,4,5,6,7]) AS lag_days),
+        |p AS (SELECT lag_days, a.x AS xa, b.x AS xb
+        |      FROM daily a CROSS JOIN lags
+        |      JOIN daily b ON b.d = a.d + lags.lag_days)
+        |SELECT CAST(lag_days AS BIGINT) AS lag_days, COUNT(*) AS n_pairs,
+        |  ROUND(CAST(COUNT(*)*SUM(xa*xb) - SUM(xa)*SUM(xb) AS DOUBLE) /
+        |        (SQRT(CAST(COUNT(*)*SUM(xa*xa) - SUM(xa)*SUM(xa) AS DOUBLE)) *
+        |         SQRT(CAST(COUNT(*)*SUM(xb*xb) - SUM(xb)*SUM(xb) AS DOUBLE))),
+        |        6) AS acorr
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x186_ewma_daily" ->
+      """WITH daily AS (SELECT epoch_us(o_orderdate)//86400000000 AS d,
+        |                      CAST(SUM(CAST(ROUND(o_totalprice*100,0)
+        |                                    AS BIGINT)) AS BIGINT) AS rc
+        |               FROM orders GROUP BY 1),
+        |l AS (SELECT d, rc,
+        |        LAG(rc,1) OVER w AS r1, LAG(rc,2) OVER w AS r2,
+        |        LAG(rc,3) OVER w AS r3, LAG(rc,4) OVER w AS r4,
+        |        LAG(rc,5) OVER w AS r5, LAG(rc,6) OVER w AS r6,
+        |        LAG(rc,7) OVER w AS r7
+        |      FROM daily WINDOW w AS (ORDER BY d)),
+        |e AS (SELECT d, rc,
+        |        16384*rc + 12288*COALESCE(r1,0) + 9216*COALESCE(r2,0)
+        |        + 6912*COALESCE(r3,0) + 5184*COALESCE(r4,0)
+        |        + 3888*COALESCE(r5,0) + 2916*COALESCE(r6,0)
+        |        + 2187*COALESCE(r7,0) AS num,
+        |        16384 + CASE WHEN r1 IS NULL THEN 0 ELSE 12288 END
+        |              + CASE WHEN r2 IS NULL THEN 0 ELSE 9216 END
+        |              + CASE WHEN r3 IS NULL THEN 0 ELSE 6912 END
+        |              + CASE WHEN r4 IS NULL THEN 0 ELSE 5184 END
+        |              + CASE WHEN r5 IS NULL THEN 0 ELSE 3888 END
+        |              + CASE WHEN r6 IS NULL THEN 0 ELSE 2916 END
+        |              + CASE WHEN r7 IS NULL THEN 0 ELSE 2187 END AS den
+        |      FROM l)
+        |SELECT d AS day, rc AS revenue_cents,
+        |       ROUND(CAST(num AS DOUBLE)/CAST(den AS DOUBLE)/100.0, 6)
+        |         AS ewma
+        |FROM e ORDER BY day""".stripMargin,
+
+    "x187_interp_gapfill" ->
+      """WITH o AS (SELECT r_regionkey AS rk,
+        |                  epoch_us(o_orderdate)//86400000000 AS d,
+        |                  CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+        |           FROM orders JOIN customer ON o_custkey = c_custkey
+        |           JOIN nation ON c_nationkey = n_nationkey
+        |           JOIN region ON n_regionkey = r_regionkey),
+        |daily AS (SELECT rk, d, CAST(SUM(cents) AS BIGINT) AS rc
+        |          FROM o GROUP BY 1, 2),
+        |b AS (SELECT rk, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1),
+        |s AS (SELECT rk, UNNEST(generate_series(lo, hi)) AS d FROM b),
+        |j AS (SELECT s.rk, s.d, daily.rc
+        |      FROM s LEFT JOIN daily ON s.rk = daily.rk AND s.d = daily.d),
+        |f AS (SELECT rk, d, rc,
+        |        LAST_VALUE(rc IGNORE NULLS) OVER
+        |          (PARTITION BY rk ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+        |        LAST_VALUE(CASE WHEN rc IS NOT NULL THEN d END IGNORE NULLS)
+        |          OVER (PARTITION BY rk ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |        FIRST_VALUE(rc IGNORE NULLS) OVER
+        |          (PARTITION BY rk ORDER BY d
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+        |        FIRST_VALUE(CASE WHEN rc IS NOT NULL THEN d END IGNORE NULLS)
+        |          OVER (PARTITION BY rk ORDER BY d
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |      FROM j)
+        |SELECT CAST(rk AS BIGINT) AS regionkey, d AS day,
+        |  CAST(CASE WHEN rc IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_interp,
+        |  ROUND(CASE WHEN rc IS NOT NULL THEN CAST(rc AS DOUBLE)/100.0
+        |        ELSE (CAST(pc AS DOUBLE)
+        |              + CAST((nc-pc)*(d-pd) AS DOUBLE)/CAST(nd-pd AS DOUBLE))
+        |             /100.0
+        |        END, 6) AS revenue_interp
+        |FROM f ORDER BY regionkey, day""".stripMargin,
+
+    "x188_graph_bfs_hops" ->
+      s"""WITH $EDGES,
+        |nodes AS (SELECT DISTINCT u AS node FROM und),
+        |h0 AS (SELECT node FROM nodes WHERE node % 97 = 0),
+        |h1 AS (SELECT DISTINCT und.u AS node FROM und
+        |       JOIN h0 ON und.v = h0.node
+        |       WHERE und.u NOT IN (SELECT node FROM h0)),
+        |h2 AS (SELECT DISTINCT und.u AS node FROM und
+        |       JOIN h1 ON und.v = h1.node
+        |       WHERE und.u NOT IN (SELECT node FROM h0)
+        |         AND und.u NOT IN (SELECT node FROM h1)),
+        |h3 AS (SELECT DISTINCT und.u AS node FROM und
+        |       JOIN h2 ON und.v = h2.node
+        |       WHERE und.u NOT IN (SELECT node FROM h0)
+        |         AND und.u NOT IN (SELECT node FROM h1)
+        |         AND und.u NOT IN (SELECT node FROM h2)),
+        |hist AS (
+        |  SELECT CAST(0 AS BIGINT) AS hop, COUNT(*) AS n_nodes FROM h0
+        |  UNION ALL SELECT 1, COUNT(*) FROM h1
+        |  UNION ALL SELECT 2, COUNT(*) FROM h2
+        |  UNION ALL SELECT 3, COUNT(*) FROM h3
+        |  UNION ALL SELECT -1, (SELECT COUNT(*) FROM nodes)
+        |    - (SELECT COUNT(*) FROM h0) - (SELECT COUNT(*) FROM h1)
+        |    - (SELECT COUNT(*) FROM h2) - (SELECT COUNT(*) FROM h3))
+        |SELECT hop, CAST(n_nodes AS BIGINT) AS n_nodes
+        |FROM hist ORDER BY hop""".stripMargin,
+
+    "x189_kcore_peel" ->
+      s"""WITH $EDGES,
+        |k1 AS (SELECT u FROM und GROUP BY u HAVING COUNT(*) >= 2),
+        |e1 AS (SELECT und.u, und.v FROM und
+        |       WHERE u IN (SELECT u FROM k1) AND v IN (SELECT u FROM k1)),
+        |k2 AS (SELECT u FROM e1 GROUP BY u HAVING COUNT(*) >= 2),
+        |e2 AS (SELECT e1.u, e1.v FROM e1
+        |       WHERE u IN (SELECT u FROM k2) AND v IN (SELECT u FROM k2)),
+        |k3 AS (SELECT u FROM e2 GROUP BY u HAVING COUNT(*) >= 2),
+        |e3 AS (SELECT e2.u, e2.v FROM e2
+        |       WHERE u IN (SELECT u FROM k3) AND v IN (SELECT u FROM k3)),
+        |r AS (SELECT CAST(1 AS BIGINT) AS round,
+        |             (SELECT COUNT(DISTINCT u) FROM e1) AS n_nodes,
+        |             (SELECT COUNT(*)//2 FROM e1) AS n_edges
+        |      UNION ALL SELECT 2, (SELECT COUNT(DISTINCT u) FROM e2),
+        |                          (SELECT COUNT(*)//2 FROM e2)
+        |      UNION ALL SELECT 3, (SELECT COUNT(DISTINCT u) FROM e3),
+        |                          (SELECT COUNT(*)//2 FROM e3))
+        |SELECT round, CAST(n_nodes AS BIGINT) AS n_nodes,
+        |       CAST(n_edges AS BIGINT) AS n_edges FROM r
+        |ORDER BY round""".stripMargin,
+
+    // x190: the boundary CTEs restate Quantiles' semantics directly —
+    // boundary_d = MIN value whose ascending cumulative count reaches
+    // ⌈d·n/5⌉ — and the banding is 1 + #{boundaries strictly below}.
+    "x190_rfm_segments" ->
+      """WITH maxd AS (SELECT MAX(epoch_us(o_orderdate)//86400000000) AS md
+        |              FROM orders),
+        |cust AS (SELECT o_custkey,
+        |           (SELECT md FROM maxd)
+        |             - MAX(epoch_us(o_orderdate)//86400000000) AS r_days,
+        |           COUNT(*) AS f_n,
+        |           CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT))
+        |                AS BIGINT) AS m_cents
+        |         FROM orders GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM cust),
+        |ds AS (SELECT UNNEST([1,2,3,4]) AS d),
+        |rb AS (SELECT d, MIN(v) AS b FROM
+        |        (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM
+        |          (SELECT r_days AS v, COUNT(*) AS c FROM cust GROUP BY 1))
+        |          cumv
+        |        CROSS JOIN ds CROSS JOIN nn
+        |       WHERE cum >= (d*nn.n+4)//5 GROUP BY d),
+        |fb AS (SELECT d, MIN(v) AS b FROM
+        |        (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM
+        |          (SELECT f_n AS v, COUNT(*) AS c FROM cust GROUP BY 1))
+        |          cumv
+        |        CROSS JOIN ds CROSS JOIN nn
+        |       WHERE cum >= (d*nn.n+4)//5 GROUP BY d),
+        |mb AS (SELECT d, MIN(v) AS b FROM
+        |        (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM
+        |          (SELECT m_cents AS v, COUNT(*) AS c FROM cust GROUP BY 1))
+        |          cumv
+        |        CROSS JOIN ds CROSS JOIN nn
+        |       WHERE cum >= (d*nn.n+4)//5 GROUP BY d),
+        |a AS (SELECT
+        |        1 + (SELECT COUNT(*) FROM rb WHERE cust.r_days > rb.b) AS r_q,
+        |        1 + (SELECT COUNT(*) FROM fb WHERE cust.f_n > fb.b) AS f_q,
+        |        1 + (SELECT COUNT(*) FROM mb WHERE cust.m_cents > mb.b) AS m_q,
+        |        m_cents
+        |      FROM cust)
+        |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        |       CAST(m_q AS BIGINT) AS m_q, COUNT(*) AS n_customers,
+        |       CAST(SUM(m_cents) AS BIGINT) AS sum_m_cents
+        |FROM a GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "x192_reorder_intervals" ->
+      """WITH o AS (SELECT o_custkey, epoch_us(o_orderdate)//86400000000 AS d,
+        |                  o_orderkey FROM orders),
+        |g AS (SELECT o_custkey,
+        |             d - LAG(d) OVER (PARTITION BY o_custkey
+        |                              ORDER BY d, o_orderkey) AS gap
+        |      FROM o),
+        |gaps AS (SELECT gap AS v FROM g WHERE gap IS NOT NULL),
+        |n AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s FROM gaps),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM
+        |         (SELECT v, COUNT(*) AS c FROM gaps GROUP BY 1)),
+        |p50 AS (SELECT MIN(v) AS b FROM cum, n WHERE cum >= (5*n.n+9)//10),
+        |p90 AS (SELECT MIN(v) AS b FROM cum, n WHERE cum >= (9*n.n+9)//10)
+        |SELECT n.n AS n_gaps, CAST(p50.b AS BIGINT) AS p50_gap_days,
+        |       CAST(p90.b AS BIGINT) AS p90_gap_days,
+        |       ROUND(CAST(n.s AS DOUBLE)/n.n, 6) AS mean_gap_days
+        |FROM n, p50, p90""".stripMargin,
+
+    "x193_skipping_compare" ->
+      s"""WITH m AS (SELECT MAX(l_partkey) AS maxp, MAX(l_suppkey) AS maxs,
+        |                  MAX(l_orderkey) AS maxo FROM lineitem),
+        |q AS (
+        |  SELECT CAST((l_partkey * 256) // (maxp + 1) AS BIGINT) AS px,
+        |         CAST((l_suppkey * 256) // (maxs + 1) AS BIGINT) AS py,
+        |         CAST((l_orderkey * 256) // (maxo + 1) AS BIGINT) AS ta
+        |  FROM lineitem CROSS JOIN m),
+        |z AS (SELECT px, py, ta,
+        |        (${graft.engine.ZOrder.zExpr("px", "py", "//")}) // 256 AS tz
+        |      FROM q),
+        |tiles AS (
+        |  SELECT 'zorder' AS layout, tz AS tile, COUNT(*) AS n,
+        |         MIN(px) AS minpx, MAX(px) AS maxpx,
+        |         MIN(py) AS minpy, MAX(py) AS maxpy
+        |  FROM z GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'px_sort', px, COUNT(*), MIN(px), MAX(px), MIN(py), MAX(py)
+        |  FROM z GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'arrival', ta, COUNT(*), MIN(px), MAX(px), MIN(py), MAX(py)
+        |  FROM z GROUP BY 1, 2),
+        |flags AS (
+        |  SELECT layout, 'box' AS query, n,
+        |         CASE WHEN maxpx < 64 OR minpx >= 96
+        |                   OR maxpy < 64 OR minpy >= 96
+        |              THEN 1 ELSE 0 END AS skip
+        |  FROM tiles
+        |  UNION ALL
+        |  SELECT layout, 'py_only', n,
+        |         CASE WHEN maxpy < 64 OR minpy >= 96 THEN 1 ELSE 0 END
+        |  FROM tiles)
+        |SELECT layout, query, COUNT(*) AS n_tiles,
+        |       CAST(SUM(skip) AS BIGINT) AS n_skip_tiles,
+        |       CAST(SUM(CASE WHEN skip = 1 THEN n ELSE 0 END) AS BIGINT)
+        |         AS rows_skipped,
+        |       CAST(SUM(n) AS BIGINT) AS rows_total,
+        |       CAST(SUM(CASE WHEN skip = 1 THEN n ELSE 0 END) * 1000000
+        |            // SUM(n) AS BIGINT) AS skip_ppm
+        |FROM flags GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // x194: fp CTEs shared with x120 (OracleSqlMl.fpCodedCtes +
+    // fpsDistinctCte); 3 unrolled min-label rounds, each the min over
+    // self ∪ neighbors.
+    "x194_neardup_clusters" ->
+      ("WITH " + OracleSqlMl.fpCodedCtes + ",\n" +
+        OracleSqlMl.fpsDistinctCte + ",\n" +
+        """e0 AS (SELECT a.doc_id AS u, b.doc_id AS v
+          |       FROM fps a JOIN fps b ON a.fp = b.fp
+          |                            AND a.doc_id < b.doc_id
+          |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          |und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+          |l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+          |l1 AS (SELECT u AS node, MIN(lbl) AS label FROM (
+          |         SELECT und.u, l0.label AS lbl FROM und
+          |         JOIN l0 ON und.v = l0.node
+          |         UNION ALL SELECT node, label FROM l0) GROUP BY 1),
+          |l2 AS (SELECT u AS node, MIN(lbl) AS label FROM (
+          |         SELECT und.u, l1.label AS lbl FROM und
+          |         JOIN l1 ON und.v = l1.node
+          |         UNION ALL SELECT node, label FROM l1) GROUP BY 1),
+          |l3 AS (SELECT u AS node, MIN(lbl) AS label FROM (
+          |         SELECT und.u, l2.label AS lbl FROM und
+          |         JOIN l2 ON und.v = l2.node
+          |         UNION ALL SELECT node, label FROM l2) GROUP BY 1)
+          |SELECT label AS cluster_id, COUNT(*) AS n_docs
+          |FROM l3 GROUP BY 1 ORDER BY n_docs DESC, cluster_id""".stripMargin),
+
+    "x191_auc_rank" ->
+      """WITH p AS (SELECT CAST(p_size AS BIGINT) AS s,
+        |                  CASE WHEN CAST(ROUND(p_retailprice*100,0) AS BIGINT)
+        |                            >= 91000
+        |                       THEN 1 ELSE 0 END AS pos
+        |           FROM part),
+        |g AS (SELECT s, CAST(SUM(pos) AS BIGINT) AS np,
+        |             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nn_neg
+        |      FROM p GROUP BY 1),
+        |c AS (SELECT s, np, nn_neg,
+        |             COALESCE(SUM(nn_neg) OVER (ORDER BY s
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS cnl
+        |      FROM g)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |       CAST(SUM(nn_neg) AS BIGINT) AS n_neg,
+        |       CAST(SUM(np*(2*cnl+nn_neg)) AS BIGINT) AS auc_num,
+        |       CAST(2*SUM(np)*SUM(nn_neg) AS BIGINT) AS auc_den,
+        |       ROUND(CAST(SUM(np*(2*cnl+nn_neg)) AS DOUBLE)
+        |             / CAST(2*SUM(np)*SUM(nn_neg) AS DOUBLE), 6) AS auc
+        |FROM c""".stripMargin
+  )
+}

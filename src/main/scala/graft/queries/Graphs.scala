@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** x188–x189: multi-hop graph operators over the support-≥2 co-purchase
+  * graph (x181's edge definition) — BFS hop histogram from a deterministic
+  * seed set, and k-core peeling. Both are FIXED-round iterations (3), so
+  * each plan is a static composition with no driver-side convergence probe
+  * — the property that makes them oracle-checkable as unrolled SQL.
+  */
+object Graphs {
+
+  /** Undirected support-≥2 co-purchase edges, both directions — the same
+    * graph x181 propagates labels over (parts co-ordered at least twice).
+    * 100 TB: the pair build is per-order (bounded by order width²), never
+    * all-pairs over parts; the support filter runs inside the (u,v)
+    * partial aggregate. */
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val e0 = op.as("a")
+      .join(op.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("u", "v")
+    e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  /** x188: BFS HOP HISTOGRAM — breadth-first reach from the deterministic
+    * seed set {nodes ≡ 0 mod 97}, 3 hops, reporting how many nodes sit at
+    * hop 0/1/2/3 and how many stay unreached (hop −1). The "blast radius"
+    * primitive behind recall/contamination spread analyses; complements
+    * x24 (components), x119 (triangles), x181 (communities). Every hop
+    * level emits exactly one histogram row even when empty (a 1-row global
+    * aggregate per level), so the output shape is static like the oracle's.
+    *
+    * 100 TB: each hop is one keyed join (edges hashed on the neighbor end,
+    * frontier on node) + a distinct + an anti-join against the reached set
+    * — frontier-sized, not graph-sized; the edge list is built once,
+    * pre-partitioned on `v`, and reused by all 3 hops; each level
+    * localCheckpoints to keep the unrolled lineage flat. */
+  def x188(spark: SparkSession, dir: String): DataFrame = {
+    val und = copurchaseEdges(spark, dir).repartition(col("v")).persist()
+    val nodes = und.select(col("u").as("node")).distinct()
+    var reached = nodes.filter(col("node") % 97 === 0)
+      .localCheckpoint(true)
+    var frontier = reached
+    var levelCounts = Seq(
+      reached.agg(count(lit(1)).as("n_nodes"))
+        .select(lit(0L).as("hop"), col("n_nodes")))
+    for (i <- 1 to 3) {
+      val next = und.join(frontier, col("v") === col("node"))
+        .select(col("u").as("node")).distinct()
+        .join(reached.select(col("node").as("rn")),
+              col("node") === col("rn"), "left_anti")
+        .localCheckpoint(true)
+      levelCounts = levelCounts :+ next.agg(count(lit(1)).as("n_nodes"))
+        .select(lit(i.toLong).as("hop"), col("n_nodes"))
+      reached = reached.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    val unreached = nodes
+      .join(reached.select(col("node").as("rn")),
+            col("node") === col("rn"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(-1L).as("hop"), col("n_nodes"))
+    val out = (unreached +: levelCounts).reduce(_ unionByName _)
+      .orderBy("hop").localCheckpoint(true)
+    und.unpersist()
+    out
+  }
+
+  /** x189: K-CORE PEELING — 3 rounds of 2-core reduction: each round drops
+    * every node with degree < 2 and all edges touching it, reporting
+    * (nodes, edges) remaining after each round. Fixed-round peeling toward
+    * the 2-core — the graph-cleaning primitive (degree-1 tendrils are
+    * noise for community/triangle analyses) — with the round count static,
+    * like x181's LPA, so the oracle unrolls.
+    *
+    * 100 TB: each round = one degree partial-aggregate + two semi-joins
+    * (kept-node filter on each endpoint) — all keyed, all graph-linear; the
+    * per-round stats are 1-row global aggregates; localCheckpoint flattens
+    * the 3-round lineage. */
+  def x189(spark: SparkSession, dir: String): DataFrame = {
+    var cur = copurchaseEdges(spark, dir).localCheckpoint(true)
+    var stats = Seq.empty[DataFrame]
+    for (r <- 1 to 3) {
+      val keep = cur.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2).select("u")
+      cur = cur
+        .join(keep.select(col("u").as("ku")), col("u") === col("ku"),
+              "left_semi")
+        .join(keep.select(col("u").as("kv")), col("v") === col("kv"),
+              "left_semi")
+        .localCheckpoint(true)
+      stats = stats :+ cur
+        .agg(countDistinct(col("u")).as("n_nodes"),
+             count(lit(1)).as("ne"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"),
+                expr("ne DIV 2").as("n_edges"))
+    }
+    stats.reduce(_ unionByName _).orderBy("round")
+  }
+
+  /** x194: NEAR-DUP CLUSTERS — dedup GROUPS, not just pairs: documents
+    * sharing ≥2 distinct rolling-hash 5-gram fingerprints (x13/x120's
+    * span-dup signal) become edges; 3 fixed rounds of synchronous
+    * min-label propagation collapse the edge set into cluster ids; output
+    * is (cluster_id, n_docs) — what a curation pipeline actually consumes
+    * (keep one per cluster). Complements x24 (convergence-driven CC over
+    * exact-dup edges) with an oracle-checkable fixed-round variant over
+    * NEAR-dup edges, and x86/x109 (pair emitters) with the grouping step.
+    *
+    * 100 TB: fingerprints come from the native `rolling_fps` expression —
+    * one codegen'd pass, no shuffle (x120's path); the pair build is
+    * fp-keyed (never doc×doc) with the support-≥2 filter inside the (u,v)
+    * partial aggregate; production corpora additionally cap hot
+    * fingerprints (drop boilerplate fps seen in >K docs — x120's stated
+    * guard) before the self-join. Each label round is one keyed join + a
+    * min partial-aggregate over the cached, pre-partitioned edge list
+    * (x181's reuse pattern). */
+  def x194(spark: SparkSession, dir: String): DataFrame = {
+    val fps = LlmExt2.docFingerprints(Tables.documents(spark, dir)).distinct()
+    val e0 = fps.as("a")
+      .join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("u", "v")
+    val und = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v")).persist()
+    var labels = und.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to 3) {
+      labels = und.join(labels, col("v") === col("node"))
+        .select(col("u").as("node"), col("label"))
+        .unionByName(labels)
+        .groupBy("node")
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    val out = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
+      .select(col("label").as("cluster_id"), col("n_docs"))
+      .orderBy(col("n_docs").desc, col("cluster_id"))
+      .localCheckpoint(true)
+    und.unpersist()
+    out
+  }
+}

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.engine.Tables
+
+/** x184–x187: time-series analytics over the order history — day-of-week
+  * seasonality, calendar-aligned autocorrelation, an integer-exact
+  * truncated EWMA, and per-region linear gap-fill interpolation. All
+  * statistics follow §7.4: counts/cents stay BIGINT to the end; each query
+  * performs its double divisions in one pinned order and ROUND(…, 6)s the
+  * result, so the oracle hash cannot drift.
+  */
+object Timeseries {
+
+  /** Calendar day as epoch days — BIGINT on both engines
+    * (`unix_micros DIV 86400000000` here, `epoch_us // 86400000000` in the
+    * oracle; order dates are non-negative so trunc-vs-floor agree). */
+  private def dayCol =
+    expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+  private def centsCol = round(col("o_totalprice") * 100, 0).cast(LongType)
+
+  /** x184: DAY-OF-WEEK SEASONALITY INDEX — for each (order priority, ISO
+    * weekday): observed order count vs the count expected if priority and
+    * weekday were independent, as the lift ratio
+    * (n·total)/(n_priority·n_dow). The classic seasonal-index /
+    * independence-lift audit behind "do urgent orders cluster on
+    * Mondays?". The ratio is formed from four exact BIGINTs with ONE
+    * double division, then ROUND 6.
+    *
+    * ISO weekday portability: Spark's dayofweek is 1=Sunday, the oracle's
+    * isodow is 1=Monday — `((dayofweek+5) % 7) + 1` re-bases Spark onto
+    * ISO so both engines bucket identically.
+    *
+    * 100 TB: one partial+final count on a ≤|priorities|·7-key grid; the
+    * three marginal windows all run over that ≤35-row aggregate. */
+  def x184(spark: SparkSession, dir: String): DataFrame = {
+    val dow = (((dayofweek(col("o_orderdate")) + lit(5)) % lit(7)) + lit(1))
+      .cast(LongType)
+    val g = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"), dow.as("dow"))
+      .groupBy("priority", "dow")
+      .agg(count(lit(1)).as("n"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing)
+    g.withColumn("np", sum(col("n")).over(Window.partitionBy("priority")))
+      .withColumn("nd", sum(col("n")).over(Window.partitionBy("dow")))
+      .withColumn("nt", sum(col("n")).over(all))
+      .select(col("priority"), col("dow"), col("n").as("n_orders"),
+        round((col("n") * col("nt")).cast(DoubleType) /
+              (col("np") * col("nd")).cast(DoubleType), 6).as("seasonal_idx"))
+      .orderBy("priority", "dow")
+  }
+
+  /** x185: DAILY-SERIES AUTOCORRELATION — Pearson r between the daily
+    * order-count series and itself shifted by 1..7 CALENDAR days (join on
+    * day+lag, so month-boundary gaps align honestly rather than by row
+    * position). r is assembled from six exact BIGINT sums per lag; the
+    * only doubles are the final `num / (√d1 · √d2)` — the two sqrt factors
+    * kept separate because d1·d2 could overflow BIGINT while each factor
+    * alone cannot.
+    *
+    * 100 TB: the daily rollup is one partial+final count (≤|days| rows);
+    * the 7 lags EXPLODE from each aggregate row map-side (no lag-table
+    * join), and the shifted self-join is keyed on (day+lag) over the
+    * bounded aggregate — never over raw orders. */
+  def x185(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(dayCol.as("d")).agg(count(lit(1)).as("x"))
+    val a = daily.select(col("d"), col("x").as("xa"),
+      explode(sequence(lit(1L), lit(7L))).as("lag_days"))
+    val p = a.join(daily.select(col("d").as("db"), col("x").as("xb")),
+                   col("db") === col("d") + col("lag_days"))
+    p.groupBy("lag_days")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+           sum(col("xa") * col("xb")).as("sxy"),
+           sum(col("xa") * col("xa")).as("sxx"),
+           sum(col("xb") * col("xb")).as("syy"))
+      .select(col("lag_days"), col("n_pairs"),
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+                .cast(DoubleType) /
+              (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+                 .cast(DoubleType)) *
+               sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                 .cast(DoubleType))), 6).as("acorr"))
+      .orderBy("lag_days")
+  }
+
+  /** x186: TRUNCATED EWMA, INTEGER WEIGHTS — 8-term exponential smoothing
+    * of daily revenue with decay 3/4: weight_k = 3^k·4^(7−k) (the common
+    * denominator 4^7 cleared), so num and den are exact BIGINTs and the
+    * smoothing cannot drift the way a float exp(−λΔt) recurrence would
+    * (x153 solved the same problem with powers of two; here the truncation
+    * makes an arbitrary rational decay exact). Missing leading terms drop
+    * out of BOTH num and den, so the head of the series is a properly
+    * renormalized partial average, not a zero-padded one.
+    *
+    * 100 TB: one partial+final daily rollup; the 8 LAGs ride one ordered
+    * window over the ≤|days|-row aggregate — never over raw orders. */
+  def x186(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(dayCol.as("d")).agg(sum(centsCol).as("rc"))
+    val w = Window.orderBy("d")
+    val ws = Array(16384L, 12288L, 9216L, 6912L, 5184L, 3888L, 2916L, 2187L)
+    val lagged = daily.select(
+      (col("d") +: col("rc") +:
+        (1 to 7).map(k => lag(col("rc"), k).over(w).as(s"r$k"))): _*)
+    val num = (1 to 7).foldLeft(lit(ws(0)) * col("rc")) { (acc, k) =>
+      acc + lit(ws(k)) * coalesce(col(s"r$k"), lit(0L)) }
+    val den = (1 to 7).foldLeft(lit(ws(0))) { (acc, k) =>
+      acc + when(col(s"r$k").isNull, lit(0L)).otherwise(lit(ws(k))) }
+    lagged.select(col("d").as("day"), col("rc").as("revenue_cents"),
+        round(num.cast(DoubleType) / den.cast(DoubleType) / lit(100.0), 6)
+          .as("ewma"))
+      .orderBy("day")
+  }
+
+  /** x187: LINEAR GAP-FILL INTERPOLATION — per-region daily revenue on a
+    * per-region date spine (x69's spine + x68's ignore-nulls fill,
+    * completed into two-sided interpolation): a day with no orders gets
+    * prev + (next−prev)·(d−d_prev)/(d_next−d_prev), the straight line
+    * between its observed neighbors. The numerator products are exact
+    * BIGINTs; one double division + ROUND 6 per row. Spines start/end at
+    * each region's own observed min/max, so every gap day has both
+    * neighbors by construction.
+    *
+    * 100 TB: orders⋈customer is the one fact-sized hash join (nation and
+    * region stay broadcast); the daily rollup bounds everything after at
+    * |regions|·|days| rows; both fill windows partition by region —
+    * bounded per-partition day sets, no global window. */
+  def x187(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_regionkey").cast(LongType).as("rk"),
+              dayCol.as("d"), centsCol.as("cents"))
+    val daily = o.groupBy("rk", "d").agg(sum(col("cents")).as("rc"))
+    val spine = daily.groupBy("rk")
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(col("rk"), explode(sequence(col("lo"), col("hi"))).as("d"))
+    val j = spine.join(
+        daily.select(col("rk").as("rk2"), col("d").as("d2"), col("rc")),
+        col("rk") === col("rk2") && col("d") === col("d2"), "left")
+      .select("rk", "d", "rc")
+    val wp = Window.partitionBy("rk").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wn = Window.partitionBy("rk").orderBy("d")
+      .rowsBetween(0, Window.unboundedFollowing)
+    j.withColumn("pc", last(col("rc"), ignoreNulls = true).over(wp))
+      .withColumn("pd",
+        last(when(col("rc").isNotNull, col("d")), ignoreNulls = true).over(wp))
+      .withColumn("nc", first(col("rc"), ignoreNulls = true).over(wn))
+      .withColumn("nd",
+        first(when(col("rc").isNotNull, col("d")), ignoreNulls = true).over(wn))
+      .select(col("rk").as("regionkey"), col("d").as("day"),
+        when(col("rc").isNull, lit(1L)).otherwise(lit(0L)).as("is_interp"),
+        round(
+          when(col("rc").isNotNull, col("rc").cast(DoubleType) / lit(100.0))
+            .otherwise((col("pc").cast(DoubleType) +
+              ((col("nc") - col("pc")) * (col("d") - col("pd")))
+                .cast(DoubleType) /
+              (col("nd") - col("pd")).cast(DoubleType)) / lit(100.0)),
+          6).as("revenue_interp"))
+      .orderBy("regionkey", "day")
+  }
+
+  /** x192: INTER-ORDER GAP QUANTILES — customer-lifecycle cadence: the
+    * day gaps between each customer's consecutive orders, summarized as
+    * (count, exact p50, exact p90, 6-dp mean). The purchase-cadence
+    * statistic behind churn models and reorder-window tuning. ONE
+    * [[graft.engine.Quantiles]] q=10 histogram run serves BOTH quantiles
+    * (p50 = d5, p90 = d9 of the same boundary vector); the mean divides
+    * two exact BIGINTs once.
+    *
+    * 100 TB: the gap window partitions by customer — bounded per-key order
+    * sets (x65/x148/x177 discipline), no global sort; the quantile
+    * machinery is the x171/x176 two-phase histogram (one bucket aggregate
+    * + one pruned rescan), so the summary never sorts the gap population
+    * either. */
+  def x192(spark: SparkSession, dir: String): DataFrame = {
+    val wd = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    def gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), dayCol.as("d"), col("o_orderkey"))
+      .withColumn("gap", col("d") - lag(col("d"), 1).over(wd))
+      .filter(col("gap").isNotNull)
+      .select(col("gap").as("v"))
+    val bs = graft.engine.Quantiles.boundaries(gaps, 16L, 10)
+      .groupBy()
+      .agg(max(when(col("d") === 5, col("boundary"))).as("p50_gap_days"),
+           max(when(col("d") === 9, col("boundary"))).as("p90_gap_days"))
+    gaps.agg(count(lit(1)).as("n_gaps"), sum(col("v")).as("s"))
+      .crossJoin(broadcast(bs))
+      .select(col("n_gaps"), col("p50_gap_days"), col("p90_gap_days"),
+        round(col("s").cast(DoubleType) / col("n_gaps"), 6)
+          .as("mean_gap_days"))
+  }
+}
