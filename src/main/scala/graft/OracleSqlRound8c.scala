@@ -230,6 +230,59 @@ object OracleSqlRound8c {
         |       CAST(SUM(m_cents) AS BIGINT) AS sum_m_cents
         |FROM a GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
+    // x195: weekday from pure epoch-day arithmetic (day 0 = Thursday →
+    // ((d+3)%7)+1), and the detrended value carried as the exact integer
+    // (x·c7−s7)·(420//c7) — 420 = lcm(4..7), the only centered-window
+    // sizes — so the seasonal mean aggregates BIGINTs.
+    "x195_seasonal_decompose" ->
+      """WITH daily AS (SELECT epoch_us(o_orderdate)//86400000000 AS d,
+        |                      COUNT(*) AS x
+        |               FROM orders GROUP BY 1),
+        |w7 AS (SELECT d, x,
+        |         SUM(x) OVER (ORDER BY d
+        |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+        |         COUNT(*) OVER (ORDER BY d
+        |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+        |       FROM daily),
+        |det AS (SELECT d, x, s7, c7, ((d + 3) % 7) + 1 AS dow,
+        |          (x*c7 - s7) * (420 // c7) AS det420
+        |        FROM w7),
+        |s AS (SELECT dow, CAST(SUM(det420) AS BIGINT) AS sd, COUNT(*) AS nd
+        |      FROM det GROUP BY 1)
+        |SELECT det.d AS day, CAST(x AS BIGINT) AS n_orders,
+        |  ROUND(CAST(s7 AS DOUBLE)/c7, 6) AS trend,
+        |  ROUND(CAST(sd AS DOUBLE)/(420*nd), 6) AS seasonal,
+        |  ROUND(x - CAST(s7 AS DOUBLE)/c7 - CAST(sd AS DOUBLE)/(420*nd), 6)
+        |    AS residual
+        |FROM det JOIN s USING (dow) ORDER BY day""".stripMargin,
+
+    // x196: candidate pairs = x194's e0 CTE; tf vectors from the SAME
+    // full-token list `t` the fp prelude builds (LlmExt2.tokens is its
+    // Spark twin — lowercased, space-split, empties dropped, uncapped).
+    "x196_token_cosine_pairs" ->
+      ("WITH " + OracleSqlMl.fpCodedCtes + ",\n" +
+        OracleSqlMl.fpsDistinctCte + ",\n" +
+        """e0 AS (SELECT a.doc_id AS u, b.doc_id AS v
+          |       FROM fps a JOIN fps b ON a.fp = b.fp
+          |                            AND a.doc_id < b.doc_id
+          |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          |tok AS (SELECT doc_id, x AS tok FROM d, UNNEST(t) AS u(x)),
+          |cnts AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+          |norms AS (SELECT doc_id, CAST(SUM(c*c) AS BIGINT) AS nrm
+          |          FROM cnts GROUP BY 1),
+          |num AS (SELECT e0.u, e0.v, CAST(SUM(ca.c * cb.c) AS BIGINT) AS dot
+          |        FROM e0 JOIN cnts ca ON ca.doc_id = e0.u
+          |                JOIN cnts cb ON cb.doc_id = e0.v
+          |                            AND cb.tok = ca.tok
+          |        GROUP BY 1, 2)
+          |SELECT num.u AS doc_a, num.v AS doc_b, num.dot AS dot,
+          |  ROUND(CAST(num.dot AS DOUBLE) /
+          |        (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))),
+          |        6) AS cosine
+          |FROM num JOIN norms na ON na.doc_id = num.u
+          |         JOIN norms nb ON nb.doc_id = num.v
+          |ORDER BY doc_a, doc_b""".stripMargin),
+
     "x192_reorder_intervals" ->
       """WITH o AS (SELECT o_custkey, epoch_us(o_orderdate)//86400000000 AS d,
         |                  o_orderkey FROM orders),

@@ -124,15 +124,23 @@ object Graphs {
     * guard) before the self-join. Each label round is one keyed join + a
     * min partial-aggregate over the cached, pre-partitioned edge list
     * (x181's reuse pattern). */
-  def x194(spark: SparkSession, dir: String): DataFrame = {
-    val fps = LlmExt2.docFingerprints(Tables.documents(spark, dir)).distinct()
-    val e0 = fps.as("a")
+  /** Near-dup candidate pairs: docs sharing ≥2 distinct rolling-hash
+    * 5-gram fingerprints, u < v. fp-keyed self-join (never doc×doc), the
+    * support filter inside the (u,v) partial aggregate; production
+    * corpora additionally cap hot fingerprints first (x120's guard). */
+  private def fpSharePairs(docs: org.apache.spark.sql.DataFrame): DataFrame = {
+    val fps = LlmExt2.docFingerprints(docs).distinct()
+    fps.as("a")
       .join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select("u", "v")
+  }
+
+  def x194(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = fpSharePairs(Tables.documents(spark, dir))
     val und = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("v")).persist()
     var labels = und.select(col("u").as("node")).distinct()
@@ -151,5 +159,41 @@ object Graphs {
       .localCheckpoint(true)
     und.unpersist()
     out
+  }
+
+  /** x196: TOKEN-COSINE PAIR SCORING — exact term-frequency cosine for
+    * every x194 near-dup candidate pair: dot = Σ_t tf_a(t)·tf_b(t)
+    * (exact BIGINT), cosine = dot/(√‖a‖·√‖b‖) rounded 6 dp. The scoring
+    * half of the candidate→verify dedup protocol: the fp bands FIND
+    * candidates cheaply, the cosine DECIDES, and both halves are
+    * oracle-checked (x86 does the same with Jaccard; this is the
+    * vector-space twin reusing the corpus's own tf vectors).
+    *
+    * 100 TB: never all-pairs — the tf join fans each candidate pair out
+    * by ONE side's token list, then contracts through a keyed (doc, tok)
+    * hash join and a (u,v) partial aggregate; norms are one ≤|docs|-row
+    * aggregate attached by two keyed joins. */
+  def x196(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val e0 = fpSharePairs(docs)
+    val cnts = LlmExt2.tokens(docs)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val norms = cnts.groupBy("doc_id")
+      .agg(sum(col("c") * col("c")).as("nrm"))
+    val num = e0
+      .join(cnts.select(col("doc_id").as("u"), col("tok"),
+                        col("c").as("ca")), Seq("u"))
+      .join(cnts.select(col("doc_id").as("v"), col("tok"),
+                        col("c").as("cb")), Seq("v", "tok"))
+      .groupBy("u", "v").agg(sum(col("ca") * col("cb")).as("dot"))
+    num
+      .join(norms.select(col("doc_id").as("u"), col("nrm").as("na")), "u")
+      .join(norms.select(col("doc_id").as("v"), col("nrm").as("nb")), "v")
+      .select(col("u").as("doc_a"), col("v").as("doc_b"), col("dot"),
+        round(col("dot").cast(org.apache.spark.sql.types.DoubleType) /
+              (sqrt(col("na").cast(org.apache.spark.sql.types.DoubleType)) *
+               sqrt(col("nb").cast(org.apache.spark.sql.types.DoubleType))),
+          6).as("cosine"))
+      .orderBy("doc_a", "doc_b")
   }
 }

@@ -14,7 +14,7 @@ import graft.engine.{Tables, VectorKernels}
   */
 object LlmExt2 {
 
-  private def tokens(docs: DataFrame): DataFrame =
+  private[graft] def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
 

@@ -200,4 +200,40 @@ object Timeseries {
         round(col("s").cast(DoubleType) / col("n_gaps"), 6)
           .as("mean_gap_days"))
   }
+
+  /** x195: SEASONAL DECOMPOSITION — the classical trend/seasonal/residual
+    * split of the daily order-count series: trend = 7-row centered moving
+    * average; seasonal = per-ISO-weekday mean of the detrended series;
+    * residual = what's left. Exactness trick: the detrended value
+    * x − s7/c7 is carried as the INTEGER (x·c7 − s7)·(420 DIV c7) — 420
+    * is lcm(4..7), the only window sizes a 7-row centered window can have
+    * — so the seasonal mean aggregates exact BIGINTs and every reported
+    * double comes from pinned-order divisions + ROUND 6. The weekday
+    * comes from pure epoch-day arithmetic (`((d+3) % 7)+1`; day 0 is a
+    * Thursday), no date functions to disagree across engines.
+    *
+    * 100 TB: one daily partial+final count; the MA window and the 7-row
+    * seasonal join run over that bounded aggregate; the seasonal table is
+    * a 7-row broadcast. */
+  def x195(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(dayCol.as("d")).agg(count(lit(1)).as("x"))
+    val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("s7", sum(col("x")).over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .withColumn("dow", (col("d") + 3) % 7 + 1)
+      .withColumn("det420", expr("(x * c7 - s7) * (420 DIV c7)"))
+    val s = det.groupBy("dow")
+      .agg(sum(col("det420")).as("sd"), count(lit(1)).as("nd"))
+    det.join(broadcast(s), "dow")
+      .select(col("d").as("day"), col("x").as("n_orders"),
+        round(col("s7").cast(DoubleType) / col("c7"), 6).as("trend"),
+        round(col("sd").cast(DoubleType) / (lit(420L) * col("nd")), 6)
+          .as("seasonal"),
+        round(col("x") - col("s7").cast(DoubleType) / col("c7") -
+              col("sd").cast(DoubleType) / (lit(420L) * col("nd")), 6)
+          .as("residual"))
+      .orderBy("day")
+  }
 }

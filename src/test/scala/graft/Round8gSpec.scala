@@ -271,6 +271,58 @@ class Round8gSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no near-dup clusters at smoke scale — vacuous")
   }
 
+  test("x195 decomposition reconstructs exactly; seasonal means sum to ~0") {
+    val daily = orderDays.groupBy(identity)
+      .view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    val xs = daily.map(_._2)
+    val got = Timeseries.x195(spark, sfSmoke).collect()
+    assert(got.length === daily.length)
+    // naive recompute: centered 7-row MA + integer-scaled seasonal means
+    val n = xs.length
+    val s7 = xs.indices.map(i => (math.max(0, i - 3) to
+      math.min(n - 1, i + 3)).map(xs).sum)
+    val c7 = xs.indices.map(i =>
+      (math.min(n - 1, i + 3) - math.max(0, i - 3) + 1).toLong)
+    val det420 = xs.indices.map(i =>
+      (xs(i) * c7(i) - s7(i)) * (420L / c7(i)))
+    val dow = daily.map(t => ((t._1 + 3) % 7) + 1)
+    val seas = dow.zip(det420).groupBy(_._1)
+      .view.mapValues(g => (g.map(_._2).sum, g.size.toLong)).toMap
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === daily(i)._1)
+      assert(r.getLong(1) === xs(i))
+      assert(r.getDouble(2) === r6(s7(i).toDouble / c7(i)), s"trend@$i")
+      val (sd, nd) = seas(dow(i))
+      assert(r.getDouble(3) === r6(sd.toDouble / (420L * nd)), s"seasonal@$i")
+      assert(r.getDouble(4) ===
+        r6(xs(i) - s7(i).toDouble / c7(i) - sd.toDouble / (420L * nd)),
+        s"residual@$i")
+    }
+    // detrended series has ~zero mass per weekday by construction
+    val seasonalMass = seas.values.map(v => v._1.toDouble / (420L * v._2)).sum
+    assert(math.abs(seasonalMass) < 1.5, "seasonal components far from zero")
+  }
+
+  test("x196 cosine equals a naive tf dot product over the same pairs") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val tf = graft.queries.LlmExt2.tokens(docs).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    val got = Graphs.x196(spark, sfSmoke).collect()
+    assert(got.nonEmpty, "no candidate pairs at smoke scale — vacuous")
+    got.foreach { r =>
+      val (a, b) = (tf(r.getLong(0)), tf(r.getLong(1)))
+      val dot = a.keySet.intersect(b.keySet).toSeq.map(t => a(t) * b(t)).sum
+      assert(r.getLong(2) === dot)
+      val na = a.values.map(c => c * c).sum
+      val nb = b.values.map(c => c * c).sum
+      assert(r.getDouble(3) ===
+        r6(dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))))
+      assert(r.getDouble(3) > 0.5, "candidate pairs should be similar docs")
+    }
+  }
+
   test("x191 equals the all-pairs Mann-Whitney count") {
     val parts = Tables.part(spark, sfSmoke)
       .select(col("p_size").cast("long"),
