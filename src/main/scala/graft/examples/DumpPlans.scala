@@ -78,7 +78,15 @@ object DumpPlans {
       ("x171_exact_median_histogram", "two-phase exact median: histogram agg + bounded cumulative window locate the middles, the second scan is pruned to the <=2 candidate buckets — no row-scale sort",
        graft.queries.Organize3.x171(spark, dir)),
       ("x175_weighted_median_grouped", "grouped weighted median: per-group histogram + bounded windows; phase-2 rescan pruned to one bucket per group — the window-sort formulation never appears",
-       graft.queries.Organize4.x175(spark, dir)))
+       graft.queries.Organize4.x175(spark, dir)),
+      ("x185_autocorr_daily", "calendar-aligned autocorrelation: the 7 lags EXPLODE map-side from the bounded daily aggregate (no lag-table join); the shifted self-join hashes on day+lag over aggregates, never raw orders",
+       graft.queries.Timeseries.x185(spark, dir)),
+      ("x190_rfm_segments", "RFM quintiles WITHOUT a global NTILE sort: three Quantiles histogram runs over the persisted customer aggregate; banding is literal-array map arithmetic inside codegen; <=125-key rollup",
+       graft.queries.Organize5.x190(spark, dir)),
+      ("x193_skipping_compare", "zone-map payoff audit: quantize + 3 tile keys as scan-side map arithmetic, three partial+final aggs to <=256 zone-map rows each, skip flags evaluated over those bounded rows",
+       graft.queries.Organize5.x193(spark, dir)),
+      ("x194_neardup_clusters", "near-dup clustering: native rolling_fps scan (no shuffle), fp-keyed pair join (never doc x doc), 3 min-label rounds over the cached pre-partitioned edge list",
+       graft.queries.Graphs.x194(spark, dir)))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries\n\n")
     sb.append("Generated by `graft.examples.DumpPlans` (AQE-finalized, sf0.001).\n")

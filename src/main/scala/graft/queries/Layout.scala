@@ -89,4 +89,49 @@ object Layout {
            OutTypes.money(sum(col("o_totalprice").cast(dec))).as("revenue"),
            OutTypes.money(max(col("o_totalprice").cast(dec))).as("max_price"))
       .orderBy("c_mktsegment")
+
+  /** One year-partitioned ingest per (sf dir, JVM) — x113's amortization
+    * contract applied to PARTITIONED layout: directory-partition the fact
+    * once, and every later query whose join or filter lands on the
+    * partition column skips whole directories at planning or runtime. */
+  private val partWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def yearPartitionedOrders(spark: SparkSession, dir: String): String =
+    partWritten.getOrElseUpdate(dir, {
+      val tbl = s"x197_orders_byyear_${dirTag(dir)}"
+      reset(spark, tbl)
+      Tables.orders(spark, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").saveAsTable(tbl)
+      tbl
+    })
+
+  /** x197: DYNAMIC PARTITION PRUNING — the runtime half of data skipping
+    * (x193 measures the zone-map half): the fact table is
+    * directory-partitioned by order year; the query joins it to a
+    * year-list that only EXISTS at runtime (the distinct years of a
+    * filtered scan — not a foldable literal, so static pruning cannot
+    * fire). Spark plants a `dynamicpruningexpression` in the fact scan's
+    * PartitionFilters and reuses the broadcast of the dim side, so the
+    * fact read touches ONLY the surviving year directories. The filter
+    * here (orders before 1996) pins the dim list to {1995}: 1 of the ~7
+    * partitions is read at every sf. PlanSpec-style assertion lives in
+    * Round8hSpec (plan must carry dynamicpruning; results must equal the
+    * oracle's plain semi-join).
+    *
+    * 100 TB: this is THE mechanism that turns a fact⋈dim join with a
+    * selective dim filter from a full-table scan into a few directory
+    * reads — zero query rewrite, pure layout + runtime pruning. */
+  def x197(spark: SparkSession, dir: String): DataFrame = {
+    val fact = spark.table(yearPartitionedOrders(spark, dir))
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(year(col("o_orderdate")).as("y")).distinct()
+    fact.join(broadcast(dim), col("o_year") === col("y"))
+      .groupBy(col("o_year").cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(round(col("o_totalprice") * 100, 0).cast("long"))
+             .as("revenue_cents"))
+      .orderBy("o_year")
+  }
 }
