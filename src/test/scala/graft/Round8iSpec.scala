@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** x198 5-fold Chi-CS cross-validation pinned by a full naive in-JVM
+  * replay at smoke scale: fold hash, per-model cost vector, CS-PCF rule
+  * weights (exact BigDecimal sums of the same 12-dp-rounded terms),
+  * conflict resolution, winning-rule classification of the held-out fold,
+  * and the per-fold confusion — the complete reference protocol run
+  * sequentially and compared cell by cell. Double ops mirror the engine's
+  * operation order (x−c, abs, /w, 1−·, max 0; round via scala BigDecimal
+  * HALF_UP — the same call Spark's Round makes), so equality is exact. */
+class Round8iSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfSmoke}
+  import org.apache.spark.sql.functions._
+  import graft.engine.Tables
+  import graft.queries.Crossval
+
+  private val HALF_UP = BigDecimal.RoundingMode.HALF_UP
+
+  private def mu(x: Double, c: Double, w: Double): Double =
+    math.max(0.0, 1.0 - math.abs(x - c) / w)
+  private val C1 = Array(1.0, 25.5, 50.0); private val W1 = 24.5
+  private val C2 = Array(0.0, 0.05, 0.1);  private val W2 = 0.05
+  private def argmax(ms: Array[Double]): Int =
+    if (ms(0) >= ms(1) && ms(0) >= ms(2)) 0 else if (ms(1) >= ms(2)) 1 else 2
+
+  private case class Ex(x1: Double, x2: Double, cls: Int, a1: Int, a2: Int, fold: Int)
+
+  private lazy val examples: Seq[Ex] =
+    Tables.lineitem(spark, sfSmoke)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+              col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+      .collect().toSeq.map { r =>
+        val (ok, ln) = (r.getLong(0), r.getLong(1))
+        val (x1, x2) = (r.getDouble(2), r.getDouble(3))
+        val cls = if (r.getDouble(4) > 95000) 1 else 0
+        val fold = (((ok % 100000000L) * 8L + ln) * 2654435761L % 1000000007L % 5L).toInt
+        Ex(x1, x2, cls,
+           argmax(C1.map(c => mu(x1, c, W1))), argmax(C2.map(c => mu(x2, c, W2))), fold)
+      }
+
+  /** Naive per-model chain: returns (tp, tn, fp, fn) of the held-out fold. */
+  private def naiveFold(m: Int): (Long, Long, Long, Long) = {
+    val train = examples.filter(_.fold != m)
+    val test = examples.filter(_.fold == m)
+    val n1 = train.count(_.cls == 1).toLong
+    val n0 = train.size - n1
+    val (mn, mx) = (math.min(n0, n1), math.max(n0, n1))
+    def cost(cls: Int): Double = {
+      val n = if (cls == 1) n1 else n0
+      if (n == mn) mx * 1.0 / n else 1.0
+    }
+    val ants = train.map(e => (e.a1, e.a2, e.cls)).distinct
+    val rb = ants.groupBy { case (a1, a2, _) => (a1, a2) }.toSeq.flatMap {
+      case ((a1, a2), cands) =>
+        val weighted = cands.map { case (_, _, rcls) =>
+          var wMatch = BigDecimal(0); var wAll = BigDecimal(0)
+          for (e <- train) {
+            val t = BigDecimal(cost(e.cls) * mu(e.x1, C1(a1), W1) * mu(e.x2, C2(a2), W2))
+              .setScale(12, HALF_UP)
+            wAll += t; if (e.cls == rcls) wMatch += t
+          }
+          (rcls, wMatch, wAll)
+        }.filter(_._3 > 0).map { case (rcls, wm, wa) =>
+          (rcls, (wm * 2 - wa).setScale(6, HALF_UP).toDouble / wa.setScale(6, HALF_UP).toDouble)
+        }
+        if (weighted.isEmpty) Nil
+        else {
+          val (rcls, rw) = weighted.minBy { case (c, w) => (-w, c) }
+          if (rw > 0) Seq((a1, a2, rcls, rw)) else Nil
+        }
+    }
+    var (tp, tn, fp, fn) = (0L, 0L, 0L, 0L)
+    for (e <- test) {
+      val pred = rb.map { case (a1, a2, rcls, rw) =>
+        (rcls, BigDecimal(mu(e.x1, C1(a1), W1) * mu(e.x2, C2(a2), W2) * rw)
+                 .setScale(12, HALF_UP).toDouble)
+      }.minBy { case (c, s) => (-s, c) }._1
+      (e.cls, pred) match {
+        case (1, 1) => tp += 1; case (0, 0) => tn += 1
+        case (0, 1) => fp += 1; case _ => fn += 1
+      }
+    }
+    (tp, tn, fp, fn)
+  }
+
+  private lazy val got: Map[Long, (Long, Long, Long, Long, Long, Double, Double)] =
+    Crossval.x198(spark, sfSmoke).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+                       r.getLong(5), r.getDouble(6), r.getDouble(7))
+    }.toMap
+
+  test("x198 covers all five folds and partitions the example set") {
+    assert(got.keySet === (0L until 5L).toSet)
+    val total = Tables.lineitem(spark, sfSmoke).count()
+    assert(got.values.map(_._1).sum === total)
+    // the prime-mod hash must spread folds roughly evenly (±25% of n/5)
+    val per = total / 5.0
+    got.values.foreach(v => assert(math.abs(v._1 - per) < per * 0.25, s"unbalanced: $v"))
+  }
+
+  test("x198 equals the naive sequential 5-fold Chi-CS protocol") {
+    for (m <- 0 until 5) {
+      val (tp, tn, fp, fn) = naiveFold(m)
+      val (nTest, gtp, gtn, gfp, gfn, acc, gm) = got(m.toLong)
+      assert((gtp, gtn, gfp, gfn) === ((tp, tn, fp, fn)), s"fold $m confusion")
+      assert(nTest === tp + tn + fp + fn, s"fold $m n_test")
+      val accN = BigDecimal((tp + tn) * 1.0 / (tp + tn + fp + fn)).setScale(6, HALF_UP).toDouble
+      val gmN = BigDecimal(math.sqrt((tp * 1.0 / (tp + fn)) * (tn * 1.0 / (tn + fp))))
+        .setScale(6, HALF_UP).toDouble
+      assert(acc === accN, s"fold $m accuracy")
+      assert(gm === gmN, s"fold $m gm")
+    }
+  }
+}
