@@ -486,6 +486,84 @@ object OracleSqlRound8c {
         |       tp+tn+fp+fn AS n_test, tp, tn, fp, fn,
         |       ROUND((tp+tn)*1.0/(tp+tn+fp+fn), 6) AS accuracy,
         |       ROUND(SQRT((tp*1.0/(tp+fn)) * (tn*1.0/(tn+fp))), 6) AS gm
-        |FROM cm ORDER BY fold""".stripMargin
+        |FROM cm ORDER BY fold""".stripMargin,
+
+    // x199: the CS and base chains threaded through ONE set of CTEs with a
+    // variant flag v (v=1 applies the cost vector, v=0 forces 1.0), then the
+    // two per-vector verdicts pair on the classification grain (x1,x2,cls).
+    "x199_mcnemar_cs_vs_base" ->
+      """WITH base0 AS (
+        |  SELECT l_quantity AS x1, l_discount AS x2,
+        |         CASE WHEN l_extendedprice > 95000 THEN 1 ELSE 0 END AS cls
+        |  FROM lineitem),
+        |lab AS (
+        |  SELECT *,
+        |    CASE WHEN GREATEST(0,1-ABS(x1-1.0)/24.5) >= GREATEST(0,1-ABS(x1-25.5)/24.5)
+        |          AND GREATEST(0,1-ABS(x1-1.0)/24.5) >= GREATEST(0,1-ABS(x1-50.0)/24.5) THEN 0
+        |         WHEN GREATEST(0,1-ABS(x1-25.5)/24.5) >= GREATEST(0,1-ABS(x1-50.0)/24.5) THEN 1
+        |         ELSE 2 END AS a1,
+        |    CASE WHEN GREATEST(0,1-ABS(x2-0.0)/0.05) >= GREATEST(0,1-ABS(x2-0.05)/0.05)
+        |          AND GREATEST(0,1-ABS(x2-0.0)/0.05) >= GREATEST(0,1-ABS(x2-0.1)/0.05) THEN 0
+        |         WHEN GREATEST(0,1-ABS(x2-0.05)/0.05) >= GREATEST(0,1-ABS(x2-0.1)/0.05) THEN 1
+        |         ELSE 2 END AS a2
+        |  FROM base0),
+        |costs AS (
+        |  SELECT MAX(CASE WHEN cls=1 THEN c END) AS c1,
+        |         MAX(CASE WHEN cls=0 THEN c END) AS c0 FROM (
+        |    SELECT cls, CASE WHEN n = MIN(n) OVER () THEN MAX(n) OVER () * 1.0 / n
+        |                     ELSE 1.0 END AS c
+        |    FROM (SELECT cls, COUNT(*) AS n FROM lab GROUP BY cls))),
+        |variants AS (SELECT 1 AS v UNION ALL SELECT 0),
+        |ants AS (SELECT DISTINCT v, a1, a2, cls FROM lab CROSS JOIN variants),
+        |m AS (
+        |  SELECT a.v, a.a1, a.a2, a.cls AS rule_cls,
+        |    SUM(CASE WHEN l.cls = a.cls THEN CAST(ROUND(
+        |      (CASE WHEN a.v=0 THEN 1.0
+        |            WHEN l.cls=1 THEN (SELECT c1 FROM costs)
+        |            ELSE (SELECT c0 FROM costs) END)
+        |    * GREATEST(0,1-ABS(l.x1 - (CASE a.a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)
+        |    * GREATEST(0,1-ABS(l.x2 - (CASE a.a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05),
+        |    12) AS DECIMAL(38,12)) END) AS w_match,
+        |    SUM(CAST(ROUND(
+        |      (CASE WHEN a.v=0 THEN 1.0
+        |            WHEN l.cls=1 THEN (SELECT c1 FROM costs)
+        |            ELSE (SELECT c0 FROM costs) END)
+        |    * GREATEST(0,1-ABS(l.x1 - (CASE a.a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)
+        |    * GREATEST(0,1-ABS(l.x2 - (CASE a.a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05),
+        |    12) AS DECIMAL(38,12))) AS w_all
+        |  FROM ants a CROSS JOIN lab l GROUP BY 1,2,3,4),
+        |rw AS (SELECT v, a1, a2, rule_cls,
+        |              CAST(ROUND(2*w_match - w_all, 6) AS DOUBLE)
+        |                / CAST(ROUND(w_all, 6) AS DOUBLE) AS rw
+        |       FROM m WHERE w_all > 0),
+        |rb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY v, a1, a2
+        |                                    ORDER BY rw DESC, rule_cls) AS rn FROM rw),
+        |final_rb AS (SELECT v, a1, a2, rule_cls, rw FROM rb WHERE rn=1 AND rw > 0),
+        |gex AS (SELECT x1, x2, cls, COUNT(*) AS m FROM lab GROUP BY 1,2,3),
+        |scored AS (
+        |  SELECT r.v, g.x1, g.x2, g.cls AS actual, g.m, r.rule_cls,
+        |    ROUND(GREATEST(0,1-ABS(g.x1 - (CASE r.a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)
+        |        * GREATEST(0,1-ABS(g.x2 - (CASE r.a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05)
+        |        * r.rw, 12) AS score
+        |  FROM gex g CROSS JOIN final_rb r),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY v, x1, x2, actual
+        |                                      ORDER BY score DESC, rule_cls) AS rn FROM scored),
+        |win AS (SELECT v, x1, x2, actual, rule_cls, m FROM best WHERE rn=1),
+        |pair AS (
+        |  SELECT a.actual, a.m,
+        |         CASE WHEN a.rule_cls = a.actual THEN 1 ELSE 0 END AS cs_ok,
+        |         CASE WHEN b.rule_cls = b.actual THEN 1 ELSE 0 END AS base_ok
+        |  FROM win a JOIN win b
+        |    ON a.v=1 AND b.v=0 AND a.x1=b.x1 AND a.x2=b.x2 AND a.actual=b.actual),
+        |cm AS (
+        |  SELECT CAST(SUM(CASE WHEN cs_ok=1 AND base_ok=1 THEN m ELSE 0 END) AS BIGINT) AS n11,
+        |         CAST(SUM(CASE WHEN cs_ok=1 AND base_ok=0 THEN m ELSE 0 END) AS BIGINT) AS n10,
+        |         CAST(SUM(CASE WHEN cs_ok=0 AND base_ok=1 THEN m ELSE 0 END) AS BIGINT) AS n01,
+        |         CAST(SUM(CASE WHEN cs_ok=0 AND base_ok=0 THEN m ELSE 0 END) AS BIGINT) AS n00
+        |  FROM pair)
+        |SELECT n11, n10, n01, n00,
+        |       ROUND((ABS(n10-n01)-1)*(ABS(n10-n01)-1)*1.0/(n10+n01), 6) AS chi2_stat,
+        |       (ABS(n10-n01)-1)*(ABS(n10-n01)-1)*1.0/(n10+n01) > 3.841 AS significant_95
+        |FROM cm""".stripMargin
   )
 }

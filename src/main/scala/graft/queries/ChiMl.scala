@@ -128,7 +128,8 @@ object ChiMl {
     val perEx = Window.partitionBy("x1", "x2", "cls")
       .orderBy(col("score").desc, col("rcls"))
     scored.withColumn("rn", row_number().over(perEx)).filter(col("rn") === 1)
-      .select(col("cls").as("actual"), col("rcls").as("predicted"), col("m"))
+      .select(col("x1"), col("x2"), col("cls").as("actual"),
+              col("rcls").as("predicted"), col("m"))
   }
 
   /** q38: class counts + cost vector (R3). */
@@ -213,5 +214,42 @@ object ChiMl {
       round(tnr, 6).as("tnr"),
       round(sqrt(tpr * tnr), 6).as("gm"),
       round((lit(1) + tpr - fpr) / lit(2), 6).as("auc"))
+  }
+
+  /** x199: McNEMAR'S PAIRED TEST, CS vs base classifier — the reference
+    * family's own protocol for claiming one classifier beats another on THE
+    * SAME examples (paired, not two independent accuracy runs): the
+    * continuity-corrected statistic (|b−c|−1)²/(b+c) over the discordant
+    * counts b = CS-only-correct mass, c = base-only-correct mass, with the
+    * 1-df 95 % critical value (3.841) applied as a literal so the verdict
+    * is engine-portable. Read with x52/q42 it answers "does the cost vector
+    * SIGNIFICANTLY change classification, or just shuffle ties?".
+    *
+    * 100 TB: both classifications are per DISTINCT feature vector with
+    * multiplicity (the q42 device), so the pairing join is bounded by
+    * |vectors| — broadcast — and each example's (cs, base) verdict pair is
+    * weighted by its multiplicity in one final 1-row aggregate. */
+  def x199(spark: SparkSession, dir: String): DataFrame = {
+    val cs = classified(spark, dir)
+      .select(col("x1"), col("x2"), col("actual"),
+              col("predicted").as("pred_cs"), col("m"))
+    val base = classified(spark, dir, costSensitive = false)
+      .select(col("x1").as("bx1"), col("x2").as("bx2"),
+              col("actual").as("bactual"), col("predicted").as("pred_base"))
+    // (x1, x2, actual) is the classification grain on both sides → 1:1 join
+    val csOk = col("pred_cs") === col("actual")
+    val baseOk = col("pred_base") === col("bactual")
+    val agg = cs.join(broadcast(base),
+        col("x1") === col("bx1") && col("x2") === col("bx2") &&
+        col("actual") === col("bactual"))
+      .agg(sum(when(csOk && baseOk, col("m")).otherwise(0L)).as("n11"),
+           sum(when(csOk && !baseOk, col("m")).otherwise(0L)).as("n10"),
+           sum(when(!csOk && baseOk, col("m")).otherwise(0L)).as("n01"),
+           sum(when(!csOk && !baseOk, col("m")).otherwise(0L)).as("n00"))
+    val b = col("n10"); val c = col("n01")
+    val num = (abs(b - c) - 1) * (abs(b - c) - 1)
+    agg.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      round(num * lit(1.0) / (b + c), 6).as("chi2_stat"),
+      (num * lit(1.0) / (b + c) > 3.841).as("significant_95"))
   }
 }

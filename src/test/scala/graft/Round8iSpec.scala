@@ -40,17 +40,15 @@ class Round8iSpec extends AnyFunSuite {
            argmax(C1.map(c => mu(x1, c, W1))), argmax(C2.map(c => mu(x2, c, W2))), fold)
       }
 
-  /** Naive per-model chain: returns (tp, tn, fp, fn) of the held-out fold. */
-  private def naiveFold(m: Int): (Long, Long, Long, Long) = {
-    val train = examples.filter(_.fold != m)
-    val test = examples.filter(_.fold == m)
+  /** Naive Chi-CS chain on explicit train/test sets: per-test-example
+    * winning-class predictions in input order. */
+  private def naivePredict(train: Seq[Ex], test: Seq[Ex], useCost: Boolean): Seq[Int] = {
     val n1 = train.count(_.cls == 1).toLong
     val n0 = train.size - n1
     val (mn, mx) = (math.min(n0, n1), math.max(n0, n1))
-    def cost(cls: Int): Double = {
-      val n = if (cls == 1) n1 else n0
-      if (n == mn) mx * 1.0 / n else 1.0
-    }
+    def cost(cls: Int): Double =
+      if (!useCost) 1.0
+      else { val n = if (cls == 1) n1 else n0; if (n == mn) mx * 1.0 / n else 1.0 }
     val ants = train.map(e => (e.a1, e.a2, e.cls)).distinct
     val rb = ants.groupBy { case (a1, a2, _) => (a1, a2) }.toSeq.flatMap {
       case ((a1, a2), cands) =>
@@ -71,12 +69,20 @@ class Round8iSpec extends AnyFunSuite {
           if (rw > 0) Seq((a1, a2, rcls, rw)) else Nil
         }
     }
-    var (tp, tn, fp, fn) = (0L, 0L, 0L, 0L)
-    for (e <- test) {
-      val pred = rb.map { case (a1, a2, rcls, rw) =>
+    test.map { e =>
+      rb.map { case (a1, a2, rcls, rw) =>
         (rcls, BigDecimal(mu(e.x1, C1(a1), W1) * mu(e.x2, C2(a2), W2) * rw)
                  .setScale(12, HALF_UP).toDouble)
       }.minBy { case (c, s) => (-s, c) }._1
+    }
+  }
+
+  /** Naive per-model chain: returns (tp, tn, fp, fn) of the held-out fold. */
+  private def naiveFold(m: Int): (Long, Long, Long, Long) = {
+    val train = examples.filter(_.fold != m)
+    val test = examples.filter(_.fold == m)
+    var (tp, tn, fp, fn) = (0L, 0L, 0L, 0L)
+    for ((e, pred) <- test.zip(naivePredict(train, test, useCost = true))) {
       (e.cls, pred) match {
         case (1, 1) => tp += 1; case (0, 0) => tn += 1
         case (0, 1) => fp += 1; case _ => fn += 1
@@ -112,5 +118,27 @@ class Round8iSpec extends AnyFunSuite {
       assert(acc === accN, s"fold $m accuracy")
       assert(gm === gmN, s"fold $m gm")
     }
+  }
+
+  test("x199 equals the naive paired McNemar recount") {
+    val predsCs = naivePredict(examples, examples, useCost = true)
+    val predsBase = naivePredict(examples, examples, useCost = false)
+    var (n11, n10, n01, n00) = (0L, 0L, 0L, 0L)
+    for (((e, pc), pb) <- examples.zip(predsCs).zip(predsBase)) {
+      (pc == e.cls, pb == e.cls) match {
+        case (true, true)  => n11 += 1; case (true, false) => n10 += 1
+        case (false, true) => n01 += 1; case _ => n00 += 1
+      }
+    }
+    val r = graft.queries.ChiMl.x199(spark, sfSmoke).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+           ((n11, n10, n01, n00)))
+    val num = (math.abs(n10 - n01) - 1L) * (math.abs(n10 - n01) - 1L)
+    val chi2 = BigDecimal(num * 1.0 / (n10 + n01)).setScale(6, HALF_UP).toDouble
+    assert(r.getDouble(4) === chi2)
+    assert(r.getBoolean(5) === (num * 1.0 / (n10 + n01) > 3.841))
+    // the discordant mass must be non-empty at smoke scale, or the test
+    // (and the operator) would be vacuous
+    assert(n10 + n01 > 0)
   }
 }
