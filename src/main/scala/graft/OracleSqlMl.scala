@@ -139,7 +139,69 @@ object OracleSqlMl {
          |       ROUND(tn*1.0/(tn+fp),6) AS tnr,
          |       ROUND(SQRT((tp*1.0/(tp+fn))*(tn*1.0/(tn+fp))),6) AS gm,
          |       ROUND((1 + tp*1.0/(tp+fn) - fp*1.0/(fp+tn))/2,6) AS auc
-         |FROM cm""".stripMargin
+         |FROM cm""".stripMargin,
+
+    // x201/x202 share the q42 chain but need the winning RULE, not just its
+    // class: the per-example tie order is refined to the TOTAL order
+    // (score DESC, rule_cls, a1, a2) — identical winners to q42 (same
+    // leading keys), now rule-deterministic.
+    "x201_rule_coverage" ->
+      s"""$ruleBaseCtes,
+         |final_rb AS (SELECT a1, a2, rule_cls, rw FROM rb WHERE rn=1 AND rw > 0),
+         |gex AS (SELECT x1, x2, cls, COUNT(*) AS m FROM lab GROUP BY x1, x2, cls),
+         |scored AS (
+         |  SELECT g.x1, g.x2, g.cls AS actual, g.m, r.a1, r.a2, r.rule_cls, r.rw,
+         |    ROUND(GREATEST(0,1-ABS(g.x1 - (CASE r.a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)
+         |        * GREATEST(0,1-ABS(g.x2 - (CASE r.a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05)
+         |        * r.rw, 12) AS score
+         |  FROM gex g CROSS JOIN final_rb r),
+         |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY x1, x2, actual
+         |                   ORDER BY score DESC, rule_cls, a1, a2) AS rn FROM scored),
+         |win AS (SELECT * FROM best WHERE rn=1),
+         |cov AS (SELECT a1, a2, rule_cls,
+         |               CAST(SUM(m) AS BIGINT) AS n_won,
+         |               CAST(SUM(CASE WHEN actual = rule_cls THEN m ELSE 0 END) AS BIGINT) AS n_correct
+         |        FROM win GROUP BY 1,2,3)
+         |SELECT CAST(f.a1 AS BIGINT) AS a1, CAST(f.a2 AS BIGINT) AS a2,
+         |       CAST(f.rule_cls AS BIGINT) AS cls, ROUND(f.rw, 6) AS rw,
+         |       COALESCE(c.n_won, 0) AS n_won,
+         |       COALESCE(c.n_correct, 0) AS n_correct,
+         |       CASE WHEN COALESCE(c.n_won, 0) > 0
+         |            THEN ROUND(c.n_correct*1.0/c.n_won, 6) END AS rule_precision,
+         |       ROUND(COALESCE(c.n_won, 0)*1.0 / SUM(COALESCE(c.n_won, 0)) OVER (), 6)
+         |         AS win_share
+         |FROM final_rb f LEFT JOIN cov c
+         |  ON c.a1 = f.a1 AND c.a2 = f.a2 AND c.rule_cls = f.rule_cls
+         |ORDER BY a1, a2""".stripMargin,
+
+    "x202_score_calibration" ->
+      s"""$ruleBaseCtes,
+         |final_rb AS (SELECT a1, a2, rule_cls, rw FROM rb WHERE rn=1 AND rw > 0),
+         |gex AS (SELECT x1, x2, cls, COUNT(*) AS m FROM lab GROUP BY x1, x2, cls),
+         |scored AS (
+         |  SELECT g.x1, g.x2, g.cls AS actual, g.m, r.a1, r.a2, r.rule_cls, r.rw,
+         |    ROUND(GREATEST(0,1-ABS(g.x1 - (CASE r.a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)
+         |        * GREATEST(0,1-ABS(g.x2 - (CASE r.a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05)
+         |        * r.rw, 12) AS score
+         |  FROM gex g CROSS JOIN final_rb r),
+         |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY x1, x2, actual
+         |                   ORDER BY score DESC, rule_cls, a1, a2) AS rn FROM scored),
+         |win AS (SELECT * FROM best WHERE rn=1),
+         |acts AS (
+         |  SELECT m, actual, rule_cls,
+         |    ROUND(GREATEST(0,1-ABS(x1 - (CASE a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)
+         |        * GREATEST(0,1-ABS(x2 - (CASE a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05),
+         |        12) AS act
+         |  FROM win),
+         |b AS (SELECT LEAST(CAST(FLOOR(act*10) AS BIGINT), 9) AS bucket, m,
+         |             CAST(ROUND(act*1000000, 0) AS BIGINT) AS p6,
+         |             CASE WHEN actual = rule_cls THEN m ELSE 0 END AS mc
+         |      FROM acts)
+         |SELECT bucket, CAST(SUM(m) AS BIGINT) AS n,
+         |       ROUND(SUM(p6*m)*1.0 / (SUM(m) * 1000000.0), 6) AS mean_activation,
+         |       CAST(SUM(mc) AS BIGINT) AS n_correct,
+         |       ROUND(SUM(mc)*1.0 / SUM(m), 6) AS accuracy
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 
   val llm: Map[String, String] = Map(

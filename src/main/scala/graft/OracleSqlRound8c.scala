@@ -488,6 +488,88 @@ object OracleSqlRound8c {
         |       ROUND(SQRT((tp*1.0/(tp+fn)) * (tn*1.0/(tn+fp))), 6) AS gm
         |FROM cm ORDER BY fold""".stripMargin,
 
+    // x200: x198's per-model restatement with NESTED training sets — tier t
+    // trains on folds 1..t, every tier tests on fold 0.
+    "x200_chi_learning_curve" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity AS x1, l_discount AS x2,
+        |         CASE WHEN l_extendedprice > 95000 THEN 1 ELSE 0 END AS cls,
+        |         ((((l_orderkey % 100000000) * 8 + l_linenumber)
+        |           * 2654435761) % 1000000007) % 5 AS fold
+        |  FROM lineitem),
+        |lab AS (
+        |  SELECT *,
+        |    CASE WHEN GREATEST(0,1-ABS(x1-1.0)/24.5) >= GREATEST(0,1-ABS(x1-25.5)/24.5)
+        |          AND GREATEST(0,1-ABS(x1-1.0)/24.5) >= GREATEST(0,1-ABS(x1-50.0)/24.5) THEN 0
+        |         WHEN GREATEST(0,1-ABS(x1-25.5)/24.5) >= GREATEST(0,1-ABS(x1-50.0)/24.5) THEN 1
+        |         ELSE 2 END AS a1,
+        |    CASE WHEN GREATEST(0,1-ABS(x2-0.0)/0.05) >= GREATEST(0,1-ABS(x2-0.05)/0.05)
+        |          AND GREATEST(0,1-ABS(x2-0.0)/0.05) >= GREATEST(0,1-ABS(x2-0.1)/0.05) THEN 0
+        |         WHEN GREATEST(0,1-ABS(x2-0.05)/0.05) >= GREATEST(0,1-ABS(x2-0.1)/0.05) THEN 1
+        |         ELSE 2 END AS a2
+        |  FROM base),
+        |models AS (SELECT CAST(range AS INTEGER) AS model FROM range(1,5)),
+        |train AS (SELECT m.model, l.x1, l.x2, l.a1, l.a2, l.cls
+        |          FROM models m JOIN lab l ON l.fold >= 1 AND l.fold <= m.model),
+        |costs AS (
+        |  SELECT model, MAX(CASE WHEN cls=1 THEN c END) AS c1,
+        |         MAX(CASE WHEN cls=0 THEN c END) AS c0,
+        |         CAST(SUM(n) AS BIGINT) AS n_train FROM (
+        |    SELECT model, cls, n,
+        |           CASE WHEN n = MIN(n) OVER (PARTITION BY model)
+        |                THEN MAX(n) OVER (PARTITION BY model) * 1.0 / n
+        |                ELSE 1.0 END AS c
+        |    FROM (SELECT model, cls, COUNT(*) AS n FROM train GROUP BY 1,2))
+        |  GROUP BY model),
+        |ants AS (SELECT DISTINCT model, a1, a2, cls FROM train),
+        |m AS (
+        |  SELECT a.model, a.a1, a.a2, a.cls AS rule_cls,
+        |    SUM(CASE WHEN l.cls = a.cls THEN CAST(ROUND(
+        |      (CASE WHEN l.cls=1 THEN c.c1 ELSE c.c0 END)
+        |    * GREATEST(0,1-ABS(l.x1 - (CASE a.a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)
+        |    * GREATEST(0,1-ABS(l.x2 - (CASE a.a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05),
+        |    12) AS DECIMAL(38,12)) END) AS w_match,
+        |    SUM(CAST(ROUND(
+        |      (CASE WHEN l.cls=1 THEN c.c1 ELSE c.c0 END)
+        |    * GREATEST(0,1-ABS(l.x1 - (CASE a.a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)
+        |    * GREATEST(0,1-ABS(l.x2 - (CASE a.a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05),
+        |    12) AS DECIMAL(38,12))) AS w_all
+        |  FROM ants a
+        |  JOIN train l ON l.model = a.model
+        |  JOIN costs c ON c.model = a.model
+        |  GROUP BY 1,2,3,4),
+        |rw AS (SELECT model, a1, a2, rule_cls,
+        |              CAST(ROUND(2*w_match - w_all, 6) AS DOUBLE)
+        |                / CAST(ROUND(w_all, 6) AS DOUBLE) AS rw
+        |       FROM m WHERE w_all > 0),
+        |rb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY model, a1, a2
+        |                                    ORDER BY rw DESC, rule_cls) AS rn FROM rw),
+        |final_rb AS (SELECT model, a1, a2, rule_cls, rw FROM rb WHERE rn=1 AND rw > 0),
+        |gex AS (SELECT m.model, l.x1, l.x2, l.cls, COUNT(*) AS m
+        |        FROM lab l CROSS JOIN models m WHERE l.fold = 0
+        |        GROUP BY 1,2,3,4),
+        |scored AS (
+        |  SELECT g.model, g.x1, g.x2, g.cls AS actual, g.m, r.rule_cls,
+        |    ROUND(GREATEST(0,1-ABS(g.x1 - (CASE r.a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)
+        |        * GREATEST(0,1-ABS(g.x2 - (CASE r.a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05)
+        |        * r.rw, 12) AS score
+        |  FROM gex g JOIN final_rb r ON r.model = g.model),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY model, x1, x2, actual
+        |                                      ORDER BY score DESC, rule_cls) AS rn FROM scored),
+        |win AS (SELECT model, actual, rule_cls, m FROM best WHERE rn=1),
+        |cm AS (
+        |  SELECT model,
+        |    CAST(SUM(CASE WHEN actual=1 AND rule_cls=1 THEN m ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN actual=0 AND rule_cls=0 THEN m ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN actual=0 AND rule_cls=1 THEN m ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN actual=1 AND rule_cls=0 THEN m ELSE 0 END) AS BIGINT) AS fn
+        |  FROM win GROUP BY model)
+        |SELECT CAST(cm.model AS BIGINT) AS tier, c.n_train,
+        |       tp+tn+fp+fn AS n_test, tp, tn, fp, fn,
+        |       ROUND((tp+tn)*1.0/(tp+tn+fp+fn), 6) AS accuracy,
+        |       ROUND(SQRT((tp*1.0/(tp+fn)) * (tn*1.0/(tn+fp))), 6) AS gm
+        |FROM cm JOIN costs c ON c.model = cm.model ORDER BY tier""".stripMargin,
+
     // x199: the CS and base chains threaded through ONE set of CTEs with a
     // variant flag v (v=1 applies the cost vector, v=0 forces 1.0), then the
     // two per-vector verdicts pair on the classification grain (x1,x2,cls).

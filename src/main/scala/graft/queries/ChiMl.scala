@@ -216,6 +216,95 @@ object ChiMl {
       round((lit(1) + tpr - fpr) / lit(2), 6).as("auc"))
   }
 
+  /** Winning-rule frame WITH rule identity: q42's scoring chain, but the
+    * per-example tie order is refined to a TOTAL order (score desc, rcls,
+    * ra1, ra2) so the winning RULE — not just its class — is deterministic.
+    * Base for the explainability operators x201/x202. */
+  private def winningRule(spark: SparkSession, dir: String): DataFrame = {
+    val gex = labeled(spark, dir)
+      .groupBy("x1", "x2", "cls").agg(count(lit(1)).as("m"))
+    val perEx = Window.partitionBy("x1", "x2", "cls")
+      .orderBy(col("score").desc, col("rcls"), col("ra1"), col("ra2"))
+    gex.crossJoin(broadcast(ruleBase(spark, dir)))
+      .withColumn("score",
+        round(ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
+              ChiCore.membershipAt(col("x2"), col("ra2"), P2) * col("rw"), 12))
+      .withColumn("rn", row_number().over(perEx)).filter(col("rn") === 1)
+      .select(col("x1"), col("x2"), col("cls").as("actual"), col("m"),
+              col("ra1"), col("ra2"), col("rcls"), col("rw"), col("score"))
+  }
+
+  /** x201: PER-RULE COVERAGE — the FRBCS model card: for every rule in the
+    * CS rule base, the example mass it WINS (fires as the argmax rule), how
+    * much of that mass it classifies correctly, its precision, and its share
+    * of the corpus — the explainability view that tells a rule-base author
+    * which of the ≤9 rules do the work and which are dead weight. Rules that
+    * never win stay in the report with zero mass (left join from the rule
+    * base), because "this rule never fires" is the finding.
+    *
+    * 100 TB: the win assignment rides the q42 distinct-vector device (the
+    * only row-scale work is the vector compression); the coverage rollup
+    * groups ≤|vectors| rows by ≤9 rules. */
+  def x201(spark: SparkSession, dir: String): DataFrame = {
+    val rb = ruleBase(spark, dir)
+      .select(col("ra1").as("ba1"), col("ra2").as("ba2"),
+              col("rcls").as("bcls"), col("rw").as("brw"))
+    val winAgg = winningRule(spark, dir)
+      .groupBy("ra1", "ra2", "rcls")
+      .agg(sum(col("m")).as("n_won"),
+           sum(when(col("actual") === col("rcls"), col("m")).otherwise(0L)).as("n_correct"))
+    val total = Window.partitionBy() // over the ≤9-row joined aggregate
+    rb.join(winAgg,
+        col("ba1") === col("ra1") && col("ba2") === col("ra2") &&
+        col("bcls") === col("rcls"), "left")
+      .select(col("ba1").cast(LongType).as("a1"), col("ba2").cast(LongType).as("a2"),
+              col("bcls").cast(LongType).as("cls"), round(col("brw"), 6).as("rw"),
+              coalesce(col("n_won"), lit(0L)).as("n_won"),
+              coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .withColumn("rule_precision",
+        when(col("n_won") > 0, round(col("n_correct") * lit(1.0) / col("n_won"), 6)))
+      .withColumn("win_share",
+        round(col("n_won") * lit(1.0) / sum(col("n_won")).over(total), 6))
+      .orderBy("a1", "a2")
+  }
+
+  /** x202: CONFIDENCE CALIBRATION of the winning rule's ACTIVATION —
+    * reliability table: the matching degree μ₁·μ₂ ∈ [0,1] of each example
+    * against its winning rule, bucketed into deciles, per bucket the
+    * example mass, the mean activation, and the empirical accuracy. Read as
+    * "when the example matches its firing rule at degree 0.8–0.9, how often
+    * is the verdict right?" — the calibration story behind q43's single
+    * headline number. (Calibrating on the rw-weighted SCORE would be
+    * useless here: rule weights are ~0.001–0.03, so every score lands in
+    * decile 0; activation is the [0,1]-scaled confidence the fuzzy
+    * semantics actually define. The WINNER is still chosen by score — the
+    * classifier's real decision rule.)
+    *
+    * 100 TB: same distinct-vector chassis; the bucket rollup is ≤10 keys.
+    * Mean activation is the exact-integer trick at 6 dp (the report's own
+    * precision): SUM(round(act,6)·1e6·m) is an exact BIGINT that cannot
+    * overflow below ~9×10¹² examples, and the mean divides two exact
+    * integers once — no float accumulation order to disagree across
+    * engines. (×1e12 would be exacter but overflows int64 at ~9M rows.) */
+  def x202(spark: SparkSession, dir: String): DataFrame = {
+    val win = winningRule(spark, dir)
+      .withColumn("act",
+        round(ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
+              ChiCore.membershipAt(col("x2"), col("ra2"), P2), 12))
+      .withColumn("bucket",
+        least(floor(col("act") * 10).cast(LongType), lit(9L)))
+      .withColumn("act_p6", round(col("act") * 1e6, 0).cast(LongType))
+    win.groupBy("bucket")
+      .agg(sum(col("m")).as("n"),
+           sum(col("act_p6") * col("m")).as("sp6"),
+           sum(when(col("actual") === col("rcls"), col("m")).otherwise(0L)).as("n_correct"))
+      .select(col("bucket"), col("n"),
+              round(col("sp6") * lit(1.0) / (col("n") * lit(1e6)), 6).as("mean_activation"),
+              col("n_correct"),
+              round(col("n_correct") * lit(1.0) / col("n"), 6).as("accuracy"))
+      .orderBy("bucket")
+  }
+
   /** x199: McNEMAR'S PAIRED TEST, CS vs base classifier — the reference
     * family's own protocol for claiming one classifier beats another on THE
     * SAME examples (paired, not two independent accuracy runs): the

@@ -40,9 +40,8 @@ class Round8iSpec extends AnyFunSuite {
            argmax(C1.map(c => mu(x1, c, W1))), argmax(C2.map(c => mu(x2, c, W2))), fold)
       }
 
-  /** Naive Chi-CS chain on explicit train/test sets: per-test-example
-    * winning-class predictions in input order. */
-  private def naivePredict(train: Seq[Ex], test: Seq[Ex], useCost: Boolean): Seq[Int] = {
+  /** Naive rule base (R3–R7) on an explicit training set. */
+  private def naiveRuleBase(train: Seq[Ex], useCost: Boolean): Seq[(Int, Int, Int, Double)] = {
     val n1 = train.count(_.cls == 1).toLong
     val n0 = train.size - n1
     val (mn, mx) = (math.min(n0, n1), math.max(n0, n1))
@@ -50,7 +49,7 @@ class Round8iSpec extends AnyFunSuite {
       if (!useCost) 1.0
       else { val n = if (cls == 1) n1 else n0; if (n == mn) mx * 1.0 / n else 1.0 }
     val ants = train.map(e => (e.a1, e.a2, e.cls)).distinct
-    val rb = ants.groupBy { case (a1, a2, _) => (a1, a2) }.toSeq.flatMap {
+    ants.groupBy { case (a1, a2, _) => (a1, a2) }.toSeq.flatMap {
       case ((a1, a2), cands) =>
         val weighted = cands.map { case (_, _, rcls) =>
           var wMatch = BigDecimal(0); var wAll = BigDecimal(0)
@@ -69,12 +68,21 @@ class Round8iSpec extends AnyFunSuite {
           if (rw > 0) Seq((a1, a2, rcls, rw)) else Nil
         }
     }
-    test.map { e =>
-      rb.map { case (a1, a2, rcls, rw) =>
-        (rcls, BigDecimal(mu(e.x1, C1(a1), W1) * mu(e.x2, C2(a2), W2) * rw)
-                 .setScale(12, HALF_UP).toDouble)
-      }.minBy { case (c, s) => (-s, c) }._1
-    }
+  }
+
+  /** Winning (rule, score) for one example under the x201 total tie order
+    * (score desc, rcls, a1, a2). */
+  private def naiveWin(rb: Seq[(Int, Int, Int, Double)], e: Ex): ((Int, Int, Int, Double), Double) =
+    rb.map { case r @ (a1, a2, _, rw) =>
+      (r, BigDecimal(mu(e.x1, C1(a1), W1) * mu(e.x2, C2(a2), W2) * rw)
+            .setScale(12, HALF_UP).toDouble)
+    }.minBy { case ((a1, a2, rcls, _), s) => (-s, rcls, a1, a2) }
+
+  /** Naive Chi-CS chain on explicit train/test sets: per-test-example
+    * winning-class predictions in input order. */
+  private def naivePredict(train: Seq[Ex], test: Seq[Ex], useCost: Boolean): Seq[Int] = {
+    val rb = naiveRuleBase(train, useCost)
+    test.map(e => naiveWin(rb, e)._1._3)
   }
 
   /** Naive per-model chain: returns (tp, tn, fp, fn) of the held-out fold. */
@@ -140,5 +148,79 @@ class Round8iSpec extends AnyFunSuite {
     // the discordant mass must be non-empty at smoke scale, or the test
     // (and the operator) would be vacuous
     assert(n10 + n01 > 0)
+  }
+
+  test("x200 equals the naive nested-training learning curve") {
+    val test = examples.filter(_.fold == 0)
+    val rows = Crossval.x200(spark, sfSmoke).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    for (r <- rows) {
+      val t = r.getLong(0).toInt
+      val train = examples.filter(e => e.fold >= 1 && e.fold <= t)
+      var (tp, tn, fp, fn) = (0L, 0L, 0L, 0L)
+      for ((e, pred) <- test.zip(naivePredict(train, test, useCost = true))) {
+        (e.cls, pred) match {
+          case (1, 1) => tp += 1; case (0, 0) => tn += 1
+          case (0, 1) => fp += 1; case _ => fn += 1
+        }
+      }
+      assert(r.getLong(1) === train.size.toLong, s"tier $t n_train")
+      assert(r.getLong(2) === test.size.toLong, s"tier $t n_test")
+      assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ===
+             ((tp, tn, fp, fn)), s"tier $t confusion")
+    }
+    // nested training sets: n_train strictly increases along the curve
+    assert(rows.map(_.getLong(1)).toSeq === rows.map(_.getLong(1)).toSeq.sorted)
+  }
+
+  test("x201 equals the naive per-rule coverage recount") {
+    val rb = naiveRuleBase(examples, useCost = true)
+    val won = examples.map(e => (naiveWin(rb, e)._1, e))
+      .groupBy(_._1).view.mapValues { es =>
+        (es.size.toLong, es.count { case (r, e) => r._3 == e.cls }.toLong)
+      }.toMap
+    val rows = graft.queries.ChiMl.x201(spark, sfSmoke).collect()
+    assert(rows.length === rb.size, "one report row per rule")
+    val totalWon = won.values.map(_._1).sum
+    for (r <- rows) {
+      val key = rb.find(t => t._1 == r.getLong(0) && t._2 == r.getLong(1)).get
+      assert(r.getLong(2) === key._3.toLong, s"rule $key class")
+      val (nWon, nCorrect) = won.getOrElse(key, (0L, 0L))
+      assert(r.getLong(4) === nWon, s"rule $key n_won")
+      assert(r.getLong(5) === nCorrect, s"rule $key n_correct")
+      if (nWon == 0) assert(r.isNullAt(6), s"rule $key precision must be null")
+      else assert(r.getDouble(6) ===
+        BigDecimal(nCorrect * 1.0 / nWon).setScale(6, HALF_UP).toDouble)
+      assert(r.getDouble(7) ===
+        BigDecimal(nWon * 1.0 / totalWon).setScale(6, HALF_UP).toDouble)
+    }
+    // every example is won by exactly one rule
+    assert(rows.map(_.getLong(4)).sum === examples.size.toLong)
+  }
+
+  test("x202 equals the naive calibration recount") {
+    val rb = naiveRuleBase(examples, useCost = true)
+    val scored = examples.map { e =>
+      val (r, _) = naiveWin(rb, e)
+      val act = BigDecimal(mu(e.x1, C1(r._1), W1) * mu(e.x2, C2(r._2), W2))
+        .setScale(12, HALF_UP).toDouble
+      val bucket = math.min(math.floor(act * 10).toLong, 9L)
+      val p6 = BigDecimal(act * 1e6).setScale(0, HALF_UP).toLong
+      (bucket, p6, if (r._3 == e.cls) 1L else 0L)
+    }
+    val expect = scored.groupBy(_._1).view.mapValues { g =>
+      val n = g.size.toLong
+      val sp6 = g.map(_._2).sum
+      val nc = g.map(_._3).sum
+      (n, BigDecimal(sp6 * 1.0 / (n * 1e6)).setScale(6, HALF_UP).toDouble, nc,
+       BigDecimal(nc * 1.0 / n).setScale(6, HALF_UP).toDouble)
+    }.toMap
+    val rows = graft.queries.ChiMl.x202(spark, sfSmoke).collect()
+    assert(rows.map(_.getLong(0)).toSet === expect.keySet)
+    for (r <- rows) {
+      val (n, ms, nc, acc) = expect(r.getLong(0))
+      assert(r.getLong(1) === n); assert(r.getDouble(2) === ms)
+      assert(r.getLong(3) === nc); assert(r.getDouble(4) === acc)
+    }
   }
 }
