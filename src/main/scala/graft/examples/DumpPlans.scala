@@ -86,7 +86,9 @@ object DumpPlans {
       ("x193_skipping_compare", "zone-map payoff audit: quantize + 3 tile keys as scan-side map arithmetic, three partial+final aggs to <=256 zone-map rows each, skip flags evaluated over those bounded rows",
        graft.queries.Organize5.x193(spark, dir)),
       ("x194_neardup_clusters", "near-dup clustering: native rolling_fps scan (no shuffle), fp-keyed pair join (never doc x doc), 3 min-label rounds over the cached pre-partitioned edge list",
-       graft.queries.Graphs.x194(spark, dir)))
+       graft.queries.Graphs.x194(spark, dir)),
+      ("x198_chi_crossval", "5-fold CV as ONE plan: a single row-scale agg to (fold, distinct-vector, multiplicity); the 4-of-5 training fan-out and all five rule bases are broadcast joins + bounded aggs with model as a grouping key — k-fold costs one shuffle, not k training scans",
+       graft.queries.Crossval.x198(spark, dir)))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries\n\n")
     sb.append("Generated by `graft.examples.DumpPlans` (AQE-finalized, sf0.001).\n")

@@ -39,11 +39,16 @@ object Crossval {
     (((col("l_orderkey") % 100000000L) * lit(8L) + col("l_linenumber"))
        * lit(2654435761L) % lit(1000000007L)) % lit(K)
 
-  /** The one row-scale shuffle: distinct vectors WITH fold, multiplicity. */
+  /** The one row-scale shuffle: distinct vectors WITH fold, multiplicity.
+    * Eagerly localCheckpointed (the Features.scala:353 idiom): the bounded
+    * ≤ 5·|vectors| aggregate feeds 4+ consumers whose differing column
+    * pruning defeats ReusedExchange — without the checkpoint the plan
+    * re-scans the fact table once per consumer (measured: 8 scans). */
   private def gexAll(spark: SparkSession, dir: String): DataFrame =
     ChiMl.labeled(spark, dir).withColumn("fold", foldExpr)
       .groupBy("fold", "x1", "x2", "a1", "a2", "cls")
       .agg(count(lit(1)).as("mcnt"))
+      .localCheckpoint(true)
 
   /** Train one Chi-CS model per distinct `model` key in `trainG` and score
     * it on the matching rows of `testG` — the whole R3–R10 chain with
