@@ -1031,5 +1031,8 @@ object OracleSqlMl {
           "x23_asof_join_native" -> OracleSql.relational("q11_join_asof_prior"),
           // the stream-static join is x22's semantics through the streaming
           // runtime (complete-mode single-batch replay) — same oracle
-          "x27_stream_static_join" -> pipeline("x22_skew_salted_join"))
+          "x27_stream_static_join" -> pipeline("x22_skew_salted_join"),
+          // streaming model serving scores the full replay through the
+          // q42-identical model — same confusion matrix, same oracle
+          "x203_stream_chi_score" -> ml("q42_ml_chi_classify"))
 }

@@ -559,6 +559,40 @@ object StreamingOps {
               col("max_10min"), col("n_events"))
       .orderBy("hour_us", "event_type")
 
+  /** x203: STREAMING MODEL SERVING — the fitted Chi-CS model (x06's
+    * Estimator artifact) applied to a LIVE stream of examples: fit happens
+    * batch-side, then `ChiCSModel.transform` rides the streaming DataFrame
+    * as a STATELESS projection (the rule base is a driver-collected ≤ Lⁿ·|C|
+    * array broadcast into the scoring closure — the bounded-collect
+    * discipline), and one complete-mode aggregation keeps the running
+    * confusion matrix. This is the model-serving shape at 100 TB/day: no
+    * per-row state, no retraining in the hot path, the only streaming state
+    * is the ≤ |classes|² confusion cells.
+    *
+    * Determinism: single-batch replay (runToTable guard) + the model's
+    * q42-identical rounding/tie conventions ⇒ exactly q42's confusion
+    * matrix (the same oracle SQL is registered). */
+  def x203(spark: SparkSession, dir: String): DataFrame = {
+    val train = graft.engine.Tables.lineitem(spark, dir).select(
+      col("l_quantity").as("x1"), col("l_discount").as("x2"),
+      when(col("l_extendedprice") > 95000, 1).otherwise(0).as("label"))
+    val model = new graft.engine.chi.ChiCSClassifier()
+      .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
+      .setFeatureRanges(Array(1.0, 50.0, 0.0, 0.1))
+      .fit(train)
+    val staged = stageStreamInput("/tmp/graft_stream_li", dir, "lineitem")
+    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(col("l_quantity").as("x1"), col("l_discount").as("x2"),
+              when(col("l_extendedprice") > 95000, 1).otherwise(0).as("label"))
+    val confusion = model.transform(stream)
+      .groupBy(col("label").cast(LongType).as("actual"),
+               col("prediction").cast(LongType).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(spark, confusion, s"x203_sink_${System.nanoTime()}", "complete")
+      .orderBy("actual", "predicted")
+  }
+
 }
 
 /** Idempotent latest-wins UPSERT sink for `foreachBatch` — the streaming

@@ -223,4 +223,13 @@ class Round8iSpec extends AnyFunSuite {
       assert(r.getLong(3) === nc); assert(r.getDouble(4) === acc)
     }
   }
+
+  test("x203 streaming serving equals the x06 batch twin exactly") {
+    val streamed = graft.streaming.StreamingOps.x203(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.queries.Extras.x06(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    assert(streamed.values.sum === examples.size.toLong)
+  }
 }
