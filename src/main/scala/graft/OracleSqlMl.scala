@@ -1034,5 +1034,9 @@ object OracleSqlMl {
           "x27_stream_static_join" -> pipeline("x22_skew_salted_join"),
           // streaming model serving scores the full replay through the
           // q42-identical model — same confusion matrix, same oracle
-          "x203_stream_chi_score" -> ml("q42_ml_chi_classify"))
+          "x203_stream_chi_score" -> ml("q42_ml_chi_classify"),
+          // the save→load round trip and the KEEL .dat train path must each
+          // reproduce the in-memory model's classification exactly
+          "x204_model_save_load" -> ml("q42_ml_chi_classify"),
+          "x205_keel_train_pipeline" -> ml("q42_ml_chi_classify"))
 }

@@ -58,4 +58,60 @@ object Quantiles {
     * data-sized, so it inlines into the task binary as map arithmetic). */
   def boundaryArray(values: DataFrame, w: Long, q: Int): Array[Long] =
     boundaries(values, w, q).orderBy("d").collect().map(_.getLong(1))
+
+  /** MULTI-METRIC variant: `values` exposes (g: metric key, v: BIGINT ≥ 0);
+    * each metric gets its own bucket width from `widths`. ONE histogram
+    * shuffle and ONE bucket-pruned rescan serve every metric's q−1
+    * boundaries — x190 runs its three RFM metrics through a single pass
+    * instead of three sequential boundary jobs (measured: the three
+    * single-metric runs were the slowest key in the whole bench; sharing
+    * the scan cuts the driver round trips from 3 collects + 6 jobs to 1
+    * collect + 2 jobs). Same order statistic per metric, digit-identical
+    * boundaries. */
+  def boundariesMulti(values: DataFrame, widths: Map[String, Long],
+                      q: Int): DataFrame = {
+    val ws = widths.toSeq
+    val wExpr = ws.tail
+      .foldLeft(when(col("g") === ws.head._1, lit(ws.head._2))) {
+        case (acc, (g, w)) => acc.when(col("g") === g, lit(w))
+      }.otherwise(lit(1L))
+    val h1 = values.withColumn("w", wExpr)
+      .groupBy(col("g"), expr("v DIV w").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h1
+      .withColumn("before", coalesce(sum(col("cnt")).over(wc), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("g")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val targets = cum.select("g", "n").distinct()
+      .select(col("g").as("tg"),
+              explode(sequence(lit(1), lit(q - 1))).as("d"), col("n"))
+      .select(col("tg"), col("d").cast(LongType).as("d"),
+              expr(s"(d * n + ${q - 1}) DIV $q").as("target"))
+    val selected = cum.join(broadcast(targets),
+        col("g") === col("tg") &&
+        col("before") < col("target") &&
+        col("target") <= col("before") + col("cnt"))
+      .select(col("g").as("sg"), col("b").as("sb"), col("before")).distinct()
+    val wv = Window.partitionBy("g", "sb").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    values.withColumn("w", wExpr)
+      .join(broadcast(selected),
+        col("g") === col("sg") && expr("v DIV w") === col("sb"))
+      .groupBy(col("g"), col("sb"), col("v"), col("before"))
+      .agg(count(lit(1)).as("vcnt"))
+      .withColumn("cum", col("before") + sum(col("vcnt")).over(wv))
+      .join(broadcast(targets),
+        col("g") === col("tg") && col("cum") >= col("target"))
+      .groupBy("g", "d")
+      .agg(min(col("v")).as("boundary"))
+  }
+
+  /** One collect for every metric's literal boundary vector. */
+  def boundaryArrays(values: DataFrame, widths: Map[String, Long],
+                     q: Int): Map[String, Array[Long]] =
+    boundariesMulti(values, widths, q).orderBy("g", "d").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2))).toMap
 }

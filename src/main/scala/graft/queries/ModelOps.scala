@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+import graft.engine.chi.{ChiCSClassifier, ChiCSModel}
+
+/** x204/x205: the MODEL LIFECYCLE operators — persistence round-trip and the
+  * reference's own KEEL-file training path. Both must reproduce q42's
+  * confusion matrix EXACTLY (same oracle SQL registered): serialization is
+  * only correct if the deserialized artifact is bit-for-bit the same
+  * classifier.
+  */
+object ModelOps {
+
+  private def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  private def features(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
+      col("l_quantity").as("x1"), col("l_discount").as("x2"),
+      when(col("l_extendedprice") > 95000, 1).otherwise(0).as("label"))
+
+  private def fit(df: DataFrame): ChiCSModel =
+    new ChiCSClassifier()
+      .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
+      .setFeatureRanges(Array(1.0, 50.0, 0.0, 0.1))
+      .fit(df)
+
+  private def confusion(scored: DataFrame): DataFrame =
+    scored.groupBy(col("label").cast(LongType).as("actual"),
+                   col("prediction").cast(LongType).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "predicted")
+
+  /** x204: MODEL SAVE/LOAD ROUND TRIP — fit → `MLWriter.save` (rules,
+    * partitions, and param metadata as three parquet artifacts) → a FRESH
+    * `ChiCSModel.load` → classify. The deployment path every production
+    * model takes: the classifier that scores traffic is never the in-memory
+    * object that was fitted, it is the deserialized artifact — so the
+    * round-trip identity (exactly q42's confusion matrix) is the contract
+    * that makes offline training + online serving coherent.
+    *
+    * 100 TB: the artifact is the ≤ Lⁿ·|C| rule base — KBs; save/load is
+    * driver-side metadata I/O, classification stays the broadcast stateless
+    * projection. */
+  def x204(spark: SparkSession, dir: String): DataFrame = {
+    val train = features(spark, dir)
+    val path = s"/tmp/graft_model_${tag(dir)}"
+    fit(train).write.overwrite().save(path)
+    val loaded = ChiCSModel.load(path)
+    confusion(loaded.transform(train))
+  }
+
+  /** x205: KEEL END-TO-END TRAINING PATH — the reference system's actual
+    * I/O loop: the training set is materialized as a KEEL `.dat` file
+    * (`format("keel")`, the registered data source with R11 header
+    * generation), read back THROUGH the KEEL header's schema, and the
+    * classifier is fitted and evaluated on the re-read data. A
+    * Chi-FRBCS-BigDataCS user's corpus lives in `.dat`; this pins that our
+    * source neither perturbs a value (lossless numeric round trip) nor the
+    * learned model (exactly q42's confusion matrix).
+    *
+    * 100 TB: the `.dat` write/read is the distributed Keel relation (one
+    * task per split, PrunedFilteredScan on read); everything downstream is
+    * the q38–q42 chain. */
+  def x205(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_keel_${tag(dir)}"
+    features(spark, dir).write.format("keel").mode("overwrite").save(path)
+    val back = spark.read.format("keel").load(path)
+      .select(col("x1").cast(DoubleType), col("x2").cast(DoubleType),
+              col("label").cast(IntegerType).as("label"))
+    confusion(fit(back).transform(back))
+  }
+}

@@ -78,10 +78,14 @@ object Organize5 {
       .select(col("o_custkey"), (col("md") - col("last_day")).as("r_days"),
               col("f_n"), col("m_cents"))
       .persist()
-    val rB = Quantiles.boundaryArray(rfm.select(col("r_days").as("v")), 64L, 5)
-    val fB = Quantiles.boundaryArray(rfm.select(col("f_n").as("v")), 4L, 5)
-    val mB = Quantiles.boundaryArray(rfm.select(col("m_cents").as("v")),
-                                     65536L, 5)
+    // ONE shared histogram pass for all three metrics (boundariesMulti):
+    // the stacked (metric, value) fan-out is map-side over the persisted
+    // per-customer aggregate; the three single-metric runs this replaces
+    // were 3 collects + 6 jobs — the slowest key in the round-8 bench.
+    val bs = Quantiles.boundaryArrays(
+      rfm.selectExpr("stack(3, 'r', r_days, 'f', f_n, 'm', m_cents) AS (g, v)"),
+      Map("r" -> 64L, "f" -> 4L, "m" -> 65536L), 5)
+    val (rB, fB, mB) = (bs("r"), bs("f"), bs("m"))
     def band(c: String, bs: Array[Long]) =
       expr(s"1L + size(filter(array(${bs.mkString("L,")}L), b -> $c > b))")
         .cast(LongType)

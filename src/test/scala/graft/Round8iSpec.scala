@@ -224,6 +224,23 @@ class Round8iSpec extends AnyFunSuite {
     }
   }
 
+  test("x204 save/load and x205 keel-train equal the x06 batch twin exactly") {
+    val batch = graft.queries.Extras.x06(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((name, df) <- Seq(
+        "x204" -> graft.queries.ModelOps.x204(spark, sfSmoke),
+        "x205" -> graft.queries.ModelOps.x205(spark, sfSmoke))) {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === batch, s"$name != x06")
+    }
+    // the x205 artifact really is a KEEL .dat: header present on disk
+    // (the keel sink coalesces to ONE flat file — KEEL tools read a file,
+    // not a part directory)
+    val keelFile = new java.io.File(s"/tmp/graft_keel_${sfSmoke.replaceAll("[^A-Za-z0-9]", "_")}")
+    val head = scala.io.Source.fromFile(keelFile).getLines().take(1).toList.head
+    assert(head.startsWith("@relation"), s"not a KEEL header: $head")
+  }
+
   test("x203 streaming serving equals the x06 batch twin exactly") {
     val streamed = graft.streaming.StreamingOps.x203(spark, sfSmoke).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
