@@ -72,4 +72,39 @@ object ModelOps {
               col("label").cast(IntegerType).as("label"))
     confusion(fit(back).transform(back))
   }
+
+  /** x206: LABEL-GRANULARITY ABLATION — the Chi-FRBCS family's headline
+    * hyperparameter (the number L of linguistic labels per attribute, FSS
+    * 2015 §5 studies 3 vs more): fit at L = 3 and L = 5 over the same
+    * ranges, report per-L (rule count, accuracy, GM). More labels = finer
+    * fuzzy grid = more, more-specific rules — whether that buys accuracy or
+    * just rules is THE granularity trade-off this measures.
+    *
+    * 100 TB: each fit is the estimator's single-pass compressed aggregation
+    * (rule space ≤ Lⁿ·|C| — 18 vs 50 candidates here, both broadcast);
+    * scoring is the stateless projection; the union is 2 rows. */
+  def x206(spark: SparkSession, dir: String): DataFrame = {
+    val train = features(spark, dir)
+    Seq(3, 5).map { l =>
+      val model = new ChiCSClassifier()
+        .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
+        .setFeatureRanges(Array(1.0, 50.0, 0.0, 0.1))
+        .setNumLabels(l)
+        .fit(train)
+      val scored = model.transform(train)
+      val cm = scored.agg(
+        sum(when(col("label") === 1 && col("prediction") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("label") === 0 && col("prediction") === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("label") === 0 && col("prediction") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label") === 1 && col("prediction") === 0, 1L).otherwise(0L)).as("fn"))
+      val tpr = col("tp") * lit(1.0) / (col("tp") + col("fn"))
+      val tnr = col("tn") * lit(1.0) / (col("tn") + col("fp"))
+      cm.select(
+        lit(l.toLong).as("num_labels"),
+        lit(model.rules.length.toLong).as("n_rules"),
+        round((col("tp") + col("tn")) * lit(1.0) /
+              (col("tp") + col("tn") + col("fp") + col("fn")), 6).as("accuracy"),
+        round(sqrt(tpr * tnr), 6).as("gm"))
+    }.reduce(_ unionByName _).orderBy("num_labels")
+  }
 }

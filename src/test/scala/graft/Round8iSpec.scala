@@ -241,6 +241,78 @@ class Round8iSpec extends AnyFunSuite {
     assert(head.startsWith("@relation"), s"not a KEEL header: $head")
   }
 
+  test("x206 equals the naive generalized-L chain at L=3 and L=5") {
+    // generalized naive Chi-CS: centers/widths computed with the SAME IEEE
+    // arithmetic as TriPartition (lo + k*((hi-lo)/(L-1))), majority-class
+    // fallback for zero-activation examples (the estimator's policy)
+    def runL(l: Int): (Long, Double, Double) = {
+      val (lo1, hi1, lo2, hi2) = (1.0, 50.0, 0.0, 0.1)
+      val w1 = (hi1 - lo1) / (l - 1); val w2 = (hi2 - lo2) / (l - 1)
+      val c1 = Array.tabulate(l)(k => lo1 + k * w1)
+      val c2 = Array.tabulate(l)(k => lo2 + k * w2)
+      def amax(ms: Array[Double]): Int = {
+        for (k <- 0 until l - 1)
+          if ((k + 1 until l).forall(j => ms(k) >= ms(j))) return k
+        l - 1
+      }
+      val exs = examples.map(e =>
+        (e.x1, e.x2, e.cls, amax(c1.map(c => mu(e.x1, c, w1))),
+         amax(c2.map(c => mu(e.x2, c, w2)))))
+      val n1 = exs.count(_._3 == 1).toLong; val n0 = exs.size - n1
+      val (mn, mx) = (math.min(n0, n1), math.max(n0, n1))
+      def cost(cls: Int): Double = {
+        val n = if (cls == 1) n1 else n0
+        if (n == mn && mn != mx) mx * 1.0 / n else 1.0
+      }
+      val majority = if (n1 > n0) 1 else 0
+      val ants = exs.map(t => (t._4, t._5, t._3)).distinct
+      val rb = ants.groupBy(t => (t._1, t._2)).toSeq.flatMap { case ((a1, a2), cands) =>
+        val weighted = cands.map { case (_, _, rcls) =>
+          var wMatch = BigDecimal(0); var wAll = BigDecimal(0)
+          for ((x1, x2, cls, _, _) <- exs) {
+            val t = BigDecimal(cost(cls) * mu(x1, c1(a1), w1) * mu(x2, c2(a2), w2))
+              .setScale(12, HALF_UP)
+            wAll += t; if (cls == rcls) wMatch += t
+          }
+          (rcls, wMatch, wAll)
+        }.filter(_._3 > 0).map { case (rcls, wm, wa) =>
+          (rcls, (wm * 2 - wa).setScale(6, HALF_UP).toDouble / wa.setScale(6, HALF_UP).toDouble)
+        }
+        if (weighted.isEmpty) Nil
+        else {
+          val (rcls, rw) = weighted.minBy { case (c, w) => (-w, c) }
+          if (rw > 0) Seq((a1, a2, rcls, rw)) else Nil
+        }
+      }
+      var (tp, tn, fp, fn) = (0L, 0L, 0L, 0L)
+      for ((x1, x2, cls, _, _) <- exs) {
+        val (bc, bs) = rb.map { case (a1, a2, rcls, rw) =>
+          (rcls, BigDecimal(mu(x1, c1(a1), w1) * mu(x2, c2(a2), w2) * rw)
+                   .setScale(12, HALF_UP).toDouble)
+        }.minBy { case (c, s) => (-s, c) }
+        val pred = if (bs > 0) bc else majority
+        (cls, pred) match {
+          case (1, 1) => tp += 1; case (0, 0) => tn += 1
+          case (0, 1) => fp += 1; case _ => fn += 1
+        }
+      }
+      val acc = BigDecimal((tp + tn) * 1.0 / (tp + tn + fp + fn)).setScale(6, HALF_UP).toDouble
+      val gm = BigDecimal(math.sqrt((tp * 1.0 / (tp + fn)) * (tn * 1.0 / (tn + fp))))
+        .setScale(6, HALF_UP).toDouble
+      (rb.size.toLong, acc, gm)
+    }
+    val rows = graft.queries.ModelOps.x206(spark, sfSmoke).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(3L, 5L))
+    for (r <- rows) {
+      val (nr, acc, gm) = runL(r.getLong(0).toInt)
+      assert(r.getLong(1) === nr, s"L=${r.getLong(0)} n_rules")
+      assert(r.getDouble(2) === acc, s"L=${r.getLong(0)} accuracy")
+      assert(r.getDouble(3) === gm, s"L=${r.getLong(0)} gm")
+    }
+    // finer grid must grow the rule base (9 -> 25 on this data)
+    assert(rows(1).getLong(1) > rows(0).getLong(1))
+  }
+
   test("x203 streaming serving equals the x06 batch twin exactly") {
     val streamed = graft.streaming.StreamingOps.x203(spark, sfSmoke).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
