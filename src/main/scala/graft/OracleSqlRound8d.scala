@@ -107,8 +107,90 @@ object OracleSqlRound8d {
        |)""".stripMargin
   }
 
+  /** Fully general chain: any class expression (any |C|), any L, and lo/hi
+    * given as SQL EXPRESSIONS — a literal for declared ranges or a scalar
+    * subquery for the R11 auto-descriptor path (both engines then compute
+    * the identical min/max before the identical grid arithmetic). The cost
+    * vector generalizes to per-class rows joined into the weight term (the
+    * binary chain's c1/c0 scalar pair can't express ≥3 classes). Emits the
+    * (actual, predicted, n) confusion — the estimator's majority fallback
+    * included. */
+  private def confusionChain(clsExpr: String, l: Int,
+                             lo1: String, hi1: String,
+                             lo2: String, hi2: String): String = {
+    val wt =
+      s"""CAST(ROUND(
+         |      c.cost
+         |    * ${muAt("t.x1", "a.a1", lo1, hi1, l)}
+         |    * ${muAt("t.x2", "a.a2", lo2, hi2, l)},
+         |    12) AS DECIMAL(38,12))""".stripMargin
+    s"""WITH base AS (
+       |  SELECT l_quantity AS x1, l_discount AS x2, $clsExpr AS cls
+       |  FROM lineitem),
+       |lab AS (
+       |  SELECT *, ${argmax("x1", lo1, hi1, l)} AS a1,
+       |            ${argmax("x2", lo2, hi2, l)} AS a2
+       |  FROM base),
+       |cnts AS (SELECT cls, COUNT(*) AS n FROM lab GROUP BY cls),
+       |costs AS (
+       |  SELECT cls, CASE WHEN n = (SELECT MIN(n) FROM cnts)
+       |                    AND (SELECT MIN(n) FROM cnts) <> (SELECT MAX(n) FROM cnts)
+       |                   THEN (SELECT MAX(n) FROM cnts) * 1.0 / n
+       |                   ELSE 1.0 END AS cost
+       |  FROM cnts),
+       |maj AS (SELECT cls FROM cnts ORDER BY n DESC, cls LIMIT 1),
+       |ants AS (SELECT DISTINCT a1, a2, cls FROM lab),
+       |m AS (
+       |  SELECT a.a1, a.a2, a.cls AS rule_cls,
+       |    COALESCE(SUM(CASE WHEN t.cls = a.cls THEN $wt END), 0) AS w_match,
+       |    SUM($wt) AS w_all
+       |  FROM ants a CROSS JOIN lab t JOIN costs c ON c.cls = t.cls
+       |  GROUP BY 1,2,3),
+       |rw AS (SELECT a1, a2, rule_cls,
+       |              CAST(ROUND(2*w_match - w_all, 6) AS DOUBLE)
+       |                / CAST(ROUND(w_all, 6) AS DOUBLE) AS rw
+       |       FROM m WHERE w_all > 0),
+       |rb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY a1, a2
+       |                                    ORDER BY rw DESC, rule_cls) AS rn FROM rw),
+       |final_rb AS (SELECT a1, a2, rule_cls, rw FROM rb WHERE rn=1 AND rw > 0),
+       |gex AS (SELECT x1, x2, cls, COUNT(*) AS m FROM lab GROUP BY 1,2,3),
+       |scored AS (
+       |  SELECT g.x1, g.x2, g.cls AS actual, g.m, r.rule_cls,
+       |    ROUND(${muAt("g.x1", "r.a1", lo1, hi1, l)}
+       |        * ${muAt("g.x2", "r.a2", lo2, hi2, l)} * r.rw, 12) AS score
+       |  FROM gex g CROSS JOIN final_rb r),
+       |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY x1, x2, actual
+       |                                      ORDER BY score DESC, rule_cls) AS rn FROM scored),
+       |win AS (SELECT actual, m,
+       |               CASE WHEN score > 0 THEN rule_cls
+       |                    ELSE (SELECT cls FROM maj) END AS pred
+       |        FROM best WHERE rn=1)
+       |SELECT CAST(actual AS BIGINT) AS actual, CAST(pred AS BIGINT) AS predicted,
+       |       CAST(SUM(m) AS BIGINT) AS n
+       |FROM win GROUP BY actual, pred ORDER BY actual, predicted""".stripMargin
+  }
+
   val round8d: Map[String, String] = Map(
     "x206_label_granularity" ->
-      (chainAt(3) + "\nUNION ALL\n" + chainAt(5) + "\nORDER BY num_labels")
+      (chainAt(3) + "\nUNION ALL\n" + chainAt(5) + "\nORDER BY num_labels"),
+
+    // x207: three classes (price bands; top band the up-weighted minority);
+    // declared ranges as literal expressions.
+    "x207_chi_multiclass" ->
+      confusionChain(
+        "CASE WHEN l_quantity > 42 THEN 2 WHEN l_quantity > 18 THEN 1 ELSE 0 END",
+        3, "1.0", "50.0", "0.0", "0.1"),
+
+    // x208: the R11 AUTO-DESCRIPTOR path — lo/hi are scalar subqueries over
+    // the data itself; both engines compute identical min/max doubles, then
+    // the identical grid arithmetic on top of them.
+    "x208_chi_auto_ranges" ->
+      confusionChain(
+        "CASE WHEN l_extendedprice > 95000 THEN 1 ELSE 0 END",
+        3,
+        "(SELECT MIN(l_quantity) FROM lineitem)",
+        "(SELECT MAX(l_quantity) FROM lineitem)",
+        "(SELECT MIN(l_discount) FROM lineitem)",
+        "(SELECT MAX(l_discount) FROM lineitem)")
   )
 }

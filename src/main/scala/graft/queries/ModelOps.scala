@@ -73,6 +73,53 @@ object ModelOps {
     confusion(fit(back).transform(back))
   }
 
+  /** x207: MULTICLASS Chi-CS — the registered surface's binary task widened
+    * to three quantity bands whose boundaries are OFFSET from the fuzzy-cell
+    * crossings (18/42 vs 13.25/37.75), so cells are impure but dominated:
+    * the rule base is non-empty AND the confusion is non-diagonal. (A first
+    * attempt on price bands learned NOTHING — price is independent of
+    * (quantity, discount) in this synthetic data, every cell split ~47/43/10
+    * and all PCF weights went negative; a multiclass key whose rule base is
+    * empty would vacuously "pass" as majority-voting.) The cost vector, rule
+    * conflict resolution, winning-rule scoring, and the majority no-match
+    * policy all generalize past |C|=2, emitting the full 3×3 confusion —
+    * the reference family is defined for any class count, and this makes
+    * that a driver-checked fact, not a spec-only one (GoldenMulticlassSpec
+    * pins the arithmetic; this pins the engine twin against DuckDB's
+    * per-class cost-joined restatement).
+    *
+    * 100 TB: rule space ≤ Lⁿ·|C| = 27 candidates, still broadcast;
+    * everything else is the q38–q42 chain. */
+  def x207(spark: SparkSession, dir: String): DataFrame = {
+    val train = Tables.lineitem(spark, dir).select(
+      col("l_quantity").as("x1"), col("l_discount").as("x2"),
+      when(col("l_quantity") > 42, 2)
+        .when(col("l_quantity") > 18, 1)
+        .otherwise(0).as("label"))
+    val model = new ChiCSClassifier()
+      .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
+      .setFeatureRanges(Array(1.0, 50.0, 0.0, 0.1))
+      .fit(train)
+    confusion(model.transform(train))
+  }
+
+  /** x208: AUTO-DESCRIPTOR RANGES (R11's data-derived path) — no declared
+    * `featureRanges`: the estimator computes each attribute's [min, max] in
+    * one aggregation pass and builds the fuzzy grid on top (the reference
+    * generates the KEEL descriptor from data when the header lacks ranges).
+    * The oracle recomputes the same min/max as scalar subqueries — both
+    * engines then run identical IEEE grid arithmetic on identical bounds,
+    * so data-derived grids are exactly as checkable as declared ones.
+    *
+    * 100 TB: the range pass is one partial+final min/max aggregate —
+    * the single extra scan the auto path costs. */
+  def x208(spark: SparkSession, dir: String): DataFrame = {
+    val model = new ChiCSClassifier()
+      .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
+      .fit(features(spark, dir))
+    confusion(model.transform(features(spark, dir)))
+  }
+
   /** x206: LABEL-GRANULARITY ABLATION — the Chi-FRBCS family's headline
     * hyperparameter (the number L of linguistic labels per attribute, FSS
     * 2015 §5 studies 3 vs more): fit at L = 3 and L = 5 over the same

@@ -313,6 +313,82 @@ class Round8iSpec extends AnyFunSuite {
     assert(rows(1).getLong(1) > rows(0).getLong(1))
   }
 
+  /** Generic naive Chi-CS train+classify over arbitrary class labels,
+    * ranges, and class counts: per-class IR costs (only exact-minimum
+    * classes weighted, and only when imbalanced), majority fallback. */
+  private def naiveConfusion(exs: Seq[(Double, Double, Int)],
+                             lo1: Double, hi1: Double,
+                             lo2: Double, hi2: Double): Map[(Long, Long), Long] = {
+    val l = 3
+    val w1 = (hi1 - lo1) / (l - 1); val w2 = (hi2 - lo2) / (l - 1)
+    val c1 = Array.tabulate(l)(k => lo1 + k * w1)
+    val c2 = Array.tabulate(l)(k => lo2 + k * w2)
+    def amax(ms: Array[Double]): Int = {
+      for (k <- 0 until l - 1)
+        if ((k + 1 until l).forall(j => ms(k) >= ms(j))) return k
+      l - 1
+    }
+    val lab = exs.map { case (x1, x2, cls) =>
+      (x1, x2, cls, amax(c1.map(c => mu(x1, c, w1))), amax(c2.map(c => mu(x2, c, w2))))
+    }
+    val counts = lab.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val (mn, mx) = (counts.values.min, counts.values.max)
+    def cost(cls: Int): Double =
+      if (counts(cls) == mn && mn != mx) mx * 1.0 / counts(cls) else 1.0
+    val majority = counts.toSeq.maxBy { case (c, n) => (n, -c) }._1
+    val ants = lab.map(t => (t._4, t._5, t._3)).distinct
+    val rb = ants.groupBy(t => (t._1, t._2)).toSeq.flatMap { case ((a1, a2), cands) =>
+      val weighted = cands.map { case (_, _, rcls) =>
+        var wMatch = BigDecimal(0); var wAll = BigDecimal(0)
+        for ((x1, x2, cls, _, _) <- lab) {
+          val t = BigDecimal(cost(cls) * mu(x1, c1(a1), w1) * mu(x2, c2(a2), w2))
+            .setScale(12, HALF_UP)
+          wAll += t; if (cls == rcls) wMatch += t
+        }
+        (rcls, wMatch, wAll)
+      }.filter(_._3 > 0).map { case (rcls, wm, wa) =>
+        (rcls, (wm * 2 - wa).setScale(6, HALF_UP).toDouble / wa.setScale(6, HALF_UP).toDouble)
+      }
+      if (weighted.isEmpty) Nil
+      else {
+        val (rcls, rw) = weighted.minBy { case (c, w) => (-w, c) }
+        if (rw > 0) Seq((a1, a2, rcls, rw)) else Nil
+      }
+    }
+    val out = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    for ((x1, x2, cls, _, _) <- lab) {
+      val (bc, bs) = rb.map { case (a1, a2, rcls, rw) =>
+        (rcls, BigDecimal(mu(x1, c1(a1), w1) * mu(x2, c2(a2), w2) * rw)
+                 .setScale(12, HALF_UP).toDouble)
+      }.minBy { case (c, s) => (-s, c) }
+      val pred = if (bs > 0) bc else majority
+      out((cls.toLong, pred.toLong)) += 1L
+    }
+    out.toMap
+  }
+
+  test("x207 equals the naive 3-class chain") {
+    val exs = examples.map { e =>
+      (e.x1, e.x2, if (e.x1 > 42) 2 else if (e.x1 > 18) 1 else 0)
+    }
+    val expect = naiveConfusion(exs, 1.0, 50.0, 0.0, 0.1)
+    val got = graft.queries.ModelOps.x207(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+    assert(got.keys.map(_._1).toSet === Set(0L, 1L, 2L), "all three classes present")
+    assert(got.exists { case ((a, p), _) => a != p }, "confusion must be non-diagonal")
+  }
+
+  test("x208 equals the naive auto-ranged chain") {
+    val exs = examples.map(e => (e.x1, e.x2, e.cls))
+    val (lo1, hi1) = (exs.map(_._1).min, exs.map(_._1).max)
+    val (lo2, hi2) = (exs.map(_._2).min, exs.map(_._2).max)
+    val expect = naiveConfusion(exs, lo1, hi1, lo2, hi2)
+    val got = graft.queries.ModelOps.x208(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+  }
+
   test("x203 streaming serving equals the x06 batch twin exactly") {
     val streamed = graft.streaming.StreamingOps.x203(spark, sfSmoke).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
