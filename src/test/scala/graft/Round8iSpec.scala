@@ -105,6 +105,17 @@ class Round8iSpec extends AnyFunSuite {
                        r.getLong(5), r.getDouble(6), r.getDouble(7))
     }.toMap
 
+  test("x198 reads the fact table once — the checkpoint discipline holds") {
+    val df = graft.queries.Crossval.x198(spark, sfSmoke)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the one parquet scan happens inside the eager localCheckpoint job;
+    // the returned plan must read ONLY the checkpointed aggregate (a
+    // regression here re-scans lineitem once per consumer — measured 8x)
+    assert(!plan.contains("FileScan") && !plan.toLowerCase.contains("scan parquet"),
+      s"fact-table scan leaked back into the CV plan:\n${plan.take(2000)}")
+  }
+
   test("x198 covers all five folds and partitions the example set") {
     assert(got.keySet === (0L until 5L).toSet)
     val total = Tables.lineitem(spark, sfSmoke).count()
