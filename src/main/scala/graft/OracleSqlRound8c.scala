@@ -97,7 +97,7 @@ object OracleSqlRound8c {
         |              + CASE WHEN r7 IS NULL THEN 0 ELSE 2187 END AS den
         |      FROM l)
         |SELECT d AS day, rc AS revenue_cents,
-        |       ROUND(CAST(num AS DOUBLE)/CAST(den AS DOUBLE)/100.0, 6)
+        |       CAST((num * 20000 + den) // (den * 2) AS DOUBLE) / 1000000.0
         |         AS ewma
         |FROM e ORDER BY day""".stripMargin,
 

@@ -112,9 +112,17 @@ object Timeseries {
       acc + lit(ws(k)) * coalesce(col(s"r$k"), lit(0L)) }
     val den = (1 to 7).foldLeft(lit(ws(0))) { (acc, k) =>
       acc + when(col(s"r$k").isNull, lit(0L)).otherwise(lit(ws(k))) }
+    // the 6-dp rounding happens in EXACT integer arithmetic — half-up micros
+    // = (2·num·10⁴ + den) DIV (2·den) — because a double ROUND(num/den/100, 6)
+    // diverged between engines on ONE sf0.1 row whose quotient landed within
+    // an ulp of a .5·10⁻⁶ boundary (Spark rounds the shortest decimal
+    // representation, DuckDB rounds float-side). num·2·10⁴ stays under int64
+    // below ~4·10¹⁴ summed daily cents — about 10⁵× the sf0.1 volume.
     lagged.select(col("d").as("day"), col("rc").as("revenue_cents"),
-        round(num.cast(DoubleType) / den.cast(DoubleType) / lit(100.0), 6)
-          .as("ewma"))
+        num.as("num"), den.as("den"))
+      .withColumn("micros", expr("(num * 20000 + den) DIV (den * 2)"))
+      .select(col("day"), col("revenue_cents"),
+              (col("micros").cast(DoubleType) / lit(1000000.0)).as("ewma"))
       .orderBy("day")
   }
 

@@ -111,12 +111,18 @@ class Round8gSpec extends AnyFunSuite {
       assert(r.getLong(0) === series(i)._1)
       assert(r.getLong(1) === series(i)._2)
       val terms = (0 to math.min(7, i)).map(k => (ws(k), series(i - k)._2))
-      val exp = r6(terms.map(t => t._1 * t._2).sum.toDouble /
-                   terms.map(_._1).sum.toDouble / 100.0)
+      // 6-dp rounding in exact integer arithmetic: half-up micros =
+      // (2·num·10⁴ + den) / (2·den) — the engine's post-sf0.1 contract
+      // (a double ROUND diverged between engines on a half-boundary row)
+      val num = terms.map(t => t._1 * t._2).sum
+      val den = terms.map(_._1).sum
+      val exp = ((num * 20000L + den) / (den * 2L)).toDouble / 1000000.0
       assert(r.getDouble(2) === exp, s"day ${r.getLong(0)}")
     }
     // first day has no history: properly renormalized to the raw value
-    assert(got.head.getDouble(2) === r6(got.head.getLong(1).toDouble / 100.0))
+    val h = got.head
+    assert(h.getDouble(2) ===
+      ((h.getLong(1) * 16384L * 20000L + 16384L) / 32768L).toDouble / 1000000.0)
   }
 
   test("x187 spine is contiguous per region; interpolation is the exact line") {
