@@ -383,6 +383,21 @@ object OracleSqlRound8c {
         |       WHERE o_orderdate < TIMESTAMP '1996-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // x209: the oracle states the post-backfill STATE — base data with the
+    // 1995-only correction applied (the same IEEE (p+0.01)*100 arithmetic
+    // the engine stores). If dynamic partition overwrite regressed to
+    // STATIC, every non-1995 year would vanish from the engine's table and
+    // the rollup would collapse to one row.
+    "x209_partition_backfill" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(
+        |         CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+        |              THEN (o_totalprice + 0.01) * 100
+        |              ELSE o_totalprice * 100 END, 0) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "x191_auc_rank" ->
       """WITH p AS (SELECT CAST(p_size AS BIGINT) AS s,
         |                  CASE WHEN CAST(ROUND(p_retailprice*100,0) AS BIGINT)

@@ -122,6 +122,48 @@ object Layout {
     * 100 TB: this is THE mechanism that turns a fact⋈dim join with a
     * selective dim filter from a full-table scan into a few directory
     * reads — zero query rewrite, pure layout + runtime pruning. */
+  /** x209: PARTITION BACKFILL — dynamic partition overwrite, the lakehouse
+    * reprocessing pattern (x197 covered the READ half of partitioned
+    * layout; this is the WRITE half): a corrected batch containing ONLY
+    * 1995 rows (every 1995 order's total bumped one cent) is written with
+    * `partitionOverwriteMode=dynamic` + `insertInto`, which replaces
+    * exactly the partitions PRESENT IN THE BATCH and leaves every other
+    * year's directory untouched. The oracle pins that semantics: the
+    * per-year rollup must equal base data with 1995-only corrections — if
+    * the mode regressed to STATIC the whole table would be truncated to
+    * one year and every other year's row would vanish from the output.
+    *
+    * Deliberately NOT amortized (contrast yearPartitionedOrders): each call
+    * re-ingests then backfills, so the registered query IS the full
+    * reprocessing cycle and repeated runs stay deterministic.
+    *
+    * 100 TB: backfill cost is proportional to the CORRECTED partitions, not
+    * the table — the whole point of partition-granular overwrite; the
+    * rewrite is one shuffle-free scan→write of the affected year. */
+  def x209(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = s"x209_backfill_${dirTag(dir)}"
+    reset(spark, tbl)
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+              year(col("o_orderdate")).as("o_year"))
+    base.write.partitionBy("o_year").saveAsTable(tbl)
+    val corrected = base.filter(col("o_year") === 1995)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(0.01))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try corrected.write.mode("overwrite").insertInto(tbl)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.table(tbl)
+      .groupBy(col("o_year").cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(round(col("o_totalprice") * 100, 0).cast("long"))
+             .as("revenue_cents"))
+      .orderBy("o_year")
+  }
+
   def x197(spark: SparkSession, dir: String): DataFrame = {
     val fact = spark.table(yearPartitionedOrders(spark, dir))
     val dim = Tables.orders(spark, dir)

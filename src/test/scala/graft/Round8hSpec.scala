@@ -21,6 +21,25 @@ class Round8hSpec extends AnyFunSuite {
       s"no dynamicpruningexpression in the fact scan:\n$plan")
   }
 
+  test("x209 backfill rewrites ONLY the corrected year's partition") {
+    val base = Tables.orders(spark, sfSmoke)
+      .select(year(col("o_orderdate")).cast("long").as("y"), col("o_totalprice"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    // same IEEE ops as the engine: corrected 1995 prices are (p+0.01),
+    // cents via BigDecimal HALF_UP of p*100 (Spark's round)
+    def cents(p: Double): Long =
+      BigDecimal(p * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expect = base.groupBy(_._1).view.mapValues { rows =>
+      (rows.size.toLong,
+       rows.map { case (y, p) => cents(if (y == 1995) p + 0.01 else p) }.sum)
+    }.toMap
+    val got = Layout.x209(spark, sfSmoke).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expect)
+    // static-overwrite regression would truncate to one year
+    assert(got.size > 1, "non-1995 partitions must survive the backfill")
+  }
+
   test("x197 equals the plain unpartitioned semi-join recompute") {
     val expect = {
       val o = Tables.orders(spark, sfSmoke)
