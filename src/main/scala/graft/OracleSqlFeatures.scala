@@ -1265,7 +1265,8 @@ object OracleSqlFeatures {
         |                                      ORDER BY d2, cell) AS rn
         |         FROM d2s) WHERE rn = 1)
         |SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-        |       ROUND(AVG(d2), 6) AS mean_d2
+        |       ROUND(SUM(CAST(ROUND(d2 * 1e6, 0) AS BIGINT)) * 1.0
+        |             / (COUNT(*) * 1e6), 6) AS mean_d2
         |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin,
 
     // x141: fixed-codebook PQ encode — per (vector, subspace) argmin over
@@ -1287,7 +1288,9 @@ object OracleSqlFeatures {
         |                                     ORDER BY d2, code) AS rn
         |        FROM d) WHERE rn = 1)
         |SELECT CAST(sub AS BIGINT) AS subspace, code,
-        |       CAST(COUNT(*) AS BIGINT) AS n_vecs, ROUND(AVG(d2), 6) AS mean_err
+        |       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       ROUND(SUM(CAST(ROUND(d2 * 1e6, 0) AS BIGINT)) * 1.0
+        |             / (COUNT(*) * 1e6), 6) AS mean_err
         |FROM a GROUP BY sub, code ORDER BY subspace, code""".stripMargin,
 
     // x142: BM25 with the +1 idf form (strictly positive), k1=1.2 b=0.75;

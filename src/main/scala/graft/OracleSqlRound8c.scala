@@ -659,8 +659,12 @@ object OracleSqlRound8c {
         |         CAST(SUM(CASE WHEN cs_ok=0 AND base_ok=0 THEN m ELSE 0 END) AS BIGINT) AS n00
         |  FROM pair)
         |SELECT n11, n10, n01, n00,
-        |       ROUND((ABS(n10-n01)-1)*(ABS(n10-n01)-1)*1.0/(n10+n01), 6) AS chi2_stat,
-        |       (ABS(n10-n01)-1)*(ABS(n10-n01)-1)*1.0/(n10+n01) > 3.841 AS significant_95
+        |       CASE WHEN n10+n01 > 0 THEN
+        |         ROUND((ABS(n10-n01)-1)*(ABS(n10-n01)-1)*1.0/(n10+n01), 6)
+        |       END AS chi2_stat,
+        |       CASE WHEN n10+n01 > 0 THEN
+        |         (ABS(n10-n01)-1)*(ABS(n10-n01)-1)*1.0/(n10+n01) > 3.841
+        |       END AS significant_95
         |FROM cm""".stripMargin
   )
 }

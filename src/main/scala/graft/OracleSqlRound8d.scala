@@ -174,8 +174,8 @@ object OracleSqlRound8d {
     "x206_label_granularity" ->
       (chainAt(3) + "\nUNION ALL\n" + chainAt(5) + "\nORDER BY num_labels"),
 
-    // x207: three classes (price bands; top band the up-weighted minority);
-    // declared ranges as literal expressions.
+    // x207: three classes (quantity bands; top band the up-weighted
+    // minority); declared ranges as literal expressions.
     "x207_chi_multiclass" ->
       confusionChain(
         "CASE WHEN l_quantity > 42 THEN 2 WHEN l_quantity > 18 THEN 1 ELSE 0 END",

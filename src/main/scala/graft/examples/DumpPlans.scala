@@ -81,7 +81,7 @@ object DumpPlans {
        graft.queries.Organize4.x175(spark, dir)),
       ("x185_autocorr_daily", "calendar-aligned autocorrelation: the 7 lags EXPLODE map-side from the bounded daily aggregate (no lag-table join); the shifted self-join hashes on day+lag over aggregates, never raw orders",
        graft.queries.Timeseries.x185(spark, dir)),
-      ("x190_rfm_segments", "RFM quintiles WITHOUT a global NTILE sort: three Quantiles histogram runs over the persisted customer aggregate; banding is literal-array map arithmetic inside codegen; <=125-key rollup",
+      ("x190_rfm_segments", "RFM quintiles WITHOUT a global NTILE sort: ONE shared boundariesMulti histogram pass over the persisted customer aggregate; banding is literal-array map arithmetic inside codegen; <=125-key rollup",
        graft.queries.Organize5.x190(spark, dir)),
       ("x193_skipping_compare", "zone-map payoff audit: quantize + 3 tile keys as scan-side map arithmetic, three partial+final aggs to <=256 zone-map rows each, skip flags evaluated over those bounded rows",
        graft.queries.Organize5.x193(spark, dir)),

@@ -337,8 +337,13 @@ object ChiMl {
            sum(when(!csOk && !baseOk, col("m")).otherwise(0L)).as("n00"))
     val b = col("n10"); val c = col("n01")
     val num = (abs(b - c) - 1) * (abs(b - c) - 1)
+    // zero-discordance guard: when the two classifiers never disagree
+    // (b+c = 0) the statistic is undefined — emit NULL on both engines
+    // (Spark double division would yield NaN, DuckDB NULL; the guard
+    // makes the agreement explicit instead of data-dependent).
+    val defined = (b + c) > 0
     agg.select(col("n11"), col("n10"), col("n01"), col("n00"),
-      round(num * lit(1.0) / (b + c), 6).as("chi2_stat"),
-      (num * lit(1.0) / (b + c) > 3.841).as("significant_95"))
+      when(defined, round(num * lit(1.0) / (b + c), 6)).as("chi2_stat"),
+      when(defined, num * lit(1.0) / (b + c) > 3.841).as("significant_95"))
   }
 }

@@ -72,10 +72,17 @@ object Clustering {
       .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pv"))
       .select(col("cell"), expr("transform(pv, x -> x.cv)").as("ce"))
     val a2 = assign(emb, c1)
-    a2.groupBy("cell")
-      .agg(count(lit(1)).as("n_vecs"), round(avg(col("d2")), 6).as("mean_d2"))
+    // mean_d2 via the exact-integer device (x202): d2 is already 6-dp
+    // rounded, so d2·1e6 is an exact BIGINT — summing integers is
+    // order-free, and the single double division at emit is identical
+    // across engines. ROUND(AVG(double),6) here would sit one ulp from a
+    // rounding boundary on some cells (the x141 round-8 failure mode).
+    a2.withColumn("d2_p6", round(col("d2") * 1e6, 0).cast(LongType))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2_p6")).as("sp6"))
       .select(col("cell").cast(LongType).as("cell"), col("n_vecs"),
-              col("mean_d2"))
+              round(col("sp6") * lit(1.0) / (col("n_vecs") * lit(1e6)), 6)
+                .as("mean_d2"))
       .orderBy("cell")
   }
 
@@ -108,10 +115,18 @@ object Clustering {
       .groupBy("vec_id", "sub")
       .agg(min_by(struct(col("code"), col("d2")),
                   struct(col("d2"), col("code"))).as("best"))
+      // mean_err via the exact-integer device (x202): best.d2 is 6-dp
+      // rounded, so ·1e6 is an exact BIGINT; integer summation is
+      // order-free and the one double division at emit matches DuckDB
+      // bit for bit. (Round 8's ROUND(AVG(d2),6) landed one ulp from the
+      // 5e-7 boundary on cell (sub 0, code 4) and hash-mismatched.)
+      .withColumn("d2_p6", round(col("best.d2") * 1e6, 0).cast(LongType))
       .groupBy(col("sub").cast(LongType).as("subspace"),
                col("best.code").as("code"))
-      .agg(count(lit(1)).as("n_vecs"),
-           round(avg(col("best.d2")), 6).as("mean_err"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2_p6")).as("sp6"))
+      .select(col("subspace"), col("code"), col("n_vecs"),
+              round(col("sp6") * lit(1.0) / (col("n_vecs") * lit(1e6)), 6)
+                .as("mean_err"))
       .orderBy("subspace", "code")
   }
 

@@ -65,9 +65,10 @@ object Organize5 {
     * branch-free map arithmetic (x180's discipline).
     *
     * 100 TB: one per-customer rollup (partial+final on custkey), a 1-row
-    * max-day broadcast stitch, three histogram boundary runs over the
-    * PERSISTED customer aggregate, one banding scan with a ≤125-key
-    * rollup. No row-scale sort or window anywhere. */
+    * max-day broadcast stitch, ONE shared multi-metric histogram boundary
+    * pass (boundariesMulti) over the PERSISTED customer aggregate, one
+    * banding scan with a ≤125-key rollup. No row-scale sort or window
+    * anywhere. */
   def x190(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.orders(spark, dir)
       .groupBy("o_custkey")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.engine.Tables
 
 /** x184–x187: time-series analytics over the order history — day-of-week
@@ -57,10 +57,18 @@ object Timeseries {
   /** x185: DAILY-SERIES AUTOCORRELATION — Pearson r between the daily
     * order-count series and itself shifted by 1..7 CALENDAR days (join on
     * day+lag, so month-boundary gaps align honestly rather than by row
-    * position). r is assembled from six exact BIGINT sums per lag; the
+    * position). r is assembled from six exact integer sums per lag; the
     * only doubles are the final `num / (√d1 · √d2)` — the two sqrt factors
-    * kept separate because d1·d2 could overflow BIGINT while each factor
-    * alone cannot.
+    * kept separate because d1·d2 could overflow even wide integers while
+    * each factor alone cannot.
+    *
+    * Overflow headroom (the x186 discipline): with |days| calendar-bounded
+    * (~2 500) and daily counts up to c, sxy ≤ days·c² and the Pearson term
+    * n_pairs·sxy ≤ days²·c². int64 (9.2×10¹⁸) would cap c at ~1.2×10⁶/day
+    * — EXCEEDED at 100 TB (TPC-H sf100k ≈ 6×10⁷ orders/day). The sums and
+    * cross-terms therefore ride DECIMAL(38,0) (10³⁸ headroom → c up to
+    * ~4×10¹⁵/day); both engines compute the identical exact integer, and
+    * the single cast-to-double happens once at the division.
     *
     * 100 TB: the daily rollup is one partial+final count (≤|days| rows);
     * the 7 lags EXPLODE from each aggregate row map-side (no lag-table
@@ -73,19 +81,21 @@ object Timeseries {
       explode(sequence(lit(1L), lit(7L))).as("lag_days"))
     val p = a.join(daily.select(col("d").as("db"), col("x").as("xb")),
                    col("db") === col("d") + col("lag_days"))
+    val dec = DecimalType(38, 0)
     p.groupBy("lag_days")
       .agg(count(lit(1)).as("n_pairs"),
-           sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
-           sum(col("xa") * col("xb")).as("sxy"),
-           sum(col("xa") * col("xa")).as("sxx"),
-           sum(col("xb") * col("xb")).as("syy"))
+           sum(col("xa").cast(dec)).as("sx"), sum(col("xb").cast(dec)).as("sy"),
+           sum(col("xa").cast(dec) * col("xb")).as("sxy"),
+           sum(col("xa").cast(dec) * col("xa")).as("sxx"),
+           sum(col("xb").cast(dec) * col("xb")).as("syy"))
       .select(col("lag_days"), col("n_pairs"),
-        round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+        round((col("n_pairs").cast(dec) * col("sxy") - col("sx") * col("sy"))
                 .cast(DoubleType) /
-              (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
-                 .cast(DoubleType)) *
-               sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
-                 .cast(DoubleType))), 6).as("acorr"))
+              (sqrt((col("n_pairs").cast(dec) * col("sxx")
+                       - col("sx") * col("sx")).cast(DoubleType)) *
+               sqrt((col("n_pairs").cast(dec) * col("syy")
+                       - col("sy") * col("sy")).cast(DoubleType))), 6)
+          .as("acorr"))
       .orderBy("lag_days")
   }
 

@@ -59,6 +59,45 @@ class ClusteringSpec extends AnyFunSuite {
     assert(grid === (for (s <- 0L to 3L; c <- 0L to 7L) yield (s, c)).toSet)
   }
 
+  test("x141 mean_err is the exact BIGINT-micros mean, recomputed per cell") {
+    // the round-8 failure mode: ROUND(AVG(double),6) sat one ulp from the
+    // 5e-7 boundary on cell (sub 0, code 4) and the two engines rounded in
+    // opposite directions. The fix sums 6-dp-rounded d2 as exact integer
+    // micros and divides ONCE — recompute every cell's mean that way from
+    // the raw per-(vector, subspace) assignments and demand bit equality.
+    val emb = Tables.embeddings(spark, sfSmoke).select("vec_id", "embedding")
+    val cb = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("code"),
+              transform(col("embedding"), _.cast("double")).as("ce"))
+    val best = emb.withColumn("sub", explode(sequence(lit(0), lit(3))))
+      .crossJoin(broadcast(cb))
+      .withColumn("d2", round(expr(
+        """aggregate(zip_with(slice(ce, sub * 16 + 1, 16),
+          |                   slice(embedding, sub * 16 + 1, 16),
+          |  (a, b) -> (a - CAST(b AS DOUBLE)) * (a - CAST(b AS DOUBLE))),
+          |  0D, (s, x) -> s + x)""".stripMargin), 6))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(struct(col("code"), col("d2")),
+                  struct(col("d2"), col("code"))).as("best"))
+      .select(col("sub").cast("long").as("subspace"),
+              col("best.code").as("code"), col("best.d2").as("d2"))
+      .collect()
+    val byCell = best.groupBy(r => (r.getLong(0), r.getLong(1)))
+    pq.foreach { r =>
+      val cell = (r.getLong(0), r.getLong(1))
+      val ds = byCell(cell).map(_.getDouble(2))
+      val micros = ds.map(d => math.round(d * 1e6)).sum // exact: d2 is 6-dp
+      // replicate the engine's emit exactly: ONE double division of the
+      // exact integer by (n·1e6), then HALF_UP at 6 dp — both engines
+      // perform this identical sequence on identical exact inputs.
+      val expected = BigDecimal(micros.toDouble / (ds.length * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getLong(2) === ds.length.toLong, s"cell $cell population")
+      assert(math.abs(r.getDouble(3) - expected) < 1e-12,
+        s"cell $cell: mean_err ${r.getDouble(3)} != exact $expected")
+    }
+  }
+
   test("x142 one best term per doc, positive scores, term appears in the doc") {
     val bm = graft.queries.Clustering.x142(spark, sfSmoke).collect()
     assert(bm.map(_.getLong(0)).distinct.length === bm.length)
