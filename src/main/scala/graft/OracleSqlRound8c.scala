@@ -262,8 +262,11 @@ object OracleSqlRound8c {
     "x196_token_cosine_pairs" ->
       ("WITH " + OracleSqlMl.fpCodedCtes + ",\n" +
         OracleSqlMl.fpsDistinctCte + ",\n" +
-        """e0 AS (SELECT a.doc_id AS u, b.doc_id AS v
-          |       FROM fps a JOIN fps b ON a.fp = b.fp
+        """fpk AS (SELECT f.doc_id, f.fp FROM fps f
+          |        JOIN (SELECT fp FROM fps GROUP BY 1
+          |              HAVING COUNT(*) <= 64) k USING (fp)),
+          |e0 AS (SELECT a.doc_id AS u, b.doc_id AS v
+          |       FROM fpk a JOIN fpk b ON a.fp = b.fp
           |                            AND a.doc_id < b.doc_id
           |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
           |tok AS (SELECT doc_id, x AS tok FROM d, UNNEST(t) AS u(x)),
@@ -343,13 +346,17 @@ object OracleSqlRound8c {
         |FROM flags GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // x194: fp CTEs shared with x120 (OracleSqlMl.fpCodedCtes +
-    // fpsDistinctCte); 3 unrolled min-label rounds, each the min over
-    // self ∪ neighbors.
+    // fpsDistinctCte); hot-fp cap (df <= 64, Graphs.HotFpCap) mirrored
+    // before the pair join; 3 unrolled min-label rounds, each the min
+    // over self ∪ neighbors.
     "x194_neardup_clusters" ->
       ("WITH " + OracleSqlMl.fpCodedCtes + ",\n" +
         OracleSqlMl.fpsDistinctCte + ",\n" +
-        """e0 AS (SELECT a.doc_id AS u, b.doc_id AS v
-          |       FROM fps a JOIN fps b ON a.fp = b.fp
+        """fpk AS (SELECT f.doc_id, f.fp FROM fps f
+          |        JOIN (SELECT fp FROM fps GROUP BY 1
+          |              HAVING COUNT(*) <= 64) k USING (fp)),
+          |e0 AS (SELECT a.doc_id AS u, b.doc_id AS v
+          |       FROM fpk a JOIN fpk b ON a.fp = b.fp
           |                            AND a.doc_id < b.doc_id
           |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
           |und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),

@@ -130,6 +130,104 @@ object Clustering {
       .orderBy("subspace", "code")
   }
 
+  /** Per-(vector, subspace) nearest-codeword assignment against a
+    * (sub, code, ce) codebook — x141's encode shape, codebook-agnostic:
+    * broadcast join keyed on sub (8 codewords per (vector, subspace)
+    * in-map), 6-dp-rounded subspace kernel, `min_by` argmin so the
+    * shuffle carries one row per (vector, subspace). */
+  private def pqAssign(emb: DataFrame, cb: DataFrame): DataFrame =
+    emb.withColumn("sub", explode(sequence(lit(0), lit(3))))
+      .join(broadcast(cb), "sub")
+      .withColumn("d2", round(expr(
+        """aggregate(zip_with(ce,
+          |                   slice(embedding, sub * 16 + 1, 16),
+          |  (a, b) -> (a - CAST(b AS DOUBLE)) * (a - CAST(b AS DOUBLE))),
+          |  0D, (s, x) -> s + x)""".stripMargin), 6))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(struct(col("code"), col("d2")),
+                  struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"),
+              col("best.code").as("code"), col("best.d2").as("d2"))
+
+  /** The fixed first-8-vectors codebook as a (sub, code, ce) frame —
+    * x141/x182's oracle-checkable codebook, already sliced per subspace. */
+  private def fixedCodebook(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < kCells)
+      .withColumn("sub", explode(sequence(lit(0), lit(3))))
+      .select(col("sub"), col("vec_id").as("code"),
+              expr("transform(slice(embedding, sub * 16 + 1, 16)," +
+                   " b -> CAST(b AS DOUBLE))").as("ce"))
+
+  /** TRAINED per-subspace PQ codebooks — the x140 deterministic Lloyd
+    * device applied INSIDE each of the 4 subspaces at once: init = the
+    * fixed first-8 codebook (so training strictly refines what x141
+    * ships), then `rounds` Lloyd updates under the same determinism
+    * protocol (codeword components ROUND at 6 dp after the AVG, distances
+    * round at 6 dp before every argmin, ties break on code). A codeword
+    * whose cell empties keeps its previous position (standard Lloyd).
+    *
+    * This closes the "production would train per-subspace codebooks"
+    * caveat on x141: [[pqEncodeTrained]] runs the identical encode path
+    * with this codebook, and ClusteringSpec proves the trained total
+    * reconstruction error never exceeds the fixed codebook's.
+    *
+    * 100 TB: all 4 subspaces train in ONE job per round — the codebook
+    * broadcast is 4·8·16 doubles, assignment shuffles one row per
+    * (vector, subspace), and the update is a posexplode partial-agg
+    * whose shuffle is 4·8·16 rows. Rounds are a small constant. */
+  private[graft] def trainedCodebooks(spark: SparkSession, dir: String,
+                                      rounds: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    var cb = fixedCodebook(emb)
+    for (_ <- 1 to rounds) {
+      val a = pqAssign(emb, cb)
+      val means = a.join(emb, "vec_id")
+        .select(col("sub"), col("code"),
+                posexplode(expr("slice(embedding, sub * 16 + 1, 16)")))
+        .groupBy("sub", "code", "pos")
+        .agg(round(avg(col("col").cast(DoubleType)), 6).as("cv"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pv"))
+        .select(col("sub"), col("code"),
+                expr("transform(pv, x -> x.cv)").as("nce"))
+      cb = cb.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+                coalesce(col("nce"), col("ce")).as("ce"))
+        .localCheckpoint(true) // flatten per-round lineage (x140's discipline)
+    }
+    cb
+  }
+
+  /** x141's encode against the TRAINED codebooks — same output grid
+    * (subspace, code, n_vecs, mean_err) and the same exact-integer mean
+    * device; the fixed-codebook x141 stays the oracle key. */
+  private[graft] def pqEncodeTrained(spark: SparkSession, dir: String,
+                                     rounds: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    pqAssign(emb, trainedCodebooks(spark, dir, rounds))
+      .withColumn("d2_p6", round(col("d2") * 1e6, 0).cast(LongType))
+      .groupBy(col("sub").cast(LongType).as("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2_p6")).as("sp6"))
+      .select(col("subspace"), col("code"), col("n_vecs"),
+              round(col("sp6") * lit(1.0) / (col("n_vecs") * lit(1e6)), 6)
+                .as("mean_err"))
+      .orderBy("subspace", "code")
+  }
+
+  /** Total PQ reconstruction error (sum over (vector, subspace) of the
+    * best 6-dp-rounded d2, in exact integer micros) for a given codebook
+    * — the training objective ClusteringSpec compares across codebooks. */
+  private[graft] def pqTotalErrMicros(spark: SparkSession, dir: String,
+                                      cb: DataFrame): Long = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    pqAssign(emb, cb)
+      .agg(sum(round(col("d2") * 1e6, 0).cast(LongType)))
+      .head.getLong(0)
+  }
+
+  private[graft] def fixedCodebook(spark: SparkSession, dir: String): DataFrame =
+    fixedCodebook(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
   /** x142: BM25 RELEVANCE SCORING — the strongest term per document under
     * BM25 (k1 = 1.2, b = 0.75), the ranking function behind every classical
     * retrieval stack (and the lexical half of hybrid search next to

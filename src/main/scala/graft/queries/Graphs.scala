@@ -119,17 +119,33 @@ object Graphs {
     * 100 TB: fingerprints come from the native `rolling_fps` expression —
     * one codegen'd pass, no shuffle (x120's path); the pair build is
     * fp-keyed (never doc×doc) with the support-≥2 filter inside the (u,v)
-    * partial aggregate; production corpora additionally cap hot
-    * fingerprints (drop boilerplate fps seen in >K docs — x120's stated
-    * guard) before the self-join. Each label round is one keyed join + a
+    * partial aggregate and the [[HotFpCap]] hot-fingerprint guard (drop
+    * boilerplate fps seen in > 64 docs) applied before the self-join, so
+    * no single viral fp can fan out quadratically. Each label round is
+    * one keyed join + a
     * min partial-aggregate over the cached, pre-partitioned edge list
     * (x181's reuse pattern). */
+  /** Hot-fingerprint cap: a fingerprint shared by more than this many
+    * documents is boilerplate (license headers, navigation chrome), not
+    * duplication signal — and it is exactly the key whose fp-keyed
+    * self-join fans out quadratically (10⁶ docs sharing one viral fp →
+    * 5·10¹¹ candidate pairs). Dropping fps with df > K bounds every
+    * join group at K²/2 pairs. 64 is far above any real dup cluster's
+    * fp-sharing and far below boilerplate reach; the testdata corpus
+    * maxes out at df = 4 (sf0.1), so the oracle keys see no change. */
+  private[graft] val HotFpCap = 64L
+
   /** Near-dup candidate pairs: docs sharing ≥2 distinct rolling-hash
-    * 5-gram fingerprints, u < v. fp-keyed self-join (never doc×doc), the
-    * support filter inside the (u,v) partial aggregate; production
-    * corpora additionally cap hot fingerprints first (x120's guard). */
-  private def fpSharePairs(docs: org.apache.spark.sql.DataFrame): DataFrame = {
-    val fps = LlmExt2.docFingerprints(docs).distinct()
+    * 5-gram fingerprints, u < v. fp-keyed self-join (never doc×doc) with
+    * the [[HotFpCap]] hot-fingerprint guard applied BEFORE the self-join
+    * (the df aggregate and the join shuffle on the same fp key, so the
+    * exchange is reused); the support filter sits inside the (u,v)
+    * partial aggregate. */
+  private[graft] def fpSharePairs(docs: org.apache.spark.sql.DataFrame): DataFrame = {
+    val fps0 = LlmExt2.docFingerprints(docs).distinct()
+    val keep = fps0.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= HotFpCap).select("fp")
+    val fps = fps0.join(keep, "fp")
     fps.as("a")
       .join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

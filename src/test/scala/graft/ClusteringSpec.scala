@@ -98,6 +98,45 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("trained PQ codebooks: reconstruction error never exceeds the fixed codebook's") {
+    // the production path VERDICT r8 asked for: per-subspace Lloyd-trained
+    // codebooks (init = x141's fixed first-8, so training strictly
+    // refines the shipped codebook) must not be WORSE than the fixed one
+    // on the training objective — and with real Lloyd rounds, strictly
+    // better here. Errors are exact integer micros, so the comparison is
+    // bit-precise, not a float tolerance.
+    import graft.queries.Clustering
+    val fixedErr = Clustering.pqTotalErrMicros(spark, sfSmoke,
+      Clustering.fixedCodebook(spark, sfSmoke))
+    val t1 = Clustering.pqTotalErrMicros(spark, sfSmoke,
+      Clustering.trainedCodebooks(spark, sfSmoke, rounds = 1))
+    val t2 = Clustering.pqTotalErrMicros(spark, sfSmoke,
+      Clustering.trainedCodebooks(spark, sfSmoke, rounds = 2))
+    assert(t1 <= fixedErr, s"1-round trained $t1 must not exceed fixed $fixedErr")
+    assert(t2 <= t1 + (t1 / 100000L + 1L), // Lloyd monotone modulo 6-dp rounding
+      s"round 2 ($t2) must not regress round 1 ($t1) beyond rounding slack")
+    assert(t1 < fixedErr,
+      "training should strictly improve on this corpus — vacuous otherwise")
+  }
+
+  test("trained PQ encode keeps the exact x141 output contract") {
+    val tr = graft.queries.Clustering.pqEncodeTrained(spark, sfSmoke).collect()
+    // same schema/grid semantics as x141: populations partition the corpus
+    // per subspace, codes in [0,8), errors non-negative
+    val bySub = tr.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(bySub.keySet === Set(0L, 1L, 2L, 3L))
+    bySub.foreach { case (s, n) => assert(n === nVecs, s"subspace $s") }
+    assert(tr.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8))
+    assert(tr.forall(_.getDouble(3) >= 0.0))
+    // and the per-cell weighted mean_err total must equal the trained
+    // objective within per-cell rounding (32 cells × half-micro each)
+    val fromGrid = tr.map(r => math.round(r.getDouble(3) * 1e6) * r.getLong(2)).sum
+    val exact = graft.queries.Clustering.pqTotalErrMicros(spark, sfSmoke,
+      graft.queries.Clustering.trainedCodebooks(spark, sfSmoke))
+    assert(math.abs(fromGrid - exact) <= 32L * tr.map(_.getLong(2)).max / 2 + 32L,
+      s"grid-implied total $fromGrid vs exact $exact")
+  }
+
   test("x142 one best term per doc, positive scores, term appears in the doc") {
     val bm = graft.queries.Clustering.x142(spark, sfSmoke).collect()
     assert(bm.map(_.getLong(0)).distinct.length === bm.length)

@@ -277,6 +277,37 @@ class Round8gSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no near-dup clusters at smoke scale — vacuous")
   }
 
+  test("x194 hot-fingerprint cap: a viral fp in 100 docs yields no edges, real dups still pair") {
+    // 100 docs share one 6-token boilerplate phrase (= 2 rolling 5-gram
+    // fps, each with df = 100 > HotFpCap = 64): without the cap the
+    // fp-keyed self-join fans out C(100,2) = 4950 candidate pairs from
+    // boilerplate alone; with it, zero. Docs 100/101 share a 6-token
+    // REAL-dup phrase seen nowhere else (df = 2) and must still pair.
+    // Token first-two-chars are unique per filler/phrase so the cheap
+    // (2-char, length) token code cannot collide across docs.
+    import spark.implicits._
+    // distinct (first-2-chars, length) per viral token => distinct codes
+    val viralPhrase = "qa1 wb22 ec333 rd4444 te55555 yf666666"
+    val dupPhrase = "za9 xb88 cg777 vd6666 bn55555 mk444444"
+    val docs = ((0 until 100).map { i =>
+      val a = ('a' + i / 10).toChar; val b = ('a' + i % 10).toChar
+      val filler = (0 until 5).map(j => s"$a${b}f$j$j").mkString(" ")
+      (i.toLong, s"$filler $viralPhrase")
+    } ++ Seq(
+      (100L, s"$dupPhrase uuz0"),
+      (101L, s"$dupPhrase uux1")
+    )).toDF("doc_id", "text")
+    val pairs = Graphs.fpSharePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 101L)),
+      s"cap must drop all viral-fp pairs and keep the planted dup: $pairs")
+    // sanity: the viral phrase really is 2 shared fps per doc pair — the
+    // UNCAPPED build would have emitted the quadratic candidate set
+    val fps = graft.queries.LlmExt2.docFingerprints(docs).distinct()
+    val hot = fps.groupBy("fp").count().filter(col("count") > 64).count()
+    assert(hot === 2L, "planted viral phrase must contribute exactly 2 hot fps")
+  }
+
   test("x195 decomposition reconstructs exactly; seasonal means sum to ~0") {
     val daily = orderDays.groupBy(identity)
       .view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
