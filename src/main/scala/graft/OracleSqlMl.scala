@@ -627,6 +627,26 @@ object OracleSqlMl {
         |       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
         |       ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
         |       ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // x15 theorem form: exact distinct + exact type-7 percentiles (the
+    // x28-proven quantile_cont pairing) and approx_ok = TRUE — the engine
+    // computes the sketch contract (HLL within 5%, percentile_approx
+    // within ±0.005·n rank) for real; a regression flips the flag red.
+    "x15_approx_sketches" ->
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+        |       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+        |       TRUE AS approx_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // x108 theorem form: exact distinct + sketch_ok = TRUE (tiled union
+    // within 2% of direct, direct within 5% of exact — the x112 bounds).
+    "x108_hll_mergeable" ->
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+        |       TRUE AS sketch_ok
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 

@@ -8,23 +8,75 @@ import graft.engine.Tables
 /** x15–x17: sketch aggregations and reshaping operators.
   *
   * x16/x17 are oracle-checked (pivot/unpivot over a FIXED column list is
-  * portable conditional aggregation / stacking); x15's sketches are
-  * engine-specific by nature and property-tested against exact answers.
+  * portable conditional aggregation / stacking); x15/x108's sketch VALUES
+  * are engine-specific by nature, so both keys emit theorem form — exact
+  * values plus an engine-side ok flag stating the sketch contract — and
+  * are oracle-checked that way (plus property-tested in ReshapeSpec).
   */
 object Reshape {
 
   /** x15: approximate sketches — HyperLogLog++ distinct counts and
-    * approximate percentiles. THE memory-bounded path for 100 TB cardinality
-    * and quantile work (exact countDistinct shuffles every distinct value;
-    * the sketch is constant-size per group and mergeable). Non-oracle:
-    * sketch internals are engine-specific; accuracy asserted in tests. */
-  def x15(spark: SparkSession, dir: String): DataFrame =
+    * approximate percentiles, in THEOREM FORM: the sketches run for real
+    * per priority, but the emitted row is (group, exact values, approx_ok)
+    * where approx_ok is the sketch CONTRACT checked engine-side — HLL++
+    * (rsd 0.02) within 5 % of the exact distinct count, and each
+    * percentile_approx value sitting within ±0.005·n of its target rank
+    * (tie-safe one-sided count(≤)/count(<) bounds, the x112 device; value
+    * error is data-dependent, rank error is the sketch's actual
+    * guarantee). The oracle states the exact values + ok = TRUE, so this
+    * key is driver-hash-checked instead of `no_oracle` — any sketch
+    * regression flips the flag and turns the row red.
+    *
+    * THE memory-bounded path for 100 TB cardinality/quantile work: exact
+    * countDistinct shuffles every distinct value; the sketch is
+    * constant-size per group and mergeable. The exact twins here are
+    * affordable because groups are bounded (5 priorities); at unbounded
+    * cardinality a user runs ONLY the sketch half (x28 is the exact
+    * percentile twin, x122 the exact-distinct tile path). The rank-check
+    * join fans the bounded 5-row sketch frame back over orders once —
+    * broadcast, one extra scan, no row-scale shuffle. */
+  /** The raw sketch values behind x15 — the user-facing approximate query
+    * (per priority: HLL++ distinct estimate, approx p50/p95). Constant
+    * memory per group, no exact twin — what you actually run at unbounded
+    * cardinality; x15 wraps this in the oracle-checkable contract. */
+  def x15Raw(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
            percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
            percentile_approx(col("o_totalprice"), lit(0.95), lit(10000)).as("p95"))
       .orderBy("o_orderpriority")
+
+  def x15(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_custkey"), col("o_totalprice"))
+    val per = o.groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("ac"),
+           countDistinct(col("o_custkey")).as("exact_custs"),
+           percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("ap50"),
+           percentile_approx(col("o_totalprice"), lit(0.95), lit(10000)).as("ap95"),
+           round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+           round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"),
+           count(lit(1)).as("n"))
+    val ranks = o
+      .join(broadcast(per.select(col("o_orderpriority").as("rp"),
+                                 col("ap50"), col("ap95"))),
+            col("o_orderpriority") === col("rp"))
+      .groupBy("o_orderpriority")
+      .agg(sum(when(col("o_totalprice") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+           sum(when(col("o_totalprice") <  col("ap50"), 1L).otherwise(0L)).as("lt50"),
+           sum(when(col("o_totalprice") <= col("ap95"), 1L).otherwise(0L)).as("le95"),
+           sum(when(col("o_totalprice") <  col("ap95"), 1L).otherwise(0L)).as("lt95"))
+    per.join(ranks, "o_orderpriority")
+      .select(col("o_orderpriority"), col("exact_custs"),
+              col("p50"), col("p95"),
+        (abs(col("ac") - col("exact_custs")) * 20 <= col("exact_custs") &&
+         col("le50") * 100 >= col("n") * 49 &&
+         col("lt50") * 100 <= col("n") * 51 &&
+         col("le95") * 1000 >= col("n") * 945 &&
+         col("lt95") * 1000 <= col("n") * 955).as("approx_ok"))
+      .orderBy("o_orderpriority")
+  }
 
   /** x28: EXACT grouped percentiles — x15's ground-truth twin, the same
     * exact↔approximate pairing as q46↔x18 (docs/PLANS.md). `percentile` sorts
@@ -51,16 +103,27 @@ object Reshape {
     * order-independent set, so pre-aggregated tiles lose nothing
     * (ReshapeSpec pins that plus tile-count invariance at sfSmoke). Past
     * coupon mode the union's HLL_8 target re-estimates within the sketch
-    * error of the direct HLL_4 sketch (~1.3% measured at sf0.01) — the
-    * x112 matrix pins that bound through the driver oracle. Sketch binaries
-    * are not DuckDB-expressible, so this key itself stays property-tested.
+    * error of the direct HLL_4 sketch (~1.3% measured at sf0.01).
+    *
+    * THEOREM FORM (sketch binaries are not DuckDB-expressible, but their
+    * contract is): the emitted row is (group, exact_custs, sketch_ok)
+    * where sketch_ok checks engine-side that the tiled union estimate
+    * lands within 2 % of the direct estimate AND the direct estimate
+    * within 5 % of exact (the x112 thresholds). The oracle states the
+    * exact count + ok = TRUE, so the key is driver-hash-checked; the
+    * estimates themselves stay pinned per-group in ReshapeSpec.
     *
     * 100 TB: THE re-aggregation pattern — persist tiny per-partition/day
     * sketch tiles once, answer any distinct-count rollup (month, year,
     * ad-hoc priority sets) by unioning tiles, never rescanning the corpus.
     * approx_count_distinct's HLL++ state is internal-only; these sketches
-    * are columns you can store and re-merge across jobs. */
-  def x108(spark: SparkSession, dir: String): DataFrame = {
+    * are columns you can store and re-merge across jobs. The exact twin
+    * here is affordable at bounded group count; unbounded users run tiles
+    * only (or x122's exact bitmap tiles on dense ids). */
+  /** The raw mergeable-sketch rollup behind x108: per priority the direct
+    * estimate, the exact count, and the monthly-tile union estimate —
+    * the user-facing re-aggregation query x108 wraps in its contract. */
+  def x108Raw(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val tiles = o
       .groupBy(col("o_orderpriority"), date_trunc("month", col("o_orderdate")).as("mo"))
@@ -70,8 +133,16 @@ object Reshape {
     val direct = o.groupBy("o_orderpriority")
       .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est_direct"),
            countDistinct(col("o_custkey")).as("exact_custs"))
-    direct.join(tiled, Seq("o_orderpriority")).orderBy("o_orderpriority")
+    direct.join(tiled, Seq("o_orderpriority"))
   }
+
+  def x108(spark: SparkSession, dir: String): DataFrame =
+    x108Raw(spark, dir)
+      .select(col("o_orderpriority"), col("exact_custs"),
+        (abs(col("est_tiled") - col("est_direct")) * 50 <= col("est_direct") &&
+         abs(col("est_direct") - col("exact_custs")) * 20 <= col("exact_custs"))
+          .as("sketch_ok"))
+      .orderBy("o_orderpriority")
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 

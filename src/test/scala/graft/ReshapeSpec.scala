@@ -13,12 +13,17 @@ class ReshapeSpec extends AnyFunSuite {
     val exact = graft.engine.Tables.orders(spark, sfSmoke)
       .groupBy("o_orderpriority").agg(countDistinct(col("o_custkey")).as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = Reshape.x15(spark, sfSmoke).collect()
+    val approx = Reshape.x15Raw(spark, sfSmoke).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     for ((prio, app, p50, p95) <- approx) {
       val ex = exact(prio).toDouble
       assert(math.abs(app - ex) / ex <= 0.10, s"$prio: approx $app vs exact $ex")
       assert(p50 <= p95, "quantiles must be ordered")
+    }
+    // the theorem-form key: exact counts match, every contract flag true
+    for (r <- Reshape.x15(spark, sfSmoke).collect()) {
+      assert(r.getLong(1) === exact(r.getString(0)), s"${r.getString(0)} exact")
+      assert(r.getBoolean(4), s"${r.getString(0)}: approx_ok must hold")
     }
   }
 
@@ -36,7 +41,7 @@ class ReshapeSpec extends AnyFunSuite {
       assert(p25 >= mn && p95 <= mx, s"$prio percentiles outside [min,max]")
     }
     // the approximate sketch's p50 must sit within the exact p25..p75 band
-    for (r <- Reshape.x15(spark, sfSmoke).collect()) {
+    for (r <- Reshape.x15Raw(spark, sfSmoke).collect()) {
       val (p25, _, p75, _) = exact(r.getString(0))
       assert(r.getDouble(2) >= p25 && r.getDouble(2) <= p75,
         s"${r.getString(0)}: approx p50 ${r.getDouble(2)} outside exact [$p25,$p75]")
@@ -61,7 +66,7 @@ class ReshapeSpec extends AnyFunSuite {
   }
 
   test("x108 tiled sketch union reproduces the direct sketch exactly and tracks the exact count") {
-    val rows = Reshape.x108(spark, sfSmoke).collect()
+    val rows = Reshape.x108Raw(spark, sfSmoke).orderBy("o_orderpriority").collect()
     assert(rows.nonEmpty)
     for (r <- rows) {
       val (direct, exact, tiled) = (r.getLong(1), r.getLong(2), r.getLong(3))
@@ -84,5 +89,11 @@ class ReshapeSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     for (r <- rows)
       assert(byYear(r.getString(0)) === r.getLong(1), "year tiles == direct too")
+    // the theorem-form key: exact counts match, every contract flag true
+    val exactMap = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    for (r <- Reshape.x108(spark, sfSmoke).collect()) {
+      assert(r.getLong(1) === exactMap(r.getString(0)), s"${r.getString(0)} exact")
+      assert(r.getBoolean(2), s"${r.getString(0)}: sketch_ok must hold")
+    }
   }
 }
