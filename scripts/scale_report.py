@@ -3,11 +3,13 @@
 
 Usage: python3 scripts/scale_report.py [scale_soak.json] [SCALE.md]
 
-Classifies each key's 10x-data time ratio:
-  - fixed-cost  : 10x time < 2x base   (job/micro-batch overhead dominates)
-  - linear-ish  : ratio <= 14          (tracks row volume on 10x data,
+Classifies each key's Nx-data time ratio (N = the soak's copy factor,
+read from the json; thresholds scale with N so a 10x and a 100x soak
+read on the same rubric):
+  - fixed-cost  : Nx time < 2x base    (job/micro-batch overhead dominates)
+  - linear-ish  : ratio <= 1.4*N       (tracks row volume on Nx data,
                                         with headroom for local[32] noise)
-  - super-linear: ratio > 14           (must match a documented expectation
+  - super-linear: ratio > 1.4*N        (must match a documented expectation
                                         or it is a scale bug)
 """
 import json, sys
@@ -16,6 +18,8 @@ src = sys.argv[1] if len(sys.argv) > 1 else "docs/scale_soak.json"
 out = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE.md"
 d = json.load(open(src))
 keys = d["keys"]
+copies = d.get("copies", 10)
+linear_max = 1.4 * copies
 
 # Keys whose super-linear growth is EXPECTED on the synthetic 10x copy
 # (every document/vector gains 9 exact twins, so true near-dup work grows
@@ -40,7 +44,7 @@ ok = [(k, v) for k, v in rows if not v.get("error")]
 def bucket(r):
     if r is None: return "n/a"
     if r < 2.0: return "fixed-cost"
-    if r <= 14.0: return "linear-ish"
+    if r <= linear_max: return "linear-ish"
     return "super-linear"
 
 buckets = {}
@@ -48,22 +52,22 @@ for k, v in ok:
     buckets.setdefault(bucket(v.get("ratio")), []).append((k, v))
 
 lines = []
-lines.append("# SCALE — full-surface 10x soak (round 8)\n")
-lines.append(f"Source: `{src}` — every registered operator timed on "
-             f"`{d['src']}` and on a {d['copies']}x key-shifted copy of all "
+lines.append(f"# SCALE — {copies}x soak ({len(rows)} keys)\n")
+lines.append(f"Source: `{src}` — each listed operator timed on "
+             f"`{d['src']}` and on a {copies}x key-shifted copy of all "
              "tables (FullScaleSoak methodology: disjoint id shifts keep join "
              "fan-outs honest; dims copied verbatim so dimension keys get "
-             "10x hotter; both dirs warmed before timing; `.count()` like "
+             f"{copies}x hotter; both dirs warmed before timing; `.count()` like "
              "`graft.Bench`).\n")
 lines.append(f"Keys: {len(rows)} total, {len(fails)} failures.\n")
 counts = {b: len(v) for b, v in buckets.items()}
 lines.append(f"Classification: {counts.get('fixed-cost',0)} fixed-cost "
              f"(<2x — per-job/micro-batch overhead dominates), "
-             f"{counts.get('linear-ish',0)} linear-ish (<=14x), "
-             f"{counts.get('super-linear',0)} super-linear (>14x).\n")
+             f"{counts.get('linear-ish',0)} linear-ish (<={linear_max:.0f}x), "
+             f"{counts.get('super-linear',0)} super-linear (>{linear_max:.0f}x).\n")
 
 lines.append("\n## Super-linear keys (each must have a documented reason)\n")
-lines.append("| key | base s | 10x s | ratio | expected? |")
+lines.append(f"| key | base s | {copies}x s | ratio | expected? |")
 lines.append("|---|---|---|---|---|")
 for k, v in sorted(buckets.get("super-linear", []),
                    key=lambda kv: -(kv[1]["ratio"] or 0)):
@@ -72,7 +76,7 @@ for k, v in sorted(buckets.get("super-linear", []),
                  f"{v['ratio']:.1f}x | {why} |")
 
 lines.append("\n## All keys\n")
-lines.append("| key | base s | 10x s | ratio | class |")
+lines.append(f"| key | base s | {copies}x s | ratio | class |")
 lines.append("|---|---|---|---|---|")
 for k, v in rows:
     if v.get("error"):
@@ -93,7 +97,7 @@ if unexpected:
 if not fails and not unexpected:
     lines.append("No failures; every super-linear key matches a documented "
                  "expectation. The remaining surface tracks row volume or "
-                 "fixed overhead — the partition/shuffle choices hold at 10x.")
+                 f"fixed overhead — the partition/shuffle choices hold at {copies}x.")
 
 open(out, "w").write("\n".join(lines) + "\n")
 print(f"wrote {out}: {len(rows)} keys, {len(fails)} failures, "

@@ -29,12 +29,21 @@ import org.apache.spark.sql.functions._
   * single-partition window's answer whenever `order` is a TOTAL order
   * (callers must include a unique tiebreak column — the same requirement
   * the engine's determinism protocol already imposes on every ORDER BY).
-  * Determinism note: both consumers of the ranged exchange (the data side
-  * and the counts side) recompute `monotonically_increasing_id` after the
-  * shuffle read, and the re-sort is identical because the order is total,
-  * so the two sides agree row for row; the range partitioner's sampled
-  * boundaries affect only WHICH partition a row lands in, and the
-  * offset/min-mid subtraction cancels that choice out of the result.
+  *
+  * Determinism note — the ranged frame is MATERIALIZED (eager
+  * `localCheckpoint`) before fan-out, because its two consumers (the data
+  * side and the counts side) are only consistent if they read the SAME
+  * physical partitioning: `repartitionByRange` samples its boundaries per
+  * physical exchange, and when the optimizer does not reuse the exchange
+  * the two sides can place a boundary-adjacent row in DIFFERENT
+  * partitions — offsets from one read joined to mids from the other then
+  * mis-rank every row after the disputed boundary. This was observed for
+  * real (round 9): at 4 shuffle partitions, x95's mid-corpus rank drifted
+  * by ±100 run-to-run while 32-partition runs passed by exchange-reuse
+  * luck. The checkpoint pins one sampled partitioning for both reads; its
+  * cost is one extra write of the already-shuffled data to executor-local
+  * storage — the price of a correct distributed rank, still nothing like
+  * the single-partition window it replaces.
   */
 object Ranks {
   /** Appends `out` = the 1-based global row number of `df` under `order`.
@@ -57,6 +66,7 @@ object Ranks {
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true) // ONE sampled partitioning for both reads (see above)
     val parts = ranged.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__minmid"))
     val prior = Window.orderBy("__pid")
@@ -75,13 +85,16 @@ object Ranks {
     * [[globalRowNumber]]: range-partition on the order, per-partition
     * LOCAL running totals under a __pid-keyed (never global) window, and
     * each partition's grand total prefix-summed into a broadcast offset.
-    * `order` must be a total order for a deterministic result. */
+    * `order` must be a total order for a deterministic result; the ranged
+    * frame is materialized for the same double-read reason as
+    * [[globalRowNumber]]. */
   def globalPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
                       out: String): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(p, order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", value)
+      .localCheckpoint(true) // ONE sampled partitioning for both reads
     val local = Window.partitionBy("__pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = ranged.withColumn("__cum", sum(col("__v")).over(local))

@@ -33,9 +33,16 @@ import graft.engine.Tables
   * recall matrices (x110–x112) run those chains end-to-end. Everything
   * else should track row volume modulo fixed job overhead.
   *
-  * Usage: `runMain graft.examples.FullScaleSoak [srcDir] [bigDir] [jsonOut]`
-  * — pass an existing bigDir with its `_SOAK_BUILT` marker to skip the
-  * build. Writes one JSON object per key to `jsonOut` (default
+  * Usage: `runMain graft.examples.FullScaleSoak [srcDir] [bigDir] [jsonOut]
+  * [copies] [key...]` — pass an existing bigDir with its `_SOAK_BUILT`
+  * marker to skip the build. `copies` (default 10) scales the synthetic
+  * corpus; explicit key names (default: whole registry) restrict the timed
+  * set — the round-9 100× soak runs `copies=100` over the 26 keys the 10×
+  * soak classified linear-ish, answering "does any of them flip
+  * super-linear when the graph densifies 100×" with measurement. At
+  * copies=100 the doc/vec shift tops out at 99·10 000 + 4 999 = 994 999,
+  * still under the 1 000 000 planted-twin guard offset (asserted below).
+  * Writes one JSON object per key to `jsonOut` (default
   * `docs/scale_soak.json`), sorted, diff-friendly.
   */
 object FullScaleSoak {
@@ -45,7 +52,10 @@ object FullScaleSoak {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale10_full"
     val jsonOut = if (args.length > 2) args(2) else "/root/repo/docs/scale_soak.json"
-    val copies = 10
+    val copies = if (args.length > 3) args(3).toInt else 10
+    val onlyKeys = args.drop(4).toSet
+    require(copies * 10000L < 1000000L + 10000L,
+      s"doc/vec shift at $copies copies would cross the planted-twin guard offset")
     val marker = java.nio.file.Paths.get(out, "_SOAK_BUILT")
 
     if (!java.nio.file.Files.exists(marker)) {
@@ -82,6 +92,7 @@ object FullScaleSoak {
     } else println(s"[soak] reusing existing ${copies}x copy at $out")
 
     val keys = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(k => onlyKeys.isEmpty || onlyKeys.contains(k))
     // warm pass over BOTH dirs: steady-state JIT/codegen, and one-time
     // layout costs (x113's bucketed ingest) paid outside the timed runs
     for (k <- keys; dir <- Seq(src, out))

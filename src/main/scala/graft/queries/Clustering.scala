@@ -228,6 +228,35 @@ object Clustering {
   private[graft] def fixedCodebook(spark: SparkSession, dir: String): DataFrame =
     fixedCodebook(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
 
+  /** x182's ADC top-k against an arbitrary (sub, code, ce) codebook — the
+    * serving half parameterized the same way [[pqAssign]] parameterizes
+    * the encode half, so the TRAINED codebooks drop straight into the
+    * IVF-PQ serving path: LUT = query×codebook subspace distances (32
+    * rows, broadcast), database vectors encoded via pqAssign, approximate
+    * distance = 4 integer table lookups summed (exact BIGINT micros,
+    * order-free), (adc, vec_id)-total-ordered top-10. x182 itself stays
+    * the fixed-codebook oracle key; ClusteringSpec drives this with
+    * [[trainedCodebooks]] and checks the trained LUT serves the better
+    * (lower-distortion) approximation of the true kernel. */
+  private[graft] def pqAdcTopK(spark: SparkSession, dir: String,
+                               cb: DataFrame, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val lut = cb.crossJoin(broadcast(q))
+      .withColumn("lm", round(round(expr(
+        """aggregate(zip_with(ce, slice(qe, sub * 16 + 1, 16),
+          |  (a, b) -> (a - CAST(b AS DOUBLE)) * (a - CAST(b AS DOUBLE))),
+          |  0D, (s, x) -> s + x)""".stripMargin), 6) * 1000000d, 0)
+        .cast(LongType))
+      .select("sub", "code", "lm")
+    pqAssign(emb, cb).select("vec_id", "sub", "code")
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("vec_id")
+      .agg(sum(col("lm")).as("adc_micros"))
+      .orderBy(col("adc_micros"), col("vec_id"))
+      .limit(k)
+  }
+
   /** x142: BM25 RELEVANCE SCORING — the strongest term per document under
     * BM25 (k1 = 1.2, b = 0.75), the ranking function behind every classical
     * retrieval stack (and the lexical half of hybrid search next to

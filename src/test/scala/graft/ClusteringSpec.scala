@@ -137,6 +137,35 @@ class ClusteringSpec extends AnyFunSuite {
       s"grid-implied total $fromGrid vs exact $exact")
   }
 
+  test("trained-codebook ADC serves a no-worse approximation of the true kernel") {
+    // the serving half of VERDICT r8's ask: trainedCodebooks must drop
+    // into the ADC path (pqAdcTopK = x182's arithmetic, codebook-
+    // parameterized) and the trained LUT's distance estimates must track
+    // the TRUE query kernel at least as well as the fixed codebook's —
+    // measured as mean |adc − true_d2| over every database vector.
+    import graft.queries.Clustering
+    val vecs = Tables.embeddings(spark, sfSmoke)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val nAll = vecs.size
+    val qv = vecs(0L)
+    val truth = vecs.map { case (id, v) =>
+      id -> v.indices.map { i =>
+        val d = qv(i).toDouble - v(i).toDouble; d * d }.sum
+    }
+    def mae(cb: org.apache.spark.sql.DataFrame): Double = {
+      val adc = Clustering.pqAdcTopK(spark, sfSmoke, cb, k = nAll).collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toDouble / 1e6).toMap
+      assert(adc.size === nAll, "ADC must score every vector")
+      adc.map { case (id, a) => math.abs(a - truth(id)) }.sum / nAll
+    }
+    val maeFixed = mae(Clustering.fixedCodebook(spark, sfSmoke))
+    val maeTrained = mae(Clustering.trainedCodebooks(spark, sfSmoke))
+    assert(maeTrained <= maeFixed * 1.05,
+      s"trained ADC MAE $maeTrained must not exceed fixed $maeFixed (5% slack)")
+    assert(maeFixed > 0.0, "fixed ADC is exact only for the codewords — vacuous if 0")
+  }
+
   test("x142 one best term per doc, positive scores, term appears in the doc") {
     val bm = graft.queries.Clustering.x142(spark, sfSmoke).collect()
     assert(bm.map(_.getLong(0)).distinct.length === bm.length)
