@@ -83,8 +83,9 @@ for k, v in rows:
         lines.append(f"| {k} | — | — | — | FAILED: {v['error'][:80]} |")
     else:
         r = v.get("ratio")
+        note = f" — {v['note']}" if v.get("note") else ""
         lines.append(f"| {k} | {v['base_s']:.2f} | {v['x10_s']:.2f} | "
-                     f"{(str(round(r,1)) + 'x') if r else 'n/a'} | {bucket(r)} |")
+                     f"{(str(round(r,1)) + 'x') if r else 'n/a'} | {bucket(r)}{note} |")
 
 unexpected = [k for k, v in buckets.get("super-linear", [])
               if k not in EXPECTED_SUPERLINEAR]

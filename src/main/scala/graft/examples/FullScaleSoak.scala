@@ -29,7 +29,7 @@ import graft.engine.Tables
   * workload grows ~quadratically in the copy factor (x08/x86/x109 analysis
   * in ScaleCheck's Scaladoc); q45/q46 are the deliberate brute-force
   * baselines whose all-pairs work is quadratic by construction
-  * (SparkEntry.scala:65-68 — x18/x09 are the registered scale paths); the
+  * (SparkEntry.scala:65-68 — AnnIvf.x18Raw/x09 are the scale paths); the
   * recall matrices (x110–x112) run those chains end-to-end. Everything
   * else should track row volume modulo fixed job overhead.
   *
@@ -95,12 +95,32 @@ object FullScaleSoak {
       .filter(k => onlyKeys.isEmpty || onlyKeys.contains(k))
     // warm pass over BOTH dirs: steady-state JIT/codegen, and one-time
     // layout costs (x113's bucketed ingest) paid outside the timed runs
-    for (k <- keys; dir <- Seq(src, out))
+    for (k <- keys; dir <- Seq(src, out)) {
+      println(s"[soak] warming $k on $dir")
       try graft.SparkEntry.queries(k)(spark, dir).count()
       catch { case e: Throwable =>
-        println(s"[soak] WARM-FAIL $k on $dir: ${e.getClass.getSimpleName}: ${e.getMessage.take(200)}") }
+        println(s"[soak] WARM-FAIL $k on $dir: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
+    }
 
-    case class R(key: String, base: Double, big: Double, err: String)
+    // Keys whose EMPTY result on the >=97-copy twin corpus is the operator's
+    // documented CORRECT behavior, not a broken measurement (the strict
+    // empty-at-scale guard below still applies to every other key):
+    //   - x100: the decontamination stage's bench slice is doc_id % 97 == 0
+    //     and the copy shift is 10000 ≡ 9 (mod 97) with gcd(9,97)=1, so at
+    //     >=97 copies the twin ids of EVERY text cover all residues mod 97 —
+    //     every text gains a twin inside the bench slice, and x21's rule then
+    //     correctly drops the whole corpus as benchmark-contaminated.
+    //   - x194/x196: every fingerprint's df is >= copies (each doc has
+    //     copies-1 exact twins) > HotFpCap=64, so the hot-fingerprint guard
+    //     classifies ALL fps as boilerplate — exactly the production
+    //     behavior for a corpus that is 99% exact copies.
+    val expectedEmpty: Set[String] =
+      if (copies < 97) Set.empty
+      else Set("x100_curation_pipeline", "x194_neardup_clusters",
+               "x196_token_cosine_pairs")
+
+    case class R(key: String, base: Double, big: Double, err: String,
+                 note: String = "")
     val rows = keys.map { k =>
       def once(dir: String): Either[String, (Double, Long)] = {
         val t0 = System.nanoTime()
@@ -110,27 +130,34 @@ object FullScaleSoak {
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
       }
       (once(src), once(out)) match {
-        // a 10x run that returns ZERO rows where the base returned some is
-        // a silently-broken measurement, not a fast one (the round-7 soak
+        // a big-side run that returns ZERO rows where the base returned some
+        // is a silently-broken measurement, not a fast one (the round-7 soak
         // recorded 0.1x streaming "ratios" this way: the staged replay
-        // ingested no files) — fail the key instead of flattering it
+        // ingested no files) — fail the key instead of flattering it, unless
+        // the empty is the operator's documented correct answer (above)
         case (Right((b, nb)), Right((g, ng))) if nb > 0 && ng == 0 =>
-          println(s"[soak] $k EMPTY at 10x ($nb base rows -> 0)")
-          R(k, b, g, s"10x returned 0 rows (base $nb)")
+          if (expectedEmpty.contains(k)) {
+            println(f"[soak] $k%-28s base=$b%6.2f s  big=$g%6.2f s  EMPTY by design at ${copies}x (see scaladoc)")
+            R(k, b, g, "", s"empty at ${copies}x is the documented correct answer (decontamination / hot-fp cap covers the twin corpus)")
+          } else {
+            println(s"[soak] $k EMPTY at ${copies}x ($nb base rows -> 0)")
+            R(k, b, g, s"${copies}x returned 0 rows (base $nb)")
+          }
         case (Right((b, _)), Right((g, _))) =>
-          println(f"[soak] $k%-28s base=$b%6.2f s  10x=$g%6.2f s  ratio=${g / b}%5.1f")
+          println(f"[soak] $k%-28s base=$b%6.2f s  big=$g%6.2f s  ratio=${g / b}%5.1f")
           R(k, b, g, "")
         case (b, g) =>
           val err = Seq(b.left.toOption.map("base: " + _),
-                        g.left.toOption.map("10x: " + _)).flatten.mkString("; ")
+                        g.left.toOption.map(s"${copies}x: " + _)).flatten.mkString("; ")
           println(s"[soak] $k FAILED — $err")
           R(k, b.map(_._1).getOrElse(-1.0), g.map(_._1).getOrElse(-1.0), err)
       }
     }
     val body = rows.map { r =>
       val e = if (r.err.isEmpty) "" else s""", "error": "${r.err.replace("\"", "'")}""""
+      val n = if (r.note.isEmpty) "" else s""", "note": "${r.note.replace("\"", "'")}""""
       f"""    "${r.key}": {"base_s": ${r.base}%.3f, "x10_s": ${r.big}%.3f, "ratio": ${
-        if (r.base > 0 && r.big > 0) f"${r.big / r.base}%.2f" else "null"}$e}"""
+        if (r.base > 0 && r.big > 0) f"${r.big / r.base}%.2f" else "null"}$e$n}"""
     }.mkString(
       s"""{\n  "src": "$src",\n  "copies": $copies,\n  "keys": {\n""",
       ",\n", "\n  }\n}\n")
