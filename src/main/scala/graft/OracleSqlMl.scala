@@ -647,7 +647,29 @@ object OracleSqlMl {
       """SELECT o_orderpriority,
         |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
         |       TRUE AS sketch_ok
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // x18 theorem form: the exact brute-force top-20 for vec 0 (q45's
+    // kernel, ranked) + ivf_ok = TRUE — the engine computes the IVF
+    // contract (nprobe=4 probe finds >= 18 of the exact top-20) for real;
+    // a recall regression flips the flag red.
+    "x18_ann_ivf" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sims AS (SELECT e.vec_id,
+        |  CAST(ROUND(
+        |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |              FOR i IN generate_series(1,64)]) /
+        |    (SQRT(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |                    FOR i IN generate_series(1,64)])) *
+        |     SQRT(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |                    FOR i IN generate_series(1,64)]))),
+        |  6) AS DOUBLE) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> 0),
+        |top AS (SELECT vec_id, cos,
+        |               ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rk
+        |        FROM sims)
+        |SELECT rk, vec_id, cos, TRUE AS ivf_ok FROM top
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin
   )
 
   /** x10 lang-ID is pure deterministic relational algebra (top-20 token

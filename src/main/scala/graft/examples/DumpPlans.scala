@@ -104,8 +104,8 @@ object DumpPlans {
     sb.append("twins are recall-tested against them:\n\n")
     sb.append("| exact (oracle) | scale path | recall test |\n")
     sb.append("|---|---|---|\n")
-    sb.append("| `q46_knn_label_vote` (100-query broadcast, topk_pairs partial agg) | `x18_ann_ivf` (centroid pruning, nprobe cells), `x09_embedding_neardup_lsh` (banded hyperplane LSH) | AnnIvfSpec / LlmExtSpec + x111 matrix |\n")
-    sb.append("| `q45_similarity_cosine_topk` (brute-force scan, fine: 1-row query broadcast) | `x18_ann_ivf` | AnnIvfSpec |\n")
+    sb.append("| `q46_knn_label_vote` (100-query broadcast, topk_pairs partial agg) | `AnnIvf.x18Raw` (centroid pruning, nprobe cells; the `x18_ann_ivf` key wraps it in the theorem-form oracle contract), `x09_embedding_neardup_lsh` (banded hyperplane LSH) | AnnIvfSpec / LlmExtSpec + x111 matrix |\n")
+    sb.append("| `q45_similarity_cosine_topk` (brute-force scan, fine: 1-row query broadcast) | `AnnIvf.x18Raw` | AnnIvfSpec |\n")
     try {
       for ((name, note, df) <- picks) {
         df.collect()

@@ -8,8 +8,9 @@ import graft.engine.Tables
 /** x140–x142: corpus-organization operators over the embedding / document
   * tables — deterministic (oracle-checked) clustering, product-quantization
   * encoding, and BM25 relevance scoring. These complete the similarity stack:
-  * x18 holds the ML-trained IVF index (seeded KMeans — no SQL oracle by
-  * nature); x140/x141 are its EXACTLY-REPRODUCIBLE twins, built so every
+  * x18 holds the ML-trained IVF index (seeded KMeans; oracle-checked in
+  * theorem form — exact top-20 + locality flag, AnnIvf.x18);
+  * x140/x141 are its EXACTLY-REPRODUCIBLE twins, built so every
   * arithmetic step pins to the determinism protocol (SURVEY §7.4: cast
   * float→double before arithmetic, round at every cross-engine boundary,
   * total-order tie-breaks) and therefore hash-match DuckDB bit for bit.
@@ -135,7 +136,7 @@ object Clustering {
     * broadcast join keyed on sub (8 codewords per (vector, subspace)
     * in-map), 6-dp-rounded subspace kernel, `min_by` argmin so the
     * shuffle carries one row per (vector, subspace). */
-  private def pqAssign(emb: DataFrame, cb: DataFrame): DataFrame =
+  private[graft] def pqAssign(emb: DataFrame, cb: DataFrame): DataFrame =
     emb.withColumn("sub", explode(sequence(lit(0), lit(3))))
       .join(broadcast(cb), "sub")
       .withColumn("d2", round(expr(
@@ -236,8 +237,10 @@ object Clustering {
     * distance = 4 integer table lookups summed (exact BIGINT micros,
     * order-free), (adc, vec_id)-total-ordered top-10. x182 itself stays
     * the fixed-codebook oracle key; ClusteringSpec drives this with
-    * [[trainedCodebooks]] and checks the trained LUT serves the better
-    * (lower-distortion) approximation of the true kernel. */
+    * [[trainedCodebooks]] and pins the guarantee PQ serving actually
+    * makes: every ADC estimate sits within the vector's quantization
+    * radius of the true distance, and training shrinks the total squared
+    * radius (the Lloyd objective). */
   private[graft] def pqAdcTopK(spark: SparkSession, dir: String,
                                cb: DataFrame, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")

@@ -6,16 +6,29 @@ import org.scalatest.funsuite.AnyFunSuite
 class AnnIvfSpec extends AnyFunSuite {
   import TestSpark.{spark, sfSmoke}
 
-  test("x18 IVF top-20 recalls most of the exact cosine top-20") {
+  test("x18Raw IVF top-20 recalls most of the exact cosine top-20") {
     val exact = graft.queries.LlmExt.q45(spark, sfSmoke).collect()
       .map(_.getLong(0)).toSet
-    val approx = graft.queries.AnnIvf.x18(spark, sfSmoke).collect()
+    val approx = graft.queries.AnnIvf.x18Raw(spark, sfSmoke).collect()
       .map(_.getLong(0)).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF nprobe=4/16 recall $recall too low; got $approx vs $exact")
     // determinism: same result twice (fixed KMeans seed)
-    val again = graft.queries.AnnIvf.x18(spark, sfSmoke).collect().map(_.getLong(0)).toSet
+    val again = graft.queries.AnnIvf.x18Raw(spark, sfSmoke).collect().map(_.getLong(0)).toSet
     assert(again === approx)
+  }
+
+  test("x18 theorem form: exact top-20 rows ranked 1..20, ivf_ok asserts the locality bound") {
+    val rows = graft.queries.AnnIvf.x18(spark, sfSmoke).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 20L)) // rk dense 1..20
+    // the emitted (vec_id, cos) body IS q45's exact answer, re-ranked
+    val exact = graft.queries.LlmExt.q45(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows.map(r => (r.getLong(1), r.getDouble(2))).toSet === exact)
+    // the engine-side contract flag holds: nearest-cell probing beats the
+    // 25% random-scan floor (measured 13/20 here; bound is >= 6)
+    assert(rows.forall(_.getBoolean(3)), "ivf_ok must be TRUE on sfSmoke")
   }
 
   test("nprobe sweep: recall@10 is monotone in probe width and exact at full probe") {

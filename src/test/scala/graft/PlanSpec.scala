@@ -271,11 +271,20 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("x95: global ranks run the distributed two-phase path — no single-partition exchange over the data") {
-    // Ranks.globalRowNumber: the only SinglePartition traffic allowed is
-    // the offsets prefix-sum over the |shuffle partitions|-row counts
-    // aggregate; the doc-sized side must go through range partitioning
+    // Ranks.globalRowNumber MATERIALIZES its range shuffle before fan-out
+    // (the round-9 determinism fix: one sampled partitioning for both
+    // reads), so the final plan reads the ranged frame as Scan ExistingRDD
+    // — the range exchange itself runs inside the checkpoint job. The
+    // visible load-bearing properties: the materialized frame backs both
+    // reads, the __pid offset machinery is engaged, the offsets rejoin is
+    // a BROADCAST (the doc-sized side is never re-shuffled), and the only
+    // SinglePartition traffic is the bounded per-partition counts
+    // aggregate.
     val p = plan(Stats.x95(spark, sfSmoke))
-    assert(p.contains("Exchange rangepartitioning"), "range shuffle carries the data side")
+    assert(p.contains("Scan ExistingRDD"),
+      "materialized ranged frame must back both rank reads")
+    assert(p.contains("BroadcastHashJoin [__pid"),
+      "offsets must rejoin by broadcast — no re-shuffle of the data side")
     assert(p.contains("__pid"), "per-partition offset machinery must be engaged")
     var i = p.indexOf("Exchange SinglePartition")
     while (i >= 0) {
