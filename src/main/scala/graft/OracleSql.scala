@@ -255,5 +255,6 @@ object OracleSql {
   def all: Map[String, String] =
     relational ++ OracleSqlMl.all ++ OracleSqlWrangle.wrangle ++
       OracleSqlFeatures.features ++ OracleSqlRound8.round8 ++
-      OracleSqlRound8b.round8b ++ OracleSqlRound8c.round8c ++ OracleSqlRound8d.round8d
+      OracleSqlRound8b.round8b ++ OracleSqlRound8c.round8c ++ OracleSqlRound8d.round8d ++
+      OracleSqlRound9.round9
 }

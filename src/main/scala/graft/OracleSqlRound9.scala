@@ -1,0 +1,54 @@
+package graft
+
+/** DuckDB oracle statements for the round-9 additions (prototyped against
+  * sf0.01 before the Spark side, per the §7 workflow). */
+object OracleSqlRound9 {
+
+  val round9: Map[String, String] = Map(
+
+    // x210: exact integer k-anonymity sweep; the only double op is the
+    // single risk-share division over exact BIGINTs, rounded 6 dp —
+    // identical arithmetic on both engines (the x202 device).
+    "x210_k_anonymity" ->
+      """WITH qi AS (SELECT c_nationkey, c_mktsegment,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer),
+        |cls AS (SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS sz
+        |        FROM qi GROUP BY 1, 2, 3),
+        |hist AS (SELECT sz, COUNT(*) AS n_cls FROM cls GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |               COUNT(*) AS n_classes FROM cls),
+        |ks AS (SELECT UNNEST([2, 5, 10, 25]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |       (SELECT n_classes FROM tot) AS n_classes,
+        |       CAST(COALESCE(SUM(CASE WHEN sz < k THEN n_cls END), 0)
+        |            AS BIGINT) AS risky_classes,
+        |       CAST(COALESCE(SUM(CASE WHEN sz < k THEN sz * n_cls END), 0)
+        |            AS BIGINT) AS risky_rows,
+        |       CAST(ROUND(COALESCE(SUM(CASE WHEN sz < k THEN sz * n_cls END), 0)
+        |                  * 1.0 / (SELECT n_rows FROM tot), 6) AS DOUBLE)
+        |         AS risk_share
+        |FROM ks, hist GROUP BY k ORDER BY k""".stripMargin,
+
+    // x211: the homogeneity-attack check — distinct sensitive values per
+    // QI class; classes below each l expose their members/orders.
+    "x211_l_diversity" ->
+      """WITH qi AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer),
+        |sens AS (SELECT q.c_nationkey, q.c_mktsegment, q.bal_band,
+        |                COUNT(DISTINCT o.o_orderpriority) AS n_sens,
+        |                COUNT(DISTINCT q.c_custkey) AS n_members,
+        |                COUNT(*) AS n_orders
+        |         FROM qi q JOIN orders o ON o.o_custkey = q.c_custkey
+        |         GROUP BY 1, 2, 3),
+        |ls AS (SELECT UNNEST([2, 3, 5]) AS l)
+        |SELECT CAST(l AS BIGINT) AS l,
+        |       CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |       CAST(COUNT(*) FILTER (WHERE n_sens < l) AS BIGINT)
+        |         AS weak_classes,
+        |       CAST(COALESCE(SUM(n_members) FILTER (WHERE n_sens < l), 0)
+        |            AS BIGINT) AS exposed_members,
+        |       CAST(COALESCE(SUM(n_orders) FILTER (WHERE n_sens < l), 0)
+        |            AS BIGINT) AS exposed_orders
+        |FROM ls, sens GROUP BY l ORDER BY l""".stripMargin
+  )
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+
+/** x210–x211: privacy-governance audits over the customer/orders tables —
+  * the re-identification-risk half of the corpus-governance family (x116
+  * redacts PII from text; these MEASURE how identifying the structured
+  * attributes are before a dataset ships). Both are exact relational
+  * algebra: k-anonymity (Sweeney) counts equivalence classes of the
+  * quasi-identifier tuple; l-diversity (Machanavajjhala et al.) checks
+  * that each class carries enough DISTINCT sensitive values that class
+  * membership alone does not reveal the sensitive attribute.
+  */
+object Governance {
+
+  /** The quasi-identifier projection: nation, market segment, and the
+    * account balance generalized to 1000-unit bands — the classic
+    * "harmless-looking demographic triple" a linkage attack joins on.
+    * floor(double/1000) is identical IEEE arithmetic on both engines. */
+  private def qi(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+              floor(col("c_acctbal") / 1000).cast(LongType).as("bal_band"))
+
+  /** x210: K-ANONYMITY AUDIT — for k ∈ {2, 5, 10, 25}: how many
+    * quasi-identifier equivalence classes have fewer than k members, and
+    * what share of the population sits in them (= the rows a k-anonymous
+    * release would have to suppress or generalize further). Exact
+    * integers throughout; the one division (risk share) is a single
+    * double op over exact BIGINTs, rounded 6 dp (the x202 device).
+    *
+    * 100 TB: ONE shuffle — the QI groupBy (partial+final count). The
+    * class table then collapses to a class-SIZE histogram whose row count
+    * is bounded by the largest class size, and every k-threshold is a
+    * conditional sum over that broadcast histogram: the k-sweep costs no
+    * second pass over the data, and widening ks is free. */
+  def x210(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val classes = qi(spark, dir)
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("sz"))
+    val hist = classes.groupBy("sz").agg(count(lit(1)).as("n_cls"))
+    val tot = classes.agg(sum(col("sz")).as("n_rows"),
+                          count(lit(1)).as("n_classes"))
+    Seq(2L, 5L, 10L, 25L).toDF("k")
+      .crossJoin(broadcast(hist))
+      .groupBy("k")
+      .agg(sum(when(col("sz") < col("k"), col("n_cls")).otherwise(0L))
+             .as("risky_classes"),
+           sum(when(col("sz") < col("k"), col("sz") * col("n_cls"))
+             .otherwise(0L)).as("risky_rows"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_classes"), col("risky_classes"),
+              col("risky_rows"),
+              round(col("risky_rows") * lit(1.0) / col("n_rows"), 6)
+                .as("risk_share"))
+      .orderBy("k")
+  }
+
+  /** x211: L-DIVERSITY AUDIT — k-anonymity is not enough when everyone in
+    * a class shares the same sensitive value (the "homogeneity attack"):
+    * for l ∈ {2, 3, 5}, count QI classes whose members' orders span fewer
+    * than l DISTINCT order priorities (the sensitive attribute), plus the
+    * members and orders exposed by those classes.
+    *
+    * 100 TB: the customer⋈orders join is keyed on custkey (SMJ — both
+    * sides fact-sized, neither broadcastable); the first aggregate keys
+    * on (class, custkey, priority) so the expensive shuffle carries
+    * pre-deduplicated rows, and the multi-distinct class aggregate then
+    * runs over ≤ |customers|·|priorities| pre-aggregated rows, not raw
+    * orders. The class table is bounded by the QI space (|nations| ·
+    * |segments| · |bands|), so the l-sweep is a conditional sum over a
+    * broadcast frame — same free-widening shape as x210's k-sweep. */
+  def x211(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val joined = qi(spark, dir)
+      .join(Tables.orders(spark, dir)
+              .select(col("o_custkey").as("c_custkey"), col("o_orderpriority")),
+            Seq("c_custkey"))
+    val perCustPrio = joined
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band",
+               "c_custkey", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val sens = perCustPrio
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(countDistinct(col("o_orderpriority")).as("n_sens"),
+           countDistinct(col("c_custkey")).as("n_members"),
+           sum(col("n")).as("n_orders"))
+    Seq(2L, 3L, 5L).toDF("l")
+      .crossJoin(broadcast(sens))
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_classes"),
+           sum(when(col("n_sens") < col("l"), 1L).otherwise(0L))
+             .as("weak_classes"),
+           sum(when(col("n_sens") < col("l"), col("n_members")).otherwise(0L))
+             .as("exposed_members"),
+           sum(when(col("n_sens") < col("l"), col("n_orders")).otherwise(0L))
+             .as("exposed_orders"))
+      .orderBy("l")
+  }
+}
