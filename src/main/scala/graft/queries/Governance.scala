@@ -76,7 +76,10 @@ object Governance {
     * broadcast frame — same free-widening shape as x210's k-sweep. */
   def x211(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val joined = qi(spark, dir)
+    // merge hint = the 1000-executor plan (q10's device): at test scale
+    // Spark's size stats would broadcast one side, but at 100 TB neither
+    // customers nor orders is broadcastable — pin the keyed SMJ.
+    val joined = qi(spark, dir).hint("merge")
       .join(Tables.orders(spark, dir)
               .select(col("o_custkey").as("c_custkey"), col("o_orderpriority")),
             Seq("c_custkey"))

@@ -296,6 +296,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x210: the k-sweep costs one QI shuffle — class histogram rides broadcast, no second data pass") {
+    val p = plan(graft.queries.Governance.x210(spark, sfSmoke))
+    // the only customer-sized shuffle is the QI groupBy (partial+final);
+    // hist/tot/k thresholds all operate on bounded frames
+    assert(p.contains("HashAggregate(keys=[c_nationkey"),
+      "QI aggregate must be keyed partial+final:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"),
+      "the k-expansion must ride broadcast, never a cartesian")
+  }
+
+  test("x211: customer⋈orders runs as a keyed merge join — neither fact side on a broadcast build") {
+    // stats-free Spark would broadcast a side at test scale; the merge
+    // hint pins the plan that survives 100 TB (both sides fact-sized)
+    val p = plan(graft.queries.Governance.x211(spark, sfSmoke))
+    assert(p.contains("SortMergeJoin [c_custkey"),
+      "QI⋈orders must stay a keyed SMJ:\n" + p.take(600))
+  }
+
   test("x118: lineitem aggregates BEFORE the detail joins and the HAVING cut prunes early") {
     val p = plan(Mining.x118(spark, sfSmoke))
     // the qty aggregate must be partial+final on l_orderkey (map-side
