@@ -49,6 +49,31 @@ object OracleSqlRound9 {
         |            AS BIGINT) AS exposed_members,
         |       CAST(COALESCE(SUM(n_orders) FILTER (WHERE n_sens < l), 0)
         |            AS BIGINT) AS exposed_orders
-        |FROM ls, sens GROUP BY l ORDER BY l""".stripMargin
+        |FROM ls, sens GROUP BY l ORDER BY l""".stripMargin,
+
+    // x212: x210 enforced — one suppression step (risky bands -> NULL) and
+    // a re-audit of the released table; NULL bands group together on both
+    // engines, so the merged-class arithmetic is identical.
+    "x212_suppression_release" ->
+      """WITH qi AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer),
+        |cls AS (SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS sz
+        |        FROM qi GROUP BY 1, 2, 3),
+        |rel AS (SELECT q.c_custkey, q.c_nationkey, q.c_mktsegment,
+        |               CASE WHEN c.sz >= 5 THEN q.bal_band END AS bal_band
+        |        FROM qi q JOIN cls c USING (c_nationkey, c_mktsegment, bal_band)),
+        |cls2 AS (SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS sz
+        |         FROM rel GROUP BY 1, 2, 3)
+        |SELECT 'raw' AS stage, COUNT(*) AS n_classes,
+        |       CAST(COUNT(*) FILTER (WHERE sz < 5) AS BIGINT) AS risky_classes,
+        |       CAST(COALESCE(SUM(sz) FILTER (WHERE sz < 5), 0) AS BIGINT)
+        |         AS risky_rows,
+        |       CAST(MIN(sz) AS BIGINT) AS min_class_size FROM cls
+        |UNION ALL
+        |SELECT 'suppressed', COUNT(*),
+        |       CAST(COUNT(*) FILTER (WHERE sz < 5) AS BIGINT),
+        |       CAST(COALESCE(SUM(sz) FILTER (WHERE sz < 5), 0) AS BIGINT),
+        |       CAST(MIN(sz) AS BIGINT) FROM cls2
+        |ORDER BY stage""".stripMargin
   )
 }

@@ -88,7 +88,11 @@ object DumpPlans {
       ("x194_neardup_clusters", "near-dup clustering: native rolling_fps scan (no shuffle), fp-keyed pair join (never doc x doc), 3 min-label rounds over the cached pre-partitioned edge list",
        graft.queries.Graphs.x194(spark, dir)),
       ("x198_chi_crossval", "5-fold CV as ONE plan: a single row-scale agg to (fold, distinct-vector, multiplicity); the 4-of-5 training fan-out and all five rule bases are broadcast joins + bounded aggs with model as a grouping key — k-fold costs one shuffle, not k training scans",
-       graft.queries.Crossval.x198(spark, dir)))
+       graft.queries.Crossval.x198(spark, dir)),
+      ("x210_k_anonymity", "k-anonymity audit: ONE QI-keyed partial+final aggregate is the only customer-sized shuffle; the class-size histogram is bounded and broadcast, so the whole k-sweep is conditional sums over it — widening ks costs nothing",
+       graft.queries.Governance.x210(spark, dir)),
+      ("x211_l_diversity", "l-diversity audit: merge-hinted custkey SMJ (neither fact side broadcastable at scale); the multi-distinct class aggregate runs over (class, custkey, priority) pre-deduplicated rows; l-sweep over the QI-space-bounded broadcast class table",
+       graft.queries.Governance.x211(spark, dir)))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries\n\n")
     sb.append("Generated by `graft.examples.DumpPlans` (AQE-finalized, sf0.001).\n")

@@ -59,4 +59,29 @@ class GovernanceSpec extends AnyFunSuite {
     // non-vacuity: the diversity spectrum is non-trivial at l=5 on this data
     assert(got.last.getLong(2) > 0, "some class must be under-diverse at l=5")
   }
+
+  test("x212 suppression release: rows conserved, risk shrinks, min class size weakly grows") {
+    val classes = naiveQi().groupBy(_._2).view.mapValues(_.length).toMap
+    val total = classes.values.sum
+    // naive one-step release: risky bands collapse to None within (nation, segment)
+    val released = naiveQi().map { case (_, (n, s, b)) =>
+      if (classes((n, s, b)) >= 5) (n, s, Some(b)) else (n, s, None)
+    }
+    val classes2 = released.groupBy(identity).view.mapValues(_.length).toMap
+    val got = graft.queries.Governance.x212(spark, sfSmoke).collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("raw", "suppressed"))
+    val Array(raw, sup) = got
+    assert(raw.getLong(1) === classes.size.toLong)
+    assert(raw.getLong(2) === classes.count(_._2 < 5).toLong)
+    assert(sup.getLong(1) === classes2.size.toLong)
+    assert(sup.getLong(2) === classes2.count(_._2 < 5).toLong)
+    assert(sup.getLong(3) === classes2.values.filter(_ < 5).sum.toLong)
+    assert(sup.getLong(4) === classes2.values.min.toLong)
+    // the release theorems: generalization merges classes (sizes weakly
+    // grow, so min class size cannot drop), risk mass strictly shrinks on
+    // this data, and no rows are created or destroyed
+    assert(sup.getLong(4) >= raw.getLong(4), "min class size must not drop")
+    assert(sup.getLong(3) < raw.getLong(3), "suppression must shrink risk mass")
+    assert(classes2.values.sum === total, "release must conserve rows")
+  }
 }
