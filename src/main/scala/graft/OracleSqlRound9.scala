@@ -74,6 +74,33 @@ object OracleSqlRound9 {
         |       CAST(COUNT(*) FILTER (WHERE sz < 5) AS BIGINT),
         |       CAST(COALESCE(SUM(sz) FILTER (WHERE sz < 5), 0) AS BIGINT),
         |       CAST(MIN(sz) AS BIGINT) FROM cls2
-        |ORDER BY stage""".stripMargin
+        |ORDER BY stage""".stripMargin,
+
+    // x213: packing-efficiency audit of x32's pack-then-chop. DuckDB //
+    // is floor division and Spark div truncates, but every operand here
+    // is non-negative (zero-char docs guarded), so they agree.
+    "x213_packing_efficiency" ->
+      """WITH c AS (
+        |  SELECT doc_id, doc_id % 8 AS shard, n_chars,
+        |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(MAX(CASE WHEN n_chars > 0
+        |                THEN (start_off + n_chars - 1) // 16384 END) + 1
+        |       AS BIGINT) AS n_windows,
+        |  CAST((SUM(n_chars) + 16383) // 16384 AS BIGINT) AS lb_windows,
+        |  CAST(COALESCE(SUM(CASE WHEN n_chars > 0 AND
+        |    start_off // 16384 <> (start_off + n_chars - 1) // 16384
+        |    THEN 1 END), 0) AS BIGINT) AS straddled_docs,
+        |  CAST(ROUND(COALESCE(SUM(CASE WHEN n_chars > 0 AND
+        |    start_off // 16384 <> (start_off + n_chars - 1) // 16384
+        |    THEN 1 END), 0) * 1.0 / COUNT(*), 6) AS DOUBLE) AS straddle_share,
+        |  CAST(MAX(CASE WHEN n_chars > 0
+        |           THEN (start_off + n_chars - 1) // 16384 END) * 16384
+        |       + 16384 - SUM(n_chars) AS BIGINT) AS tail_pad
+        |FROM c GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

@@ -178,6 +178,49 @@ object Pipeline {
 
   }
 
+  /** x213: PACKING-EFFICIENCY AUDIT — the KPI report on x32's
+    * pack-then-chop policy, per shard: window count against the
+    * ceil(total/C) LOWER BOUND (pack-then-chop is window-count-optimal by
+    * construction — the audit measures both sides of that theorem and the
+    * spec demands equality), the BOUNDARY-STRADDLE rate (documents split
+    * across two training sequences — the attention-contamination /
+    * truncation cost the chop policy pays for its zero padding), and the
+    * tail padding (the only padded chars: the final window's remainder).
+    * These are the numbers a training-data team weighs when choosing chop
+    * vs doc-aligned packing.
+    *
+    * 100 TB: same shard-parallel window algebra as x32 (per-shard running
+    * sums, nothing global), collapsing to one 8-row shard aggregate. All
+    * quantities are exact integers; the one division (straddle share) is
+    * a single double op over exact BIGINTs, rounded 6 dp. */
+  def x213(spark: SparkSession, dir: String): DataFrame = {
+    val C = 16384L
+    val prior = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"), col("n_chars"))
+      .withColumn("start_off", coalesce(sum(col("n_chars")).over(prior), lit(0L)))
+      // zero-char docs occupy no window and cannot straddle — guard them
+      .withColumn("last_win",
+        when(col("n_chars") > 0, expr(s"(start_off + n_chars - 1) div $C")))
+      .withColumn("straddle",
+        when(col("n_chars") > 0 &&
+             expr(s"start_off div $C") =!= col("last_win"), 1L).otherwise(0L))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           (max(col("last_win")) + lit(1L)).as("n_windows"),
+           sum(col("straddle")).as("straddled_docs"))
+      .select(col("shard"), col("n_docs"), col("total_chars"),
+              col("n_windows"),
+              expr(s"(total_chars + ${C - 1}) div $C").as("lb_windows"),
+              col("straddled_docs"),
+              round(col("straddled_docs") * lit(1.0) / col("n_docs"), 6)
+                .as("straddle_share"),
+              (col("n_windows") * lit(C) - col("total_chars")).as("tail_pad"))
+      .orderBy("shard")
+  }
+
   /** x33: dedup SURVIVOR SELECTION — the step after x24's cluster formation:
     * per near-dup component keep one canonical document (longest text, ties
     * to the smallest doc_id) and report the cluster's mass. Together
