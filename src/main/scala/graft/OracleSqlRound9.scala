@@ -101,6 +101,32 @@ object OracleSqlRound9 {
         |  CAST(MAX(CASE WHEN n_chars > 0
         |           THEN (start_off + n_chars - 1) // 16384 END) * 16384
         |       + 16384 - SUM(n_chars) AS BIGINT) AS tail_pad
-        |FROM c GROUP BY shard ORDER BY shard""".stripMargin
+        |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // x214: per-key histogram product is EXACTLY the equi-join size; the
+    // 64-bucket coarsening is an upper bound; uniform = System-R formula.
+    "x214_join_size_estimate" ->
+      """WITH ho AS (SELECT o_custkey % 64 AS b, COUNT(*) AS c FROM orders GROUP BY 1),
+        |hc AS (SELECT c_custkey % 64 AS b, COUNT(*) AS c FROM customer GROUP BY 1),
+        |pko AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+        |pkc AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1),
+        |ex AS (SELECT COUNT(*) AS exact_rows
+        |       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |sides AS (SELECT (SELECT COUNT(*) FROM orders) AS n_o,
+        |                 (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS ndv_o,
+        |                 (SELECT COUNT(*) FROM customer) AS n_c,
+        |                 (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS ndv_c)
+        |SELECT (SELECT exact_rows FROM ex) AS exact_rows,
+        |       (SELECT CAST(SUM(pko.c * pkc.c) AS BIGINT)
+        |        FROM pko JOIN pkc USING (k)) AS perkey_est,
+        |       (SELECT CAST(SUM(ho.c * hc.c) AS BIGINT)
+        |        FROM ho JOIN hc USING (b)) AS bucket_est,
+        |       CAST(ROUND((SELECT n_o * n_c FROM sides) * 1.0 /
+        |                  (SELECT GREATEST(ndv_o, ndv_c) FROM sides), 6)
+        |            AS DOUBLE) AS uniform_est,
+        |       CAST(ROUND((SELECT CAST(SUM(ho.c * hc.c) AS BIGINT)
+        |                   FROM ho JOIN hc USING (b)) * 1.0 /
+        |                  (SELECT exact_rows FROM ex), 6) AS DOUBLE)
+        |         AS bucket_inflation""".stripMargin
   )
 }
