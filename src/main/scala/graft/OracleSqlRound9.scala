@@ -121,7 +121,7 @@ object OracleSqlRound9 {
         |        FROM pko JOIN pkc USING (k)) AS perkey_est,
         |       (SELECT CAST(SUM(ho.c * hc.c) AS BIGINT)
         |        FROM ho JOIN hc USING (b)) AS bucket_est,
-        |       CAST(ROUND((SELECT n_o * n_c FROM sides) * 1.0 /
+        |       CAST(ROUND((SELECT CAST(n_o AS DOUBLE) * n_c FROM sides) /
         |                  (SELECT GREATEST(ndv_o, ndv_c) FROM sides), 6)
         |            AS DOUBLE) AS uniform_est,
         |       CAST(ROUND((SELECT CAST(SUM(ho.c * hc.c) AS BIGINT)

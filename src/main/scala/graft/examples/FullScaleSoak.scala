@@ -56,8 +56,19 @@ object FullScaleSoak {
     val onlyKeys = args.drop(4).toSet
     require(copies * 10000L < 1000000L + 10000L,
       s"doc/vec shift at $copies copies would cross the planted-twin guard offset")
+    // The marker RECORDS the copy factor the corpus was built at: invoking
+    // with copies=100 against a bigDir built at 10x must not silently reuse
+    // the 10x corpus under a 100x label (ADVICE r9) — mismatch is a hard
+    // error telling the caller to pick a fresh bigDir (or delete the stale
+    // one); a bare legacy marker (no number) is treated the same way.
     val marker = java.nio.file.Paths.get(out, "_SOAK_BUILT")
 
+    if (java.nio.file.Files.exists(marker)) {
+      val built = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+      require(built == copies.toString,
+        s"bigDir $out was built at copies=${if (built.isEmpty) "<unrecorded>" else built} " +
+        s"but this run asks for copies=$copies — use a fresh bigDir or delete it")
+    }
     if (!java.nio.file.Files.exists(marker)) {
       val O = 10000000L; val C = 1000000L; val E = 100000000L
       val D = 10000L // doc/vec shift: disjoint copies, below the twin guards
@@ -87,7 +98,7 @@ object FullScaleSoak {
           .withColumn("user_id", col("user_id") + lit(i * C)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/events.parquet")
-      java.nio.file.Files.createFile(marker)
+      java.nio.file.Files.write(marker, copies.toString.getBytes("UTF-8"))
       println(s"[soak] built ${copies}x copy at $out")
     } else println(s"[soak] reusing existing ${copies}x copy at $out")
 

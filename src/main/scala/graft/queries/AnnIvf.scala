@@ -26,13 +26,24 @@ object AnnIvf {
 
   /** Cell assignments + centroids for an arbitrary embeddings frame.
     * The prediction function is deterministic: identical vectors always land
-    * in the same cell — the property the x111 recall matrix pins. */
+    * in the same cell — the property the x111 recall matrix pins.
+    *
+    * The TRAINING input is pinned to a fixed layout (hash-repartition on
+    * vec_id into 8 partitions, sorted within) before `fit`: Spark ML's
+    * k-means|| init samples per-partition, so with a fixed seed the
+    * centroids still vary with the session's parallelism — which made the
+    * driver-hash-checked `ivf_ok` recall flag environment-sensitive
+    * (ADVICE r9: a SPARK_GRAFT_CPUS change could flip it with no code
+    * regression). Pinning the layout makes the trained quantizer a pure
+    * function of the data; the one extra exchange is index-BUILD cost,
+    * negligible against training itself at any scale. */
   private[queries] def quantizeEmb(emb: DataFrame): (DataFrame, Array[Array[Double]]) = {
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val feats = emb.withColumn("features", toVec(col("embedding")))
     val km = new KMeans().setK(nlist).setSeed(7L).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(feats)
+    val model = km.fit(
+      feats.repartition(8, col("vec_id")).sortWithinPartitions("vec_id"))
     (model.transform(feats).select(col("vec_id"), col("embedding"), col("cell")),
      model.clusterCenters.map(_.toArray))
   }

