@@ -154,4 +154,65 @@ object ModelOps {
         round(sqrt(tpr * tnr), 6).as("gm"))
     }.reduce(_ unionByName _).orderBy("num_labels")
   }
+
+  /** x215: WIDE-ANTECEDENT ABLATION — the estimator fitted at n = 2, 4 and
+    * 6 features (prefixes of one 6-feature projection of lineitem), per
+    * width (rule count, accuracy, GM). [P1 §5.1]'s datasets are
+    * 41-attribute; every other driver-checked chain here trains 2 — this
+    * key makes the Lⁿ growth path a verified fact: at n = 6 the rule space
+    * is 3⁶·2 = 1458 candidates and the learned base lands near the 729-cell
+    * cap, so the compressed distinct-vector aggregation, the ≤2ⁿ neighbor
+    * explosion, and the broadcast-rule transform all run at real width.
+    * The label depends on a feature (l_tax) OUTSIDE the 2-wide prefix, so
+    * the ablation measures something: accuracy/GM must IMPROVE when the
+    * grid first sees tax at n = 4 (pinned in WideChiSpec).
+    *
+    * Oracle: the FULL train+score chain GENERATED over the same feature
+    * list (OracleSqlRound10 — the x206 device with the per-feature
+    * fragments emitted by iteration, not hand-spelled, so the same
+    * generator covers any width).
+    *
+    * 100 TB: each fit is one compressed-distinct-vector aggregation + one
+    * (antecedent, class)-keyed shuffle; the 2ⁿ-bounded neighbor explosion
+    * prunes exactly-zero μ terms per attribute as it folds, and the rule
+    * base (≤ Lⁿ·|C|, here ≤ 1458 rows) stays broadcastable — width grows
+    * the BROADCAST payload, never the shuffle key space beyond observed
+    * cells. The %7 slice bounds the oracle's quadratic restatement, not
+    * the engine (drop it and the engine plan is unchanged). */
+  def x215(spark: SparkSession, dir: String): DataFrame = {
+    val ranges = Array(1.0, 50.0, 0.0, 0.1, 0.0, 0.08, 1.0, 7.0,
+                       1.0, 12.0, 0.0, 2.0)
+    val train = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(
+        col("l_quantity").as("x1"),
+        col("l_discount").as("x2"),
+        col("l_tax").as("x3"),
+        col("l_linenumber").cast(DoubleType).as("x4"),
+        month(col("l_shipdate")).cast(DoubleType).as("x5"),
+        when(col("l_returnflag") === "A", 0.0)
+          .when(col("l_returnflag") === "N", 1.0).otherwise(2.0).as("x6"),
+        when(col("l_quantity") > 30 && col("l_tax") >= 0.04, 1)
+          .otherwise(0).as("label"))
+    Seq(2, 4, 6).map { n =>
+      val model = new ChiCSClassifier()
+        .setFeatureCols((1 to n).map(i => s"x$i").toArray).setLabelCol("label")
+        .setFeatureRanges(ranges.take(2 * n))
+        .fit(train)
+      val scored = model.transform(train)
+      val cm = scored.agg(
+        sum(when(col("label") === 1 && col("prediction") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("label") === 0 && col("prediction") === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("label") === 0 && col("prediction") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label") === 1 && col("prediction") === 0, 1L).otherwise(0L)).as("fn"))
+      val tpr = col("tp") * lit(1.0) / (col("tp") + col("fn"))
+      val tnr = col("tn") * lit(1.0) / (col("tn") + col("fp"))
+      cm.select(
+        lit(n.toLong).as("n_features"),
+        lit(model.rules.length.toLong).as("n_rules"),
+        round((col("tp") + col("tn")) * lit(1.0) /
+              (col("tp") + col("tn") + col("fp") + col("fn")), 6).as("accuracy"),
+        round(sqrt(tpr * tnr), 6).as("gm"))
+    }.reduce(_ unionByName _).orderBy("n_features")
+  }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Input row for the custom-state sessionizer (x19). */
@@ -96,6 +96,44 @@ class EntryJourneyProcessor extends StatefulProcessor[Long, TypedEvent, UserJour
       .sortBy(s => (s.us, s.event_id)).take(3)
     steps.put(kept.toArray)
     Iterator.single(UserJourney(user, kept.map(_.event_type).mkString(">")))
+  }
+}
+
+/** x216 output: one (user, event_type) running count as of the processed
+  * batch. */
+case class UserTypeCount(user_id: Long, event_type: String, n_events: Long)
+
+/** x216 processor: per-user MAP of event_type → lifetime count through a
+  * `transformWithState` `MapState` handle — the THIRD state shape of the
+  * new API, completing the triad beside x114's `ValueState` and x134's
+  * `ListState`. The keyed-sub-map is the most common production state
+  * shape (per-(user, dimension) running counts); the point of `MapState`
+  * over a `ValueState[Map[...]]` is PER-ENTRY access: a batch touching one
+  * event_type reads and writes only that entry's state-store row, never
+  * deserializing the user's whole map — at 100 TB that is the difference
+  * between O(touched entries) and O(map size) state I/O per batch.
+  * Each batch emits the touched user's full map snapshot (update-mode
+  * re-emit, x134's convention), so the single-batch replay equals the
+  * plain batch (user, type) count — the driver oracle — while the
+  * per-entry update/read-back semantics are pinned on a two-batch
+  * MemoryStream in StreamingSpec. */
+class TypeCountsProcessor extends StatefulProcessor[Long, TypedEvent, UserTypeCount] {
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long](
+      "type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[TypedEvent],
+                               timers: TimerValues): Iterator[UserTypeCount] = {
+    val inc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    rows.foreach(e => inc(e.event_type) = inc.getOrElse(e.event_type, 0L) + 1L)
+    inc.foreach { case (t, n) =>
+      val prev = if (counts.containsKey(t)) counts.getValue(t) else 0L
+      counts.updateValue(t, prev + n)
+    }
+    counts.iterator().map { case (t, n) => UserTypeCount(user, t, n) }
+      .toSeq.sortBy(_.event_type).iterator
   }
 }
 
@@ -519,6 +557,31 @@ object StreamingOps {
     runToTable(spark, entryJourneys(eventsStream(spark, dir)).toDF(),
                s"x134_sink_${System.nanoTime()}", "update")
       .orderBy("user_id")
+
+  /** x216 transform: the [[TypeCountsProcessor]] over the keyed event
+    * stream. Update mode — each batch re-emits the touched users' full
+    * (event_type → lifetime count) map snapshots. */
+  def typeCounts(events: DataFrame): Dataset[UserTypeCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withWatermark("ts", "10 minutes")
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** x216 entry: on the single-batch replay every user is emitted exactly
+    * once with its full lifetime map, so the oracle is the plain batch
+    * (user_id, event_type) count. Cross-batch per-entry accumulation — a
+    * second batch touching ONE type must increment that entry while
+    * re-reading the others untouched — is pinned on a two-batch
+    * MemoryStream in StreamingSpec. */
+  def x216(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, typeCounts(eventsStream(spark, dir)).toDF(),
+               s"x216_sink_${System.nanoTime()}", "update")
+      .orderBy("user_id", "event_type")
 
   /** x149: CHAINED STATEFUL WINDOW AGGREGATIONS — a 10-minute tumbling
     * count per event type re-aggregated to hourly (max, sum) INSIDE the

@@ -429,6 +429,111 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("x216 MapState accumulates per-entry across batches; untouched entries survive") {
+    import graft.streaming.StreamingOps
+    // The part x216's single-batch oracle cannot witness: the MapState
+    // handle persists BETWEEN micro-batches and updates are PER-ENTRY — a
+    // second batch touching only type "view" must increment that entry
+    // while the untouched "click" entry re-reads its batch-1 value.
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, StreamingOps.RocksDbProvider)
+    try {
+      val mem = MemoryStream[Ev](spark)
+      val q = StreamingOps.typeCounts(mem.toDF).toDF.writeStream
+        .format("memory").queryName("x216_test").outputMode("update").start()
+      // batch 1: user 1 → view×2, click×1; user 2 → view×1
+      mem.addData(Seq(Ev(1, ts(0), 1, "view", 1.0, "{}"),
+                      Ev(2, ts(1), 1, "click", 1.0, "{}"),
+                      Ev(3, ts(2), 1, "view", 1.0, "{}"),
+                      Ev(4, ts(3), 2, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      val afterB1 = spark.table("x216_test")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      // batch 2: user 1 → view×1 only; user 2 untouched entirely
+      mem.addData(Seq(Ev(5, ts(10), 1, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      q.stop()
+      val all = spark.table("x216_test")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      // multiset difference: batch 2 re-emits (1, click, 1) VERBATIM (the
+      // untouched entry re-read from MapState), which a set-minus would
+      // swallow as batch 1's identical row
+      val afterB2 = all.diff(afterB1)
+      assert(afterB1.toSet === Set((1L, "click", 1L), (1L, "view", 2L), (2L, "view", 1L)))
+      assert(afterB2.toSet === Set((1L, "click", 1L), (1L, "view", 3L)) &&
+             afterB2.size === 2,
+        s"batch 2 must emit user 1's snapshot with view ACCUMULATED to 3 and " +
+        s"the untouched click entry re-read as 1, got $afterB2")
+      assert(!afterB2.exists(_._1 == 2L), "untouched user 2 must not re-emit")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(conf, p)
+        case None => spark.conf.unset(conf)
+      }
+    }
+  }
+
+  test("transformWithState state outlives the query: restart from checkpoint resumes totals") {
+    import graft.streaming.StreamingOps
+    // THE deployment contract (VERDICT r9 task 2): x114/x134 pin cross-batch
+    // state within ONE query run; here the first query instance is STOPPED
+    // after batch 1 and a brand-new instance — a second process lifecycle in
+    // miniature: new WriteStream, new query id instance, same checkpoint
+    // dir — processes batch 2. The post-restart emission must carry the
+    // LIFETIME totals (batch-1 state recovered from the checkpointed
+    // RocksDB snapshot), equal to the batch oracle over the full history.
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, StreamingOps.RocksDbProvider)
+    try {
+      val ckpt = Files.createTempDirectory("x114_restart_ckpt").toString
+      val mem = MemoryStream[Ev](spark)
+      // the memory sink refuses checkpoint recovery by design (it is
+      // ephemeral); foreachBatch is the recoverable sink the deployment
+      // contract actually uses — each lifecycle collects its own emissions
+      def newInstance(buf: scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]) =
+        StreamingOps.runningUserTotals(mem.toDF).toDF.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val rows = b.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            buf.synchronized { buf ++= rows }; ()
+          }
+          .start()
+      // lifecycle 1: batch 1 — user 1 twice, user 2 once — then STOP.
+      val buf1 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val q1 = newInstance(buf1)
+      mem.addData(Seq(Ev(1, ts(0), 1, "view", 1.0, "{}"),
+                      Ev(2, ts(5), 1, "view", 1.0, "{}"),
+                      Ev(3, ts(3), 2, "view", 1.0, "{}")))
+      q1.processAllAvailable()
+      q1.stop()
+      assert(buf1.synchronized(buf1.toSet) === Set(
+        (1L, 2L, 5L * 60000000L), (2L, 1L, 3L * 60000000L)))
+      // lifecycle 2: a NEW query instance from the same checkpoint; batch 2
+      // touches both users once.
+      mem.addData(Seq(Ev(4, ts(10), 1, "view", 1.0, "{}"),
+                      Ev(5, ts(11), 2, "view", 1.0, "{}")))
+      val buf2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val q2 = newInstance(buf2)
+      q2.processAllAvailable()
+      q2.stop()
+      val out = buf2.synchronized(buf2.toSet)
+      // the batch oracle over the FULL history: user 1 n=3, user 2 n=2 —
+      // only possible if lifecycle 2 recovered lifecycle 1's state.
+      assert(out === Set(
+        (1L, 3L, 10L * 60000000L),
+        (2L, 2L, 11L * 60000000L)),
+        s"post-restart totals must equal the full-history batch oracle, got $out")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(conf, p)
+        case None => spark.conf.unset(conf)
+      }
+    }
+  }
+
   test("no final session sits exactly on the x19 timeout boundary (oracle guard)") {
     // The x19 oracle replicates Spark's event-time timeout as
     // (last_us+gap)//1000 < max_us//1000 - 600000 (strict <). The one case
