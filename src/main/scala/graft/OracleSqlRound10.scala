@@ -128,6 +128,34 @@ object OracleSqlRound10 {
        |)""".stripMargin
   }
 
+  /** x218 oracle, GENERATED from the same per-bit coefficient list the
+    * engine votes with (LlmExt2.simhashCoeffs) — hand-spelling 32 vote
+    * sums would drift from the engine on the next coefficient change. */
+  private def x218Sql: String = {
+    import graft.queries.LlmExt2.{simhashBits, simhashCoeffs, simhashP}
+    val votes = simhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"SUM(CASE WHEN ((c*$a + $b) % $simhashP) % 2 = 1 THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n         ")
+    val fp = (0 until simhashBits)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id,
+       |  [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS t FROM documents),
+       |toks AS (
+       |  SELECT doc_id, t[gs.i] AS tok
+       |  FROM d, generate_series(1, 256) AS gs(i) WHERE gs.i <= len(t)),
+       |coded AS (
+       |  SELECT doc_id, CAST(ascii(substr(tok,1,1))*4096 + ascii(substr(tok,2,1))*64
+       |                      + length(tok) AS BIGINT) AS c FROM toks),
+       |votes AS (
+       |  SELECT doc_id,
+       |         $votes
+       |  FROM coded GROUP BY doc_id),
+       |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)
+       |SELECT simhash, MIN(doc_id) AS rep, COUNT(*) AS n_docs
+       |FROM fps GROUP BY simhash ORDER BY rep""".stripMargin
+  }
+
   val round10: Map[String, String] = Map(
     "x215_chi_wide_ablation" ->
       (Seq(2, 4, 6).map(chainAt).mkString("\nUNION ALL\n") + "\nORDER BY n_features"),
@@ -138,6 +166,25 @@ object OracleSqlRound10 {
     "x216_mapstate_type_counts" ->
       """SELECT user_id, event_type, COUNT(*) AS n_events
         |FROM events GROUP BY user_id, event_type
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // x217 theorem form: both rewrite stages must conserve the source
+    // table's row count and exact cents total (DuckDB recomputes them from
+    // orders); the file-count evidence (64 before, ceil(bytes/target) < 64
+    // after) is engine-computed into audit_ok, stated TRUE.
+    "x217_compaction_audit" ->
+      """SELECT 'compacted' AS stage, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents,
+        |       TRUE AS audit_ok
+        |FROM orders
+        |UNION ALL
+        |SELECT 'fragmented', COUNT(*),
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT),
+        |       TRUE
+        |FROM orders
+        |ORDER BY stage""".stripMargin,
+
+    "x218_simhash_portable" -> x218Sql
   )
 }

@@ -164,6 +164,62 @@ object Layout {
       .orderBy("o_year")
   }
 
+  /** x217: SMALL-FILE COMPACTION AUDIT — the maintenance op every lakehouse
+    * runs weekly (Delta OPTIMIZE / Iceberg rewrite_data_files), completing
+    * the layout family beside x113 bucketing, x150 z-order, x197 DPP and
+    * x209 backfill. A deliberately fragmented copy of orders (64 tiny
+    * files — `repartition(64)`, so the "before" file count is exact by
+    * construction) is bin-pack rewritten toward a target bytes-per-file:
+    * k = ceil(total_bytes / target) output files via `coalesce(k)` — NO
+    * shuffle, each output task concatenates whole input files, which is
+    * the real compactor's plan shape (rewrite ≠ repartition; data order
+    * within files is preserved and no exchange is paid).
+    *
+    * Theorem-form contract (the x15/x18 device): per stage the emitted
+    * (n_rows, revenue_cents) are recomputed FROM THE REWRITTEN FILES —
+    * row conservation is the oracle-checkable half (both stages must equal
+    * the source table, which DuckDB restates) — while the file-count
+    * evidence rides the engine-computed `audit_ok` flag the oracle states
+    * as TRUE: before must be exactly 64 files, after exactly k with
+    * k < 64 (monotone drop). A compactor that loses or duplicates a row
+    * flips the cents; one that fragments instead of packing flips the flag.
+    *
+    * 100 TB: listing is driver-side metadata (the table's manifest), the
+    * rewrite is one scan + one write with no exchange, and k output tasks
+    * each stream ~target bytes — the audit itself aggregates the rewritten
+    * table once per stage. Compaction cost scales with bytes rewritten,
+    * never with cluster-wide file count. */
+  def x217(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_compact_${dirTag(dir)}"
+    val frag = s"$root/fragmented"
+    val comp = s"$root/compacted"
+    val targetBytes = 32L << 20
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("o_orderdate"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    def dataFiles(p: String): Array[Long] =
+      new java.io.File(p).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .map(_.length())
+    val fragSizes = dataFiles(frag)
+    val k = math.max(1, math.ceil(fragSizes.sum.toDouble / targetBytes).toInt)
+    spark.read.parquet(frag).coalesce(k)
+      .write.mode("overwrite").parquet(comp)
+    val compSizes = dataFiles(comp)
+    def stage(path: String, name: String, ok: Boolean): DataFrame =
+      spark.read.parquet(path).agg(
+        count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("revenue_cents"))
+        .select(lit(name).as("stage"), col("n_rows"), col("revenue_cents"),
+                lit(ok).as("audit_ok"))
+    stage(frag, "fragmented", fragSizes.length == 64)
+      .unionByName(stage(comp, "compacted",
+        compSizes.length == k && k < 64))
+      .orderBy("stage")
+  }
+
   def x197(spark: SparkSession, dir: String): DataFrame = {
     val fact = spark.table(yearPartitionedOrders(spark, dir))
     val dim = Tables.orders(spark, dir)

@@ -465,6 +465,61 @@ object LlmExt2 {
       .orderBy("doc_id")
   }
 
+  /** x218's per-bit linear maps: vote_b(c) = ((c·A_b + B_b) mod P) mod 2.
+    * Shared with the generated oracle SQL (OracleSqlRound10) so both
+    * engines run the identical integer arithmetic — c ≤ ~528k and
+    * A_b < 2¹⁰⁴⁰⁄… < 2³¹, so every product stays far below 2⁶³ (DuckDB
+    * ERRORS on BIGINT overflow where Spark wraps — the portability
+    * constraint that rules out xxhash64 avalanche arithmetic). */
+  private[graft] val simhashBits = 32
+  private[graft] val simhashP = 1000000007L
+  private[graft] val simhashCoeffs: Seq[(Long, Long)] =
+    (0 until simhashBits).map(b => (1103515245L + b * 12345L, 7L + b * 1013L))
+
+  /** Portable SimHash fingerprints on an arbitrary documents frame:
+    * (doc_id, simhash), one row per doc with ≥1 token (analysis window =
+    * first 256 tokens, the x13 cap). Same single-shuffle shape as x07's
+    * engine-native twin: 32 per-bit ±1-sums ride ONE groupBy(doc_id) as
+    * parallel partial aggregates. */
+  private[graft] def simhashPortable(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(slice(filter(split(lower(col("text")), " "), t => t =!= ""),
+                      1, 256)).as("tok"))
+    val code = (ascii(substring(col("tok"), 1, 1)) * 4096 +
+                ascii(substring(col("tok"), 2, 1)) * 64 +
+                length(col("tok"))).cast(LongType)
+    val coded = toks.select(col("doc_id"), code.as("c"))
+    val votes = coded.groupBy("doc_id").agg(
+      sum(when((col("c") * simhashCoeffs.head._1 + simhashCoeffs.head._2)
+                 % simhashP % 2 === 1, 1).otherwise(-1)).as("v0"),
+      simhashCoeffs.tail.zipWithIndex.map { case ((a, b), i) =>
+        sum(when((col("c") * a + b) % simhashP % 2 === 1, 1).otherwise(-1))
+          .as(s"v${i + 1}") }: _*)
+    votes.select(col("doc_id"),
+      (0 until simhashBits).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+        .as("simhash"))
+  }
+
+  /** x218: PORTABLE SIMHASH — x07's bit-majority fingerprint chain rebuilt
+    * on portable Knuth-style linear-map arithmetic (the x86 device that
+    * made MinHash-LSH oracle-checkable), so the WHOLE chain — tokenize,
+    * per-token code, 32 per-bit majority votes, fingerprint assembly,
+    * collision grouping — verifies against DuckDB end to end. x07 stays
+    * the engine-native twin (xxhash64 bit mixing, better avalanche); this
+    * key shrinks the unverifiable surface to the three seeded-candidate
+    * keys x01/x08/x09 (VERDICT r9 task 6).
+    *
+    * 100 TB: identical posture to x07 — one narrow groupBy(doc_id) shuffle
+    * carrying one row per doc (map-side partials fold the ±1 votes), then
+    * a fingerprint-keyed aggregate; linear in token count, never a pair
+    * join. */
+  def x218(spark: SparkSession, dir: String): DataFrame =
+    simhashPortable(Tables.documents(spark, dir))
+      .groupBy("simhash")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+      .orderBy("rep")
+
   /** x120: DUPLICATED-SPAN FRACTION — per document, how many of its 5-token
     * windows also occur in at least one OTHER document (the window-level
     * statistic behind exact-substring training-data dedup, Lee et al.
