@@ -505,4 +505,26 @@ class PlanSpec extends AnyFunSuite {
         "window input must be a bounded aggregate, not fact rows")
     }
   }
+
+  test("x194/x196 pair stage: ONE documents scan, join-free bucket-pair explode") {
+    // VERDICT r9 observation 1: the df-aggregate + keep-join + self-join
+    // formulation scanned documents four times (rolling_fps computed on
+    // each) while CLAIMING exchange reuse. The rebuilt LSH bucket-pair
+    // shape must hold: a single scan, a single fp-keyed collect_set
+    // aggregate with the HotFpCap as a size filter, pairs exploded in-map
+    // — no join anywhere in the pair stage.
+    val full = plan(graft.queries.Graphs.fpSharePairs(
+      graft.engine.Tables.documents(spark, sfSmoke)))
+    // the AQE-finalized string repeats the tree under "== Initial Plan ==" —
+    // assert on the final section only
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.take(i)
+    }
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans === 1, s"pair stage must scan documents once, got $scans:\n" + p.take(800))
+    assert(!p.contains("Join"), "bucket pairs must explode in-map, never join:\n" + p.take(800))
+    assert(p.contains("collect_set"), "the fp group must be a collect_set aggregate")
+    assert(p.contains("size(ds"), "the HotFpCap must gate on the built group's size")
+  }
 }
