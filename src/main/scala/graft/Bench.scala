@@ -61,8 +61,21 @@ object Bench {
                else if (runs.size == 3) runs(1)
                else runs.head)
     }
+    // Two spread views. max−min (continuity with r8/r9) is dominated by ONE
+    // GC/scheduler outlier per triple — a per-key probe on fully-warmed
+    // back-to-back q-runs still measured 6.3 s total (e.g. q42:
+    // 0.824/0.898/1.613 s), so warm-up cannot push it under ~6 s on
+    // local[32]; it measures the fleet's jitter ceiling, not measurement
+    // quality. median−min is the view that tracks the REPORTED number's
+    // stability (how far the median sits above best-case): ~1 s total —
+    // use it for round-over-round regression reading.
     val spreads = samples.map { case (name, runs) =>
       name -> (if (runs.head < 0) 0.0 else runs.last - runs.head)
+    }
+    val spreadsMed = samples.map { case (name, runs) =>
+      name -> (if (runs.head < 0) 0.0
+               else if (runs.size == 3) runs(1) - runs.head
+               else 0.0)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver captures only a bounded TAIL (~4 KB) of the sbt output: round
@@ -106,7 +119,8 @@ object Bench {
     // number comparable to the baseline; value stays the full-registry sum.
     val declared = results.collect { case (k, v) if k.startsWith("q") => v }.sum
     val declaredSpread = spreads.collect { case (k, v) if k.startsWith("q") => v }.sum
-    println(s"""{"metric":"declared_spread","value":${f"$declaredSpread%.3f"},"unit":"sec","note":"sum over q-keys of (max-min) across 3 samples; declared_total is median-of-3"}""")
+    val declaredSpreadMed = spreadsMed.collect { case (k, v) if k.startsWith("q") => v }.sum
+    println(s"""{"metric":"declared_spread","value":${f"$declaredSpread%.3f"},"unit":"sec","spread_med_min":${f"$declaredSpreadMed%.3f"},"note":"max-min sum is the jitter ceiling (one GC outlier per triple); spread_med_min (median-min sum) tracks the reported median's stability"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","declared_total":$declared,"declared_n":${results.count(_._1.startsWith("q"))},"n_queries":${results.size},"sf":"$sfDir"}""")
   }
 }
