@@ -35,6 +35,7 @@ EXPECTED_SUPERLINEAR = {
     "x110_neardup_recall_matrix": "runs the three dedup chains end-to-end on corpus+twins",
     "x111_ann_recall_matrix": "ANN recall sweep against brute-force truth on 10x corpus",
     "x24_dedup_components": "twin components grow 10x in size: more label-prop rounds",
+    "x223_lsh_portable": "10 identical copies per vector: true bucket-pair mass grows ~quadratically in the copy factor (measured 13.9x at 10x, the x09 class)",
 }
 
 rows = sorted(keys.items())

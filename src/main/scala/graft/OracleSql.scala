@@ -256,5 +256,6 @@ object OracleSql {
     relational ++ OracleSqlMl.all ++ OracleSqlWrangle.wrangle ++
       OracleSqlFeatures.features ++ OracleSqlRound8.round8 ++
       OracleSqlRound8b.round8b ++ OracleSqlRound8c.round8c ++ OracleSqlRound8d.round8d ++
-      OracleSqlRound9.round9 ++ OracleSqlRound10.round10
+      OracleSqlRound9.round9 ++ OracleSqlRound10.round10 ++
+      OracleSqlRound10b.round10b
 }

@@ -92,7 +92,13 @@ object DumpPlans {
       ("x210_k_anonymity", "k-anonymity audit: ONE QI-keyed partial+final aggregate is the only customer-sized shuffle; the class-size histogram is bounded and broadcast, so the whole k-sweep is conditional sums over it — widening ks costs nothing",
        graft.queries.Governance.x210(spark, dir)),
       ("x211_l_diversity", "l-diversity audit: merge-hinted custkey SMJ (neither fact side broadcastable at scale); the multi-distinct class aggregate runs over (class, custkey, priority) pre-deduplicated rows; l-sweep over the QI-space-bounded broadcast class table",
-       graft.queries.Governance.x211(spark, dir)))
+       graft.queries.Governance.x211(spark, dir)),
+      ("x220_cdc_chunks", "content-defined chunking with NO corpus shuffle: rolling_fps + the chunk-split/fingerprint array folds run inside one projection; the only hash exchange is the 5-group language rollup",
+       graft.queries.LlmExt2.x220(spark, dir)),
+      ("x221_erasure_propagation", "erasure cascade: tombstones and erased orderkeys ride broadcast semi/anti joins through both fact tables; the lineitem orphan audit is the one deliberate fact-to-fact anti-join",
+       graft.queries.Governance.x221(spark, dir)),
+      ("x223_lsh_portable", "portable quantized LSH: ONE groupBy(vec_id) carries all 16 sign sums + the norm; candidates from the banded bucket self-join (never all-pairs); the verify folds the re-attached integer arrays per row — no CartesianProduct, no BNLJ",
+       graft.queries.LlmExt2.x223(spark, dir)))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries\n\n")
     sb.append("Generated by `graft.examples.DumpPlans` (AQE-finalized, sf0.001).\n")

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.engine.Tables
@@ -268,6 +269,57 @@ object Curation {
            sum(col("n_chars")).as("mass_total"),
            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
            sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("mass_kept"))
+      .orderBy("source")
+  }
+
+  /** x222: TEMPERATURE-SAMPLED MIXTURE — multilingual-LM dataset mixing
+    * (sampling weight ∝ massᵅ, α = 1/2) with the budget made EXACT: per
+    * source the token mass m, the tempered weight w = isqrt(m) (integer
+    * square root — floor(sqrt) plus a ±1 integer correction, so the
+    * weight is exact arithmetic on both engines, immune to pow()'s
+    * cross-engine ULP drift), and a 1 000 000-token budget apportioned
+    * over w by x165's largest-remainder device. Two theorems ride the
+    * output as oracle-recomputed flags: Σalloc = B exactly (Hamilton),
+    * and flatten_ok — tempering never INCREASES the largest source's
+    * share (w_max·Σm ≤ m_max·Σw, the concavity fact that is the entire
+    * point of temperature sampling), checked by BIGINT cross-
+    * multiplication, no division anywhere.
+    *
+    * 100 TB: identical posture to x165 — the corpus-scale work is one
+    * partial+final token-mass rollup; everything after runs on the
+    * ≤|sources| aggregate with a 1-row broadcast stitch. The cross-
+    * multiply rides BIGINT here (w ≤ isqrt(Σm) and m ≤ Σm keep the
+    * products < 2⁶³ through ~10¹² tokens per source); past that the
+    * x185 escape hatch is DECIMAL(38,0). */
+  def x222(spark: SparkSession, dir: String): DataFrame = {
+    val B = 1000000L
+    val mass = Tables.documents(spark, dir)
+      .select(col("source"),
+              size(filter(split(lower(col("text")), " "), t => t =!= ""))
+                .cast(LongType).as("toks"))
+      .groupBy("source").agg(sum(col("toks")).as("m"))
+    val s0 = floor(sqrt(col("m").cast(DoubleType))).cast(LongType)
+    val wted = mass.withColumn("wt",
+      when((s0 + 1L) * (s0 + 1L) <= col("m"), s0 + 1L)
+        .when(s0 * s0 > col("m"), s0 - 1L)
+        .otherwise(s0))
+    val tot = wted.agg(sum(col("m")).as("tm"), sum(col("wt")).as("tw"),
+                       max(col("m")).as("m_max"), max(col("wt")).as("w_max"))
+    val w = Window.orderBy(col("rem").desc, col("source"))
+    val all =
+      Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wted.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"wt * $B DIV tw"))
+      .withColumn("rem", expr(s"(wt * $B) % tw"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("leftover", lit(B) - sum(col("base")).over(all))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .withColumn("sum_ok", sum(col("alloc")).over(all) === lit(B))
+      .withColumn("flatten_ok", col("w_max") * col("tm") <=
+                                  col("m_max") * col("tw"))
+      .select(col("source"), col("m"), col("wt"), col("base"), col("alloc"),
+              col("sum_ok"), col("flatten_ok"))
       .orderBy("source")
   }
 }

@@ -139,4 +139,78 @@ object Governance {
               col("risky_classes"), col("risky_rows"), col("min_class_size"))
     stats(cls, "raw").unionByName(stats(cls2, "suppressed")).orderBy("stage")
   }
+
+  /** x221: ERASURE PROPAGATION AUDIT — the right-to-be-forgotten
+    * operation every governed lakehouse runs: a tombstone batch (here the
+    * deterministic slice c_custkey ≡ 0 mod 37) cascades customer →
+    * orders → lineitem along the foreign-key chain, and the audit reports
+    * per table the rows before, rows erased, rows after, and the EXACT
+    * cents of monetary mass leaving the store (the deletion receipt a
+    * regulator asks for). `residual_after` re-scans each post-erasure
+    * table for any row still referencing a tombstoned key — the audit
+    * PROVES zero residual rather than asserting it (erase_ok is the
+    * engine-computed conjunction; the oracle recomputes the counts and
+    * states the theorem).
+    *
+    * 100 TB: the tombstone batch is request-bounded (a DSR queue, not a
+    * table scan), so it rides a broadcast LEFT SEMI into orders; the
+    * erased ORDERKEY set is what cascades into lineitem — bounded by the
+    * batch's fan-out, broadcast here, and the escape hatch when a batch
+    * fans out past broadcast size is a keyed semi-join shuffle (or x61's
+    * Bloom prune) — never a full-table rewrite per request: erasure
+    * costs one scan per fact table per batch, independent of batch
+    * count. */
+  def x221(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val tomb = cust.where(col("c_custkey") % 37 === 0).select("c_custkey")
+    val eo = ord.join(broadcast(tomb),
+                      col("o_custkey") === col("c_custkey"), "left_semi")
+    val eoKeys = eo.select("o_orderkey")
+    val el = li.join(broadcast(eoKeys),
+                     col("l_orderkey") === col("o_orderkey"), "left_semi")
+    def cents(c: org.apache.spark.sql.Column) =
+      sum(round(c * 100, 0).cast(LongType))
+    def audit(tbl: String, before: DataFrame, erased: DataFrame,
+              moneyCents: org.apache.spark.sql.Column,
+              residual: DataFrame): DataFrame = {
+      val b = before.agg(count(lit(1)).as("rows_before"))
+      val e = erased.agg(count(lit(1)).as("rows_erased"),
+                         coalesce(cents(moneyCents), lit(0L))
+                           .as("cents_erased"))
+      val r = residual.agg(count(lit(1)).as("residual_after"))
+      b.crossJoin(e).crossJoin(r)
+        .select(lit(tbl).as("tbl"), col("rows_before"), col("rows_erased"),
+                (col("rows_before") - col("rows_erased")).as("rows_after"),
+                col("cents_erased"), col("residual_after"),
+                (col("residual_after") === 0L).as("erase_ok"))
+    }
+    // Residual scans are GENUINE integrity checks, not tautologies:
+    // customer — tombstoned keys still present after the predicate erase;
+    // orders — surviving orders that reference a tombstoned customer
+    // (catches a cascade that erased the customer but kept the order);
+    // lineitem — surviving lineitems whose order no longer exists at all
+    // (catches the order-erased-but-lineitems-kept bug; a fact⋈fact
+    // orderkey anti-join, the one audit stage that shuffles both sides —
+    // it is the verification step, run per release not per request).
+    val custAfter = cust.where(col("c_custkey") % 37 =!= 0)
+      .where(col("c_custkey") % 37 === 0)
+    val ordSurvive = ord.join(broadcast(eoKeys), Seq("o_orderkey"),
+                              "left_anti")
+    val ordAfter = ordSurvive
+      .join(broadcast(tomb), col("o_custkey") === col("c_custkey"),
+            "left_semi")
+    val liAfter = li.join(broadcast(eoKeys),
+                          col("l_orderkey") === col("o_orderkey"),
+                          "left_anti")
+      .join(ordSurvive.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+    audit("customer", cust, cust.where(col("c_custkey") % 37 === 0),
+          col("c_acctbal"), custAfter)
+      .unionByName(audit("orders", ord, eo, col("o_totalprice"), ordAfter))
+      .unionByName(audit("lineitem", li, el, col("l_extendedprice"),
+                         liAfter))
+      .orderBy("tbl")
+  }
 }

@@ -551,4 +551,188 @@ object LlmExt2 {
       .withColumn("dup_ppm", expr("n_dup * 1000000 DIV n_windows"))
       .orderBy("doc_id")
   }
+
+  /** x220: CONTENT-DEFINED CHUNKING — the storage-dedup chunker (LBFS/
+    * rsync lineage) on x13's rolling-hash machinery: a chunk boundary
+    * falls wherever the 5-token window fingerprint ≡ 0 (mod 16), so
+    * boundaries depend only on LOCAL content — inserting a token re-cuts
+    * one chunk and every later chunk re-aligns at the next surviving
+    * boundary (the self-synchronization property fixed-width chunking
+    * lacks; Round10bSpec pins it on an edited twin). Each chunk is
+    * fingerprinted by a Horner chain over its window fps (every step
+    * < 1.32e11, BIGINT-exact), and the per-language report — chunk count,
+    * distinct chunks, duplicated-chunk ppm, max chunk width — measures
+    * cross-doc chunk-level dedup mass end-to-end against DuckDB.
+    *
+    * 100 TB: chunking is PER-ROW — the fps array from the native
+    * `rolling_fps` scan is split and fingerprinted inside one projection
+    * (array-fold, no window function), so the corpus pass has NO shuffle;
+    * the only exchange is the final 5-group language rollup (map-side
+    * combined). A (doc_id, pos)-window formulation would shuffle every
+    * token row just to number boundaries — the x13 anti-pattern. */
+  /** The per-doc CDC chunker behind x220: (doc_id, lang, chunk_idx,
+    * n_windows, chunk_fp), chunk_idx in window order — shared with
+    * Round10bSpec, whose self-synchronization test needs the ORDERED
+    * per-doc chunk sequence the language rollup discards. */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    val M = 1000000007L
+    val emptyChunks = array().cast(ArrayType(ArrayType(LongType)))
+    val emptyCur = array().cast(ArrayType(LongType))
+    val chunksCol = aggregate(
+      call_function("rolling_fps", col("text")),
+      struct(emptyChunks.as("done"), emptyCur.as("cur")),
+      (acc, fp) => {
+        val cur2 = concat(acc.getField("cur"), array(fp))
+        when(fp % 16 === 0,
+             struct(concat(acc.getField("done"), array(cur2)).as("done"),
+                    emptyCur.as("cur")))
+          .otherwise(struct(acc.getField("done").as("done"),
+                            cur2.as("cur")))
+      },
+      acc => when(size(acc.getField("cur")) > 0,
+                  concat(acc.getField("done"), array(acc.getField("cur"))))
+               .otherwise(acc.getField("done")))
+    docs
+      .select(col("doc_id"), col("lang"),
+              posexplode(chunksCol).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("lang"),
+              col("chunk_idx").cast(LongType).as("chunk_idx"),
+              size(col("chunk")).as("n_windows"),
+              aggregate(col("chunk"), lit(0L),
+                        (a, x) => (a * 131L + x) % M).as("chunk_fp"))
+  }
+
+  def x220(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(Tables.documents(spark, dir)).groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           sum(col("n_windows").cast(LongType)).as("n_windows"),
+           count(lit(1)).as("n_chunks"),
+           countDistinct(col("chunk_fp")).as("n_distinct_chunks"),
+           max(col("n_windows").cast(LongType)).as("max_chunk_windows"))
+      .withColumn("dup_chunk_ppm",
+        expr("(n_chunks - n_distinct_chunks) * 1000000 DIV n_chunks"))
+      .orderBy("lang")
+
+  /** x223's plane count and ±1 sign patterns. The signs are LITERAL arrays
+    * drawn from seeded `java.util.Random` (whose LCG is fixed by the Java
+    * spec, so the val is stable across JVMs) — NOT the x218 linear-map
+    * parities: over the SEQUENTIAL dimension index 1..64 the low bit of a
+    * mod-P linear map is highly structured, which made the 16 plane bits
+    * correlated, collapsed band entropy (a 563-deep bucket over 2 000
+    * vectors), and sent the bucket join quadratic — measured 122× on the
+    * 10× soak before this fix. The generated oracle SQL embeds THESE
+    * literals, so cross-engine agreement is by construction. */
+  private[graft] val qlshPlanes = 16
+  private[graft] val qlshSigns: Seq[Seq[Long]] =
+    (0 until qlshPlanes).map { p =>
+      val r = new java.util.Random(1000L + p)
+      Seq.fill(64)(if (r.nextBoolean()) 1L else -1L)
+    }
+
+  /** x223: PORTABLE QUANTIZED-HYPERPLANE LSH — x09's whole chain
+    * (signature → banded buckets → candidate pairs → similarity verify)
+    * rebuilt so EVERY stage is exact integer arithmetic DuckDB replays
+    * end-to-end: embeddings quantize to q_i = ⌊e_i·1024⌋ (float→double
+    * widening and a power-of-two scale are both exact, so the quantized
+    * vectors are identical on any IEEE engine), each of 16 hyperplane
+    * bits is the sign of Σᵢ qᵢ·sᵢ with the [[qlshSigns]] literal ±1
+    * patterns (an unordered BIGINT sum — no float-accumulation-order
+    * hazard by construction), buckets are the two 8-bit signature bands,
+    * and a candidate passes at cos ≥ 0.35 via the cross-multiplied
+    * integer test 400·qdot² ≥ 49·‖a‖²·‖b‖² (qdot > 0) — no division, no
+    * sqrt, no epsilon. x09 stays the engine-native float twin; this
+    * completes the portable-twin set (x86 MinHash, x218 SimHash) for the
+    * LSH family, leaving only x01/x08/x09's seeded-hash internals
+    * outside the oracle.
+    *
+    * 100 TB: the signature stage is x218's posture — ONE narrow
+    * groupBy(vec_id) with 17 parallel integer sums; candidates come from
+    * the banded bucket join (never all-pairs); the verify re-attaches
+    * the two quantized arrays by key and folds the dot product per row.
+    * Like x09, TRUE near-dup mass (here: the label-cluster structure)
+    * grows quadratically in cluster density — the documented
+    * quadratic-truth class, bounded by bucket selectivity. */
+  def x223(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    def quant(e: Column) = floor(e.cast(DoubleType) * 1024).cast(LongType)
+    val qv = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "e")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"), quant(col("e")).as("q"))
+    def planeSum(p: Int) =
+      sum(col("q") * element_at(typedlit(qlshSigns(p)), col("i")))
+    val sums = qv.groupBy("vec_id").agg(
+      planeSum(0).as("d0"),
+      (1 until qlshPlanes).map(p => planeSum(p).as(s"d$p")) :+
+        sum(col("q") * col("q")).as("nrm"): _*)
+    val sigs = sums.select(col("vec_id"), col("nrm"),
+      (0 until qlshPlanes).map(p =>
+        when(col(s"d$p") > 0, lit(1L << p)).otherwise(0L)).reduce(_ + _)
+        .as("sig"))
+    val bands = sigs.select(col("vec_id"), col("nrm"), explode(array(
+        struct(lit(0L).as("band"), (col("sig") % 256).as("bval")),
+        struct(lit(1L).as("band"), expr("sig DIV 256").as("bval")))).as("bb"))
+      .select(col("vec_id"), col("nrm"),
+              col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val cand = bands.as("A").join(bands.as("B"),
+        col("A.band") === col("B.band") && col("A.bval") === col("B.bval") &&
+          col("A.vec_id") < col("B.vec_id"))
+      .select(col("A.vec_id").as("vec_a"), col("B.vec_id").as("vec_b"),
+              col("A.nrm").as("na"), col("B.nrm").as("nb"))
+      .distinct()
+    val qarr = emb.select(col("vec_id"),
+      transform(col("embedding"), e => quant(e)).as("qs"))
+    cand
+      .join(qarr.select(col("vec_id").as("vec_a"), col("qs").as("qa")),
+            Seq("vec_a"))
+      .join(qarr.select(col("vec_id").as("vec_b"), col("qs").as("qb")),
+            Seq("vec_b"))
+      .withColumn("qdot",
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+                  lit(0L), (acc, v) => acc + v))
+      .filter(col("qdot") > 0 &&
+              col("qdot") * col("qdot") * 400 >= col("na") * col("nb") * 49)
+      .select(col("vec_a"), col("vec_b"), col("qdot"), col("na"), col("nb"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** x224: PORTABLE EXACT-JACCARD PAIRS — x08's near-dup decision
+    * (token-shingle Jaccard ≥ 0.5) rebuilt on x13's rolling-hash window
+    * fingerprints so the WHOLE chain is oracle-checked: per-doc distinct
+    * fp sets, hot fps (doc frequency > 64, the x194 boilerplate cap —
+    * mirrored in the oracle) dropped BEFORE any pair forms, intersection
+    * counts from the join-free bucket-pair device (collect_set per fp →
+    * in-map pair explode — the x196 lesson: no fp self-join, no repeated
+    * corpus scan), and Jaccard as the exact integer test 2·|∩| ≥ |∪| with
+    * the similarity reported in floor-div ppm. x08 stays the engine-
+    * native (xxhash64 MinHash-banded) twin; with x86/x218/x223 this
+    * gives every near-dup family member an oracle-green portable twin.
+    *
+    * 100 TB: ONE corpus-scale shuffle (the fp groupBy, map-side
+    * combined); bucket pair fan-out is ≤ cap² per fp BY CONSTRUCTION;
+    * the size/stitch joins run on the contracted pair and per-doc
+    * aggregates. */
+  def x224(spark: SparkSession, dir: String): DataFrame =
+    jaccardPortable(Tables.documents(spark, dir))
+
+  /** x224's chain on an arbitrary documents frame (shared with
+    * Round10bSpec, which plants exact-duplicate and disjoint docs). */
+  private[graft] def jaccardPortable(docs: DataFrame): DataFrame = {
+    val byFp = docFingerprints(docs)
+      .groupBy("fp").agg(collect_set(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= 64)
+    val sizes = byFp.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = byFp
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ix"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .filter(col("ix") * 2 >= col("na") + col("nb") - col("ix"))
+      .select(col("a"), col("b"), col("ix"), col("na"), col("nb"),
+              expr("ix * 1000000 DIV (na + nb - ix)").as("j_ppm"))
+      .orderBy("a", "b")
+  }
 }

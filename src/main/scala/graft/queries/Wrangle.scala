@@ -537,4 +537,41 @@ object Wrangle {
     orders.unionByName(lineitem).unionByName(fk)
       .orderBy("table_name", "rule_id")
   }
+
+  /** x219: EDIT-DISTANCE SIMILARITY JOIN — the fuzzy-matching primitive
+    * the dedup family (x86 MinHash, x218 SimHash, x08 n-gram Jaccard,
+    * x109 containment) lacks: unordered part-name pairs within Levenshtein
+    * distance ≤ 2, with each name's corpus frequency attached (the MDM
+    * "candidate merge" stage upstream of x127's survivorship). Both
+    * engines implement classic unit-cost Levenshtein, so the distances —
+    * and hence the pair set — are oracle-checked exactly.
+    *
+    * 100 TB: fuzzy matching NEVER runs on the corpus — stage 1 contracts
+    * to DISTINCT names (one map-side-combined groupBy; the name domain is
+    * template-bounded, not corpus-bounded), so the pair stage runs on the
+    * vocabulary square, not the row square. The vocabulary rides a
+    * broadcast; the length-band filter |len(a)−len(b)| ≤ d (a necessary
+    * condition for distance ≤ d) prunes candidates before any DP runs,
+    * and the DP itself is the THRESHOLD variant (banded O(n·d), early
+    * exit to −1 past the band — functions.levenshtein's 3-arg form), not
+    * the O(n²) full matrix. If the name domain ever outgrows a broadcast,
+    * the escape hatch is x109's prefix-filter join keyed on (length band,
+    * rarest token) — same output, shuffle-partitioned candidates. */
+  def x219(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n"))
+    val a = names.select(col("name").as("name_a"), col("n").as("n_a"),
+                         length(col("name")).as("len_a"))
+    val b = names.select(col("name").as("name_b"), col("n").as("n_b"),
+                         length(col("name")).as("len_b"))
+    a.join(broadcast(b),
+           col("name_a") < col("name_b") &&
+             abs(col("len_a") - col("len_b")) <= 2)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), 2).cast(LongType))
+      .where(col("dist") >= 0L)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"),
+              col("n_b"))
+      .orderBy("name_a", "name_b")
+  }
 }

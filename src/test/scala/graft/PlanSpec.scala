@@ -527,4 +527,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("collect_set"), "the fp group must be a collect_set aggregate")
     assert(p.contains("size(ds"), "the HotFpCap must gate on the built group's size")
   }
+
+  test("x220: CDC chunking scans documents once and has no join anywhere") {
+    val p = finalPlan(graft.queries.LlmExt2.x220(spark, sfSmoke))
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans === 1, s"chunking must be one corpus pass, got $scans scans")
+    assert(!p.contains("Join"),
+      "the chunk split/fingerprint must fold per row — no join, no pair stage")
+  }
+
+  test("x223: portable LSH never degrades to a cross product or BNLJ") {
+    val p = finalPlan(graft.queries.LlmExt2.x223(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"),
+      "candidates must come from the banded bucket equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the band keys must stay hash-join keys")
+  }
+
+  test("x221: the erasure cascade broadcasts the tombstone/orderkey sets into the fact scans") {
+    val p = finalPlan(graft.queries.Governance.x221(spark, sfSmoke))
+    assert(p.contains("BroadcastHashJoin"),
+      "the request-bounded tombstone batch must ride a broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
