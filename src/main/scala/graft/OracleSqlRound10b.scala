@@ -56,9 +56,73 @@ object OracleSqlRound10b {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** x225's oracle is GENERATED one CTE layer per BPE round (the x215
+    * device): each layer counts pairs, takes the (cnt desc, pair) argmax,
+    * rewrites with the round's placeholder (chr(256+k) — same codepoint
+    * the engine uses), and measures the symbol alphabet. Series bounds 32
+    * (pair positions, x40's cap) and 64 (symbol positions) both dominate
+    * the ≤8-char token length. */
+  private val x225Sql: String = {
+    val iters = 4
+    def layer(k: Int) =
+      s"""p$k AS (
+         |  SELECT substr(tok, CAST(g.i AS INTEGER), 2) AS pair, COUNT(*) AS cnt
+         |  FROM t$k, generate_series(1, 32) AS g(i)
+         |  WHERE g.i <= length(tok) - 1 GROUP BY 1),
+         |b$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+         |t${k + 1} AS (
+         |  SELECT replace(tok, (SELECT pair FROM b$k), chr(${256 + k})) AS tok
+         |  FROM t$k),
+         |s${k + 1} AS (
+         |  SELECT CAST(COUNT(DISTINCT substr(tok, CAST(g.i AS INTEGER), 1))
+         |              AS BIGINT) AS ns
+         |  FROM t${k + 1}, generate_series(1, 64) AS g(i)
+         |  WHERE g.i <= length(tok))""".stripMargin
+    "WITH t0 AS (SELECT x AS tok FROM documents,\n" +
+      "  UNNEST([x FOR x IN string_split(LOWER(text), ' ') IF x <> '']) AS u(x)),\n" +
+      (0 until iters).map(layer).mkString(",\n") + "\n" +
+      (0 until iters).map { k =>
+        s"SELECT CAST(${k + 1} AS BIGINT) AS iter, (SELECT pair FROM b$k) AS pair, " +
+          s"(SELECT CAST(cnt AS BIGINT) FROM b$k) AS cnt, (SELECT ns FROM s${k + 1}) AS n_symbols"
+      }.mkString("\nUNION ALL\n") + "\nORDER BY iter"
+  }
+
   val round10b: Map[String, String] = Map(
 
     "x223_lsh_portable" -> x223Sql,
+
+    "x225_bpe_iterated" -> x225Sql,
+
+    // x226: the aHash grid replayed char-indexed on the ASCII payloads
+    // (x14's device); the block-mean > global-mean bit is the exact
+    // cross-multiplied integer test; empty blocks (len < 64) contribute 0.
+    "x226_image_ahash_dedup" ->
+      """WITH b AS (SELECT doc_id, length(text) AS len, text FROM documents),
+        |tot AS (
+        |  SELECT b.doc_id,
+        |    SUM(ascii(substr(b.text, CAST(u.i AS INTEGER), 1))) AS s_total
+        |  FROM b, UNNEST(range(1, len + 1)) AS u(i) GROUP BY 1),
+        |bl AS (
+        |  SELECT b.doc_id, b.len, b.text, k.k AS k,
+        |    (k.k * b.len) // 64 AS lo, ((k.k + 1) * b.len) // 64 AS hi
+        |  FROM b, UNNEST(range(0, 64)) AS k(k)),
+        |bs AS (
+        |  SELECT bl.doc_id, bl.k, bl.hi - bl.lo AS nk,
+        |    SUM(ascii(substr(bl.text, CAST(bl.lo + u.i + 1 AS INTEGER), 1))) AS s
+        |  FROM bl, UNNEST(range(0, bl.hi - bl.lo)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT bs.doc_id,
+        |    CAST(SUM(CASE WHEN bs.k >= 32 AND bs.s * b.len > t.s_total * bs.nk
+        |                  THEN CAST(1 AS BIGINT) << (bs.k - 32) ELSE 0 END)
+        |         AS BIGINT) AS ahash_hi,
+        |    CAST(SUM(CASE WHEN bs.k < 32 AND bs.s * b.len > t.s_total * bs.nk
+        |                  THEN CAST(1 AS BIGINT) << bs.k ELSE 0 END)
+        |         AS BIGINT) AS ahash_lo
+        |  FROM bs JOIN b USING (doc_id) JOIN tot t USING (doc_id) GROUP BY 1)
+        |SELECT ahash_hi, ahash_lo, CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
+        |       COUNT(*) AS n_docs
+        |FROM bits GROUP BY 1, 2 ORDER BY rep_doc""".stripMargin,
 
     // x224: x13's distinct-fp prelude, the x194 hot-fp cap applied to the
     // SAME universe the engine pairs over, intersection counts from the
@@ -164,6 +228,42 @@ object OracleSqlRound10b {
         |  CAST((COUNT(*) - COUNT(DISTINCT chunk_fp)) * 1000000 // COUNT(*)
         |       AS BIGINT) AS dup_chunk_ppm
         |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x227: the same distinct-fp prelude; the index is the even docs' fp
+    // set, hits are the odd docs' fps IN it, the verdict is the exact
+    // integer containment test.
+    "x227_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id,
+        |  [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, gs.i AS pos, t[gs.i] AS tok
+        |  FROM d, generate_series(1, 256) AS gs(i) WHERE gs.i <= len(t)),
+        |coded AS (
+        |  SELECT doc_id, pos, code AS c0,
+        |    LEAD(code,1) OVER w AS c1, LEAD(code,2) OVER w AS c2,
+        |    LEAD(code,3) OVER w AS c3, LEAD(code,4) OVER w AS c4
+        |  FROM (SELECT doc_id, pos,
+        |        CAST(ascii(substr(tok,1,1))*4096 + ascii(substr(tok,2,1))*64
+        |             + length(tok) AS BIGINT) AS code FROM toks)
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |fps AS (
+        |  SELECT DISTINCT doc_id,
+        |    ((((((c4*131 + c3) % 1000000007) * 131 + c2) % 1000000007) * 131 + c1)
+        |      % 1000000007 * 131 + c0) % 1000000007 AS fp
+        |  FROM coded WHERE c4 IS NOT NULL),
+        |idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+        |nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM fps
+        |       WHERE doc_id % 2 = 1 GROUP BY 1),
+        |hits AS (
+        |  SELECT f.doc_id, COUNT(*) AS n_hit FROM fps f
+        |  WHERE f.doc_id % 2 = 1 AND f.fp IN (SELECT fp FROM idx)
+        |  GROUP BY 1)
+        |SELECT nw.doc_id, nw.n_windows, COALESCE(h.n_hit, 0) AS n_hit,
+        |  COALESCE(h.n_hit, 0) * 1000000 // nw.n_windows AS overlap_ppm,
+        |  2 * COALESCE(h.n_hit, 0) >= nw.n_windows AS is_dup
+        |FROM nw LEFT JOIN hits h ON h.doc_id = nw.doc_id
+        |ORDER BY nw.doc_id""".stripMargin,
 
     // x221: the oracle recomputes the cascade set-theoretically (IN /
     // NOT IN over non-null keys) including the three residual scans —

@@ -735,4 +735,40 @@ object LlmExt2 {
               expr("ix * 1000000 DIV (na + nb - ix)").as("j_ppm"))
       .orderBy("a", "b")
   }
+
+  /** x227: INCREMENTAL-INGEST DEDUP — the production path x08/x224 (batch
+    * pairwise) do NOT cover: an incoming batch (doc_id odd — standing in
+    * for today's crawl) screened against the EXISTING corpus's fingerprint
+    * index (distinct window fps of the even docs — in production a
+    * persisted fp store), per new doc: window count, windows already known
+    * to the corpus, overlap in floor-div ppm, and the τ = 0.5 containment
+    * verdict 2·hits ≥ windows. New docs never pair with old DOCS — only
+    * with the fp INDEX — so ingest cost is linear in the batch, however
+    * large the corpus history.
+    *
+    * 100 TB: the fp frame is materialized once (localCheckpoint — two
+    * consumers would otherwise re-scan the corpus; the x120/Features
+    * idiom); the index probe is ONE fp-keyed left-semi join (a Bloom
+    * pre-filter — x61's device — drops most probes before the shuffle in
+    * production), then two doc-keyed partial aggregates. No doc×doc
+    * stage anywhere. */
+  def x227(spark: SparkSession, dir: String): DataFrame =
+    dedupIncremental(Tables.documents(spark, dir))
+
+  /** x227's chain on an arbitrary documents frame (shared with
+    * Round10bSpec's planted corpus/batch). */
+  private[graft] def dedupIncremental(docs: DataFrame): DataFrame = {
+    val fps = docFingerprints(docs).distinct().localCheckpoint(true)
+    val idx = fps.where(col("doc_id") % 2 === 0).select("fp").distinct()
+    val newFps = fps.where(col("doc_id") % 2 === 1)
+    val nw = newFps.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val hits = newFps.join(idx, Seq("fp"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    nw.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+              coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("overlap_ppm", expr("n_hit * 1000000 DIV n_windows"))
+      .withColumn("is_dup", col("n_hit") * 2 >= col("n_windows"))
+      .orderBy("doc_id")
+  }
 }

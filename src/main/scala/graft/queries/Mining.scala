@@ -112,6 +112,55 @@ object Mining {
       .limit(20)
   }
 
+  /** x225: ITERATED BPE TRAINING — x40 runs the FIRST merge; this trains
+    * the first four: per round, count adjacent symbol pairs over every
+    * token occurrence (overlapping, the Sennrich statistic), pick the
+    * (count desc, pair asc) argmax, and apply the merge as a left-to-right
+    * non-overlapping rewrite with a fresh single-char placeholder symbol
+    * (U+0100+k — outside the ASCII corpus alphabet, so symbols stay single
+    * chars and the pair statistic stays a 2-char substring on every
+    * round). Per round the report carries the merged pair, its count, and
+    * the symbol-alphabet size after the rewrite. The winner row collected
+    * per round is 1 row by construction (the bounded-driver-state
+    * precedent: quantile boundaries, rule bases); both engines break
+    * count ties by binary UTF-8 pair order.
+    *
+    * 100 TB: each round is x40's posture — per-row substring algebra (no
+    * shuffle) into a pair aggregate whose key space is |alphabet|²-bounded
+    * with map-side partials, plus one |alphabet|-bounded distinct count;
+    * the token frame is materialized ONCE up front (localCheckpoint) so
+    * R rounds cost R bounded aggregates over it, not R corpus re-scans of
+    * the raw table. */
+  def x225(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iters = 4
+    var toks = Tables.documents(spark, dir)
+      .select(explode(filter(split(lower(col("text")), " "), t => t =!= ""))
+                .as("tok"))
+      .localCheckpoint(true)
+    val pairsOf = (df: DataFrame) => df
+      .select(explode(when(length(col("tok")) >= 2,
+        transform(sequence(lit(1), least(length(col("tok")) - 1, lit(32))),
+          i => col("tok").substr(i, lit(2))))
+        .otherwise(array().cast(ArrayType(StringType)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+    val rows = (0 until iters).map { k =>
+      val win = pairsOf(toks).orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()(0)
+      val (bp, cnt) = (win.getString(0), win.getLong(1))
+      val ph = (0x100 + k).toChar.toString
+      toks = toks
+        .select(replace(col("tok"), lit(bp), lit(ph)).as("tok"))
+        .localCheckpoint(true)
+      val nSym = toks
+        .select(explode(transform(sequence(lit(1), length(col("tok"))),
+          i => col("tok").substr(i, lit(1)))).as("sym"))
+        .agg(countDistinct(col("sym"))).collect()(0).getLong(0)
+      (k + 1L, bp, cnt, nSym)
+    }
+    rows.toDF("iter", "pair", "cnt", "n_symbols").orderBy("iter")
+  }
+
   /** x41: CLASS REBALANCING — deterministic downsampling of the majority
     * class to ≈ the minority size (the sampling-based alternative to q38's
     * cost weighting for imbalanced learning). The keep decision is a

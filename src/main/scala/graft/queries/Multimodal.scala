@@ -267,4 +267,67 @@ object MultimodalOps {
            round(avg(sqrt(col("energy"))), 6).as("avg_frame_norm"))
       .orderBy("doc_id")
   }
+
+  /** AVERAGE-HASH (aHash) of a payload, exact-integer: the byte stream is
+    * partitioned into an 8×8 = 64-block grid (block k covers bytes
+    * [⌊k·n/64⌋, ⌊(k+1)·n/64⌋)), and bit k is set iff the block's mean
+    * byte value exceeds the global mean — compared WITHOUT division as
+    * blocksum·n > totalsum·blocklen, so the hash is bit-identical on any
+    * engine (the LAION-style perceptual near-dup fingerprint, with the
+    * DCT of a real pHash stood in by the grid — the stub regime, x14's
+    * contract). Payloads shorter than 64 bytes leave their empty blocks'
+    * bits 0. Packed as two 32-bit halves so neither side ever forms
+    * 1<<63 (BIGINT overflow in DuckDB, sign-bit juggling in Scala). */
+  def ahash(bytes: Array[Byte]): (Long, Long) = {
+    val n = bytes.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += (bytes(i) & 0xFF); i += 1 }
+    var hi = 0L
+    var lo = 0L
+    var k = 0
+    while (k < 64) {
+      val from = (k.toLong * n / 64).toInt
+      val until = ((k + 1).toLong * n / 64).toInt
+      var s = 0L
+      var j = from
+      while (j < until) { s += (bytes(j) & 0xFF); j += 1 }
+      if (until > from && s * n > total * (until - from)) {
+        if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  /** x226: IMAGE NEAR-DUP BY PERCEPTUAL HASH — the dedup family's
+    * multimodal lane: [[ahash]] over every media payload in the
+    * mapPartitions decode stage (one codec handle per partition, x14's
+    * plumbing), then hash-collision groups (hash, representative = min
+    * doc, group size) — exactly how image-scale corpora (LAION) dedup
+    * before training. The stub grid hash is a deterministic pure function
+    * of the bytes, so on the ASCII harness payloads the oracle replays
+    * every bit from char-indexed SQL.
+    *
+    * 100 TB: decode+hash is one map-only pass over the payload bytes; the
+    * only shuffle is the 2-key hash groupBy (map-side combined; group
+    * count ≤ corpus, group size = true duplicate multiplicity). Hamming-
+    * NEAR grouping at scale rides x218's band device over these same
+    * bits; the exact-collision groups here are the receipt. */
+  def x226(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .mapPartitions { rows =>
+        // real pipeline: decoder initialized once per partition, hashes
+        // computed on the decoded luma plane; the stub hashes raw bytes
+        rows.map { r =>
+          val (hi, lo) = ahash(r.content)
+          (r.doc_id, hi, lo)
+        }
+      }
+      .toDF("doc_id", "ahash_hi", "ahash_lo")
+      .groupBy("ahash_hi", "ahash_lo")
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"))
+      .orderBy("rep_doc")
+  }
 }

@@ -246,4 +246,84 @@ class Round10bSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L, 1000000L)),
            "exact dup must score 1.0 ppm-exact; the disjoint doc must not pair")
   }
+
+  test("x225 equals a naive JVM BPE replay; winner counts are monotone") {
+    val toks0 = Tables.documents(spark, sfSmoke).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+    var toks = toks0.toSeq
+    val want = (0 until 4).map { k =>
+      val counts = scala.collection.mutable.Map[String, Long]()
+      for (t <- toks; i <- 0 until math.min(t.length - 1, 32))
+        counts(t.substring(i, i + 2)) = counts.getOrElse(t.substring(i, i + 2), 0L) + 1
+      val (bp, cnt) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val ph = (0x100 + k).toChar.toString
+      toks = toks.map(_.replace(bp, ph))
+      (k + 1L, bp, cnt, toks.flatMap(_.toSeq).distinct.length.toLong)
+    }
+    val got = graft.queries.Mining.x225(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === want)
+    // each round's merge removes occurrences and the new symbol's count is
+    // bounded by the merges performed, so winner counts never increase
+    assert(got.map(_._3).toSeq === got.map(_._3).sortBy(-_).toSeq,
+           "BPE winner counts must be monotone nonincreasing")
+  }
+
+  test("x226 equals a naive aHash replay; planted duplicate payloads collide") {
+    import spark.implicits._
+    import graft.queries.MultimodalOps
+    val docs = Tables.documents(spark, sfSmoke).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, text) =>
+      val (hi, lo) = MultimodalOps.ahash(text.getBytes("UTF-8"))
+      (id, hi, lo)
+    }.groupBy(x => (x._2, x._3)).map { case ((hi, lo), xs) =>
+      (hi, lo, xs.map(_._1).min, xs.length.toLong)
+    }.toSet
+    val got = MultimodalOps.x226(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(want.nonEmpty && got === want)
+    // planted media dir: two identical payloads + one distinct, driven
+    // through the REGISTERED operator via its real media.parquet path
+    val tmp = java.nio.file.Files.createTempDirectory("x226media").toString
+    val payloadA = Array.tabulate(200)(i => ((i * 37 + 11) % 251).toByte)
+    val payloadB = Array.tabulate(180)(i => ((i * 53 + 7) % 241).toByte)
+    Seq((10L, "png", payloadA.length.toLong, payloadA),
+        (11L, "png", payloadA.length.toLong, payloadA),
+        (12L, "png", payloadB.length.toLong, payloadB))
+      .toDF("doc_id", "format", "n_bytes", "content")
+      .write.mode("overwrite").parquet(s"$tmp/media.parquet")
+    val groups = MultimodalOps.x226(spark, tmp).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(groups.toSeq.sorted === Seq((10L, 2L), (12L, 1L)),
+           "identical payloads must share an aHash group; distinct must not")
+  }
+
+  test("x227 equals a naive index replay; verbatim re-ingest flags dup; fresh text does not") {
+    import spark.implicits._
+    import graft.queries.LlmExt2
+    val fps = LlmExt2.docFingerprints(Tables.documents(spark, sfSmoke))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val idx = fps.collect { case (d, fp) if d % 2 == 0 => fp }.toSet
+    val newDocs = fps.filter(_._1 % 2 == 1).groupBy(_._1)
+    val want = newDocs.map { case (d, xs) =>
+      val nWin = xs.length.toLong
+      val nHit = xs.count(x => idx(x._2)).toLong
+      (d, nWin, nHit, nHit * 1000000L / nWin, 2 * nHit >= nWin)
+    }.toSet
+    val got = LlmExt2.x227(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getBoolean(4))).toSet
+    assert(want.nonEmpty && got === want)
+    // planted: old corpus doc (even id), its verbatim re-ingest (odd id),
+    // and a fresh odd doc sharing nothing
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fresh = "one two three four five six seven eight nine ten"
+    val planted = Seq((2L, "en", corpusText), (3L, "en", corpusText),
+                      (5L, "en", fresh)).toDF("doc_id", "lang", "text")
+    val out = LlmExt2.dedupIncremental(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSeq
+    assert(out === Seq((3L, 1000000L, true), (5L, 0L, false)),
+           "verbatim re-ingest must flag is_dup at 1.0; fresh text must not")
+  }
 }
