@@ -265,6 +265,55 @@ object OracleSqlRound10b {
         |FROM nw LEFT JOIN hits h ON h.doc_id = nw.doc_id
         |ORDER BY nw.doc_id""".stripMargin,
 
+    // x228: x226's bit chain extended — byte bands, bucket candidates,
+    // exact popcount Hamming, rank-1 by (distance, neighbor id); the
+    // ROW_NUMBER pick equals the engine's struct-min because (d, nn) is
+    // unique per doc.
+    "x228_ahash_hamming_nn" ->
+      """WITH b AS (SELECT doc_id, length(text) AS len, text FROM documents),
+        |tot AS (
+        |  SELECT b.doc_id,
+        |    SUM(ascii(substr(b.text, CAST(u.i AS INTEGER), 1))) AS s_total
+        |  FROM b, UNNEST(range(1, len + 1)) AS u(i) GROUP BY 1),
+        |bl AS (
+        |  SELECT b.doc_id, b.len, b.text, k.k AS k,
+        |    (k.k * b.len) // 64 AS lo, ((k.k + 1) * b.len) // 64 AS hi
+        |  FROM b, UNNEST(range(0, 64)) AS k(k)),
+        |bs AS (
+        |  SELECT bl.doc_id, bl.k, bl.hi - bl.lo AS nk,
+        |    SUM(ascii(substr(bl.text, CAST(bl.lo + u.i + 1 AS INTEGER), 1))) AS s
+        |  FROM bl, UNNEST(range(0, bl.hi - bl.lo)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT bs.doc_id,
+        |    CAST(SUM(CASE WHEN bs.k >= 32 AND bs.s * b.len > t.s_total * bs.nk
+        |                  THEN CAST(1 AS BIGINT) << (bs.k - 32) ELSE 0 END)
+        |         AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN bs.k < 32 AND bs.s * b.len > t.s_total * bs.nk
+        |                  THEN CAST(1 AS BIGINT) << bs.k ELSE 0 END)
+        |         AS BIGINT) AS lo
+        |  FROM bs JOIN b USING (doc_id) JOIN tot t USING (doc_id) GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, hi, lo, bb.b AS band,
+        |    CASE WHEN bb.b < 4 THEN (lo // (CAST(1 AS BIGINT) << (8 * bb.b))) % 256
+        |         ELSE (hi // (CAST(1 AS BIGINT) << (8 * (bb.b - 4)))) % 256 END AS bval
+        |  FROM bits, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) bb(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS nn,
+        |    a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id <> b.doc_id),
+        |ham AS (
+        |  SELECT a, nn,
+        |    CAST(bit_count(CAST(xor(ahi, bhi) AS BIGINT))
+        |       + bit_count(CAST(xor(alo, blo) AS BIGINT)) AS BIGINT) AS d
+        |  FROM cand),
+        |nnr AS (
+        |  SELECT a, nn, d, ROW_NUMBER() OVER (PARTITION BY a ORDER BY d, nn) AS rk
+        |  FROM ham)
+        |SELECT a AS doc_id, nn AS nn_doc, d AS hamming
+        |FROM nnr WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
     // x221: the oracle recomputes the cascade set-theoretically (IN /
     // NOT IN over non-null keys) including the three residual scans —
     // orders' and lineitem's are genuine referential checks, customer's

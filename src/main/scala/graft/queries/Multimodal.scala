@@ -314,7 +314,15 @@ object MultimodalOps {
     * count ≤ corpus, group size = true duplicate multiplicity). Hamming-
     * NEAR grouping at scale rides x218's band device over these same
     * bits; the exact-collision groups here are the receipt. */
-  def x226(spark: SparkSession, dir: String): DataFrame = {
+  def x226(spark: SparkSession, dir: String): DataFrame =
+    ahashFrame(spark, dir)
+      .groupBy("ahash_hi", "ahash_lo")
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"))
+      .orderBy("rep_doc")
+
+  /** One [[ahash]] row per media payload (x226/x228's shared first stage):
+    * decode+hash in mapPartitions, one codec handle per partition. */
+  private[graft] def ahashFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
       .mapPartitions { rows =>
@@ -326,8 +334,43 @@ object MultimodalOps {
         }
       }
       .toDF("doc_id", "ahash_hi", "ahash_lo")
-      .groupBy("ahash_hi", "ahash_lo")
-      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"))
-      .orderBy("rep_doc")
+  }
+
+  /** x228: HAMMING NEAREST NEIGHBOR OVER PERCEPTUAL HASHES — the promised
+    * scale path over x226's bits: the 64-bit aHash splits into its 8
+    * bytes (the x218/multi-index band device — two hashes within Hamming
+    * distance ≤ 7 MUST agree on at least one whole byte, so byte-bucket
+    * collisions are a complete candidate set for near duplicates), each
+    * byte keys a bucket join, and every doc reports its closest candidate
+    * by exact popcount Hamming distance (ties to the smaller doc id, so
+    * the answer is deterministic). The serving shape of image dedup:
+    * "find me the most similar already-ingested image".
+    *
+    * 100 TB: hash rows are tiny (3 BIGINTs/doc) and materialized once;
+    * the band join shuffles 8 rows/doc on (band, byte) keys; bucket
+    * fan-out is bounded by true collision multiplicity (independent hash
+    * bits — the x223 lesson) and the distance+argmin collapse is one
+    * partial+final struct-min aggregate, no window sort. */
+  def x228(spark: SparkSession, dir: String): DataFrame = {
+    val h = ahashFrame(spark, dir).localCheckpoint(true)
+    val bands = h.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+      posexplode(array((0 until 8).map { j =>
+        expr(s"(${if (j < 4) "ahash_lo" else "ahash_hi"} DIV ${1L << (8 * (j % 4))}) % 256")
+      }: _*)).as(Seq("band", "bval")))
+    val cand = bands.as("A").join(bands.as("B"),
+        col("A.band") === col("B.band") && col("A.bval") === col("B.bval") &&
+          col("A.doc_id") =!= col("B.doc_id"))
+      .select(col("A.doc_id").as("a"), col("B.doc_id").as("nn"),
+              col("A.ahash_hi").as("ahi"), col("A.ahash_lo").as("alo"),
+              col("B.ahash_hi").as("bhi"), col("B.ahash_lo").as("blo"))
+      .distinct()
+    cand
+      .withColumn("d", (bit_count(expr("ahi ^ bhi")) +
+                        bit_count(expr("alo ^ blo"))).cast(LongType))
+      .groupBy(col("a").as("doc_id"))
+      .agg(min(struct(col("d"), col("nn"))).as("m"))
+      .select(col("doc_id"), col("m.nn").as("nn_doc"),
+              col("m.d").as("hamming"))
+      .orderBy("doc_id")
   }
 }

@@ -326,4 +326,47 @@ class Round10bSpec extends AnyFunSuite {
     assert(out === Seq((3L, 1000000L, true), (5L, 0L, false)),
            "verbatim re-ingest must flag is_dup at 1.0; fresh text must not")
   }
+
+  test("x228 equals a naive banded-Hamming replay; identical payloads are distance-0 neighbors") {
+    import spark.implicits._
+    import graft.queries.MultimodalOps
+    val hashes = Tables.documents(spark, sfSmoke).select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), MultimodalOps.ahash(r.getString(1).getBytes("UTF-8"))))
+    def bytes(hi: Long, lo: Long): Seq[Long] =
+      (0 until 4).map(j => (lo >> (8 * j)) & 255) ++
+        (0 until 4).map(j => (hi >> (8 * j)) & 255)
+    val byBand = (for (((d, (hi, lo))) <- hashes; (bv, b) <- bytes(hi, lo).zipWithIndex)
+      yield ((b, bv), (d, hi, lo))).groupBy(_._1)
+    val candOf = scala.collection.mutable.Map[Long, Set[(Long, Long, Long)]]()
+    for (xs <- byBand.values; (a, ahi, alo) <- xs.map(_._2); (n, nhi, nlo) <- xs.map(_._2)
+         if a != n)
+      candOf(a) = candOf.getOrElse(a, Set.empty) + ((n, nhi, nlo))
+    val hmap = hashes.toMap
+    val want = candOf.map { case (a, cs) =>
+      val (ahi, alo) = hmap(a)
+      val best = cs.map { case (n, nhi, nlo) =>
+        (java.lang.Long.bitCount(ahi ^ nhi) + java.lang.Long.bitCount(alo ^ nlo)
+          .toLong, n)
+      }.minBy { case (d, n) => (d, n) }
+      (a, best._2, best._1.toLong)
+    }.toSet
+    val got = MultimodalOps.x228(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty && got === want)
+    // identical payloads (the x226 planted dir shape) must be each
+    // other's distance-0 neighbors
+    val tmp = java.nio.file.Files.createTempDirectory("x228media").toString
+    val payloadA = Array.tabulate(200)(i => ((i * 37 + 11) % 251).toByte)
+    val payloadB = Array.tabulate(180)(i => ((i * 53 + 7) % 241).toByte)
+    Seq((10L, "png", payloadA.length.toLong, payloadA),
+        (11L, "png", payloadA.length.toLong, payloadA),
+        (12L, "png", payloadB.length.toLong, payloadB))
+      .toDF("doc_id", "format", "n_bytes", "content")
+      .write.mode("overwrite").parquet(s"$tmp/media.parquet")
+    val full = MultimodalOps.x228(spark, tmp).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(full(10L) === ((11L, 0L)) && full(11L) === ((10L, 0L)),
+           "identical payloads must be mutual distance-0 nearest neighbors")
+  }
 }
