@@ -121,14 +121,15 @@ object FullScaleSoak {
     //     >=97 copies the twin ids of EVERY text cover all residues mod 97 —
     //     every text gains a twin inside the bench slice, and x21's rule then
     //     correctly drops the whole corpus as benchmark-contaminated.
-    //   - x194/x196: every fingerprint's df is >= copies (each doc has
-    //     copies-1 exact twins) > HotFpCap=64, so the hot-fingerprint guard
-    //     classifies ALL fps as boilerplate — exactly the production
-    //     behavior for a corpus that is 99% exact copies.
+    //   - x194/x196/x224: every fingerprint's df is >= copies (each doc has
+    //     copies-1 exact twins) > the df-64 hot-fp cap, so the boilerplate
+    //     guard classifies ALL fps as hot and drops them before pairing —
+    //     exactly the production behavior for a corpus that is 99% exact
+    //     copies (x224's cap is mirrored in its DuckDB oracle).
     val expectedEmpty: Set[String] =
       if (copies < 97) Set.empty
       else Set("x100_curation_pipeline", "x194_neardup_clusters",
-               "x196_token_cosine_pairs")
+               "x196_token_cosine_pairs", "x224_jaccard_portable")
 
     case class R(key: String, base: Double, big: Double, err: String,
                  note: String = "")
