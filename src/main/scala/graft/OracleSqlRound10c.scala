@@ -1,0 +1,236 @@
+package graft
+
+/** DuckDB oracle SQL, round-10 third batch: the t-closeness privacy audit,
+  * nDCG@10 retrieval evaluation, the Johnson–Lindenstrauss distortion
+  * audit, the PCA moment sketch (theorem form), and Fellegi–Sunter
+  * record-linkage scoring. Everything is exact integer arithmetic end to
+  * end: t-closeness clears its denominators (TV > t ⟺ 10·Σ|n_cs·N −
+  * N_s·n_c| > 2·t₁₀·n_c·N, DECIMAL(38,0)/HUGEINT headroom), nDCG folds
+  * the SAME literal micro-discount list the engine folds (log₂ never
+  * crosses an engine boundary), JL folds the SAME ±1 sign arrays, PCA's
+  * frame is the exact ⌊x·1024⌋ second-moment sketch with the engine's
+  * power-iteration invariants stated as TRUE, and linkage scores sum the
+  * SAME centi-log₂ weight literals. */
+object OracleSqlRound10c {
+
+  /** x230's position weights and x231's sign arrays land in the SQL from
+    * the same Scala vals the engine folds (the x215/x218/x223 generated-
+    * oracle device). */
+  private val ndcgW = graft.queries.Clustering.ndcgWeightsMicro
+
+  private val x230Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents),
+       |toksf AS (SELECT * FROM toks WHERE tok <> ''),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toksf GROUP BY 1, 2),
+       |dlen AS (SELECT doc_id, sum(tf) AS n_toks FROM tf GROUP BY 1),
+       |dfq AS (
+       |  SELECT tok FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+       |  ORDER BY df DESC, tok LIMIT 20),
+       |cand AS (
+       |  SELECT q.tok AS q_tok, t.doc_id,
+       |         t.tf * 1000000 // d.n_toks AS score,
+       |         (CASE least(t.tf, 3) WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END)
+       |           AS gain
+       |  FROM dfq q JOIN tf t ON t.tok = q.tok
+       |  JOIN dlen d ON d.doc_id = t.doc_id),
+       |w AS (
+       |  SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9, 10]) AS pos,
+       |         unnest([${ndcgW.mkString(", ")}]) AS wmicro),
+       |ranked AS (
+       |  SELECT q_tok, gain,
+       |         row_number() OVER (PARTITION BY q_tok
+       |                            ORDER BY score DESC, doc_id) AS pos
+       |  FROM cand),
+       |dcg AS (
+       |  SELECT q_tok, sum(gain * wmicro) AS dcg_micro
+       |  FROM ranked JOIN w USING (pos) WHERE pos <= 10 GROUP BY 1),
+       |gcnt AS (
+       |  SELECT q_tok, count(*) AS n_cands,
+       |         sum(CASE WHEN gain = 7 THEN 1 ELSE 0 END) AS n7,
+       |         sum(CASE WHEN gain = 3 THEN 1 ELSE 0 END) AS n3,
+       |         sum(CASE WHEN gain = 1 THEN 1 ELSE 0 END) AS n1
+       |  FROM cand GROUP BY 1),
+       |idcg AS (
+       |  SELECT q_tok, any_value(n_cands) AS n_cands,
+       |         sum((CASE WHEN pos <= n7 THEN 7
+       |                   WHEN pos <= n7 + n3 THEN 3
+       |                   WHEN pos <= n7 + n3 + n1 THEN 1
+       |                   ELSE 0 END) * wmicro) AS idcg_micro
+       |  FROM gcnt CROSS JOIN w GROUP BY 1)
+       |SELECT d.q_tok, CAST(i.n_cands AS BIGINT) AS n_cands,
+       |       CAST(d.dcg_micro AS BIGINT) AS dcg_micro,
+       |       CAST(i.idcg_micro AS BIGINT) AS idcg_micro,
+       |       CAST(d.dcg_micro * 1000000 // i.idcg_micro AS BIGINT)
+       |         AS ndcg_ppm
+       |FROM dcg d JOIN idcg i USING (q_tok)
+       |ORDER BY q_tok""".stripMargin
+
+  private val x231Sql: String = {
+    val signs = graft.queries.Clustering.jlSigns
+    val djDefs = signs.zipWithIndex.map { case (s, j) =>
+      s"CAST(list_sum([d[i+1] * ([${s.mkString(", ")}])[i+1] FOR i IN range(64)]) AS BIGINT) AS dj$j"
+    }.mkString(",\n    ")
+    val sd2 = signs.indices.map(j => s"dj$j * dj$j").mkString(" + ")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(u AS DOUBLE) * 1024) AS BIGINT) FOR u IN embedding] AS qe
+       |  FROM embeddings),
+       |pr AS (
+       |  SELECT a.vec_id AS id_a,
+       |    [a.qe[i+1] - b.qe[i+1] FOR i IN range(64)] AS d
+       |  FROM qv a JOIN qv b ON b.vec_id = a.vec_id + 1
+       |  WHERE a.vec_id % 2 = 0),
+       |proj AS (
+       |  SELECT id_a,
+       |    $djDefs,
+       |    CAST(list_sum([d[i+1] * d[i+1] FOR i IN range(64)]) AS BIGINT) AS den
+       |  FROM pr),
+       |ratio AS (
+       |  SELECT CAST(($sd2) * 1000000 // (8 * den) AS BIGINT) AS ratio_ppm
+       |  FROM proj WHERE den > 0)
+       |SELECT CAST(ratio_ppm // 250000 AS BIGINT) AS bucket,
+       |       count(*) AS n_pairs,
+       |       CAST(min(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+       |       CAST(max(ratio_ppm) AS BIGINT) AS max_ratio_ppm
+       |FROM ratio GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  private val x233Sql: String = {
+    val w = graft.queries.Wrangle.fsWeights
+    val (bA, bD) = w("brand"); val (sA, sD) = w("size"); val (aA, aD) = w("adj")
+    s"""WITH rec AS (
+       |  SELECT p_type, string_split(p_name, ' ')[2] AS noun,
+       |         p_brand, p_size, string_split(p_name, ' ')[1] AS adj
+       |  FROM part),
+       |combo AS (
+       |  SELECT p_type, noun, p_brand, p_size, adj, count(*) AS cnt
+       |  FROM rec GROUP BY 1, 2, 3, 4, 5),
+       |pairs AS (
+       |  SELECT
+       |    CASE WHEN a.p_brand = b.p_brand THEN $bA ELSE $bD END +
+       |    CASE WHEN a.p_size  = b.p_size  THEN $sA ELSE $sD END +
+       |    CASE WHEN a.adj     = b.adj     THEN $aA ELSE $aD END AS score,
+       |    CASE WHEN (a.p_brand, a.p_size, a.adj) = (b.p_brand, b.p_size, b.adj)
+       |         THEN a.cnt * (a.cnt - 1) // 2 ELSE a.cnt * b.cnt END AS n_pairs
+       |  FROM combo a JOIN combo b
+       |    ON a.p_type = b.p_type AND a.noun = b.noun
+       |   AND (a.p_brand, a.p_size, a.adj) <= (b.p_brand, b.p_size, b.adj)
+       |  WHERE NOT ((a.p_brand, a.p_size, a.adj) = (b.p_brand, b.p_size, b.adj)
+       |             AND a.cnt < 2))
+       |SELECT CASE WHEN score >= 900 THEN 'link'
+       |            WHEN score >= 0 THEN 'possible'
+       |            ELSE 'nonlink' END AS decision,
+       |       CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+       |       CAST(min(score) AS BIGINT) AS min_score,
+       |       CAST(max(score) AS BIGINT) AS max_score,
+       |       count(*) AS n_patterns
+       |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  val round10c: Map[String, String] = Map(
+    // x229: the TV > t test with denominators cleared — 10·Σ|n_cs·N −
+    // N_s·n_c| > 2·t₁₀·n_c·N — so the sweep is integer-exact; DuckDB
+    // widens the cross-terms to HUGEINT natively where Spark rides
+    // DECIMAL(38,0): identical values, BIGINT outputs.
+    "x229_t_closeness" ->
+      """WITH qi AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |j AS (
+        |  SELECT q.c_nationkey, q.c_mktsegment, q.bal_band, q.c_custkey,
+        |         o.o_orderpriority
+        |  FROM qi q JOIN orders o ON o.o_custkey = q.c_custkey),
+        |cls_s AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band, o_orderpriority,
+        |         count(*) AS n_cs
+        |  FROM j GROUP BY 1, 2, 3, 4),
+        |mem AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band,
+        |         count(DISTINCT c_custkey) AS n_members, count(*) AS n_c
+        |  FROM j GROUP BY 1, 2, 3),
+        |glob_s AS (
+        |  SELECT o_orderpriority, sum(n_cs) AS n_s FROM cls_s GROUP BY 1),
+        |gtot AS (SELECT sum(n_s) AS n FROM glob_s),
+        |tv0 AS (
+        |  -- both L1 sides: the present-priority terms plus the absent-
+        |  -- priority mass n_c·(N − Σ_present N_s) (= Σ_absent N_s·n_c)
+        |  SELECT s.c_nationkey, s.c_mktsegment, s.bal_band,
+        |         sum(abs(CAST(s.n_cs AS DECIMAL(38,0)) * g.n
+        |                 - CAST(gs.n_s AS DECIMAL(38,0)) * c.n_c))
+        |           AS num_present,
+        |         sum(CAST(gs.n_s AS DECIMAL(38,0))) AS ns_present,
+        |         any_value(c.n_c) AS n_c,
+        |         any_value(c.n_members) AS n_members,
+        |         any_value(g.n) AS n
+        |  FROM cls_s s
+        |  JOIN mem c USING (c_nationkey, c_mktsegment, bal_band)
+        |  JOIN glob_s gs USING (o_orderpriority)
+        |  CROSS JOIN gtot g
+        |  GROUP BY 1, 2, 3),
+        |tv AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band,
+        |         num_present + CAST(n_c AS DECIMAL(38,0))
+        |           * (CAST(n AS DECIMAL(38,0)) - ns_present) AS num,
+        |         n_c, n_members, n
+        |  FROM tv0),
+        |tvc AS (
+        |  -- HUGEINT, not DECIMAL, for the floor-div: DuckDB's // on
+        |  -- DECIMAL operands returns DOUBLE (exactness lost past 2^52);
+        |  -- HUGEINT // HUGEINT is exact integer division
+        |  SELECT *,
+        |    CAST(CAST(num AS HUGEINT) * 1000000
+        |         // (2 * CAST(n_c AS HUGEINT) * CAST(n AS HUGEINT))
+        |         AS BIGINT) AS tv_ppm
+        |  FROM tv)
+        |SELECT CAST(t10 AS BIGINT) AS t_tenths,
+        |       count(*) AS n_classes,
+        |       CAST(sum(CASE WHEN 10 * num >
+        |                       2 * t10 * CAST(n_c AS DECIMAL(38,0)) * n
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS violating_classes,
+        |       CAST(sum(CASE WHEN 10 * num >
+        |                       2 * t10 * CAST(n_c AS DECIMAL(38,0)) * n
+        |                     THEN n_members ELSE 0 END) AS BIGINT)
+        |         AS exposed_members,
+        |       max(tv_ppm) AS max_tv_ppm
+        |FROM tvc CROSS JOIN (SELECT unnest([1, 2, 3, 5]) AS t10)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x230_ndcg_eval" -> x230Sql,
+    "x231_jl_distortion" -> x231Sql,
+    // x232: the exact ⌊x·1024⌋ second-moment sketch — n at (−1,−1), the
+    // coordinate sums at (k,−1), the upper-triangle product sums at
+    // (k,l) — recomputed verbatim; pca_ok states the engine's power-
+    // iteration invariants (Rayleigh monotone from e_argmax(diag), so
+    // λ̂ ∈ [max diag, trace]) — theorems of symmetric PSD iteration,
+    // TRUE for any data.
+    "x232_pca_power" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    [CAST(floor(CAST(u AS DOUBLE) * 1024) AS BIGINT) FOR u IN embedding] AS qe
+        |  FROM embeddings),
+        |el AS (
+        |  SELECT vec_id, i AS k, qe[i+1] AS q
+        |  FROM qv, (SELECT unnest(range(64)) AS i)),
+        |skl AS (
+        |  SELECT CAST(a.k AS INTEGER) AS k, CAST(b.k AS INTEGER) AS l,
+        |         CAST(sum(a.q * b.q) AS BIGINT) AS s2
+        |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.k >= a.k
+        |  GROUP BY 1, 2),
+        |sk AS (
+        |  SELECT CAST(k AS INTEGER) AS k, CAST(-1 AS INTEGER) AS l,
+        |         CAST(sum(q) AS BIGINT) AS s2
+        |  FROM el GROUP BY 1),
+        |nn AS (
+        |  SELECT CAST(-1 AS INTEGER) AS k, CAST(-1 AS INTEGER) AS l,
+        |         CAST(count(*) AS BIGINT) AS s2
+        |  FROM qv)
+        |SELECT k, l, s2, TRUE AS pca_ok
+        |FROM (SELECT * FROM skl UNION ALL SELECT * FROM sk
+        |      UNION ALL SELECT * FROM nn)
+        |ORDER BY k, l""".stripMargin,
+    "x233_linkage_fs" -> x233Sql
+  )
+}

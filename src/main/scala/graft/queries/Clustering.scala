@@ -346,4 +346,228 @@ object Clustering {
       .orderBy(col("adc_micros"), col("vec_id"))
       .limit(10)
   }
+
+  /** nDCG position-discount weights, ⌊10⁶/log₂(i+1)⌉ for ranks 1..10 —
+    * ONE shared literal list: the engine folds it as an array literal and
+    * the oracle SQL is GENERATED from the same val (the x215/x223 device),
+    * so DCG stays exact integer arithmetic on both engines and log₂'s
+    * cross-engine ULP drift never enters the chain. */
+  val ndcgWeightsMicro: Seq[Long] = Seq(
+    1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** x230: nDCG@10 RETRIEVAL EVALUATION — the ranking-quality metric the
+    * retrieval stack (x142 BM25, x95 RRF, x191 AUC) reports but nothing
+    * yet computes: for the 20 highest-df query tokens, rank candidate
+    * documents by length-normalized term frequency (tf·10⁶ DIV doc_len —
+    * an integer BM25 surrogate, deliberately DIFFERENT from the relevance
+    * grade so nDCG is a real number < 1, not a tautology), grade relevance
+    * as min(tf, 3) with gains 2^rel − 1 ∈ {1, 3, 7}, and score
+    * DCG/IDCG@10 in exact integer micros via [[ndcgWeightsMicro]].
+    *
+    * IDCG needs no ideal SORT: gains take 3 values, so the ideal top-10
+    * gain sequence is determined by the per-query gain HISTOGRAM
+    * (n₇ sevens, then n₃ threes, then n₁ ones) — counts, not an ordering.
+    *
+    * 100 TB: tf is ONE (doc, token) partial+final agg, materialized once
+    * (three consumers: query selection, doc lengths, candidates); the
+    * query set is 20 rows broadcast; the per-query top-10 is the native
+    * `topk_pairs` O(k)-heap aggregate (x70's scale path — gain rides the
+    * tag as doc_id·4+rel, preserving the (score DESC, doc_id ASC) total
+    * order), so no window sort ever touches a posting list; everything
+    * after the big aggregate is ≤ 20 rows × 10 positions. */
+  def x230(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(20)
+      .select(col("tok"))
+    val dlen = tf.groupBy("doc_id").agg(sum(col("tf")).as("n_toks"))
+    val cand = tf.join(broadcast(dfq), "tok")
+      .join(dlen, "doc_id")
+      .select(col("tok").as("q_tok"), col("doc_id"),
+              expr("tf * 1000000 DIV n_toks").as("score"),
+              least(col("tf"), lit(3L)).as("rel"))
+      .withColumn("gain", when(col("rel") === 3, 7L)
+                            .when(col("rel") === 2, 3L).otherwise(1L))
+    val per = cand.groupBy("q_tok")
+      .agg(call_function("topk_pairs", col("score").cast(DoubleType),
+             col("doc_id") * 4 + col("rel"), lit(10)).as("tk"),
+           count(lit(1)).as("n_cands"),
+           sum(when(col("gain") === 7, 1L).otherwise(0L)).as("n7"),
+           sum(when(col("gain") === 3, 1L).otherwise(0L)).as("n3"),
+           sum(when(col("gain") === 1, 1L).otherwise(0L)).as("n1"))
+      .localCheckpoint(true) // 20 rows; dcg + idcg both consume it
+    val wArr = array(ndcgWeightsMicro.map(lit): _*)
+    val dcg = per
+      .select(col("q_tok"), posexplode(col("tk")).as(Seq("pos0", "hit")))
+      .withColumn("rel", col("hit.tag") % 4)
+      .withColumn("gain", when(col("rel") === 3, 7L)
+                            .when(col("rel") === 2, 3L).otherwise(1L))
+      .groupBy("q_tok")
+      .agg(sum(col("gain") * element_at(wArr, col("pos0").cast(IntegerType) + 1))
+             .as("dcg_micro"))
+    val idcg = per
+      .select(col("q_tok"), col("n_cands"), col("n7"), col("n3"), col("n1"),
+              explode(sequence(lit(1), lit(10))).as("pos"))
+      .withColumn("g", when(col("pos") <= col("n7"), 7L)
+        .when(col("pos") <= col("n7") + col("n3"), 3L)
+        .when(col("pos") <= col("n7") + col("n3") + col("n1"), 1L)
+        .otherwise(0L))
+      .groupBy("q_tok")
+      .agg(first(col("n_cands")).as("n_cands"),
+           sum(col("g") * element_at(wArr, col("pos"))).as("idcg_micro"))
+    dcg.join(idcg, "q_tok")
+      .select(col("q_tok"), col("n_cands"), col("dcg_micro"), col("idcg_micro"),
+              expr("dcg_micro * 1000000 DIV idcg_micro").as("ndcg_ppm"))
+      .orderBy("q_tok")
+  }
+
+  private val jlP = 2147483647L
+  private val jlHash = Seq(
+    (1540483477L, 11L), (1103515245L, 12345L), (69069L, 7L),
+    (1664525L, 1013904223L), (22695477L, 1L), (134775813L, 1L),
+    (214013L, 2531011L), (1597334677L, 3L))
+
+  /** The 8×64 Johnson–Lindenstrauss sign matrix, s_{j,k} = ±1 by the
+    * parity of (k·a_j + b_j) mod 2³¹−1 over the x86 portable-hash constant
+    * pairs — materialized as literal arrays shared verbatim by the engine
+    * fold and the generated oracle SQL (the x223 sign-array device). */
+  val jlSigns: Seq[IndexedSeq[Long]] = jlHash.map { case (a, b) =>
+    (0 until 64).map(k => if (((k * a + b) % jlP) % 2 == 0) 1L else -1L)
+  }
+
+  /** x231: JL RANDOM-PROJECTION DISTORTION AUDIT — before a pipeline swaps
+    * 64-dim embeddings for an 8-dim sketch (the cheap first pass of every
+    * two-stage ANN/dedup cascade), it should MEASURE what the projection
+    * does to pairwise distances. Coordinates quantize once to exact
+    * integers (⌊x·1024⌋ — the x223 device), the ±1/√m projection rides
+    * [[jlSigns]], and the per-pair distortion ‖Pd‖²/(m·‖d‖²) is reported
+    * in floor-DIV ppm over a 250 000-ppm-bucket histogram. Every value is
+    * BIGINT-exact AT ANY CORPUS SIZE: the worst per-pair numerator is
+    * (64·2¹¹)²·8·10⁶ ≈ 4×10¹⁶, independent of row count. The wide spread
+    * the histogram shows at m = 8 is the honest JL story — concentration
+    * needs m ≫ 8, and THIS audit is how a pipeline finds that out.
+    *
+    * 100 TB: quantization and both norms are map-side per-pair arithmetic
+    * (8 sign-folds + 1 square-fold over a 64-array — no explode, no
+    * shuffle); the only shuffles are the id-keyed self-join pairing
+    * consecutive vectors and the final ≤ ~20-bucket histogram agg.
+    * Identical-vector pairs (‖d‖² = 0, distortion undefined — DuckDB
+    * errors on the zero division) are EXCLUDED, symmetrically in both
+    * engines. */
+  def x231(spark: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))")
+        .as("qe"))
+    val pairs = qv.filter(col("vec_id") % 2 === 0).as("a")
+      .join(qv.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+      .select(col("a.vec_id").as("id_a"),
+              expr("zip_with(a.qe, b.qe, (x, y) -> x - y)").as("d"))
+    val projCols = jlSigns.zipWithIndex.map { case (s, j) =>
+      expr(s"""aggregate(zip_with(d, array(${s.mkString(", ")}),
+              |  (x, s) -> x * s), CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
+        .stripMargin).as(s"dj$j")
+    }
+    pairs
+      .withColumn("den",
+        expr("aggregate(transform(d, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .filter(col("den") > 0)
+      .select(Seq(col("id_a"), col("den")) ++ projCols: _*)
+      .withColumn("ratio_ppm", expr("(" + jlSigns.indices.map(j => s"dj$j * dj$j").mkString(" + ") +
+        ") * 1000000 DIV (8 * den)"))
+      .groupBy(expr("ratio_ppm DIV 250000").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+           min(col("ratio_ppm")).as("min_ratio_ppm"),
+           max(col("ratio_ppm")).as("max_ratio_ppm"))
+      .orderBy("bucket")
+  }
+
+  /** x232: TOP PRINCIPAL COMPONENT, POWER ITERATION — the dimensionality-
+    * reduction member of the embedding family (x45 quantizes, x141/x182
+    * product-quantize, x231 random-projects; PCA is the data-DEPENDENT
+    * projection all of them get compared against). The distributed half
+    * computes the EXACT integer second-moment sketch of the ⌊x·1024⌋-
+    * quantized embeddings — n, the 64 coordinate sums S_k, and the 2 080
+    * upper-triangle product sums S_kl — one explode + partial+final agg
+    * (the classic moment-sketch shape; 1024-scaling keeps n·S_kl under
+    * int64 even at 5×10⁹ vectors). The driver then assembles the scaled
+    * covariance M = n·S₂ − S·Sᵀ (= n²·Cov, same eigenvectors; exact
+    * integers, so M is EXACTLY symmetric PSD) and runs 1 000 power
+    * iterations — a 64×64 matrix, the bounded-driver-state precedent of
+    * x140's Lloyd steps.
+    *
+    * Oracle form (the x15/x18 theorem pattern): the FRAME is the exact
+    * moment sketch, recomputed verbatim by DuckDB; `pca_ok` is the
+    * engine-computed conjunction of three REAL THEOREMS of symmetric PSD
+    * power iteration started from e_argmax(diag): (1) the Rayleigh
+    * sequence is non-decreasing (m_{k+1}/m_k monotone by Cauchy–Schwarz),
+    * so (2) λ̂ ≥ max_i M_ii (the start vector's quotient IS max diag, and
+    * λ_max ≥ max diag for symmetric PSD), and (3) λ̂ ≤ trace(M). No
+    * data-luck spectral-gap assumption anywhere — the flags hold for ANY
+    * embedding distribution, including flat spectra where the iterate
+    * itself would wander inside a near-degenerate eigenspace. */
+  def x232(spark: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(spark, dir).select(
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))")
+        .as("qe"))
+    val moments = qv.select(explode(expr(
+      """concat(
+        |  array(named_struct('k', -1, 'l', -1, 'v', CAST(1 AS BIGINT))),
+        |  transform(sequence(0, 63), k ->
+        |    named_struct('k', k, 'l', -1, 'v', element_at(qe, k + 1))),
+        |  flatten(transform(sequence(0, 63), k ->
+        |    transform(sequence(k, 63), l ->
+        |      named_struct('k', k, 'l', l,
+        |        'v', element_at(qe, k + 1) * element_at(qe, l + 1))))))"""
+        .stripMargin)).as("m"))
+      .select(col("m.k").as("k"), col("m.l").as("l"), col("m.v").as("v"))
+      .groupBy("k", "l").agg(sum(col("v")).as("s2"))
+      .localCheckpoint(true) // two consumers: the driver fit + the output
+    val rows = moments.collect().map(r =>
+      ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val d = 64
+    val n = rows((-1, -1)).toDouble
+    val s = Array.tabulate(d)(k => rows((k, -1)).toDouble)
+    val m = Array.tabulate(d, d) { (k, l) =>
+      val s2 = rows(if (k <= l) (k, l) else (l, k)).toDouble
+      n * s2 - s(k) * s(l)
+    }
+    val trace = (0 until d).map(k => m(k)(k)).sum
+    val maxDiag = (0 until d).map(k => m(k)(k)).max
+    val flag =
+      if (trace <= 0d) trace == 0d // all-identical corpus: M = 0, λ = 0
+      else {
+        var v = Array.tabulate(d)(k =>
+          if (m(k)(k) == maxDiag) 1d else 0d)
+        // keep only the FIRST argmax coordinate so R(v0) = maxDiag exactly
+        val first = v.indexWhere(_ == 1d)
+        v = Array.tabulate(d)(k => if (k == first) 1d else 0d)
+        def mv(x: Array[Double]) = Array.tabulate(d)(k =>
+          (0 until d).map(l => m(k)(l) * x(l)).sum)
+        def rayleigh(x: Array[Double]) = {
+          val ax = mv(x)
+          (0 until d).map(k => x(k) * ax(k)).sum /
+            (0 until d).map(k => x(k) * x(k)).sum
+        }
+        var ok = true
+        var prev = rayleigh(v)
+        for (_ <- 1 to 1000) {
+          val w = mv(v)
+          val nw = math.sqrt(w.map(x => x * x).sum)
+          if (nw > 0) {
+            v = w.map(_ / nw)
+            val r = rayleigh(v)
+            if (r < prev * (1 - 1e-9) - 1e-9) ok = false
+            prev = r
+          }
+        }
+        ok && prev >= maxDiag * (1 - 1e-9) - 1e-9 &&
+          prev <= trace * (1 + 1e-9) + 1e-9
+      }
+    moments.withColumn("pca_ok", lit(flag)).orderBy("k", "l")
+  }
 }

@@ -213,4 +213,79 @@ object Governance {
                          liAfter))
       .orderBy("tbl")
   }
+
+  /** x229: T-CLOSENESS AUDIT (Li et al. 2007) — the third member of the
+    * privacy triad: k-anonymity (x210) bounds class SIZE, l-diversity
+    * (x211) bounds distinct sensitive VALUES, but a class can pass both
+    * while its sensitive-value DISTRIBUTION still leaks (90% URGENT in a
+    * class vs 20% globally identifies the class as urgent-heavy). For
+    * categorical sensitive attributes under uniform ground distance, the
+    * Earth-Mover's Distance of the t-closeness definition collapses to
+    * total variation: TV(c) = ½·Σ_s |n_cs/n_c − N_s/N|. Everything stays
+    * EXACT INTEGER: TV(c) > t  ⟺  10·Σ_s|n_cs·N − N_s·n_c| > 2·t₁₀·n_c·N
+    * for t = t₁₀/10, and the reported per-class maximum rides the floor-DIV
+    * ppm convention. Cross-terms n_cs·N reach (1.5×10¹¹)² ≈ 2×10²² at
+    * TPC-H sf100k — past int64 — so the products ride DECIMAL(38,0)
+    * (the x185 headroom discipline); every OUTPUT is BIGINT.
+    *
+    * 100 TB: one fact-sized shuffle — the customer⋈orders SMJ (merge hint,
+    * x211's plan) into a (class, custkey, priority) pre-dedup aggregate,
+    * materialized once (localCheckpoint — it has two consumers and its
+    * row count is bounded by |customers|·|priorities|). The sensitive
+    * margin (5 rows) and the grand total (1 row) broadcast back; the
+    * per-class TV table is bounded by the QI space, so the t-sweep is a
+    * conditional sum over a broadcast frame — x210's free-widening shape. */
+  def x229(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = DecimalType(38, 0)
+    val qiCols = Seq("c_nationkey", "c_mktsegment", "bal_band")
+    val joined = qi(spark, dir).hint("merge")
+      .join(Tables.orders(spark, dir)
+              .select(col("o_custkey").as("c_custkey"), col("o_orderpriority")),
+            Seq("c_custkey"))
+    val perCustPrio = joined
+      .groupBy((qiCols :+ "c_custkey" :+ "o_orderpriority").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val clsS = perCustPrio
+      .groupBy((qiCols :+ "o_orderpriority").map(col): _*)
+      .agg(sum(col("n")).as("n_cs"))
+    val mem = perCustPrio.groupBy(qiCols.map(col): _*)
+      .agg(countDistinct(col("c_custkey")).as("n_members"),
+           sum(col("n")).as("n_c"))
+    val globS = clsS.groupBy("o_orderpriority").agg(sum(col("n_cs")).as("n_s"))
+    val gtot = globS.agg(sum(col("n_s")).as("n"))
+    // the L1 sum needs BOTH sides: |n_cs·N − N_s·n_c| over priorities the
+    // class HAS, plus N_s·n_c for every priority it LACKS (|0 − q_s| mass —
+    // dropping it understates TV for sparse classes; the naive-replay spec
+    // caught exactly that at sf0.001). The absent mass needs no second
+    // join: Σ_{absent} N_s = N − Σ_{present} N_s.
+    val tv = clsS
+      .join(broadcast(globS), Seq("o_orderpriority"))
+      .crossJoin(broadcast(gtot))
+      .join(mem, qiCols)
+      .groupBy(qiCols.map(col): _*)
+      .agg(sum(abs(col("n_cs").cast(dec) * col("n")
+                     - col("n_s").cast(dec) * col("n_c"))).as("num_present"),
+           sum(col("n_s").cast(dec)).as("ns_present"),
+           first(col("n_c")).as("n_c"), first(col("n_members")).as("n_members"),
+           first(col("n")).as("n"))
+      .withColumn("num", col("num_present") +
+        col("n_c").cast(dec) * (col("n").cast(dec) - col("ns_present")))
+      .withColumn("tv_ppm",
+        expr("CAST(num * 1000000 DIV (2 * CAST(n_c AS DECIMAL(38,0)) * n) AS BIGINT)"))
+    Seq(1L, 2L, 3L, 5L).toDF("t_tenths")
+      .crossJoin(broadcast(tv))
+      .groupBy("t_tenths")
+      .agg(count(lit(1)).as("n_classes"),
+           sum(when(lit(10).cast(dec) * col("num") >
+                    lit(2).cast(dec) * col("t_tenths") * col("n_c") * col("n"),
+                    1L).otherwise(0L)).cast(LongType).as("violating_classes"),
+           sum(when(lit(10).cast(dec) * col("num") >
+                    lit(2).cast(dec) * col("t_tenths") * col("n_c") * col("n"),
+                    col("n_members")).otherwise(0L)).cast(LongType)
+             .as("exposed_members"),
+           max(col("tv_ppm")).as("max_tv_ppm"))
+      .orderBy("t_tenths")
+  }
 }

@@ -574,4 +574,71 @@ object Wrangle {
               col("n_b"))
       .orderBy("name_a", "name_b")
   }
+
+  /** Fellegi–Sunter field weights in centi-log₂ units, ⌊100·log₂(m/u)⌉ /
+    * ⌊100·log₂((1−m)/(1−u))⌉ with FIXED declared priors per field —
+    * brand (m=.9, u=.04 over 25 values), size (m=.8, u=.02 over 50),
+    * adjective (m=.85, u=.125 over 8). Shared literals: the engine CASEs
+    * and the oracle SQL spell the identical integers, so match scores are
+    * exact integer sums and log₂ never crosses an engine boundary. */
+  val fsWeights: Map[String, (Long, Long)] = Map(
+    "brand" -> (449L, -326L), "size" -> (532L, -229L), "adj" -> (277L, -254L))
+
+  /** x233: PROBABILISTIC RECORD-LINKAGE SCORING (Fellegi–Sunter 1969) —
+    * the decision layer the matching family lacked: x219 measures string
+    * distance, x38 joins on fuzzy keys, x127 merges survivors, but
+    * nothing yet turns a field-agreement PATTERN into a calibrated
+    * match/possible/non-match decision. Candidate pairs block on
+    * (p_type, name noun); each pair's score sums [[fsWeights]] agreement/
+    * disagreement weights over (brand, size, name adjective); decisions
+    * cut at ≥ 900 (link — only full agreement reaches it) and ≥ 0
+    * (possible). Emits per decision the pair count, score range, and
+    * distinct agreement-pattern count.
+    *
+    * 100 TB: the pair stage NEVER touches the record square — records
+    * contract to DISTINCT (block, field-vector) combos with counts (one
+    * map-side-combined groupBy; the combo space is template-bounded, the
+    * x219 lesson), pairs form within blocks over the combo square with
+    * multiplicity cnt_a·cnt_b (same-combo pairs: C(cnt,2)), and the
+    * unordered-pair dedup is the tuple order (a ≤ b) — a condition whose
+    * orientation cancels in the symmetric aggregate, so no engine
+    * collation subtlety can shift a count. The block-keyed combo join is
+    * an equi-SMJ at any scale; everything downstream is bounded by the
+    * combo-pair space. */
+  def x233(spark: SparkSession, dir: String): DataFrame = {
+    val combos = Tables.part(spark, dir)
+      .select(col("p_type"),
+              split(col("p_name"), " ").getItem(1).as("noun"),
+              col("p_brand"), col("p_size"),
+              split(col("p_name"), " ").getItem(0).as("adj"))
+      .groupBy("p_type", "noun", "p_brand", "p_size", "adj")
+      .agg(count(lit(1)).as("cnt"))
+    def f(side: String, c: String) = col(s"$side.$c")
+    val (bA, bD) = fsWeights("brand")
+    val (sA, sD) = fsWeights("size")
+    val (aA, aD) = fsWeights("adj")
+    val sameCombo = f("a", "p_brand") === f("b", "p_brand") &&
+      f("a", "p_size") === f("b", "p_size") && f("a", "adj") === f("b", "adj")
+    val pairs = combos.as("a")
+      .join(combos.as("b"),
+            f("a", "p_type") === f("b", "p_type") &&
+              f("a", "noun") === f("b", "noun") &&
+              struct(f("a", "p_brand"), f("a", "p_size"), f("a", "adj")) <=
+                struct(f("b", "p_brand"), f("b", "p_size"), f("b", "adj")))
+      .where(!(sameCombo && f("a", "cnt") < 2))
+      .select(
+        (when(f("a", "p_brand") === f("b", "p_brand"), bA).otherwise(bD) +
+         when(f("a", "p_size") === f("b", "p_size"), sA).otherwise(sD) +
+         when(f("a", "adj") === f("b", "adj"), aA).otherwise(aD)).as("score"),
+        when(sameCombo, f("a", "cnt") * (f("a", "cnt") - 1) / 2)
+          .otherwise(f("a", "cnt") * f("b", "cnt")).cast(LongType).as("n_pairs"))
+    pairs
+      .groupBy(when(col("score") >= 900, "link")
+        .when(col("score") >= 0, "possible")
+        .otherwise("nonlink").as("decision"))
+      .agg(sum(col("n_pairs")).as("n_pairs"),
+           min(col("score")).as("min_score"), max(col("score")).as("max_score"),
+           count(lit(1)).as("n_patterns"))
+      .orderBy("decision")
+  }
 }
