@@ -129,6 +129,38 @@ object OracleSqlRound10c {
        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** x234's per-(table, column) stat blocks are GENERATED from the SAME
+    * audited-column val the engine iterates (Layout.encodingAuditCols);
+    * the ⌈log₂ ndv⌉ CASE ladder mirrors the engine's fold over 0..30. */
+  private val x234Sql: String = {
+    val ladder = (0 until 31)
+      .map(k => s"(CASE WHEN ndv > ${1L << k} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val blocks = graft.queries.Layout.encodingAuditCols.flatMap {
+      case (t, cols) => cols.map { c =>
+        s"""  SELECT '$t' AS tbl, '$c' AS col, count($c) AS n,
+           |         count(DISTINCT $c) AS ndv,
+           |         CAST(sum(strlen($c)) AS BIGINT) AS plain_bytes,
+           |         CAST(max(strlen($c)) AS BIGINT) AS max_len
+           |  FROM $t""".stripMargin
+      }
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH stats AS (
+       |$blocks),
+       |enc AS (SELECT *, ($ladder) AS dict_bits FROM stats),
+       |fin AS (
+       |  SELECT tbl, col, n, ndv, plain_bytes,
+       |         ndv * max_len + (n * dict_bits + 7) // 8 AS dict_bytes
+       |  FROM enc)
+       |SELECT tbl, col, n, ndv, plain_bytes,
+       |       CAST(dict_bytes AS BIGINT) AS dict_bytes,
+       |       CAST(dict_bytes * 1000000 // plain_bytes AS BIGINT)
+       |         AS dict_cost_ppm,
+       |       CASE WHEN dict_bytes < plain_bytes THEN 'dict' ELSE 'plain' END
+       |         AS encoding
+       |FROM fin ORDER BY tbl, col""".stripMargin
+  }
+
   val round10c: Map[String, String] = Map(
     // x229: the TV > t test with denominators cleared — 10·Σ|n_cs·N −
     // N_s·n_c| > 2·t₁₀·n_c·N — so the sweep is integer-exact; DuckDB
@@ -200,6 +232,88 @@ object OracleSqlRound10c {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x230_ndcg_eval" -> x230Sql,
     "x231_jl_distortion" -> x231Sql,
+    "x234_encoding_advisor" -> x234Sql,
+    // x235: the DV chain replayed verbatim (32-bit buckets — bit 31 is the
+    // shift ceiling: DuckDB's checked 1<<63 errors where Java wraps) plus
+    // the two-sided EXCEPT equivalence of merge-on-read vs copy-on-write.
+    "x235_deletion_vectors" ->
+      """WITH dv AS (
+        |  SELECT o_orderkey // 32 AS bucket,
+        |         bit_or(CAST(1 AS BIGINT) << CAST(o_orderkey % 32 AS INTEGER))
+        |           AS mask
+        |  FROM orders WHERE o_orderkey % 13 = 0 GROUP BY 1),
+        |mor AS (
+        |  SELECT o.* FROM orders o
+        |  LEFT JOIN dv ON dv.bucket = o.o_orderkey // 32
+        |  WHERE dv.mask IS NULL OR
+        |        (dv.mask & (CAST(1 AS BIGINT)
+        |                    << CAST(o.o_orderkey % 32 AS INTEGER))) = 0),
+        |cow AS (SELECT o.* FROM orders o WHERE o.o_orderkey % 13 <> 0),
+        |stages AS (
+        |  SELECT 'base' AS stage, count(*) AS n_rows,
+        |         CAST(coalesce(sum(round(o_totalprice * 100, 0)), 0)
+        |              AS BIGINT) AS cents
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'deleted', count(*),
+        |         CAST(coalesce(sum(round(o_totalprice * 100, 0)), 0) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT 'merge_on_read', count(*),
+        |         CAST(coalesce(sum(round(o_totalprice * 100, 0)), 0) AS BIGINT)
+        |  FROM mor),
+        |dvs AS (
+        |  SELECT count(*) AS dv_buckets,
+        |         CAST((SELECT count(*) FROM orders WHERE o_orderkey % 13 = 0)
+        |              * 1000000 // (count(*) * 32) AS BIGINT)
+        |           AS dv_density_ppm
+        |  FROM dv),
+        |mism AS (
+        |  SELECT (SELECT count(*) FROM
+        |            (SELECT o_orderkey FROM mor
+        |             EXCEPT SELECT o_orderkey FROM cow))
+        |       + (SELECT count(*) FROM
+        |            (SELECT o_orderkey FROM cow
+        |             EXCEPT SELECT o_orderkey FROM mor)) AS n_mismatch)
+        |SELECT s.stage, s.n_rows, s.cents, d.dv_buckets, d.dv_density_ppm,
+        |       m.n_mismatch = 0 AS mor_eq_cow
+        |FROM stages s CROSS JOIN dvs d CROSS JOIN mism m
+        |ORDER BY stage""".stripMargin,
+    // x236: the alignment's CLOSED FORM — matched = least(⌊t_w/250000⌋,
+    // n_frames−1) with n_frames = min(8, max(1, bytes//256)) and
+    // n_windows = ⌈bytes/512⌉ — independent arithmetic the engine's real
+    // union-sort as-of join must reproduce binding for binding (the
+    // checksum pins each one).
+    "x236_av_alignment" ->
+      """WITH mp4 AS (
+        |  SELECT doc_id, strlen(text) AS len FROM documents
+        |  WHERE doc_id % 4 = 3 AND strlen(text) > 0),
+        |base AS (
+        |  SELECT doc_id,
+        |         least(8, greatest(1, len // 256)) AS n_frames,
+        |         (len + 511) // 512 AS n_windows
+        |  FROM mp4),
+        |wins AS (
+        |  SELECT doc_id, n_frames, win,
+        |         least((win * 32000) // 250000, n_frames - 1) AS matched
+        |  FROM (SELECT doc_id, n_frames,
+        |               unnest(range(n_windows)) AS win FROM base)),
+        |agg AS (
+        |  SELECT doc_id, any_value(n_frames) AS n_frames,
+        |         count(*) AS n_windows, max(matched) + 1 AS n_frames_hit,
+        |         sum((win + 1) * (matched + 1)) AS align_checksum
+        |  FROM wins GROUP BY 1),
+        |fan AS (
+        |  SELECT doc_id, max(nw) AS max_fanin FROM (
+        |    SELECT doc_id, matched, count(*) AS nw FROM wins GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT a.doc_id, CAST(a.n_frames AS BIGINT) AS n_frames,
+        |       CAST(a.n_windows AS BIGINT) AS n_windows,
+        |       CAST(a.n_frames_hit AS BIGINT) AS n_frames_hit,
+        |       CAST(f.max_fanin AS BIGINT) AS max_fanin,
+        |       CAST(a.align_checksum AS BIGINT) AS align_checksum
+        |FROM agg a JOIN fan f USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
     // x232: the exact ⌊x·1024⌋ second-moment sketch — n at (−1,−1), the
     // coordinate sums at (k,−1), the upper-triangle product sums at
     // (k,l) — recomputed verbatim; pca_ok states the engine's power-

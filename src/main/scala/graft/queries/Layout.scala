@@ -220,6 +220,127 @@ object Layout {
       .orderBy("stage")
   }
 
+  /** x234: DICTIONARY-ENCODING ADVISOR — the column-level storage audit a
+    * lakehouse writer consults before (re)encoding a table: per audited
+    * string column, exact (n, ndv, plain bytes) plus a fixed-slot
+    * dictionary cost model — ndv·max_len value storage + ⌈n·bits/8⌉ index
+    * storage with bits = ⌈log₂ ndv⌉ — and the resulting recommendation.
+    * The cost ratio is reported as `dict_cost_ppm` (dict·10⁶ DIV plain):
+    * strictly positive, so the floor-div semantics can never straddle the
+    * truncate-vs-floor divergence a signed saving would hit (Spark DIV
+    * truncates toward zero, DuckDB // floors). ⌈log₂⌉ is an integer CASE
+    * ladder (Σ [ndv > 2^k]), never a float log. documents.text is in the
+    * audit precisely so one column recommends 'plain' — an advisor that
+    * can only ever say 'dict' isn't advising.
+    *
+    * 100 TB: ONE scan per table computes every column's aggregates —
+    * the multi-distinct aggregate rides Spark's Expand (row multiplication
+    * by #distinct groups, still a single pass + partial aggregation); the
+    * reshape to per-column rows happens on the 1-row aggregate. At real
+    * scale the same audit swaps countDistinct for approx_count_distinct
+    * per column — the advisor needs magnitude, not exactness; here
+    * exactness is what makes the key oracle-checkable. */
+  /** The audited (table, string columns) list — ONE shared val: the engine
+    * iterates it and the oracle SQL is GENERATED from it (the x215/x223
+    * device), so adding a column to the audit is a one-line change that
+    * cannot desynchronize the two sides. */
+  val encodingAuditCols: Seq[(String, Seq[String])] = Seq(
+    "orders" -> Seq("o_orderstatus", "o_orderpriority"),
+    "lineitem" -> Seq("l_returnflag", "l_linestatus"),
+    "part" -> Seq("p_brand", "p_type", "p_name"),
+    "customer" -> Seq("c_mktsegment"),
+    "documents" -> Seq("text"))
+
+  def x234(spark: SparkSession, dir: String): DataFrame = {
+    def colStats(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"n_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        sum(expr(s"octet_length($c)").cast("long")).as(s"pb_$c"),
+        max(expr(s"octet_length($c)").cast("long")).as(s"ml_$c")))
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col"), col(s"n_$c").as("n"), col(s"ndv_$c").as("ndv"),
+          col(s"pb_$c").as("plain_bytes"), col(s"ml_$c").as("max_len"))): _*))
+          .as("s"))
+        .select(lit(table).as("tbl"), col("s.col").as("col"), col("s.n").as("n"),
+                col("s.ndv").as("ndv"), col("s.plain_bytes").as("plain_bytes"),
+                col("s.max_len").as("max_len"))
+    }
+    val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "orders" -> (Tables.orders _), "lineitem" -> (Tables.lineitem _),
+      "part" -> (Tables.part _), "customer" -> (Tables.customer _),
+      "documents" -> (Tables.documents _))
+    encodingAuditCols
+      .map { case (t, cols) => colStats(loaders(t)(spark, dir), t, cols) }
+      .reduce(_ unionByName _)
+      .withColumn("dict_bits",
+        (0 until 31).map(k => when(col("ndv") > (1L << k), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .withColumn("dict_bytes",
+        col("ndv") * col("max_len") + expr("(n * dict_bits + 7) DIV 8"))
+      .select(col("tbl"), col("col"), col("n"), col("ndv"), col("plain_bytes"),
+              col("dict_bytes"),
+              expr("dict_bytes * 1000000 DIV plain_bytes").as("dict_cost_ppm"),
+              when(col("dict_bytes") < col("plain_bytes"), "dict")
+                .otherwise("plain").as("encoding"))
+      .orderBy("tbl", "col")
+  }
+
+  /** x235: DELETION-VECTOR MERGE-ON-READ — the Iceberg/Delta DV pattern,
+    * the read-side complement of x221's copy-on-write erasure: a DELETE
+    * predicate (o_orderkey ≡ 0 mod 13) materializes as a compact bitmap
+    * index — 32-bit buckets keyed by o_orderkey DIV 32, mask = OR of
+    * 1 << (key mod 32); bit 31 is the ceiling ON PURPOSE (a 1 << 63
+    * BIGINT mask overflows DuckDB's checked shift while Java wraps — the
+    * one cross-engine trap in the chain) — and the scan applies it as a
+    * broadcast mask test instead of rewriting any file. The audit emits
+    * per stage (base / deleted / merge_on_read) exact row and cents mass,
+    * the DV's bucket count and bit-density, and `mor_eq_cow`: a genuine
+    * two-sided EXCEPT proving the masked scan returns EXACTLY the rows a
+    * copy-on-write rewrite would keep — recomputed by the oracle, not
+    * asserted.
+    *
+    * 100 TB: the DV is |deletes|/32-bounded and broadcasts; merge-on-read
+    * is then a map-side mask test on an unmodified scan — zero shuffle,
+    * zero write amplification, the reason DVs exist. The audit legs cost
+    * one scan each BY DESIGN (they are the verification, run per release
+    * not per read); the equivalence check is the one deliberate keyed
+    * anti-join pair. */
+  def x235(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val del = ord.filter(col("o_orderkey") % 13 === 0)
+    val dv = del
+      .select(expr("o_orderkey DIV 32").as("bucket"),
+              expr("CAST(o_orderkey % 32 AS INT)").as("bit"))
+      .groupBy("bucket")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("mask"))
+    val mor = ord
+      .join(broadcast(dv), expr("o_orderkey DIV 32") === col("bucket"), "left")
+      .filter(col("mask").isNull ||
+        expr("mask & shiftleft(CAST(1 AS BIGINT), CAST(o_orderkey % 32 AS INT))") === 0L)
+    val cow = ord.filter(col("o_orderkey") % 13 =!= 0)
+    def cents = coalesce(
+      sum(round(col("o_totalprice") * 100, 0).cast("long")), lit(0L))
+    def stage(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_rows"), cents.as("cents"))
+        .select(lit(name).as("stage"), col("n_rows"), col("cents"))
+    val stages = stage(ord, "base")
+      .unionByName(stage(del, "deleted"))
+      .unionByName(stage(mor, "merge_on_read"))
+    val dvs = dv.agg(count(lit(1)).as("dv_buckets"))
+      .crossJoin(del.agg(count(lit(1)).as("n_del")))
+      .select(col("dv_buckets"),
+              expr("n_del * 1000000 DIV (dv_buckets * 32)").as("dv_density_ppm"))
+    val mism = mor.select("o_orderkey").except(cow.select("o_orderkey"))
+      .unionByName(cow.select("o_orderkey").except(mor.select("o_orderkey")))
+      .agg(count(lit(1)).as("n_mismatch"))
+    stages.crossJoin(broadcast(dvs)).crossJoin(broadcast(mism))
+      .select(col("stage"), col("n_rows"), col("cents"), col("dv_buckets"),
+              col("dv_density_ppm"), (col("n_mismatch") === 0L).as("mor_eq_cow"))
+      .orderBy("stage")
+  }
+
   def x197(spark: SparkSession, dir: String): DataFrame = {
     val fact = spark.table(yearPartitionedOrders(spark, dir))
     val dim = Tables.orders(spark, dir)

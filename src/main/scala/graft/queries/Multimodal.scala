@@ -373,4 +373,60 @@ object MultimodalOps {
               col("m.d").as("hamming"))
       .orderBy("doc_id")
   }
+
+  /** x236: AUDIO/VIDEO TRACK ALIGNMENT — the muxed-container operation the
+    * modality keys left implicit: an mp4 carries BOTH a frame track
+    * ([[sampleFrames]], frame f at f·250 000 µs — 4 fps) and an audio
+    * track ([[windowAudio]] on the same payload, window i at i·32 000 µs —
+    * the 512-byte hop at a declared 16 000 bytes/s), and A/V sync means
+    * every audio window binds to the LATEST frame at or before it (the
+    * subtitle/keyframe as-of rule). The engine runs the REAL as-of device
+    * (q11/x23's union-sort: both tracks union into one per-doc timeline,
+    * `last(frame, ignoreNulls)` over the time-ordered window); per doc it
+    * reports frame/window counts, the max audio fan-in of any frame, and
+    * an exact checksum Σ(win+1)·(frame+1) that pins EVERY individual
+    * binding — while the oracle states the alignment's closed form
+    * (matched = least(⌊t_w/250 000⌋, n_frames−1), frame 0 at t = 0 catches
+    * every window), so the join machinery is verified against independent
+    * arithmetic rather than a replay of itself.
+    *
+    * 100 TB: both tracks are map-only expansions of the same payload scan
+    * (bounded fan-out: ≤ 8 frames, len/hop windows); the union-sort
+    * window partitions by doc_id — per-container state, never a global
+    * sort — and the aggregate is one partial+final pass. */
+  def x236(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val media = mediaTable(spark, dir)
+      .filter(col("format") === "mp4" && col("n_bytes") > 0)
+    val frames = sampleFrames(media, maxFrames = 8).toDF()
+      .select(col("doc_id"), col("frame_id").cast(LongType).as("idx"),
+              (col("frame_id") * 250000L).as("t_us"), lit(0).as("kind"))
+    val wins = windowAudio(media).toDF()
+      .select(col("doc_id"), col("win_idx").as("idx"),
+              (col("win_idx") * 32000L).as("t_us"), lit(1).as("kind"))
+    // at equal timestamps the frame sorts FIRST (kind 0 < 1): a frame that
+    // lands exactly on a window's time is that window's binding
+    val w = Window.partitionBy("doc_id").orderBy("t_us", "kind", "idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // materialized once: the bound windows feed both the per-doc rollup
+    // and the per-frame fan-in (the multi-consumer discipline)
+    val matched = frames.unionByName(wins)
+      .withColumn("cur_frame",
+        last(when(col("kind") === 0, col("idx")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select("doc_id", "idx", "cur_frame")
+      .localCheckpoint(true)
+    val out = matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+           (max(col("cur_frame")) + 1).as("n_frames_hit"),
+           sum((col("idx") + 1) * (col("cur_frame") + 1)).as("align_checksum"))
+    val nf = frames.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    val fanin = matched.groupBy(col("doc_id"), col("cur_frame"))
+      .agg(count(lit(1)).as("nw"))
+      .groupBy("doc_id").agg(max(col("nw")).as("max_fanin"))
+    out.join(nf, "doc_id").join(fanin, "doc_id")
+      .select(col("doc_id"), col("n_frames"), col("n_windows"),
+              col("n_frames_hit"), col("max_fanin"), col("align_checksum"))
+      .orderBy("doc_id")
+  }
 }
