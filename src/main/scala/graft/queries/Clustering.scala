@@ -376,7 +376,10 @@ object Clustering {
     * tag as doc_id·4+rel, preserving the (score DESC, doc_id ASC) total
     * order), so no window sort ever touches a posting list; everything
     * after the big aggregate is ≤ 20 rows × 10 positions. */
-  def x230(spark: SparkSession, dir: String): DataFrame = {
+  /** x230's corpus stages BEFORE materialization — exposed so PlanSpec can
+    * assert the topk_pairs heap / no-window shape on the live
+    * pre-checkpoint plan (x230's localCheckpoints cut that lineage). */
+  private[graft] def x230PerQuery(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
@@ -393,13 +396,17 @@ object Clustering {
               least(col("tf"), lit(3L)).as("rel"))
       .withColumn("gain", when(col("rel") === 3, 7L)
                             .when(col("rel") === 2, 3L).otherwise(1L))
-    val per = cand.groupBy("q_tok")
+    cand.groupBy("q_tok")
       .agg(call_function("topk_pairs", col("score").cast(DoubleType),
              col("doc_id") * 4 + col("rel"), lit(10)).as("tk"),
            count(lit(1)).as("n_cands"),
            sum(when(col("gain") === 7, 1L).otherwise(0L)).as("n7"),
            sum(when(col("gain") === 3, 1L).otherwise(0L)).as("n3"),
            sum(when(col("gain") === 1, 1L).otherwise(0L)).as("n1"))
+  }
+
+  def x230(spark: SparkSession, dir: String): DataFrame = {
+    val per = x230PerQuery(spark, dir)
       .localCheckpoint(true) // 20 rows; dcg + idcg both consume it
     val wArr = array(ndcgWeightsMicro.map(lit): _*)
     val dcg = per

@@ -235,18 +235,24 @@ object Governance {
     * margin (5 rows) and the grand total (1 row) broadcast back; the
     * per-class TV table is bounded by the QI space, so the t-sweep is a
     * conditional sum over a broadcast frame — x210's free-widening shape. */
+  /** x229's fact stage BEFORE materialization — exposed so PlanSpec can
+    * assert the pinned SMJ on the live pre-checkpoint plan (the
+    * localCheckpoint in x229 cuts the lineage the assertion needs). */
+  private[graft] def x229PerCustPrio(spark: SparkSession, dir: String): DataFrame = {
+    val qiCols = Seq("c_nationkey", "c_mktsegment", "bal_band")
+    qi(spark, dir).hint("merge")
+      .join(Tables.orders(spark, dir)
+              .select(col("o_custkey").as("c_custkey"), col("o_orderpriority")),
+            Seq("c_custkey"))
+      .groupBy((qiCols :+ "c_custkey" :+ "o_orderpriority").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
   def x229(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dec = DecimalType(38, 0)
     val qiCols = Seq("c_nationkey", "c_mktsegment", "bal_band")
-    val joined = qi(spark, dir).hint("merge")
-      .join(Tables.orders(spark, dir)
-              .select(col("o_custkey").as("c_custkey"), col("o_orderpriority")),
-            Seq("c_custkey"))
-    val perCustPrio = joined
-      .groupBy((qiCols :+ "c_custkey" :+ "o_orderpriority").map(col): _*)
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+    val perCustPrio = x229PerCustPrio(spark, dir).localCheckpoint(true)
     val clsS = perCustPrio
       .groupBy((qiCols :+ "o_orderpriority").map(col): _*)
       .agg(sum(col("n")).as("n_cs"))

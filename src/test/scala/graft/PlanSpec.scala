@@ -550,4 +550,61 @@ class PlanSpec extends AnyFunSuite {
       "the request-bounded tombstone batch must ride a broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("x229: the customer-orders join stays SMJ; the t-sweep never forms a cartesian") {
+    // the fact stage pre-checkpoint (x229's localCheckpoint cuts lineage)
+    val inner = finalPlan(graft.queries.Governance.x229PerCustPrio(spark, sfSmoke))
+    // at 100 TB neither side broadcasts — the merge hint must hold
+    assert(inner.contains("SortMergeJoin"),
+      "the custkey fact join must be pinned to SMJ (x211's plan)")
+    val outer = finalPlan(graft.queries.Governance.x229(spark, sfSmoke))
+    assert(!outer.contains("CartesianProduct"),
+      "the sweep must ride broadcast frames, never an unconditional cartesian")
+  }
+
+  test("x230: the per-query top-10 is a topk_pairs heap — no window ever sorts a posting list") {
+    // the corpus stage pre-checkpoint (x230's localCheckpoint cuts lineage)
+    val p = finalPlan(graft.queries.Clustering.x230PerQuery(spark, sfSmoke))
+    assert(p.contains("topk_pairs"),
+      "the serving path must be the O(k)-heap aggregate")
+    assert(!p.contains("WindowExec"),
+      "a row_number window over postings is the anti-pattern this key avoids")
+  }
+
+  test("x231: projection and norms fold in-map — no Generate, no cartesian") {
+    val p = finalPlan(graft.queries.Clustering.x231(spark, sfSmoke))
+    assert(!p.contains("Generate"),
+      "the 8 sign-folds must be per-row array folds, never an explode")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the consecutive-id pairing must stay an equi-join")
+  }
+
+  test("x234: one scan per audited table; the multi-distinct rides Expand") {
+    val p = finalPlan(graft.queries.Layout.x234(spark, sfSmoke))
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans === 5,
+      s"five audited tables -> five scans (one each), got $scans")
+    assert(p.contains("Expand"),
+      "per-table multi-distinct must be the single-pass Expand shape")
+  }
+
+  test("x235: the deletion vector rides a broadcast into the scan — no fact shuffle for the mask test") {
+    val p = finalPlan(graft.queries.Layout.x235(spark, sfSmoke))
+    assert(p.contains("BroadcastHashJoin"),
+      "the |deletes|/32-bounded DV must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x236: the as-of window partitions by doc_id — per-container state, never a global sort") {
+    val p = finalPlan(graft.queries.MultimodalOps.x236(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"))
+    // the alignment window must carry a partition spec (the unpartitioned
+    // window is the move-everything-to-one-task anti-pattern)
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.isEmpty ||
+      winLines.forall(_.contains("doc_id")),
+      "every window in the alignment must partition by doc_id:\n" +
+        winLines.mkString("\n"))
+  }
 }
