@@ -345,6 +345,87 @@ object OracleSqlRound10c {
         |FROM (SELECT * FROM skl UNION ALL SELECT * FROM sk
         |      UNION ALL SELECT * FROM nn)
         |ORDER BY k, l""".stripMargin,
-    "x233_linkage_fs" -> x233Sql
+    "x233_linkage_fs" -> x233Sql,
+    // x237: the CEP triple — two LEADs over the (ts µs, event_id) total
+    // order; strictly consecutive, 3-day span, exact µs arithmetic
+    // (epoch_us, never fractional epoch).
+    "x237_cep_consecutive" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |         lead(event_type, 1) OVER w AS t1,
+        |         lead(event_type, 2) OVER w AS t2,
+        |         lead(epoch_us(ts), 2) OVER w AS us2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id, count(*) AS n_matches, min(us) AS first_start_us,
+        |       max(us) AS last_start_us
+        |FROM ev
+        |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+        |  AND us2 - us <= 259200000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x238: the clamp through the prefix-sum identity
+    // S_i = P_i − min(0, min_{j≤i} P_j) — two stacked per-user windows,
+    // the same declarative shape the engine plans.
+    "x238_clamped_balance" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |         sum(CASE WHEN event_type = 'purchase'
+        |                  THEN -CAST(round(value * 100, 0) AS BIGINT)
+        |                  ELSE CAST(round(value * 100, 0) AS BIGINT) END)
+        |           AS net
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT user_id, d, net,
+        |         sum(net) OVER (PARTITION BY user_id ORDER BY d
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING
+        |                        AND CURRENT ROW) AS p
+        |  FROM daily),
+        |clamp AS (
+        |  SELECT user_id, d, p,
+        |         p - least(CAST(0 AS BIGINT),
+        |                   min(p) OVER (PARTITION BY user_id ORDER BY d
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                AND CURRENT ROW)) AS bal
+        |  FROM pre)
+        |SELECT user_id, count(*) AS n_days,
+        |       CAST(max(CASE WHEN rn = 1 THEN bal END) AS BIGINT)
+        |         AS final_balance_cents,
+        |       CAST(max(bal) AS BIGINT) AS max_balance_cents,
+        |       CAST(sum(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_floor_days
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY d DESC) AS rn
+        |      FROM clamp)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x239: the skyline sweep on DISTINCT (delay, cpu) pairs — running-min
+    // cpu under (delay asc, cpu asc) order; the oracle needs no local
+    // prune (the merge theorem is the ENGINE's distribution device; the
+    // single sweep is the definition).
+    "x239_skyline_suppliers" ->
+      """WITH li AS (
+        |  SELECT l_suppkey,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |         CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+        |         epoch_us(l_shipdate) - epoch_us(o.o_orderdate) AS delay_us
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |sup AS (
+        |  SELECT l_suppkey AS suppkey,
+        |         sum(delay_us) // count(*) AS avg_delay_us,
+        |         sum(cents) * 10000 // sum(qty) AS cpu_micro
+        |  FROM li GROUP BY 1),
+        |pts AS (
+        |  SELECT avg_delay_us, cpu_micro, count(*) AS n_suppliers,
+        |         min(suppkey) AS rep_suppkey
+        |  FROM sup GROUP BY 1, 2),
+        |sweep AS (
+        |  SELECT *, min(cpu_micro) OVER (ORDER BY avg_delay_us, cpu_micro
+        |                                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                 AND 1 PRECEDING) AS best
+        |  FROM pts)
+        |SELECT CAST(avg_delay_us AS BIGINT) AS avg_delay_us,
+        |       CAST(cpu_micro AS BIGINT) AS cpu_micro,
+        |       n_suppliers, rep_suppkey
+        |FROM sweep WHERE best IS NULL OR best > cpu_micro
+        |ORDER BY avg_delay_us, cpu_micro""".stripMargin
   )
 }

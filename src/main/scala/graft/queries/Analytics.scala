@@ -259,4 +259,76 @@ object Analytics {
               (col("n_touches_total") * 1000000L).as("credit_ppm"))
     credited.unionByName(direct).orderBy("channel")
   }
+
+  /** x237: COMPLEX-EVENT-PROCESSING PATTERN MATCH — the MATCH_RECOGNIZE /
+    * Flink-CEP shape the funnel family deliberately is NOT: x53's funnel
+    * allows gaps (view … later click … later purchase); CEP demands the
+    * STRICTLY CONSECUTIVE sequence view→click→purchase in a user's event
+    * stream (no intervening event of any type) with the whole triple
+    * inside a 3-day span. Sequence order is the total order (ts µs,
+    * event_id) — the same-microsecond tiebreak that makes the match set
+    * deterministic. Per user: match count and the first/last match start.
+    *
+    * 100 TB: one user-keyed window (the q37/x53 exchange — per-user
+    * state, never a global sort); the pattern test is two LEADs + CASE
+    * inside codegen, so widening the pattern alphabet or length is free;
+    * the aggregate is partial+final on the same user keying. */
+  def x237(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              unix_micros(col("ts")).as("us"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .withColumn("us2", lead(col("us"), 2).over(w))
+      .filter(col("event_type") === "view" && col("t1") === "click" &&
+                col("t2") === "purchase" &&
+                col("us2") - col("us") <= 259200000000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_matches"),
+           min(col("us")).as("first_start_us"),
+           max(col("us")).as("last_start_us"))
+      .orderBy("user_id")
+  }
+
+  /** x238: CLAMPED RUNNING BALANCE — the inventory/credit-ledger fold SQL
+    * window functions famously "can't" express: daily net cents per user
+    * (purchases debit, everything else credits), accumulated under a
+    * floor-at-zero clamp (balance never goes negative — the overdraft /
+    * stock-out rule). The sequential recurrence S_i = max(0, S_{i−1}+x_i)
+    * IS windowable through the prefix-sum identity
+    * S_i = P_i − min(0, min_{j≤i} P_j) for a one-sided clamp (proved
+    * against the sequential fold in Round10eSpec), so the engine stays
+    * declarative — two stacked per-user windows, no mapPartitions, no
+    * recursion. Per user: days, final/max balance, days the floor binds.
+    *
+    * 100 TB: one (user, day) partial+final rollup, then both window
+    * passes ride ONE user-keyed exchange (same partitioning, Spark plans
+    * a single sort); per-user day counts are calendar-bounded. */
+  def x238(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("d").desc)
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"),
+              when(col("event_type") === "purchase",
+                   -round(col("value") * 100, 0).cast(LongType))
+                .otherwise(round(col("value") * 100, 0).cast(LongType))
+                .as("cents"))
+      .groupBy("user_id", "d").agg(sum(col("cents")).as("net"))
+    daily
+      .withColumn("p", sum(col("net")).over(w))
+      .withColumn("bal", col("p") - least(lit(0L), min(col("p")).over(w)))
+      .withColumn("rn", row_number().over(wd))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"),
+           max(when(col("rn") === 1, col("bal"))).as("final_balance_cents"),
+           max(col("bal")).as("max_balance_cents"),
+           sum(when(col("bal") === 0L, 1L).otherwise(0L)).as("n_floor_days"))
+      .orderBy("user_id")
+  }
 }

@@ -395,4 +395,69 @@ object Mining {
               col("qty").cast("double").as("total_qty"))
       .orderBy("o_orderkey")
   }
+
+  /** x239: SKYLINE (PARETO FRONTIER) — the preference-query operator: the
+    * suppliers no other supplier beats on BOTH procurement dimensions
+    * (mean delivery delay and cost per unit, both minimized; exact
+    * integer µs / floor-DIV micro-cents). Points contract to DISTINCT
+    * (delay, cpu) pairs FIRST — on distinct pairs the sweep predicate
+    * "running-min cpu ≤ my cpu under (delay asc, cpu asc) order ⟺
+    * dominated" is exact, while on raw rows an equal-pair twin would be
+    * misdropped. Output: each frontier point with its supplier count and
+    * representative (min) suppkey.
+    *
+    * DISTRIBUTED BY THE MERGE THEOREM: skyline(A ∪ B) = skyline(
+    * skyline(A) ∪ skyline(B)) — a partition-local prune (window keyed by
+    * the physical partition id) shrinks every partition to its own
+    * staircase BEFORE the global sweep, and the final single-partition
+    * window runs over ≤ (#partitions × local-staircase) rows, not the
+    * point set. The local prune is a pure optimization: ANY point it
+    * keeps beyond the true skyline is removed by the exact global sweep,
+    * so the result is invariant to partitioning (the 4-partition matrix
+    * leg exercises exactly that).
+    *
+    * 100 TB: the supplier rollup is the one fact-keyed shuffle (the
+    * lineitem⋈orders SMJ feeding a suppkey partial+final agg); the pair
+    * contraction is bounded by |suppliers|; the prune+sweep then runs on
+    * staircase-sized frames. */
+  def x239(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+              round(col("l_extendedprice") * 100, 0).cast(LongType).as("cents"),
+              round(col("l_quantity"), 0).cast(LongType).as("qty"),
+              // NTZ parquet timestamps cast through TIMESTAMP under the
+              // session's pinned UTC (the Organize5 convention)
+              expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("ship_us"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"),
+              expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("ord_us"))
+    val sup = li.hint("merge").join(ord, "l_orderkey")
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(sum(col("cents")).as("cents"), sum(col("qty")).as("qty"),
+           sum(col("ship_us") - col("ord_us")).as("delay_sum"),
+           count(lit(1)).as("n"))
+      .select(col("suppkey"),
+              expr("delay_sum DIV n").as("avg_delay_us"),
+              expr("cents * 10000 DIV qty").as("cpu_micro"))
+    val pts = sup.groupBy("avg_delay_us", "cpu_micro")
+      .agg(count(lit(1)).as("n_suppliers"), min(col("suppkey")).as("rep_suppkey"))
+    // partition-local prune (the merge theorem's skyline(A) stage)
+    val local = Window.partitionBy("pid")
+      .orderBy(col("avg_delay_us"), col("cpu_micro"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pruned = pts.withColumn("pid", spark_partition_id())
+      .withColumn("lbest", min(col("cpu_micro")).over(local))
+      .filter(col("lbest").isNull || col("lbest") > col("cpu_micro"))
+      .drop("pid", "lbest")
+    // exact global sweep over the staircase-bounded survivor frame
+    val global = Window.orderBy(col("avg_delay_us"), col("cpu_micro"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pruned
+      .withColumn("best", min(col("cpu_micro")).over(global))
+      .filter(col("best").isNull || col("best") > col("cpu_micro"))
+      .select(col("avg_delay_us"), col("cpu_micro"), col("n_suppliers"),
+              col("rep_suppkey"))
+      .orderBy("avg_delay_us", "cpu_micro")
+  }
 }
