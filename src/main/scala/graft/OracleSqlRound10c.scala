@@ -161,6 +161,60 @@ object OracleSqlRound10c {
        |FROM fin ORDER BY tbl, col""".stripMargin
   }
 
+  private val x237Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+      |         lead(event_type, 1) OVER w AS t1,
+      |         lead(event_type, 2) OVER w AS t2,
+      |         lead(epoch_us(ts), 2) OVER w AS us2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      |SELECT user_id, count(*) AS n_matches, min(us) AS first_start_us,
+      |       max(us) AS last_start_us
+      |FROM ev
+      |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      |  AND us2 - us <= 259200000000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** x241's per-width distortion devs are GENERATED from the same
+    * [[graft.queries.Clustering.jlSignsM]] formula the engine folds. */
+  private val x241Sql: String = {
+    val ms = Seq(4, 8, 16, 32)
+    val devDefs = ms.map { m =>
+      val djs = graft.queries.Clustering.jlSignsM(m).map(s =>
+        s"CAST(list_sum([d[i+1] * ([${s.mkString(", ")}])[i+1] FOR i IN range(64)]) AS BIGINT)")
+      val sd2 = djs.map(e => s"($e) * ($e)").mkString(" + ")
+      s"abs(($sd2) * 1000000 // ($m * den) - 1000000) AS dev_$m"
+    }.mkString(",\n    ")
+    val unions = ms.map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS m, count(*) AS n_pairs,
+         |       CAST(sum(dev_$m) // count(*) AS BIGINT) AS mean_abs_dev_ppm,
+         |       CAST(max(dev_$m) AS BIGINT) AS worst_dev_ppm,
+         |       CAST(sum(CASE WHEN dev_$m <= 250000 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_within_25pct
+         |FROM proj""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(u AS DOUBLE) * 1024) AS BIGINT) FOR u IN embedding] AS qe
+       |  FROM embeddings),
+       |pr AS (
+       |  SELECT a.vec_id AS id_a,
+       |    [a.qe[i+1] - b.qe[i+1] FOR i IN range(64)] AS d
+       |  FROM qv a JOIN qv b ON b.vec_id = a.vec_id + 1
+       |  WHERE a.vec_id % 2 = 0),
+       |base AS (
+       |  SELECT id_a, d,
+       |    CAST(list_sum([d[i+1] * d[i+1] FOR i IN range(64)]) AS BIGINT) AS den
+       |  FROM pr),
+       |proj AS (
+       |  SELECT id_a,
+       |    $devDefs
+       |  FROM base WHERE den > 0)
+       |$unions
+       |ORDER BY m""".stripMargin
+  }
+
   val round10c: Map[String, String] = Map(
     // x229: the TV > t test with denominators cleared — 10·Σ|n_cs·N −
     // N_s·n_c| > 2·t₁₀·n_c·N — so the sweep is integer-exact; DuckDB
@@ -349,20 +403,13 @@ object OracleSqlRound10c {
     // x237: the CEP triple — two LEADs over the (ts µs, event_id) total
     // order; strictly consecutive, 3-day span, exact µs arithmetic
     // (epoch_us, never fractional epoch).
-    "x237_cep_consecutive" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
-        |         lead(event_type, 1) OVER w AS t1,
-        |         lead(event_type, 2) OVER w AS t2,
-        |         lead(epoch_us(ts), 2) OVER w AS us2
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
-        |SELECT user_id, count(*) AS n_matches, min(us) AS first_start_us,
-        |       max(us) AS last_start_us
-        |FROM ev
-        |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
-        |  AND us2 - us <= 259200000000
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x237_cep_consecutive" -> x237Sql,
+    // x240: the STREAMING CEP twin registers x237's oracle VERBATIM — the
+    // single-batch replay hands each user's whole sequence to one handler
+    // call, so the incremental processor must reproduce the batch answer
+    // bit for bit (cross-batch straddle semantics live in StreamingSpec).
+    "x240_stream_cep" -> x237Sql,
+    "x241_jl_dim_curve" -> x241Sql,
     // x238: the clamp through the prefix-sum identity
     // S_i = P_i − min(0, min_{j≤i} P_j) — two stacked per-user windows,
     // the same declarative shape the engine plans.

@@ -493,6 +493,83 @@ object Clustering {
       .orderBy("bucket")
   }
 
+  /** x241's sign family, one GENERATOR for any (j, k) so a single shared
+    * formula yields every output dimensionality: s_{j,k} = ±1 by the low
+    * bit of the splitmix64 finalizer over index j·64+k. The avalanche mix
+    * matters: a linear-congruential parity left rows nearly identical
+    * (measured max |row·row'| = 62 of 64 at m = 32 — a rank-deficient
+    * "random" projection), where splitmix64 gives the iid-quality bits
+    * the JL concentration bound assumes (max |row·row'| ≈ √64-scale).
+    * The hash runs ONLY in Scala — both engines consume the resulting
+    * ±1 arrays as literals (the x223 device), so portability costs
+    * nothing and the generator can be a real mixer. */
+  def jlSignsM(m: Int): Seq[IndexedSeq[Long]] =
+    (0 until m).map { j =>
+      (0 until 64).map { k =>
+        var z = (j * 64L + k) + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        if ((z & 1L) == 0L) 1L else -1L
+      }
+    }
+
+  /** x241: JL DIMENSION CURVE — the decision x231's single-m audit sets
+    * up: HOW MANY sketch dimensions does this corpus need? The same
+    * quantized pair distances projected at m ∈ {4, 8, 16, 32} via
+    * [[jlSignsM]], reporting per m the mean and worst absolute distortion
+    * (|ratio − 1| in exact ppm) and the count of pairs within ±25%. The
+    * measured concentration-vs-m curve is the empirical
+    * Johnson–Lindenstrauss story — the audit that picks m before a
+    * pipeline commits to a sketch width.
+    *
+    * 100 TB: all 60 sign-folds (4+8+16+32) are per-pair in-map array
+    * arithmetic — no explode, no shuffle beyond the x231 pairing join and
+    * the final 4-row aggregate; per-pair values are corpus-size-
+    * independent BIGINTs (the Cauchy–Schwarz ceiling ΣD² ≤ m·64·‖d‖²
+    * bounds every ratio at 64×10⁶ ppm regardless of m). */
+  def x241(spark: SparkSession, dir: String): DataFrame = {
+    val ms = Seq(4, 8, 16, 32)
+    val qv = Tables.embeddings(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))")
+        .as("qe"))
+    val pairs = qv.filter(col("vec_id") % 2 === 0).as("a")
+      .join(qv.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+      .select(col("a.vec_id").as("id_a"),
+              expr("zip_with(a.qe, b.qe, (x, y) -> x - y)").as("d"))
+      .withColumn("den",
+        expr("aggregate(transform(d, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .filter(col("den") > 0)
+    val withRatios = ms.foldLeft(pairs) { (df, m) =>
+      val signs = jlSignsM(m)
+      val djs = signs.zipWithIndex.map { case (s, j) =>
+        s"""aggregate(zip_with(d, array(${s.mkString(", ")}),
+           |  (x, s) -> x * s), CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
+          .stripMargin
+      }
+      val sd2 = djs.map(e => s"($e) * ($e)").mkString(" + ")
+      df.withColumn(s"dev_$m",
+        expr(s"abs(($sd2) * 1000000 DIV ($m * den) - 1000000)"))
+    }
+    // ONE aggregation pass for all four widths (re-aggregating per m would
+    // re-run the pairing join four times), reshaped to 4 rows after
+    val aggs = count(lit(1)).as("n_pairs") +: ms.flatMap(m => Seq(
+      expr(s"sum(dev_$m) DIV count(1)").as(s"mean_$m"),
+      max(col(s"dev_$m")).as(s"worst_$m"),
+      sum(when(col(s"dev_$m") <= 250000L, 1L).otherwise(0L)).as(s"win_$m")))
+    withRatios.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ms.map(m => struct(
+        lit(m.toLong).as("m"), col("n_pairs"),
+        col(s"mean_$m").as("mean_abs_dev_ppm"),
+        col(s"worst_$m").as("worst_dev_ppm"),
+        col(s"win_$m").as("n_within_25pct"))): _*)).as("s"))
+      .select(col("s.m").as("m"), col("s.n_pairs").as("n_pairs"),
+              col("s.mean_abs_dev_ppm").as("mean_abs_dev_ppm"),
+              col("s.worst_dev_ppm").as("worst_dev_ppm"),
+              col("s.n_within_25pct").as("n_within_25pct"))
+      .orderBy("m")
+  }
+
   /** x232: TOP PRINCIPAL COMPONENT, POWER ITERATION — the dimensionality-
     * reduction member of the embedding family (x45 quantizes, x141/x182
     * product-quantize, x231 random-projects; PCA is the data-DEPENDENT

@@ -137,6 +137,77 @@ class TypeCountsProcessor extends StatefulProcessor[Long, TypedEvent, UserTypeCo
   }
 }
 
+/** x240 state: the carried two-event tail (a CEP match can straddle a
+  * micro-batch boundary) plus the lifetime match statistics. Tail slots
+  * are (type, µs, event_id) with presence flags — fixed O(1) state per
+  * user, the pattern-length−1 buffer every CEP runtime keeps. */
+case class CepTail(t1: String, us1: Long, id1: Long, has1: Boolean,
+                   t2: String, us2: Long, id2: Long, has2: Boolean,
+                   n_matches: Long, first_us: Long, last_us: Long)
+/** x240 output: a user's lifetime match stats as of the processed batch. */
+case class CepMatches(user_id: Long, n_matches: Long,
+                      first_start_us: Long, last_start_us: Long)
+
+/** x240 processor: STREAMING CEP — x237's strictly-consecutive
+  * view→click→purchase triple detected INCREMENTALLY: per user the
+  * `ValueState` carries exactly the last two events (pattern length − 1),
+  * so a triple whose purchase arrives three micro-batches after its view
+  * still fires, and state is O(1) per user forever — the Flink-CEP
+  * partial-match buffer specialized to a fixed pattern. No match is ever
+  * double-counted: every triple found in (tail ++ batch) ends in a
+  * batch-new event (the tail holds only 2 < 3 events), and a triple
+  * counted earlier had its purchase consumed into history. Within a batch
+  * rows sort by (event-time µs, event_id) — the x134 convention; ACROSS
+  * batches the processor assumes per-user in-order delivery (the standard
+  * CEP contract a watermark enforces upstream), which the single-batch
+  * replay and the boundary-straddle spec both honor. */
+class CepProcessor extends StatefulProcessor[Long, TypedEvent, CepMatches] {
+  private val Span = 259200000000L // 3 days in µs
+  @transient private var st: ValueState[CepTail] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[CepTail](
+      "cep_tail", Encoders.product[CepTail], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[TypedEvent],
+                               timers: TimerValues): Iterator[CepMatches] = {
+    val incoming = rows.map { e =>
+      val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000
+      (e.event_type, us, e.event_id)
+    }.toSeq.sortBy { case (_, us, id) => (us, id) }
+    val prev = if (st.exists()) st.get()
+               else CepTail("", 0L, 0L, false, "", 0L, 0L, false,
+                            0L, Long.MaxValue, Long.MinValue)
+    val tail = (if (prev.has1) Seq((prev.t1, prev.us1, prev.id1)) else Nil) ++
+               (if (prev.has2) Seq((prev.t2, prev.us2, prev.id2)) else Nil)
+    val seq = tail ++ incoming
+    var n = prev.n_matches
+    var first = prev.first_us
+    var last = prev.last_us
+    var i = 0
+    while (i + 2 < seq.length) {
+      if (seq(i)._1 == "view" && seq(i + 1)._1 == "click" &&
+          seq(i + 2)._1 == "purchase" && seq(i + 2)._2 - seq(i)._2 <= Span) {
+        n += 1
+        if (seq(i)._2 < first) first = seq(i)._2
+        if (seq(i)._2 > last) last = seq(i)._2
+      }
+      i += 1
+    }
+    val nt = seq.takeRight(2)
+    val updated = nt match {
+      case Seq(a, b) => CepTail(a._1, a._2, a._3, true, b._1, b._2, b._3, true,
+                                n, first, last)
+      case Seq(a) => CepTail(a._1, a._2, a._3, true, "", 0L, 0L, false,
+                             n, first, last)
+      case _ => prev.copy(n_matches = n, first_us = first, last_us = last)
+    }
+    st.update(updated)
+    if (n > 0) Iterator.single(CepMatches(user, n, first, last))
+    else Iterator.empty
+  }
+}
+
 /** Structured Streaming operators x02–x04 (SURVEY.md §2.5): the
   * streaming-proper twins of the batch window queries q35/q37.
   *
@@ -582,6 +653,32 @@ object StreamingOps {
     runToTable(spark, typeCounts(eventsStream(spark, dir)).toDF(),
                s"x216_sink_${System.nanoTime()}", "update")
       .orderBy("user_id", "event_type")
+
+  /** x240 transform: the [[CepProcessor]] over the keyed event stream —
+    * factored out so the MemoryStream spec can drive a boundary-straddling
+    * triple across batches (the part the single-batch oracle can't see). */
+  def cepMatches(events: DataFrame): Dataset[CepMatches] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withWatermark("ts", "10 minutes")
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new CepProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** x240 entry: on the single-batch replay every user's whole sequence
+    * arrives in one handler call (sorted by the x134 (µs, event_id)
+    * convention), so the output IS x237's batch answer — the registered
+    * oracle is x237's SQL verbatim. The genuinely streaming behavior — a
+    * triple split view,click | purchase across batches firing on arrival
+    * of the purchase, with O(1) carried state — is pinned in
+    * StreamingSpec. */
+  def x240(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, cepMatches(eventsStream(spark, dir)).toDF(),
+               s"x240_sink_${System.nanoTime()}", "update")
+      .orderBy("user_id")
 
   /** x149: CHAINED STATEFUL WINDOW AGGREGATIONS — a 10-minute tumbling
     * count per event type re-aggregated to hourly (max, sum) INSIDE the

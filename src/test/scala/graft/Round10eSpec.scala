@@ -124,4 +124,48 @@ class Round10eSpec extends AnyFunSuite {
     val merged = skylineOf(chunks.flatMap(skylineOf(_).toSeq))
     assert(merged === skylineOf(pairs))
   }
+
+  // ---------------------------------------------------------------- x241
+
+  test("x241 equals a naive replay; Cauchy-Schwarz ppm ceiling; sign quality") {
+    val ms = Seq(4, 8, 16, 32)
+    // sign-family quality theorem (deterministic in the generator): no two
+    // rows of the widest family are near-parallel — |row.row'| stays at
+    // sqrt(64) scale, the iid-ness JL concentration actually needs. (The
+    // earlier LCG-parity generator measured |row.row'| = 62/64 here.)
+    val s32 = graft.queries.Clustering.jlSignsM(32)
+    for (i <- s32.indices; j <- i + 1 until 32) {
+      val dot = s32(i).zip(s32(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot) <= 32, s"rows $i,$j near-parallel: dot=$dot")
+    }
+    val qv = Tables.embeddings(spark, sfSmoke)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+                 r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1024).toLong)
+                   .toArray)).toMap
+    val devs = qv.keys.toSeq.filter(id => id % 2 == 0 && qv.contains(id + 1))
+      .flatMap { id =>
+        val d = qv(id).zip(qv(id + 1)).map { case (a, b) => a - b }
+        val den = d.map(x => x * x).sum
+        if (den == 0L) None else Some(ms.map { m =>
+          val sd2 = graft.queries.Clustering.jlSignsM(m).map { s =>
+            val dj = d.zip(s).map { case (x, sg) => x * sg }.sum; dj * dj
+          }.sum
+          m -> math.abs(sd2 * 1000000L / (m * den) - 1000000L)
+        }.toMap)
+      }
+    val want = ms.map { m =>
+      val xs = devs.map(_(m))
+      (m.toLong, xs.size.toLong, xs.sum / xs.size, xs.max,
+       xs.count(_ <= 250000L).toLong)
+    }
+    val got = graft.queries.Clustering.x241(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).toSeq
+    assert(got === want)
+    // Cauchy-Schwarz: sum_j D_j^2 <= m*64*||d||^2, so every ratio is at most
+    // 64e6 ppm and every deviation at most 63e6 ppm — corpus-independent.
+    got.foreach { case (m, n, mean, worst, win) =>
+      assert(worst <= 63000000L && mean <= worst && win <= n, s"m=$m") }
+  }
 }

@@ -565,4 +565,54 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("x240 CEP match straddling a micro-batch boundary fires; no double count") {
+    import graft.streaming.StreamingOps
+    // The part x240's single-batch oracle cannot witness: the carried
+    // two-event tail lets a view,click | purchase triple SPLIT across
+    // batches fire when the purchase arrives, while an already-counted
+    // triple is never re-counted (its view left the 2-slot tail).
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, StreamingOps.RocksDbProvider)
+    try {
+      val mem = MemoryStream[Ev](spark)
+      val q = StreamingOps.cepMatches(mem.toDF).toDF.writeStream
+        .format("memory").queryName("x240_test").outputMode("update").start()
+      // u1: view,click only (partial — must NOT fire yet)
+      // u2: full triple in-batch (fires now; purchase ends up in the tail)
+      // u3: view,signup,click,purchase — NOT consecutive, never fires
+      // u4: triple whose purchase is 5000 min after the view — span>3d, no fire
+      mem.addData(Seq(
+        Ev(1, ts(0), 1, "view", 1.0, "{}"),  Ev(2, ts(1), 1, "click", 1.0, "{}"),
+        Ev(3, ts(0), 2, "view", 1.0, "{}"),  Ev(4, ts(1), 2, "click", 1.0, "{}"),
+        Ev(5, ts(2), 2, "purchase", 1.0, "{}"),
+        Ev(6, ts(0), 3, "view", 1.0, "{}"),  Ev(7, ts(1), 3, "signup", 1.0, "{}"),
+        Ev(8, ts(2), 3, "click", 1.0, "{}"), Ev(9, ts(3), 3, "purchase", 1.0, "{}"),
+        Ev(10, ts(0), 4, "view", 1.0, "{}"), Ev(11, ts(1), 4, "click", 1.0, "{}"),
+        Ev(12, ts(5000), 4, "purchase", 1.0, "{}")))
+      q.processAllAvailable()
+      val row = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val afterB1 = spark.table("x240_test").collect().map(row).toSeq
+      assert(afterB1 === Seq((2L, 1L, 0L, 0L)),
+        s"only u2's in-batch triple may fire in batch 1, got $afterB1")
+      // batch 2: u1's purchase completes the straddled triple (tail held
+      // view,click); u2 gets a lone view — lifetime stats re-emit UNCHANGED
+      // (tail was click,purchase: the counted triple cannot re-form)
+      mem.addData(Seq(Ev(13, ts(2), 1, "purchase", 1.0, "{}"),
+                      Ev(14, ts(10), 2, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      q.stop()
+      val b2 = spark.table("x240_test").collect().map(row).toSeq
+        .diff(afterB1) // multiset diff: u2's re-emission equals its b1 row
+      assert(b2.toSet === Set((1L, 1L, 0L, 0L), (2L, 1L, 0L, 0L)),
+        s"batch 2 must fire u1's straddled match and re-emit u2 once, got $b2")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(conf, p)
+        case None => spark.conf.unset(conf)
+      }
+    }
+  }
 }
