@@ -257,5 +257,6 @@ object OracleSql {
       OracleSqlFeatures.features ++ OracleSqlRound8.round8 ++
       OracleSqlRound8b.round8b ++ OracleSqlRound8c.round8c ++ OracleSqlRound8d.round8d ++
       OracleSqlRound9.round9 ++ OracleSqlRound10.round10 ++
-      OracleSqlRound10b.round10b ++ OracleSqlRound10c.round10c
+      OracleSqlRound10b.round10b ++ OracleSqlRound10c.round10c ++
+      OracleSqlRound10d.round10d
 }

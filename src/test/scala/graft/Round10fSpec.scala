@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-10 sixth batch: x242 Hilbert-curve layout audit. The exhaustive
+  * grid replay carries the real theorems: the shared portable arithmetic
+  * IS the classic xy2d recursion (bijective over all 65 536 cells), every
+  * consecutive Hilbert step is grid-adjacent (the property Z-order lacks
+  * — counted, not assumed), and the engine audit equals a naive replay.
+  */
+class Round10fSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfSmoke}
+  import graft.engine.Tables
+
+  /** The classic top-down Hilbert xy2d (bit-ops + mutable swap form) —
+    * deliberately NOT the shared div/mod/CASE arithmetic, so agreement is
+    * evidence, not tautology. */
+  private def xy2d(x0: Int, y0: Int): Int = {
+    var x = x0; var y = y0; var d = 0; var s = 128
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = 255 - x; y = 255 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** JVM interpreter of the SHARED per-level column chain (the engine/
+    * oracle arithmetic, replayed literally). */
+  private def sharedHd8(px: Int, py: Int): Int = {
+    var x = px; var y = py; var d = 0
+    (0 until 8).foreach { i =>
+      val s = (1 << (7 - i))
+      val rx = (x / s) % 2
+      val ry = (y / s) % 2
+      d += s * s * (if (rx == 0) ry else 3 - ry)
+      val nx = if (ry == 1) x else if (rx == 1) 255 - y else y
+      val ny = if (ry == 1) y else if (rx == 1) 255 - x else x
+      x = nx; y = ny
+    }
+    d
+  }
+
+  test("x242: shared arithmetic ≡ classic xy2d, bijective, unit-step adjacent; Z-order is not") {
+    val cells = for (x <- 0 until 256; y <- 0 until 256) yield (x, y)
+    val inv = new Array[(Int, Int)](65536)
+    cells.foreach { case (x, y) =>
+      val d = sharedHd8(x, y)
+      assert(d == xy2d(x, y), s"mismatch at ($x,$y)")
+      assert(inv(d) == null, s"collision at d=$d") // bijectivity
+      inv(d) = (x, y)
+    }
+    val hilbertJumps = (0 until 65535).count { d =>
+      val (ax, ay) = inv(d); val (bx, by) = inv(d + 1)
+      math.abs(ax - bx) + math.abs(ay - by) != 1
+    }
+    assert(hilbertJumps == 0) // THE Hilbert locality theorem
+
+    // Z-order (Morton) on the same grid has non-adjacent consecutive steps
+    val zinv = new Array[(Int, Int)](65536)
+    cells.foreach { case (x, y) =>
+      var z = 0
+      (0 until 8).foreach { i =>
+        z |= ((x >> i) & 1) << (2 * i); z |= ((y >> i) & 1) << (2 * i + 1)
+      }
+      zinv(z) = (x, y)
+    }
+    val zJumps = (0 until 65535).count { z =>
+      val (ax, ay) = zinv(z); val (bx, by) = zinv(z + 1)
+      math.abs(ax - bx) + math.abs(ay - by) != 1
+    }
+    assert(zJumps > 0, "Morton should jump; Hilbert's advantage is real")
+  }
+
+  test("x242 equals a naive per-row replay at sf0.001") {
+    val rows = Tables.lineitem(spark, sfSmoke)
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val maxp = rows.map(_._1).max
+    val maxs = rows.map(_._2).max
+    val want = rows
+      .map { case (p, s) =>
+        val px = (p * 256 / (maxp + 1)).toInt
+        val py = (s * 256 / (maxs + 1)).toInt
+        (xy2d(px, py) / 256, px, py)
+      }
+      .groupBy(_._1)
+      .map { case (tile, xs) =>
+        (tile.toLong, xs.length.toLong,
+         xs.map(_._2).min.toLong, xs.map(_._2).max.toLong,
+         xs.map(_._3).min.toLong, xs.map(_._3).max.toLong)
+      }.toSet
+    val got = graft.queries.Layout2.x242(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5))).toSet
+    assert(want.nonEmpty && got === want)
+  }
+}
