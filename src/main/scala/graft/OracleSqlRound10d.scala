@@ -27,6 +27,40 @@ object OracleSqlRound10d {
         |       CAST(MAX(py) AS BIGINT) AS max_py
         |FROM (${graft.engine.Hilbert.nestedSql(base)})
         |GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+
+    // x243: positions materialize only in the oracle (unnest + subscripts
+    // + self-join); the engine's in-map adjacent-bigram transform computes
+    // the same pairs without ever forming a position table.
+    "x243_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |           AS ts
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS p
+        |  FROM toks),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY 1),
+        |top10 AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 10),
+        |pairs AS (
+        |  SELECT a.doc_id, a.tok AS t1, b.tok AS t2
+        |  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1),
+        |succ AS (
+        |  SELECT t1, t2, COUNT(*) AS cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY t1
+        |                            ORDER BY COUNT(*) DESC, t2) AS rn
+        |  FROM pairs WHERE t1 IN (SELECT tok FROM top10) GROUP BY 1, 2),
+        |phrases AS (
+        |  SELECT s.t1, s.t2, s.cnt, t.df AS df1
+        |  FROM succ s JOIN top10 t ON t.tok = s.t1 WHERE s.rn = 1),
+        |hits AS (
+        |  SELECT ph.t1, ph.t2, ph.df1, ph.cnt, p.doc_id
+        |  FROM pairs p JOIN phrases ph ON p.t1 = ph.t1 AND p.t2 = ph.t2)
+        |SELECT t1 || ' ' || t2 AS phrase, CAST(df1 AS BIGINT) AS df1,
+        |       COUNT(DISTINCT doc_id) AS n_docs,
+        |       CAST(MIN(cnt) AS BIGINT) AS n_occ,
+        |       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM hits GROUP BY 1, 2 ORDER BY 1""".stripMargin
   )
 }

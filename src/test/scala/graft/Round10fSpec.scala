@@ -101,4 +101,34 @@ class Round10fSpec extends AnyFunSuite {
                  r.getLong(4), r.getLong(5))).toSet
     assert(want.nonEmpty && got === want)
   }
+
+  // ---------------------------------------------------------------- x243
+
+  test("x243 equals a naive phrase-search replay at sf0.001") {
+    val docs = Tables.documents(spark, sfSmoke)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+                 r.getString(1).toLowerCase.split(" ", -1)
+                   .filter(_.nonEmpty).toSeq))
+    val df = docs.flatMap { case (d, ts) => ts.distinct.map(_ -> d) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.length }
+    val top10 = df.toSeq.sortBy { case (t, n) => (-n, t) }.take(10)
+    val bigr = docs.flatMap { case (d, ts) =>
+      ts.zip(ts.drop(1)).map(p => (d, p._1, p._2)) }
+    val cnt = bigr.groupBy(p => (p._2, p._3))
+      .map { case (k, xs) => k -> xs.length }
+    val want = top10.map { case (t1, df1) =>
+      val (t2, n) = cnt.collect { case ((a, b), c) if a == t1 => (b, c) }
+        .toSeq.sortBy { case (b, c) => (-c, b) }.head
+      val hitDocs = bigr.collect { case (d, a, b) if a == t1 && b == t2 => d }
+      // containment monotonicity: every matching doc holds the head token
+      assert(hitDocs.distinct.length <= df1)
+      (s"$t1 $t2", df1.toLong, hitDocs.distinct.length.toLong, n.toLong,
+       hitDocs.min)
+    }.toSet
+    val got = graft.queries.TextSearch.x243(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).toSet
+    assert(want.nonEmpty && got === want)
+  }
 }
