@@ -61,6 +61,25 @@ object OracleSqlRound10d {
         |       COUNT(DISTINCT doc_id) AS n_docs,
         |       CAST(MIN(cnt) AS BIGINT) AS n_occ,
         |       CAST(MIN(doc_id) AS BIGINT) AS first_doc
-        |FROM hits GROUP BY 1, 2 ORDER BY 1""".stripMargin
+        |FROM hits GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // x244: the 16 replicate branches are GENERATED from the same shared
+    // thresholds/mixers the engine folds (graft.queries.StatProtocol).
+    "x244_poisson_bootstrap" -> {
+      import graft.queries.StatProtocol._
+      val sels = (0 until bootstrapReps).map { r =>
+        val ladder = poissonLadderSql("h")
+        s"""SELECT $r AS rep, SUM(w) AS n_eff, SUM(w * cents) AS sum_cents
+          |FROM (SELECT $ladder AS w, cents FROM (
+          |  SELECT (o_orderkey * $mixA + ${(r + 1) * mixB}) % $mersenne AS h,
+          |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          |  FROM orders))""".stripMargin
+      }
+      s"""SELECT CAST(rep AS BIGINT) AS rep, CAST(n_eff AS BIGINT) AS n_eff,
+        |       CAST(sum_cents AS BIGINT) AS sum_cents,
+        |       CAST(CAST(sum_cents AS HUGEINT) * 1000000
+        |            // CAST(n_eff AS HUGEINT) AS BIGINT) AS mean_micros
+        |FROM (${sels.mkString(" UNION ALL ")}) ORDER BY rep""".stripMargin
+    }
   )
 }

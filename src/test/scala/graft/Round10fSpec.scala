@@ -131,4 +131,57 @@ class Round10fSpec extends AnyFunSuite {
                  r.getLong(4))).toSet
     assert(want.nonEmpty && got === want)
   }
+
+  // ---------------------------------------------------------------- x244
+
+  test("x244 ladder is the Poisson(1) CDF; discretized mean weight is 1") {
+    import graft.queries.StatProtocol._
+    // independent high-precision derivation of the CDF
+    val mc = new java.math.MathContext(50)
+    val e1 = new java.math.BigDecimal(1.0)
+      .divide(new java.math.BigDecimal(math.E, mc), mc)
+    var fact = java.math.BigDecimal.ONE
+    var cdf = java.math.BigDecimal.ZERO
+    val want = (0 until 7).map { k =>
+      if (k > 0) fact = fact.multiply(new java.math.BigDecimal(k))
+      cdf = cdf.add(e1.divide(fact, mc))
+      cdf.multiply(new java.math.BigDecimal(mersenne))
+        .setScale(0, java.math.RoundingMode.FLOOR).longValueExact()
+    }
+    poissonThresholds.zip(want).foreach { case (got, w) =>
+      assert(math.abs(got - w) <= 1, s"threshold drift: $got vs $w")
+    }
+    // E[w] over the ladder's exact bucket masses ≈ 1 (truncation ≤ 1e-3)
+    val bounds = 0L +: poissonThresholds
+    val mean = (0 until 7).map { k =>
+      k * (bounds(k + 1) - bounds(k)).toDouble / mersenne
+    }.sum + 7.0 * (mersenne - poissonThresholds.last) / mersenne
+    assert(math.abs(mean - 1.0) < 1e-3)
+  }
+
+  test("x244 equals a naive per-order replay at sf0.001") {
+    import graft.queries.StatProtocol._
+    val cents = Tables.orders(spark, sfSmoke)
+      .selectExpr("o_orderkey",
+                  "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def weight(h: Long): Long =
+      poissonThresholds.indexWhere(h < _) match {
+        case -1 => 7L; case k => k.toLong
+      }
+    val want = (0 until bootstrapReps).map { r =>
+      val ws = cents.map { case (k, c) =>
+        val w = weight((k * mixA + (r + 1) * mixB) % mersenne)
+        (w, w * c)
+      }
+      val ne = ws.map(_._1).sum
+      val sc = ws.map(_._2).sum
+      (r.toLong, ne, sc,
+       (BigInt(sc) * 1000000 / BigInt(ne)).toLong)
+    }.toSet
+    val got = graft.queries.StatProtocol.x244(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(want.nonEmpty && got === want)
+  }
 }
