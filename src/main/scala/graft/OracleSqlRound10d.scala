@@ -80,6 +80,55 @@ object OracleSqlRound10d {
         |       CAST(CAST(sum_cents AS HUGEINT) * 1000000
         |            // CAST(n_eff AS HUGEINT) AS BIGINT) AS mean_micros
         |FROM (${sels.mkString(" UNION ALL ")}) ORDER BY rep""".stripMargin
+    },
+
+    // x245: the oracle takes the k-th order statistic by ROW_NUMBER —
+    // deliberately the sort-based formulation the engine's two-phase
+    // histogram avoids. α grid GENERATED from the shared rationals.
+    "x245_conformal_band" -> {
+      val vals = graft.queries.StatProtocol.conformalAlphas
+        .map { case (p, nu, de) => s"($p, $nu, $de)" }.mkString(", ")
+      s"""WITH cents AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |pred AS (
+        |  SELECT o_orderpriority,
+        |         CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pred_cents
+        |  FROM cents WHERE o_orderkey % 5 <= 2 GROUP BY 1),
+        |cal AS (
+        |  SELECT CAST(abs(c.cents - p.pred_cents) AS BIGINT) AS s
+        |  FROM cents c JOIN pred p USING (o_orderpriority)
+        |  WHERE c.o_orderkey % 5 = 3),
+        |n AS (SELECT COUNT(*) AS n_cal FROM cal),
+        |alphas(alpha_pct, num, den) AS (VALUES $vals),
+        |ks AS (
+        |  SELECT alpha_pct, n_cal,
+        |         ((n_cal + 1) * num + den - 1) // den AS k
+        |  FROM alphas, n),
+        |ranked AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM cal),
+        |q AS (
+        |  SELECT ks.alpha_pct, ks.n_cal, ks.k, r.s AS q_cents
+        |  FROM ks JOIN ranked r ON r.rn = ks.k),
+        |calcov AS (
+        |  SELECT q.alpha_pct, COUNT(*) AS cal_at_or_below
+        |  FROM q JOIN cal ON cal.s <= q.q_cents GROUP BY 1),
+        |test AS (
+        |  SELECT CAST(abs(c.cents - p.pred_cents) AS BIGINT) AS s
+        |  FROM cents c JOIN pred p USING (o_orderpriority)
+        |  WHERE c.o_orderkey % 5 = 4),
+        |tc AS (
+        |  SELECT q.alpha_pct, COUNT(*) AS n_test,
+        |         CAST(SUM(CASE WHEN test.s <= q.q_cents THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS test_covered
+        |  FROM q, test GROUP BY 1)
+        |SELECT CAST(q.alpha_pct AS BIGINT) AS alpha_pct, q.n_cal,
+        |       q.k, q.q_cents, calcov.cal_at_or_below,
+        |       tc.n_test, tc.test_covered,
+        |       CAST(tc.test_covered * 1000000 // tc.n_test AS BIGINT)
+        |         AS coverage_ppm
+        |FROM q JOIN calcov USING (alpha_pct) JOIN tc USING (alpha_pct)
+        |ORDER BY 1""".stripMargin
     }
   )
 }

@@ -1,7 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.engine.Tables
 
 /** x244+: statistical-protocol operators over deterministic portable
@@ -71,5 +73,77 @@ object StatProtocol {
         "n_eff", "sum_cents",
         "CAST((CAST(sum_cents AS DECIMAL(38,0)) * 1000000) DIV n_eff AS BIGINT) AS mean_micros")
       .orderBy("rep")
+  }
+
+  /** The split-conformal α grid as exact rationals: (percent, 1−α as
+    * num/den). Shared with the generated oracle. */
+  val conformalAlphas: Seq[(Int, Int, Int)] =
+    Seq((5, 19, 20), (10, 9, 10), (20, 4, 5))
+
+  /** x245: SPLIT-CONFORMAL PREDICTION BAND — the distribution-free
+    * uncertainty wrapper every deployed regressor needs: train (keys
+    * %5 ∈ {0,1,2}) fits a per-priority mean-cents predictor; calibration
+    * (%5 = 3) takes nonconformity s = |cents − pred|; for each α the band
+    * half-width is the k-th smallest calibration score with k =
+    * ⌈(n_cal+1)(1−α)⌉ (exact integer ceil-div); test (%5 = 4) reports
+    * empirical coverage in ppm. The finite-sample construction guarantee
+    * — at least k calibration scores lie within the band, BY DEFINITION
+    * of the k-th order statistic — is emitted as `cal_at_or_below` and
+    * asserted ≥ k in Round10fSpec (a real theorem, not data luck).
+    *
+    * 100 TB: the predictor is a ≤5-row broadcast; the k-th order
+    * statistic rides x176's two-phase histogram (one bucket aggregate +
+    * one pruned per-value rescan — NO global sort at any α, and all three
+    * α targets share both passes); test coverage is one broadcast-stitch
+    * aggregate. Adding α values adds broadcast rows, not passes. */
+  def x245(spark: SparkSession, dir: String): DataFrame = {
+    val W = 4096L
+    val cents = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+              expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+    val pred = cents.filter(col("o_orderkey") % 5 <= 2)
+      .groupBy("o_orderpriority")
+      .agg(expr("SUM(cents) DIV COUNT(*)").as("pred_cents"))
+    def scores(bucket: Int) = cents.filter(col("o_orderkey") % 5 === bucket)
+      .join(broadcast(pred), "o_orderpriority")
+      .select(abs(col("cents") - col("pred_cents")).as("s"))
+
+    val cal = scores(3)
+    val h1 = cal.groupBy(expr(s"s DIV $W").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h1
+      .withColumn("before", coalesce(sum(col("cnt")).over(wc), lit(0L)))
+      .withColumn("n_cal", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)))
+    val alphaRows = conformalAlphas
+      .map { case (p, nu, de) => s"named_struct('alpha_pct', ${p}L, 'num', ${nu}L, 'den', ${de}L)" }
+      .mkString("inline(array(", ", ", "))")
+    val targets = cum.select(col("n_cal")).limit(1)
+      .selectExpr("n_cal", alphaRows)
+      .withColumn("k", expr("((n_cal + 1) * num + den - 1) DIV den"))
+      .select("alpha_pct", "n_cal", "k")
+    val selected = cum.join(broadcast(targets),
+        col("before") < col("k") && col("k") <= col("before") + col("cnt"))
+      .select("b", "before").distinct()
+    val wv = Window.partitionBy("b").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val q = cal.join(broadcast(selected), expr(s"s DIV $W") === col("b"))
+      .groupBy("b", "s", "before")
+      .agg(count(lit(1)).as("vcnt"))
+      .withColumn("cum", col("before") + sum(col("vcnt")).over(wv))
+      .join(broadcast(targets), col("cum") >= col("k"))
+      .groupBy("alpha_pct", "n_cal", "k")
+      .agg(min(col("s")).as("q_cents"), min(col("cum")).as("cal_at_or_below"))
+
+    scores(4).crossJoin(broadcast(q))
+      .groupBy("alpha_pct", "n_cal", "k", "q_cents", "cal_at_or_below")
+      .agg(count(lit(1)).as("n_test"),
+           sum(when(col("s") <= col("q_cents"), 1L).otherwise(0L))
+             .as("test_covered"))
+      .withColumn("coverage_ppm",
+                  expr("test_covered * 1000000 DIV n_test"))
+      .orderBy("alpha_pct")
   }
 }

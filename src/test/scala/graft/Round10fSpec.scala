@@ -184,4 +184,34 @@ class Round10fSpec extends AnyFunSuite {
       .toSet
     assert(want.nonEmpty && got === want)
   }
+
+  // ---------------------------------------------------------------- x245
+
+  test("x245 equals a naive replay; the finite-sample guarantee holds") {
+    import graft.queries.StatProtocol.conformalAlphas
+    val rows = Tables.orders(spark, sfSmoke)
+      .selectExpr("o_orderkey", "o_orderpriority",
+                  "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val pred = rows.filter(_._1 % 5 <= 2).groupBy(_._2)
+      .map { case (p, xs) => p -> xs.map(_._3).sum / xs.length }
+    def scores(b: Int) = rows.filter(_._1 % 5 == b)
+      .flatMap { case (_, p, c) => pred.get(p).map(pr => math.abs(c - pr)) }
+    val cal = scores(3).sorted
+    val test = scores(4)
+    val want = conformalAlphas.map { case (pct, nu, de) =>
+      val k = ((cal.length + 1L) * nu + de - 1) / de
+      val q = cal((k - 1).toInt) // the k-th order statistic, by sort
+      val calCov = cal.count(_ <= q).toLong
+      assert(calCov >= k) // the split-conformal construction guarantee
+      val cov = test.count(_ <= q).toLong
+      (pct.toLong, cal.length.toLong, k, q, calCov, test.length.toLong,
+       cov, cov * 1000000L / test.length)
+    }.toSet
+    val got = graft.queries.StatProtocol.x245(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    assert(want.nonEmpty && got === want)
+  }
 }
