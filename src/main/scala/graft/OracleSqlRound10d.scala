@@ -129,6 +129,93 @@ object OracleSqlRound10d {
         |         AS coverage_ppm
         |FROM q JOIN calcov USING (alpha_pct) JOIN tc USING (alpha_pct)
         |ORDER BY 1""".stripMargin
+    },
+
+    // x246: the noise ladder is GENERATED from the shared exact-rational
+    // thresholds (graft.queries.Governance.dpLadderSql) — the oracle
+    // replays the exact release, noise and all.
+    "x246_dp_counts" -> {
+      val ladder = graft.queries.Governance.dpLadderSql("h")
+      s"""WITH u AS (
+        |  SELECT 1 AS release, o_orderpriority AS group_key,
+        |         COUNT(*) AS true_n
+        |  FROM orders GROUP BY 2
+        |  UNION ALL
+        |  SELECT 2, o_orderpriority || '|' || o_orderstatus, COUNT(*)
+        |  FROM orders GROUP BY 2),
+        |g AS (
+        |  SELECT release, group_key, true_n,
+        |         CASE WHEN release = 1
+        |              THEN CAST(substring(group_key, 1, 1) AS BIGINT)
+        |              ELSE CAST(substring(group_key, 1, 1) AS BIGINT) * 256
+        |                   + ascii(right(group_key, 1)) END AS gid
+        |  FROM u),
+        |h AS (
+        |  SELECT *, (gid * 2654435761 + release * 97564181) % 2147483647
+        |            AS h
+        |  FROM g),
+        |z AS (SELECT *, $ladder AS noise FROM h)
+        |SELECT CAST(release AS BIGINT) AS release, group_key,
+        |       CAST(true_n AS BIGINT) AS true_n,
+        |       CAST(noise AS BIGINT) AS noise,
+        |       CAST(true_n + noise AS BIGINT) AS noisy_n,
+        |       CAST(693 AS BIGINT) AS eps_milli,
+        |       CAST(1386 AS BIGINT) AS total_eps_milli
+        |FROM z ORDER BY 1, 2""".stripMargin
+    },
+
+    // x248: policy branches GENERATED from the shared policy list
+    // (graft.queries.StatProtocol.ipsPolicies) — identical predicates and
+    // integer weights on both engines.
+    "x248_ips_offline_eval" -> {
+      import graft.queries.StatProtocol.ipsPolicies
+      val aggs = ipsPolicies.zipWithIndex.map { case ((_, pred, _), i) =>
+        s"""SUM(CASE WHEN $pred THEN 1 ELSE 0 END) AS m$i,
+          |       SUM(CASE WHEN $pred THEN cents ELSE 0 END) AS s$i""".stripMargin
+      }.mkString(",\n       ")
+      val sels = ipsPolicies.zipWithIndex.map { case ((nm, _, w), i) =>
+        s"""SELECT '$nm' AS policy, CAST(n AS BIGINT) AS n,
+          |       CAST(m$i AS BIGINT) AS n_matched,
+          |       CAST(CAST($w * s$i AS HUGEINT) * 1000000
+          |            // CAST(n AS HUGEINT) AS BIGINT) AS ips_micro,
+          |       CAST(CAST(s$i AS HUGEINT) * 1000000
+          |            // CAST(m$i AS HUGEINT) AS BIGINT) AS snips_micro
+          |FROM a""".stripMargin
+      }
+      s"""WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |a AS (SELECT COUNT(*) AS n,
+        |       $aggs
+        |      FROM ev)
+        |SELECT * FROM (${sels.mkString(" UNION ALL ")}) ORDER BY policy""".stripMargin
+    },
+
+    // x249: the bucket ladder is GENERATED from the shared base-2
+    // boundaries (graft.queries.StatProtocol.expoBucketSql).
+    "x249_expo_histogram" -> {
+      val ladder = graft.queries.StatProtocol.expoBucketSql("cents")
+      s"""WITH c AS (
+        |  SELECT o_orderpriority AS grp,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |hist AS (SELECT grp, $ladder AS b, COUNT(*) AS cnt
+        |         FROM c GROUP BY 1, 2),
+        |merged AS (
+        |  SELECT grp, b, cnt FROM hist
+        |  UNION ALL
+        |  SELECT 'ALL', b, SUM(cnt) FROM hist GROUP BY 2),
+        |x AS (
+        |  SELECT grp, b, cnt,
+        |         SUM(cnt) OVER (PARTITION BY grp) AS n,
+        |         SUM(cnt) OVER (PARTITION BY grp ORDER BY b) AS cum
+        |  FROM merged)
+        |SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+        |       CAST(MIN(b) AS BIGINT) AS p50_bucket,
+        |       CAST(power(2, MIN(b)) AS BIGINT) AS p50_lo,
+        |       CAST(power(2, MIN(b) + 1) AS BIGINT) AS p50_hi
+        |FROM x WHERE cum >= (n + 1) // 2 GROUP BY 1 ORDER BY 1""".stripMargin
     }
   )
 }

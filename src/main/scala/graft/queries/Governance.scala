@@ -294,4 +294,63 @@ object Governance {
            max(col("tv_ppm")).as("max_tv_ppm"))
       .orderBy("t_tenths")
   }
+
+  /** Discrete-Laplace (two-sided geometric, r = 1/2) inverse-CDF
+    * thresholds on a [0, 2³¹−1) uniform hash: noise k ⟺ h < ⌊M·CDF(k)⌋,
+    * k ∈ [−8, 7], ELSE → +8. CDF(k) is the exact rational num/384
+    * (P(k) = (1/3)·(1/2)^|k|), so the thresholds are exact integers both
+    * engines fold — ⌊M·num/384⌋ in BigInt, no float ever. ε = ln 2 per
+    * unit-sensitivity count. */
+  val dpDen = 384L
+  val dpNums: Seq[(Int, Long)] =
+    ((-8 to -1).map(k => k -> (1L << (8 + k))) ++
+     (0 to 7).map(k => k -> (dpDen - (1L << (7 - k)))))
+  val dpThresholds: Seq[(Int, Long)] = dpNums.map { case (k, num) =>
+    k -> (BigInt(2147483647L) * num / dpDen).toLong
+  }
+
+  /** CASE ladder mapping hash column `h` to discrete-Laplace noise. */
+  def dpLadderSql(h: String): String =
+    dpThresholds.map { case (k, t) => s"WHEN $h < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
+  /** x246: DIFFERENTIALLY-PRIVATE NOISY COUNTS — the release mechanism
+    * the governance family (x210 k-anon, x211 l-div, x212 suppression,
+    * x229 t-closeness) audits FOR: two count releases over orders
+    * (by priority; by priority×status) with discrete-Laplace noise
+    * (geometric mechanism, the integer-valued Laplace analogue) drawn
+    * deterministically from the portable hash of the group id — so the
+    * oracle replays the exact release. Each release is ε = ln 2 for
+    * count queries (sensitivity 1: one order lives in ONE group per
+    * release); the ledger row-stamps the composed budget 2·ln 2
+    * (sequential composition). Noise is honest noise: negatives and
+    * non-zero perturbations appear in the output.
+    *
+    * 100 TB: each release is one partial+final count aggregate; the
+    * noise ladder is in-map CASE arithmetic on the ≤20-row AGGREGATE,
+    * not the fact table. Group ids are derived from the key bytes
+    * (digit / ASCII) — portable arithmetic, no engine hash. */
+  def x246(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def release(rel: Int, keyCol: String, gidExpr: String,
+                grouped: DataFrame): DataFrame =
+      grouped
+        .withColumn("gid", expr(gidExpr))
+        .withColumn("h", expr(s"(gid * 2654435761 + $rel * 97564181) % 2147483647"))
+        .withColumn("noise", expr(dpLadderSql("h")).cast("long"))
+        .select(lit(rel.toLong).as("release"),
+                col(keyCol).as("group_key"), col("true_n"),
+                col("noise"), (col("true_n") + col("noise")).as("noisy_n"),
+                lit(693L).as("eps_milli"), lit(1386L).as("total_eps_milli"))
+    val r1 = release(1, "group_key",
+      "CAST(substring(group_key, 1, 1) AS BIGINT)",
+      o.groupBy(col("o_orderpriority").as("group_key"))
+        .agg(count(lit(1)).as("true_n")))
+    val r2 = release(2, "group_key",
+      "CAST(substring(group_key, 1, 1) AS BIGINT) * 256 + ascii(right(group_key, 1))",
+      o.groupBy(concat(col("o_orderpriority"), lit("|"),
+                       col("o_orderstatus")).as("group_key"))
+        .agg(count(lit(1)).as("true_n")))
+    r1.union(r2).orderBy("release", "group_key")
+  }
 }

@@ -146,4 +146,102 @@ object StatProtocol {
                   expr("test_covered * 1000000 DIV n_test"))
       .orderBy("alpha_pct")
   }
+
+  /** The off-policy evaluation setup, shared with the generated oracle:
+    * a 5-action alphabet logged (by declaration) uniformly, so every
+    * importance weight is the exact integer K·1[match] — no float
+    * propensity ever. Each policy is (name, SQL match predicate, weight
+    * numerator). `logging_replica` matches everything at weight 1: the
+    * identity IPS ≡ SNIPS ≡ plain mean reward is a theorem the spec
+    * asserts. */
+  val ipsK = 5L
+  val ipsPolicies: Seq[(String, String, Long)] = Seq(
+    ("always_click", "event_type = 'click'", ipsK),
+    ("context_map",
+     "event_type = (CASE user_id % 4 WHEN 0 THEN 'view' WHEN 1 THEN 'click' " +
+       "WHEN 2 THEN 'purchase' ELSE 'signup' END)", ipsK),
+    ("logging_replica", "true", 1L))
+
+  /** x248: INVERSE-PROPENSITY OFF-POLICY EVALUATION — the counterfactual
+    * question every logged-interaction corpus gets asked ("what would
+    * policy π have earned?") answered without ever deploying π: IPS
+    * V̂ = (1/n)·Σ wᵢ·rᵢ with wᵢ = π(aᵢ|xᵢ)/μ(aᵢ|xᵢ), plus the
+    * self-normalized SNIPS Σw·r/Σw that trades a little bias for
+    * variance. Context = user_id mod 4, reward = value cents, weights
+    * exact integers under the declared-uniform logging policy. The
+    * logging-replica row pins the estimator identity (IPS = SNIPS =
+    * empirical mean) — wrong propensity handling breaks it loudly.
+    *
+    * 100 TB: ONE partial+final aggregate computes every policy's
+    * (Σ match, Σ match·r) — match predicates are in-map CASE arithmetic
+    * on the scan, no per-policy pass, no explode; the 3-row reshape is a
+    * `stack` on the 1-row aggregate. More policies widen the aggregate. */
+  def x248(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+              expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n")) ++ ipsPolicies.zipWithIndex.flatMap {
+        case ((_, pred, _), i) =>
+          Seq(sum(expr(s"CASE WHEN $pred THEN 1 ELSE 0 END")).as(s"m$i"),
+              sum(expr(s"CASE WHEN $pred THEN cents ELSE 0 END")).as(s"s$i"))
+      }
+    val one = ev.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ipsPolicies.zipWithIndex.map { case ((nm, _, w), i) =>
+      s"'$nm', $w" + s"L, m$i, s$i"
+    }.mkString(", ")
+    one.selectExpr(
+        "n",
+        s"stack(${ipsPolicies.size}, $stackArgs) AS (policy, w, n_matched, sum_match_cents)")
+      .selectExpr(
+        "policy", "n", "n_matched",
+        "CAST((CAST(w * sum_match_cents AS DECIMAL(38,0)) * 1000000) DIV n AS BIGINT) AS ips_micro",
+        "CAST((CAST(sum_match_cents AS DECIMAL(38,0)) * 1000000) DIV n_matched AS BIGINT) AS snips_micro")
+      .orderBy("policy")
+  }
+
+  /** The exponential-bucket ladder (OpenTelemetry / HDR-histogram shape):
+    * bucket b ⟺ cents ∈ [2^b, 2^(b+1)), b ∈ [0, 46]. Shared with the
+    * generated oracle; the spec proves ladder ≡ 63−numberOfLeadingZeros. */
+  def expoBucketSql(v: String): String =
+    (0 until 47).map(b => s"WHEN $v < ${1L << (b + 1)} THEN $b")
+      .mkString("CASE ", " ", " ELSE 47 END")
+
+  /** x249: MERGEABLE EXPONENTIAL HISTOGRAM — the observability sketch
+    * every metrics pipeline ships: order values bucketed at base-2
+    * boundaries (relative error ≤ 2× by construction), kept per priority
+    * AND merged to an ALL row by plain count addition (the mergeability
+    * that makes the sketch shardable); per group the estimated median
+    * bucket (smallest b whose cumulative count reaches ⌈n/2⌉) with its
+    * certified bounds [2^b, 2^(b+1)). Round10gSpec proves the TRUE exact
+    * median lies inside the certified interval — the 2× guarantee is a
+    * theorem of the construction, not data luck.
+    *
+    * 100 TB: one partial+final aggregate to ≤ |groups|·47 rows; the
+    * merge, cumulative and median selection all run on that bounded
+    * aggregate (windows partitioned per group over ≤47 rows). The
+    * fact-table cost is exactly one scan with in-map CASE arithmetic. */
+  def x249(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"),
+              expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy(col("grp"), expr(expoBucketSql("cents")).cast(LongType).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val all = hist.groupBy("b").agg(sum(col("cnt")).as("cnt"))
+      .select(lit("ALL").as("grp"), col("b"), col("cnt"))
+    val merged = hist.select("grp", "b", "cnt").union(all)
+    val wg = Window.partitionBy("grp")
+    val wcum = Window.partitionBy("grp").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    merged
+      .withColumn("n", sum(col("cnt")).over(wg))
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .filter(col("cum") >= expr("(n + 1) DIV 2"))
+      .groupBy("grp")
+      .agg(max(col("n")).as("n"), min(col("b")).as("p50_bucket"))
+      .selectExpr("grp", "n", "p50_bucket",
+                  "CAST(POWER(2.0D, p50_bucket) AS BIGINT) AS p50_lo",
+                  "CAST(POWER(2.0D, p50_bucket + 1) AS BIGINT) AS p50_hi")
+      .orderBy("grp")
+  }
 }
