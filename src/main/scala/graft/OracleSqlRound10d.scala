@@ -216,6 +216,34 @@ object OracleSqlRound10d {
         |       CAST(power(2, MIN(b)) AS BIGINT) AS p50_lo,
         |       CAST(power(2, MIN(b) + 1) AS BIGINT) AS p50_hi
         |FROM x WHERE cum >= (n + 1) // 2 GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+
+    // x247: matched purchases emit unconditionally (inner semantics);
+    // unmatched purchases emit iff the FINAL global watermark passed p_ts.
+    // The watermark is the MIN over both watermark operators' max event
+    // time (purchases and clicks share the events clock but not their
+    // maxima), floored to Spark's millisecond watermark granularity,
+    // minus the 10-minute delay. epoch_us per the events-ts contract.
+    "x247_stream_outer_join" ->
+      """WITH wm AS (
+        |  SELECT ((least(
+        |      (SELECT epoch_us(max(ts)) FROM events
+        |       WHERE event_type = 'purchase'),
+        |      (SELECT epoch_us(max(ts)) FROM events
+        |       WHERE event_type = 'click')) // 1000) * 1000)
+        |    - 600000000 AS cutoff_us),
+        |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_uid, ts AS c_ts FROM events
+        |      WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.p_id, p.p_ts, COUNT(c.c_uid) AS n_clicks_10m
+        |  FROM p LEFT JOIN c
+        |    ON c.c_uid = p.user_id
+        |   AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE AND c.c_ts < p.p_ts
+        |  GROUP BY 1, 2)
+        |SELECT p_id, n_clicks_10m FROM j, wm
+        |WHERE n_clicks_10m > 0 OR epoch_us(p_ts) < cutoff_us
+        |ORDER BY p_id""".stripMargin
   )
 }

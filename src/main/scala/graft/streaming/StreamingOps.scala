@@ -654,6 +654,50 @@ object StreamingOps {
                s"x216_sink_${System.nanoTime()}", "update")
       .orderBy("user_id", "event_type")
 
+  /** x247: STREAM-STREAM LEFT OUTER join — x29's purchases⋈clicks with the
+    * unmatched side KEPT: purchases with zero prior-10-minute clicks emit
+    * with a null match once the watermark proves no click can still
+    * arrive. This is the semantics x29's inner join cannot express and
+    * the batch x115 full-outer only fakes offline: null emission is
+    * WATERMARK-DRIVEN (an unmatched purchase must wait until
+    * watermark ≥ p_ts, when any qualifying click — all with c_ts < p_ts —
+    * would be late by definition), which is why the replay's final
+    * NO-DATA micro-batch matters: it advances the watermark past the last
+    * event and flushes the eligible unmatched rows
+    * (`noDataMicroBatches` — the runToTable guard allows it: only DATA
+    * batches are counted).
+    *
+    * Determinism/oracle: matched purchases emit batch-side exactly as
+    * x29; unmatched purchases emit iff the FINAL watermark (max event ts
+    * − 10 min, both sides share the events clock) passed p_ts — the
+    * oracle states exactly that cutoff, so the withheld stream tail is
+    * part of the contract, not noise. 100 TB: both join states are
+    * GC-bounded by watermark + the 10-minute range — the reason this
+    * query runs forever; state is keyed by user, skew-safe at the x22
+    * salting threshold. */
+  def x247(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, leftOuterClicks(eventsStream(spark, dir)),
+               s"x247_sink_${System.nanoTime()}", "append")
+      .groupBy("p_id").agg(count(col("c_uid")).as("n_clicks_10m"))
+      .orderBy("p_id")
+
+  /** x247 transform, exposed for the cross-batch StreamingSpec case. */
+  private[graft] def leftOuterClicks(ev: DataFrame): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    p.join(c,
+      col("user_id") === col("c_uid") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("p_ts"),
+      "left_outer")
+      .select(col("p_id"), col("c_uid"))
+  }
+
   /** x240 transform: the [[CepProcessor]] over the keyed event stream —
     * factored out so the MemoryStream spec can drive a boundary-straddling
     * triple across batches (the part the single-batch oracle can't see). */

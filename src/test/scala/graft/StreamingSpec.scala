@@ -615,4 +615,33 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+  test("x247 left-outer null emission is watermark-driven across batches") {
+    val mem = MemoryStream[Ev](spark)
+    val q = graft.streaming.StreamingOps.leftOuterClicks(mem.toDF)
+      .writeStream.format("memory").queryName("x247_mem")
+      .outputMode("append").start()
+    def rows() = spark.table("x247_mem").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    // batch 1: P1 (user 1, matched by a 5-min-earlier click), P2 (user 2,
+    // no click). The match emits immediately; the null must NOT (no
+    // watermark proof yet that user 2's click can't still arrive).
+    mem.addData(Seq(
+      Ev(101L, ts(95), 1L, "click", 1.0, ""),
+      Ev(102L, ts(100), 1L, "purchase", 1.0, ""),
+      Ev(103L, ts(100), 2L, "purchase", 1.0, "")))
+    q.processAllAvailable()
+    assert(rows() === Set((102L, 1L)))
+    // batch 2: both clocks jump to t=200 -> watermark 190 > 100, so P2's
+    // null flushes; P3 (t=200, above watermark) stays withheld.
+    mem.addData(Seq(
+      Ev(104L, ts(200), 3L, "purchase", 1.0, ""),
+      Ev(105L, ts(200), 3L, "click", 1.0, "")))
+    q.processAllAvailable()
+    // one more empty trigger lets the batch-2 watermark act
+    mem.addData(Seq.empty[Ev])
+    q.processAllAvailable()
+    q.stop()
+    assert(rows() === Set((102L, 1L), (103L, -1L)))
+  }
 }
