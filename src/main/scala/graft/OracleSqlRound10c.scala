@@ -395,7 +395,8 @@ object OracleSqlRound10c {
         |  SELECT CAST(-1 AS INTEGER) AS k, CAST(-1 AS INTEGER) AS l,
         |         CAST(count(*) AS BIGINT) AS s2
         |  FROM qv)
-        |SELECT k, l, s2, TRUE AS pca_ok
+        |SELECT CAST(k AS BIGINT) AS k, CAST(l AS BIGINT) AS l, s2,
+        |       TRUE AS pca_ok
         |FROM (SELECT * FROM skl UNION ALL SELECT * FROM sk
         |      UNION ALL SELECT * FROM nn)
         |ORDER BY k, l""".stripMargin,

@@ -244,6 +244,79 @@ object OracleSqlRound10d {
         |  GROUP BY 1, 2)
         |SELECT p_id, n_clicks_10m FROM j, wm
         |WHERE n_clicks_10m > 0 OR epoch_us(p_ts) < cutoff_us
-        |ORDER BY p_id""".stripMargin
+        |ORDER BY p_id""".stripMargin,
+
+    // x250: row_number under (priority ASC, doc_id ASC) — the same total
+    // order topk_pairs keeps under (−priority DESC, tag ASC).
+    "x250_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, least(1 + n_chars // 64, 8) AS wt,
+        |         (doc_id * 2654435761 + 40503) % 2147483647 AS h
+        |  FROM documents),
+        |pr AS (SELECT source, doc_id, wt, h * (840 // wt) AS priority FROM w),
+        |r AS (
+        |  SELECT source, doc_id, wt, priority,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY priority, doc_id) AS rank
+        |  FROM pr)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+        |       CAST(wt AS BIGINT) AS wt, CAST(priority AS BIGINT) AS priority
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    // x251: x13's fp prelude + the x224 capped universe; truth from the
+    // exhaustive kept-fp self-join, detectors from two disjoint LSH band
+    // families over the x86 minhash seeds.
+    "x251_capture_recapture" ->
+      ("WITH " + OracleSqlMl.fpCodedCtes + ",\n" + OracleSqlMl.fpsDistinctCte + ",\n" +
+        """kept AS (
+          |  SELECT doc_id, fp FROM fps
+          |  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 64)),
+          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+          |truth AS (
+          |  SELECT i.a, i.b FROM (
+          |    SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS ix
+          |    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |    GROUP BY 1, 2) i
+          |  JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+          |  WHERE 2 * i.ix >= sa.n + sb.n - i.ix),
+          |hs AS (SELECT * FROM (VALUES
+          |  (0, 1540483477, 11), (1, 1103515245, 12345), (2, 69069, 7),
+          |  (3, 1664525, 1013904223), (4, 22695477, 1), (5, 134775813, 1),
+          |  (6, 214013, 2531011), (7, 1597334677, 3)) AS v(j, a, b)),
+          |sig AS (
+          |  SELECT doc_id, j, MIN((a * fp + b) % 2147483647) AS mh
+          |  FROM kept, hs GROUP BY doc_id, j),
+          |banded AS (
+          |  SELECT doc_id, j // 2 AS band,
+          |         STRING_AGG(CAST(mh AS VARCHAR), ':' ORDER BY j) AS key
+          |  FROM sig GROUP BY doc_id, j // 2),
+          |cand1 AS (
+          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+          |   AND a.band < 2),
+          |cand2 AS (
+          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+          |   AND a.band >= 2),
+          |d1 AS (SELECT t.a, t.b FROM truth t
+          |       JOIN cand1 c ON c.a = t.a AND c.b = t.b),
+          |d2 AS (SELECT t.a, t.b FROM truth t
+          |       JOIN cand2 c ON c.a = t.a AND c.b = t.b),
+          |m AS (SELECT COUNT(*) AS m FROM d1
+          |      JOIN d2 ON d1.a = d2.a AND d1.b = d2.b),
+          |c AS (SELECT (SELECT COUNT(*) FROM d1) AS n1,
+          |             (SELECT COUNT(*) FROM d2) AS n2,
+          |             (SELECT m FROM m) AS m,
+          |             (SELECT COUNT(*) FROM truth) AS n_true)
+          |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+          |       CAST(m AS BIGINT) AS m_overlap,
+          |       CAST(CASE WHEN m = 0 THEN -1
+          |            ELSE n1 * n2 // m END AS BIGINT) AS lp_est,
+          |       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
+          |         AS chapman_est,
+          |       CAST(n_true AS BIGINT) AS n_true
+          |FROM c""".stripMargin)
   )
 }

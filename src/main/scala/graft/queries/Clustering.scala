@@ -652,6 +652,11 @@ object Clustering {
         ok && prev >= maxDiag * (1 - 1e-9) - 1e-9 &&
           prev <= trace * (1 + 1e-9) + 1e-9
       }
-    moments.withColumn("pca_ok", lit(flag)).orderBy("k", "l")
+    moments.withColumn("pca_ok", lit(flag))
+      // k/l are INTs inside the moment structs; the driver contract wants
+      // BIGINT-only integral outputs (OutputContractSpec)
+      .selectExpr("CAST(k AS BIGINT) AS k", "CAST(l AS BIGINT) AS l",
+                  "s2", "pca_ok")
+      .orderBy("k", "l")
   }
 }

@@ -771,4 +771,81 @@ object LlmExt2 {
       .withColumn("is_dup", col("n_hit") * 2 >= col("n_windows"))
       .orderBy("doc_id")
   }
+
+  /** x251: CAPTURE–RECAPTURE DEDUP-COVERAGE TRIANGULATION — the question
+    * every dedup deployment eventually asks: "how many near-dup pairs does
+    * the corpus REALLY have, given detectors that each miss some?" Two
+    * INDEPENDENT LSH band families over one 8-minhash signature (family 1
+    * = bands {mh0:mh1, mh2:mh3}, family 2 = {mh4:mh5, mh6:mh7} — disjoint
+    * hash functions, so their misses are as independent as LSH gets) each
+    * detect a subset of the true τ=0.5 pair set; Lincoln–Petersen
+    * N̂ = n₁·n₂/m and the small-sample Chapman variant estimate the total
+    * from the overlap m. Because the portable chain ALSO affords the
+    * exhaustive truth (x224's capped bucket-pair device), the estimate is
+    * reported NEXT TO the true count — the validation a production system
+    * (where truth is unaffordable) cannot run, done here once to justify
+    * the estimator. All integer; the capped (df ≤ 64) fp universe is the
+    * corpus contract shared by truth and detectors.
+    *
+    * 100 TB: the fp groupBy is the ONE corpus-scale shuffle (map-side
+    * combined, materialized once for its three consumers — the
+    * multi-consumer idiom); signatures are one doc-keyed aggregate;
+    * band buckets join on their keys; every later join runs on
+    * pair-set-bounded frames. The production path drops the truth branch
+    * and keeps the two detector families — linear, no pair square. */
+  def x251(spark: SparkSession, dir: String): DataFrame =
+    captureRecapture(Tables.documents(spark, dir))
+
+  /** x251's chain on an arbitrary documents frame (shared with the spec's
+    * planted corpus). */
+  private[graft] def captureRecapture(docs: DataFrame): DataFrame = {
+    val P = 2147483647L
+    val hs = Seq((1540483477L, 11L), (1103515245L, 12345L), (69069L, 7L),
+                 (1664525L, 1013904223L), (22695477L, 1L), (134775813L, 1L),
+                 (214013L, 2531011L), (1597334677L, 3L))
+    val byFp = docFingerprints(docs)
+      .groupBy("fp").agg(collect_set(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= 64)
+      .localCheckpoint(true) // 3 consumers: sizes, pairs, signatures
+    val kept = byFp.select(col("fp"), explode(col("ds")).as("doc_id"))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = byFp
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ix"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .filter(col("ix") * 2 >= col("na") + col("nb") - col("ix"))
+      .select("a", "b")
+      .localCheckpoint(true) // 3 consumers: d1, d2, n_true
+    val sig = kept.groupBy("doc_id").agg(
+      min((col("fp") * hs.head._1 + hs.head._2) % P).as("mh0"),
+      hs.tail.zipWithIndex.map { case ((a, b), i) =>
+        min((col("fp") * a + b) % P).as(s"mh${i + 1}") }: _*)
+    val banded = (0 until 4).map { bI =>
+      sig.select(col("doc_id"), lit(bI.toLong).as("band"),
+                 concat_ws(":", col(s"mh${2 * bI}"),
+                           col(s"mh${2 * bI + 1}")).as("key"))
+    }.reduce(_ unionByName _)
+    def detected(lo: Int, hi: Int) = banded.as("x")
+      .join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id") &&
+            col("x.band") >= lo && col("x.band") < hi)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+      .join(truth, Seq("a", "b")) // verified pairs only
+    val d1 = detected(0, 2)
+    val d2 = detected(2, 4)
+    val m = d1.join(d2, Seq("a", "b")).agg(count(lit(1)).as("m_overlap"))
+    d1.agg(count(lit(1)).as("n1"))
+      .crossJoin(d2.agg(count(lit(1)).as("n2")))
+      .crossJoin(m)
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .selectExpr("n1", "n2", "m_overlap",
+        "CASE WHEN m_overlap = 0 THEN -1 ELSE n1 * n2 DIV m_overlap END AS lp_est",
+        "(n1 + 1) * (n2 + 1) DIV (m_overlap + 1) - 1 AS chapman_est",
+        "n_true")
+  }
 }

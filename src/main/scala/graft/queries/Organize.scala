@@ -128,4 +128,37 @@ object Organize {
            max(col("len")).as("longest_streak"))
       .orderBy("user_id")
   }
+
+  /** x250: WEIGHTED PRIORITY SAMPLE (Duffield–Lund–Thorup priority
+    * sampling) — x151's uniform per-group sample upgraded to the
+    * weight-proportional scheme curation actually needs ("sample docs per
+    * source, longer docs more likely"): each doc draws priority u/w with
+    * u the portable Knuth hash and w its length bucket; the k = 5 SMALLEST
+    * priorities per source win. The fraction u/w never exists as a float:
+    * w ∈ [1, 8] divides 840 = lcm(1..8), so priority = u·(840/w) is an
+    * EXACT BIGINT total order (the h·840 products stay < 2⁶² for
+    * h < 2³¹). Weight and doc_id ride one invertible tag (doc·10 + w−1),
+    * so no join-back pass recovers metadata.
+    *
+    * 100 TB: `topk_pairs` keeps the k-best per (partition, source) in an
+    * O(k) heap — map-side partial aggregation, one shuffled row per
+    * group, no window sort of any source's documents (the row_number
+    * form the ORACLE uses would sort every partition). Same shape at any
+    * k or weighting: only the lcm constant changes. */
+  def x250(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+              expr("least(1 + n_chars DIV 64, 8)").as("wt"),
+              expr("(doc_id * 2654435761 + 40503) % 2147483647").as("h"))
+      .withColumn("priority", expr("h * (840 DIV wt)"))
+      .withColumn("tag", expr("doc_id * 10 + (wt - 1)"))
+      .groupBy("source")
+      .agg(call_function("topk_pairs",
+        negate(col("priority").cast(DoubleType)), col("tag"), lit(5)).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("source"), (col("pos") + 1).cast(LongType).as("rank"),
+              expr("col.tag DIV 10").as("doc_id"),
+              expr("col.tag % 10 + 1").as("wt"),
+              negate(col("col.score")).cast(LongType).as("priority"))
+      .orderBy("source", "rank")
 }

@@ -81,6 +81,14 @@ class RegistryGuardSpec extends AnyFunSuite {
     "x36_vocab_build", "x56_encode_tokens", "x89_ks_drift", "x95_rrf_fusion",
     "x99_revenue_pareto", "x130_quantile_normalize")
 
+  /** x239's skyline prune keys its partition-LOCAL staircase window by
+    * spark_partition_id — the one sanctioned use beyond Ranks: the merge
+    * theorem skyline(A∪B) = skyline(skyline(A)∪skyline(B)) makes the
+    * RESULT provably invariant to the partitioning (Round10eSpec proves it
+    * on arbitrary 3-way splits; the 4-partition verify leg exercises it
+    * end to end). */
+  private val skylineKeys = Set("x239_skyline_suppliers")
+
   test("no non-deterministic expression outside the documented Ranks keys") {
     val offenders = plans.flatMap { case (name, df) =>
       val plan = df.queryExecution.optimizedPlan
@@ -95,8 +103,9 @@ class RegistryGuardSpec extends AnyFunSuite {
       // monotonically_increasing_id (local index) and spark_partition_id
       // (the offset key) — both cancelled out of the result by the contract
       val disallowed = nonDet.filterNot(e =>
-        (e.isInstanceOf[MonotonicallyIncreasingID] ||
-          e.isInstanceOf[SparkPartitionID]) && ranksKeys.contains(name))
+        ((e.isInstanceOf[MonotonicallyIncreasingID] ||
+          e.isInstanceOf[SparkPartitionID]) && ranksKeys.contains(name)) ||
+        (e.isInstanceOf[SparkPartitionID] && skylineKeys.contains(name)))
       if (disallowed.isEmpty) None
       else Some(s"$name: ${disallowed.map(_.getClass.getSimpleName).distinct.mkString(",")}")
     }
