@@ -317,6 +317,33 @@ object OracleSqlRound10d {
           |       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
           |         AS chapman_est,
           |       CAST(n_true AS BIGINT) AS n_true
-          |FROM c""".stripMargin)
+          |FROM c""".stripMargin),
+
+    // x252: x19's gap/timeout cutoff arithmetic verbatim (ms-floored
+    // watermark, strict <) with per-session bounds for the longest metric.
+    "x252_tws_timer_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, us,
+        |        CASE WHEN LAG(us) OVER w IS NULL
+        |                  OR us - LAG(us) OVER w >= 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, us,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                       ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |sess AS (SELECT user_id, sid, MIN(us) AS first_us,
+        |                MAX(us) AS last_us, COUNT(*) AS n
+        |         FROM s GROUP BY 1, 2),
+        |wm AS (SELECT MAX(us) AS mx FROM e),
+        |closed AS (
+        |  SELECT sess.* FROM sess
+        |  WHERE sid < (SELECT MAX(sid) FROM sess s2
+        |               WHERE s2.user_id = sess.user_id)
+        |     OR (last_us + 1800000000) // 1000
+        |        < (SELECT mx FROM wm) // 1000 - 600000)
+        |SELECT user_id, COUNT(*) AS n_closed_sessions,
+        |       CAST(SUM(n) AS BIGINT) AS n_events,
+        |       CAST(MAX(last_us - first_us) AS BIGINT) AS longest_us
+        |FROM closed GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

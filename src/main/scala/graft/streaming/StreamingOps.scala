@@ -16,6 +16,64 @@ case class UserRunning(n: Long, last_us: Long)
 /** x114 output: the running totals as of the processed batch. */
 case class UserTotals(user_id: Long, n_events: Long, last_us: Long)
 
+/** x252 processor: 30-minute-gap sessionization rebuilt on
+  * `transformWithState` with EXPLICIT EVENT-TIME TIMERS — the fourth and
+  * last piece of the TWS surface (ValueState = x114, ListState = x134,
+  * MapState = x216, timers = here). x19 closes idle sessions through
+  * `GroupStateTimeout.EventTimeTimeout` (one implicit timeout per key);
+  * the TWS timer API is the GENERAL form — any number of named wake-ups
+  * per key — and the registration discipline is on the processor: a
+  * re-extended session must DELETE its stale timer before arming the new
+  * one, or the old wake-up still fires and closes a live session (the
+  * bug StreamingSpec's cross-batch case would catch).
+  *
+  * 100 TB: state is one record + one timer per ACTIVE user, both
+  * watermark-GC'd; per batch each key sorts only its own rows. */
+class TimerSessionProcessor
+    extends StatefulProcessor[Long, UserEvent, ClosedSession] {
+  private val gapUs = 30L * 60 * 1000 * 1000
+  @transient private var open: ValueState[OpenSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[OpenSession](
+      "open", Encoders.product[OpenSession], TTLConfig.NONE)
+
+  private def close(uid: Long, s: OpenSession) =
+    ClosedSession(uid, s.start_us, s.last_us, s.n)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                               timerValues: TimerValues): Iterator[ClosedSession] = {
+    val ts = rows.map(e => e.ts.getTime * 1000L +
+      (e.ts.getNanos / 1000) % 1000).toArray.sorted
+    val closed = Seq.newBuilder[ClosedSession]
+    var cur = if (open.exists()) Some(open.get()) else None
+    for (t <- ts) cur match {
+      case Some(s) if t - s.last_us < gapUs =>
+        cur = Some(s.copy(last_us = math.max(s.last_us, t), n = s.n + 1))
+      case Some(s) =>
+        closed += close(key, s)
+        cur = Some(OpenSession(t, t, 1))
+      case None =>
+        cur = Some(OpenSession(t, t, 1))
+    }
+    cur.foreach { s =>
+      open.update(s)
+      // re-arm: delete every stale wake-up, then register last+gap (ms)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer((s.last_us + gapUs) / 1000)
+    }
+    closed.result().iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] = {
+    val out = (if (open.exists()) Some(open.get()) else None)
+      .map(close(key, _)).iterator
+    open.clear()
+    out
+  }
+}
+
 /** x114 processor: per-user running totals through the `transformWithState`
   * API — Spark 4's successor to `flatMapGroupsWithState` (x19). State is a
   * NAMED, individually-evolvable `ValueState` handle owned by the operator
@@ -697,6 +755,39 @@ object StreamingOps {
       "left_outer")
       .select(col("p_id"), col("c_uid"))
   }
+
+  /** x252 transform: the [[TimerSessionProcessor]] over the keyed event
+    * stream — event-time mode so timers fire off the watermark. */
+  def timerSessions(events: DataFrame): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** x252: TIMER-DRIVEN SESSION CLOSE — x19's 30-minute-gap sessionizer
+    * rebuilt on `transformWithState` EVENT-TIME TIMERS, the last TWS
+    * feature the surface lacked (ValueState/ListState/MapState = x114/
+    * x134/x216). Gap-closed sessions emit in the data batch; idle
+    * sessions emit when their re-armed last+30min timer fires off the
+    * final watermark (the replay's no-data micro-batch — x247's flush
+    * device). Per user: closed-session count, events inside them, and the
+    * longest closed session. The oracle states the same cutoff rule x19's
+    * does (ms-floored watermark, strict <); equivalence of the timer
+    * path with the GroupStateTimeout path is StreamingSpec's cross-batch
+    * case plus the x19-parity assertion in Round10iSpec. */
+  def x252(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, timerSessions(eventsStream(spark, dir)).toDF(),
+               s"x252_sink_${System.nanoTime()}", "append")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_closed_sessions"),
+           sum(col("n_events")).as("n_events"),
+           max(col("end_us") - col("start_us")).as("longest_us"))
+      .orderBy("user_id")
 
   /** x240 transform: the [[CepProcessor]] over the keyed event stream —
     * factored out so the MemoryStream spec can drive a boundary-straddling
