@@ -344,6 +344,73 @@ object OracleSqlRound10d {
         |SELECT user_id, COUNT(*) AS n_closed_sessions,
         |       CAST(SUM(n) AS BIGINT) AS n_events,
         |       CAST(MAX(last_us - first_us) AS BIGINT) AS longest_us
-        |FROM closed GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM closed GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // x253: the oracle takes each argmax by window ROW_NUMBER over an
+    // unnested (key, shard) grid — deliberately not the engine's in-map
+    // array argmax; the hash is the shared cubed-mix device.
+    "x253_rendezvous_shards" -> {
+      val h = graft.queries.Layout2.rdvHashSql("k", "s")
+      s"""WITH ks AS (SELECT o_orderkey AS k FROM orders),
+        |hs AS (
+        |  SELECT k, s, $h AS h
+        |  FROM ks, (SELECT unnest(range(17)) AS s)),
+        |r16 AS (
+        |  SELECT k, s AS s16 FROM (
+        |    SELECT k, s, ROW_NUMBER() OVER (PARTITION BY k
+        |                                    ORDER BY h DESC, s) AS rn
+        |    FROM hs WHERE s < 16) WHERE rn = 1),
+        |r17 AS (
+        |  SELECT k, s AS s17 FROM (
+        |    SELECT k, s, ROW_NUMBER() OVER (PARTITION BY k
+        |                                    ORDER BY h DESC, s) AS rn
+        |    FROM hs) WHERE rn = 1),
+        |j AS (SELECT r16.k, s16, s17 FROM r16 JOIN r17 ON r16.k = r17.k),
+        |bal AS (SELECT CAST(MAX(c) AS BIGINT) AS max_load16,
+        |               CAST(MIN(c) AS BIGINT) AS min_load16
+        |        FROM (SELECT s16, COUNT(*) AS c FROM j GROUP BY 1)),
+        |st AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN k % 16 <> k % 17 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS moved_mod,
+        |    CAST(SUM(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS moved_rdv,
+        |    CAST(SUM(CASE WHEN s16 <> s17 AND s17 <> 16 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS illegal_moves
+        |  FROM j)
+        |SELECT n, moved_mod, moved_rdv, illegal_moves,
+        |       max_load16, min_load16,
+        |       moved_rdv * 1000000 // n AS rdv_moved_ppm
+        |FROM st, bal""".stripMargin
+    },
+
+    // x254: the same shared ladder/mixers as x244, per arm (key parity).
+    "x254_bootstrap_uplift" -> {
+      import graft.queries.StatProtocol._
+      val sels = (0 until bootstrapReps).map { r =>
+        val ladder = poissonLadderSql("h")
+        s"""SELECT $r AS rep,
+          |  SUM(CASE WHEN arm = 0 THEN w ELSE 0 END) AS n_a,
+          |  SUM(CASE WHEN arm = 0 THEN w * cents ELSE 0 END) AS sum_a,
+          |  SUM(CASE WHEN arm = 1 THEN w ELSE 0 END) AS n_b,
+          |  SUM(CASE WHEN arm = 1 THEN w * cents ELSE 0 END) AS sum_b
+          |FROM (SELECT arm, $ladder AS w, cents FROM (
+          |  SELECT CAST(o_orderkey % 2 AS INT) AS arm,
+          |         (o_orderkey * $mixA + ${(r + 1) * mixB}) % $mersenne AS h,
+          |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          |  FROM orders))""".stripMargin
+      }
+      s"""SELECT CAST(rep AS BIGINT) AS rep,
+        |       CAST(n_a AS BIGINT) AS n_a, CAST(sum_a AS BIGINT) AS sum_a,
+        |       CAST(n_b AS BIGINT) AS n_b, CAST(sum_b AS BIGINT) AS sum_b,
+        |       CAST(CAST(sum_a AS HUGEINT) * 1000000
+        |            // CAST(n_a AS HUGEINT) AS BIGINT) AS mean_a_micros,
+        |       CAST(CAST(sum_b AS HUGEINT) * 1000000
+        |            // CAST(n_b AS HUGEINT) AS BIGINT) AS mean_b_micros,
+        |       CAST(CAST(sum_a AS HUGEINT) * 1000000 // CAST(n_a AS HUGEINT)
+        |          - CAST(sum_b AS HUGEINT) * 1000000 // CAST(n_b AS HUGEINT)
+        |          AS BIGINT) AS uplift_micros
+        |FROM (${sels.mkString(" UNION ALL ")}) ORDER BY rep""".stripMargin
+    }
   )
 }

@@ -51,4 +51,58 @@ object Layout2 {
            max(col("py")).cast(LongType).as("max_py"))
       .orderBy("tile")
   }
+
+  /** The rendezvous (highest-random-weight) hash, portable: per (key,
+    * shard) the cubed Knuth mix h = a³ mod M with a = (k·A + (s+1)·B)
+    * mod M — the cube is the cheapest arithmetic-only nonlinearity that
+    * breaks the linear congruential structure (a raw a or a·mix argmax
+    * is measurably skewed: 20–27% movement and 2.7× load imbalance at 16
+    * shards; the cube lands at the theoretical 1/(n+1) and ±7%). All
+    * BIGINT-safe: a < 2³¹, a² < 2⁶², (a² mod M)·a < 2⁶². */
+  def rdvHashSql(k: String, s: String): String = {
+    val a = s"(($k) * 2654435761 + (($s) + 1) * 97564181) % 2147483647"
+    s"((($a) * ($a)) % 2147483647) * ($a) % 2147483647"
+  }
+
+  /** x253: SHARD-REBALANCE AUDIT (rendezvous vs modulo) — the partition-
+    * assignment decision behind every stateful shard map, consistent-hash
+    * ring and cache tier: what fraction of keys MOVE when a 17th shard
+    * joins 16? Modulo placement moves ~16/17 of all keys (every key whose
+    * k mod 16 ≠ k mod 17); rendezvous/HRW placement (argmax over shards
+    * of a per-(key,shard) hash) moves ~1/17 — and, BY THEOREM, every move
+    * lands on the NEW shard (adding a candidate never reorders the
+    * existing ones' scores: `illegal_moves` is computed and is 0, stated
+    * in the oracle and proven in Round10jSpec). The audit emits both
+    * movement counts, the ppm rate, and the 16-shard load spread.
+    *
+    * 100 TB: ONE scan with in-map array arithmetic (two argmaxes over a
+    * 17-slot array) into ONE ≤16·17·2-row aggregate keyed by (s16, s17,
+    * mod-moved); every reported statistic reshapes from that bounded
+    * frame — adding shards widens the array, never adds a pass. */
+  def x253(spark: SparkSession, dir: String): DataFrame = {
+    val hsExpr = (0 until 17)
+      .map(s => rdvHashSql("k", s.toString))
+      .mkString("array(", ", ", ")")
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"))
+      .withColumn("hs", expr(hsExpr))
+      .withColumn("h16", expr("slice(hs, 1, 16)"))
+      .selectExpr(
+        "CAST(array_position(h16, array_max(h16)) - 1 AS BIGINT) AS s16",
+        "CAST(array_position(hs, array_max(hs)) - 1 AS BIGINT) AS s17",
+        "CASE WHEN k % 16 <> k % 17 THEN 1L ELSE 0L END AS mod_moved")
+      .groupBy("s16", "s17", "mod_moved")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // ≤544 rows, two consumers: loads + the stats
+    val loads = base.groupBy("s16").agg(sum(col("c")).as("load"))
+      .agg(max(col("load")).as("max_load16"), min(col("load")).as("min_load16"))
+    base.agg(
+        sum(col("c")).as("n"),
+        sum(expr("c * mod_moved")).as("moved_mod"),
+        sum(expr("CASE WHEN s16 <> s17 THEN c ELSE 0L END")).as("moved_rdv"),
+        sum(expr("CASE WHEN s16 <> s17 AND s17 <> 16 THEN c ELSE 0L END"))
+          .as("illegal_moves"))
+      .crossJoin(broadcast(loads))
+      .withColumn("rdv_moved_ppm", expr("moved_rdv * 1000000 DIV n"))
+  }
 }

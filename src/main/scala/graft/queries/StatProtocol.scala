@@ -147,6 +147,46 @@ object StatProtocol {
       .orderBy("alpha_pct")
   }
 
+  /** x254: BOOTSTRAP UPLIFT INTERVAL — x244's machinery pointed at the
+    * question bootstrap exists for: the UNCERTAINTY of a DIFFERENCE.
+    * Orders split into arms by key parity (A = even, B = odd — the x20
+    * split discipline); each of the 16 Poisson replicates resamples BOTH
+    * arms with the same shared ladder and reports mean(A) − mean(B) in
+    * exact micro-cents; the spread of the 16 replicate uplifts IS the
+    * bootstrap confidence band a reader takes from this table (x88's
+    * z-test states significance parametrically; this states it
+    * resampling-exactly, no normality assumed).
+    *
+    * 100 TB: still ONE partial+final aggregate — 64 sums now (arm × 16 ×
+    * (n, Σ)); the arm indicator is in-map parity CASE on the scan. The
+    * 16-row reshape + the exact DECIMAL divisions run on the 1-row
+    * aggregate. */
+  def x254(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+              expr("CAST(o_orderkey % 2 AS INT)").as("arm"),
+              expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+    val aggs: Seq[Column] = (0 until bootstrapReps).flatMap { r =>
+      val h = s"(o_orderkey * $mixA + ${(r + 1) * mixB}) % $mersenne"
+      val w = poissonLadderSql(h)
+      Seq(sum(expr(s"CASE WHEN arm = 0 THEN $w ELSE 0 END")).as(s"na$r"),
+          sum(expr(s"CASE WHEN arm = 0 THEN ($w) * cents ELSE 0 END")).as(s"sa$r"),
+          sum(expr(s"CASE WHEN arm = 1 THEN $w ELSE 0 END")).as(s"nb$r"),
+          sum(expr(s"CASE WHEN arm = 1 THEN ($w) * cents ELSE 0 END")).as(s"sb$r"))
+    }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (0 until bootstrapReps)
+      .map(r => s"$r, na$r, sa$r, nb$r, sb$r").mkString(", ")
+    one.selectExpr(
+        s"stack($bootstrapReps, $stackArgs) AS (rep, n_a, sum_a, n_b, sum_b)")
+      .selectExpr(
+        "CAST(rep AS BIGINT) AS rep", "n_a", "sum_a", "n_b", "sum_b",
+        "CAST((CAST(sum_a AS DECIMAL(38,0)) * 1000000) DIV n_a AS BIGINT) AS mean_a_micros",
+        "CAST((CAST(sum_b AS DECIMAL(38,0)) * 1000000) DIV n_b AS BIGINT) AS mean_b_micros")
+      .withColumn("uplift_micros", expr("mean_a_micros - mean_b_micros"))
+      .orderBy("rep")
+  }
+
   /** The off-policy evaluation setup, shared with the generated oracle:
     * a 5-action alphabet logged (by declaration) uniformly, so every
     * importance weight is the exact integer K·1[match] — no float

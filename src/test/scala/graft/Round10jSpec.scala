@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 tenth batch: x253 rendezvous shard-rebalance audit. The
+  * replay carries the HRW monotonicity theorem: adding a shard never
+  * reorders existing shards' scores, so every mover lands on the new
+  * shard — asserted key by key, not just in aggregate.
+  */
+class Round10jSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfSmoke}
+  import graft.engine.Tables
+
+  private val M = 2147483647L
+  private def rdv(k: Long, s: Long): Long = {
+    val a = (k * 2654435761L + (s + 1) * 97564181L) % M
+    ((a * a) % M) * a % M
+  }
+
+  test("x253 equals a naive replay; every rendezvous move hits the new shard") {
+    val keys = Tables.orders(spark, sfSmoke)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val assigned = keys.map { k =>
+      val hs = (0L until 17L).map(s => rdv(k, s))
+      val s16 = hs.take(16).zipWithIndex.maxBy { case (h, s) => (h, -s) }._2
+      val s17 = hs.zipWithIndex.maxBy { case (h, s) => (h, -s) }._2
+      // THE HRW theorem, per key: a move can only target the new shard
+      if (s16 != s17) assert(s17 == 16, s"key $k moved $s16 -> $s17")
+      (k, s16.toLong, s17.toLong)
+    }
+    val n = keys.length.toLong
+    val movedMod = keys.count(k => k % 16 != k % 17).toLong
+    val movedRdv = assigned.count(a => a._2 != a._3).toLong
+    val loads = assigned.groupBy(_._2).map(_._2.length.toLong)
+    val want = (n, movedMod, movedRdv, 0L,
+                loads.max, loads.min, movedRdv * 1000000L / n)
+    val got = graft.queries.Layout2.x253(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6))).head
+    assert(got === want)
+    // rendezvous must beat modulo by a wide margin on this grid
+    assert(movedRdv * 4 < movedMod)
+  }
+
+  // ---------------------------------------------------------------- x254
+
+  test("x254 equals a naive two-arm replay at sf0.001") {
+    import graft.queries.StatProtocol._
+    val rows = Tables.orders(spark, sfSmoke)
+      .selectExpr("o_orderkey",
+                  "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def weight(h: Long): Long =
+      poissonThresholds.indexWhere(h < _) match {
+        case -1 => 7L; case k => k.toLong
+      }
+    val want = (0 until bootstrapReps).map { r =>
+      def arm(p: Long) = rows.filter(_._1 % 2 == p).map { case (k, c) =>
+        val w = weight((k * mixA + (r + 1) * mixB) % mersenne)
+        (w, w * c)
+      }
+      val (a, b) = (arm(0), arm(1))
+      val (na, sa) = (a.map(_._1).sum, a.map(_._2).sum)
+      val (nb, sb) = (b.map(_._1).sum, b.map(_._2).sum)
+      val ma = (BigInt(sa) * 1000000 / BigInt(na)).toLong
+      val mb = (BigInt(sb) * 1000000 / BigInt(nb)).toLong
+      (r.toLong, na, sa, nb, sb, ma, mb, ma - mb)
+    }.toSet
+    val got = graft.queries.StatProtocol.x254(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    assert(want.nonEmpty && got === want)
+  }
+}
