@@ -411,6 +411,48 @@ object OracleSqlRound10d {
         |          - CAST(sum_b AS HUGEINT) * 1000000 // CAST(n_b AS HUGEINT)
         |          AS BIGINT) AS uplift_micros
         |FROM (${sels.mkString(" UNION ALL ")}) ORDER BY rep""".stripMargin
+    },
+
+    // x255: four relaxation CTEs — the ≤4-edge Bellman–Ford optimum is
+    // the DEFINITION, so the recursion structure is shared by contract.
+    "x255_weighted_hops" -> {
+      val relax = (1 to 4).map { i =>
+        s"""d$i AS (
+          |  SELECT v, MIN(d) AS d FROM (
+          |    SELECT v, d FROM d${i - 1}
+          |    UNION ALL
+          |    SELECT e.v, p.d + e.w AS d
+          |    FROM d${i - 1} p JOIN edges e ON e.u = p.v)
+          |  GROUP BY v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |           AS ts
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS p
+        |  FROM toks),
+        |bigr AS (
+        |  SELECT a.tok AS a, b.tok AS b, COUNT(*) AS cnt
+        |  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |bigf AS (SELECT a, b, cnt FROM bigr WHERE a <> b),
+        |edges AS (
+        |  SELECT u, v, 1000 + 1000000 // SUM(cnt) AS w FROM (
+        |    SELECT a AS u, b AS v, cnt FROM bigf
+        |    UNION ALL SELECT b, a, cnt FROM bigf)
+        |  GROUP BY 1, 2),
+        |df AS (
+        |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY 1),
+        |d0 AS (
+        |  SELECT tok AS v, CAST(0 AS BIGINT) AS d FROM df
+        |  ORDER BY df DESC, tok LIMIT 1),
+        |$relax,
+        |top20 AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 20)
+        |SELECT t.tok, t.df, CAST(COALESCE(d4.d, -1) AS BIGINT) AS dist4
+        |FROM top20 t LEFT JOIN d4 ON d4.v = t.tok
+        |ORDER BY t.tok""".stripMargin
     }
   )
 }

@@ -219,4 +219,61 @@ object Graphs {
           6).as("cosine"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** x255: WEIGHTED k-HOP DISTANCES (bounded Bellman–Ford) — the weighted
+    * companion the graph family lacked (x188's BFS counts hops; this
+    * prices them): over the symmetrized adjacent-bigram co-occurrence
+    * graph with integer edge costs w = 1000 + ⌊10⁶/cnt⌋ (stronger
+    * co-occurrence ⇒ shorter edge — all exact BIGINT), the exact
+    * shortest distance USING ≤4 EDGES from the corpus's highest-df token
+    * to each of the 20 highest-df tokens. Four relaxation rounds compute
+    * precisely the ≤4-edge optimum (the Bellman–Ford prefix property —
+    * the theorem Round10jSpec replays), so the bound is a stated
+    * contract, not an approximation apology.
+    *
+    * 100 TB: the edge list is a vocab²-bounded (Zipf-thin in practice)
+    * aggregate built once and reused across rounds; each round is one
+    * token-keyed join + min-aggregate, `localCheckpoint` per round (the
+    * x24/x188 iteration discipline — lineage must not nest 4 joins
+    * deep); the top-20 stitch is a broadcast. Rounds scale with the hop
+    * bound, never with corpus size. */
+  def x255(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              filter(split(lower(col("text")), " "), t => t =!= "").as("ts"))
+    val bigr = docs
+      .select(explode(expr(
+        """CASE WHEN size(ts) < 2 THEN array()
+          |ELSE transform(sequence(1, size(ts) - 1),
+          |               i -> struct(element_at(ts, i) AS t1,
+          |                           element_at(ts, i + 1) AS t2)) END"""
+          .stripMargin)).as("pr"))
+      .groupBy(col("pr.t1").as("a"), col("pr.t2").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 3 && col("a") =!= col("b"))
+    val edges = bigr.select(col("a").as("u"), col("b").as("v"), col("cnt"))
+      .unionByName(bigr.select(col("b").as("u"), col("a").as("v"), col("cnt")))
+      .groupBy("u", "v").agg(sum(col("cnt")).as("c"))
+      .withColumn("w", expr("1000 + 1000000 DIV c"))
+      .select("u", "v", "w")
+      .localCheckpoint(true) // reused by all 4 relaxation rounds
+    val df = docs.select(explode(array_distinct(col("ts"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true) // two consumers: the source pick + the top-20
+    val src = df.orderBy(col("df").desc, col("tok").asc).limit(1)
+      .select(col("tok").as("v"), lit(0L).as("d"))
+    var dist = src.localCheckpoint(true)
+    for (_ <- 1 to 4) {
+      dist = dist
+        .unionByName(dist.join(edges, dist("v") === edges("u"))
+          .select(edges("v"), (dist("d") + edges("w")).as("d")))
+        .groupBy("v").agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    df.orderBy(col("df").desc, col("tok").asc).limit(20)
+      .join(dist, col("tok") === dist("v"), "left")
+      .select(col("tok"), col("df"),
+              coalesce(col("d"), lit(-1L)).as("dist4"))
+      .orderBy("tok")
+  }
 }

@@ -72,4 +72,40 @@ class Round10jSpec extends AnyFunSuite {
       .toSet
     assert(want.nonEmpty && got === want)
   }
+
+  // ---------------------------------------------------------------- x255
+
+  test("x255 equals a naive 4-round Bellman–Ford replay at sf0.001") {
+    val docs = Tables.documents(spark, sfSmoke)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+                 r.getString(1).toLowerCase.split(" ", -1)
+                   .filter(_.nonEmpty).toSeq))
+    val bigr = docs.flatMap { case (_, ts) => ts.zip(ts.drop(1)) }
+      .groupBy(identity).view.mapValues(_.length)
+      .filter { case ((a, b), c) => c >= 3 && a != b }.toMap
+    val edges = bigr.toSeq
+      .flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+      .groupBy(e => (e._1, e._2))
+      .map { case ((u, v), xs) =>
+        (u, v, 1000L + 1000000L / xs.map(_._3.toLong).sum) }.toSeq
+    val df = docs.flatMap { case (d, ts) => ts.distinct.map(_ -> d) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.length }
+    val srcTok = df.toSeq.minBy { case (t, n) => (-n, t) }._1
+    var dist = Map(srcTok -> 0L)
+    var prev = dist
+    for (_ <- 1 to 4) {
+      prev = dist
+      val relaxed = dist.toSeq ++ edges.flatMap { case (u, v, w) =>
+        dist.get(u).map(d => v -> (d + w)) }
+      dist = relaxed.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).min }
+    }
+    // the Bellman–Ford prefix property: rounds only improve
+    prev.foreach { case (v, d) => assert(dist(v) <= d) }
+    val want = df.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+      .map { case (t, n) => (t, n.toLong, dist.getOrElse(t, -1L)) }.toSet
+    val got = graft.queries.Graphs.x255(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty && got === want)
+  }
 }
