@@ -453,6 +453,44 @@ object OracleSqlRound10d {
         |SELECT t.tok, t.df, CAST(COALESCE(d4.d, -1) AS BIGINT) AS dist4
         |FROM top20 t LEFT JOIN d4 ON d4.v = t.tok
         |ORDER BY t.tok""".stripMargin
-    }
+    },
+
+    // x256: the oracle UNFOLDS the greedy scan as a recursive CTE joining
+    // the inventory tables directly — the engine inlines the same
+    // inventory (same tf weights, same tiebreaks) as IN-list literals.
+    "x256_wordpiece_segment" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                x -> x <> '')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+        |bi AS (
+        |  SELECT substr(tok, i, 2) AS g, SUM(tf) AS w
+        |  FROM vocab, generate_series(1, 32) AS gs(i)
+        |  WHERE i + 1 <= length(tok) GROUP BY 1),
+        |tri AS (
+        |  SELECT substr(tok, i, 3) AS g, SUM(tf) AS w
+        |  FROM vocab, generate_series(1, 32) AS gs(i)
+        |  WHERE i + 2 <= length(tok) GROUP BY 1),
+        |bi30 AS (SELECT g FROM bi ORDER BY w DESC, g LIMIT 30),
+        |tri20 AS (SELECT g FROM tri ORDER BY w DESC, g LIMIT 20),
+        |seg AS (
+        |  WITH RECURSIVE r(tok, tf, pos, piece) AS (
+        |    SELECT tok, tf, 0, CAST(NULL AS VARCHAR) FROM vocab
+        |    UNION ALL
+        |    SELECT r.tok, r.tf,
+        |      r.pos + CASE WHEN t.g IS NOT NULL THEN 3
+        |                   WHEN b.g IS NOT NULL THEN 2 ELSE 1 END,
+        |      CASE WHEN t.g IS NOT NULL THEN t.g
+        |           WHEN b.g IS NOT NULL THEN b.g
+        |           ELSE substr(r.tok, r.pos + 1, 1) END
+        |    FROM r
+        |    LEFT JOIN tri20 t ON t.g = substr(r.tok, r.pos + 1, 3)
+        |    LEFT JOIN bi30 b ON b.g = substr(r.tok, r.pos + 1, 2)
+        |    WHERE r.pos < length(r.tok))
+        |  SELECT tok, tf, piece FROM r WHERE piece IS NOT NULL)
+        |SELECT piece, CAST(length(piece) AS BIGINT) AS len,
+        |       CAST(SUM(tf) AS BIGINT) AS usage
+        |FROM seg GROUP BY 1 ORDER BY usage DESC, piece LIMIT 30""".stripMargin
   )
 }

@@ -460,4 +460,63 @@ object Mining {
               col("rep_suppkey"))
       .orderBy("avg_delay_us", "cpu_micro")
   }
+
+  /** x256: WORDPIECE-STYLE GREEDY SEGMENTATION — the tokenizer-inference
+    * path the BPE family (x40 pair counts, x225 iterated merges) stops
+    * short of: a data-derived subword inventory (the 30 highest-mass
+    * character bigrams + 20 trigrams, tf-weighted, deterministic
+    * tiebreaks) applied by longest-match-first greedy scan — WordPiece /
+    * MaxMatch at inference time — to every DISTINCT token; per piece the
+    * corpus usage (occurrences × token tf). Single-char fallback makes
+    * every token segmentable by construction (total coverage, asserted
+    * in Round10jSpec).
+    *
+    * 100 TB: the inventory derives from the VOCAB aggregate (bounded),
+    * is collected under the x180 bounded-collect discipline (≤50 rows)
+    * and inlined as literals into ONE `aggregate` higher-order fold per
+    * distinct token — the greedy scan runs inside codegen on the
+    * vocab-bounded frame, never on corpus rows; corpus mass enters only
+    * through the tf weights. Growing the inventory widens two IN-lists;
+    * the corpus-side cost is unchanged. */
+  def x256(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(filter(split(lower(col("text")), " "),
+                             t => t =!= "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // three consumers: bi, tri, the fold
+    def grams(n: Int, k: Int): Array[String] = vocab
+      .select(explode(expr(
+        s"""CASE WHEN length(tok) < $n THEN array()
+           |ELSE transform(sequence(1, least(length(tok) - ${n - 1}, 32)),
+           |               i -> substr(tok, i, $n)) END""".stripMargin))
+        .as("g"), col("tf"))
+      .groupBy("g").agg(sum(col("tf")).as("w"))
+      .orderBy(col("w").desc, col("g").asc).limit(k)
+      .collect().map(_.getString(0)) // ≤ k rows — bounded collect
+    def inList(gs: Array[String]) =
+      gs.map(g => "'" + g.replace("'", "''") + "'").mkString("(", ", ", ")")
+    val (tri, bi) = (grams(3, 20), grams(2, 30))
+    val fold =
+      s"""aggregate(
+         |  sequence(1, length(tok)),
+         |  named_struct('pos', 0, 'ps', CAST(array() AS array<string>)),
+         |  (acc, i) -> CASE WHEN i = acc.pos + 1 THEN
+         |      CASE WHEN substr(tok, i, 3) IN ${inList(tri)}
+         |           THEN named_struct('pos', acc.pos + 3,
+         |                  'ps', array_append(acc.ps, substr(tok, i, 3)))
+         |           WHEN substr(tok, i, 2) IN ${inList(bi)}
+         |           THEN named_struct('pos', acc.pos + 2,
+         |                  'ps', array_append(acc.ps, substr(tok, i, 2)))
+         |           ELSE named_struct('pos', acc.pos + 1,
+         |                  'ps', array_append(acc.ps, substr(tok, i, 1)))
+         |      END ELSE acc END,
+         |  acc -> acc.ps)""".stripMargin
+    vocab
+      .select(col("tf"), explode(expr(fold)).as("piece"))
+      .groupBy("piece").agg(sum(col("tf")).as("usage"))
+      .withColumn("len", expr("CAST(length(piece) AS BIGINT)"))
+      .select("piece", "len", "usage")
+      .orderBy(col("usage").desc, col("piece").asc).limit(30)
+      .orderBy(col("usage").desc, col("piece").asc)
+  }
 }

@@ -108,4 +108,44 @@ class Round10jSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(want.nonEmpty && got === want)
   }
+
+  // ---------------------------------------------------------------- x256
+
+  test("x256 equals a naive greedy replay; segmentation is total") {
+    val toks = Tables.documents(spark, sfSmoke)
+      .select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1).filter(_.nonEmpty))
+    val vocab = toks.groupBy(identity).map { case (t, xs) => t -> xs.length }
+    def topGrams(n: Int, k: Int): Set[String] = vocab.toSeq
+      .flatMap { case (t, tf) =>
+        (0 to math.min(t.length - n, 31)).map(i => t.substring(i, i + n) -> tf)
+      }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sum }
+      .toSeq.sortBy { case (g, w) => (-w, g) }.take(k).map(_._1).toSet
+    val (tri, bi) = (topGrams(3, 20), topGrams(2, 30))
+    def segment(t: String): Seq[String] = {
+      var pos = 0
+      val out = Seq.newBuilder[String]
+      while (pos < t.length) {
+        val p =
+          if (pos + 3 <= t.length && tri(t.substring(pos, pos + 3)))
+            t.substring(pos, pos + 3)
+          else if (pos + 2 <= t.length && bi(t.substring(pos, pos + 2)))
+            t.substring(pos, pos + 2)
+          else t.substring(pos, pos + 1)
+        out += p
+        pos += p.length
+      }
+      out.result()
+    }
+    // total coverage: pieces re-concatenate to the token, every token
+    vocab.keys.foreach(t => assert(segment(t).mkString == t))
+    val want = vocab.toSeq
+      .flatMap { case (t, tf) => segment(t).map(_ -> tf.toLong) }
+      .groupBy(_._1).map { case (p, xs) => (p, p.length.toLong, xs.map(_._2).sum) }
+      .toSeq.sortBy { case (p, _, u) => (-u, p) }.take(30).toSet
+    val got = graft.queries.Mining.x256(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty && got === want)
+  }
 }
