@@ -596,6 +596,71 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x242: the Hilbert chain is map arithmetic — no explode, no join beyond the 1-row maxes stitch") {
+    val p = finalPlan(graft.queries.Layout2.x242(spark, sfSmoke))
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans === 2,
+      s"lineitem data scan + the 1-row maxes scan, got $scans")
+    assert(!p.contains("Generate"),
+      "the 40 chained level columns must never become an explode")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x243: phrase search runs three map+agg passes; the phrase joins broadcast") {
+    val p = finalPlan(graft.queries.TextSearch.x243(spark, sfSmoke))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 10-phrase set must broadcast into the hit scan")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-side shuffle join anywhere — candidates filter via broadcast")
+  }
+
+  test("x244/x254/x248: one orders/events scan, one aggregate, no explode") {
+    for ((name, df) <- Seq(
+        "x244" -> graft.queries.StatProtocol.x244(spark, sfSmoke),
+        "x254" -> graft.queries.StatProtocol.x254(spark, sfSmoke),
+        "x248" -> graft.queries.StatProtocol.x248(spark, sfSmoke))) {
+      val p = finalPlan(df)
+      val scans = p.linesIterator.count(_.contains("FileScan"))
+      assert(scans === 1, s"$name: the whole family is ONE scan, got $scans")
+      // the ONLY Generate allowed is the stack() reshape of the 1-ROW
+      // aggregate — a Generate (explode) on the fact side would be the
+      // 16×-row-blowup anti-pattern these keys exist to avoid
+      val gens = p.linesIterator.filter(_.contains("Generate")).toSeq
+      assert(gens.forall(_.contains("stack(")),
+        s"$name: non-stack Generate on the fact path:\n${gens.mkString("\n")}")
+    }
+  }
+
+  test("x246: two count releases = two scans; the noise ladder touches only aggregates") {
+    val p = finalPlan(graft.queries.Governance.x246(spark, sfSmoke))
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans === 2, s"one scan per release, got $scans")
+    assert(!p.contains("WindowExec"))
+  }
+
+  test("x249: the exponential histogram costs one scan; windows only on the bounded aggregate") {
+    val p = finalPlan(graft.queries.StatProtocol.x249(spark, sfSmoke))
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans <= 2,
+      s"hist + its ALL-row merge may at worst re-read once, got $scans")
+    assert(!p.contains("Generate"))
+  }
+
+  test("x250: the weighted sample is a topk_pairs heap — no window sorts a source") {
+    val p = finalPlan(graft.queries.Organize.x250(spark, sfSmoke))
+    assert(p.contains("topk_pairs"))
+    assert(!p.contains("WindowExec"),
+      "the row_number formulation is the oracle's job, not the engine's")
+  }
+
+  test("x253: the rebalance audit never forms a cartesian; the load stitch broadcasts") {
+    val p = finalPlan(graft.queries.Layout2.x253(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Generate"),
+      "the 17-slot argmaxes are in-map array ops, never an explode")
+  }
+
   test("x236: the as-of window partitions by doc_id — per-container state, never a global sort") {
     val p = finalPlan(graft.queries.MultimodalOps.x236(spark, sfSmoke))
     assert(!p.contains("CartesianProduct"))
