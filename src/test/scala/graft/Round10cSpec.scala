@@ -171,14 +171,15 @@ class Round10cSpec extends AnyFunSuite {
       (for (k <- 0 until d; l <- k until d)
         yield ((k, l), qv.map(q => q(k) * q(l)).sum))).toMap
     val rows = graft.queries.Clustering.x232(spark, sfSmoke).collect()
-    val got = rows.map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val got = rows.map(r =>
+      ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2))).toMap
     assert(got === want)
     assert(rows.forall(_.getBoolean(3)), "power-iteration invariants hold")
   }
 
   test("x232 theorem: the scaled covariance from the sketch is PSD") {
     val rows = graft.queries.Clustering.x232(spark, sfSmoke).collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2))).toMap
     val d = 64
     val n = rows((-1, -1)).toDouble
     val s = Array.tabulate(d)(k => rows((k, -1)).toDouble)
