@@ -491,6 +491,46 @@ object OracleSqlRound10d {
         |  SELECT tok, tf, piece FROM r WHERE piece IS NOT NULL)
         |SELECT piece, CAST(length(piece) AS BIGINT) AS len,
         |       CAST(SUM(tf) AS BIGINT) AS usage
-        |FROM seg GROUP BY 1 ORDER BY usage DESC, piece LIMIT 30""".stripMargin
+        |FROM seg GROUP BY 1 ORDER BY usage DESC, piece LIMIT 30""".stripMargin,
+
+    // x257: x13's fp prelude + the shared cubed KMV hash; sketches by
+    // ORDER BY h LIMIT k (the sort formulation the engine's heap avoids);
+    // the union sketch merges the two sketches exactly as the engine does.
+    "x257_kmv_overlap" -> {
+      val h = graft.queries.Reshape.kmvHashSql("fp")
+      ("WITH " + OracleSqlMl.fpCodedCtes + ",\n" + OracleSqlMl.fpsDistinctCte + ",\n" +
+        s"""hs AS (
+          |  SELECT DISTINCT doc_id % 2 AS side, $h AS h FROM fps),
+          |ka AS (SELECT h FROM (SELECT DISTINCT h FROM hs WHERE side = 0)
+          |       ORDER BY h LIMIT 256),
+          |kb AS (SELECT h FROM (SELECT DISTINCT h FROM hs WHERE side = 1)
+          |       ORDER BY h LIMIT 256),
+          |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+          |       ORDER BY h LIMIT 256),
+          |est AS (
+          |  SELECT
+          |    (SELECT COUNT(*) FROM hs WHERE side = 0) AS n_a,
+          |    (SELECT COUNT(*) FROM hs WHERE side = 1) AS n_b,
+          |    (SELECT MAX(h) FROM ka) AS kth_a,
+          |    (SELECT MAX(h) FROM kb) AS kth_b,
+          |    (SELECT MAX(h) FROM ku) AS kth_u,
+          |    (SELECT COUNT(*) FROM ku) AS cu,
+          |    (SELECT COUNT(*) FROM ku
+          |     WHERE h IN (SELECT h FROM ka)
+          |       AND h IN (SELECT h FROM kb)) AS inter_in_u,
+          |    (SELECT COUNT(DISTINCT h) FROM hs) AS true_union,
+          |    (SELECT COUNT(*) FROM
+          |       (SELECT h FROM hs WHERE side = 0 INTERSECT
+          |        SELECT h FROM hs WHERE side = 1)) AS true_inter)
+          |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          |  kth_a, kth_b, kth_u,
+          |  CAST(CASE WHEN cu < 256 THEN cu
+          |       ELSE CAST(255 AS BIGINT) * 2147483647 // kth_u END
+          |    AS BIGINT) AS est_union,
+          |  CAST(true_union AS BIGINT) AS true_union,
+          |  CAST(inter_in_u * 1000000 // cu AS BIGINT) AS est_j_ppm,
+          |  CAST(true_inter * 1000000 // true_union AS BIGINT) AS true_j_ppm
+          |FROM est""".stripMargin)
+    }
   )
 }

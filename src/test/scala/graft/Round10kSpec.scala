@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 eleventh batch: x257 KMV snapshot-overlap estimation. The
+  * replay carries the KMV merge theorem — the k smallest of the two
+  * sketches' union equal the k smallest of the full data union — and the
+  * superset order-statistic bound kth_u ≤ min(kth_a, kth_b).
+  */
+class Round10kSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfSmoke}
+  import graft.engine.Tables
+
+  private val M = 2147483647L
+  private def kmv(fp: Long): Long = {
+    val a = (fp * 2654435761L + 12345L) % M
+    ((a * a) % M) * a % M
+  }
+
+  test("x257 equals a naive replay; KMV merge theorem; superset bound") {
+    val fps = graft.queries.LlmExt2
+      .docFingerprints(Tables.documents(spark, sfSmoke))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hA = fps.filter(_._1 % 2 == 0).map(f => kmv(f._2)).toSet
+    val hB = fps.filter(_._1 % 2 == 1).map(f => kmv(f._2)).toSet
+    val k = 256
+    val ka = hA.toSeq.sorted.take(k)
+    val kb = hB.toSeq.sorted.take(k)
+    // THE merge theorem: k smallest of (sketchA ∪ sketchB) ==
+    // k smallest of the FULL union
+    val kuMerged = (ka.toSet ++ kb.toSet).toSeq.sorted.take(k)
+    val kuFull = (hA ++ hB).toSeq.sorted.take(k)
+    assert(kuMerged === kuFull)
+    val (kthA, kthB, kthU) = (ka.max, kb.max, kuMerged.max)
+    assert(kthU <= math.min(kthA, kthB)) // superset order statistic
+    val cu = kuMerged.length.toLong
+    val interInU = kuMerged.count(h => ka.contains(h) && kb.contains(h)).toLong
+    val trueUnion = (hA ++ hB).size.toLong
+    val trueInter = hA.intersect(hB).size.toLong
+    val estUnion =
+      if (cu < k) cu else 255L * M / kthU
+    val want = (hA.size.toLong, hB.size.toLong, kthA, kthB, kthU,
+                estUnion, trueUnion, interInU * 1000000L / cu,
+                trueInter * 1000000L / trueUnion)
+    val got = graft.queries.Reshape.x257(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+                 r.getLong(8))).head
+    assert(trueUnion > 0 && got === want)
+  }
+}
