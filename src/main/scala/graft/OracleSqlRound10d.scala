@@ -531,6 +531,37 @@ object OracleSqlRound10d {
           |  CAST(inter_in_u * 1000000 // cu AS BIGINT) AS est_j_ppm,
           |  CAST(true_inter * 1000000 // true_union AS BIGINT) AS true_j_ppm
           |FROM est""".stripMargin)
-    }
+    },
+
+    // x258: the oracle materializes the (user, seg) grid + ROW_NUMBER
+    // order statistics — the sort/spine formulation the engine's in-map
+    // zero-fill and two-phase histogram avoid.
+    "x258_sax_motifs" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |                  CAST(round(value * 100, 0) AS BIGINT) AS c
+        |           FROM events),
+        |m AS (SELECT MAX(day) AS maxd FROM e),
+        |w AS (SELECT user_id, (maxd - day) // 2 AS seg, c FROM e, m
+        |      WHERE day > maxd - 8),
+        |segs AS (SELECT user_id, seg, SUM(c) AS v FROM w GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT user_id FROM w),
+        |vals AS (
+        |  SELECT g.user_id, s.seg, COALESCE(x.v, 0) AS v
+        |  FROM grid g CROSS JOIN (SELECT unnest(range(4)) AS seg) s
+        |  LEFT JOIN segs x ON x.user_id = g.user_id AND x.seg = s.seg),
+        |n AS (SELECT COUNT(*) AS n FROM vals),
+        |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM vals),
+        |b AS (SELECT
+        |  (SELECT v FROM r, n WHERE rn = (n + 3) // 4) AS b1,
+        |  (SELECT v FROM r, n WHERE rn = (2 * n + 3) // 4) AS b2,
+        |  (SELECT v FROM r, n WHERE rn = (3 * n + 3) // 4) AS b3),
+        |sym AS (SELECT user_id, seg,
+        |  CASE WHEN v <= b1 THEN 'a' WHEN v <= b2 THEN 'b'
+        |       WHEN v <= b3 THEN 'c' ELSE 'd' END AS s
+        |  FROM vals, b),
+        |words AS (SELECT user_id, STRING_AGG(s, '' ORDER BY seg) AS word
+        |          FROM sym GROUP BY 1)
+        |SELECT word, COUNT(*) AS n_users FROM words GROUP BY 1
+        |ORDER BY n_users DESC, word""".stripMargin
   )
 }

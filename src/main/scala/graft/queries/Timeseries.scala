@@ -254,4 +254,76 @@ object Timeseries {
           .as("residual"))
       .orderBy("day")
   }
+
+  /** x258: SAX MOTIF DISCOVERY — the symbolic time-series technique (Lin
+    * et al.'s Symbolic Aggregate approXimation) the analytics family
+    * lacked: each active user's last-8-day spend series is PAA-compressed
+    * to 4 two-day segment sums (exact cents, zero-filled), each segment
+    * quantized to a quartile symbol a–d against the GLOBAL segment-sum
+    * distribution (exact order-statistic breakpoints b_i = the
+    * ⌈i·N/4⌉-th smallest — x176's two-phase histogram, no sort), and the
+    * 4-symbol words counted across users: repeated words ARE the motifs
+    * ("spend-shape clusters") a behavioral pipeline feeds downstream.
+    * Everything integer/string-exact — the classic SAX Gaussian
+    * breakpoints are replaced by exact empirical quartiles precisely so
+    * the oracle can replay bit-for-bit.
+    *
+    * 100 TB: one (user, seg)-keyed aggregate with in-map CASE zero-fill
+    * (no calendar spine join); the breakpoint histogram runs on the
+    * 4·|users|-row aggregate (two passes, windows only over bounded
+    * bucket frames); symbols and words are map arithmetic under a 3-value
+    * broadcast; the motif rollup is word-keyed (≤4⁴ groups). */
+  def x258(spark: SparkSession, dir: String): DataFrame = {
+    val W = 4096L
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+              expr("CAST(round(value * 100, 0) AS BIGINT)").as("c"))
+    val maxd = e.agg(max(col("day")).as("maxd"))
+    val segs = e.crossJoin(broadcast(maxd))
+      .filter(expr("day > maxd - 8"))
+      .withColumn("seg", expr("datediff(maxd, day) DIV 2"))
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(col("seg") === 0, col("c"))), lit(0L)).as("s0"),
+           (1 until 4).map(i =>
+             coalesce(sum(when(col("seg") === i, col("c"))), lit(0L))
+               .as(s"s$i")): _*)
+      .localCheckpoint(true) // bounded by |active users|; 3 consumers
+    val vals = segs.selectExpr("stack(4, s0, s1, s2, s3) AS (v)")
+    // x176's two-phase exact order statistic for the 3 quartile targets
+    val h1 = vals.groupBy(expr(s"v DIV $W").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h1
+      .withColumn("before", coalesce(sum(col("cnt")).over(wc), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)))
+    val targets = cum.select(col("n")).limit(1)
+      .select(explode(sequence(lit(1), lit(3))).as("i"), col("n"))
+      .select(col("i").cast(LongType).as("i"),
+              expr("(i * n + 3) DIV 4").as("target"))
+    val selected = cum.join(broadcast(targets),
+        col("before") < col("target") &&
+        col("target") <= col("before") + col("cnt"))
+      .select("b", "before").distinct()
+    val wv = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bounds = vals.join(broadcast(selected), expr(s"v DIV $W") === col("b"))
+      .groupBy("b", "v", "before")
+      .agg(count(lit(1)).as("vcnt"))
+      .withColumn("cum", col("before") + sum(col("vcnt")).over(wv))
+      .join(broadcast(targets), col("cum") >= col("target"))
+      .groupBy("i").agg(min(col("v")).as("bv"))
+      .agg(max(when(col("i") === 1, col("bv"))).as("b1"),
+           max(when(col("i") === 2, col("bv"))).as("b2"),
+           max(when(col("i") === 3, col("bv"))).as("b3"))
+    def sym(c: String) =
+      s"CASE WHEN $c <= b1 THEN 'a' WHEN $c <= b2 THEN 'b' " +
+        s"WHEN $c <= b3 THEN 'c' ELSE 'd' END"
+    segs.crossJoin(broadcast(bounds))
+      .withColumn("word", expr(
+        s"concat(${sym("s0")}, ${sym("s1")}, ${sym("s2")}, ${sym("s3")})"))
+      .groupBy("word").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("word").asc)
+  }
 }

@@ -48,4 +48,41 @@ class Round10kSpec extends AnyFunSuite {
                  r.getLong(8))).head
     assert(trueUnion > 0 && got === want)
   }
+
+  // ---------------------------------------------------------------- x258
+
+  test("x258 equals a naive SAX replay; breakpoints are the exact quartiles") {
+    val rows = Tables.events(spark, sfSmoke)
+      .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS day",
+                  "CAST(round(value * 100, 0) AS BIGINT) AS c")
+      .collect()
+      .map(r => (r.getLong(0),
+                 java.time.LocalDate.parse(r.getString(1)), r.getLong(2)))
+    val maxd = rows.map(_._2).max
+    val win = rows.filter(r =>
+      java.time.temporal.ChronoUnit.DAYS.between(r._2, maxd) < 8)
+    val segs = win.groupBy(_._1).map { case (u, xs) =>
+      u -> (0 until 4).map { s =>
+        xs.filter(x => java.time.temporal.ChronoUnit.DAYS
+          .between(x._2, maxd) / 2 == s).map(_._3).sum
+      }
+    }
+    val vals = segs.values.flatten.toSeq.sorted
+    val n = vals.length
+    def bp(i: Int) = vals((i * n + 3) / 4 - 1) // the ⌈i·N/4⌉-th smallest
+    val (b1, b2, b3) = (bp(1), bp(2), bp(3))
+    def sym(v: Long) =
+      if (v <= b1) 'a' else if (v <= b2) 'b' else if (v <= b3) 'c' else 'd'
+    val want = segs.values.map(ss => ss.map(sym).mkString)
+      .groupBy(identity).map { case (w, xs) => (w, xs.size.toLong) }.toSet
+    val got = graft.queries.Timeseries.x258(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got === want)
+    // breakpoint sanity: each is genuinely the claimed order statistic
+    (1 to 3).foreach { i =>
+      val b = bp(i)
+      assert(vals.count(_ <= b) >= (i * n + 3) / 4)
+      assert(vals.count(_ < b) < (i * n + 3) / 4)
+    }
+  }
 }
