@@ -562,6 +562,24 @@ object OracleSqlRound10d {
         |words AS (SELECT user_id, STRING_AGG(s, '' ORDER BY seg) AS word
         |          FROM sym GROUP BY 1)
         |SELECT word, COUNT(*) AS n_users FROM words GROUP BY 1
-        |ORDER BY n_users DESC, word""".stripMargin
+        |ORDER BY n_users DESC, word""".stripMargin,
+
+    // x259: the single-sort ROW_NUMBER formulation of the permutation the
+    // engine computes with the two-phase distributed rank; shared cubed
+    // seed-7 hash.
+    "x259_training_shuffle" -> {
+      val h = graft.queries.Layout2.rdvHashSql("event_id", "7")
+      s"""WITH hs AS (SELECT event_id, $h AS h FROM events),
+        |r AS (SELECT event_id, h,
+        |        ROW_NUMBER() OVER (ORDER BY h, event_id) AS rank FROM hs),
+        |n AS (SELECT COUNT(*) AS n FROM r)
+        |SELECT CAST((rank - 1) // ((n + 15) // 16) AS BIGINT) AS shard,
+        |       COUNT(*) AS n_rows,
+        |       CAST(MIN(rank) AS BIGINT) AS min_rank,
+        |       CAST(MAX(rank) AS BIGINT) AS max_rank,
+        |       CAST(SUM(CAST(rank AS HUGEINT) * event_id) % 2147483647
+        |            AS BIGINT) AS cks
+        |FROM r, n GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }

@@ -145,6 +145,41 @@ object Organize {
     * group, no window sort of any source's documents (the row_number
     * form the ORACLE uses would sort every partition). Same shape at any
     * k or weighting: only the lcm constant changes. */
+  /** x259: DETERMINISTIC TRAINING-DATA SHUFFLE — the reproducible global
+    * permutation every training run needs ("same seed ⇒ same batch
+    * order, on any cluster"): events permuted by the cubed Knuth mix of
+    * (event_id, seed 7) — a seeded hash sort, THE distributed shuffle
+    * that needs no RNG state — then cut into 16 contiguous shards of
+    * ⌈n/16⌉; per shard the row count, rank range and a permutation
+    * checksum Σ rank·event_id mod M (DECIMAL(38,0) accumulation — the
+    * rank·id cross-term overflows BIGINT past ~10⁷ rows·ids) that pins
+    * EVERY (position, example) binding, not just counts. Ranking rides
+    * [[graft.engine.Ranks]] — the two-phase range shuffle + offset
+    * broadcast, never a single-partition window (the 4-partition verify
+    * leg exercises its determinism contract; (h, event_id) is the
+    * required total order).
+    *
+    * 100 TB: one range exchange for the permutation (exactly what a real
+    * shuffled-write would pay), bounded offset/count frames, a ≤16-row
+    * output. Re-seeding changes one literal. */
+  def x259(spark: SparkSession, dir: String): DataFrame = {
+    val mixed = Tables.events(spark, dir)
+      .select(col("event_id"),
+              expr(graft.queries.Layout2.rdvHashSql("event_id", "7"))
+                .as("h"))
+    val ranked = graft.engine.Ranks.globalRowNumber(
+      mixed, Seq(col("h"), col("event_id")), "rank")
+    val n1 = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n1))
+      .withColumn("shard", expr("(rank - 1) DIV ((n + 15) DIV 16)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+           min(col("rank")).as("min_rank"), max(col("rank")).as("max_rank"),
+           expr("CAST(SUM(CAST(rank AS DECIMAL(38,0)) * event_id) % 2147483647 AS BIGINT)")
+             .as("cks"))
+      .orderBy("shard")
+  }
+
   def x250(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),

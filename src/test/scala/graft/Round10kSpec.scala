@@ -85,4 +85,32 @@ class Round10kSpec extends AnyFunSuite {
       assert(vals.count(_ < b) < (i * n + 3) / 4)
     }
   }
+
+  // ---------------------------------------------------------------- x259
+
+  test("x259 equals a naive replay; the permutation is a bijection on 1..n") {
+    def mix(id: Long): Long = {
+      val a = (id * 2654435761L + 8L * 97564181L) % M
+      ((a * a) % M) * a % M
+    }
+    val ids = Tables.events(spark, sfSmoke)
+      .select("event_id").collect().map(_.getLong(0))
+    val ranked = ids.map(id => (mix(id), id)).sorted.map(_._2).zipWithIndex
+      .map { case (id, i) => (id, i + 1L) } // (event_id, rank)
+    val n = ids.length.toLong
+    assert(ranked.map(_._2).toSet === (1L to n).toSet) // bijection on 1..n
+    val c = (n + 15) / 16
+    val want = ranked.groupBy { case (_, r) => (r - 1) / c }.map {
+      case (shard, xs) =>
+        (shard, xs.length.toLong, xs.map(_._2).min, xs.map(_._2).max,
+         (xs.map { case (id, r) => BigInt(r) * id }.sum % 2147483647L)
+           .toLong)
+    }.toSet
+    val got = graft.queries.Organize.x259(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).toSet
+    assert(want.nonEmpty && got === want)
+    // contiguity: every shard's rank range is gap-free
+    got.foreach { case (_, nr, lo, hi, _) => assert(hi - lo + 1 == nr) }
+  }
 }
