@@ -19,10 +19,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // State hygiene (VERDICT r10 task 1): the 308-key single-JVM run
+    // accumulates cached/localCheckpoint blocks faster than the
+    // ContextCleaner retires them — the r10 driver bench inflated
+    // late-registry iterative keys 7–12× (x119 38.4 s vs 3.0 s standalone)
+    // while the same code measured clean in isolation. Clearing the catalog
+    // cache, unpersisting any leaked RDD blocks, and forcing a GC (the
+    // ContextCleaner is driven by weak-reference queues, so a System.gc()
+    // is what actually surfaces dead localCheckpoint blocks for removal)
+    // between keys keeps every key's measurement independent of how much
+    // registry ran before it. Runs BETWEEN timed windows only — never
+    // inside one — so it costs bench wall-clock, not measured time.
+    def hygiene(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    hygiene()
     // Second, UNTIMED warm pass of the declared q-keys at the TARGET sfDir:
     // the sf0.001 pass warms codegen/JIT but not the sfDir file listings,
     // footer reads, or AQE stats at the measured scale — r9's declared
@@ -33,6 +51,7 @@ object Bench {
       if (name.startsWith("q"))
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    hygiene()
     // DECLARED q-keys (the BASELINE.md-comparable set): median of 3 timed
     // runs — r8's declared-total ranged 11.6–14.5 s purely from JVM/AQE
     // warm-up variance, so round-over-round deltas on a min-of-2 were
@@ -41,16 +60,20 @@ object Bench {
     // × a third run is ~2.5 min of bench time for numbers no baseline
     // consumes). Per-query spread (max−min of the samples) is emitted so
     // the variance itself is visible in the round artifacts.
-    val samples = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val runs = if (name.startsWith("q")) Seq(once(), once(), once())
-                 else Seq(once(), once())
-      name -> runs.sorted
-    }
+    val samples = SparkEntry.queries.toSeq.zipWithIndex.map {
+      case ((name, fn), idx) =>
+        // Periodic hygiene between keys (every 50) so block accumulation
+        // from earlier keys can never distort a later key's timing.
+        if (idx > 0 && idx % 50 == 0) hygiene()
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val runs = if (name.startsWith("q")) Seq(once(), once(), once())
+                   else Seq(once(), once())
+        name -> runs.sorted
+    }.toMap
     // A failed run returns the -1.0 sentinel, which sorts FIRST — so a
     // median/min over the raw sorted runs would mask a 1-of-3 crash behind a
     // valid-looking time and corrupt the spread by ~1 s (ADVICE r9). Any
@@ -77,7 +100,14 @@ object Bench {
                else if (runs.size == 3) runs(1) - runs.head
                else 0.0)
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Failed keys report -1.0 per-key (loud in the detail) but must NOT
+    // enter the sums: adding the sentinel makes the baseline-comparable
+    // declared_total look ~1 s FASTER per crash while also omitting the
+    // key's true runtime — a regression-masking direction of error
+    // (ADVICE r10). Sums cover succeeded keys only; n_failed in the total
+    // line makes any crash loud rather than flattering.
+    val nFailed = results.values.count(_ < 0)
+    val total = results.values.filter(_ >= 0).sum
     // The driver captures only a bounded TAIL (~4 KB) of the sbt output: round
     // 1's single long line truncated to "parsed": null, round 4's single
     // "total_detail" line lost the first 38 of 92 per-query times, and round
@@ -117,10 +147,11 @@ object Bench {
     // BASELINE.md's 13.79 s covers ONLY the 49 declared queries (q01–q49);
     // the x-series extensions have no DuckDB baseline. declared_total is the
     // number comparable to the baseline; value stays the full-registry sum.
-    val declared = results.collect { case (k, v) if k.startsWith("q") => v }.sum
+    val declared =
+      results.collect { case (k, v) if k.startsWith("q") && v >= 0 => v }.sum
     val declaredSpread = spreads.collect { case (k, v) if k.startsWith("q") => v }.sum
     val declaredSpreadMed = spreadsMed.collect { case (k, v) if k.startsWith("q") => v }.sum
     println(s"""{"metric":"declared_spread","value":${f"$declaredSpread%.3f"},"unit":"sec","spread_med_min":${f"$declaredSpreadMed%.3f"},"note":"max-min sum is the jitter ceiling (one GC outlier per triple); spread_med_min (median-min sum) tracks the reported median's stability"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","declared_total":$declared,"declared_n":${results.count(_._1.startsWith("q"))},"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","declared_total":$declared,"declared_n":${results.count(_._1.startsWith("q"))},"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
   }
 }

@@ -71,7 +71,7 @@ object OracleSqlRound10d {
         val ladder = poissonLadderSql("h")
         s"""SELECT $r AS rep, SUM(w) AS n_eff, SUM(w * cents) AS sum_cents
           |FROM (SELECT $ladder AS w, cents FROM (
-          |  SELECT (o_orderkey * $mixA + ${(r + 1) * mixB}) % $mersenne AS h,
+          |  SELECT ${poissonHashSql("o_orderkey", r)} AS h,
           |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
           |  FROM orders))""".stripMargin
       }
@@ -251,7 +251,7 @@ object OracleSqlRound10d {
     "x250_weighted_sample" ->
       """WITH w AS (
         |  SELECT doc_id, source, least(1 + n_chars // 64, 8) AS wt,
-        |         (doc_id * 2654435761 + 40503) % 2147483647 AS h
+        |         ((doc_id % 100000000) * 2654435761 + 40503) % 2147483647 AS h
         |  FROM documents),
         |pr AS (SELECT source, doc_id, wt, h * (840 // wt) AS priority FROM w),
         |r AS (
@@ -396,7 +396,7 @@ object OracleSqlRound10d {
           |  SUM(CASE WHEN arm = 1 THEN w * cents ELSE 0 END) AS sum_b
           |FROM (SELECT arm, $ladder AS w, cents FROM (
           |  SELECT CAST(o_orderkey % 2 AS INT) AS arm,
-          |         (o_orderkey * $mixA + ${(r + 1) * mixB}) % $mersenne AS h,
+          |         ${poissonHashSql("o_orderkey", r)} AS h,
           |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
           |  FROM orders))""".stripMargin
       }

@@ -58,9 +58,14 @@ object Layout2 {
     * breaks the linear congruential structure (a raw a or a·mix argmax
     * is measurably skewed: 20–27% movement and 2.7× load imbalance at 16
     * shards; the cube lands at the theoretical 1/(n+1) and ±7%). All
-    * BIGINT-safe: a < 2³¹, a² < 2⁶², (a² mod M)·a < 2⁶². */
+    * BIGINT-safe: the key is pre-reduced mod 10⁸ BEFORE the Knuth
+    * multiply (the repo-wide convention, per Crossval/Pipeline) — a raw
+    * o_orderkey reaches ~6·10⁹ by sf≈1000, where key·2654435761
+    * overflows int64 and Spark wraps silently while DuckDB raises, so
+    * engine and oracle would diverge exactly at the scale this engine
+    * targets; after the reduce a < 2³¹, a² < 2⁶², (a² mod M)·a < 2⁶². */
   def rdvHashSql(k: String, s: String): String = {
-    val a = s"(($k) * 2654435761 + (($s) + 1) * 97564181) % 2147483647"
+    val a = s"((($k) % 100000000) * 2654435761 + (($s) + 1) * 97564181) % 2147483647"
     s"((($a) * ($a)) % 2147483647) * ($a) % 2147483647"
   }
 

@@ -152,8 +152,14 @@ object Mining {
       toks = toks
         .select(replace(col("tok"), lit(bp), lit(ph)).as("tok"))
         .localCheckpoint(true)
+      // Symbol positions capped at 64 — the SAME bound the generated
+      // oracle's generate_series(1, 64) applies — so a token longer than
+      // 64 chars cannot make the two alphabet counts diverge (ADVICE
+      // r10); both bounds dominate the corpus's ≤8-char tokens, and
+      // Round10bSpec asserts that token-length contract on the corpus.
       val nSym = toks
-        .select(explode(transform(sequence(lit(1), length(col("tok"))),
+        .select(explode(transform(
+          sequence(lit(1), least(length(col("tok")), lit(64))),
           i => col("tok").substr(i, lit(1)))).as("sym"))
         .agg(countDistinct(col("sym"))).collect()(0).getLong(0)
       (k + 1L, bp, cnt, nSym)

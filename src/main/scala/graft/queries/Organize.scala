@@ -145,6 +145,23 @@ object Organize {
     * group, no window sort of any source's documents (the row_number
     * form the ORACLE uses would sort every partition). Same shape at any
     * k or weighting: only the lcm constant changes. */
+  def x250(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+              expr("least(1 + n_chars DIV 64, 8)").as("wt"),
+              expr("((doc_id % 100000000) * 2654435761 + 40503) % 2147483647").as("h"))
+      .withColumn("priority", expr("h * (840 DIV wt)"))
+      .withColumn("tag", expr("doc_id * 10 + (wt - 1)"))
+      .groupBy("source")
+      .agg(call_function("topk_pairs",
+        negate(col("priority").cast(DoubleType)), col("tag"), lit(5)).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("source"), (col("pos") + 1).cast(LongType).as("rank"),
+              expr("col.tag DIV 10").as("doc_id"),
+              expr("col.tag % 10 + 1").as("wt"),
+              negate(col("col.score")).cast(LongType).as("priority"))
+      .orderBy("source", "rank")
+
   /** x259: DETERMINISTIC TRAINING-DATA SHUFFLE — the reproducible global
     * permutation every training run needs ("same seed ⇒ same batch
     * order, on any cluster"): events permuted by the cubed Knuth mix of
@@ -179,21 +196,4 @@ object Organize {
              .as("cks"))
       .orderBy("shard")
   }
-
-  def x250(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"),
-              expr("least(1 + n_chars DIV 64, 8)").as("wt"),
-              expr("(doc_id * 2654435761 + 40503) % 2147483647").as("h"))
-      .withColumn("priority", expr("h * (840 DIV wt)"))
-      .withColumn("tag", expr("doc_id * 10 + (wt - 1)"))
-      .groupBy("source")
-      .agg(call_function("topk_pairs",
-        negate(col("priority").cast(DoubleType)), col("tag"), lit(5)).as("tk"))
-      .select(col("source"), posexplode(col("tk")))
-      .select(col("source"), (col("pos") + 1).cast(LongType).as("rank"),
-              expr("col.tag DIV 10").as("doc_id"),
-              expr("col.tag % 10 + 1").as("wt"),
-              negate(col("col.score")).cast(LongType).as("priority"))
-      .orderBy("source", "rank")
 }

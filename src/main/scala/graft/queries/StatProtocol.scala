@@ -32,6 +32,17 @@ object StatProtocol {
     }
   }
 
+  /** The per-replicate uniform hash, shared verbatim by engine and the
+    * generated oracle SQL. The key is pre-reduced mod 10⁸ BEFORE the
+    * Knuth multiply (repo convention, per Crossval/Pipeline): a raw
+    * o_orderkey reaches ~6·10⁹ by sf≈1000, where key·2654435761
+    * overflows int64 — Spark wraps silently to a negative h (every CASE
+    * ladder then misfires to weight 0) while DuckDB raises, so the two
+    * sides would diverge exactly at target scale. After the reduce the
+    * product is < 2.7·10¹⁷, comfortably BIGINT-safe. */
+  def poissonHashSql(key: String, r: Int): String =
+    s"((($key) % 100000000) * $mixA + ${(r + 1) * mixB}) % $mersenne"
+
   /** The CASE ladder mapping hash column `h` to a Poisson(1) weight. */
   def poissonLadderSql(h: String): String =
     poissonThresholds.zipWithIndex
@@ -58,7 +69,7 @@ object StatProtocol {
       .select(col("o_orderkey"),
               expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
     val aggs: Seq[Column] = (0 until bootstrapReps).flatMap { r =>
-      val h = s"(o_orderkey * $mixA + ${(r + 1) * mixB}) % $mersenne"
+      val h = poissonHashSql("o_orderkey", r)
       val w = poissonLadderSql(h)
       Seq(sum(expr(w)).as(s"ne$r"),
           sum(expr(s"($w) * cents")).as(s"sc$r"))
@@ -167,7 +178,7 @@ object StatProtocol {
               expr("CAST(o_orderkey % 2 AS INT)").as("arm"),
               expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
     val aggs: Seq[Column] = (0 until bootstrapReps).flatMap { r =>
-      val h = s"(o_orderkey * $mixA + ${(r + 1) * mixB}) % $mersenne"
+      val h = poissonHashSql("o_orderkey", r)
       val w = poissonLadderSql(h)
       Seq(sum(expr(s"CASE WHEN arm = 0 THEN $w ELSE 0 END")).as(s"na$r"),
           sum(expr(s"CASE WHEN arm = 0 THEN ($w) * cents ELSE 0 END")).as(s"sa$r"),

@@ -475,6 +475,11 @@ object Stats {
               col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
+      // Explicit persist for the 3 consumers (deg, oriented, final count)
+      // rather than relying on ReuseExchange across the single DAG — the
+      // graph family's own discipline (x181/x24/x188); released below
+      // once the 1-row result is materialized (VERDICT r10 task 7).
+      .persist()
     val deg = edges.select(col("u").as("node"))
       .unionByName(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -489,6 +494,7 @@ object Stats {
         when(col("du") < col("dv") ||
                (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("dst"))
+      .persist() // 2 consumers: adj build + the per-edge intersect probe
     val adj = oriented.groupBy(col("src").as("n"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     val tri = oriented
@@ -500,9 +506,13 @@ object Stats {
       .select(when(col("nv").isNull, 0L)
         .otherwise(size(array_intersect(col("nu"), col("nv"))).cast(LongType))
         .as("t"))
-    edges.agg(count(lit(1)).as("n_edges"))
+    val out = edges.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
       .crossJoin(tri.agg(sum(col("t")).as("n_triangles")))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+      .localCheckpoint(true) // eager 1-row result, then release the blocks
+    edges.unpersist()
+    oriented.unpersist()
+    out
   }
 }

@@ -250,6 +250,13 @@ class Round10bSpec extends AnyFunSuite {
   test("x225 equals a naive JVM BPE replay; winner counts are monotone") {
     val toks0 = Tables.documents(spark, sfSmoke).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+    // Token-length contract (ADVICE r10): both the engine's symbol scan
+    // and the oracle's generate_series cap positions at 64; assert the
+    // corpus actually stays far under that bound so the cap is provably
+    // inactive (the replay below is uncapped, so a violation would also
+    // surface as a value mismatch).
+    assert(toks0.map(_.length).max <= 64,
+           "x225 corpus token length must stay within the shared 64-position cap")
     var toks = toks0.toSeq
     val want = (0 until 4).map { k =>
       val counts = scala.collection.mutable.Map[String, Long]()
