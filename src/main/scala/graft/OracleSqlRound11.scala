@@ -1,0 +1,177 @@
+package graft
+
+/** DuckDB oracle SQL, round-11 batch: the nominal-attribute and
+  * missing-value Chi chains.
+  *
+  * This extends x215's generated-chain device (OracleSqlRound10) with two
+  * per-feature fragment kinds:
+  *  - CATEGORICAL: the dictionary is restated as a ROW_NUMBER rank over the
+  *    sorted distinct non-null values (exactly the estimator's sorted
+  *    collect_set scan), the code rides a LEFT JOIN so NULLs survive, the
+  *    crisp argmax is the code itself, and μ = GREATEST(0, 1 − ABS(code −
+  *    label)) — IEEE-identical to the engine's triangular arithmetic at
+  *    halfWidth exactly 1 (δ_{code,label} at integer codes, no tolerance);
+  *  - NULL-AWARE: every μ factor is CASE WHEN x IS NULL THEN 1.0 ELSE
+  *    <fragment> END (the skipped-t-norm missing-value policy), antecedent
+  *    labels are NULL for NULL attributes, and candidates require fully
+  *    non-null antecedents. The engine's explode-to-all-labels support for
+  *    a null attribute is equivalent to this cross-join factor-1
+  *    restatement by construction: the exploded copies meet exactly the
+  *    candidates the cross join scores at factor 1.
+  * Grid arithmetic stays as IEEE EXPRESSIONS, never pre-evaluated literals
+  * (the OracleSqlRound8d lesson — one ULP flips argmax ties).
+  */
+object OracleSqlRound11 {
+
+  private val L = 3
+
+  /** One feature of a generated Chi chain. */
+  private sealed trait OFeat
+  /** Numeric fuzzy attribute: raw expression + declared [lo, hi] (L = 3). */
+  private final case class ONum(raw: String, lo: String, hi: String) extends OFeat
+  /** Nominal attribute: raw (string) expression; dictionary derived. */
+  private final case class ONom(raw: String) extends OFeat
+
+  private def mu(x: String, lo: String, hi: String, k: Int): String = {
+    val w = s"(($hi - $lo) / ${L - 1})"
+    s"GREATEST(0, 1 - ABS($x - ($lo + $k * $w)) / $w)"
+  }
+
+  private def argmax(x: String, lo: String, hi: String): String = {
+    val cases = (0 until L - 1).map { k =>
+      val conds = (k + 1 until L)
+        .map(j => s"${mu(x, lo, hi, k)} >= ${mu(x, lo, hi, j)}")
+        .mkString(" AND ")
+      s"WHEN $conds THEN $k"
+    }.mkString(" ")
+    s"CASE $cases ELSE ${L - 1} END"
+  }
+
+  private def muAt(x: String, label: String, lo: String, hi: String): String = {
+    val w = s"(($hi - $lo) / ${L - 1})"
+    val c = (0 until L - 1).map(k => s"WHEN $k THEN ($lo + $k * $w)").mkString(" ")
+    s"GREATEST(0, 1 - ABS($x - (CASE $label $c ELSE ($lo + ${L - 1} * $w) END)) / $w)"
+  }
+
+  /** The full Chi-CS train+score chain over a feature list with nominal and
+    * null-aware fragments; emits ONE row
+    * (n_rules, tp, tn, fp, fn, accuracy, gm). */
+  private def chain(table: String, where: String, cls: String,
+                    fs: Seq[OFeat]): String = {
+    val n = fs.length
+    val xs = (1 to n).map(i => s"x$i")
+    val as = (1 to n).map(i => s"a$i")
+    val rawSel = fs.zipWithIndex
+      .map { case (f, i) =>
+        val raw = f match { case ONum(r, _, _) => r; case ONom(r) => r }
+        s"$raw AS raw${i + 1}"
+      }.mkString(",\n         ")
+    val nomIdx = fs.zipWithIndex.collect { case (ONom(_), i) => i }
+    val dictCtes = nomIdx.map { i =>
+      s"""dict${i + 1} AS (
+         |  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS DOUBLE) AS r
+         |  FROM (SELECT DISTINCT raw${i + 1} AS v FROM src
+         |        WHERE raw${i + 1} IS NOT NULL))""".stripMargin
+    }
+    val baseSel = fs.zipWithIndex.map {
+      case (ONum(_, _, _), i) => s"src.raw${i + 1} AS x${i + 1}"
+      case (ONom(_), i)       => s"d${i + 1}.r AS x${i + 1}"
+    }.mkString(", ")
+    val baseJoins = nomIdx.map { i =>
+      s"LEFT JOIN dict${i + 1} d${i + 1} ON src.raw${i + 1} = d${i + 1}.v"
+    }.mkString("\n  ")
+    val labSel = fs.zipWithIndex.map {
+      case (ONum(_, lo, hi), i) =>
+        s"CASE WHEN x${i + 1} IS NULL THEN NULL ELSE ${argmax(s"x${i + 1}", lo, hi)} END AS a${i + 1}"
+      case (ONom(_), i) =>
+        s"CASE WHEN x${i + 1} IS NULL THEN NULL ELSE CAST(x${i + 1} AS INTEGER) END AS a${i + 1}"
+    }.mkString(",\n         ")
+    def factor(tAlias: String, aAlias: String): String = fs.zipWithIndex.map {
+      case (ONum(_, lo, hi), i) =>
+        s"(CASE WHEN $tAlias.x${i + 1} IS NULL THEN 1.0 ELSE ${muAt(s"$tAlias.x${i + 1}", s"$aAlias.a${i + 1}", lo, hi)} END)"
+      case (ONom(_), i) =>
+        s"(CASE WHEN $tAlias.x${i + 1} IS NULL THEN 1.0 ELSE GREATEST(0, 1 - ABS($tAlias.x${i + 1} - $aAlias.a${i + 1})) END)"
+    }.mkString("\n    * ")
+    val wt =
+      s"""CAST(ROUND(
+         |      (CASE WHEN t.cls=1 THEN (SELECT c1 FROM costs) ELSE (SELECT c0 FROM costs) END)
+         |    * ${factor("t", "a")},
+         |    12) AS DECIMAL(38,12))""".stripMargin
+    val antsNotNull = as.map(a => s"$a IS NOT NULL").mkString(" AND ")
+    s"""WITH src AS (
+       |  SELECT $rawSel,
+       |         $cls AS cls
+       |  FROM $table$where),
+       |${dictCtes.map(_ + ",").mkString("\n")}
+       |base AS (
+       |  SELECT $baseSel, src.cls AS cls
+       |  FROM src
+       |  $baseJoins),
+       |lab AS (
+       |  SELECT *, $labSel
+       |  FROM base),
+       |costs AS (
+       |  SELECT MAX(CASE WHEN cls=1 THEN c END) AS c1,
+       |         MAX(CASE WHEN cls=0 THEN c END) AS c0 FROM (
+       |    SELECT cls, CASE WHEN n = MIN(n) OVER () AND MIN(n) OVER () <> MAX(n) OVER ()
+       |                     THEN MAX(n) OVER () * 1.0 / n ELSE 1.0 END AS c
+       |    FROM (SELECT cls, COUNT(*) AS n FROM lab GROUP BY cls))),
+       |maj AS (SELECT cls FROM (SELECT cls, COUNT(*) AS n FROM base
+       |                         GROUP BY 1 ORDER BY n DESC, cls LIMIT 1)),
+       |ants AS (SELECT DISTINCT ${as.mkString(", ")}, cls FROM lab
+       |         WHERE $antsNotNull),
+       |m AS (
+       |  SELECT ${as.map("a." + _).mkString(", ")}, a.cls AS rule_cls,
+       |    COALESCE(SUM(CASE WHEN t.cls = a.cls THEN $wt END), 0) AS w_match,
+       |    SUM($wt) AS w_all
+       |  FROM ants a CROSS JOIN lab t GROUP BY ${(1 to n + 1).mkString(",")}),
+       |rw AS (SELECT ${as.mkString(", ")}, rule_cls,
+       |              CAST(ROUND(2*w_match - w_all, 6) AS DOUBLE)
+       |                / CAST(ROUND(w_all, 6) AS DOUBLE) AS rw
+       |       FROM m WHERE w_all > 0),
+       |rb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ${as.mkString(", ")}
+       |                                    ORDER BY rw DESC, rule_cls) AS rn FROM rw),
+       |final_rb AS (SELECT ${as.mkString(", ")}, rule_cls, rw FROM rb WHERE rn=1 AND rw > 0),
+       |gex AS (SELECT ${xs.mkString(", ")}, cls, COUNT(*) AS m
+       |        FROM lab GROUP BY ${(1 to n + 1).mkString(",")}),
+       |scored AS (
+       |  SELECT ${xs.map("g." + _).mkString(", ")}, g.cls AS actual, g.m, r.rule_cls,
+       |    ROUND(${factor("g", "r")} * r.rw, 12) AS score
+       |  FROM gex g CROSS JOIN final_rb r),
+       |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ${xs.mkString(", ")}, actual
+       |                                      ORDER BY score DESC, rule_cls) AS rn FROM scored),
+       |win AS (SELECT actual, m,
+       |               CASE WHEN score > 0 THEN rule_cls
+       |                    ELSE (SELECT cls FROM maj) END AS pred
+       |        FROM best WHERE rn=1),
+       |nrc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rules FROM final_rb),
+       |cm AS (
+       |  SELECT CAST(SUM(CASE WHEN actual=1 AND pred=1 THEN m ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(SUM(CASE WHEN actual=0 AND pred=0 THEN m ELSE 0 END) AS BIGINT) AS tn,
+       |         CAST(SUM(CASE WHEN actual=0 AND pred=1 THEN m ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(SUM(CASE WHEN actual=1 AND pred=0 THEN m ELSE 0 END) AS BIGINT) AS fn
+       |  FROM win)
+       |SELECT nrc.n_rules, tp, tn, fp, fn,
+       |       ROUND((tp+tn)*1.0/(tp+tn+fp+fn), 6) AS accuracy,
+       |       ROUND(SQRT((tp*1.0/(tp+fn)) * (tn*1.0/(tn+fp))), 6) AS gm
+       |FROM cm CROSS JOIN nrc""".stripMargin
+  }
+
+  val round11: Map[String, String] = Map(
+    "x260_chi_nominal" -> chain(
+      table = "orders", where = "", cls =
+        "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice > 150000 THEN 1 ELSE 0 END",
+      fs = Seq(
+        ONum("o_totalprice", "0.0", "600000.0"),
+        ONom("o_orderpriority"))),
+
+    "x263_chi_missing_values" -> chain(
+      table = "lineitem", where = "", cls =
+        "CASE WHEN l_quantity > 30 AND l_tax >= 0.04 THEN 1 ELSE 0 END",
+      fs = Seq(
+        ONum("l_quantity", "1.0", "50.0"),
+        ONum("CASE WHEN l_partkey % 13 = 5 THEN NULL ELSE l_discount END",
+             "0.0", "0.1"),
+        ONom("CASE WHEN l_partkey % 17 = 2 THEN NULL ELSE l_returnflag END")))
+  )
+}

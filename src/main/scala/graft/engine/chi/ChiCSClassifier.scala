@@ -45,9 +45,27 @@ private[chi] trait ChiCSParams extends Params {
     "per-class misclassification cost; empty = derive IR from class counts")
   final def getClassCosts: Array[Double] = $(classCosts)
 
+  /** Subset of [[featureCols]] to treat as NOMINAL (categorical) — the
+    * paper's datasets carry them (KDD Cup's protocol_type/service/flag,
+    * [P1 §5.1]) and KEEL headers declare them as value dictionaries.
+    * Semantics: crisp singleton membership — μ = 1 iff the value equals the
+    * rule's category, else 0 — with one linguistic label PER CATEGORY
+    * (numLabels = |dictionary|, NOT the numeric L). The dictionary is the
+    * sorted distinct value set of the training data (binary string order,
+    * the same order a KEEL header enumerates); a category unseen at
+    * training time scores μ = 0 against every rule (⇒ majority-class
+    * no-match policy). Implementation: values are dictionary-encoded to
+    * their sorted rank and the crisp semantics ride the SAME triangular
+    * arithmetic as numeric attributes — TriPartition(0, |V|−1, |V|) has
+    * halfWidth exactly 1, so μ_k(code j) = max(0, 1 − |j − k|) = δ_jk
+    * exactly at integer codes (no float tolerance involved). */
+  final val nominalCols = new StringArrayParam(this, "nominalCols",
+    "feature columns treated as nominal (crisp singleton membership)")
+  final def getNominalCols: Array[String] = $(nominalCols)
+
   setDefault(labelCol -> "label", predictionCol -> "prediction",
     numLabels -> 3, featureRanges -> Array.empty[Double],
-    classCosts -> Array.empty[Double])
+    classCosts -> Array.empty[Double], nominalCols -> Array.empty[String])
 }
 
 /** Chi-FRBCS-BigDataCS as an idiomatic Spark MLlib estimator (SURVEY.md §2.5
@@ -78,6 +96,7 @@ class ChiCSClassifier(override val uid: String)
   def setNumLabels(v: Int): this.type = set(numLabels, v)
   def setFeatureRanges(v: Array[Double]): this.type = set(featureRanges, v)
   def setClassCosts(v: Array[Double]): this.type = set(classCosts, v)
+  def setNominalCols(v: Array[String]): this.type = set(nominalCols, v)
 
   override def transformSchema(schema: StructType): StructType = schema
 
@@ -87,27 +106,85 @@ class ChiCSClassifier(override val uid: String)
     val spark = ds.sparkSession
     val feats = $(featureCols)
     require(feats.nonEmpty, "featureCols must be set")
+    val nomSet = $(nominalCols).toSet
+    require(nomSet.subsetOf(feats.toSet),
+      s"nominalCols must be a subset of featureCols; extra: ${nomSet -- feats}")
+    val isNom: Array[Boolean] = feats.map(nomSet)
     val n = feats.length
     val L = $(numLabels)
-    val df = ds.toDF.select(
-      feats.map(f => col(f).cast(DoubleType).as(f)) :+
-        col($(labelCol)).cast(IntegerType).as("__cls"): _*)
+    // Missing-value protocol (KEEL declares <null>/?): rows with a NULL
+    // LABEL cannot supervise anything and are dropped here; NULL FEATURE
+    // values flow through fit and transform under the documented policy —
+    // the attribute is skipped in the product t-norm (factor 1), so the
+    // example supports/matches every label of that attribute equally.
+    val raw = ds.toDF.filter(col($(labelCol)).isNotNull)
 
-    // R11 descriptor generation: declared ranges, or one min/max pass.
-    val parts: Array[TriPartition] =
-      if ($(featureRanges).nonEmpty) {
-        require($(featureRanges).length == 2 * n, "featureRanges must be lo,hi per feature")
-        $(featureRanges).grouped(2).map(a => TriPartition(a(0), a(1), L)).toArray
-      } else {
-        val row = df.agg(
-          min(col(feats.head)), max(col(feats.head)) +:
-            feats.tail.flatMap(f => Seq(min(col(f)), max(col(f)))): _*).head()
-        Array.tabulate(n)(i => TriPartition(row.getDouble(2 * i), row.getDouble(2 * i + 1), L))
+    // Nominal dictionaries: ONE aggregate pass collects every nominal
+    // attribute's sorted distinct value set (collect_set skips NULLs, so a
+    // null category never becomes a dictionary entry). |V| is bounded at
+    // 256 — the dictionary is driver-held and each value is one linguistic
+    // label, the same regime as L; a high-cardinality attribute belongs in a
+    // hashed/numeric encoding, not a fuzzy partition.
+    val nomFeats = feats.filter(nomSet)
+    val dicts: Map[String, Array[String]] =
+      if (nomFeats.isEmpty) Map.empty
+      else {
+        val aggs = nomFeats.map(f =>
+          sort_array(collect_set(col(f).cast(StringType))).as(f))
+        val row = raw.agg(aggs.head, aggs.tail: _*).head()
+        nomFeats.zipWithIndex.map { case (f, i) =>
+          val vs = row.getSeq[String](i).toArray
+          require(vs.length >= 2 && vs.length <= 256,
+            s"nominal column $f needs 2..256 distinct non-null values, got ${vs.length}")
+          f -> vs
+        }.toMap
       }
 
-    // R4: candidate antecedent per example = argmax label per attribute.
+    // Encode: numeric → double; nominal → sorted-rank code (array_position
+    // is 1-based; NULL in ⇒ NULL out, preserving the missing marker).
+    val df = raw.select(
+      feats.map { f =>
+        if (nomSet(f))
+          (array_position(typedLit(dicts(f).toSeq), col(f).cast(StringType))
+            - 1).cast(DoubleType).as(f)
+        else col(f).cast(DoubleType).as(f)
+      } :+ col($(labelCol)).cast(IntegerType).as("__cls"): _*)
+
+    // R11 descriptor generation: declared ranges (numeric), dictionary grid
+    // (nominal: one label per category, halfWidth exactly 1 ⇒ crisp), or
+    // one min/max pass over the numeric attributes.
+    val numFeats = feats.filterNot(nomSet)
+    if ($(featureRanges).nonEmpty)
+      require($(featureRanges).length == 2 * n,
+        "featureRanges must be lo,hi per feature (nominal slots are ignored)")
+    val derived: Map[String, (Double, Double)] =
+      if ($(featureRanges).isEmpty && numFeats.nonEmpty) {
+        val row = df.agg(
+          min(col(numFeats.head)), max(col(numFeats.head)) +:
+            numFeats.tail.flatMap(f => Seq(min(col(f)), max(col(f)))): _*).head()
+        numFeats.zipWithIndex.map { case (f, i) =>
+          f -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+        }.toMap
+      } else Map.empty
+    val parts: Array[TriPartition] = feats.zipWithIndex.map { case (f, i) =>
+      if (nomSet(f))
+        TriPartition(0.0, (dicts(f).length - 1).toDouble, dicts(f).length)
+      else if ($(featureRanges).nonEmpty)
+        TriPartition($(featureRanges)(2 * i), $(featureRanges)(2 * i + 1), L)
+      else { val (lo, hi) = derived(f); TriPartition(lo, hi, L) }
+    }.toArray
+
+    // R4: candidate antecedent per example = argmax label per attribute
+    // (nominal: the code IS the label — crisp argmax needs no CASE chain).
+    // A NULL attribute yields a NULL label: the example seeds no candidate
+    // (an antecedent must constrain every attribute) but still contributes
+    // weight mass below.
     val labeled = feats.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
-      d.withColumn(s"__a$i", ChiCore.argmaxLabel(ChiCore.memberships(col(f), parts(i))))
+      val lab =
+        if (isNom(i)) col(f).cast(IntegerType)
+        else ChiCore.argmaxLabel(ChiCore.memberships(col(f), parts(i)))
+      d.withColumn(s"__a$i",
+        when(col(f).isNull, lit(null).cast(IntegerType)).otherwise(lab))
     }.withColumn("__ant", array((0 until n).map(i => col(s"__a$i")): _*))
 
     // Pre-aggregate to DISTINCT feature vectors with multiplicity: the weight
@@ -142,23 +219,47 @@ class ChiCSClassifier(override val uid: String)
       acc.when(col("__cls") === c, costs(c))
     }.otherwise(1.0)
 
+    // Candidates come only from fully-observed examples: an antecedent must
+    // constrain every attribute, so a NULL anywhere seeds no rule.
     val candidates = compressed
+      .filter(feats.map(col(_).isNotNull).reduce(_ && _))
       .select(col("__ant").as("__cant"), col("__cls").as("__ccls")).distinct()
 
     // R5: explode each vector to its μ>0 neighbor antecedents (≤2 labels per
     // attribute are nonzero under triangular partitions; pruned terms are
     // exactly zero), keep only observed candidates, and aggregate CS-PCF
     // numerators/denominators distributively.
+    // Nominal attributes have exactly ONE nonzero label (the code) — no
+    // fan-out at all. A NULL attribute matches EVERY label of that
+    // attribute at factor 1 (the skipped-t-norm policy), so it explodes to
+    // all of them — the |V|/L fan-out is the honest support set, and only
+    // null-bearing rows pay it.
     val neighbors = feats.zipWithIndex.foldLeft(compressed) { case (d, (f, i)) =>
-      val kf = floor((col(f) - parts(i).lo) / parts(i).halfWidth).cast(IntegerType)
-      d.withColumn(s"__n$i", explode(array(kf, kf + 1)))
-        .filter(col(s"__n$i").between(0, L - 1) &&
-                ChiCore.membershipAt(col(f), col(s"__n$i"), parts(i)) > 0.0)
+      val Li = parts(i).numLabels
+      val allLabels = sequence(lit(0), lit(Li - 1))
+      if (isNom(i))
+        d.withColumn(s"__n$i",
+          explode(when(col(f).isNull, allLabels)
+            .otherwise(array(col(f).cast(IntegerType)))))
+      else {
+        val kf = floor((col(f) - parts(i).lo) / parts(i).halfWidth).cast(IntegerType)
+        d.withColumn(s"__n$i",
+          explode(when(col(f).isNull, allLabels)
+            .otherwise(array(kf, kf + 1))))
+          .filter(col(f).isNull ||
+                  (col(s"__n$i").between(0, Li - 1) &&
+                   ChiCore.membershipAt(col(f), col(s"__n$i"), parts(i)) > 0.0))
+      }
     }.withColumn("__nant", array((0 until n).map(i => col(s"__n$i")): _*))
 
-    val mu = feats.zipWithIndex.map { case (f, i) =>
-      ChiCore.membershipAt(col(f), col(s"__n$i"), parts(i))
-    }.reduce(_ * _)
+    // Product t-norm: nominal factors are EXACTLY 1 by construction (the
+    // only exploded label is the matching code; null ⇒ skipped), so only
+    // numeric attributes contribute factors — a null numeric attribute is
+    // skipped (factor 1) per the missing-value policy.
+    val mu = feats.zipWithIndex.collect { case (f, i) if !isNom(i) =>
+      when(col(f).isNull, lit(1.0))
+        .otherwise(ChiCore.membershipAt(col(f), col(s"__n$i"), parts(i)))
+    }.reduceOption(_ * _).getOrElse(lit(1.0))
     // DECIMAL(18,12) × DECIMAL(19,0) → DECIMAL(38,12): the product keeps
     // scale 12 EXACTLY and precision lands on exactly 38 — no overflow, no
     // adjustment. A (38,12) term would overflow precision against the bigint
@@ -193,7 +294,11 @@ class ChiCSClassifier(override val uid: String)
       finally compressed.unpersist()
 
     val majority = classCounts.maxBy { case (c, cnt) => (cnt, -c) }._1
-    copyValues(new ChiCSModel(uid, parts, classes, costs, rules, majority)).setParent(this)
+    val dictArr: Array[Array[String]] =
+      feats.map(f => dicts.getOrElse(f, Array.empty[String]))
+    copyValues(new ChiCSModel(uid, parts, classes, costs, rules, majority,
+        dictArr))
+      .setParent(this)
   }
 }
 
@@ -212,11 +317,15 @@ class ChiCSModel private[graft] (
     val classes: Array[Int],
     val costs: Map[Int, Double],
     val rules: Array[ChiRule],
-    val majorityClass: Int)
+    val majorityClass: Int,
+    /** Per-feature nominal dictionary (sorted distinct training values);
+      * empty array = numeric attribute. Aligned with featureCols order. */
+    val nominalDicts: Array[Array[String]] = Array.empty)
     extends Model[ChiCSModel] with ChiCSParams with MLWritable {
 
   override def copy(extra: ParamMap): ChiCSModel =
-    copyValues(new ChiCSModel(uid, partitions, classes, costs, rules, majorityClass), extra)
+    copyValues(new ChiCSModel(uid, partitions, classes, costs, rules,
+        majorityClass, nominalDicts), extra)
       .setParent(parent)
 
   override def transformSchema(schema: StructType): StructType =
@@ -229,16 +338,24 @@ class ChiCSModel private[graft] (
     val bcRules: Broadcast[Array[ChiRule]] = spark.sparkContext.broadcast(rules)
     val bcParts = spark.sparkContext.broadcast(partitions)
     val bcMajority = majorityClass
-    val predict = udf { (xs: Seq[Double]) =>
+    // Boxed doubles so NULL feature values survive into the scorer: a null
+    // attribute is SKIPPED in the product t-norm (factor 1, the
+    // missing-value policy shared with fit); a nominal category unseen at
+    // training encodes to −1, whose crisp μ is 0 against every label ⇒ the
+    // majority no-match policy.
+    val predict = udf { (xs: Seq[java.lang.Double]) =>
       val parts = bcParts.value
       val rules = bcRules.value
       def rawScore(r: ChiRule): Double = {
         var mu = 1.0
         var i = 0
         while (i < xs.length && mu > 0.0) {
-          val p = parts(i)
-          val c = p.lo + r.antecedent(i) * p.halfWidth
-          mu *= math.max(0.0, 1.0 - math.abs(xs(i) - c) / p.halfWidth)
+          val x = xs(i)
+          if (x != null) {
+            val p = parts(i)
+            val c = p.lo + r.antecedent(i) * p.halfWidth
+            mu *= math.max(0.0, 1.0 - math.abs(x - c) / p.halfWidth)
+          }
           i += 1
         }
         mu * r.weight
@@ -279,8 +396,15 @@ class ChiCSModel private[graft] (
         if (bestCls >= 0) bestCls else bcMajority
       }
     }
+    val dictFor: Int => Array[String] =
+      i => if (i < nominalDicts.length) nominalDicts(i) else Array.empty
     ds.toDF.withColumn($(predictionCol),
-      predict(array($(featureCols).map(f => col(f).cast(DoubleType)): _*)))
+      predict(array($(featureCols).zipWithIndex.map { case (f, i) =>
+        if (dictFor(i).nonEmpty)
+          (array_position(typedLit(dictFor(i).toSeq), col(f).cast(StringType))
+            - 1).cast(DoubleType)
+        else col(f).cast(DoubleType)
+      }: _*)))
   }
 
   override def write: MLWriter = new ChiCSModel.Writer(this)
@@ -312,6 +436,12 @@ object ChiCSModel extends MLReadable[ChiCSModel] {
         .map { case (p, i) => (i, p.lo, p.hi, p.numLabels) }
         .toDF("idx", "lo", "hi", "numLabels")
         .write.mode("overwrite").parquet(s"$path/partitions")
+      // Nominal dictionaries (empty seq = numeric slot) — the serving-side
+      // encoder is part of the model artifact, exactly like the fuzzy grid.
+      instance.nominalDicts.toSeq.zipWithIndex
+        .map { case (d, i) => (i, d.toSeq) }
+        .toDF("idx", "values")
+        .write.mode("overwrite").parquet(s"$path/nominal_dicts")
       // Param metadata in our own layout (Spark's DefaultParamsWriter is
       // private[ml]); only the params `transform` needs are persisted.
       spark.createDataFrame(Seq((
@@ -338,10 +468,14 @@ object ChiCSModel extends MLReadable[ChiCSModel] {
       val parts = spark.read.parquet(s"$path/partitions")
         .orderBy("idx").collect()
         .map(r => TriPartition(r.getDouble(1), r.getDouble(2), r.getInt(3)))
+      val dicts = spark.read.parquet(s"$path/nominal_dicts")
+        .orderBy("idx").collect()
+        .map(r => r.getSeq[String](1).toArray)
       val meta = spark.read.parquet(s"$path/meta").head()
       val classes = meta.getSeq[Int](3).toArray
       val costs = classes.zip(meta.getSeq[Double](4)).toMap
-      val model = new ChiCSModel(meta.getString(0), parts, classes, costs, rules, meta.getInt(5))
+      val model = new ChiCSModel(meta.getString(0), parts, classes, costs,
+        rules, meta.getInt(5), dicts)
       model.set(model.featureCols, meta.getSeq[String](1).toArray)
       model.set(model.predictionCol, meta.getString(2))
       model

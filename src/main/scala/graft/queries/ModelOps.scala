@@ -215,4 +215,106 @@ object ModelOps {
         round(sqrt(tpr * tnr), 6).as("gm"))
     }.reduce(_ unionByName _).orderBy("n_features")
   }
+
+  /** One (n_rules, confusion, accuracy, gm) row for a fitted model scored
+    * on its training frame — the x260/x263 reporting shape. */
+  private def fitReport(model: ChiCSModel, train: DataFrame): DataFrame = {
+    val scored = model.transform(train)
+    val cm = scored.agg(
+      sum(when(col("label") === 1 && col("prediction") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("label") === 0 && col("prediction") === 0, 1L).otherwise(0L)).as("tn"),
+      sum(when(col("label") === 0 && col("prediction") === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("label") === 1 && col("prediction") === 0, 1L).otherwise(0L)).as("fn"))
+    val tpr = col("tp") * lit(1.0) / (col("tp") + col("fn"))
+    val tnr = col("tn") * lit(1.0) / (col("tn") + col("fp"))
+    cm.select(
+      lit(model.rules.length.toLong).as("n_rules"),
+      col("tp"), col("tn"), col("fp"), col("fn"),
+      round((col("tp") + col("tn")) * lit(1.0) /
+            (col("tp") + col("tn") + col("fp") + col("fn")), 6).as("accuracy"),
+      round(sqrt(tpr * tnr), 6).as("gm"))
+  }
+
+  /** x260: NOMINAL-ATTRIBUTE Chi-CS — the top remaining fidelity gap vs
+    * [P1 §5.1] (KDD Cup 99 carries protocol_type/service/flag): a native
+    * StringType feature with CRISP SINGLETON membership (μ = 1 iff the
+    * value equals the rule's category) and one linguistic label PER
+    * CATEGORY, trained MIXED with a numeric fuzzy attribute. The nominal
+    * attribute here is o_orderpriority — FIVE categories, where x215's
+    * CASE-encode-to-numeric trick provably breaks: 5 values under L = 3
+    * triangular MFs blend adjacent categories (μ(code 1 vs label 0) = 1/2,
+    * not 0), while the estimator's dictionary grid (numLabels = |V| = 5,
+    * halfWidth exactly 1) keeps every category crisp. The label depends on
+    * BOTH attributes (urgent/high priority AND price > 150k), so learned
+    * rules must bind the category and the fuzzy price band jointly.
+    *
+    * Oracle: the x215 generated-chain device extended with a CATEGORICAL
+    * fragment (OracleSqlRound11) — the dictionary is restated as a
+    * ROW_NUMBER rank over the sorted distinct values (the estimator's
+    * sorted-distinct scan), the crisp μ is GREATEST(0, 1 − ABS(code −
+    * label)) (IEEE-identical to the engine's triangular arithmetic at
+    * halfWidth 1), and every per-feature fragment is emitted by iterating
+    * the same feature list.
+    *
+    * 100 TB: the dictionary adds ONE aggregate pass (collect_set per
+    * nominal attribute, all in one agg); encoding is an in-map
+    * array_position against a broadcast literal; nominal attributes add NO
+    * fan-out to the neighbor explosion (exactly one nonzero label). Rule
+    * space 5·3·2 = 30 candidates, broadcast. */
+  def x260(spark: SparkSession, dir: String): DataFrame = {
+    val train = Tables.orders(spark, dir).select(
+      col("o_totalprice").as("x1"),
+      col("o_orderpriority").as("x2"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+             col("o_totalprice") > 150000, 1).otherwise(0).as("label"))
+    val model = new ChiCSClassifier()
+      .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
+      .setNominalCols(Array("x2"))
+      .setFeatureRanges(Array(0.0, 600000.0, 0.0, 0.0)) // nominal slot ignored
+      .fit(train)
+    fitReport(model, train)
+  }
+
+  /** x263: MISSING-VALUE PROTOCOL through the ML chain — KEEL declares
+    * `<null>`/`?` (SURVEY §1.1) and the Keel reader parses them; this key
+    * pins the documented policy end-to-end with nulls in train AND test,
+    * over a MIXED numeric+nominal feature set:
+    *  - a NULL attribute is SKIPPED in the product t-norm (factor 1) in
+    *    both rule-weight aggregation and scoring — the example
+    *    supports/matches every label of that attribute equally (the common
+    *    KEEL-Chi choice; [P1] is silent);
+    *  - a null-bearing example seeds NO candidate antecedent (a rule must
+    *    constrain every attribute) but contributes weight mass to every
+    *    rule its observed attributes match;
+    *  - a NULL label drops the row from training entirely.
+    * Nulls are planted on one numeric attribute (discount, ~1/13 of rows)
+    * and one nominal attribute (returnflag, ~1/17) via key arithmetic both
+    * engines restate exactly.
+    *
+    * Oracle: the x260 generator's null-aware fragments — every μ factor is
+    * CASE WHEN x IS NULL THEN 1.0 ELSE <fragment> END, candidates require
+    * all-non-null antecedents, and the engine's explode-to-all-labels
+    * support is equivalent to the oracle's cross-join factor-1 restatement
+    * BY CONSTRUCTION (the exploded row meets exactly the candidates the
+    * cross join scores at factor 1).
+    *
+    * 100 TB: only null-bearing rows pay the |labels| fan-out (≤ L·|V| per
+    * fully-null row, bounded by the grid, never by data); everything else
+    * is the x215 chain. */
+  def x263(spark: SparkSession, dir: String): DataFrame = {
+    val train = Tables.lineitem(spark, dir).select(
+      col("l_quantity").as("x1"),
+      when(col("l_partkey") % 13 === 5, lit(null).cast(DoubleType))
+        .otherwise(col("l_discount")).as("x2"),
+      when(col("l_partkey") % 17 === 2, lit(null).cast(StringType))
+        .otherwise(col("l_returnflag")).as("x3"),
+      when(col("l_quantity") > 30 && col("l_tax") >= 0.04, 1)
+        .otherwise(0).as("label"))
+    val model = new ChiCSClassifier()
+      .setFeatureCols(Array("x1", "x2", "x3")).setLabelCol("label")
+      .setNominalCols(Array("x3"))
+      .setFeatureRanges(Array(1.0, 50.0, 0.0, 0.1, 0.0, 0.0))
+      .fit(train)
+    fitReport(model, train)
+  }
 }
