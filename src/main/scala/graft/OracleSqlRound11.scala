@@ -157,7 +157,105 @@ object OracleSqlRound11 {
        |FROM cm CROSS JOIN nrc""".stripMargin
   }
 
+  /** x262: inventory restated as in x256's oracle (tri-20 + bi-30 + all
+    * single chars) with capped fixed-point weights; the Viterbi argmax
+    * restated by ENUMERATING every segmentation (recursive CTE over piece
+    * extensions, ≤ 81 per ≤8-char token) and ranking by (exact HUGEINT
+    * product DESC, reversed piece-length list DESC) — the global form of
+    * the engine DP's ties-to-the-longer-ending-piece rule. */
+  private val x262Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+      |                x -> x <> '')) AS tok
+      |  FROM documents),
+      |vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+      |bi AS (
+      |  SELECT substr(tok, i, 2) AS g, SUM(tf) AS w
+      |  FROM vocab, generate_series(1, 32) AS gs(i)
+      |  WHERE i + 1 <= length(tok) GROUP BY 1),
+      |tri AS (
+      |  SELECT substr(tok, i, 3) AS g, SUM(tf) AS w
+      |  FROM vocab, generate_series(1, 32) AS gs(i)
+      |  WHERE i + 2 <= length(tok) GROUP BY 1),
+      |bi30 AS (SELECT g, CAST(least(w, 9999) * 10000 AS HUGEINT) AS wq
+      |         FROM bi ORDER BY w DESC, g LIMIT 30),
+      |tri20 AS (SELECT g, CAST(least(w, 9999) * 100000000 AS HUGEINT) AS wq
+      |          FROM tri ORDER BY w DESC, g LIMIT 20),
+      |ch AS (
+      |  SELECT substr(tok, i, 1) AS g,
+      |         CAST(least(SUM(tf), 9999) AS HUGEINT) AS wq
+      |  FROM vocab, generate_series(1, 32) AS gs(i)
+      |  WHERE i <= length(tok) GROUP BY 1),
+      |inv AS (SELECT g, 1 AS len, wq FROM ch
+      |        UNION ALL SELECT g, 2, wq FROM bi30
+      |        UNION ALL SELECT g, 3, wq FROM tri20),
+      |seg AS (
+      |  WITH RECURSIVE r(tok, tf, pos, prod, lens, pieces) AS (
+      |    SELECT tok, tf, 0, CAST(1 AS HUGEINT),
+      |           CAST([] AS INTEGER[]), CAST([] AS VARCHAR[])
+      |    FROM vocab WHERE length(tok) <= 8
+      |    UNION ALL
+      |    SELECT r.tok, r.tf, r.pos + inv.len, r.prod * inv.wq,
+      |           list_append(r.lens, inv.len), list_append(r.pieces, inv.g)
+      |    FROM r JOIN inv ON inv.g = substr(r.tok, r.pos + 1, inv.len)
+      |                   AND r.pos + inv.len <= length(r.tok)
+      |    WHERE r.pos < length(r.tok))
+      |  SELECT tok, tf, prod, lens, pieces FROM r WHERE pos = length(tok)),
+      |best AS (
+      |  SELECT tok, tf, pieces,
+      |         ROW_NUMBER() OVER (PARTITION BY tok
+      |             ORDER BY prod DESC, list_reverse(lens) DESC) AS rn
+      |  FROM seg)
+      |SELECT piece, CAST(length(piece) AS BIGINT) AS len,
+      |       CAST(SUM(tf) AS BIGINT) AS usage
+      |FROM (SELECT tf, unnest(pieces) AS piece FROM best WHERE rn = 1)
+      |GROUP BY 1 ORDER BY usage DESC, piece LIMIT 30""".stripMargin
+
   val round11: Map[String, String] = Map(
+    "x262_unigram_viterbi" -> x262Sql,
+
+    // x261: matched purchases emit unconditionally (inner semantics);
+    // unmatched purchases emit iff the final watermark passed p_ts (x247's
+    // cutoff verbatim); unmatched CLICKS emit iff the watermark passed
+    // c_ts + 10 minutes (any qualifying purchase has p_ts ≤ c_ts + 10 min
+    // and would be late) — folded under sentinel p_id = −1. The watermark
+    // is the min over both watermark operators' max event time, ms-floored,
+    // minus the 10-minute delay; both comparisons strict <.
+    "x261_stream_full_outer_join" ->
+      """WITH wm AS (
+        |  SELECT ((least(
+        |      (SELECT epoch_us(max(ts)) FROM events
+        |       WHERE event_type = 'purchase'),
+        |      (SELECT epoch_us(max(ts)) FROM events
+        |       WHERE event_type = 'click')) // 1000) * 1000)
+        |    - 600000000 AS cutoff_us),
+        |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_uid, ts AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.p_id, p.p_ts, COUNT(c.c_id) AS n
+        |  FROM p LEFT JOIN c
+        |    ON c.c_uid = p.user_id
+        |   AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE AND c.c_ts < p.p_ts
+        |  GROUP BY 1, 2),
+        |pur AS (SELECT p_id, n AS n_clicks_10m FROM j, wm
+        |        WHERE n > 0 OR epoch_us(p_ts) < cutoff_us),
+        |unc AS (
+        |  SELECT -1 AS p_id, COUNT(*) AS n_clicks_10m
+        |  FROM c, wm
+        |  WHERE NOT EXISTS (
+        |          SELECT 1 FROM p
+        |          WHERE p.user_id = c.c_uid
+        |            AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
+        |            AND c.c_ts < p.p_ts)
+        |    AND epoch_us(c_ts) + 600000000 < cutoff_us)
+        |SELECT CAST(p_id AS BIGINT) AS p_id,
+        |       CAST(n_clicks_10m AS BIGINT) AS n_clicks_10m
+        |FROM (SELECT * FROM pur UNION ALL
+        |      SELECT * FROM unc WHERE n_clicks_10m > 0)
+        |ORDER BY p_id""".stripMargin,
+
     "x260_chi_nominal" -> chain(
       table = "orders", where = "", cls =
         "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice > 150000 THEN 1 ELSE 0 END",

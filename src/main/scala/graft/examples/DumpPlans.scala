@@ -116,6 +116,27 @@ object DumpPlans {
     sb.append("|---|---|---|\n")
     sb.append("| `q46_knn_label_vote` (100-query broadcast, topk_pairs partial agg) | `AnnIvf.x18Raw` (centroid pruning, nprobe cells; the `x18_ann_ivf` key wraps it in the theorem-form oracle contract), `x09_embedding_neardup_lsh` (banded hyperplane LSH) | AnnIvfSpec / LlmExtSpec + x111 matrix |\n")
     sb.append("| `q45_similarity_cosine_topk` (brute-force scan, fine: 1-row query broadcast) | `AnnIvf.x18Raw` | AnnIvfSpec |\n")
+    sb.append("\n## Skew: manual salting vs AQE's runtime split (x22 + its twin)\n\n")
+    sb.append("Two mechanisms cover hot join keys, both asserted in PlanSpec:\n\n")
+    sb.append("- **x22 (manual salt, oracle-checked)**: the hot side's key is\n")
+    sb.append("  widened to (key, hash(row) % 8) and the dim side exploded 8x —\n")
+    sb.append("  the `x22_skew_salted_join` plan below shows the SMJ keyed on\n")
+    sb.append("  `(user_id, __salt)`. Deterministic, planner-independent, and the\n")
+    sb.append("  shape to reach for when ONE key dominates by orders of magnitude.\n")
+    sb.append("- **AQE OptimizeSkewedJoin (runtime twin)**: for keys nobody\n")
+    sb.append("  hand-salted, Spark detects the oversized partition from map-output\n")
+    sb.append("  stats and splits it into advisory-sized reads. PlanSpec's\n")
+    sb.append("  'OptimizeSkewedJoin splits the hot key' case plants a 1.2M-row\n")
+    sb.append("  fact with one key holding ~83% of rows, forces the shuffled SMJ\n")
+    sb.append("  (broadcast off), and asserts BOTH that the final plan carries the\n")
+    sb.append("  skew=true split marker AND that the result is row-identical to the\n")
+    sb.append("  salted x22 mechanism on the same data.\n\n")
+    sb.append("At 100 TB the division of labor: AQE handles moderate skew\n")
+    sb.append("automatically (keep `spark.sql.adaptive.skewJoin.enabled=true`, the\n")
+    sb.append("default); manual salting remains for extreme single-key skew where\n")
+    sb.append("even an advisory-sized split of one key's partition leaves every\n")
+    sb.append("split reading the SAME dim row — salting also spreads the dim-side\n")
+    sb.append("lookup, which AQE's reader split cannot.\n")
     try {
       for ((name, note, df) <- picks) {
         df.collect()

@@ -525,4 +525,120 @@ object Mining {
       .orderBy(col("usage").desc, col("piece").asc).limit(30)
       .orderBy(col("usage").desc, col("piece").asc)
   }
+
+  /** The x262 per-piece weight: capped usage × 10^(4·(len−1)). The piece
+    * probability model is p = min(usage, 9999)/10⁴ — a fixed-point
+    * quantized unigram LM whose Viterbi products stay EXACT integers:
+    * maximizing Π p over a segmentation of an n-char token equals
+    * maximizing Π (usage′ · 10^(4·(len−1))) because the 10^(4n) token
+    * constant cancels — so the whole DP runs in DECIMAL(38,0)/HUGEINT
+    * (≤ 10^(4·8) = 10³² for the ≤8-char corpus contract) with ZERO
+    * floating point, which is what makes a log-likelihood argmax exactly
+    * comparable across engines (ln() differs by ULPs between libms; exact
+    * integer products never do). */
+  private[graft] def x262Weight(usage: Long, len: Int): Long =
+    math.min(usage, 9999L) * Seq(1L, 10000L, 100000000L)(len - 1)
+
+  /** x262 segmentation frame: per distinct token (≤ 8 chars — the scoring
+    * contract, provably inactive on this corpus and asserted in
+    * Round10bSpec/UnigramSpec), the Viterbi-best segmentation under the
+    * quantized unigram LM and its exact integer score. Exposed for the
+    * optimality-theorem spec. */
+  private[graft] def x262Segments(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(filter(split(lower(col("text")), " "),
+                             t => t =!= "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // four consumers: bi, tri, chars, the fold
+    def gramsW(n: Int, k: Int): Array[(String, Long)] = vocab
+      .select(explode(expr(
+        s"""CASE WHEN length(tok) < $n THEN array()
+           |ELSE transform(sequence(1, least(length(tok) - ${n - 1}, 32)),
+           |               i -> substr(tok, i, $n)) END""".stripMargin))
+        .as("g"), col("tf"))
+      .groupBy("g").agg(sum(col("tf")).as("w"))
+      .orderBy(col("w").desc, col("g").asc).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val chars: Array[(String, Long)] = vocab
+      .select(explode(expr(
+        "transform(sequence(1, least(length(tok), 32)), i -> substr(tok, i, 1))"))
+        .as("g"), col("tf"))
+      .groupBy("g").agg(sum(col("tf")).as("w"))
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(chars.length <= 200,
+      s"x262 char inventory must stay bounded, got ${chars.length}")
+    val (tri, bi) = (gramsW(3, 20), gramsW(2, 30))
+    def esc(s: String) = s.replace("'", "''")
+    def lookup(entries: Array[(String, Long)], len: Int, sub: String): String =
+      entries.map { case (g, u) => s"WHEN '${esc(g)}' THEN ${x262Weight(u, len)}" }
+        .mkString(s"CASE $sub ", " ", " ELSE -1 END")
+    val d38 = "DECIMAL(38,0)"
+    // One DP candidate: extend best[i-len] by the len-char piece ending at
+    // position i. Invalid (prefix unreachable / piece not in inventory /
+    // before the token starts) ⇒ v = −1, filtered before the argmax.
+    def cand(prev: String, len: Int, w: String, g: String, guard: String) =
+      s"""named_struct(
+         |  'v', CAST(CASE WHEN $guard AND acc.$prev.v > 0 AND ($w) > 0
+         |            THEN acc.$prev.v * ($w) ELSE -1 END AS $d38),
+         |  'prio', $len,
+         |  'ps', array_append(acc.$prev.ps, $g))""".stripMargin
+    val c1 = cand("p1", 1, lookup(chars, 1, "substr(tok, i, 1)"),
+                  "substr(tok, i, 1)", "true")
+    val c2 = cand("p2", 2, lookup(bi, 2, "substr(tok, i - 1, 2)"),
+                  "substr(tok, i - 1, 2)", "i >= 2")
+    val c3 = cand("p3", 3, lookup(tri, 3, "substr(tok, i - 2, 3)"),
+                  "substr(tok, i - 2, 3)", "i >= 3")
+    def init(v: Int) =
+      s"named_struct('v', CAST($v AS $d38), 'prio', 0, 'ps', CAST(array() AS array<string>))"
+    // Ties on v prefer the LONGER ending piece (prio) — struct max compares
+    // (v, prio, ps) in order; (v, prio) is unique among candidates (one
+    // piece per length per end position), so ps never decides.
+    val fold =
+      s"""aggregate(
+         |  sequence(1, length(tok)),
+         |  named_struct('p1', ${init(1)}, 'p2', ${init(-1)}, 'p3', ${init(-1)}),
+         |  (acc, i) -> named_struct(
+         |    'p1', array_max(filter(array($c1, $c2, $c3), c -> c.v > 0)),
+         |    'p2', acc.p1,
+         |    'p3', acc.p2),
+         |  acc -> named_struct('v', acc.p1.v, 'ps', acc.p1.ps))""".stripMargin
+    vocab.filter(length(col("tok")) <= 8)
+      .withColumn("best", expr(fold))
+      .select(col("tok"), col("tf"),
+              col("best.v").as("v"), col("best.ps").as("ps"))
+  }
+
+  /** x262: UNIGRAM-LM TOKENIZER SCORING — the third tokenizer family after
+    * BPE training (x225) and WordPiece greedy inference (x256): one
+    * Viterbi round over the SAME piece inventory (tri-20 + bi-30 +
+    * single-char fallback, x256's derivation, now WITH usage weights).
+    * Per distinct token, the segmentation maximizing the quantized unigram
+    * likelihood Π min(usage, 9999)/10⁴ — an EXACT integer DP (see
+    * [[x262Weight]]): best[i] = max over pieces ending at i of
+    * best[i−len]·w(piece), ties to the longer piece. Where x256's greedy
+    * MaxMatch commits to the longest prefix piece, Viterbi may split
+    * differently to buy a higher-likelihood suffix — the optimality gap
+    * the spec pins as a theorem (Viterbi ≥ greedy for EVERY token). Output:
+    * per piece, corpus usage under best segmentations (occurrences × tf).
+    *
+    * Oracle: the inventory restated as in x256's oracle plus capped
+    * weights; the DP replayed by ENUMERATING all segmentations (recursive
+    * CTE, ≤ 81 per 8-char token) and taking the argmax under (product
+    * DESC, reversed length list DESC) — the global restatement of the
+    * per-position tie rule.
+    *
+    * 100 TB: the inventory is a bounded collect (≤ 250 rows); the fold is
+    * ONE expression over the VOCAB-bounded distinct-token frame (corpus
+    * mass enters only through tf weights — scoring never touches corpus
+    * rows); all arithmetic is integer decimal inside the fold. Growing
+    * the inventory widens three CASE chains, not the data path. */
+  def x262(spark: SparkSession, dir: String): DataFrame =
+    x262Segments(spark, dir)
+      .select(col("tf"), explode(col("ps")).as("piece"))
+      .groupBy("piece").agg(sum(col("tf")).as("usage"))
+      .withColumn("len", expr("CAST(length(piece) AS BIGINT)"))
+      .select("piece", "len", "usage")
+      .orderBy(col("usage").desc, col("piece").asc).limit(30)
+      .orderBy(col("usage").desc, col("piece").asc)
 }

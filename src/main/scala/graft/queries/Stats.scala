@@ -468,6 +468,21 @@ object Stats {
     * edges, one degree agg, one collect_list agg, two src/dst-keyed
     * attach joins. */
   def x119(spark: SparkSession, dir: String): DataFrame = {
+    val (res, persisted) = x119Plan(spark, dir)
+    // eager 1-row result, then release the persisted blocks — the graph
+    // family's persist discipline (x181/x24/x188)
+    val out = res.localCheckpoint(true)
+    persisted.foreach(_.unpersist())
+    out
+  }
+
+  /** The x119 DAG without the final materialization — exposed so PlanSpec
+    * can assert the join structure (the registered key localCheckpoints
+    * the 1-row result, which truncates the inspectable plan to a
+    * Scan ExistingRDD). Returns the result frame plus the persisted
+    * intermediates the caller must release after materializing. */
+  private[graft] def x119Plan(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
     val edges = li.as("a")
       .join(li.as("b"),
@@ -510,9 +525,6 @@ object Stats {
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
       .crossJoin(tri.agg(sum(col("t")).as("n_triangles")))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
-      .localCheckpoint(true) // eager 1-row result, then release the blocks
-    edges.unpersist()
-    oriented.unpersist()
-    out
+    (out, Seq(edges, oriented))
   }
 }

@@ -756,6 +756,51 @@ object StreamingOps {
       .select(col("p_id"), col("c_uid"))
   }
 
+  /** x261: STREAM-STREAM FULL OUTER join — the last stream-stream join mode
+    * after x29 (inner) and x247 (left outer): BOTH sides' unmatched rows
+    * emit with nulls on watermark proof. The two null directions have
+    * DIFFERENT cutoffs, each derived from the join's time-range condition:
+    *  - an unmatched purchase emits once watermark ≥ p_ts (any qualifying
+    *    click has c_ts < p_ts and would be late) — x247's cutoff verbatim;
+    *  - an unmatched click emits once watermark > c_ts + 10 min (any
+    *    qualifying purchase has p_ts ≤ c_ts + 10 min and would be late) —
+    *    the NEW direction, 10 minutes LATER on the same clock, which is why
+    *    full-outer is not two left-outers glued: the click side's state
+    *    lives a full range longer before its null can flush.
+    * Unmatched clicks fold into the output under sentinel p_id = −1 (an
+    * event_id never taken), keeping the output columns null-free for the
+    * exact comparator. The oracle states both cutoffs explicitly
+    * (per-side min-over-both-watermark-operators max event time,
+    * ms-floored, strict <; x19/x247's arithmetic transfers).
+    *
+    * 100 TB: state on both sides is GC-bounded by watermark + the
+    * 10-minute range (the click side holds one extra range); keyed by
+    * user, skew-safe at the x22 salting threshold. */
+  def x261(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, fullOuterClicks(eventsStream(spark, dir)),
+               s"x261_sink_${System.nanoTime()}", "append")
+      .groupBy(coalesce(col("p_id"), lit(-1L)).as("p_id"))
+      .agg(count(col("c_id")).as("n_clicks_10m"))
+      .orderBy("p_id")
+
+  /** x261 transform, exposed for the cross-batch StreamingSpec case. */
+  private[graft] def fullOuterClicks(ev: DataFrame): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_uid"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    p.join(c,
+      col("user_id") === col("c_uid") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("p_ts"),
+      "full_outer")
+      .select(col("p_id"), col("c_id"))
+  }
+
   /** x252 transform: the [[TimerSessionProcessor]] over the keyed event
     * stream — event-time mode so timers fire off the watermark. */
   def timerSessions(events: DataFrame): Dataset[ClosedSession] = {

@@ -325,7 +325,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("x119: triangle counting is keyed joins only — the 1-row stat stitch is the sole nested-loop site") {
-    val p = plan(Stats.x119(spark, sfSmoke))
+    // x119 itself localCheckpoints the 1-row result (persist discipline),
+    // which truncates the visible plan — assert on the pre-materialization
+    // DAG, then release its persisted frames
+    val (res, persisted) = Stats.x119Plan(spark, sfSmoke)
+    val p = plan(res)
+    persisted.foreach(_.unpersist())
     // wedge build and wedge→edge closure must be keyed (hash or sort-merge)
     // joins; the only BNLJ allowed is the final crossJoin of three 1-row
     // aggregate scalars into the single stats row

@@ -644,4 +644,49 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(rows() === Set((102L, 1L), (103L, -1L)))
   }
+
+  test("x261 full-outer emits BOTH null directions, each on its own cutoff") {
+    val mem = MemoryStream[Ev](spark)
+    val q = graft.streaming.StreamingOps.fullOuterClicks(mem.toDF)
+      .writeStream.format("memory").queryName("x261_mem")
+      .outputMode("append").start()
+    def rows() = spark.table("x261_mem").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                 if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    // batch 1: u1 click t=95 + purchase t=100 (match, emits inner-style);
+    // u2 purchase t=100 (unmatched; null needs WM > 100); u3 click t=150
+    // (unmatched; null needs WM > 150+10 — the click side waits one extra
+    // range, the property that distinguishes full-outer's two directions)
+    mem.addData(Seq(
+      Ev(101L, ts(95), 1L, "click", 1.0, ""),
+      Ev(102L, ts(100), 1L, "purchase", 1.0, ""),
+      Ev(103L, ts(100), 2L, "purchase", 1.0, ""),
+      Ev(104L, ts(150), 3L, "click", 1.0, "")))
+    q.processAllAvailable()
+    assert(rows() === Set((102L, 101L)))
+    // batch 2: both clocks to t=120 → WM 110: past the purchase cutoff
+    // (110 > 100 ⇒ P2's null flushes) but NOT the click's (110 < 160 ⇒
+    // C3 still waits — a left-outer would already have nothing to wait for)
+    mem.addData(Seq(
+      Ev(105L, ts(120), 4L, "purchase", 1.0, ""),
+      Ev(106L, ts(120), 4L, "click", 1.0, "")))
+    q.processAllAvailable()
+    mem.addData(Seq.empty[Ev])
+    q.processAllAvailable()
+    assert(rows() === Set((102L, 101L), (103L, -1L)),
+      "purchase null must flush at WM 110; the click null must NOT")
+    // batch 3: clocks to t=300 → WM 290 > 160: C3's null finally flushes,
+    // and batch 2's same-timestamp pair (no match: c_ts < p_ts is strict)
+    // flushes in both directions too
+    mem.addData(Seq(
+      Ev(107L, ts(300), 5L, "purchase", 1.0, ""),
+      Ev(108L, ts(300), 5L, "click", 1.0, "")))
+    q.processAllAvailable()
+    mem.addData(Seq.empty[Ev])
+    q.processAllAvailable()
+    q.stop()
+    assert(rows() === Set((102L, 101L), (103L, -1L), (-1L, 104L),
+                          (105L, -1L), (-1L, 106L)))
+  }
 }
