@@ -211,8 +211,22 @@ object OracleSqlRound11 {
       |FROM (SELECT tf, unnest(pieces) AS piece FROM best WHERE rn = 1)
       |GROUP BY 1 ORDER BY usage DESC, piece LIMIT 30""".stripMargin
 
+  /** Shared by x260 (data-derived dictionary) and x264 (the same training
+    * frame round-tripped through KEEL with the dictionary taken from the
+    * generated header): the generated header enumerates the sorted distinct
+    * values — exactly this chain's ROW_NUMBER dictionary — and the KEEL
+    * numeric round trip is lossless (pinned by x205), so both keys must
+    * produce THIS chain's report bit-for-bit. */
+  private val x260Chain: String = chain(
+    table = "orders", where = "", cls =
+      "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice > 150000 THEN 1 ELSE 0 END",
+    fs = Seq(
+      ONum("o_totalprice", "0.0", "600000.0"),
+      ONom("o_orderpriority")))
+
   val round11: Map[String, String] = Map(
     "x262_unigram_viterbi" -> x262Sql,
+    "x264_chi_keel_nominal" -> x260Chain,
 
     // x261: matched purchases emit unconditionally (inner semantics);
     // unmatched purchases emit iff the final watermark passed p_ts (x247's
@@ -256,12 +270,7 @@ object OracleSqlRound11 {
         |      SELECT * FROM unc WHERE n_clicks_10m > 0)
         |ORDER BY p_id""".stripMargin,
 
-    "x260_chi_nominal" -> chain(
-      table = "orders", where = "", cls =
-        "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice > 150000 THEN 1 ELSE 0 END",
-      fs = Seq(
-        ONum("o_totalprice", "0.0", "600000.0"),
-        ONom("o_orderpriority"))),
+    "x260_chi_nominal" -> x260Chain,
 
     "x263_chi_missing_values" -> chain(
       table = "lineitem", where = "", cls =

@@ -63,9 +63,22 @@ private[chi] trait ChiCSParams extends Params {
     "feature columns treated as nominal (crisp singleton membership)")
   final def getNominalCols: Array[String] = $(nominalCols)
 
+  /** DECLARED nominal dictionaries (the KEEL-header path: the reference
+    * derives the DataBase from the header, not the data — [P1 §4.2]): one
+    * entry per declared column, encoded `col=v1|v2|v3` in the HEADER'S
+    * enumeration order (values must not contain '|' — KEEL values are
+    * comma-free identifiers already). A nominal column without a declared
+    * entry falls back to the sorted distinct scan; training values outside
+    * a declared dictionary are rejected at fit time. */
+  final val nominalDictionaries = new StringArrayParam(this, "nominalDictionaries",
+    "declared dictionaries, one 'col=v1|v2|...' entry per column; " +
+    "missing columns derive from data")
+  final def getNominalDictionaries: Array[String] = $(nominalDictionaries)
+
   setDefault(labelCol -> "label", predictionCol -> "prediction",
     numLabels -> 3, featureRanges -> Array.empty[Double],
-    classCosts -> Array.empty[Double], nominalCols -> Array.empty[String])
+    classCosts -> Array.empty[Double], nominalCols -> Array.empty[String],
+    nominalDictionaries -> Array.empty[String])
 }
 
 /** Chi-FRBCS-BigDataCS as an idiomatic Spark MLlib estimator (SURVEY.md §2.5
@@ -97,6 +110,13 @@ class ChiCSClassifier(override val uid: String)
   def setFeatureRanges(v: Array[Double]): this.type = set(featureRanges, v)
   def setClassCosts(v: Array[Double]): this.type = set(classCosts, v)
   def setNominalCols(v: Array[String]): this.type = set(nominalCols, v)
+  def setNominalDictionaries(v: Array[String]): this.type = set(nominalDictionaries, v)
+  /** Convenience: declare dictionaries from parsed KEEL attributes. */
+  def setNominalDictionaries(dicts: Map[String, Seq[String]]): this.type =
+    set(nominalDictionaries, dicts.toArray.sortBy(_._1).map { case (c, vs) =>
+      require(vs.forall(!_.contains("|")), s"dictionary values for $c must not contain '|'")
+      s"$c=${vs.mkString("|")}"
+    })
 
   override def transformSchema(schema: StructType): StructType = schema
 
@@ -126,19 +146,37 @@ class ChiCSClassifier(override val uid: String)
     // label, the same regime as L; a high-cardinality attribute belongs in a
     // hashed/numeric encoding, not a fuzzy partition.
     val nomFeats = feats.filter(nomSet)
-    val dicts: Map[String, Array[String]] =
-      if (nomFeats.isEmpty) Map.empty
-      else {
-        val aggs = nomFeats.map(f =>
-          sort_array(collect_set(col(f).cast(StringType))).as(f))
-        val row = raw.agg(aggs.head, aggs.tail: _*).head()
-        nomFeats.zipWithIndex.map { case (f, i) =>
-          val vs = row.getSeq[String](i).toArray
-          require(vs.length >= 2 && vs.length <= 256,
-            s"nominal column $f needs 2..256 distinct non-null values, got ${vs.length}")
-          f -> vs
-        }.toMap
+    // Declared dictionaries (the KEEL-header path) win; only undeclared
+    // nominal columns pay the distinct scan.
+    val declaredDicts: Map[String, Array[String]] =
+      $(nominalDictionaries).map { entry =>
+        val eq = entry.indexOf('=')
+        require(eq > 0, s"nominalDictionaries entry must be 'col=v1|v2|...', got '$entry'")
+        entry.take(eq) -> entry.drop(eq + 1).split('|').map(_.trim)
+      }.toMap
+    require(declaredDicts.keySet.subsetOf(nomSet),
+      s"declared dictionaries for non-nominal columns: ${declaredDicts.keySet -- nomSet}")
+    val scanned = nomFeats.filterNot(declaredDicts.contains)
+    val dicts: Map[String, Array[String]] = {
+      val derived: Map[String, Array[String]] =
+        if (scanned.isEmpty) Map.empty
+        else {
+          val aggs = scanned.map(f =>
+            sort_array(collect_set(col(f).cast(StringType))).as(f))
+          val row = raw.agg(aggs.head, aggs.tail: _*).head()
+          scanned.zipWithIndex.map { case (f, i) =>
+            f -> row.getSeq[String](i).toArray
+          }.toMap
+        }
+      val all = declaredDicts ++ derived
+      all.foreach { case (f, vs) =>
+        require(vs.length >= 2 && vs.length <= 256,
+          s"nominal column $f needs 2..256 dictionary values, got ${vs.length}")
+        require(vs.distinct.length == vs.length,
+          s"nominal dictionary for $f has duplicate values")
       }
+      all
+    }
 
     // Encode: numeric → double; nominal → sorted-rank code (array_position
     // is 1-based; NULL in ⇒ NULL out, preserving the missing marker).
@@ -197,6 +235,18 @@ class ChiCSClassifier(override val uid: String)
       .groupBy((feats.map(col) :+ col("__ant") :+ col("__cls")): _*)
       .agg(count(lit(1)).as("__m"))
       .persist()
+
+    // A training value OUTSIDE a declared dictionary encodes to −1 and
+    // would otherwise seed a phantom rule label — reject loudly (the KEEL
+    // reference errors on undeclared categories). One tiny job on the
+    // cached compressed frame; only runs when dictionaries were declared.
+    if (declaredDicts.nonEmpty) {
+      val declared = feats.filter(declaredDicts.contains)
+      val bad = compressed
+        .filter(declared.map(f => col(f) < 0).reduce(_ || _)).limit(1).count()
+      require(bad == 0,
+        s"training data contains categories outside the declared dictionaries for ${declared.mkString(",")}")
+    }
 
     // R3 cost vector: declared, or binary-IR from class counts.
     val classCounts = compressed.groupBy("__cls").agg(sum(col("__m")).as("n")).collect()

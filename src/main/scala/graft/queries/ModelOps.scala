@@ -275,6 +275,46 @@ object ModelOps {
     fitReport(model, train)
   }
 
+  /** x264: KEEL NOMINAL ROUND TRIP — the reference's full I/O loop for a
+    * MIXED numeric+nominal dataset: x260's training frame is written as a
+    * KEEL `.dat` (R11 header generation emits `@attribute x2 {…}` — the
+    * category dictionary, sorted), read back THROUGH the header's schema,
+    * and the classifier trains with the dictionary taken FROM THE KEEL
+    * HEADER (`setNominalDictionaries`, the [P1 §4.2] path: the DataBase
+    * derives from the declaration, not a data scan — fit pays NO distinct
+    * pass, and a training category outside the declaration is rejected
+    * loudly, the reference's contract). Must reproduce x260's report
+    * EXACTLY (same oracle registered): the source neither perturbs a
+    * value nor the dictionary, and header-declared vs data-derived
+    * dictionaries are the same model when the header covers the data.
+    *
+    * 100 TB: the `.dat` write/read is the distributed Keel relation; the
+    * declared dictionary removes the one extra aggregate pass x260 pays —
+    * the header IS the descriptor. */
+  def x264(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_keel_nom_${tag(dir)}"
+    Tables.orders(spark, dir).select(
+        col("o_totalprice").as("x1"),
+        col("o_orderpriority").as("x2"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+               col("o_totalprice") > 150000, 1).otherwise(0).as("label"))
+      .write.format("keel").mode("overwrite").save(path)
+    val header = graft.sources.Keel.readHeader(spark, path)
+    val dict = header.attributes.find(_.name == "x2")
+      .flatMap(_.nominalValues)
+      .getOrElse(sys.error("KEEL header lost the x2 dictionary"))
+    val back = spark.read.format("keel").load(path)
+      .select(col("x1").cast(DoubleType), col("x2"),
+              col("label").cast(IntegerType).as("label"))
+    val model = new ChiCSClassifier()
+      .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
+      .setNominalCols(Array("x2"))
+      .setNominalDictionaries(Map("x2" -> dict))
+      .setFeatureRanges(Array(0.0, 600000.0, 0.0, 0.0))
+      .fit(back)
+    fitReport(model, back)
+  }
+
   /** x263: MISSING-VALUE PROTOCOL through the ML chain — KEEL declares
     * `<null>`/`?` (SURVEY §1.1) and the Keel reader parses them; this key
     * pins the documented policy end-to-end with nulls in train AND test,

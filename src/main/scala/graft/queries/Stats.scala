@@ -467,22 +467,22 @@ object Stats {
     * + distinct for
     * edges, one degree agg, one collect_list agg, two src/dst-keyed
     * attach joins. */
-  def x119(spark: SparkSession, dir: String): DataFrame = {
-    val (res, persisted) = x119Plan(spark, dir)
-    // eager 1-row result, then release the persisted blocks — the graph
-    // family's persist discipline (x181/x24/x188)
-    val out = res.localCheckpoint(true)
-    persisted.foreach(_.unpersist())
-    out
-  }
+  def x119(spark: SparkSession, dir: String): DataFrame =
+    x119Plan(spark, dir)
 
-  /** The x119 DAG without the final materialization — exposed so PlanSpec
-    * can assert the join structure (the registered key localCheckpoints
-    * the 1-row result, which truncates the inspectable plan to a
-    * Scan ExistingRDD). Returns the result frame plus the persisted
-    * intermediates the caller must release after materializing. */
-  private[graft] def x119Plan(spark: SparkSession, dir: String)
-      : (DataFrame, Seq[DataFrame]) = {
+  /** The x119 DAG (also the registered entry). Unlike x181/x24/x188 this
+    * graph key deliberately does NOT persist its multi-consumer frames:
+    * the 4-consumer sharing of `edges` is carried by Spark's
+    * ReusedExchange (same canonicalized exchange under deg / oriented /
+    * the final count), which an X119Probe A/B at sf0.1 measured at
+    * 4.3 s vs 7.5–10.3 s for the persist-and-release formulation —
+    * caching the 3.6M-row edge frame pays a full materialization AND
+    * pins the cached subplan's partitioning away from AQE. The reliance
+    * is NOT silent: PlanSpec asserts ReusedExchange is present in the
+    * final adaptive plan, so a Spark upgrade that stops reusing the
+    * exchange fails the suite instead of silently re-scanning lineitem
+    * four times. */
+  private[graft] def x119Plan(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
     val edges = li.as("a")
       .join(li.as("b"),
@@ -490,11 +490,6 @@ object Stats {
               col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
-      // Explicit persist for the 3 consumers (deg, oriented, final count)
-      // rather than relying on ReuseExchange across the single DAG — the
-      // graph family's own discipline (x181/x24/x188); released below
-      // once the 1-row result is materialized (VERDICT r10 task 7).
-      .persist()
     val deg = edges.select(col("u").as("node"))
       .unionByName(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -509,7 +504,6 @@ object Stats {
         when(col("du") < col("dv") ||
                (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("dst"))
-      .persist() // 2 consumers: adj build + the per-edge intersect probe
     val adj = oriented.groupBy(col("src").as("n"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     val tri = oriented
@@ -525,6 +519,6 @@ object Stats {
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
       .crossJoin(tri.agg(sum(col("t")).as("n_triangles")))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
-    (out, Seq(edges, oriented))
+    out
   }
 }

@@ -205,6 +205,54 @@ class NominalChiSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("declared dictionary (KEEL-header path): header order sets the codes; " +
+       "coverage is enforced; predictions match the scanned-dict model") {
+    val declared = new ChiCSClassifier()
+      .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
+      .setNominalCols(Array("x2"))
+      // UNSORTED header order — codes must follow the declaration, not the sort
+      .setNominalDictionaries(Map("x2" -> Seq("d", "b", "a", "c")))
+      .setFeatureRanges(Array(0.0, 6.0, 0.0, 0.0))
+      .fit(df(rows))
+    val scanned = fitNominal(rows)
+    assert(declared.nominalDicts(1).toSeq === Seq("d", "b", "a", "c"))
+    // same rules up to the code permutation (d↔0, b↔1, a↔2, c↔3 vs sorted)
+    // sorted [a,b,c,d] codes -> declared [d,b,a,c] codes: a 0->2, b 1->1,
+    // c 2->3, d 3->0
+    val perm = Map(0 -> 2, 1 -> 1, 2 -> 3, 3 -> 0)
+    val want = scanned.rules
+      .map(r => (Seq(r.antecedent(0), perm(r.antecedent(1))), r.cls, r.weight))
+      .sortBy(t => (t._1.mkString(","), t._2))
+    val got = declared.rules
+      .map(r => (r.antecedent.toSeq, r.cls, r.weight)).toSeq
+      .sortBy(t => (t._1.mkString(","), t._2))
+    assert(got === want)
+    // identical predictions — the dictionary order is representation only
+    val a = declared.transform(df(rows)).select("prediction")
+      .collect().map(_.getInt(0)).toSeq
+    val b = scanned.transform(df(rows)).select("prediction")
+      .collect().map(_.getInt(0)).toSeq
+    assert(a === b)
+    // a training category outside the declaration fails loudly
+    val err = intercept[Exception] {
+      new ChiCSClassifier()
+        .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
+        .setNominalCols(Array("x2"))
+        .setNominalDictionaries(Map("x2" -> Seq("a", "b"))) // c, d missing
+        .setFeatureRanges(Array(0.0, 6.0, 0.0, 0.0))
+        .fit(df(rows))
+    }
+    assert(err.getMessage.contains("outside the declared dictionaries"))
+  }
+
+  test("x264 KEEL round trip reproduces x260 exactly at sf0.001") {
+    val a = graft.queries.ModelOps.x260(spark, TestSpark.sfSmoke).collect()
+      .map(_.toSeq).toSeq
+    val b = graft.queries.ModelOps.x264(spark, TestSpark.sfSmoke).collect()
+      .map(_.toSeq).toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("x260/x263 registry keys: non-trivial learned bases at sf0.001") {
     val r260 = graft.queries.ModelOps.x260(spark, TestSpark.sfSmoke).head()
     assert(r260.getLong(0) > 4, "x260 must learn rules binding 5 categories")

@@ -325,12 +325,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("x119: triangle counting is keyed joins only — the 1-row stat stitch is the sole nested-loop site") {
-    // x119 itself localCheckpoints the 1-row result (persist discipline),
-    // which truncates the visible plan — assert on the pre-materialization
-    // DAG, then release its persisted frames
-    val (res, persisted) = Stats.x119Plan(spark, sfSmoke)
-    val p = plan(res)
-    persisted.foreach(_.unpersist())
+    val p = plan(Stats.x119(spark, sfSmoke))
     // wedge build and wedge→edge closure must be keyed (hash or sort-merge)
     // joins; the only BNLJ allowed is the final crossJoin of three 1-row
     // aggregate scalars into the single stats row
@@ -343,6 +338,13 @@ class PlanSpec extends AnyFunSuite {
     val fin = p.split("== Initial Plan ==")(0)
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(fin).size
     assert(bnlj <= 2, s"only the two 1-row stat crossJoins may be BNLJ, found $bnlj")
+    // x119 deliberately shares the 4-consumer edge frame through
+    // ReusedExchange instead of the family's persist discipline (measured
+    // 2x faster — X119Probe / Stats scaladoc); that reliance must be
+    // VERIFIED, not assumed: if a Spark upgrade stops reusing the
+    // exchange this fails instead of silently re-scanning lineitem 4x
+    assert(fin.contains("ReusedExchange"),
+      "edge-frame sharing must run through ReusedExchange:\n" + fin.take(1200))
   }
 
   test("x125: both correlated EXISTS predicates run as keyed semi/anti joins — no nested re-scan") {
