@@ -228,6 +228,75 @@ object OracleSqlRound11 {
     "x262_unigram_viterbi" -> x262Sql,
     "x264_chi_keel_nominal" -> x260Chain,
 
+    // x265: each engine-side single-pass conditional aggregate restated as
+    // one CTE; the FK orphan + date-order checks share the same left join.
+    "x265_quality_audit" ->
+      """WITH li AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS v_null,
+        |    SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v_range,
+        |    SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS v_set
+        |  FROM lineitem),
+        |ordx AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS v_set,
+        |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_pos
+        |  FROM orders),
+        |uniq AS (
+        |  SELECT SUM(c) AS n, SUM(c - 1) AS v FROM (
+        |    SELECT COUNT(*) AS c FROM lineitem
+        |    GROUP BY l_orderkey, l_linenumber)),
+        |j AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_fk,
+        |    SUM(CASE WHEN o.o_orderkey IS NOT NULL
+        |             AND l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS v_date
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |comp AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS v
+        |  FROM events)
+        |SELECT constraint_name, CAST(n_checked AS BIGINT) AS n_checked,
+        |       CAST(n_violations AS BIGINT) AS n_violations, pass FROM (
+        |  SELECT 'lineitem_discount_in_0_0.1' AS constraint_name, n AS n_checked,
+        |         v_range AS n_violations, v_range = 0 AS pass FROM li
+        |  UNION ALL SELECT 'lineitem_orderkey_fk', n, v_fk, v_fk = 0 FROM j
+        |  UNION ALL SELECT 'lineitem_pk_unique', n, v, v = 0 FROM uniq
+        |  UNION ALL SELECT 'lineitem_quantity_not_null', n, v_null, v_null = 0 FROM li
+        |  UNION ALL SELECT 'lineitem_returnflag_in_set', n, v_set, v_set = 0 FROM li
+        |  UNION ALL SELECT 'lineitem_ship_after_order', n, v_date, v_date = 0 FROM j
+        |  UNION ALL SELECT 'orders_status_in_set', n, v_set, v_set = 0 FROM ordx
+        |  UNION ALL SELECT 'orders_totalprice_positive', n, v_pos, v_pos = 0 FROM ordx
+        |  UNION ALL SELECT 'events_props_99pct_complete', n, v, v * 100 <= n FROM comp)
+        |ORDER BY constraint_name""".stripMargin,
+
+    // x266: the engine's window chain restated; epoch_us per the events-ts
+    // contract; half-open validity with the -1 current sentinel.
+    "x266_scd2_dimension" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v0 AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS ver
+        |  FROM marked),
+        |versions AS (
+        |  SELECT user_id, ver, MIN(event_type) AS segment,
+        |         MIN(epoch_us(ts)) AS valid_from_us, COUNT(*) AS n_events
+        |  FROM v0 GROUP BY 1, 2)
+        |SELECT user_id, CAST(ver AS BIGINT) AS version, segment,
+        |  CAST(valid_from_us AS BIGINT) AS valid_from_us,
+        |  CAST(COALESCE(lead(valid_from_us) OVER wv, -1) AS BIGINT) AS valid_to_us,
+        |  COALESCE(lead(valid_from_us) OVER wv, -1) = -1 AS is_current,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM versions
+        |WINDOW wv AS (PARTITION BY user_id ORDER BY ver)
+        |ORDER BY user_id, version""".stripMargin,
+
     // x261: matched purchases emit unconditionally (inner semantics);
     // unmatched purchases emit iff the final watermark passed p_ts (x247's
     // cutoff verbatim); unmatched CLICKS emit iff the watermark passed

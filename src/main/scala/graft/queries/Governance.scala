@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.engine.Tables
@@ -352,5 +352,85 @@ object Governance {
                        col("o_orderstatus")).as("group_key"))
         .agg(count(lit(1)).as("true_n")))
     r1.union(r2).orderBy("release", "group_key")
+  }
+
+  /** x265: DATA-QUALITY EXPECTATION AUDIT — the Deequ/Great-Expectations
+    * shape every production ingest gates on: a declared constraint suite
+    * evaluated in bulk, one row per constraint with (n_checked,
+    * n_violations, pass). Seven constraint kinds over the fact tables:
+    * not-null, value range, set membership, primary-key uniqueness,
+    * referential integrity (lineitem → orders), a cross-table ordering
+    * invariant (no lineitem ships before its order date), and a
+    * completeness ratio gate (≤1% empty props). Violation COUNTS are
+    * the contract, not just booleans — a gate that says "FAIL" without
+    * the magnitude can't triage.
+    *
+    * 100 TB: every ROW-LOCAL constraint on one table folds into a SINGLE
+    * conditional-aggregate scan (three lineitem row checks = one pass,
+    * two orders row checks = one pass — adding constraints widens the
+    * aggregate, never adds a scan); uniqueness is one key-grouped
+    * aggregate re-aggregated to two counts; referential integrity and
+    * the ordering invariant share ONE lineitem⋈orders join pass (orphans
+    * = null-matched rows of the same left join the date check reads, so
+    * the FK anti-join is free). No driver-side row handling anywhere. */
+  def x265(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    // one scan: all row-local lineitem constraints
+    // the multi-consumer 1-row aggregates are materialized ONCE
+    // (localCheckpoint — the Features.scala bounded-frame idiom): each
+    // feeds several constraint rows below, and without the checkpoint
+    // every union branch would re-run its full table scan
+    val liRow = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("v_null"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("v_range"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+        .otherwise(0L)).as("v_set"))
+      .localCheckpoint(true)
+    // one scan: all row-local orders constraints
+    val ordRow = ord.agg(
+      count(lit(1)).as("n"),
+      sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+        .otherwise(0L)).as("v_set"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_pos"))
+      .localCheckpoint(true)
+    // primary-key uniqueness: duplicate rows beyond the first per key
+    val uniq = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n"), sum(col("c") - 1).as("v"))
+    // ONE join pass carries both the FK orphan check (null-matched left
+    // rows) and the ship-before-order invariant
+    val joined = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_fk"),
+           sum(when(col("o_orderkey").isNotNull &&
+                    col("l_shipdate") < col("o_orderdate"), 1L)
+             .otherwise(0L)).as("v_date"))
+      .localCheckpoint(true)
+    // completeness ratio gate: ppm of events with empty/null props
+    val comp = Tables.events(spark, dir).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("props").isNull || col("props") === "", 1L)
+        .otherwise(0L)).as("v"))
+    def row(name: String, n: Column, v: Column, src: DataFrame) =
+      src.select(lit(name).as("constraint_name"), n.as("n_checked"),
+                 v.as("n_violations"), (v === 0L).as("pass"))
+    row("lineitem_discount_in_0_0.1", col("n"), col("v_range"), liRow)
+      .unionByName(row("lineitem_orderkey_fk", col("n"), col("v_fk"), joined))
+      .unionByName(row("lineitem_pk_unique", col("n"), col("v"), uniq))
+      .unionByName(row("lineitem_quantity_not_null", col("n"), col("v_null"), liRow))
+      .unionByName(row("lineitem_returnflag_in_set", col("n"), col("v_set"), liRow))
+      .unionByName(row("lineitem_ship_after_order", col("n"), col("v_date"), joined))
+      .unionByName(row("orders_status_in_set", col("n"), col("v_set"), ordRow))
+      .unionByName(row("orders_totalprice_positive", col("n"), col("v_pos"), ordRow))
+      .unionByName(
+        comp.select(lit("events_props_99pct_complete").as("constraint_name"),
+                    col("n").as("n_checked"), col("v").as("n_violations"),
+                    (col("v") * 100 <= col("n")).as("pass")))
+      .orderBy("constraint_name")
   }
 }

@@ -641,4 +641,46 @@ object Wrangle {
            count(lit(1)).as("n_patterns"))
       .orderBy("decision")
   }
+
+  /** x266: SCD TYPE-2 DIMENSION BUILD — the slowly-changing-dimension
+    * versioning every warehouse keeps for training-data reproducibility
+    * ("which segment was this user in WHEN the label fired?"): per user,
+    * the event-type attribute's change history compressed to validity
+    * intervals — consecutive equal values collapse into one version row
+    * carrying (version, value, valid_from, valid_to, is_current,
+    * n_events). valid_to is the NEXT version's valid_from (half-open
+    * intervals, the join-friendly convention; the current version takes
+    * the −1 sentinel so the output stays integer-typed for the exact
+    * comparator). The per-user order is total via (ts, event_id).
+    *
+    * 100 TB: ONE shuffle by user_id serves every step — the change-flag
+    * lag, the version-number running sum, the per-version aggregate, and
+    * the valid_to lead all ride the same user-keyed partitioning
+    * (Exchange reuse across the window and the groupBy); per-user state
+    * is one row per window frame. Version rows ≈ attribute CHANGES, not
+    * events — the compression that makes SCD2 storable. */
+  def x266(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val marked = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+               lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("ver", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val versions = marked.groupBy("user_id", "ver")
+      .agg(min(col("event_type")).as("segment"), // constant within a version
+           min(unix_micros(col("ts"))).as("valid_from_us"),
+           count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy("user_id").orderBy("ver")
+    versions
+      .withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(wv), lit(-1L)))
+      .withColumn("is_current", col("valid_to_us") === -1L)
+      .select(col("user_id"), col("ver").as("version"), col("segment"),
+              col("valid_from_us"), col("valid_to_us"), col("is_current"),
+              col("n_events"))
+      .orderBy("user_id", "version")
+  }
 }

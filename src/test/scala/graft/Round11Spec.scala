@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** x265 (data-quality expectation audit) and x266 (SCD Type-2 build):
+  * planted-violation exactness, naive JVM replay, and the structural
+  * theorems of half-open validity intervals. */
+class Round11Spec extends AnyFunSuite {
+  import TestSpark.{spark, sfSmoke}
+  import spark.implicits._
+
+  test("x265 reports the corpus's KNOWN state: two real violations, the rest clean") {
+    // the synthetic corpus is TPC-H-ish, not TPC-H: (l_orderkey,
+    // l_linenumber) is NOT unique (the x41 scaladoc documents the
+    // duplicate rows) and some lineitems ship before their order date —
+    // the audit must SURFACE those, not vacuously pass
+    val rows = graft.queries.Governance.x265(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length === 9)
+    val byName = rows.map(r => r._1 -> r).toMap
+    assert(!byName("lineitem_pk_unique")._4 &&
+           byName("lineitem_pk_unique")._3 > 0)
+    assert(!byName("lineitem_ship_after_order")._4 &&
+           byName("lineitem_ship_after_order")._3 > 0)
+    val clean = rows.filterNot(r =>
+      r._1 == "lineitem_pk_unique" || r._1 == "lineitem_ship_after_order")
+    assert(clean.forall(_._4), s"unexpected failures: ${clean.filterNot(_._4).toSeq}")
+    // pass is exactly the violations predicate (ratio gate for completeness)
+    rows.foreach { case (n, nc, v, p) =>
+      if (n == "events_props_99pct_complete") assert(p === (v * 100 <= nc))
+      else assert(p === (v == 0))
+    }
+    // lineitem row-local constraints audited the same row count
+    val liN = rows.filter(_._1.startsWith("lineitem_")).filterNot(_._1.contains("fk"))
+      .filterNot(_._1.contains("ship_after")).filterNot(_._1.contains("pk"))
+      .map(_._2).distinct
+    assert(liN.length === 1)
+  }
+
+  test("x265 planted violations are counted exactly, and pass flips") {
+    val tmp = java.nio.file.Files.createTempDirectory("x265dir").toString
+    // base rows cloned from the smoke corpus keep full schemas; violations
+    // are planted with known multiplicities
+    val liDf = Tables.lineitem(spark, sfSmoke).limit(6)
+      .withColumn("rn", monotonically_increasing_id())
+    val planted = liDf
+      .withColumn("l_orderkey",
+        when(col("rn") === 0, lit(999999999L)).otherwise(col("l_orderkey"))) // orphan FK
+      .withColumn("l_discount",
+        when(col("rn") === 1, lit(0.5)).otherwise(col("l_discount")))        // range
+      .withColumn("l_returnflag",
+        when(col("rn") === 2, lit("X")).otherwise(col("l_returnflag")))      // set
+      .drop("rn")
+    // duplicate the first TWO rows once each -> 2 extra-beyond-first PK rows
+    val withDups = planted.unionByName(planted.limit(2))
+    withDups.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    Tables.orders(spark, sfSmoke)
+      .join(withDups.select(col("l_orderkey").as("o_orderkey")).distinct(),
+            Seq("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    // events: 10 rows, exactly 2 with empty props -> 20% > 1% gate
+    Tables.events(spark, sfSmoke).limit(10)
+      .withColumn("rn", monotonically_increasing_id())
+      .withColumn("props", when(col("rn") < 2, lit("")).otherwise(col("props")))
+      .drop("rn")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.queries.Governance.x265(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // the orphan row was duplicated once (rn=0 is in the first two), so 2
+    assert(got("lineitem_orderkey_fk") === ((2L, false)))
+    assert(got("lineitem_discount_in_0_0.1") === ((2L, false)))
+    assert(got("lineitem_returnflag_in_set")._2 === false)
+    assert(got("lineitem_pk_unique") === ((2L, false)))
+    assert(got("events_props_99pct_complete") === ((2L, false)))
+    assert(got("lineitem_quantity_not_null")._2 === true)
+  }
+
+  test("x266 equals a naive JVM SCD2 replay at sf0.001") {
+    val evs = Tables.events(spark, sfSmoke)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+              col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      // compress runs of equal event_type
+      val runs = ordered.foldLeft(List.empty[(String, Long, Long)]) {
+        case (acc, (_, us, _, t)) => acc match {
+          case (pt, from, n) :: rest if pt == t => (pt, from, n + 1) :: rest
+          case _ => (t, us, 1L) :: acc
+        }
+      }.reverse
+      runs.zipWithIndex.map { case ((seg, from, n), i) =>
+        val to = if (i + 1 < runs.length) runs(i + 1)._2 else -1L
+        (uid, (i + 1).toLong, seg, from, to, to == -1L, n)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.queries.Wrangle.x266(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+                 r.getLong(4), r.getBoolean(5), r.getLong(6))).toSeq
+    assert(want.nonEmpty && got === want)
+  }
+
+  test("x266 structural theorems: contiguous versions, half-open non-overlap, one current") {
+    val rows = graft.queries.Wrangle.x266(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+                 r.getLong(4), r.getBoolean(5), r.getLong(6)))
+    val byUser = rows.groupBy(_._1)
+    val total = Tables.events(spark, sfSmoke).count()
+    assert(rows.map(_._7).sum === total, "every event lives in exactly one version")
+    for ((u, vs0) <- byUser) {
+      val vs = vs0.sortBy(_._2)
+      assert(vs.map(_._2).toSeq === (1L to vs.length).toSeq,
+             s"user $u versions must be contiguous from 1")
+      assert(vs.count(_._6) === 1 && vs.last._6, s"user $u: exactly the last version is current")
+      for (w <- vs.sliding(2) if w.length == 2; a = w(0); b = w(1)) {
+        assert(a._5 === b._4, s"user $u: valid_to must equal the next valid_from")
+        assert(a._4 <= a._5, s"user $u: interval must not be inverted")
+        assert(a._3 !== b._3, s"user $u: consecutive versions must differ in value")
+      }
+    }
+  }
+}
