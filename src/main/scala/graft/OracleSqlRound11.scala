@@ -339,6 +339,68 @@ object OracleSqlRound11 {
         |      SELECT * FROM unc WHERE n_clicks_10m > 0)
         |ORDER BY p_id""".stripMargin,
 
+    // x267: the naive formulation the engine's union-window avoids — a
+    // per-label strictly-before range join (O(labels · history) here,
+    // affordable at oracle scale). The last-prior-value is the argmax by
+    // (ts, event_id) over non-purchase rows, matching the engine's
+    // (ts, is_label DESC, event_id) frame order restricted to feature rows.
+    "x267_pit_feature_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    COALESCE(CAST(round(value * 1000, 0) AS BIGINT), -1) AS val_milli
+        |  FROM events),
+        |lab AS (SELECT event_id AS label_id, user_id, ts FROM ev
+        |        WHERE event_type = 'purchase'),
+        |feats AS (
+        |  SELECT l.label_id,
+        |    SUM(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+        |    SUM(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END) AS n_views
+        |  FROM lab l JOIN ev e ON e.user_id = l.user_id AND e.ts < l.ts
+        |  GROUP BY 1),
+        |lastv AS (
+        |  SELECT label_id, val_milli FROM (
+        |    SELECT l.label_id, e.val_milli,
+        |      ROW_NUMBER() OVER (PARTITION BY l.label_id
+        |                         ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |    FROM lab l JOIN ev e
+        |      ON e.user_id = l.user_id AND e.ts < l.ts
+        |     AND e.event_type <> 'purchase')
+        |  WHERE rn = 1)
+        |SELECT l.label_id AS label_id, l.user_id,
+        |  CAST(epoch_us(l.ts) AS BIGINT) AS label_ts_us,
+        |  CAST(COALESCE(f.n_clicks, 0) AS BIGINT) AS n_clicks_before,
+        |  CAST(COALESCE(f.n_views, 0) AS BIGINT) AS n_views_before,
+        |  CAST(COALESCE(lv.val_milli, -1) AS BIGINT) AS last_val_milli
+        |FROM lab l
+        |LEFT JOIN feats f ON f.label_id = l.label_id
+        |LEFT JOIN lastv lv ON lv.label_id = l.label_id
+        |ORDER BY l.label_id""".stripMargin,
+
+    // x268: x54's week arithmetic (epoch-µs // 604800000000, exact BIGINT
+    // floor division on both engines); retention_ppm via BIGINT // BIGINT
+    // (exact in DuckDB; Spark DIV is divideToIntegralValue).
+    "x268_retention_matrix" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |firsts AS (SELECT user_id, MIN(week) AS cohort_week
+        |           FROM act GROUP BY 1),
+        |sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size
+        |          FROM firsts GROUP BY 1),
+        |cells AS (
+        |  SELECT f.cohort_week, a.week - f.cohort_week AS weeks_since,
+        |         COUNT(*) AS n_active
+        |  FROM act a JOIN firsts f ON a.user_id = f.user_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+        |  CAST(c.weeks_since AS BIGINT) AS weeks_since,
+        |  CAST(c.n_active AS BIGINT) AS n_active,
+        |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(c.n_active * 1000000 // s.cohort_size AS BIGINT) AS retention_ppm
+        |FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+        |ORDER BY cohort_week, weeks_since""".stripMargin,
+
     "x260_chi_nominal" -> x260Chain,
 
     "x263_chi_missing_values" -> chain(

@@ -331,4 +331,36 @@ object Analytics {
            sum(when(col("bal") === 0L, 1L).otherwise(0L)).as("n_floor_days"))
       .orderBy("user_id")
   }
+
+  /** x268: COHORT RETENTION MATRIX WITH RATES — x54's growth readout
+    * completed into the artifact a review actually reads: the FULL
+    * (cohort_week, weeks_since) triangle (x54 caps at offset 3), each cell
+    * carrying the cohort's SIZE and the retention rate in ppm — an exact
+    * integer 10⁶-scaled floor division (`DIV`, matching DuckDB `//` on
+    * BIGINT), never a float ratio. Weeks are epoch-µs integral division by
+    * 604800000000 (the x54 arithmetic) — exact on both engines; a
+    * float `/`-then-cast here can land one week off on exact multiples.
+    *
+    * 100 TB: activity first collapses to DISTINCT (user, week) — the
+    * deduplication that makes the cohort join carry one row per
+    * user-week, not per event; the first-week frame rides the SAME
+    * user-keyed shuffle; the per-cell aggregate is map-side combinable
+    * and the cohort-size attach is a broadcast of a ≤|weeks|-row frame. */
+  def x268(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"),
+              expr("unix_micros(ts) DIV 604800000000").as("week"))
+      .distinct()
+    val firsts = act.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = firsts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    act.join(firsts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("weeks_since"), col("n_active"),
+              col("cohort_size"),
+              expr("n_active * 1000000 DIV cohort_size").as("retention_ppm"))
+      .orderBy("cohort_week", "weeks_since")
+  }
 }

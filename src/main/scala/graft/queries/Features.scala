@@ -559,4 +559,54 @@ object Features {
               round(col("bucket_est") * lit(1.0) / col("exact_rows"), 6)
                 .as("bucket_inflation"))
   }
+
+  /** x267: POINT-IN-TIME FEATURE JOIN — training-set construction without
+    * feature leakage, THE correctness bug that silently inflates offline
+    * metrics: each label event (a purchase) gets features computed from
+    * that user's events STRICTLY BEFORE the label's timestamp — prior
+    * click count, prior view count, and the most recent prior event value
+    * (milli-quantized at the source row, −1 when no prior event exists;
+    * a NULL source value folds to the same −1 sentinel on BOTH engines,
+    * so `last` never reasons about null-skipping).
+    * Strictness is encoded in the SORT, not a filter: label probes order
+    * BEFORE feature rows at the same (user, ts), so the
+    * preceding-rows-only frame can never read a same-instant feature —
+    * including the label event itself.
+    *
+    * 100 TB: the UNION-WINDOW formulation — labels and feature rows union
+    * into one stream and every feature is a running conditional aggregate
+    * over ONE user-keyed sort; the naive per-label range join the oracle
+    * could afford (label × prior-events) shuffles O(labels · history)
+    * rows, this shuffles O(events) once. Adding features widens the
+    * window projection, never adds a pass. */
+  def x267(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+              expr("coalesce(CAST(round(value * 1000, 0) AS BIGINT), -1L)")
+                .as("val_milli"))
+    val unioned = ev
+      .withColumn("is_label",
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+    // labels FIRST within a timestamp: the preceding frame then contains
+    // exactly the strictly-earlier rows
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_label").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    unioned
+      .withColumn("n_clicks_before",
+        coalesce(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .over(w), lit(0L)))
+      .withColumn("n_views_before",
+        coalesce(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .over(w), lit(0L)))
+      .withColumn("last_val_milli",
+        coalesce(last(when(col("is_label") === 0, col("val_milli")), true)
+          .over(w), lit(-1L)))
+      .filter(col("is_label") === 1)
+      .select(col("event_id").as("label_id"), col("user_id"),
+              unix_micros(col("ts")).as("label_ts_us"),
+              col("n_clicks_before"), col("n_views_before"),
+              col("last_val_milli"))
+      .orderBy("label_id")
+  }
 }

@@ -122,4 +122,82 @@ class Round11Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("x267 equals a naive JVM point-in-time replay at sf0.001") {
+    val evs = Tables.events(spark, sfSmoke)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+              col("event_type"),
+              expr("coalesce(CAST(round(value * 1000, 0) AS BIGINT), -1L)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+                 r.getLong(4)))
+    val byUser = evs.groupBy(_._2)
+    val want = evs.filter(_._4 == "purchase").map { p =>
+      val prior = byUser(p._2).filter(e => e._3 < p._3)
+      val lastVal = prior.filter(_._4 != "purchase")
+        .sortBy(e => (e._3, e._1)).lastOption.map(_._5).getOrElse(-1L)
+      (p._1, p._2, p._3,
+       prior.count(_._4 == "click").toLong,
+       prior.count(_._4 == "view").toLong, lastVal)
+    }.sortBy(_._1).toSeq
+    val got = graft.queries.Features.x267(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5))).toSeq
+    assert(want.nonEmpty && got === want)
+  }
+
+  test("x267 never leaks a same-instant or label-row feature (the point-in-time contract)") {
+    val tmp = java.nio.file.Files.createTempDirectory("x267dir").toString
+    // user 1: click@1s, view@2s, purchase@2s (same instant as the view!),
+    // purchase@3s with a same-instant click@3s; user 2: a first-event
+    // purchase with NO history at all
+    val rows = Seq(
+      (10L, 1L, 1000000L, "click", 1.5, ""),
+      (11L, 1L, 2000000L, "view", 2.5, ""),
+      (12L, 1L, 2000000L, "purchase", 9.0, ""),
+      (13L, 1L, 3000000L, "click", 3.5, ""),
+      (14L, 1L, 3000000L, "purchase", 9.0, ""),
+      (20L, 2L, 5000000L, "purchase", 9.0, ""))
+    rows.toDF("event_id", "user_id", "us", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.queries.Features.x267(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq.sortBy(_._1)
+    assert(got === Seq(
+      // purchase@2s: the same-instant view must NOT count; last val is the
+      // 1s click (1500 milli)
+      (12L, 1L, 0L, 1500L),
+      // purchase@3s: the same-instant click must NOT count; the prior
+      // PURCHASE@2s must neither count nor become last_val (view@2s is)
+      (14L, 1L, 1L, 2500L),
+      // first-ever event: all-zero features, -1 sentinel
+      (20L, 0L, 0L, -1L)))
+  }
+
+  test("x268 theorems: full diagonal, bounded cells, exact ppm, x54 consistency") {
+    val got = graft.queries.Analytics.x268(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(got.nonEmpty)
+    for ((cw, ws, na, cs, ppm) <- got) {
+      assert(ws >= 0L, s"cohort $cw: weeks_since must be non-negative")
+      assert(na >= 1L && na <= cs, s"cohort $cw week $ws: 1 <= n_active <= cohort_size")
+      assert(ppm === na * 1000000L / cs, s"cohort $cw week $ws: ppm must be the exact floor division")
+    }
+    // week 0: by definition of cohorting, EVERY member is active
+    val diag = got.filter(_._2 == 0L)
+    assert(diag.map(_._1).toSet === got.map(_._1).toSet, "every cohort has its week-0 cell")
+    diag.foreach { case (cw, _, na, cs, ppm) =>
+      assert(na === cs && ppm === 1000000L, s"cohort $cw: week-0 retention must be 100%")
+    }
+    // cohort sizes partition the user base
+    val users = Tables.events(spark, sfSmoke).select("user_id").distinct().count()
+    assert(diag.map(_._4).sum === users)
+    // the <=3-offset cells must agree with x54's independent counts
+    val x54 = graft.queries.Analytics.x54(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.filter(_._2 <= 3L).map(t => (t._1, t._2, t._3)).toSet === x54)
+  }
 }
