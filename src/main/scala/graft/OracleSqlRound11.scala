@@ -224,7 +224,65 @@ object OracleSqlRound11 {
       ONum("o_totalprice", "0.0", "600000.0"),
       ONom("o_orderpriority")))
 
+  /** DuckDB cosine at 6dp between two 64-dim list columns — the q45 device. */
+  private def cos6(a: String, b: String): String =
+    s"""CAST(ROUND(
+       |    list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+       |              FOR i IN generate_series(1,64)]) /
+       |    (SQRT(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)
+       |                    FOR i IN generate_series(1,64)])) *
+       |     SQRT(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+       |                    FOR i IN generate_series(1,64)]))),
+       |  6) AS DOUBLE)""".stripMargin
+
+  /** x271's oracle: the greedy MMR loop UNROLLED — sel1 is the pure-
+    * relevance argmax, each later step ranks the unselected pool by the
+    * identical raw-double `0.7·rel − 0.3·maxsim` (literal coefficients on
+    * both engines — never `1 − λ` in Scala, whose IEEE value is not the
+    * 0.3 literal) and appends its per-query winner. Generated by the same
+    * loop count the engine runs, so depth changes can never desync. */
+  private val x271Sql: String = {
+    val steps = (2 to 5).map { r =>
+      s"""sel$r AS (SELECT qid, cid, $r AS pick, mmr FROM (
+         |  SELECT p.qid, p.cid, 0.7 * p.rel - 0.3 * ms.maxsim AS mmr,
+         |    ROW_NUMBER() OVER (PARTITION BY p.qid
+         |      ORDER BY 0.7 * p.rel - 0.3 * ms.maxsim DESC, p.cid) AS rk
+         |  FROM pool p
+         |  JOIN (SELECT s.qid AS qid, s.a AS cid, MAX(s.sim) AS maxsim
+         |        FROM sim s JOIN selall${r - 1} t
+         |          ON s.qid = t.qid AND s.b = t.cid GROUP BY 1, 2) ms
+         |    ON ms.qid = p.qid AND ms.cid = p.cid
+         |  LEFT JOIN selall${r - 1} z ON z.qid = p.qid AND z.cid = p.cid
+         |  WHERE z.cid IS NULL) WHERE rk = 1),
+         |selall$r AS (SELECT * FROM selall${r - 1}
+         |             UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |           WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |      WHERE vec_id >= 5),
+       |rel AS (SELECT qid, cid, ce, ${cos6("ce", "qe")} AS rel
+       |        FROM c CROSS JOIN q),
+       |pool AS (SELECT qid, cid, ce, rel FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY rel DESC, cid) AS rk FROM rel) WHERE rk <= 12),
+       |sim AS (SELECT p1.qid AS qid, p1.cid AS a, p2.cid AS b,
+       |          ${cos6("p1.ce", "p2.ce")} AS sim
+       |        FROM pool p1 JOIN pool p2
+       |          ON p1.qid = p2.qid AND p1.cid <> p2.cid),
+       |sel1 AS (SELECT qid, cid, 1 AS pick, mmr FROM (
+       |  SELECT qid, cid, 0.7 * rel AS mmr,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY 0.7 * rel DESC, cid) AS rk FROM pool) WHERE rk = 1),
+       |selall1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT qid, CAST(pick AS BIGINT) AS pick, cid,
+       |  CAST(ROUND(mmr * 1000000) AS BIGINT) AS mmr_micro
+       |FROM selall5 ORDER BY qid, pick""".stripMargin
+  }
+
   val round11: Map[String, String] = Map(
+    "x271_mmr_rerank" -> x271Sql,
     "x262_unigram_viterbi" -> x262Sql,
     "x264_chi_keel_nominal" -> x260Chain,
 
@@ -400,6 +458,66 @@ object OracleSqlRound11 {
         |  CAST(c.n_active * 1000000 // s.cohort_size AS BIGINT) AS retention_ppm
         |FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
         |ORDER BY cohort_week, weeks_since""".stripMargin,
+
+    // x269/x270 share the snapshot construction; the oracle restates the
+    // engine's full-outer diff. strftime('%Y-%m') ≡ Spark date_format
+    // 'yyyy-MM' (both zero-padded, session TZ pinned UTC).
+    "x269_snapshot_cdc_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |a AS (SELECT * FROM o WHERE o_orderkey % 10 <> 3),
+        |b AS (SELECT o_orderkey, o_orderstatus,
+        |        CASE WHEN o_orderkey % 5 = 0 THEN price_cents + 100
+        |             ELSE price_cents END AS price_cents
+        |      FROM o WHERE o_orderkey % 10 <> 7)
+        |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+        |       WHEN b.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op,
+        |  COALESCE(a.o_orderstatus, '') AS old_status,
+        |  COALESCE(b.o_orderstatus, '') AS new_status,
+        |  CAST(COALESCE(a.price_cents, -1) AS BIGINT) AS old_cents,
+        |  CAST(COALESCE(b.price_cents, -1) AS BIGINT) AS new_cents
+        |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+        |   OR a.o_orderstatus <> b.o_orderstatus
+        |   OR a.price_cents <> b.price_cents
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "x270_recompute_plan" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+        |    strftime(o_orderdate, '%Y-%m') AS month
+        |  FROM orders),
+        |a AS (SELECT * FROM o WHERE o_orderkey % 10 <> 3),
+        |b AS (SELECT o_orderkey, o_orderstatus,
+        |        CASE WHEN o_orderkey % 5 = 0 THEN price_cents + 100
+        |             ELSE price_cents END AS price_cents,
+        |        month
+        |      FROM o WHERE o_orderkey % 10 <> 7),
+        |diff AS (
+        |  SELECT COALESCE(b.month, a.month) AS month,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 1 ELSE 0 END AS ins,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 1 ELSE 0 END AS del,
+        |    CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+        |          AND (a.o_orderstatus <> b.o_orderstatus
+        |               OR a.price_cents <> b.price_cents)
+        |         THEN 1 ELSE 0 END AS upd,
+        |    CASE WHEN b.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        |SELECT month,
+        |  CAST(SUM(ins) AS BIGINT) AS n_inserted,
+        |  CAST(SUM(del) AS BIGINT) AS n_deleted,
+        |  CAST(SUM(upd) AS BIGINT) AS n_updated,
+        |  CAST(SUM(in_b) AS BIGINT) AS n_rows_after,
+        |  CAST(CASE WHEN SUM(in_b) = 0 THEN -1
+        |       ELSE (SUM(ins) + SUM(del) + SUM(upd)) * 1000000 // SUM(in_b)
+        |       END AS BIGINT) AS churn_ppm,
+        |  (SUM(ins) + SUM(del) + SUM(upd)) > 0 AS needs_recompute
+        |FROM diff GROUP BY month ORDER BY month""".stripMargin,
 
     "x260_chi_nominal" -> x260Chain,
 

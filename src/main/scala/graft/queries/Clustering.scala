@@ -1,9 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.engine.Tables
+import graft.engine.{Tables, VectorKernels}
 
 /** x140–x142: corpus-organization operators over the embedding / document
   * tables — deterministic (oracle-checked) clustering, product-quantization
@@ -658,5 +659,85 @@ object Clustering {
       .selectExpr("CAST(k AS BIGINT) AS k", "CAST(l AS BIGINT) AS l",
                   "s2", "pca_ok")
       .orderBy("k", "l")
+  }
+
+  /** x271: MMR DIVERSIFIED RE-RANK — the serving-layer step between "top-k
+    * by similarity" (q45) and what a RAG context window actually wants:
+    * maximal marginal relevance. Per query (vec_id < 5), a 12-candidate
+    * relevance pool is re-ranked greedily 5 times by
+    * `0.7·rel(c) − 0.3·max_{s∈selected} sim(c, s)` — each pick trades
+    * relevance against redundancy with what is ALREADY picked. λ-arithmetic
+    * uses literal 0.7/0.3 on BOTH engines (never `1 − λ` in Scala:
+    * IEEE 1−0.7 = 0.30000000000000004 ≠ the 0.3 literal); candidates rank
+    * on the RAW double score (identical bits cross-engine: cosine6 inputs,
+    * IEEE multiply/subtract), ties by cid; the emitted score is rounded at
+    * the output boundary only (§7.4).
+    *
+    * 100 TB: the expensive part is the relevance pool — exactly q45/x18's
+    * ANN problem, here the broadcast-queries × candidates kernel with a
+    * per-query top-12 window. The greedy loop then runs over
+    * |queries|·12 rows TOTAL (materialized once via localCheckpoint, with
+    * the 12×12 sim matrix): 5 bounded dataframe rounds whose cost is
+    * independent of corpus size — re-rank depth never touches the scan. */
+  def x271(spark: SparkSession, dir: String): DataFrame = {
+    val poolK = 12
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val rel = cands.crossJoin(broadcast(queries))
+      .select(col("qid"), col("cid"), col("ce"),
+              VectorKernels.cosine6(col("ce"), col("qe"))
+                .cast(DoubleType).as("rel"))
+    val pool = rel
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("rel").desc, col("cid"))))
+      .filter(col("rk") <= poolK).drop("rk")
+      .localCheckpoint(true)
+    val sim = pool.select(col("qid"), col("cid").as("a"), col("ce").as("ace"))
+      .join(pool.select(col("qid"), col("cid").as("b"), col("ce").as("bce")),
+            Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+              VectorKernels.cosine6(col("ace"), col("bce"))
+                .cast(DoubleType).as("sim"))
+      .localCheckpoint(true)
+    val poolSlim = pool.select("qid", "cid", "rel")
+    var selected = poolSlim
+      .withColumn("mmr", lit(0.7) * col("rel"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("mmr").desc, col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("cid"), lit(1L).as("pick"), col("mmr"))
+      .localCheckpoint(true)
+    for (r <- 2 to 5) {
+      val selKeys = selected.select(col("qid").as("sq"), col("cid").as("sc"))
+      val remaining = poolSlim.join(selKeys,
+        col("qid") === col("sq") && col("cid") === col("sc"), "left_anti")
+      val ms = sim.join(selKeys,
+          sim("qid") === col("sq") && sim("b") === col("sc"))
+        .groupBy(sim("qid").as("mq"), sim("a").as("ma"))
+        .agg(max(col("sim")).as("maxsim"))
+      val picked = remaining.join(ms,
+          col("qid") === col("mq") && col("cid") === col("ma"))
+        .withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("mmr").desc, col("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("cid"), lit(r.toLong).as("pick"), col("mmr"))
+      selected = selected.unionByName(picked).localCheckpoint(true)
+    }
+    // micro-unit integer output: rounding the PRODUCT to 0 decimals is
+    // bit-stable cross-engine (the double x·10⁶ is identical on both, and
+    // integer-boundary HALF_UP agrees with binary round-half-away), where
+    // ROUND(x, 6) is not — Spark rounds the shortest-decimal rendering,
+    // DuckDB the scaled binary, and they split on ...x.4999999997 values
+    // (observed live at sf0.01: 0.26004 vs 0.260039).
+    selected
+      .select(col("qid"), col("pick"), col("cid"),
+              round(col("mmr") * lit(1000000.0), 0).cast(LongType)
+                .as("mmr_micro"))
+      .orderBy("qid", "pick")
   }
 }

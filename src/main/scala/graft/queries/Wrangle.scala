@@ -683,4 +683,104 @@ object Wrangle {
               col("n_events"))
       .orderBy("user_id", "version")
   }
+
+  /** The two deterministic orders "snapshots" x269/x270 diff: A is the
+    * table before the simulated batch (keys ≡3 mod 10 not yet ingested),
+    * B is after it (keys ≡7 mod 10 deleted, keys ≡0 mod 5 restated +100
+    * cents). Derived from the corpus so the diff has real inserts, deletes,
+    * updates AND an unchanged majority — the CDC shape production sees. */
+  private def snapshotPair(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+                .as("price_cents"),
+              date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    val snapA = o.filter(col("o_orderkey") % 10 =!= 3)
+    val snapB = o.filter(col("o_orderkey") % 10 =!= 7)
+      .withColumn("price_cents",
+        when(col("o_orderkey") % 5 === 0, col("price_cents") + 100L)
+          .otherwise(col("price_cents")))
+    (snapA, snapB)
+  }
+
+  /** x269: SNAPSHOT CDC DIFF — the change-data-feed computation every
+    * lakehouse table-format exposes (Delta CDF, Iceberg changelog) and
+    * every incremental pipeline consumes: given two snapshots of a
+    * PK-keyed table, emit exactly the INSERTED, DELETED and UPDATED rows
+    * (old and new values side by side, −1/'' sentinels for the absent
+    * side) and NOTHING for the unchanged majority. Update detection is
+    * exact column comparison over the compared set (status, price-cents) —
+    * at two compared columns that IS the cheap form; with wide rows
+    * production would short-circuit on a per-side row hash first, which
+    * stays engine-internal and so was deliberately not used here (the
+    * oracle compares the same columns the engine does).
+    *
+    * 100 TB: ONE full-outer shuffle join on the PK — both snapshots of the
+    * same table are co-partitioned the moment they're bucketed by PK (the
+    * x113 layout), making this join shuffle-free in the managed-table
+    * form; output is O(changes), the unchanged majority dies inside the
+    * join without ever being projected wide. */
+  def x269(spark: SparkSession, dir: String): DataFrame = {
+    val (snapA, snapB) = snapshotPair(spark, dir)
+    val a = snapA.select(col("o_orderkey").as("ak"),
+      col("o_orderstatus").as("a_status"), col("price_cents").as("a_cents"))
+    val b = snapB.select(col("o_orderkey").as("bk"),
+      col("o_orderstatus").as("b_status"), col("price_cents").as("b_cents"))
+    a.join(b, col("ak") === col("bk"), "full_outer")
+      .withColumn("op",
+        when(col("ak").isNull, lit("insert"))
+          .when(col("bk").isNull, lit("delete"))
+          .when(col("a_status") =!= col("b_status") ||
+                col("a_cents") =!= col("b_cents"), lit("update")))
+      .filter(col("op").isNotNull)
+      .select(coalesce(col("ak"), col("bk")).as("o_orderkey"), col("op"),
+              coalesce(col("a_status"), lit("")).as("old_status"),
+              coalesce(col("b_status"), lit("")).as("new_status"),
+              coalesce(col("a_cents"), lit(-1L)).as("old_cents"),
+              coalesce(col("b_cents"), lit(-1L)).as("new_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  /** x270: INCREMENTAL RECOMPUTE PLAN — the partition-level rollup of the
+    * x269 diff that backfill orchestration actually consumes: per month
+    * partition, how many rows were inserted / deleted / updated, the
+    * partition's post-batch size, the churn ratio in ppm (exact integer
+    * 10⁶-scaled floor division; −1 for a partition that exists only in the
+    * pre-state, i.e. fully deleted), and the needs_recompute flag. Deleted
+    * rows charge the partition they lived in under A; inserts and updates
+    * the partition under B (updates here never move partitions — the diff
+    * key carries both sides' partition so movers would charge both).
+    * Partitions with zero churn still appear (flag false): the plan is a
+    * full manifest, not a changes-only list — the orchestrator needs to
+    * know what it may SKIP.
+    *
+    * 100 TB: the same single PK-keyed full-outer join as x269, then one
+    * map-side-combinable rollup to |months| rows; the plan output is tiny
+    * by construction (bounded by partition count, never row count). */
+  def x270(spark: SparkSession, dir: String): DataFrame = {
+    val (snapA, snapB) = snapshotPair(spark, dir)
+    val a = snapA.select(col("o_orderkey").as("ak"), col("month").as("a_month"),
+      col("o_orderstatus").as("a_status"), col("price_cents").as("a_cents"))
+    val b = snapB.select(col("o_orderkey").as("bk"), col("month").as("b_month"),
+      col("o_orderstatus").as("b_status"), col("price_cents").as("b_cents"))
+    val diff = a.join(b, col("ak") === col("bk"), "full_outer")
+      .select(coalesce(col("b_month"), col("a_month")).as("month"),
+        when(col("ak").isNull, 1L).otherwise(0L).as("ins"),
+        when(col("bk").isNull, 1L).otherwise(0L).as("del"),
+        when(col("ak").isNotNull && col("bk").isNotNull &&
+             (col("a_status") =!= col("b_status") ||
+              col("a_cents") =!= col("b_cents")), 1L).otherwise(0L).as("upd"),
+        when(col("bk").isNotNull, 1L).otherwise(0L).as("in_b"))
+    diff.groupBy("month")
+      .agg(sum(col("ins")).as("n_inserted"), sum(col("del")).as("n_deleted"),
+           sum(col("upd")).as("n_updated"), sum(col("in_b")).as("n_rows_after"))
+      .select(col("month"), col("n_inserted"), col("n_deleted"), col("n_updated"),
+        col("n_rows_after"),
+        when(col("n_rows_after") === 0L, lit(-1L))
+          .otherwise(expr("(n_inserted + n_deleted + n_updated) * 1000000 DIV n_rows_after"))
+          .as("churn_ppm"),
+        (col("n_inserted") + col("n_deleted") + col("n_updated") > 0L)
+          .as("needs_recompute"))
+      .orderBy("month")
+  }
 }

@@ -200,4 +200,90 @@ class Round11Spec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got.filter(_._2 <= 3L).map(t => (t._1, t._2, t._3)).toSet === x54)
   }
+
+  test("x269 emits exactly the modular-construction diff and nothing for the unchanged majority") {
+    val keys = Tables.orders(spark, sfSmoke).select("o_orderkey").collect()
+      .map(_.getLong(0)).toSet
+    val got = graft.queries.Wrangle.x269(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+                 r.getLong(4), r.getLong(5)))
+    val byOp = got.groupBy(_._2)
+    // snapshot construction: ≡3 (mod 10) arrives in B only; ≡7 (mod 10)
+    // exists in A only; ≡0 (mod 5) (never ≡3/≡7) is price-restated
+    assert(byOp("insert").map(_._1).toSet === keys.filter(_ % 10 == 3))
+    assert(byOp("delete").map(_._1).toSet === keys.filter(_ % 10 == 7))
+    assert(byOp("update").map(_._1).toSet === keys.filter(_ % 5 == 0))
+    assert(got.length === byOp.values.map(_.length).sum)
+    // sentinels point the right way; updates restate price by exactly +100
+    byOp("insert").foreach { r => assert(r._3 === "" && r._5 === -1L && r._6 >= 0L) }
+    byOp("delete").foreach { r => assert(r._4 === "" && r._6 === -1L && r._5 >= 0L) }
+    byOp("update").foreach { r =>
+      assert(r._6 === r._5 + 100L && r._3 === r._4)
+    }
+  }
+
+  test("x270 is exactly the per-month rollup of x269 (cross-key consistency)") {
+    val diff = graft.queries.Wrangle.x269(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val month = Tables.orders(spark, sfSmoke)
+      .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = diff.groupBy { case (k, _) => month(k) }
+    val plan = graft.queries.Wrangle.x270(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(plan.nonEmpty)
+    val nB = Tables.orders(spark, sfSmoke)
+      .filter(col("o_orderkey") % 10 =!= 7).count()
+    assert(plan.map(_._5).sum === nB, "partition sizes must sum to |B|")
+    for ((m, ins, del, upd, after, ppm, flag) <- plan) {
+      val ops = want.getOrElse(m, Array.empty).map(_._2)
+      assert(ins === ops.count(_ == "insert"), s"month $m inserts")
+      assert(del === ops.count(_ == "delete"), s"month $m deletes")
+      assert(upd === ops.count(_ == "update"), s"month $m updates")
+      val churn = ins + del + upd
+      assert(flag === (churn > 0L), s"month $m flag")
+      assert(ppm === (if (after == 0L) -1L else churn * 1000000L / after),
+             s"month $m ppm")
+    }
+    // every month with rows in either snapshot appears in the manifest
+    assert(plan.map(_._1).toSet === month.values.toSet)
+  }
+
+  test("x271 equals a JVM greedy-MMR replay over the engine's own pool and sim matrix") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val queries = emb.filter(_._1 < 5)
+    val cands = emb.filter(_._1 >= 5)
+    val want = queries.sortBy(_._1).flatMap { case (qid, qe) =>
+      val pool = cands.map { case (cid, ce) => (cid, ce, cos6(ce, qe)) }
+        .sortBy { case (cid, _, rel) => (-rel, cid) }.take(12)
+      var selected = List.empty[(Long, Long, Double)] // (pick, cid, mmr)
+      for (r <- 1 to 5) {
+        val rest = pool.filterNot(p => selected.exists(_._2 == p._1))
+        val scored = rest.map { case (cid, ce, rel) =>
+          val maxsim = if (selected.isEmpty) 0.0
+            else selected.map(s => cos6(ce, pool.find(_._1 == s._2).get._2)).max
+          (cid, 0.7 * rel - 0.3 * maxsim)
+        }
+        val (cid, mmr) = scored.minBy { case (c, m) => (-m, c) }
+        selected ::= ((r.toLong, cid, mmr))
+      }
+      selected.reverse.map { case (pick, cid, mmr) =>
+        (qid, pick, cid,
+         BigDecimal(mmr * 1000000.0)
+           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong)
+      }
+    }.toSeq
+    val got = graft.queries.Clustering.x271(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(want.length === 25 && got === want)
+  }
 }
