@@ -1080,5 +1080,43 @@ object OracleSqlMl {
           // the save→load round trip and the KEEL .dat train path must each
           // reproduce the in-memory model's classification exactly
           "x204_model_save_load" -> ml("q42_ml_chi_classify"),
-          "x205_keel_train_pipeline" -> ml("q42_ml_chi_classify"))
+          "x205_keel_train_pipeline" -> ml("q42_ml_chi_classify"),
+
+          // x272: decile lift/gains over the q42 classification grain —
+          // groups occupy row intervals [cum+1, cum+m] under the total
+          // order (score DESC, x1, x2, cls); decile membership is interval
+          // intersection (a straddling group splits exactly); all rates are
+          // BIGINT-exact ppm floor divisions, lift = ppm-rate // ppm-base.
+          "x272_decile_lift" ->
+            s"""$classifyCtes,
+               |grp AS (SELECT x1, x2, actual AS cls, m, score
+               |        FROM best WHERE rn = 1),
+               |spans AS (
+               |  SELECT *, COALESCE(SUM(m) OVER (
+               |      ORDER BY score DESC, x1, x2, cls
+               |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS lo
+               |  FROM grp),
+               |tot AS (SELECT SUM(m) AS N,
+               |               SUM(CASE WHEN cls = 1 THEN m ELSE 0 END) AS P
+               |        FROM grp),
+               |cells AS (
+               |  SELECT d.decile, s.cls,
+               |    GREATEST(0, LEAST(s.lo + s.m - 1, d.dhi)
+               |                - GREATEST(s.lo, d.dlo) + 1) AS ov
+               |  FROM spans s CROSS JOIN
+               |    (SELECT decile, (decile - 1) * N // 10 + 1 AS dlo,
+               |            decile * N // 10 AS dhi
+               |     FROM generate_series(1, 10) AS g(decile), tot) d),
+               |perd AS (SELECT decile, SUM(ov) AS n,
+               |                SUM(CASE WHEN cls = 1 THEN ov ELSE 0 END) AS n_pos
+               |         FROM cells WHERE ov > 0 GROUP BY decile)
+               |SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+               |  CAST(n_pos AS BIGINT) AS n_pos,
+               |  CAST(n_pos * 1000000 // n AS BIGINT) AS pos_rate_ppm,
+               |  CAST(SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+               |       * 1000000 // (SELECT P FROM tot) AS BIGINT) AS cum_capture_ppm,
+               |  CAST((n_pos * 1000000 // n) * 1000000
+               |       // ((SELECT P FROM tot) * 1000000 // (SELECT N FROM tot))
+               |       AS BIGINT) AS lift_ppm
+               |FROM perd ORDER BY decile""".stripMargin)
 }

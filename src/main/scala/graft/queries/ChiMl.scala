@@ -346,4 +346,68 @@ object ChiMl {
       when(defined, round(num * lit(1.0) / (b + c), 6)).as("chi2_stat"),
       when(defined, num * lit(1.0) / (b + c) > 3.841).as("significant_95"))
   }
+
+  /** x272: DECILE LIFT & GAINS TABLE — the model-eval readout every scored
+    * campaign/ranking review reads: test examples ordered by the
+    * classifier's winning-rule score, cut into 10 exact population deciles,
+    * each reporting size, positives, positive rate, cumulative capture of
+    * all positives, and lift vs the base rate (all ppm — exact integer
+    * floor division; lift is defined as ppm-rate over ppm-base-rate, so no
+    * term ever exceeds rate·10⁶ ≤ 10¹² and the arithmetic stays exact
+    * BIGINT to ~9·10¹² examples without HUGEINT).
+    *
+    * Decile assignment is EXACT under ties and group multiplicity: scoring
+    * happens at the distinct-feature-vector grain (the q42 device — the
+    * classification grain, GRID-bounded at ≤ \|x1 grid\|·\|x2 grid\|·2
+    * rows regardless of data size), each group occupies the row interval
+    * [cum+1, cum+m] under the total order (score DESC, x1, x2, cls), and
+    * its overlap with each decile interval [⌊(d−1)N/10⌋+1, ⌊dN/10⌋] is
+    * computed by interval intersection — a group straddling a boundary
+    * splits exactly, no per-row rank ever materializes.
+    *
+    * 100 TB: the data-sized work is ONE groupBy to the grid-bounded grain
+    * (map-side combinable); ranking, spans and decile cells all live on
+    * that bounded frame (the unpartitioned windows sit over aggregate
+    * output — hundreds of rows). A per-row global sort (the ntile idiom)
+    * would shuffle every example; this never ranks rows at all. */
+  def x272(spark: SparkSession, dir: String): DataFrame = {
+    val gex = labeled(spark, dir).groupBy("x1", "x2", "cls")
+      .agg(count(lit(1)).as("m"))
+    val scored = gex.crossJoin(broadcast(ruleBase(spark, dir)))
+      .withColumn("score",
+        round(ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
+              ChiCore.membershipAt(col("x2"), col("ra2"), P2) * col("rw"), 12))
+    val perEx = Window.partitionBy("x1", "x2", "cls")
+      .orderBy(col("score").desc, col("rcls"))
+    val best = scored.withColumn("rn", row_number().over(perEx))
+      .filter(col("rn") === 1)
+      .select(col("x1"), col("x2"), col("cls"), col("m"), col("score"))
+    val ord = Window.orderBy(col("score").desc, col("x1"), col("x2"), col("cls"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spans = best
+      .withColumn("lo", coalesce(sum(col("m")).over(ord), lit(0L)) + lit(1L))
+      .withColumn("hi", col("lo") + col("m") - lit(1L))
+    val tot = best.agg(sum(col("m")).as("tot_n"),
+      sum(when(col("cls") === 1, col("m")).otherwise(0L)).as("tot_p"))
+    val deciles = spark.range(1, 11).select(col("id").as("decile"))
+    val cells = spans.crossJoin(broadcast(tot)).crossJoin(broadcast(deciles))
+      .withColumn("dlo", expr("(decile - 1) * tot_n DIV 10 + 1"))
+      .withColumn("dhi", expr("decile * tot_n DIV 10"))
+      .withColumn("ov", greatest(lit(0L),
+        least(col("hi"), col("dhi")) - greatest(col("lo"), col("dlo")) + lit(1L)))
+      .filter(col("ov") > 0)
+    val perD = cells.groupBy("decile")
+      .agg(sum(col("ov")).as("n"),
+           sum(when(col("cls") === 1, col("ov")).otherwise(0L)).as("n_pos"),
+           max(col("tot_n")).as("tot_n"), max(col("tot_p")).as("tot_p"))
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perD.withColumn("cum_pos", sum(col("n_pos")).over(cum))
+      .select(col("decile"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 DIV n").as("pos_rate_ppm"),
+        expr("cum_pos * 1000000 DIV tot_p").as("cum_capture_ppm"),
+        expr("(n_pos * 1000000 DIV n) * 1000000 DIV (tot_p * 1000000 DIV tot_n)")
+          .as("lift_ppm"))
+      .orderBy("decile")
+  }
 }

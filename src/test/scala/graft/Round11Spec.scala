@@ -286,4 +286,32 @@ class Round11Spec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(want.length === 25 && got === want)
   }
+
+  test("x272 deciles exactly partition the population and every rate is the exact floor division") {
+    val li = Tables.lineitem(spark, sfSmoke)
+    val totalN = li.count()
+    val totalP = li.filter(col("l_extendedprice") > 95000).count()
+    val rows = graft.queries.ChiMl.x272(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    // exact interval partition: n_d = floor(dN/10) - floor((d-1)N/10)
+    rows.foreach { case (d, n, _, _, _, _) =>
+      assert(n === d * totalN / 10 - (d - 1) * totalN / 10, s"decile $d size")
+    }
+    assert(rows.map(_._2).sum === totalN)
+    assert(rows.map(_._3).sum === totalP, "positives are conserved")
+    // rates replay as exact integer floor divisions
+    val base = totalP * 1000000L / totalN
+    var cum = 0L
+    rows.foreach { case (d, n, np, rate, capture, lift) =>
+      cum += np
+      assert(rate === np * 1000000L / n, s"decile $d rate")
+      assert(capture === cum * 1000000L / totalP, s"decile $d capture")
+      assert(lift === rate * 1000000L / base, s"decile $d lift")
+    }
+    assert(rows.last._5 === 1000000L, "decile 10 captures everything")
+    // the model orders positives ahead of the base rate: decile-1 lift > 1x
+    assert(rows.head._6 > 1000000L, "top decile must beat the base rate")
+  }
 }
