@@ -519,6 +519,85 @@ object OracleSqlRound11 {
         |  (SUM(ins) + SUM(del) + SUM(upd)) > 0 AS needs_recompute
         |FROM diff GROUP BY month ORDER BY month""".stripMargin,
 
+    // x273: each snapshot's long-form profile as UNION ALL legs (the
+    // engine's map-explode); lpad makes string min/max ≡ numeric order.
+    "x273_snapshot_profile" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+        |    strftime(o_orderdate, '%Y-%m') AS month
+        |  FROM orders),
+        |a AS (SELECT * FROM o WHERE o_orderkey % 10 <> 3),
+        |b AS (SELECT o_orderkey, o_orderstatus,
+        |        CASE WHEN o_orderkey % 5 = 0 THEN price_cents + 100
+        |             ELSE price_cents END AS price_cents,
+        |        month
+        |      FROM o WHERE o_orderkey % 10 <> 7),
+        |la AS (SELECT 'month' AS col_name, month AS val FROM a
+        |       UNION ALL SELECT 'price_cents',
+        |         lpad(CAST(price_cents AS VARCHAR), 12, '0') FROM a
+        |       UNION ALL SELECT 'status', o_orderstatus FROM a),
+        |lb AS (SELECT 'month' AS col_name, month AS val FROM b
+        |       UNION ALL SELECT 'price_cents',
+        |         lpad(CAST(price_cents AS VARCHAR), 12, '0') FROM b
+        |       UNION ALL SELECT 'status', o_orderstatus FROM b),
+        |pa AS (SELECT col_name, COUNT(*) AS n,
+        |         SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS nulls,
+        |         COUNT(DISTINCT val) AS ndv, MIN(val) AS mn, MAX(val) AS mx
+        |       FROM la GROUP BY 1),
+        |pb AS (SELECT col_name, COUNT(*) AS n,
+        |         SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS nulls,
+        |         COUNT(DISTINCT val) AS ndv, MIN(val) AS mn, MAX(val) AS mx
+        |       FROM lb GROUP BY 1)
+        |SELECT pa.col_name,
+        |  CAST(pa.n AS BIGINT) AS n_a,
+        |  CAST(pa.nulls * 1000000 // pa.n AS BIGINT) AS null_ppm_a,
+        |  CAST(pa.ndv AS BIGINT) AS ndv_a, pa.mn AS min_a, pa.mx AS max_a,
+        |  CAST(pb.n AS BIGINT) AS n_b,
+        |  CAST(pb.nulls * 1000000 // pb.n AS BIGINT) AS null_ppm_b,
+        |  CAST(pb.ndv AS BIGINT) AS ndv_b, pb.mn AS min_b, pb.mx AS max_b,
+        |  (pa.n <> pb.n
+        |   OR pa.nulls * 1000000 // pa.n <> pb.nulls * 1000000 // pb.n
+        |   OR pa.ndv <> pb.ndv OR pa.mn <> pb.mn OR pa.mx <> pb.mx)
+        |    AS changed
+        |FROM pa JOIN pb ON pa.col_name = pb.col_name
+        |ORDER BY pa.col_name""".stripMargin,
+
+    // x274: the exact integer water-filling recursion restated; afford is
+    // monotone (f(i+1)−f(i) = (n−i)(cap_{i+1}−cap_i) ≥ 0 under ascending
+    // caps), so MAX over the afford rows is the level index k.
+    "x274_budget_waterfill" ->
+      """WITH caps AS (
+        |  SELECT source, SUM(len(list_filter(string_split(lower(text), ' '),
+        |                                     x -> x <> ''))) AS cap
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(cap) AS totcap, COUNT(*) AS nsrc FROM caps),
+        |ranked AS (
+        |  SELECT source, cap, totcap, nsrc, totcap * 95 // 100 AS budget,
+        |    ROW_NUMBER() OVER (ORDER BY cap, source) AS i,
+        |    SUM(cap) OVER (ORDER BY cap, source
+        |                   ROWS UNBOUNDED PRECEDING) AS pref
+        |  FROM caps, tot),
+        |aff AS (SELECT *,
+        |          i < nsrc AND cap * (nsrc - i) + pref <= budget AS afford
+        |        FROM ranked),
+        |summ AS (SELECT MAX(CASE WHEN afford THEN i ELSE 0 END) AS k,
+        |                MAX(CASE WHEN afford THEN pref ELSE 0 END) AS prefk
+        |         FROM aff)
+        |SELECT source, CAST(cap AS BIGINT) AS cap,
+        |  CAST(alloc AS BIGINT) AS allocated, capped,
+        |  CAST(alloc * 1000000 // cap AS BIGINT) AS util_ppm
+        |FROM (
+        |  SELECT a.source, a.cap, a.i <= s.k AS capped,
+        |    CASE WHEN a.i <= s.k THEN a.cap
+        |         ELSE (a.budget - s.prefk) // (a.nsrc - s.k)
+        |              + (CASE WHEN a.i - s.k <=
+        |                        (a.budget - s.prefk) % (a.nsrc - s.k)
+        |                      THEN 1 ELSE 0 END)
+        |    END AS alloc
+        |  FROM aff a, summ s)
+        |ORDER BY source""".stripMargin,
+
     "x260_chi_nominal" -> x260Chain,
 
     "x263_chi_missing_values" -> chain(

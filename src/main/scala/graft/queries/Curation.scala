@@ -322,4 +322,54 @@ object Curation {
               col("sum_ok"), col("flatten_ok"))
       .orderBy("source")
   }
+
+  /** x274: WATER-FILLING TOKEN-BUDGET ALLOCATION — the CAPPED max-min fair
+    * allocator that complements x222's uncapped proportional apportionment:
+    * given per-source token capacities and a budget B (95% of the corpus),
+    * raise a common water level L until Σ min(capₛ, L) = B — small sources
+    * are taken WHOLE (capped), everyone else gets the level, and the
+    * integer remainder goes +1 to the first r uncapped sources in the
+    * (cap, source) total order. Exact integer solution of the classic
+    * real-valued recursion: k = max{ i : capᵢ·(n−i) + prefᵢ ≤ B } under
+    * caps sorted ascending, L = (B − pref_k) DIV (n−k) — maximality proves
+    * every uncapped cap ≥ L+1, so the +1 remainder never overfills
+    * (Round11Spec pins ΣallocS = B and both boundary theorems).
+    *
+    * 100 TB: the corpus-scale work is ONE partial+final token rollup;
+    * the sort, prefix sums and level search all run on the ≤|sources|
+    * aggregate (unpartitioned windows over aggregate output — bounded);
+    * products stay < 2⁶³ through ~10¹² tokens/source (x185's
+    * DECIMAL(38,0) escape hatch past that). */
+  def x274(spark: SparkSession, dir: String): DataFrame = {
+    val caps = Tables.documents(spark, dir)
+      .select(col("source"),
+              size(filter(split(lower(col("text")), " "), t => t =!= ""))
+                .cast(LongType).as("toks"))
+      .groupBy("source").agg(sum(col("toks")).as("cap"))
+    val tot = caps.agg(sum(col("cap")).as("totcap"),
+                       count(lit(1)).as("nsrc"))
+    val ord = Window.orderBy(col("cap"), col("source"))
+    val ranked = caps.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("totcap * 95 DIV 100"))
+      .withColumn("i", row_number().over(ord).cast(LongType))
+      .withColumn("pref", sum(col("cap")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("afford",
+        col("i") < col("nsrc") &&
+        col("cap") * (col("nsrc") - col("i")) + col("pref") <= col("budget"))
+    val summary = ranked.agg(
+      max(when(col("afford"), col("i")).otherwise(0L)).as("k"),
+      max(when(col("afford"), col("pref")).otherwise(0L)).as("prefk"))
+    ranked.crossJoin(broadcast(summary))
+      .withColumn("lvl", expr("(budget - prefk) DIV (nsrc - k)"))
+      .withColumn("rmd", expr("(budget - prefk) % (nsrc - k)"))
+      .withColumn("capped", col("i") <= col("k"))
+      .withColumn("allocated",
+        when(col("capped"), col("cap"))
+          .otherwise(col("lvl") +
+            when(col("i") - col("k") <= col("rmd"), 1L).otherwise(0L)))
+      .select(col("source"), col("cap"), col("allocated"), col("capped"),
+              expr("allocated * 1000000 DIV cap").as("util_ppm"))
+      .orderBy("source")
+  }
 }

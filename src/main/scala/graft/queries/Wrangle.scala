@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 import graft.engine.Tables
 
 /** Data-wrangling stages of the training/serving pipeline (round 5):
@@ -782,5 +782,46 @@ object Wrangle {
         (col("n_inserted") + col("n_deleted") + col("n_updated") > 0L)
           .as("needs_recompute"))
       .orderBy("month")
+  }
+
+  /** x273: SNAPSHOT PROFILE DIFF — the per-column statistical profile
+    * (row count, null ppm, exact distinct count, min/max) of both x269
+    * snapshots side by side with a changed flag: the Deequ/dbt "profile"
+    * companion to x265's constraint audit, and the first thing a data
+    * contract review reads after a batch lands ("did the batch move any
+    * column's shape?"). Columns profile in LONG FORM — each row explodes
+    * to (col_name, value-as-string) pairs, numeric values zero-padded
+    * (lpad 12) so string min/max ≡ numeric order — so adding a column
+    * widens the map literal, never adds a pass.
+    *
+    * 100 TB: one scan per snapshot (the explode is a width-bounded ×3 —
+    * column count, not data growth), ONE groupBy(col_name) whose count /
+    * null / min / max legs are map-side combinable and whose exact
+    * distinct rides Spark's count-distinct expand on the same shuffle;
+    * the A/B stitch joins two ≤|columns|-row frames. */
+  def x273(spark: SparkSession, dir: String): DataFrame = {
+    val (snapA, snapB) = snapshotPair(spark, dir)
+    def prof(df: DataFrame): DataFrame =
+      df.select(explode(map(
+          lit("month"), col("month"),
+          lit("price_cents"), lpad(col("price_cents").cast(StringType), 12, "0"),
+          lit("status"), col("o_orderstatus"))).as(Seq("col_name", "val")))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("val").isNull, 1L).otherwise(0L)).as("nulls"),
+             countDistinct(col("val")).as("ndv"),
+             min(col("val")).as("mn"), max(col("val")).as("mx"))
+    val a = prof(snapA).select(col("col_name"), col("n").as("n_a"),
+      expr("nulls * 1000000 DIV n").as("null_ppm_a"), col("ndv").as("ndv_a"),
+      col("mn").as("min_a"), col("mx").as("max_a"))
+    val b = prof(snapB).select(col("col_name").as("cb"), col("n").as("n_b"),
+      expr("nulls * 1000000 DIV n").as("null_ppm_b"), col("ndv").as("ndv_b"),
+      col("mn").as("min_b"), col("mx").as("max_b"))
+    a.join(b, col("col_name") === col("cb")).drop("cb")
+      .withColumn("changed",
+        col("n_a") =!= col("n_b") || col("null_ppm_a") =!= col("null_ppm_b") ||
+        col("ndv_a") =!= col("ndv_b") || col("min_a") =!= col("min_b") ||
+        col("max_a") =!= col("max_b"))
+      .orderBy("col_name")
   }
 }

@@ -314,4 +314,65 @@ class Round11Spec extends AnyFunSuite {
     // the model orders positives ahead of the base rate: decile-1 lift > 1x
     assert(rows.head._6 > 1000000L, "top decile must beat the base rate")
   }
+
+  test("x273 equals a naive JVM profile replay of both snapshots") {
+    val orders = Tables.orders(spark, sfSmoke)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("pc"),
+              date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    def lpad12(v: Long) = { val s = v.toString; "0" * (12 - s.length) + s }
+    def prof(rows: Seq[(Long, String, Long, String)]) = {
+      val long = rows.flatMap { case (_, st, pc, m) =>
+        Seq(("month", m), ("price_cents", lpad12(pc)), ("status", st)) }
+      long.groupBy(_._1).map { case (c, vs) =>
+        val v = vs.map(_._2)
+        c -> (v.length.toLong, v.distinct.length.toLong, v.min, v.max)
+      }
+    }
+    val a = prof(orders.filter(_._1 % 10 != 3).toSeq)
+    val b = prof(orders.filter(_._1 % 10 != 7).toSeq
+      .map(r => if (r._1 % 5 == 0) r.copy(_3 = r._3 + 100) else r))
+    val got = graft.queries.Wrangle.x273(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getString(4), r.getString(5), r.getLong(6), r.getLong(7),
+                 r.getLong(8), r.getString(9), r.getString(10), r.getBoolean(11)))
+    assert(got.length === 3)
+    got.foreach { case (c, na, nppa, ndva, mna, mxa, nb, nppb, ndvb, mnb, mxb, chg) =>
+      val (wna, wndva, wmna, wmxa) = a(c)
+      val (wnb, wndvb, wmnb, wmxb) = b(c)
+      assert((na, ndva, mna, mxa) === ((wna, wndva, wmna, wmxa)), s"col $c side A")
+      assert((nb, ndvb, mnb, mxb) === ((wnb, wndvb, wmnb, wmxb)), s"col $c side B")
+      assert(nppa === 0L && nppb === 0L, s"col $c null ppm (corpus has no nulls)")
+      assert(chg === (na != nb || ndva != ndvb || mna != mnb || mxa != mxb),
+             s"col $c changed flag")
+    }
+  }
+
+  test("x274 water level: budget exact, caps respected, uncapped within 1 token") {
+    val rows = graft.queries.Curation.x274(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+                 r.getLong(4)))
+    assert(rows.nonEmpty)
+    val totcap = rows.map(_._2).sum
+    val budget = totcap * 95L / 100L
+    assert(rows.map(_._3).sum === budget, "allocations must sum to the exact budget")
+    rows.foreach { case (s, cap, alloc, capped, ppm) =>
+      assert(alloc <= cap && alloc >= 0L, s"source $s feasibility")
+      // (the converse does not hold: an uncapped source with cap = L+1 that
+      // receives the remainder token also lands at alloc == cap)
+      if (capped) assert(alloc === cap, s"source $s: capped sources are taken whole")
+      assert(ppm === alloc * 1000000L / cap, s"source $s util ppm")
+    }
+    val un = rows.filterNot(_._4).map(_._3)
+    assert(un.nonEmpty, "the 95% budget must leave some source uncapped")
+    assert(un.max - un.min <= 1L, "uncapped allocations differ by at most 1 (max-min fairness)")
+    val cappedCaps = rows.filter(_._4).map(_._2)
+    if (cappedCaps.nonEmpty)
+      assert(cappedCaps.max <= un.min,
+        "every capped capacity sits at or below the water level")
+    // with this corpus the level genuinely bites: both classes exist
+    assert(cappedCaps.nonEmpty, "the 95% budget must cap the smallest sources")
+  }
 }
