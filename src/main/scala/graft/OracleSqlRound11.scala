@@ -598,6 +598,62 @@ object OracleSqlRound11 {
         |  FROM aff a, summ s)
         |ORDER BY source""".stripMargin,
 
+    // x275: four subject-semi-joined aggregates UNION ALL'd — the customer
+    // record carries the -1 no-timestamp sentinel.
+    "x275_dsar_report" ->
+      """WITH subj AS (SELECT c_custkey AS subject FROM customer
+        |              WHERE c_custkey % 29 = 3)
+        |SELECT subject, table_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(first_us AS BIGINT) AS first_us,
+        |  CAST(last_us AS BIGINT) AS last_us FROM (
+        |  SELECT subject, 'customer' AS table_name, 1 AS n_rows,
+        |         -1 AS first_us, -1 AS last_us FROM subj
+        |  UNION ALL
+        |  SELECT subject, 'orders', COUNT(*),
+        |         MIN(epoch_us(o_orderdate)), MAX(epoch_us(o_orderdate))
+        |  FROM orders JOIN subj ON o_custkey = subject GROUP BY subject
+        |  UNION ALL
+        |  SELECT subject, 'lineitem', COUNT(*),
+        |         MIN(epoch_us(l_shipdate)), MAX(epoch_us(l_shipdate))
+        |  FROM lineitem
+        |  JOIN (SELECT o_orderkey, subject FROM orders
+        |        JOIN subj ON o_custkey = subject) o
+        |    ON l_orderkey = o.o_orderkey GROUP BY subject
+        |  UNION ALL
+        |  SELECT subject, 'events', COUNT(*),
+        |         MIN(epoch_us(ts)), MAX(epoch_us(ts))
+        |  FROM events JOIN subj ON user_id = subject GROUP BY subject)
+        |ORDER BY subject, table_name""".stripMargin,
+
+    // x276: per-dim affine uint8 grid + half-step bound; dim is 0-based
+    // (engine posexplode) so the 1-based series shifts by 1. All rounding
+    // is to 0 decimals of identical doubles (bit-stable, the x271 lesson).
+    "x276_int8_quant_audit" ->
+      """WITH d AS (
+        |  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) AS g(i)),
+        |s AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM d GROUP BY 1),
+        |e AS (
+        |  SELECT d.dim, v, lo, hi,
+        |    CASE WHEN hi = lo THEN 0.0
+        |         ELSE ROUND((v - lo) * 255.0 / (hi - lo)) END AS q
+        |  FROM d JOIN s ON d.dim = s.dim),
+        |re AS (
+        |  SELECT dim, v, lo, hi, q,
+        |    CASE WHEN hi = lo THEN lo ELSE lo + q * (hi - lo) / 255.0 END
+        |      AS recon
+        |  FROM e)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |  CAST(ROUND(MAX(lo) * 1000000.0) AS BIGINT) AS lo_micro,
+        |  CAST(ROUND(MAX(hi) * 1000000.0) AS BIGINT) AS hi_micro,
+        |  CAST(MIN(q) AS BIGINT) AS q_min, CAST(MAX(q) AS BIGINT) AS q_max,
+        |  MAX(CAST(ROUND(ABS(v - recon) * 1000000.0) AS BIGINT))
+        |    AS max_err_micro,
+        |  CAST(MAX(CAST(ROUND(ABS(v - recon) * 1000000.0) AS BIGINT))
+        |       AS DOUBLE)
+        |    <= (MAX(hi) - MAX(lo)) * 1000000.0 / 510.0 + 1.0 AS within_bound
+        |FROM re GROUP BY dim ORDER BY dim""".stripMargin,
+
     "x260_chi_nominal" -> x260Chain,
 
     "x263_chi_missing_values" -> chain(

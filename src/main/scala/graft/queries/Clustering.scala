@@ -740,4 +740,51 @@ object Clustering {
                 .as("mmr_micro"))
       .orderBy("qid", "pick")
   }
+
+  /** x276: INT8 QUANTIZATION AUDIT — the post-training-quantization check
+    * run before shipping an embedding index at a quarter the bytes: per
+    * dimension, the affine uint8 grid (q = round((v−lo)·255/(hi−lo))), the
+    * observed q range, and the corpus-max reconstruction error in micro
+    * units against the half-step THEOREM bound |v−v′| ≤ (hi−lo)/510 (+1 µ
+    * FP slop) — within_bound rides the output as an oracle-recomputed
+    * flag. All rounding is round-to-0-decimals of identical doubles (the
+    * x271 lesson: integer-boundary rounding is bit-stable cross-engine
+    * where 6-dp rounding is not); a degenerate constant dimension
+    * quantizes to q = 0 by explicit CASE, not NaN.
+    *
+    * 100 TB: two scans (per-dim min/max, then the quantize-and-error
+    * pass with the 64-row stats broadcast), both map-side-combinable
+    * groupBy(dim) aggregates over the posexplode — column-count-bounded
+    * ×64 width, not data growth; the fixed-width array-fold alternative
+    * (64 conditional aggregates, no explode) trades one shuffle for a
+    * 64× wider aggregation buffer and wins only when dim ≫ cores. */
+  def x276(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "vf")))
+      .select(col("dim").cast(LongType).as("dim"),
+              col("vf").cast(DoubleType).as("v"))
+    val stats = dims.groupBy("dim")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val err = dims.join(broadcast(stats), "dim")
+      .withColumn("q", when(col("hi") === col("lo"), lit(0.0))
+        .otherwise(round((col("v") - col("lo")) * lit(255.0) /
+                         (col("hi") - col("lo")), 0)))
+      .withColumn("recon", when(col("hi") === col("lo"), col("lo"))
+        .otherwise(col("lo") + col("q") * (col("hi") - col("lo")) / lit(255.0)))
+      .withColumn("emicro",
+        round(abs(col("v") - col("recon")) * lit(1000000.0), 0).cast(LongType))
+    err.groupBy("dim")
+      .agg(max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+           min(col("q").cast(LongType)).as("q_min"),
+           max(col("q").cast(LongType)).as("q_max"),
+           max(col("emicro")).as("max_err_micro"))
+      .select(col("dim"),
+        round(col("lo") * lit(1000000.0), 0).cast(LongType).as("lo_micro"),
+        round(col("hi") * lit(1000000.0), 0).cast(LongType).as("hi_micro"),
+        col("q_min"), col("q_max"), col("max_err_micro"),
+        (col("max_err_micro").cast(DoubleType) <=
+          (col("hi") - col("lo")) * lit(1000000.0) / lit(510.0) + lit(1.0))
+          .as("within_bound"))
+      .orderBy("dim")
+  }
 }

@@ -433,4 +433,56 @@ object Governance {
                     (col("v") * 100 <= col("n")).as("pass")))
       .orderBy("constraint_name")
   }
+
+  /** x275: DATA-SUBJECT ACCESS REPORT — the GDPR/CCPA read-side companion
+    * to x221's erasure: for a deterministic subject cohort (custkey ≡ 3
+    * mod 29), one row per (subject, table) stating what the corpus HOLDS
+    * about them — row count plus first/last timestamp (epoch µs; −1 for
+    * the timestamp-free customer record). Covers the whole keyed reach:
+    * the customer record, their orders, those orders' lineitems, and the
+    * events stream (the synthetic corpus shares one id space — production
+    * would route through an identity map here). Absent rows mean "nothing
+    * held" by construction; a subject with zero orders still shows their
+    * customer row, so the report never silently drops a subject.
+    *
+    * 100 TB: each table contributes ONE subject-semi-joined aggregate —
+    * the broadcast subject set prunes at the scan, the per-table rollup is
+    * map-side combinable, and the lineitem leg reaches through orders via
+    * the cohort's (bounded) order-key set. A single-subject DSAR is the
+    * degenerate broadcast; a cohort report amortizes the scans. */
+  def x275(spark: SparkSession, dir: String): DataFrame = {
+    val subj = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 29 === 3)
+      .select(col("c_custkey").as("subject"))
+    val cRows = subj.select(col("subject"),
+      lit("customer").as("table_name"), lit(1L).as("n_rows"),
+      lit(-1L).as("first_us"), lit(-1L).as("last_us"))
+    val o = Tables.orders(spark, dir)
+      .join(broadcast(subj), col("o_custkey") === col("subject"))
+    val oRows = o.groupBy("subject")
+      .agg(count(lit(1)).as("n_rows"),
+           min(unix_micros(col("o_orderdate").cast(TimestampType))).as("first_us"),
+           max(unix_micros(col("o_orderdate").cast(TimestampType))).as("last_us"))
+      .select(col("subject"), lit("orders").as("table_name"),
+              col("n_rows"), col("first_us"), col("last_us"))
+    val liRows = Tables.lineitem(spark, dir)
+      .join(broadcast(o.select(col("o_orderkey"), col("subject"))),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy("subject")
+      .agg(count(lit(1)).as("n_rows"),
+           min(unix_micros(col("l_shipdate").cast(TimestampType))).as("first_us"),
+           max(unix_micros(col("l_shipdate").cast(TimestampType))).as("last_us"))
+      .select(col("subject"), lit("lineitem").as("table_name"),
+              col("n_rows"), col("first_us"), col("last_us"))
+    val evRows = Tables.events(spark, dir)
+      .join(broadcast(subj), col("user_id") === col("subject"))
+      .groupBy("subject")
+      .agg(count(lit(1)).as("n_rows"),
+           min(unix_micros(col("ts").cast(TimestampType))).as("first_us"),
+           max(unix_micros(col("ts").cast(TimestampType))).as("last_us"))
+      .select(col("subject"), lit("events").as("table_name"),
+              col("n_rows"), col("first_us"), col("last_us"))
+    cRows.unionByName(oRows).unionByName(liRows).unionByName(evRows)
+      .orderBy("subject", "table_name")
+  }
 }

@@ -375,4 +375,65 @@ class Round11Spec extends AnyFunSuite {
     // with this corpus the level genuinely bites: both classes exist
     assert(cappedCaps.nonEmpty, "the 95% budget must cap the smallest sources")
   }
+
+  test("x275 equals a naive JVM access-report replay, and no subject is dropped") {
+    val subj = Tables.customer(spark, sfSmoke)
+      .filter(col("c_custkey") % 29 === 3)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(subj.nonEmpty)
+    val orders = Tables.orders(spark, sfSmoke)
+      .select(col("o_orderkey"), col("o_custkey"), unix_micros(col("o_orderdate").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(o => subj(o._2))
+    val okeys = orders.map(o => o._1 -> o._2).toMap
+    val li = Tables.lineitem(spark, sfSmoke)
+      .select(col("l_orderkey"), unix_micros(col("l_shipdate").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(l => okeys.contains(l._1))
+    val ev = Tables.events(spark, sfSmoke)
+      .select(col("user_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(e => subj(e._1))
+    val want = (subj.toSeq.map(s => (s, "customer", 1L, -1L, -1L)) ++
+      orders.groupBy(_._2).map { case (s, os) =>
+        (s, "orders", os.length.toLong, os.map(_._3).min, os.map(_._3).max) } ++
+      li.groupBy(l => okeys(l._1)).map { case (s, ls) =>
+        (s, "lineitem", ls.length.toLong, ls.map(_._2).min, ls.map(_._2).max) } ++
+      ev.groupBy(_._1).map { case (s, es) =>
+        (s, "events", es.length.toLong, es.map(_._2).min, es.map(_._2).max) })
+      .sortBy(t => (t._1, t._2))
+    val got = graft.queries.Governance.x275(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).toSeq
+    assert(got === want)
+    // the report covers every cohort member even with zero activity
+    assert(got.filter(_._2 == "customer").map(_._1).toSet === subj)
+  }
+
+  test("x276 uint8 grid: endpoints attained, bound holds, JVM replay agrees") {
+    val rows = graft.queries.Clustering.x276(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.length === 64)
+    rows.foreach { case (d, loM, hiM, qmin, qmax, err, ok) =>
+      // lo/hi are ATTAINED corpus values, so the grid endpoints are exact
+      assert(qmin === 0L && qmax === 255L, s"dim $d grid endpoints")
+      assert(ok, s"dim $d must satisfy the half-step reconstruction bound")
+      assert(err.toDouble <= (hiM - loM).toDouble / 510.0 + 2.0,
+             s"dim $d micro-bound replay")
+    }
+    // JVM replay of one dimension end to end
+    val vs = Tables.embeddings(spark, sfSmoke)
+      .select(element_at(col("embedding"), 1).cast("double")).collect()
+      .map(_.getDouble(0))
+    val (lo, hi) = (vs.min, vs.max)
+    val maxErr = vs.map { v =>
+      val q = BigDecimal((v - lo) * 255.0 / (hi - lo))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val recon = lo + q * (hi - lo) / 255.0
+      BigDecimal(math.abs(v - recon) * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.max
+    assert(rows.head._6 === maxErr, "dim-0 max error replays exactly")
+  }
 }
