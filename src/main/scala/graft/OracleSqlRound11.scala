@@ -654,6 +654,25 @@ object OracleSqlRound11 {
         |    <= (MAX(hi) - MAX(lo)) * 1000000.0 / 510.0 + 1.0 AS within_bound
         |FROM re GROUP BY dim ORDER BY dim""".stripMargin,
 
+    // x277: single-sort restatement of the two-phase prefix sum; shared
+    // cubed seed-11 hash; documents never split, shard = cum_before // B.
+    "x277_shard_packing" -> {
+      val h = graft.queries.Layout2.rdvHashSql("doc_id", "11")
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |      AS toks,
+        |    $h AS h
+        |  FROM documents),
+        |c AS (SELECT *, SUM(toks) OVER (ORDER BY h, doc_id
+        |                                ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM d)
+        |SELECT CAST((cum - toks) // 2000 AS BIGINT) AS shard,
+        |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |  CAST(MAX(toks) AS BIGINT) AS max_doc_tokens
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
+    },
+
     "x260_chi_nominal" -> x260Chain,
 
     "x263_chi_missing_values" -> chain(

@@ -196,4 +196,38 @@ object Organize {
              .as("cks"))
       .orderBy("shard")
   }
+
+  /** x277: TRAINING-SHARD PACKING — the manifest step between x259's
+    * deterministic shuffle and the trainer's data loader: documents, in
+    * shuffle order (the x253 rendezvous hash, seed 11), packed greedily
+    * into ~2000-token shards by shard = ⌊cum_before/B⌋ over a running
+    * token prefix sum — documents NEVER split across shards, so a shard
+    * may overshoot B by less than one document and undershoot by less
+    * than the largest document (both theorems ride Round11Spec: every
+    * non-final shard carries > B − max_doc tokens, ids are contiguous
+    * while every document is smaller than B). One row per shard:
+    * documents, tokens, largest member.
+    *
+    * 100 TB: the prefix sum is [[graft.engine.Ranks.globalPrefixSum]] —
+    * the distributed two-phase shape (range partition on the hash order,
+    * partition-local running totals, broadcast partition offsets), never
+    * a single-partition global window; the rollup to |shards| rows is
+    * map-side combinable. Packing order is pure arithmetic on doc_id, so
+    * re-running the manifest is idempotent — the property that makes
+    * checkpoint-resume of a training run sound. */
+  def x277(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              size(filter(split(lower(col("text")), " "), t => t =!= ""))
+                .cast(LongType).as("toks"),
+              expr(Layout2.rdvHashSql("doc_id", "11")).as("h"))
+    val cum = graft.engine.Ranks.globalPrefixSum(
+      docs, Seq(col("h"), col("doc_id")), col("toks"), "cum")
+    cum.withColumn("shard", expr(s"(cum - toks) DIV $budget"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+           max(col("toks")).as("max_doc_tokens"))
+      .orderBy("shard")
+  }
 }

@@ -436,4 +436,39 @@ class Round11Spec extends AnyFunSuite {
     }.max
     assert(rows.head._6 === maxErr, "dim-0 max error replays exactly")
   }
+
+  test("x277 shard packing: JVM replay, conservation, contiguity, fill bounds") {
+    val budget = 2000L
+    val m = 2147483647L
+    def rdv(k: Long): Long = {
+      val a = ((k % 100000000L) * 2654435761L + 12L * 97564181L) % m
+      ((a * a) % m) * a % m
+    }
+    val docs = Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"),
+              size(filter(split(lower(col("text")), " "), t => t =!= ""))
+                .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxDoc = docs.map(_._2).max
+    assert(maxDoc < budget, "precondition: every document fits inside one shard")
+    // JVM replay of the whole manifest
+    val ordered = docs.sortBy { case (id, _) => (rdv(id), id) }
+    var cum = 0L
+    val want = ordered.map { case (_, t) =>
+      val s = cum / budget; cum += t; (s, t)
+    }.groupBy(_._1).toSeq.map { case (s, ts) =>
+      (s, ts.length.toLong, ts.map(_._2).sum, ts.map(_._2).max)
+    }.sortBy(_._1)
+    val got = graft.queries.Organize.x277(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    // structural theorems
+    assert(got.map(_._1) === (0L until got.length).map(_.toLong), "contiguous shard ids")
+    assert(got.map(_._2).sum === docs.length.toLong, "document conservation")
+    assert(got.map(_._3).sum === docs.map(_._2).sum, "token conservation")
+    got.init.foreach { case (s, _, nt, _) =>
+      assert(nt > budget - maxDoc, s"shard $s: non-final shards never underfill past one document")
+      assert(nt < budget + maxDoc, s"shard $s: a shard overshoots by less than one document")
+    }
+  }
 }
