@@ -98,7 +98,15 @@ object DumpPlans {
       ("x221_erasure_propagation", "erasure cascade: tombstones and erased orderkeys ride broadcast semi/anti joins through both fact tables; the lineitem orphan audit is the one deliberate fact-to-fact anti-join",
        graft.queries.Governance.x221(spark, dir)),
       ("x223_lsh_portable", "portable quantized LSH: ONE groupBy(vec_id) carries all 16 sign sums + the norm; candidates from the banded bucket self-join (never all-pairs); the verify folds the re-attached integer arrays per row — no CartesianProduct, no BNLJ",
-       graft.queries.LlmExt2.x223(spark, dir)))
+       graft.queries.LlmExt2.x223(spark, dir)),
+      ("x267_pit_feature_join", "union-window point-in-time features: ONE user-keyed sort serves every running conditional aggregate — no per-label range join, no O(labels*history) shuffle",
+       graft.queries.Features.x267(spark, dir)),
+      ("x269_snapshot_cdc_diff", "ONE full-outer shuffle join on the PK; the unchanged majority dies inside the join (filter on op) without wide projection",
+       graft.queries.Wrangle.x269(spark, dir)),
+      ("x272_decile_lift", "the only data-sized work is the groupBy to the grid-bounded classification grain; decile spans/cells ride bounded frames — no per-row global sort (the ntile idiom) anywhere",
+       graft.queries.ChiMl.x272(spark, dir)),
+      ("x277_shard_packing", "Ranks.globalPrefixSum two-phase shape: range partition on the shuffle-hash order, partition-LOCAL running totals (window keyed by __pid), broadcast offsets — never a single-partition global window",
+       graft.queries.Organize.x277(spark, dir)))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries\n\n")
     sb.append("Generated by `graft.examples.DumpPlans` (AQE-finalized, sf0.001).\n")
