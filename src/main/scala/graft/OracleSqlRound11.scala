@@ -673,6 +673,39 @@ object OracleSqlRound11 {
         |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
     },
 
+    // x278: both orderings as single-sort ROW_NUMBERs; same batch/pad
+    // arithmetic; partial final batch pads only occupied slots.
+    "x278_padding_audit" -> {
+      val h = graft.queries.Layout2.rdvHashSql("doc_id", "13")
+      def leg(ord: String, name: String, b: Int) =
+        s"""SELECT '$name' AS ordering, $b AS batch_size,
+           |  COUNT(*) AS n_batches, SUM(sm) AS useful_tokens,
+           |  SUM(n * mx - sm) AS pad_tokens
+           |FROM (
+           |  SELECT (rank - 1) // $b AS batch, COUNT(*) AS n,
+           |         MAX(toks) AS mx, SUM(toks) AS sm
+           |  FROM (SELECT toks, ROW_NUMBER() OVER (ORDER BY $ord) AS rank
+           |        FROM d)
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+         |      AS toks,
+         |    $h AS h
+         |  FROM documents)
+         |SELECT ordering, CAST(batch_size AS BIGINT) AS batch_size,
+         |  CAST(n_batches AS BIGINT) AS n_batches,
+         |  CAST(useful_tokens AS BIGINT) AS useful_tokens,
+         |  CAST(pad_tokens AS BIGINT) AS pad_tokens,
+         |  CAST(pad_tokens * 1000000 // (pad_tokens + useful_tokens)
+         |       AS BIGINT) AS pad_ppm
+         |FROM (${leg("toks, doc_id", "length_sorted", 8)}
+         |  UNION ALL ${leg("toks, doc_id", "length_sorted", 32)}
+         |  UNION ALL ${leg("h, doc_id", "shuffled", 8)}
+         |  UNION ALL ${leg("h, doc_id", "shuffled", 32)})
+         |ORDER BY ordering, batch_size""".stripMargin
+    },
+
     "x260_chi_nominal" -> x260Chain,
 
     "x263_chi_missing_values" -> chain(

@@ -230,4 +230,48 @@ object Organize {
            max(col("toks")).as("max_doc_tokens"))
       .orderBy("shard")
   }
+
+  /** x278: PADDING-WASTE AUDIT — quantifies the training-throughput claim
+    * behind length-bucketed batching: documents grouped into fixed-size
+    * batches padded to the batch max, under (a) LENGTH order and (b) the
+    * seed-13 shuffle order, for batch sizes 8 and 32. Per (ordering,
+    * batch_size): batch count, useful tokens, pad tokens, pad share in
+    * ppm. The comparison carries a REAL theorem the spec pins: consecutive
+    * grouping of the length-sorted order minimizes Σ batch-max over every
+    * partition with the same size profile (exchange argument), so
+    * pad(sorted) ≤ pad(shuffled) for each batch size — the audit measures
+    * HOW MUCH the trainer saves, the theorem guarantees the sign. A
+    * partial final batch pads only its occupied slots (n·max − Σ).
+    *
+    * 100 TB: each ordering ranks once via the two-phase
+    * [[graft.engine.Ranks.globalRowNumber]] (internally materialized, so
+    * both batch sizes reuse ONE ranking) and collapses through two
+    * map-side-combinable aggregates; nothing data-sized survives past the
+    * per-batch rollup. */
+  def x278(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              size(filter(split(lower(col("text")), " "), t => t =!= ""))
+                .cast(LongType).as("toks"),
+              expr(Layout2.rdvHashSql("doc_id", "13")).as("h"))
+    def audit(ordCols: Seq[org.apache.spark.sql.Column], ordName: String): DataFrame = {
+      val ranked = graft.engine.Ranks.globalRowNumber(docs, ordCols, "rank")
+      Seq(8L, 32L).map { b =>
+        ranked.withColumn("batch", expr(s"(rank - 1) DIV $b"))
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n"), max(col("toks")).as("mx"),
+               sum(col("toks")).as("sm"))
+          .agg(count(lit(1)).as("n_batches"),
+               sum(expr("n * mx - sm")).as("pad_tokens"),
+               sum(col("sm")).as("useful_tokens"))
+          .select(lit(ordName).as("ordering"), lit(b).as("batch_size"),
+                  col("n_batches"), col("useful_tokens"), col("pad_tokens"),
+                  expr("pad_tokens * 1000000 DIV (pad_tokens + useful_tokens)")
+                    .as("pad_ppm"))
+      }.reduce(_ unionByName _)
+    }
+    audit(Seq(col("toks"), col("doc_id")), "length_sorted")
+      .unionByName(audit(Seq(col("h"), col("doc_id")), "shuffled"))
+      .orderBy("ordering", "batch_size")
+  }
 }

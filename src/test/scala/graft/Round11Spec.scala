@@ -471,4 +471,42 @@ class Round11Spec extends AnyFunSuite {
       assert(nt < budget + maxDoc, s"shard $s: a shard overshoots by less than one document")
     }
   }
+
+  test("x278 padding audit: JVM replay and the sorted-batching optimality theorem") {
+    val m = 2147483647L
+    def rdv(k: Long): Long = {
+      val a = ((k % 100000000L) * 2654435761L + 14L * 97564181L) % m
+      ((a * a) % m) * a % m
+    }
+    val docs = Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"),
+              size(filter(split(lower(col("text")), " "), t => t =!= ""))
+                .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def replay(ordered: Seq[Long], name: String, b: Int) = {
+      val batches = ordered.grouped(b).toSeq
+      (name, b.toLong, batches.length.toLong, ordered.sum,
+       batches.map(g => g.length * g.max - g.sum).sum)
+    }
+    val byLen = docs.sortBy { case (id, t) => (t, id) }.map(_._2).toSeq
+    val bySh = docs.sortBy { case (id, _) => (rdv(id), id) }.map(_._2).toSeq
+    val want = Seq(replay(byLen, "length_sorted", 8), replay(byLen, "length_sorted", 32),
+                   replay(bySh, "shuffled", 8), replay(bySh, "shuffled", 32))
+      .map { case (o, b, nb, u, p) => (o, b, nb, u, p, p * 1000000L / (p + u)) }
+      .sortBy(t => (t._1, t._2))
+    val got = graft.queries.Organize.x278(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want)
+    // conservation + the exchange-argument theorem: consecutive grouping of
+    // the sorted order minimizes sum-of-batch-maxima over any same-profile
+    // partition, so sorted pad <= shuffled pad for each batch size
+    for (b <- Seq(8L, 32L)) {
+      val s = got.find(r => r._1 == "length_sorted" && r._2 == b).get
+      val sh = got.find(r => r._1 == "shuffled" && r._2 == b).get
+      assert(s._4 === sh._4, s"B=$b useful tokens are order-invariant")
+      assert(s._3 === sh._3, s"B=$b batch counts are order-invariant")
+      assert(s._5 <= sh._5, s"B=$b sorted batching must not pad more than shuffled")
+    }
+  }
 }
