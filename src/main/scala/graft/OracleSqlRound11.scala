@@ -706,6 +706,49 @@ object OracleSqlRound11 {
          |ORDER BY ordering, batch_size""".stripMargin
     },
 
+    // x279: x256's recursive-CTE segmentation device, grouped by language;
+    // the inventory stays GLOBAL (one tokenizer, many languages).
+    "x279_tokenizer_fertility" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+        |                x -> x <> '')) AS tok
+        |  FROM documents),
+        |gvocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+        |bi AS (
+        |  SELECT substr(tok, i, 2) AS g, SUM(tf) AS w
+        |  FROM gvocab, generate_series(1, 32) AS gs(i)
+        |  WHERE i + 1 <= length(tok) GROUP BY 1),
+        |tri AS (
+        |  SELECT substr(tok, i, 3) AS g, SUM(tf) AS w
+        |  FROM gvocab, generate_series(1, 32) AS gs(i)
+        |  WHERE i + 2 <= length(tok) GROUP BY 1),
+        |bi30 AS (SELECT g FROM bi ORDER BY w DESC, g LIMIT 30),
+        |tri20 AS (SELECT g FROM tri ORDER BY w DESC, g LIMIT 20),
+        |lvocab AS (SELECT lang, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |seg AS (
+        |  WITH RECURSIVE r(lang, tok, tf, pos, plen) AS (
+        |    SELECT lang, tok, tf, 0, CAST(NULL AS BIGINT) FROM lvocab
+        |    UNION ALL
+        |    SELECT r.lang, r.tok, r.tf,
+        |      r.pos + CASE WHEN t.g IS NOT NULL THEN 3
+        |                   WHEN b.g IS NOT NULL THEN 2 ELSE 1 END,
+        |      CAST(CASE WHEN t.g IS NOT NULL THEN 3
+        |                WHEN b.g IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+        |    FROM r
+        |    LEFT JOIN tri20 t ON t.g = substr(r.tok, r.pos + 1, 3)
+        |    LEFT JOIN bi30 b ON b.g = substr(r.tok, r.pos + 1, 2)
+        |    WHERE r.pos < length(r.tok))
+        |  SELECT lang, tok, tf, COUNT(plen) AS np,
+        |         SUM(CASE WHEN plen = 1 THEN 1 ELSE 0 END) AS nc
+        |  FROM r WHERE plen IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT lang, CAST(SUM(tf) AS BIGINT) AS n_words,
+        |  CAST(SUM(tf * np) AS BIGINT) AS n_pieces,
+        |  CAST(SUM(tf * nc) AS BIGINT) AS n_char_pieces,
+        |  CAST(SUM(tf * np) * 1000000 // SUM(tf) AS BIGINT) AS fertility_ppm,
+        |  CAST(SUM(tf * nc) * 1000000 // SUM(tf * np) AS BIGINT)
+        |    AS char_fallback_ppm
+        |FROM seg GROUP BY lang ORDER BY lang""".stripMargin,
+
     "x260_chi_nominal" -> x260Chain,
 
     "x263_chi_missing_values" -> chain(

@@ -467,24 +467,11 @@ object Mining {
       .orderBy("avg_delay_us", "cpu_micro")
   }
 
-  /** x256: WORDPIECE-STYLE GREEDY SEGMENTATION — the tokenizer-inference
-    * path the BPE family (x40 pair counts, x225 iterated merges) stops
-    * short of: a data-derived subword inventory (the 30 highest-mass
-    * character bigrams + 20 trigrams, tf-weighted, deterministic
-    * tiebreaks) applied by longest-match-first greedy scan — WordPiece /
-    * MaxMatch at inference time — to every DISTINCT token; per piece the
-    * corpus usage (occurrences × token tf). Single-char fallback makes
-    * every token segmentable by construction (total coverage, asserted
-    * in Round10jSpec).
-    *
-    * 100 TB: the inventory derives from the VOCAB aggregate (bounded),
-    * is collected under the x180 bounded-collect discipline (≤50 rows)
-    * and inlined as literals into ONE `aggregate` higher-order fold per
-    * distinct token — the greedy scan runs inside codegen on the
-    * vocab-bounded frame, never on corpus rows; corpus mass enters only
-    * through the tf weights. Growing the inventory widens two IN-lists;
-    * the corpus-side cost is unchanged. */
-  def x256(spark: SparkSession, dir: String): DataFrame = {
+  /** The x256 WordPiece machinery, shared with x279: the GLOBAL token
+    * frequency table (localCheckpointed — bi, tri and the fold all read
+    * it) and the greedy longest-match fold expression over the tri-20 +
+    * bi-30 inventory inlined as IN-list literals. */
+  private[queries] def wordpieceParts(spark: SparkSession, dir: String): (DataFrame, String) = {
     val vocab = Tables.documents(spark, dir)
       .select(explode(filter(split(lower(col("text")), " "),
                              t => t =!= "")).as("tok"))
@@ -517,6 +504,28 @@ object Mining {
          |                  'ps', array_append(acc.ps, substr(tok, i, 1)))
          |      END ELSE acc END,
          |  acc -> acc.ps)""".stripMargin
+    (vocab, fold)
+  }
+
+  /** x256: WORDPIECE-STYLE GREEDY SEGMENTATION — the tokenizer-inference
+    * path the BPE family (x40 pair counts, x225 iterated merges) stops
+    * short of: a data-derived subword inventory (the 30 highest-mass
+    * character bigrams + 20 trigrams, tf-weighted, deterministic
+    * tiebreaks) applied by longest-match-first greedy scan — WordPiece /
+    * MaxMatch at inference time — to every DISTINCT token; per piece the
+    * corpus usage (occurrences × token tf). Single-char fallback makes
+    * every token segmentable by construction (total coverage, asserted
+    * in Round10jSpec).
+    *
+    * 100 TB: the inventory derives from the VOCAB aggregate (bounded),
+    * is collected under the x180 bounded-collect discipline (≤50 rows)
+    * and inlined as literals into ONE `aggregate` higher-order fold per
+    * distinct token — the greedy scan runs inside codegen on the
+    * vocab-bounded frame, never on corpus rows; corpus mass enters only
+    * through the tf weights. Growing the inventory widens two IN-lists;
+    * the corpus-side cost is unchanged. */
+  def x256(spark: SparkSession, dir: String): DataFrame = {
+    val (vocab, fold) = wordpieceParts(spark, dir)
     vocab
       .select(col("tf"), explode(expr(fold)).as("piece"))
       .groupBy("piece").agg(sum(col("tf")).as("usage"))
@@ -641,4 +650,43 @@ object Mining {
       .select("piece", "len", "usage")
       .orderBy(col("usage").desc, col("piece").asc).limit(30)
       .orderBy(col("usage").desc, col("piece").asc)
+
+  /** x279: TOKENIZER FERTILITY BY LANGUAGE — the tokenizer-eval metric a
+    * multilingual corpus review reads before committing to a vocabulary:
+    * ONE global inventory (x256's tri-20 + bi-30, built corpus-wide),
+    * evaluated per language — words, emitted pieces, fertility
+    * (pieces-per-word, ppm) and the char-fallback share (the fraction of
+    * pieces that fell through to single characters — the "this language
+    * is under-served by the vocab" signal). A language foreign to the
+    * inventory's mass shows fertility → characters-per-word and fallback
+    * → 10⁶; the dominant language sits far lower. Exact integer ratios.
+    *
+    * 100 TB: the inventory rides x256's bounded-collect path; the
+    * per-language scoring runs the SAME codegen'd greedy fold over the
+    * (lang, token) distinct frame — vocab-bounded per language, corpus
+    * mass enters only through tf weights; one extra groupBy(lang). */
+  def x279(spark: SparkSession, dir: String): DataFrame = {
+    val (_, fold) = wordpieceParts(spark, dir)
+    val lvocab = Tables.documents(spark, dir)
+      .select(col("lang"),
+              explode(filter(split(lower(col("text")), " "),
+                             t => t =!= "")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
+    lvocab
+      .withColumn("ps", expr(fold))
+      .select(col("lang"), col("tf"),
+              size(col("ps")).cast(LongType).as("np"),
+              size(filter(col("ps"), p => length(p) === 1))
+                .cast(LongType).as("nc"))
+      .groupBy("lang")
+      .agg(sum(col("tf")).as("n_words"),
+           sum(col("tf") * col("np")).as("n_pieces"),
+           sum(col("tf") * col("nc")).as("n_char_pieces"))
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+              col("n_char_pieces"),
+              expr("n_pieces * 1000000 DIV n_words").as("fertility_ppm"),
+              expr("n_char_pieces * 1000000 DIV n_pieces")
+                .as("char_fallback_ppm"))
+      .orderBy("lang")
+  }
 }

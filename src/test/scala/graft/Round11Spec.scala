@@ -509,4 +509,60 @@ class Round11Spec extends AnyFunSuite {
       assert(s._5 <= sh._5, s"B=$b sorted batching must not pad more than shuffled")
     }
   }
+
+  test("x279 fertility: per-language bounds, conservation, planted-corpus JVM replay") {
+    val rows = graft.queries.Mining.x279(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val totalToks = Tables.documents(spark, sfSmoke)
+      .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")))
+      .count()
+    assert(rows.map(_._2).sum === totalToks, "word conservation across languages")
+    rows.foreach { case (l, w, p, c, fert, fb) =>
+      assert(p >= w, s"lang $l: at least one piece per word")
+      assert(c <= p, s"lang $l: fallback pieces are a subset")
+      assert(fert === p * 1000000L / w && fb === c * 1000000L / p, s"lang $l ratios")
+      assert(fert >= 1000000L, s"lang $l: fertility is at least 1 piece/word")
+    }
+    // planted corpus: full JVM replay (inventory + greedy) on a 2-language
+    // corpus — the tiny trigram space all fits the top-20 inventory, so
+    // the replay exercises tri-hit, bi-miss and char-fallback paths
+    val tmp = java.nio.file.Files.createTempDirectory("x279dir").toString
+    Seq((1L, "aba aba aba aba", "aa", "s0", 15L),
+        (2L, "aba aba abax", "aa", "s0", 12L),
+        (3L, "qqqq qqqq", "zz", "s1", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def replayInventory(toks: Seq[String]): (Set[String], Set[String]) = {
+      val tf = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      def grams(n: Int, k: Int) = tf.toSeq.flatMap { case (t, f) =>
+        (1 to math.min(t.length - n + 1, 32)).map(i => t.substring(i - 1, i - 1 + n) -> f)
+      }.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sum }
+        .toSeq.sortBy { case (g, w) => (-w, g) }.take(k).map(_._1).toSet
+      (grams(3, 20), grams(2, 30))
+    }
+    val allToks = Seq.fill(4)("aba") ++ Seq.fill(2)("aba") :+ "abax" :+ "qqqq" :+ "qqqq"
+    val (tri, bi) = replayInventory(allToks)
+    def segment(t: String): Seq[Int] = {
+      var i = 0; val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (i < t.length) {
+        if (i + 3 <= t.length && tri(t.substring(i, i + 3))) { out += 3; i += 3 }
+        else if (i + 2 <= t.length && bi(t.substring(i, i + 2))) { out += 2; i += 2 }
+        else { out += 1; i += 1 }
+      }
+      out.toSeq
+    }
+    val wantPlanted = allToks.zip(Seq.fill(6)("aa") ++ Seq("aa", "zz", "zz"))
+      .groupBy(_._2).toSeq.map { case (lang, ts) =>
+        val segs = ts.map(t => segment(t._1))
+        val (w, p, c) = (ts.length.toLong, segs.map(_.length).sum.toLong,
+                         segs.map(_.count(_ == 1)).sum.toLong)
+        (lang, w, p, c, p * 1000000L / w, c * 1000000L / p)
+      }.sortBy(_._1)
+    val gotPlanted = graft.queries.Mining.x279(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5))).toSeq
+    assert(gotPlanted === wantPlanted)
+  }
 }
