@@ -749,6 +749,54 @@ object OracleSqlRound11 {
         |    AS char_fallback_ppm
         |FROM seg GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // x280: the apply restated (A minus delete/update keys, plus inserts
+    // and updates' new values) vs B under the same multiset checksum; the
+    // match flag is a theorem of the diff construction.
+    "x280_cdc_apply_roundtrip" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |a AS (SELECT * FROM o WHERE o_orderkey % 10 <> 3),
+        |b AS (SELECT o_orderkey, o_orderstatus,
+        |        CASE WHEN o_orderkey % 5 = 0 THEN price_cents + 100
+        |             ELSE price_cents END AS price_cents
+        |      FROM o WHERE o_orderkey % 10 <> 7),
+        |dropk AS (
+        |  SELECT a.o_orderkey AS k FROM a LEFT JOIN b USING (o_orderkey)
+        |  WHERE b.o_orderkey IS NULL
+        |  UNION ALL
+        |  SELECT a.o_orderkey FROM a JOIN b USING (o_orderkey)
+        |  WHERE a.o_orderstatus <> b.o_orderstatus
+        |     OR a.price_cents <> b.price_cents),
+        |adds AS (
+        |  SELECT b.o_orderkey, b.o_orderstatus, b.price_cents
+        |  FROM b LEFT JOIN a USING (o_orderkey) WHERE a.o_orderkey IS NULL
+        |  UNION ALL
+        |  SELECT b.o_orderkey, b.o_orderstatus, b.price_cents
+        |  FROM b JOIN a USING (o_orderkey)
+        |  WHERE a.o_orderstatus <> b.o_orderstatus
+        |     OR a.price_cents <> b.price_cents),
+        |recon AS (
+        |  SELECT * FROM a WHERE o_orderkey NOT IN (SELECT k FROM dropk)
+        |  UNION ALL SELECT * FROM adds),
+        |sb AS (
+        |  SELECT COUNT(*) AS n_b,
+        |    CAST(SUM(CAST((o_orderkey % 100000000) * 131 + price_cents
+        |                  + ascii(o_orderstatus) AS HUGEINT)) % 2147483647
+        |         AS BIGINT) AS cks_b
+        |  FROM b),
+        |sr AS (
+        |  SELECT COUNT(*) AS n_recon,
+        |    CAST(SUM(CAST((o_orderkey % 100000000) * 131 + price_cents
+        |                  + ascii(o_orderstatus) AS HUGEINT)) % 2147483647
+        |         AS BIGINT) AS cks_recon
+        |  FROM recon)
+        |SELECT CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_recon AS BIGINT) AS n_recon, cks_b, cks_recon,
+        |  (n_b = n_recon AND cks_b = cks_recon) AS match_ok
+        |FROM sb, sr""".stripMargin,
+
     "x260_chi_nominal" -> x260Chain,
 
     "x263_chi_missing_values" -> chain(

@@ -824,4 +824,46 @@ object Wrangle {
         col("max_a") =!= col("max_b"))
       .orderBy("col_name")
   }
+
+  /** x280: CDC APPLY ROUND-TRIP — the invariant every change-data-feed
+    * consumer relies on, verified end to end: applying the x269 diff to
+    * snapshot A (drop deleted+updated keys, append inserted rows and the
+    * updates' NEW values) must reconstruct snapshot B EXACTLY. Emitted as
+    * one row of evidence — both sides' row count and an order-independent
+    * multiset checksum (Σ of a per-row integer encoding mod 2³¹−1, the
+    * x259 device; the key pre-reduces mod 10⁸ so products never overflow
+    * int64) — with the match flag the oracle recomputes. Match = TRUE is
+    * a THEOREM of the diff's construction, not a data observation.
+    *
+    * 100 TB: apply = one PK anti-join plus a union (both sides of the
+    * anti-join co-partitioned under PK bucketing); the verification
+    * checksum folds map-side — the round trip costs two aggregates, not
+    * a row-by-row compare. */
+  def x280(spark: SparkSession, dir: String): DataFrame = {
+    val (snapA, snapB) = snapshotPair(spark, dir)
+    val diff = x269(spark, dir)
+    val dropKeys = diff.filter(col("op").isin("delete", "update"))
+      .select(col("o_orderkey").as("dk"))
+    val kept = snapA.join(dropKeys, col("o_orderkey") === col("dk"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("price_cents"))
+    val added = diff.filter(col("op").isin("insert", "update"))
+      .select(col("o_orderkey"), col("new_status").as("o_orderstatus"),
+              col("new_cents").as("price_cents"))
+    val recon = kept.unionByName(added)
+    def summary(df: DataFrame, side: String): DataFrame = df
+      .select(((col("o_orderkey") % 100000000L) * 131L + col("price_cents") +
+               ascii(col("o_orderstatus"))).as("v"))
+      .agg(count(lit(1)).as("n"),
+           expr("CAST(SUM(CAST(v AS DECIMAL(38,0))) % 2147483647 AS BIGINT)")
+             .as("cks"))
+      .select(lit(side).as("side"), col("n"), col("cks"))
+    val sb = summary(snapB.select("o_orderkey", "o_orderstatus", "price_cents"), "b")
+      .select(col("n").as("n_b"), col("cks").as("cks_b"))
+    val sr = summary(recon, "recon")
+      .select(col("n").as("n_recon"), col("cks").as("cks_recon"))
+    sb.crossJoin(sr)
+      .select(col("n_b"), col("n_recon"), col("cks_b"), col("cks_recon"),
+              (col("n_b") === col("n_recon") &&
+               col("cks_b") === col("cks_recon")).as("match_ok"))
+  }
 }

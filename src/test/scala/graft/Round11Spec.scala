@@ -565,4 +565,28 @@ class Round11Spec extends AnyFunSuite {
                  r.getLong(4), r.getLong(5))).toSeq
     assert(gotPlanted === wantPlanted)
   }
+
+  test("x280 CDC apply reconstructs snapshot B exactly (JVM multiset proof + checksum replay)") {
+    val orders = Tables.orders(spark, sfSmoke)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val a = orders.filter(_._1 % 10 != 3)
+    val b = orders.filter(_._1 % 10 != 7)
+      .map(r => if (r._1 % 5 == 0) r.copy(_3 = r._3 + 100) else r)
+    val aBy = a.map(r => r._1 -> r).toMap
+    val bBy = b.map(r => r._1 -> r).toMap
+    // replay the apply: drop deleted+updated keys, add inserts + new values
+    val recon = a.filter(r => bBy.get(r._1).contains(r)) ++
+      b.filter(r => !aBy.get(r._1).contains(r))
+    assert(recon.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq,
+      "the diff-apply theorem: recon is EXACTLY snapshot B as a multiset")
+    def cks(rs: Seq[(Long, String, Long)]): Long =
+      rs.map(r => BigInt((r._1 % 100000000L) * 131L + r._3 + r._2.head.toLong))
+        .sum.mod(BigInt(2147483647L)).toLong
+    val got = graft.queries.Wrangle.x280(spark, sfSmoke).collect().head
+    assert(got.getLong(0) === b.length.toLong && got.getLong(1) === b.length.toLong)
+    assert(got.getLong(2) === cks(b.toSeq) && got.getLong(3) === cks(b.toSeq))
+    assert(got.getBoolean(4), "match_ok must hold by construction")
+  }
 }
