@@ -850,16 +850,15 @@ object Wrangle {
       .select(col("o_orderkey"), col("new_status").as("o_orderstatus"),
               col("new_cents").as("price_cents"))
     val recon = kept.unionByName(added)
-    def summary(df: DataFrame, side: String): DataFrame = df
+    def summary(df: DataFrame): DataFrame = df
       .select(((col("o_orderkey") % 100000000L) * 131L + col("price_cents") +
                ascii(col("o_orderstatus"))).as("v"))
       .agg(count(lit(1)).as("n"),
            expr("CAST(SUM(CAST(v AS DECIMAL(38,0))) % 2147483647 AS BIGINT)")
              .as("cks"))
-      .select(lit(side).as("side"), col("n"), col("cks"))
-    val sb = summary(snapB.select("o_orderkey", "o_orderstatus", "price_cents"), "b")
+    val sb = summary(snapB.select("o_orderkey", "o_orderstatus", "price_cents"))
       .select(col("n").as("n_b"), col("cks").as("cks_b"))
-    val sr = summary(recon, "recon")
+    val sr = summary(recon)
       .select(col("n").as("n_recon"), col("cks").as("cks_recon"))
     sb.crossJoin(sr)
       .select(col("n_b"), col("n_recon"), col("cks_b"), col("cks_recon"),
