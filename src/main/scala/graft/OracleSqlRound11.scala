@@ -751,7 +751,9 @@ object OracleSqlRound11 {
 
     // x280: the apply restated (A minus delete/update keys, plus inserts
     // and updates' new values) vs B under the same multiset checksum; the
-    // match flag is a theorem of the diff construction.
+    // match flag is a theorem of the diff construction. The checksum sums
+    // PER-ROW cubed-Knuth hashes (a = e*2654435761 mod M, h = a^3 mod M)
+    // — nonlinear per row, so compensating edits can't cancel the sum.
     "x280_cdc_apply_roundtrip" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_orderstatus,
@@ -780,18 +782,26 @@ object OracleSqlRound11 {
         |recon AS (
         |  SELECT * FROM a WHERE o_orderkey NOT IN (SELECT k FROM dropk)
         |  UNION ALL SELECT * FROM adds),
+        |hb AS (
+        |  SELECT ((((o_orderkey % 100000000) * 131 + price_cents
+        |            + ascii(o_orderstatus)) % 2147483647) * 2654435761)
+        |           % 2147483647 AS a
+        |  FROM b),
+        |hr AS (
+        |  SELECT ((((o_orderkey % 100000000) * 131 + price_cents
+        |            + ascii(o_orderstatus)) % 2147483647) * 2654435761)
+        |           % 2147483647 AS a
+        |  FROM recon),
         |sb AS (
         |  SELECT COUNT(*) AS n_b,
-        |    CAST(SUM(CAST((o_orderkey % 100000000) * 131 + price_cents
-        |                  + ascii(o_orderstatus) AS HUGEINT)) % 2147483647
-        |         AS BIGINT) AS cks_b
-        |  FROM b),
+        |    CAST(SUM(CAST(a * a % 2147483647 * a % 2147483647 AS HUGEINT))
+        |         % 2147483647 AS BIGINT) AS cks_b
+        |  FROM hb),
         |sr AS (
         |  SELECT COUNT(*) AS n_recon,
-        |    CAST(SUM(CAST((o_orderkey % 100000000) * 131 + price_cents
-        |                  + ascii(o_orderstatus) AS HUGEINT)) % 2147483647
-        |         AS BIGINT) AS cks_recon
-        |  FROM recon)
+        |    CAST(SUM(CAST(a * a % 2147483647 * a % 2147483647 AS HUGEINT))
+        |         % 2147483647 AS BIGINT) AS cks_recon
+        |  FROM hr)
         |SELECT CAST(n_b AS BIGINT) AS n_b,
         |  CAST(n_recon AS BIGINT) AS n_recon, cks_b, cks_recon,
         |  (n_b = n_recon AND cks_b = cks_recon) AS match_ok

@@ -164,7 +164,7 @@ object OracleSqlRound8 {
     "x151_group_hash_sample" ->
       """WITH h AS (
         |  SELECT event_type, event_id,
-        |         (event_id * 2654435761) % 2147483647 AS h
+        |         ((event_id % 100000000) * 2654435761) % 2147483647 AS h
         |  FROM events),
         |r AS (SELECT event_type, event_id, h,
         |             ROW_NUMBER() OVER (PARTITION BY event_type

@@ -298,7 +298,7 @@ object OracleSqlRound8b {
     // aggregation is exact and partition-order-free.
     "x172_range_checksums" ->
       """SELECT o_orderkey // 1000 AS key_range, COUNT(*) AS n_rows,
-        |       CAST(SUM((o_orderkey * 2654435761 + o_custkey * 40503
+        |       CAST(SUM((o_orderkey % 100000000 * 2654435761 + o_custkey * 40503
         |                 + CAST(ROUND(o_totalprice*100,0) AS BIGINT))
         |                % 9007199254740881) AS BIGINT) AS checksum
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -326,11 +326,11 @@ object OracleSqlRound8b {
         |             cents + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END
         |               AS cents FROM a),
         |ca AS (SELECT o_orderkey // 1000 AS key_range,
-        |              CAST(SUM((o_orderkey*2654435761 + o_custkey*40503
+        |              CAST(SUM((o_orderkey%100000000*2654435761 + o_custkey*40503
         |                        + cents) % 9007199254740881) AS BIGINT) AS cs
         |       FROM a GROUP BY 1),
         |cb AS (SELECT o_orderkey // 1000 AS key_range,
-        |              CAST(SUM((o_orderkey*2654435761 + o_custkey*40503
+        |              CAST(SUM((o_orderkey%100000000*2654435761 + o_custkey*40503
         |                        + cents) % 9007199254740881) AS BIGINT) AS cs
         |       FROM b GROUP BY 1),
         |flagged AS (SELECT ca.key_range FROM ca JOIN cb USING (key_range)

@@ -518,9 +518,18 @@ object ChiCSModel extends MLReadable[ChiCSModel] {
       val parts = spark.read.parquet(s"$path/partitions")
         .orderBy("idx").collect()
         .map(r => TriPartition(r.getDouble(1), r.getDouble(2), r.getInt(3)))
-      val dicts = spark.read.parquet(s"$path/nominal_dicts")
-        .orderBy("idx").collect()
-        .map(r => r.getSeq[String](1).toArray)
+      // nominal_dicts was added in a later artifact revision — an artifact
+      // saved before it exists is an all-numeric model, so a missing
+      // directory decodes as one empty dictionary per feature slot instead
+      // of failing the load (ADVICE r11).
+      val dictsPath = new org.apache.hadoop.fs.Path(s"$path/nominal_dicts")
+      val dicts =
+        if (dictsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(dictsPath))
+          spark.read.parquet(s"$path/nominal_dicts")
+            .orderBy("idx").collect()
+            .map(r => r.getSeq[String](1).toArray)
+        else Array.fill(parts.length)(Array.empty[String])
       val meta = spark.read.parquet(s"$path/meta").head()
       val classes = meta.getSeq[Int](3).toArray
       val costs = classes.zip(meta.getSeq[Double](4)).toMap

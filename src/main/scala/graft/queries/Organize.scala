@@ -50,8 +50,10 @@ object Organize {
   /** x151: DETERMINISTIC PER-GROUP SAMPLE — the 5 events with the
     * smallest portable multiplicative hash per event type: reproducible
     * uniform-ish sampling (Knuth's 2654435761 mixer, mod the Mersenne
-    * prime 2³¹−1 — plain BIGINT arithmetic both engines replay; products
-    * stay < 2⁶³ for event ids < ~3.4·10⁹, the shifted-soak headroom).
+    * prime 2³¹−1 — plain BIGINT arithmetic both engines replay; the id is
+    * pre-reduced mod 10⁸ before the multiply, the repo-wide convention
+    * that keeps the product < 2⁵⁸ at ANY id scale instead of relying on
+    * documented headroom).
     * `topk_pairs(−h, id, 5)` keeps the k-best per (partition, group) in an
     * O(k) heap — map-side partial aggregation, one shuffled row per group,
     * no window sort anywhere (the row_number idiom the oracle uses would
@@ -64,8 +66,8 @@ object Organize {
     Tables.events(spark, dir)
       .select(col("event_type"),
               col("event_id"),
-              ((col("event_id") * lit(2654435761L)) % lit(2147483647L))
-                .as("h"))
+              (((col("event_id") % lit(100000000L)) * lit(2654435761L)) %
+                 lit(2147483647L)).as("h"))
       .groupBy("event_type")
       .agg(call_function("topk_pairs",
         negate(col("h").cast(DoubleType)), col("event_id"), lit(5)).as("tk"))

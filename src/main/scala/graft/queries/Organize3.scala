@@ -98,7 +98,8 @@ object Organize3 {
     * prime): the Merkle-leaf primitive behind "which key ranges differ
     * between these two replicas / snapshots?" — compare checksums, then
     * re-sync only the ranges that disagree, never the whole table.
-    * Everything BIGINT: products ≲ 2⁵⁵ and ≤1000 mod-2⁵³ terms per range
+    * Everything BIGINT: the key is pre-reduced mod 10⁸ before the Knuth
+    * multiply (products ≲ 2⁵⁸ at ANY key scale) and ≤1000 mod-2⁵³ terms per range
     * keep every sum below 2⁶³ on both engines.
     *
     * 100 TB: one partial+final aggregate keyed on `o_orderkey DIV 1000` —
@@ -108,7 +109,7 @@ object Organize3 {
   def x172(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .select(expr("o_orderkey DIV 1000").as("key_range"),
-              ((col("o_orderkey") * lit(2654435761L) +
+              ((col("o_orderkey") % lit(100000000L) * lit(2654435761L) +
                 col("o_custkey") * lit(40503L) +
                 round(col("o_totalprice") * 100, 0).cast(LongType)) %
                  lit(9007199254740881L)).as("h"))

@@ -66,7 +66,7 @@ object Organize4 {
       col("cents") + when(col("o_orderkey") % 97 === 0, 1L).otherwise(0L))
     def sums(df: DataFrame): DataFrame = df
       .groupBy(expr("o_orderkey DIV 1000").as("key_range"))
-      .agg(sum((col("o_orderkey") * lit(2654435761L) +
+      .agg(sum((col("o_orderkey") % lit(100000000L) * lit(2654435761L) +
                 col("o_custkey") * lit(40503L) + col("cents")) %
                  lit(9007199254740881L)).as("cs"))
     val flagged = sums(a).as("ca")

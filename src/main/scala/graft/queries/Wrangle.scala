@@ -830,10 +830,15 @@ object Wrangle {
     * snapshot A (drop deleted+updated keys, append inserted rows and the
     * updates' NEW values) must reconstruct snapshot B EXACTLY. Emitted as
     * one row of evidence — both sides' row count and an order-independent
-    * multiset checksum (Σ of a per-row integer encoding mod 2³¹−1, the
-    * x259 device; the key pre-reduces mod 10⁸ so products never overflow
-    * int64) — with the match flag the oracle recomputes. Match = TRUE is
-    * a THEOREM of the diff's construction, not a data observation.
+    * multiset checksum — with the match flag the oracle recomputes.
+    * Match = TRUE is a THEOREM of the diff's construction, not a data
+    * observation. The checksum is a Σ of PER-ROW MIXED hashes (the x253
+    * cubed-Knuth device: a = (e·2654435761) mod M, h = a³ mod M over the
+    * row encoding e, M = 2³¹−1): a plain Σe mod M is additive, so two
+    * different multisets with equal encoding sums collide trivially —
+    * cubing makes each row's contribution nonlinear in e, so a
+    * compensating edit pair no longer cancels. Every step pre-reduces mod
+    * M before multiplying, keeping all products < 2⁶³ at any key scale.
     *
     * 100 TB: apply = one PK anti-join plus a union (both sides of the
     * anti-join co-partitioned under PK bucketing); the verification
@@ -852,7 +857,10 @@ object Wrangle {
     val recon = kept.unionByName(added)
     def summary(df: DataFrame): DataFrame = df
       .select(((col("o_orderkey") % 100000000L) * 131L + col("price_cents") +
-               ascii(col("o_orderstatus"))).as("v"))
+               ascii(col("o_orderstatus"))).as("e"))
+      .select(((col("e") % 2147483647L) * 2654435761L % 2147483647L).as("a"))
+      .select((col("a") * col("a") % 2147483647L * col("a") % 2147483647L)
+        .as("v"))
       .agg(count(lit(1)).as("n"),
            expr("CAST(SUM(CAST(v AS DECIMAL(38,0))) % 2147483647 AS BIGINT)")
              .as("cks"))

@@ -581,9 +581,19 @@ class Round11Spec extends AnyFunSuite {
       b.filter(r => !aBy.get(r._1).contains(r))
     assert(recon.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq,
       "the diff-apply theorem: recon is EXACTLY snapshot B as a multiset")
-    def cks(rs: Seq[(Long, String, Long)]): Long =
-      rs.map(r => BigInt((r._1 % 100000000L) * 131L + r._3 + r._2.head.toLong))
-        .sum.mod(BigInt(2147483647L)).toLong
+    // checksum = Σ of PER-ROW cubed-Knuth hashes (round-12 upgrade): the
+    // earlier additive Σe mod M let compensating edit pairs cancel (e.g.
+    // +1 cent on one row, −1 on another left the sum unchanged); cubing
+    // the mixed encoding makes each row's term nonlinear in e, so the
+    // JVM replay here is also a collision-resistance regression pin.
+    def cks(rs: Seq[(Long, String, Long)]): Long = {
+      val M = BigInt(2147483647L)
+      rs.map { r =>
+        val e = BigInt((r._1 % 100000000L) * 131L + r._3 + r._2.head.toLong)
+        val aa = e.mod(M) * BigInt(2654435761L) % M
+        aa * aa % M * aa % M
+      }.sum.mod(M).toLong
+    }
     val got = graft.queries.Wrangle.x280(spark, sfSmoke).collect().head
     assert(got.getLong(0) === b.length.toLong && got.getLong(1) === b.length.toLong)
     assert(got.getLong(2) === cks(b.toSeq) && got.getLong(3) === cks(b.toSeq))
