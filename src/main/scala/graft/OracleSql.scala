@@ -258,5 +258,6 @@ object OracleSql {
       OracleSqlRound8b.round8b ++ OracleSqlRound8c.round8c ++ OracleSqlRound8d.round8d ++
       OracleSqlRound9.round9 ++ OracleSqlRound10.round10 ++
       OracleSqlRound10b.round10b ++ OracleSqlRound10c.round10c ++
-      OracleSqlRound10d.round10d ++ OracleSqlRound11.round11
+      OracleSqlRound10d.round10d ++ OracleSqlRound11.round11 ++
+      OracleSqlRound12.round12
 }

@@ -28,4 +28,12 @@ object VectorKernels {
   /** cosine(a, b), rounded to 6dp (the oracle-checked output form). */
   def cosine6(a: Column, b: Column): Column =
     round(dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b))), 6)
+
+  /** cosine(a, b) in INTEGER MICRO-UNITS: round(cos·10⁶, 0) cast BIGINT —
+    * the bit-stable cross-engine form for derived float scores (6-dp double
+    * rounding diverges at shortest-decimal boundary values; round-to-0 of
+    * the ×10⁶ product agrees on any double that is not an exact .5). */
+  def cosineMicro(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b))) * 1000000, 0)
+      .cast(org.apache.spark.sql.types.LongType)
 }

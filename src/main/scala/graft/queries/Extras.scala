@@ -6,9 +6,10 @@ import org.apache.spark.sql.types._
 import graft.engine.Tables
 import graft.engine.chi.ChiCSClassifier
 
-/** Extended operators x01/x05/x06 (SURVEY.md §2.5). x01 is property-tested
-  * only (MinHash bucketing is xxhash64-salted, not SQL-portable); x05 and x06
-  * ARE oracle-checked — x05 against a direct statement of its deterministic
+/** Extended operators x01/x05/x06 (SURVEY.md §2.5). All oracle-checked:
+  * x01 in theorem form (exact prefix-filtered pair set + an engine-computed
+  * MinHash contract flag — the bucketing itself is xxhash64-salted, not
+  * SQL-portable), x05 against a direct statement of its deterministic
   * map-rebuild output, x06 against q42's oracle (it must reproduce the
   * estimator pipeline exactly).
   */
@@ -17,18 +18,42 @@ object Extras {
   /** x01: near-duplicate document pairs via MinHash LSH over token shingles —
     * the sub-quadratic scale path for q44-style dedup: shingle → min-hash per
     * seed → band bucket-join → exact Jaccard confirm (shared engine with x08,
-    * 3 seeds here). Deterministic (xxhash64, fixed seeds); the ScalaTest
-    * property asserts it finds every exact-duplicate pair (distance 0).
+    * 3 bands here; LlmExt2.jaccardPairs is the user-facing raw path).
+    * Deterministic (xxhash64, fixed seeds).
     *
-    * 100 TB: cost is O(docs × shingles) for signatures plus the bucket join —
-    * never the O(docs²) cross join. (MLlib's MinHashLSH.approxSimilarityJoin
-    * computes the same thing; the hand-rolled form halves the runtime and
-    * keeps the exact-Jaccard confirm.) */
-  def x01(spark: SparkSession, dir: String): DataFrame =
-    LlmExt2.jaccardPairs(Tables.documents(spark, dir), numBands = 3, minJaccard = 0.8)
+    * Registered entry in THEOREM FORM (the x15/x18/x108 device): the emitted
+    * rows are the EXACT Jaccard-≥-4/5 pairs as DISTANCES in integer
+    * micro-units, from LlmExt2.exactJaccardPairs (prefix-filtered exhaustive
+    * join; the oracle recomputes it via a plain inverted-index all-pairs
+    * join). The engine-computed `lsh_ok` flag states the 3-band MinHash
+    * chain's two contracts — SOUNDNESS (every banded+confirmed pair is in
+    * the exact set; the confirm shares the exact integer threshold) and
+    * EXACT-DUP COMPLETENESS (identical shingle sets give identical
+    * signatures, so every distance-0 pair is found) — both theorems of the
+    * construction; the oracle states TRUE. The probabilistic recall regime
+    * stays in LlmExtSpec + the x110 recall matrix.
+    *
+    * 100 TB: the LSH leg is O(docs × shingles) for signatures plus the
+    * bucket join; the exact leg probes only each doc's ~|A|/5+1 rarest
+    * shingles against the inverted index — never the O(docs²) cross join on
+    * either leg. (MLlib's MinHashLSH.approxSimilarityJoin computes the LSH
+    * leg's result; the hand-rolled form halves the runtime and keeps the
+    * exact-Jaccard confirm.) */
+  def x01(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = LlmExt2.exactJaccardPairs(docs)
+    val lsh3 = LlmExt2.jaccardPairs(docs, numBands = 3).select("a", "b")
+    val unsound = lsh3.join(exact.select("a", "b"), Seq("a", "b"), "left_anti")
+      .agg(count(lit(1)).as("n_unsound"))
+    val missedDup = exact.filter(col("is_exact_dup")).select("a", "b")
+      .join(lsh3, Seq("a", "b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    exact.crossJoin(broadcast(unsound)).crossJoin(broadcast(missedDup))
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
-              round(lit(1.0) - col("jaccard"), 6).as("jaccard_dist"))
+              (lit(1000000L) - col("jacc_micro")).as("jacc_dist_micro"),
+              (col("n_unsound") === 0 && col("n_missed") === 0).as("lsh_ok"))
       .orderBy("doc_a", "doc_b")
+  }
 
   /** x05: MapType function family — str_to_map/map_keys/element_at. Map key
     * order is engine-dependent, so output only order-insensitive derivations

@@ -9,8 +9,14 @@ import graft.engine.{Tables, VectorKernels}
 /** Extended LLM-training-data pipeline operators beyond the SURVEY §2.5 set:
   * SimHash and n-gram-Jaccard near-dup detection, hyperplane-LSH embedding
   * near-dup, language-ID, quality scoring, token counting, and rolling-hash
-  * fingerprinting. x11–x13 are arithmetic-portable and oracle-checked; the
-  * hash-based ones (x07–x10) are engine-deterministic and property-tested.
+  * fingerprinting. Everything here is oracle-checked: the arithmetic keys
+  * (x10–x13) verbatim, and the hash-seeded detectors (x07/x08/x09, plus
+  * Extras.x01) in THEOREM FORM (the x15/x18/x108 device) — each registered
+  * key emits the EXACT ground truth both engines can compute plus an
+  * engine-computed contract flag (soundness / exact-dup completeness /
+  * band-nesting monotonicity) that the oracle states as TRUE, so a banding,
+  * signature, vote, or threshold regression flips the driver's hash compare
+  * red instead of hiding behind a `no_oracle` row.
   */
 object LlmExt2 {
 
@@ -19,21 +25,53 @@ object LlmExt2 {
       .filter(col("tok") =!= "")
 
   /** x07: SimHash document fingerprints — per-token 64-bit hash, bitwise
-    * majority vote, fingerprint = voted bits. Identical texts ⇒ identical
-    * fingerprints; near-identical texts ⇒ small Hamming distance. Output is
-    * the fingerprint groups (exact-collision dedup view).
+    * majority vote, fingerprint = voted bits ([[simhashFingerprints]] is the
+    * user-facing raw path). Identical token multisets ⇒ identical vote sums
+    * ⇒ identical fingerprints; near-identical texts ⇒ small Hamming
+    * distance.
     *
-    * 100 TB: ONE narrow shuffle — the 64 per-bit votes ride a single
-    * groupBy(doc_id) as parallel ±1-sum aggregates (map-side partials make
-    * the exchange carry one row per doc), then a groupBy on the 64-bit
-    * fingerprint; all linear in token count. (An earlier form exploded every
-    * token ×64 bits into a (doc, bit) shuffle — 64× the exchanged rows for
-    * the same votes.) */
-  def x07(spark: SparkSession, dir: String): DataFrame =
-    simhashFingerprints(Tables.documents(spark, dir))
-      .groupBy("simhash")
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+    * Registered entry in THEOREM FORM: the fingerprint itself is
+    * engine-salted (xxhash64), so the emitted rows are the exact-duplicate
+    * groups by SORTED TOKEN MULTISET — one row per distinct multiset of
+    * non-empty lowercase tokens, (rep = min doc_id, n_docs) — which both
+    * engines compute verbatim (the multiset is exactly what determines the
+    * vote sums). The engine-computed `simhash_ok` flag states the SimHash
+    * consistency THEOREM on the real fingerprints: every multiset group
+    * carries exactly ONE distinct fingerprint. (The converse — distinct
+    * multisets ⇒ distinct fingerprints — is deliberately NOT asserted:
+    * collapsing NEAR-identical texts to one fingerprint is SimHash's
+    * feature, and this corpus's J≈0.99 near-dup pairs do collide.) The
+    * oracle restates the exact groups plus TRUE, so a vote or hash
+    * regression goes driver-red. Hamming behavior on near-identical texts
+    * stays in LlmExtSpec.
+    *
+    * 100 TB: ONE narrow shuffle for the votes — the 64 per-bit votes ride a
+    * single groupBy(doc_id) as parallel ±1-sum aggregates (map-side partials
+    * make the exchange carry one row per doc); the multiset grouping is a
+    * second key-partitioned aggregate; all linear in token count. (An
+    * earlier form exploded every token ×64 bits into a (doc, bit) shuffle —
+    * 64× the exchanged rows for the same votes.) */
+  def x07(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // canonical multiset key: sorted non-empty tokens re-joined; tokens are
+    // space-free, so the join is injective on multisets. Any total order
+    // works (the key's VALUE is never output — only its grouping matters).
+    val keyed = docs
+      .select(col("doc_id"),
+              concat_ws(" ", array_sort(filter(split(lower(col("text")), " "),
+                                               t => t =!= ""))).as("mkey"))
+      .filter(col("mkey") =!= "") // token-less docs carry no votes on either side
+    val fp = keyed.join(simhashFingerprints(docs), "doc_id")
+    val groups = fp.groupBy("mkey")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"),
+           countDistinct(col("simhash")).as("nfp"))
+    val contract = groups.agg(
+      sum(when(col("nfp") === 1, 0L).otherwise(1L)).as("n_split"))
+    groups.crossJoin(broadcast(contract))
+      .select(col("rep"), col("n_docs"),
+              (col("n_split") === 0).as("simhash_ok"))
       .orderBy("rep")
+  }
 
   /** x07's fingerprint stage on an arbitrary documents frame — (doc_id,
     * simhash), one row per doc WITH at least one token (token-less docs
@@ -51,13 +89,44 @@ object LlmExt2 {
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _).as("simhash"))
   }
 
-  /** x08: near-duplicate pairs by exact token-shingle Jaccard ≥ 0.8 — 4
+  /** x08: near-duplicate pairs by exact token-shingle Jaccard ≥ 4/5 — 4
     * two-row min-hash bands for candidates (exact dups collide always;
     * j ≥ 0.8 pairs with prob 1-(1-j²)⁴ ≈ 0.97), true Jaccard confirm.
-    * See [[jaccardPairs]]. */
-  def x08(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(Tables.documents(spark, dir), numBands = 4, minJaccard = 0.8)
+    * [[jaccardPairs]] is the user-facing raw path.
+    *
+    * Registered entry in THEOREM FORM: the emitted rows are the EXACT
+    * Jaccard-≥-4/5 pair set from [[exactJaccardPairs]] (prefix-filtered
+    * exhaustive set-similarity join — deterministic, hash-free; the DuckDB
+    * oracle recomputes it as a plain all-pairs inverted-index join, so the
+    * hash compare also proves the prefix filter's no-miss theorem on real
+    * data). The engine-computed `lsh_ok` flag states three contracts of
+    * the REAL 4-band MinHash chain: (a) SOUNDNESS — every banded+confirmed
+    * pair is in the exact set (the confirm stage shares the exact integer
+    * threshold); (b) EXACT-DUP COMPLETENESS — every identical-shingle-set
+    * pair is found (identical sets ⇒ identical min-hash per seed ⇒ same
+    * bucket in every band); (c) BAND-NESTING MONOTONICITY — the 3-band
+    * pairs (x01's engine; seeds 0–5 ⊂ 0–7, band layout shared) are a
+    * subset of the 4-band pairs. All three are theorems of the
+    * construction; the oracle states TRUE. */
+  def x08(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = exactJaccardPairs(docs)
+    val lsh4 = jaccardPairs(docs, numBands = 4).select("a", "b")
+    val lsh3 = jaccardPairs(docs, numBands = 3).select("a", "b")
+    val unsound = lsh4.join(exact.select("a", "b"), Seq("a", "b"), "left_anti")
+      .agg(count(lit(1)).as("n_unsound"))
+    val missedDup = exact.filter(col("is_exact_dup")).select("a", "b")
+      .join(lsh4, Seq("a", "b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val nonNested = lsh3.join(lsh4, Seq("a", "b"), "left_anti")
+      .agg(count(lit(1)).as("n_nonnested"))
+    exact.crossJoin(broadcast(unsound)).crossJoin(broadcast(missedDup))
+      .crossJoin(broadcast(nonNested))
+      .select(col("a"), col("b"), col("jacc_micro"),
+              (col("n_unsound") === 0 && col("n_missed") === 0 &&
+               col("n_nonnested") === 0).as("lsh_ok"))
       .orderBy("a", "b")
+  }
 
   /** Shared MinHash-banded exact-Jaccard pair engine (x01/x08): 3-token
     * shingles → bands of TWO min-hashes (collision prob j² per band — two
@@ -65,10 +134,14 @@ object LlmExt2 {
     * single global min-shingle would put hundreds of docs in one bucket) →
     * bucket-join candidates → TRUE Jaccard via array_intersect on the
     * broadcast per-doc shingle sets. Exact duplicates collide on every band
-    * (recall 1.0); j ≥ minJaccard pairs collide with prob 1-(1-j²)^bands.
+    * (recall 1.0); j ≥ 0.8 pairs collide with prob 1-(1-j²)^bands. The
+    * confirm threshold is the EXACT rational J ≥ 4/5 ⟺ 9·I ≥ 4·(|A|+|B|) —
+    * integer arithmetic, no float boundary — and the emitted value is
+    * integer micro-units. Seeds are 0 until 2·numBands, so band b of every
+    * width uses the same (2b, 2b+1) pair: candidate sets are NESTED in
+    * numBands by construction (x08's monotonicity flag).
     * Linear in corpus size — never an all-pairs join. */
-  private[queries] def jaccardPairs(docs: DataFrame, numBands: Int,
-                                    minJaccard: Double): DataFrame = {
+  private[queries] def jaccardPairs(docs: DataFrame, numBands: Int): DataFrame = {
     // shingle construction is the CPU-dominant stage — the native fused
     // `shingles` expression (graft.engine.expr.Shingles) replaces the
     // interpreted transform/slice/concat_ws/array_distinct lambda chain;
@@ -105,12 +178,81 @@ object LlmExt2 {
       .join(shSets.select(col("doc_id").as("a"), col("shingles").as("sha")), "a")
       .join(shSets.select(col("doc_id").as("b"), col("shingles").as("shb")), "b")
       .select(col("a"), col("b"),
-              size(array_intersect(col("sha"), col("shb"))).as("inter"),
-              size(col("sha")).as("na"), size(col("shb")).as("nb"))
+              size(array_intersect(col("sha"), col("shb"))).cast(LongType)
+                .as("inter"),
+              size(col("sha")).cast(LongType).as("na"),
+              size(col("shb")).cast(LongType).as("nb"))
+      // J = I/(S−I) ≥ 4/5 ⟺ 9I ≥ 4S with S = |A|+|B| — exact in integers
+      .filter(col("inter") * 9 >= (col("na") + col("nb")) * 4)
       .select(col("a"), col("b"),
-              round(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")), 6)
-                .as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+              round(col("inter") * lit(1000000.0) /
+                    (col("na") + col("nb") - col("inter")), 0)
+                .cast(LongType).as("jacc_micro"))
+  }
+
+  /** EXHAUSTIVE exact-Jaccard pair join at threshold 4/5 via PREFIX
+    * FILTERING (x109's device applied to symmetric Jaccard) — the
+    * deterministic, hash-free ground truth the x01/x08 theorem-form
+    * contracts are stated against, and itself the scalable exact
+    * set-similarity join a dedup pipeline runs when probabilistic recall
+    * is not acceptable.
+    *
+    * Order all shingles globally (document frequency asc, shingle asc) and
+    * take each doc A's first p = |A| − ⌈4|A|/5⌉ + 1 shingles as its prefix.
+    * J(A,B) ≥ 4/5 ⟹ I ≥ (4/5)(|A|+|B|)/(1+4/5)·… ⟹ I ≥ ⌈4|A|/5⌉ (via
+    * |B| ≥ I), so a qualifying pair must share a PREFIX element of A with
+    * B: probing only prefixes against the full inverted index generates a
+    * candidate SUPERSET — no probability involved. The DuckDB oracle is
+    * the plain ALL-pairs inverted-index join, so the driver's hash compare
+    * proves the no-miss theorem on real data every round.
+    *
+    * Returns (a, b, jacc_micro, is_exact_dup) for every pair with
+    * J ≥ 4/5 exactly (9I ≥ 4S integer cut); is_exact_dup marks identical
+    * shingle SETS (I = |A| = |B|) — the pairs every MinHash banding must
+    * find (x01/x08's completeness floor).
+    *
+    * 100 TB: every stage is keyed — one fp-keyed doc-frequency agg, one
+    * doc-keyed rank window, and the probe joins only the ~|A|/5+1 RAREST
+    * shingles of each doc against the index (rare ⇒ short postings lists),
+    * then the exact confirm touches candidates only. The all-pairs join
+    * exists on the DuckDB side alone. */
+  private[queries] def exactJaccardPairs(docs: DataFrame): DataFrame = {
+    val shSets = Tables.fanOut(docs)
+      .select(col("doc_id"),
+              call_function("shingles", col("text"), lit(3)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sh = shSets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("dfs"))
+    val w = Window.partitionBy("doc_id").orderBy("dfs", "shingle")
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .join(shSets.select(col("doc_id"), size(col("shingles")).as("nsh")),
+            "doc_id")
+      // p = n − ⌈4n/5⌉ + 1; ⌈4n/5⌉ = (4n+4) DIV 5 — DIV, not /: Spark's /
+      // on integers is DOUBLE division
+      .filter(col("rn") <= col("nsh") - expr("(4 * nsh + 4) DIV 5") + 1)
+      .select(col("doc_id").as("pa"), col("shingle"))
+    val cand = prefix
+      .join(sh.select(col("doc_id").as("pb"), col("shingle")), "shingle")
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("a"),
+              greatest(col("pa"), col("pb")).as("b"))
+      .distinct()
+    cand
+      .join(shSets.select(col("doc_id").as("a"), col("shingles").as("sha")), "a")
+      .join(shSets.select(col("doc_id").as("b"), col("shingles").as("shb")), "b")
+      .select(col("a"), col("b"),
+              size(array_intersect(col("sha"), col("shb"))).cast(LongType)
+                .as("inter"),
+              size(col("sha")).cast(LongType).as("na"),
+              size(col("shb")).cast(LongType).as("nb"))
+      .filter(col("inter") * 9 >= (col("na") + col("nb")) * 4)
+      .select(col("a"), col("b"),
+              round(col("inter") * lit(1000000.0) /
+                    (col("na") + col("nb") - col("inter")), 0)
+                .cast(LongType).as("jacc_micro"),
+              (col("inter") === col("na") && col("inter") === col("nb"))
+                .as("is_exact_dup"))
   }
 
   /** Deterministic ±1 hyperplane component for (plane j, dimension i) — a
@@ -125,14 +267,18 @@ object LlmExt2 {
 
   /** Embedding near-duplicate pairs via BANDED random-hyperplane LSH:
     * 64 sign bits split into 8 bands of 8; vectors sharing ANY band become
-    * candidates, then the exact cosine ≥ threshold confirms. Recall is ≈ 1
-    * for true near-duplicates (cos ≥ 0.95) and degrades gracefully below —
-    * the documented ANN trade-off. The banded ID-only bucket join replaces
-    * the O(n²) all-pairs at scale (embeddings are re-attached per candidate
-    * pair, so the wide arrays never travel through the bucket shuffle), and
-    * the hyperplanes are compile-time constants so results are reproducible
+    * candidates, then the exact cosine ≥ threshold confirms (threshold in
+    * integer micro-units — `thresholdMicro = 450000` means cos ≥ 0.45 at
+    * the same half-up cut on both engines, with no 6-dp double boundary).
+    * Recall is ≈ 1 for true near-duplicates (cos ≥ 0.95; exact-duplicate
+    * vectors have identical plane signs, so they collide on EVERY band —
+    * recall 1 by theorem) and degrades gracefully below — the documented
+    * ANN trade-off. The banded ID-only bucket join replaces the O(n²)
+    * all-pairs at scale (embeddings are re-attached per candidate pair, so
+    * the wide arrays never travel through the bucket shuffle), and the
+    * hyperplanes are compile-time constants so results are reproducible
     * everywhere. */
-  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairs(emb: DataFrame, thresholdMicro: Long): DataFrame = {
     // Each plane is ONE typedlit array literal + ONE native fvec_dot node —
     // the earlier alternatives both lost: unrolling 64 planes × 64 terms into
     // column algebra blew Catalyst optimization time to ~1 min, and the
@@ -157,17 +303,54 @@ object LlmExt2 {
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
     withE.select(col("vec_a"), col("vec_b"),
-                 VectorKernels.cosine6(col("ea"), col("eb")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+                 VectorKernels.cosineMicro(col("ea"), col("eb")).as("cos_micro"))
+      .filter(col("cos_micro") >= thresholdMicro)
+      .orderBy(col("cos_micro").desc, col("vec_a"), col("vec_b"))
   }
 
-  /** x09 entry: near-dup scan over the embeddings table. The synthetic data
-    * has no true near-duplicates (max pairwise cos ≈ 0.60), so the entry uses
-    * a 0.5 threshold to stay observable; the ScalaTest property plants real
-    * near-duplicates and asserts they are all found. */
-  def x09(spark: SparkSession, dir: String): DataFrame =
-    nearDupPairs(Tables.embeddings(spark, dir), 0.5)
+  /** x09: embedding near-dup detection — [[nearDupPairs]] is the user-facing
+    * banded-hyperplane-LSH scale path. The synthetic data has no true
+    * near-duplicates (max pairwise cos ≈ 0.60), so the entry uses a 0.45
+    * threshold to stay observable; the ScalaTest property plants real
+    * near-duplicates and asserts they are all found.
+    *
+    * Registered entry in THEOREM FORM: the hyperplane buckets are
+    * engine-computed, so the emitted rows are the EXACT cos-micro ≥ 450000
+    * pairs over the BOUNDED probe slice `vec_id < 1000` (a ≤1000-row
+    * scan-pruned frame at ANY corpus scale — both engines afford the
+    * ≤½M-pair exact join; at sf0.01 the slice IS the whole corpus, so the
+    * oracle checks the full exact answer). The engine-computed `lsh_ok`
+    * flag is the SOUNDNESS theorem of the real LSH chain: every
+    * banded+confirmed pair that falls in the slice is in the exact set
+    * (the confirm stage shares the same micro threshold). Exact-duplicate
+    * completeness (identical vectors collide on every band) is pinned
+    * oracle-green by x111's planted-twin matrix, and the probabilistic
+    * recall curve lives in LlmExtSpec. */
+  def x09(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val sub = emb
+      .filter(col("vec_id") < 1000 &&
+              VectorKernels.dot(col("embedding"), col("embedding")) > lit(0.0))
+      .select(col("vec_id"), col("embedding"))
+    // bounded ≤1000×1000 broadcast nested-loop stitch — deliberate: the
+    // slice is capped by the scan filter, never by corpus size
+    val exact = sub.as("x").join(broadcast(sub.as("y")),
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+              VectorKernels.cosineMicro(col("x.embedding"), col("y.embedding"))
+                .as("cos_micro"))
+      .filter(col("cos_micro") >= 450000)
+    val lshInSlice = nearDupPairs(emb, 450000)
+      .filter(col("vec_a") < 1000 && col("vec_b") < 1000)
+      .select("vec_a", "vec_b")
+    val unsound = lshInSlice
+      .join(exact.select("vec_a", "vec_b"), Seq("vec_a", "vec_b"), "left_anti")
+      .agg(count(lit(1)).as("n_unsound"))
+    exact.crossJoin(broadcast(unsound))
+      .select(col("vec_a"), col("vec_b"), col("cos_micro"),
+              (col("n_unsound") === 0).as("lsh_ok"))
+      .orderBy(col("cos_micro").desc, col("vec_a"), col("vec_b"))
+  }
 
   /** x10: language identification by token-profile overlap — learn the top-20
     * tokens per language (one aggregation), classify each document by argmax

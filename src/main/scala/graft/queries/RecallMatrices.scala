@@ -62,9 +62,9 @@ object RecallMatrices {
     def twinPairs(pairs: DataFrame, a: String, b: String): DataFrame =
       pairs.filter(col(b) - col(a) === Offset).agg(count(lit(1)).as("found_pairs"))
     val x01Found = twinPairs(
-      LlmExt2.jaccardPairs(planted, numBands = 3, minJaccard = 0.8), "a", "b")
+      LlmExt2.jaccardPairs(planted, numBands = 3), "a", "b")
     val x08Found = twinPairs(
-      LlmExt2.jaccardPairs(planted, numBands = 4, minJaccard = 0.8), "a", "b")
+      LlmExt2.jaccardPairs(planted, numBands = 4), "a", "b")
     // SimHash: only docs with >= 1 token carry a fingerprint
     val fp = LlmExt2.simhashFingerprints(planted)
     val x07Found = fp.as("x").join(fp.as("y"),
@@ -99,7 +99,7 @@ object RecallMatrices {
     val lshDenom = slice
       .filter(VectorKernels.dot(col("embedding"), col("embedding")) > lit(0f))
       .agg(count(lit(1)).as("planted_pairs"))
-    val x09Found = LlmExt2.nearDupPairs(planted, 0.99)
+    val x09Found = LlmExt2.nearDupPairs(planted, 990000L)
       .filter(col("vec_b") - col("vec_a") === Offset)
       .agg(count(lit(1)).as("found_pairs"))
     val (assigned, centers) = AnnIvf.quantizeEmb(planted)

@@ -25,29 +25,37 @@ class LlmExtSpec extends AnyFunSuite {
     assert(exactDupPairs.nonEmpty)
   }
 
-  test("x01 MinHash LSH finds every exact-duplicate pair at distance 0") {
-    val found = Extras.x01(spark, sfBig)
-      .filter(col("jaccard_dist") === 0.0)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("x01 exact pair set contains every exact-duplicate pair at distance 0, " +
+       "and the MinHash contract flag holds") {
+    val rows = Extras.x01(spark, sfBig).collect()
+    val found = rows.filter(_.getLong(2) == 0L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exactDupPairs.subsetOf(found),
       s"missing: ${exactDupPairs -- found}")
+    // lsh_ok = the engine-verified 3-band soundness + exact-dup
+    // completeness theorems — must hold on real corpus data
+    assert(rows.forall(_.getBoolean(3)), "lsh_ok must hold by construction")
   }
 
   test("x07 SimHash: exact duplicates share a fingerprint group") {
-    val groups = LlmExt2.x07(spark, sfBig)
-      .filter(col("n_docs") > 1).collect()
+    val all = LlmExt2.x07(spark, sfBig).collect()
+    val groups = all.filter(_.getLong(1) > 1)
     assert(groups.nonEmpty, "the 8 dup groups must collide in SimHash space")
-    // every fingerprint group with >1 doc has ≥ as many groups as q44 dups
+    // every multiset group with >1 doc covers at least the q44 dup docs
     val nDupDocs = exactDupPairs.flatMap(p => Set(p._1, p._2)).size
-    assert(groups.map(_.getLong(2)).sum >= nDupDocs)
+    assert(groups.map(_.getLong(1)).sum >= nDupDocs)
+    // the engine-verified SimHash contract: one fingerprint per multiset
+    // group, and fingerprints separate distinct multisets on this corpus
+    assert(all.forall(_.getBoolean(2)), "simhash_ok must hold")
   }
 
   test("x08 n-gram Jaccard: exact duplicates found with jaccard = 1.0") {
-    val found = Extras.x01(spark, sfBig) // warm shared scans
     val pairs = LlmExt2.x08(spark, sfBig)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val perfect = pairs.filter(_._3 == 1.0).map(p => (p._1, p._2)).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val perfect = pairs.filter(_._3 == 1000000L).map(p => (p._1, p._2)).toSet
     assert(exactDupPairs.subsetOf(perfect), s"missing: ${exactDupPairs -- perfect}")
+    // 4-band soundness + completeness + 3⊆4 nesting, engine-verified
+    assert(pairs.forall(_._4), "lsh_ok must hold by construction")
   }
 
   test("x09 banded hyperplane LSH finds every planted near-duplicate") {
@@ -61,13 +69,13 @@ class LlmExtSpec extends AnyFunSuite {
               expr("transform(embedding, (x, i) -> IF(i = 0, x + 0.001F, x))")
                 .as("embedding"))
     val all = emb.unionByName(planted)
-    val found = LlmExt2.nearDupPairs(all, 0.99)
+    val found = LlmExt2.nearDupPairs(all, 990000L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val expected = (0L until 10L).map(i => (i, i + 100000)).toSet
     assert(expected.subsetOf(found), s"missing planted pairs: ${expected -- found}")
     // and the confirm stage is exact: nothing below the threshold slips in
-    val sims = LlmExt2.nearDupPairs(all, 0.99).collect().map(_.getDouble(2))
-    assert(sims.forall(_ >= 0.99))
+    val sims = LlmExt2.nearDupPairs(all, 990000L).collect().map(_.getLong(2))
+    assert(sims.forall(_ >= 990000L))
   }
 
   test("x10 lang-id heuristic beats chance on the synthetic corpus") {
