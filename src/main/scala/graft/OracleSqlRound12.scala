@@ -16,6 +16,95 @@ package graft
   */
 object OracleSqlRound12 {
 
+  /** x281 chain, GENERATED per chunk count m (the x215 device): the full
+    * q41+q42 Chi-CS train+score chain with the paper's m-chunk map-side
+    * learning semantics — chunk-local weight sums and conflict resolution,
+    * max-RW fusion across chunks — over q41's two-attribute task. The
+    * membership/argmax/weight fragments are verbatim from the proven
+    * OracleSqlMl q41/q42 chain; the chunk id is the portable Knuth mix of
+    * (l_orderkey, l_linenumber) both engines replay. */
+  private def mChunkChainAt(m: Int): String = {
+    val wt =
+      """CAST(ROUND(
+        |      (CASE WHEN l.cls=1 THEN (SELECT c1 FROM costs) ELSE (SELECT c0 FROM costs) END)
+        |    * GREATEST(0,1-ABS(l.x1 - (CASE a.a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)
+        |    * GREATEST(0,1-ABS(l.x2 - (CASE a.a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05),
+        |    12) AS DECIMAL(38,12))""".stripMargin
+    s"""SELECT * FROM (
+       |WITH base AS (
+       |  SELECT l_orderkey, l_linenumber, l_quantity AS x1, l_discount AS x2,
+       |         CASE WHEN l_extendedprice > 95000 THEN 1 ELSE 0 END AS cls,
+       |         ((l_orderkey % 100000000) * 2654435761
+       |          + l_linenumber * 97564181) % 2147483647 % $m AS chunk
+       |  FROM lineitem),
+       |costs AS (
+       |  SELECT MAX(CASE WHEN cls=1 THEN c END) AS c1,
+       |         MAX(CASE WHEN cls=0 THEN c END) AS c0 FROM (
+       |    SELECT cls, CASE WHEN n = MIN(n) OVER () THEN MAX(n) OVER () * 1.0 / n
+       |                     ELSE 1.0 END AS c
+       |    FROM (SELECT cls, COUNT(*) AS n FROM base GROUP BY cls))),
+       |maj AS (SELECT cls FROM (SELECT cls, COUNT(*) AS n FROM base
+       |                         GROUP BY 1 ORDER BY n DESC, cls LIMIT 1)),
+       |lab AS (
+       |  SELECT *,
+       |    CASE WHEN GREATEST(0,1-ABS(x1-1.0)/24.5) >= GREATEST(0,1-ABS(x1-25.5)/24.5)
+       |          AND GREATEST(0,1-ABS(x1-1.0)/24.5) >= GREATEST(0,1-ABS(x1-50.0)/24.5) THEN 0
+       |         WHEN GREATEST(0,1-ABS(x1-25.5)/24.5) >= GREATEST(0,1-ABS(x1-50.0)/24.5) THEN 1
+       |         ELSE 2 END AS a1,
+       |    CASE WHEN GREATEST(0,1-ABS(x2-0.0)/0.05) >= GREATEST(0,1-ABS(x2-0.05)/0.05)
+       |          AND GREATEST(0,1-ABS(x2-0.0)/0.05) >= GREATEST(0,1-ABS(x2-0.1)/0.05) THEN 0
+       |         WHEN GREATEST(0,1-ABS(x2-0.05)/0.05) >= GREATEST(0,1-ABS(x2-0.1)/0.05) THEN 1
+       |         ELSE 2 END AS a2
+       |  FROM base),
+       |ants AS (SELECT DISTINCT chunk, a1, a2, cls FROM lab),
+       |wsum AS (
+       |  SELECT a.chunk, a.a1, a.a2, a.cls AS rule_cls,
+       |    SUM(CASE WHEN l.cls = a.cls THEN $wt END) AS w_match,
+       |    SUM($wt) AS w_all
+       |  FROM ants a JOIN lab l ON l.chunk = a.chunk GROUP BY 1, 2, 3, 4),
+       |rw AS (SELECT chunk, a1, a2, rule_cls,
+       |              CAST(ROUND(2*w_match - w_all, 6) AS DOUBLE)
+       |                / CAST(ROUND(w_all, 6) AS DOUBLE) AS rw
+       |       FROM wsum WHERE w_all > 0),
+       |prb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk, a1, a2
+       |                                     ORDER BY rw DESC, rule_cls) AS rn
+       |        FROM rw),
+       |partial AS (SELECT chunk, a1, a2, rule_cls, rw
+       |            FROM prb WHERE rn = 1 AND rw > 0),
+       |fused AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY a1, a2
+       |                                       ORDER BY rw DESC, rule_cls) AS fn
+       |          FROM partial),
+       |final_rb AS (SELECT a1, a2, rule_cls, rw FROM fused WHERE fn = 1),
+       |gex AS (SELECT x1, x2, cls, COUNT(*) AS mm FROM lab GROUP BY x1, x2, cls),
+       |scored AS (
+       |  SELECT g.x1, g.x2, g.cls AS actual, g.mm, r.rule_cls,
+       |    ROUND(GREATEST(0,1-ABS(g.x1 - (CASE r.a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)
+       |        * GREATEST(0,1-ABS(g.x2 - (CASE r.a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05)
+       |        * r.rw, 12) AS score
+       |  FROM gex g CROSS JOIN final_rb r),
+       |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY x1, x2, actual
+       |                                      ORDER BY score DESC, rule_cls) AS rn
+       |         FROM scored),
+       |win AS (SELECT actual, mm,
+       |               CASE WHEN score > 0 THEN rule_cls
+       |                    ELSE (SELECT cls FROM maj) END AS pred
+       |        FROM best WHERE rn = 1),
+       |nrc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rules FROM final_rb),
+       |cm AS (
+       |  SELECT SUM(CASE WHEN actual=1 AND pred=1 THEN mm ELSE 0 END) AS tp,
+       |         SUM(CASE WHEN actual=0 AND pred=0 THEN mm ELSE 0 END) AS tn,
+       |         SUM(CASE WHEN actual=0 AND pred=1 THEN mm ELSE 0 END) AS fp,
+       |         SUM(CASE WHEN actual=1 AND pred=0 THEN mm ELSE 0 END) AS fn
+       |  FROM win)
+       |SELECT CAST($m AS BIGINT) AS m, nrc.n_rules,
+       |       CAST(ROUND((tp+tn) * 1000000.0 / (tp+tn+fp+fn), 0) AS BIGINT)
+       |         AS acc_ppm,
+       |       CAST(ROUND(SQRT((tp*1.0/(tp+fn)) * (tn*1.0/(tn+fp))) * 1000000,
+       |                  0) AS BIGINT) AS gm_ppm
+       |FROM cm CROSS JOIN nrc
+       |)""".stripMargin
+  }
+
   /** Shared exact-Jaccard CTE chain: 3-token shingle sets of
     * `lower(text)` split on single spaces (split keeps empty tokens; a
     * sub-3-token doc yields its single shorter shingle — exactly the native
@@ -101,6 +190,11 @@ object OracleSqlRound12 {
         |  WHERE a.nrm > 0 AND b.nrm > 0)
         |SELECT vec_a, vec_b, cos_micro, TRUE AS lsh_ok FROM p
         |WHERE cos_micro >= 450000
-        |ORDER BY cos_micro DESC, vec_a, vec_b""".stripMargin
+        |ORDER BY cos_micro DESC, vec_a, vec_b""".stripMargin,
+
+    // x281: the m-chunk map-side learning ablation — one generated
+    // chunked q41+q42 chain per m, unioned (the x215 device).
+    "x281_chi_mchunk_ablation" ->
+      (Seq(1, 4, 16).map(mChunkChainAt).mkString("", "\nUNION ALL\n", "\nORDER BY m"))
   )
 }

@@ -410,4 +410,143 @@ object ChiMl {
           .as("lift_ppm"))
       .orderBy("decile")
   }
+
+  /** x281: m-CHUNK MAP-SIDE LEARNING ABLATION — the paper's actual
+    * MapReduce scheme ([P1 §4.2], SURVEY §2.1 R5/R7): each of m mappers
+    * learns a rule base over ITS data chunk only (chunk-local CS-PCF
+    * weights, chunk-local conflict resolution) and the reducer fuses the
+    * partial bases keeping, per antecedent, the rule with maximum weight
+    * (tie → lowest class). Every other key here computes the exact GLOBAL
+    * rule base (≡ m = 1 — a strictly better, mapper-count-independent
+    * answer the paper's single-pass scheme cannot reach); this key
+    * reproduces the paper's m-SENSITIVITY — its §5.3 scaling axis — at
+    * m ∈ {1, 4, 16} with DETERMINISTIC chunking: the portable Knuth mix of
+    * (l_orderkey, l_linenumber), a reproducible stand-in for HDFS split
+    * assignment both engines replay. The cost vector and majority class
+    * stay GLOBAL (the paper derives the IR costs from the full training
+    * distribution before the map phase). Output per m: fused RB size and
+    * training accuracy / GM in bit-stable micro-units.
+    *
+    * m = 1 is the identity leg — Round12Spec pins its fused RB ≡ the
+    * global q41/x06 rule base rule-for-rule. At m > 1 each chunk's RW
+    * denominator sees only that chunk's counter-example mass, so partial
+    * RWs drift UP for locally-clean antecedents and max-RW fusion keeps
+    * the most optimistic chunk's consequent. Measured drift at sf0.01
+    * (driver-checked values): RB size stays 9 at every m — the antecedent
+    * grid is saturated — but the CONSEQUENTS flip: accuracy climbs
+    * 458 967 → 489 067 → 819 000 ppm while GM collapses
+    * 502 129 → 508 505 → 307 556 ppm from m=1 to m=16. That is the paper's
+    * §5.3 observation reproduced: chunk-local weighting dissolves the
+    * cost-sensitive minority protection as the mapper count grows, trading
+    * minority recall (GM) for raw accuracy.
+    *
+    * 100 TB: the chunk id is one map-side column; candidates stay ≤
+    * m·L²·|C| rows (broadcast both sides of the weight join); the weight
+    * aggregation is ONE (chunk, antecedent, class)-keyed partial+final agg
+    * — the paper's m single-JVM mappers become m logical key groups in the
+    * same shuffle, so m scales freely without re-planning. */
+  def x281(spark: SparkSession, dir: String): DataFrame =
+    Seq(1, 4, 16).map(m => mChunkReport(spark, dir, m))
+      .reduce(_ unionByName _).orderBy("m")
+
+  /** The fused rule base of the m-chunk scheme (x281's core; also the
+    * Round12Spec m=1 identity probe). Returns (ra1, ra2, rcls, rw). */
+  private[graft] def mChunkFusedRb(spark: SparkSession, dir: String,
+                                   m: Int): DataFrame = {
+    val gex = mChunkGex(spark, dir, m)
+    val all = Window.partitionBy()
+    val costsDf = {
+      val withC = gex.groupBy("cls").agg(sum(col("mcnt")).as("n"))
+        .withColumn("c",
+          when(col("n") === min("n").over(all),
+               max("n").over(all) * lit(1.0) / col("n"))
+            .otherwise(lit(1.0)))
+      withC.agg(max(when(col("cls") === 1, col("c"))).as("c1"),
+                max(when(col("cls") === 0, col("c"))).as("c0"))
+    }
+    val ants = gex.select(col("chunk").as("achunk"), col("a1").as("ra1"),
+                          col("a2").as("ra2"), col("cls").as("rcls")).distinct()
+    val w = round(
+        when(col("cls") === 1, col("c1")).otherwise(col("c0")) *
+          ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
+          ChiCore.membershipAt(col("x2"), col("ra2"), P2),
+        12).cast(DecimalType(18, 12)) * col("mcnt").cast(DecimalType(19, 0))
+    val sums = gex.crossJoin(broadcast(costsDf))
+      .join(broadcast(ants), col("chunk") === col("achunk"))
+      .select(col("chunk"), col("ra1"), col("ra2"), col("rcls"), col("cls"),
+              w.as("w"))
+      .groupBy("chunk", "ra1", "ra2", "rcls")
+      .agg(sum(when(col("cls") === col("rcls"), col("w"))).as("w_match"),
+           sum(col("w")).as("w_all"))
+    val rw = sums.filter(col("w_all") > 0)
+      .withColumn("rw",
+        round(col("w_match") * 2 - col("w_all"), 6).cast(DoubleType) /
+          round(col("w_all"), 6).cast(DoubleType))
+    // chunk-local conflict resolution (the mapper's R6/R7)…
+    val byChunkAnt = Window.partitionBy("chunk", "ra1", "ra2")
+      .orderBy(col("rw").desc, col("rcls"))
+    val partial = rw.withColumn("rn", row_number().over(byChunkAnt))
+      .filter(col("rn") === 1 && col("rw") > 0)
+    // …then the reducer's max-RW fusion across chunks (tie → lowest class;
+    // equal (rw, cls) rows from different chunks carry identical output
+    // values, so the pick among them is value-deterministic)
+    val byAnt = Window.partitionBy("ra1", "ra2")
+      .orderBy(col("rw").desc, col("rcls"))
+    partial.withColumn("fn", row_number().over(byAnt))
+      .filter(col("fn") === 1)
+      .select(col("ra1"), col("ra2"), col("rcls"), col("rw"))
+  }
+
+  /** Chunk-compressed training view: one row per DISTINCT
+    * (chunk, feature vector, argmax antecedent, class) with multiplicity —
+    * every downstream input of the m-chunk chain derives from this ONE
+    * aggregate (ReusedExchange serves the other consumers). */
+  private def mChunkGex(spark: SparkSession, dir: String, m: Int): DataFrame =
+    labeled(spark, dir)
+      .withColumn("chunk",
+        (((col("l_orderkey") % 100000000L) * lit(2654435761L) +
+          col("l_linenumber") * lit(97564181L)) % lit(2147483647L) % m)
+          .cast(IntegerType))
+      .groupBy("chunk", "x1", "x2", "a1", "a2", "cls")
+      .agg(count(lit(1)).as("mcnt"))
+
+  /** One (m, n_rules, acc_ppm, gm_ppm) report row: fuse, score the full
+    * training corpus with the fused base (winning-rule, global-majority
+    * no-match fallback), reduce to micro-unit accuracy / GM. */
+  private def mChunkReport(spark: SparkSession, dir: String, m: Int): DataFrame = {
+    val gex = mChunkGex(spark, dir, m)
+    // the fused base is ≤ L²·|C| rows read by two consumers — materialize
+    // once instead of re-deriving the whole chunked chain per consumer
+    val fused = mChunkFusedRb(spark, dir, m).localCheckpoint(true)
+    val majDf = gex.groupBy("cls").agg(sum(col("mcnt")).as("n"))
+      .orderBy(col("n").desc, col("cls")).limit(1)
+      .select(col("cls").as("maj"))
+    val gexS = gex.groupBy("x1", "x2", "cls").agg(sum(col("mcnt")).as("mm"))
+    val scored = gexS.crossJoin(broadcast(fused))
+      .withColumn("score",
+        round(ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
+              ChiCore.membershipAt(col("x2"), col("ra2"), P2) * col("rw"), 12))
+    val perEx = Window.partitionBy("x1", "x2", "cls")
+      .orderBy(col("score").desc, col("rcls"))
+    val win = scored.withColumn("rn", row_number().over(perEx))
+      .filter(col("rn") === 1)
+      .crossJoin(broadcast(majDf))
+      .select(col("cls").as("actual"),
+              when(col("score") > 0, col("rcls")).otherwise(col("maj"))
+                .as("pred"),
+              col("mm"))
+    val cm = win.agg(
+      sum(when(col("actual") === 1 && col("pred") === 1, col("mm")).otherwise(0L)).as("tp"),
+      sum(when(col("actual") === 0 && col("pred") === 0, col("mm")).otherwise(0L)).as("tn"),
+      sum(when(col("actual") === 0 && col("pred") === 1, col("mm")).otherwise(0L)).as("fp"),
+      sum(when(col("actual") === 1 && col("pred") === 0, col("mm")).otherwise(0L)).as("fn"))
+    val tpr: Column = col("tp") * lit(1.0) / (col("tp") + col("fn"))
+    val tnr: Column = col("tn") * lit(1.0) / (col("tn") + col("fp"))
+    cm.crossJoin(broadcast(fused.agg(count(lit(1)).as("n_rules"))))
+      .select(lit(m.toLong).as("m"), col("n_rules"),
+              round((col("tp") + col("tn")) * lit(1000000.0) /
+                    (col("tp") + col("tn") + col("fp") + col("fn")), 0)
+                .cast(LongType).as("acc_ppm"),
+              round(sqrt(tpr * tnr) * 1000000, 0).cast(LongType).as("gm_ppm"))
+  }
 }
