@@ -195,6 +195,82 @@ object OracleSqlRound12 {
     // x281: the m-chunk map-side learning ablation — one generated
     // chunked q41+q42 chain per m, unioned (the x215 device).
     "x281_chi_mchunk_ablation" ->
-      (Seq(1, 4, 16).map(mChunkChainAt).mkString("", "\nUNION ALL\n", "\nORDER BY m"))
+      (Seq(1, 4, 16).map(mChunkChainAt).mkString("", "\nUNION ALL\n", "\nORDER BY m")),
+
+    // x282: one hard-EM round of the unigram LM — BOTH Viterbi rounds
+    // unrolled as the x262 enumeration device, the second joining weights
+    // re-estimated (add-one smoothed, capped) from the first's argmax.
+    "x282_unigram_em_round" -> x282Sql
   )
+
+  /** x282: the x262 recursive-CTE segmentation enumeration run TWICE —
+    * seg0 under the raw-gram-mass weights (x262's), u0 = round-0 per-piece
+    * Viterbi usage, inv1 = least(u0 + 1, 9999)·10^(4·(len−1)) over the
+    * SAME inventory, seg1 under inv1; per-position ties restated globally
+    * as (product DESC, reversed length list DESC) in both rounds. */
+  private def x282Sql: String = {
+    def segRound(name: String, rec: String, inv: String): String =
+      s"""$name AS (
+         |  WITH RECURSIVE $rec(tok, tf, pos, prod, lens, pieces) AS (
+         |    SELECT tok, tf, 0, CAST(1 AS HUGEINT),
+         |           CAST([] AS INTEGER[]), CAST([] AS VARCHAR[])
+         |    FROM vocab WHERE length(tok) <= 8
+         |    UNION ALL
+         |    SELECT $rec.tok, $rec.tf, $rec.pos + i.len, $rec.prod * i.wq,
+         |           list_append($rec.lens, i.len), list_append($rec.pieces, i.g)
+         |    FROM $rec JOIN $inv i ON i.g = substr($rec.tok, $rec.pos + 1, i.len)
+         |                         AND $rec.pos + i.len <= length($rec.tok)
+         |    WHERE $rec.pos < length($rec.tok))
+         |  SELECT tok, tf, pieces,
+         |         ROW_NUMBER() OVER (PARTITION BY tok
+         |             ORDER BY prod DESC, list_reverse(lens) DESC) AS rn
+         |  FROM $rec WHERE pos = length(tok))""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+       |                x -> x <> '')) AS tok
+       |  FROM documents),
+       |vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+       |bi AS (
+       |  SELECT substr(tok, i, 2) AS g, SUM(tf) AS w
+       |  FROM vocab, generate_series(1, 32) AS gs(i)
+       |  WHERE i + 1 <= length(tok) GROUP BY 1),
+       |tri AS (
+       |  SELECT substr(tok, i, 3) AS g, SUM(tf) AS w
+       |  FROM vocab, generate_series(1, 32) AS gs(i)
+       |  WHERE i + 2 <= length(tok) GROUP BY 1),
+       |ch AS (
+       |  SELECT substr(tok, i, 1) AS g, SUM(tf) AS w
+       |  FROM vocab, generate_series(1, 32) AS gs(i)
+       |  WHERE i <= length(tok) GROUP BY 1),
+       |inv AS (SELECT g, 1 AS len, w FROM ch
+       |        UNION ALL
+       |        SELECT g, 2, w FROM (SELECT g, w FROM bi
+       |                             ORDER BY w DESC, g LIMIT 30)
+       |        UNION ALL
+       |        SELECT g, 3, w FROM (SELECT g, w FROM tri
+       |                             ORDER BY w DESC, g LIMIT 20)),
+       |inv0 AS (SELECT g, len,
+       |           CAST(least(w, 9999) AS HUGEINT)
+       |             * CASE len WHEN 1 THEN 1 WHEN 2 THEN 10000
+       |                        ELSE 100000000 END AS wq
+       |         FROM inv),
+       |${segRound("best0", "r0", "inv0")},
+       |u0 AS (SELECT piece, CAST(SUM(tf) AS BIGINT) AS usage_r0
+       |       FROM (SELECT tf, unnest(pieces) AS piece
+       |             FROM best0 WHERE rn = 1) GROUP BY 1),
+       |inv1 AS (SELECT inv.g, inv.len,
+       |           CAST(least(COALESCE(u0.usage_r0, 0) + 1, 9999) AS HUGEINT)
+       |             * CASE inv.len WHEN 1 THEN 1 WHEN 2 THEN 10000
+       |                            ELSE 100000000 END AS wq
+       |         FROM inv LEFT JOIN u0 ON u0.piece = inv.g),
+       |${segRound("best1", "r1", "inv1")},
+       |u1 AS (SELECT piece, CAST(SUM(tf) AS BIGINT) AS usage_r1
+       |       FROM (SELECT tf, unnest(pieces) AS piece
+       |             FROM best1 WHERE rn = 1) GROUP BY 1)
+       |SELECT u1.piece, CAST(length(u1.piece) AS BIGINT) AS len,
+       |       CAST(COALESCE(u0.usage_r0, 0) AS BIGINT) AS usage_r0,
+       |       u1.usage_r1
+       |FROM u1 LEFT JOIN u0 ON u0.piece = u1.piece
+       |ORDER BY u1.usage_r1 DESC, u1.piece LIMIT 30""".stripMargin
+  }
 }

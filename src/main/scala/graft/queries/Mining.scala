@@ -548,17 +548,19 @@ object Mining {
   private[graft] def x262Weight(usage: Long, len: Int): Long =
     math.min(usage, 9999L) * Seq(1L, 10000L, 100000000L)(len - 1)
 
-  /** x262 segmentation frame: per distinct token (≤ 8 chars — the scoring
-    * contract, provably inactive on this corpus and asserted in
-    * Round10bSpec/UnigramSpec), the Viterbi-best segmentation under the
-    * quantized unigram LM and its exact integer score. Exposed for the
-    * optimality-theorem spec. */
-  private[graft] def x262Segments(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared x262/x282 inventory: the localCheckpointed distinct-token
+    * vocab plus the (all-chars, bi-30, tri-20) piece inventories with RAW
+    * corpus gram mass — x256's derivation (same orders, limits, 32-char
+    * scan cap). The bounded collects (≤ 200 chars asserted, 30 + 20 grams)
+    * are what let the DP fold inline the inventory as literals. */
+  private[graft] def unigramInventory(spark: SparkSession, dir: String)
+      : (DataFrame, Array[(String, Long)], Array[(String, Long)],
+         Array[(String, Long)]) = {
     val vocab = Tables.documents(spark, dir)
       .select(explode(filter(split(lower(col("text")), " "),
                              t => t =!= "")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // four consumers: bi, tri, chars, the fold
+      .localCheckpoint(true) // four consumers: bi, tri, chars, the fold(s)
     def gramsW(n: Int, k: Int): Array[(String, Long)] = vocab
       .select(explode(expr(
         s"""CASE WHEN length(tok) < $n THEN array()
@@ -577,10 +579,19 @@ object Mining {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(chars.length <= 200,
       s"x262 char inventory must stay bounded, got ${chars.length}")
-    val (tri, bi) = (gramsW(3, 20), gramsW(2, 30))
+    (vocab, chars, gramsW(2, 30), gramsW(3, 20))
+  }
+
+  /** One Viterbi pass over the ≤8-char vocab under EXPLICIT per-piece
+    * weights (already quantized AND scaled by 10^(4·(len−1)) — see
+    * [[x262Weight]]). Factored out of x262 so x282's EM round can re-run
+    * the identical codegen'd DP with re-estimated weights. */
+  private[graft] def unigramSegmentsWith(vocab: DataFrame,
+      chars: Array[(String, Long)], bi: Array[(String, Long)],
+      tri: Array[(String, Long)]): DataFrame = {
     def esc(s: String) = s.replace("'", "''")
-    def lookup(entries: Array[(String, Long)], len: Int, sub: String): String =
-      entries.map { case (g, u) => s"WHEN '${esc(g)}' THEN ${x262Weight(u, len)}" }
+    def lookup(entries: Array[(String, Long)], sub: String): String =
+      entries.map { case (g, w) => s"WHEN '${esc(g)}' THEN $w" }
         .mkString(s"CASE $sub ", " ", " ELSE -1 END")
     val d38 = "DECIMAL(38,0)"
     // One DP candidate: extend best[i-len] by the len-char piece ending at
@@ -592,11 +603,11 @@ object Mining {
          |            THEN acc.$prev.v * ($w) ELSE -1 END AS $d38),
          |  'prio', $len,
          |  'ps', array_append(acc.$prev.ps, $g))""".stripMargin
-    val c1 = cand("p1", 1, lookup(chars, 1, "substr(tok, i, 1)"),
+    val c1 = cand("p1", 1, lookup(chars, "substr(tok, i, 1)"),
                   "substr(tok, i, 1)", "true")
-    val c2 = cand("p2", 2, lookup(bi, 2, "substr(tok, i - 1, 2)"),
+    val c2 = cand("p2", 2, lookup(bi, "substr(tok, i - 1, 2)"),
                   "substr(tok, i - 1, 2)", "i >= 2")
-    val c3 = cand("p3", 3, lookup(tri, 3, "substr(tok, i - 2, 3)"),
+    val c3 = cand("p3", 3, lookup(tri, "substr(tok, i - 2, 3)"),
                   "substr(tok, i - 2, 3)", "i >= 3")
     def init(v: Int) =
       s"named_struct('v', CAST($v AS $d38), 'prio', 0, 'ps', CAST(array() AS array<string>))"
@@ -616,6 +627,19 @@ object Mining {
       .withColumn("best", expr(fold))
       .select(col("tok"), col("tf"),
               col("best.v").as("v"), col("best.ps").as("ps"))
+  }
+
+  /** x262 segmentation frame: per distinct token (≤ 8 chars — the scoring
+    * contract, provably inactive on this corpus and asserted in
+    * Round10bSpec/UnigramSpec), the Viterbi-best segmentation under the
+    * quantized unigram LM and its exact integer score. Exposed for the
+    * optimality-theorem spec. */
+  private[graft] def x262Segments(spark: SparkSession, dir: String): DataFrame = {
+    val (vocab, chars, bi, tri) = unigramInventory(spark, dir)
+    unigramSegmentsWith(vocab,
+      chars.map { case (g, u) => (g, x262Weight(u, 1)) },
+      bi.map { case (g, u) => (g, x262Weight(u, 2)) },
+      tri.map { case (g, u) => (g, x262Weight(u, 3)) })
   }
 
   /** x262: UNIGRAM-LM TOKENIZER SCORING — the third tokenizer family after
@@ -650,6 +674,62 @@ object Mining {
       .select("piece", "len", "usage")
       .orderBy(col("usage").desc, col("piece").asc).limit(30)
       .orderBy(col("usage").desc, col("piece").asc)
+
+  /** Per-piece corpus usage under a segmentation frame (occurrences × tf)
+    * — the x262 aggregate, shared with x282's two EM rounds. */
+  private def pieceUsage(segs: DataFrame, out: String): DataFrame =
+    segs.select(col("tf"), explode(col("ps")).as("piece"))
+      .groupBy("piece").agg(sum(col("tf")).as(out))
+
+  /** x282: UNIGRAM-LM EM RE-ESTIMATION ROUND — the step that turns x262's
+    * one-shot Viterbi scorer into SentencePiece-style training, the same
+    * way x225's iterated merges completed BPE: one hard-EM round.
+    * E-step = x262's Viterbi segmentation under the round-0 (raw gram
+    * mass) weights; M-step = re-estimate every inventory piece's weight
+    * from its round-0 Viterbi USAGE with add-one smoothing,
+    * w₁ = min(usage₀ + 1, 9999) · 10^(4·(len−1)); then re-segment under
+    * w₁. The +1 floor keeps every inventory piece usable, so every token
+    * stays segmentable and the round-0 segmentation remains feasible under
+    * round-1 weights — which is exactly what makes the per-token
+    * monotonicity theorem v₁(seg₁) ≥ v₁(seg₀) a PURE Viterbi-optimality
+    * statement (pinned token-for-token in UnigramSpec, plus a planted
+    * corpus where the round-1 segmentation provably FLIPS: hard EM's
+    * rich-get-richer reallocation in miniature). Output per piece (top 30
+    * by re-estimated usage): length, round-0 usage, round-1 usage.
+    *
+    * Oracle: both rounds UNROLLED as generated recursive-CTE segmentation
+    * enumerations (the x262 device twice), the second joining weights
+    * derived from the first's argmax — so the driver's hash compare proves
+    * the whole E→M→E chain, not just one pass.
+    *
+    * 100 TB: both E-steps are the SAME codegen'd fold over the
+    * vocab-bounded distinct-token frame (corpus mass enters only through
+    * tf weights); the M-step is a bounded collect of ≤ 250 per-piece
+    * usage rows (the inventory size, NOT the corpus) re-inlined as
+    * literals; more EM rounds = more bounded folds, the corpus-side cost
+    * per round is one vocab scan, and the vocab frame is checkpointed
+    * once. */
+  def x282(spark: SparkSession, dir: String): DataFrame = {
+    val (vocab, chars, bi, tri) = unigramInventory(spark, dir)
+    val seg0 = unigramSegmentsWith(vocab,
+      chars.map { case (g, u) => (g, x262Weight(u, 1)) },
+      bi.map { case (g, u) => (g, x262Weight(u, 2)) },
+      tri.map { case (g, u) => (g, x262Weight(u, 3)) })
+    val u0 = pieceUsage(seg0, "usage_r0")
+      .localCheckpoint(true) // two consumers: the M-step collect + output join
+    // M-step: ≤ 250 rows (inventory-bounded, never corpus-sized)
+    val u0m = u0.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def w1(e: Array[(String, Long)], len: Int) =
+      e.map { case (g, _) => (g, x262Weight(u0m.getOrElse(g, 0L) + 1L, len)) }
+    val seg1 = unigramSegmentsWith(vocab, w1(chars, 1), w1(bi, 2), w1(tri, 3))
+    pieceUsage(seg1, "usage_r1")
+      .join(u0, Seq("piece"), "left")
+      .select(col("piece"), expr("CAST(length(piece) AS BIGINT)").as("len"),
+              coalesce(col("usage_r0"), lit(0L)).as("usage_r0"),
+              col("usage_r1"))
+      .orderBy(col("usage_r1").desc, col("piece").asc).limit(30)
+      .orderBy(col("usage_r1").desc, col("piece").asc)
+  }
 
   /** x279: TOKENIZER FERTILITY BY LANGUAGE — the tokenizer-eval metric a
     * multilingual corpus review reads before committing to a vocabulary:

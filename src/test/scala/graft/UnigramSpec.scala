@@ -31,20 +31,21 @@ class UnigramSpec extends AnyFunSuite {
   private def w(usage: Long, len: Int): BigInt =
     BigInt(graft.queries.Mining.x262Weight(usage, len))
 
-  /** The DP: best[i] = max over pieces ending at i; ties → longer piece. */
-  private def viterbi(tok: String, inv: Inv): (BigInt, Seq[String]) = {
-    val triM = inv.tri.toMap
-    val biM = inv.bi.toMap
+  /** The DP under explicit FINAL weights (already scaled): best[i] = max
+    * over pieces ending at i; ties → longer piece. */
+  private def viterbiW(tok: String, ch: Map[String, BigInt],
+                       bi: Map[String, BigInt], tri: Map[String, BigInt])
+      : (BigInt, Seq[String]) = {
     val best = Array.fill[Option[(BigInt, List[String])]](tok.length + 1)(None)
     best(0) = Some((BigInt(1), Nil))
     for (i <- 1 to tok.length) {
       val cands = Seq(
-        (3, if (i >= 3) triM.get(tok.substring(i - 3, i)) else None),
-        (2, if (i >= 2) biM.get(tok.substring(i - 2, i)) else None),
-        (1, inv.ch.get(tok.substring(i - 1, i)))
-      ).collect { case (len, Some(u)) if best(i - len).isDefined =>
+        (3, if (i >= 3) tri.get(tok.substring(i - 3, i)) else None),
+        (2, if (i >= 2) bi.get(tok.substring(i - 2, i)) else None),
+        (1, ch.get(tok.substring(i - 1, i)))
+      ).collect { case (len, Some(wq)) if best(i - len).isDefined =>
         val (pv, pps) = best(i - len).get
-        (pv * w(u, len), pps :+ tok.substring(i - len, i))
+        (pv * wq, pps :+ tok.substring(i - len, i))
       }
       // longer piece listed first; strict > keeps the earlier on ties
       if (cands.nonEmpty) {
@@ -55,6 +56,43 @@ class UnigramSpec extends AnyFunSuite {
     }
     val (v, ps) = best(tok.length).get
     (v, ps)
+  }
+
+  /** Round-0 weight maps (raw gram mass through the quantizer). */
+  private def w0Maps(inv: Inv): (Map[String, BigInt], Map[String, BigInt],
+                                 Map[String, BigInt]) =
+    (inv.ch.map { case (g, u) => g -> w(u, 1) },
+     inv.bi.toMap.map { case (g, u) => g -> w(u, 2) },
+     inv.tri.toMap.map { case (g, u) => g -> w(u, 3) })
+
+  private def viterbi(tok: String, inv: Inv): (BigInt, Seq[String]) = {
+    val (ch, bi, tri) = w0Maps(inv)
+    viterbiW(tok, ch, bi, tri)
+  }
+
+  /** JVM replay of x282's full hard-EM round. Returns (u0, u1, seg0, seg1,
+    * round-1 weight maps). */
+  private def emReplay(toks: Seq[(String, Long)])
+      : (Map[String, Long], Map[String, Long], Map[String, Seq[String]],
+         Map[String, Seq[String]],
+         (Map[String, BigInt], Map[String, BigInt], Map[String, BigInt])) = {
+    val inv = inventory(toks)
+    val (ch0, bi0, tri0) = w0Maps(inv)
+    val short = toks.filter(_._1.length <= 8)
+    val seg0 = short.map { case (t, tf) =>
+      (t, tf, viterbiW(t, ch0, bi0, tri0)._2) }
+    def usage(segs: Seq[(String, Long, Seq[String])]): Map[String, Long] =
+      segs.flatMap { case (_, tf, ps) => ps.map(_ -> tf) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val u0 = usage(seg0)
+    def rew(g: String, len: Int): BigInt = w(u0.getOrElse(g, 0L) + 1L, len)
+    val w1 = (inv.ch.map { case (g, _) => g -> rew(g, 1) },
+              inv.bi.toMap.map { case (g, _) => g -> rew(g, 2) },
+              inv.tri.toMap.map { case (g, _) => g -> rew(g, 3) })
+    val seg1 = short.map { case (t, tf) =>
+      (t, tf, viterbiW(t, w1._1, w1._2, w1._3)._2) }
+    (u0, usage(seg1),
+     seg0.map(s => s._1 -> s._3).toMap, seg1.map(s => s._1 -> s._3).toMap, w1)
   }
 
   /** x256's greedy MaxMatch, scored under the same weights. */
@@ -142,5 +180,59 @@ class UnigramSpec extends AnyFunSuite {
     val got = graft.queries.Mining.x262(spark, sfSmoke).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === want)
+  }
+
+  test("x282 output equals the full JVM hard-EM replay at sf0.001") {
+    val toks = corpusToks(sfSmoke)
+    val (u0, u1, _, _, _) = emReplay(toks)
+    val want = u1.toSeq
+      .map { case (p, n1) => (p, p.length.toLong, u0.getOrElse(p, 0L), n1) }
+      .sortBy { case (p, _, _, n1) => (-n1, p) }.take(30)
+    val got = graft.queries.Mining.x282(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(want.nonEmpty && got === want)
+  }
+
+  test("x282 EM monotonicity theorem: v1(seg1) >= v1(seg0), per token") {
+    // add-one smoothing keeps every inventory piece usable, so seg0 stays
+    // feasible under the round-1 weights and Viterbi optimality applies
+    // to it directly — a per-token theorem, not a statistical claim
+    val toks = corpusToks(sfSmoke)
+    val (_, _, seg0, _, (ch1, bi1, tri1)) = emReplay(toks)
+    def score(ps: Seq[String]): BigInt =
+      ps.map(p => p.length match {
+        case 1 => ch1(p); case 2 => bi1(p); case _ => tri1(p)
+      }).product
+    for ((t, _) <- toks if t.length <= 8) {
+      val (v1, _) = viterbiW(t, ch1, bi1, tri1)
+      assert(v1 >= score(seg0(t)),
+        s"round-1 Viterbi must dominate the round-0 segmentation on '$t'")
+    }
+  }
+
+  test("planted corpus: the EM round provably FLIPS a segmentation") {
+    // 50× "abc", 1× "abcd". Round 0 (raw gram mass): on "abcd" the three
+    // final candidates tie at 51·10⁸ (abc·d = ab·cd = a·bcd) and the
+    // longer-ending-piece rule picks a+bcd. Round 1: d and a were barely
+    // used (w₁(d)=1, w₁(a)=2), bcd was used once (w₁=2·10⁸), but abc kept
+    // its 50 uses (w₁=51·10⁸) — so abc+d (51·10⁸) now beats a+bcd (4·10⁸)
+    // and ab+cd (10⁸): hard EM's rich-get-richer reallocation, pinned
+    // end to end through the registered key's output.
+    val tmp = java.nio.file.Files.createTempDirectory("x282corpus").toString
+    val text = (Seq.fill(50)("abc") :+ "abcd").mkString(" ")
+    Seq((1L, text, "en", "planted", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val seg0 = graft.queries.Mining.x262Segments(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](3).toList).toMap
+    assert(seg0("abcd") === List("a", "bcd"))
+    val got = graft.queries.Mining.x282(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // round 1 re-segments "abcd" as abc+d: only abc and d carry usage
+    assert(got === Seq(("abc", 3L, 50L, 51L), ("d", 1L, 0L, 1L)))
+    // and the JVM replay agrees with itself on the flip
+    val toks = corpusToks(tmp)
+    val (_, _, s0, s1, _) = emReplay(toks)
+    assert(s0("abcd") === List("a", "bcd") && s1("abcd") === List("abc", "d"))
   }
 }
