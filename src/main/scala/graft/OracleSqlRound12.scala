@@ -200,77 +200,119 @@ object OracleSqlRound12 {
     // x282: one hard-EM round of the unigram LM — BOTH Viterbi rounds
     // unrolled as the x262 enumeration device, the second joining weights
     // re-estimated (add-one smoothed, capped) from the first's argmax.
-    "x282_unigram_em_round" -> x282Sql
+    "x282_unigram_em_round" -> x282Sql,
+
+    // x283: the vocabulary-pruning round — a THIRD unrolled enumeration
+    // under the pruned (len = 1 OR round-1 usage >= 2), re-weighted
+    // inventory, proving E→M→E→prune→M→E in one statement.
+    "x283_unigram_prune_round" -> x283Sql
   )
+
+  /** One unrolled Viterbi enumeration round (the x262 device): every
+    * segmentation of every ≤8-char token under inventory `inv`, the
+    * per-position tie rule restated globally as
+    * (product DESC, reversed length list DESC). */
+  private def segRound(name: String, rec: String, inv: String): String =
+    s"""$name AS (
+       |  WITH RECURSIVE $rec(tok, tf, pos, prod, lens, pieces) AS (
+       |    SELECT tok, tf, 0, CAST(1 AS HUGEINT),
+       |           CAST([] AS INTEGER[]), CAST([] AS VARCHAR[])
+       |    FROM vocab WHERE length(tok) <= 8
+       |    UNION ALL
+       |    SELECT $rec.tok, $rec.tf, $rec.pos + i.len, $rec.prod * i.wq,
+       |           list_append($rec.lens, i.len), list_append($rec.pieces, i.g)
+       |    FROM $rec JOIN $inv i ON i.g = substr($rec.tok, $rec.pos + 1, i.len)
+       |                         AND $rec.pos + i.len <= length($rec.tok)
+       |    WHERE $rec.pos < length($rec.tok))
+       |  SELECT tok, tf, pieces,
+       |         ROW_NUMBER() OVER (PARTITION BY tok
+       |             ORDER BY prod DESC, list_reverse(lens) DESC) AS rn
+       |  FROM $rec WHERE pos = length(tok))""".stripMargin
+
+  /** Per-piece corpus usage of an enumeration round's argmax. */
+  private def usageCte(name: String, best: String, c: String): String =
+    s"""$name AS (SELECT piece, CAST(SUM(tf) AS BIGINT) AS $c
+       |       FROM (SELECT tf, unnest(pieces) AS piece
+       |             FROM $best WHERE rn = 1) GROUP BY 1)""".stripMargin
+
+  /** The M-step: re-quantized weights from a usage CTE over the base
+    * inventory; with `prune`, multi-char pieces below 2 uses are dropped
+    * (single chars never — the total-coverage floor). */
+  private def reWeight(name: String, usage: String, c: String,
+                       prune: Boolean): String = {
+    val keep = if (prune) s"\n         WHERE inv.len = 1 OR COALESCE(u.$c, 0) >= 2" else ""
+    s"""$name AS (SELECT inv.g, inv.len,
+       |           CAST(least(COALESCE(u.$c, 0) + 1, 9999) AS HUGEINT)
+       |             * CASE inv.len WHEN 1 THEN 1 WHEN 2 THEN 10000
+       |                            ELSE 100000000 END AS wq
+       |         FROM inv LEFT JOIN $usage u ON u.piece = inv.g$keep)""".stripMargin
+  }
+
+  /** CTE prefix shared by x282/x283: corpus vocab, raw gram inventories
+    * (all chars + bi-30 + tri-20 — x256's derivation), round-0 weights. */
+  private def unigramPrefix: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+      |                x -> x <> '')) AS tok
+      |  FROM documents),
+      |vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+      |bi AS (
+      |  SELECT substr(tok, i, 2) AS g, SUM(tf) AS w
+      |  FROM vocab, generate_series(1, 32) AS gs(i)
+      |  WHERE i + 1 <= length(tok) GROUP BY 1),
+      |tri AS (
+      |  SELECT substr(tok, i, 3) AS g, SUM(tf) AS w
+      |  FROM vocab, generate_series(1, 32) AS gs(i)
+      |  WHERE i + 2 <= length(tok) GROUP BY 1),
+      |ch AS (
+      |  SELECT substr(tok, i, 1) AS g, SUM(tf) AS w
+      |  FROM vocab, generate_series(1, 32) AS gs(i)
+      |  WHERE i <= length(tok) GROUP BY 1),
+      |inv AS (SELECT g, 1 AS len, w FROM ch
+      |        UNION ALL
+      |        SELECT g, 2, w FROM (SELECT g, w FROM bi
+      |                             ORDER BY w DESC, g LIMIT 30)
+      |        UNION ALL
+      |        SELECT g, 3, w FROM (SELECT g, w FROM tri
+      |                             ORDER BY w DESC, g LIMIT 20)),
+      |inv0 AS (SELECT g, len,
+      |           CAST(least(w, 9999) AS HUGEINT)
+      |             * CASE len WHEN 1 THEN 1 WHEN 2 THEN 10000
+      |                        ELSE 100000000 END AS wq
+      |         FROM inv)""".stripMargin
+
+  /** The chain through round 1 (E → M → E), shared by x282/x283. */
+  private def throughU1: String =
+    s"""$unigramPrefix,
+       |${segRound("best0", "r0", "inv0")},
+       |${usageCte("u0", "best0", "usage_r0")},
+       |${reWeight("inv1", "u0", "usage_r0", prune = false)},
+       |${segRound("best1", "r1", "inv1")},
+       |${usageCte("u1", "best1", "usage_r1")}""".stripMargin
 
   /** x282: the x262 recursive-CTE segmentation enumeration run TWICE —
     * seg0 under the raw-gram-mass weights (x262's), u0 = round-0 per-piece
     * Viterbi usage, inv1 = least(u0 + 1, 9999)·10^(4·(len−1)) over the
-    * SAME inventory, seg1 under inv1; per-position ties restated globally
-    * as (product DESC, reversed length list DESC) in both rounds. */
-  private def x282Sql: String = {
-    def segRound(name: String, rec: String, inv: String): String =
-      s"""$name AS (
-         |  WITH RECURSIVE $rec(tok, tf, pos, prod, lens, pieces) AS (
-         |    SELECT tok, tf, 0, CAST(1 AS HUGEINT),
-         |           CAST([] AS INTEGER[]), CAST([] AS VARCHAR[])
-         |    FROM vocab WHERE length(tok) <= 8
-         |    UNION ALL
-         |    SELECT $rec.tok, $rec.tf, $rec.pos + i.len, $rec.prod * i.wq,
-         |           list_append($rec.lens, i.len), list_append($rec.pieces, i.g)
-         |    FROM $rec JOIN $inv i ON i.g = substr($rec.tok, $rec.pos + 1, i.len)
-         |                         AND $rec.pos + i.len <= length($rec.tok)
-         |    WHERE $rec.pos < length($rec.tok))
-         |  SELECT tok, tf, pieces,
-         |         ROW_NUMBER() OVER (PARTITION BY tok
-         |             ORDER BY prod DESC, list_reverse(lens) DESC) AS rn
-         |  FROM $rec WHERE pos = length(tok))""".stripMargin
-    s"""WITH toks AS (
-       |  SELECT unnest(list_filter(string_split(lower(text), ' '),
-       |                x -> x <> '')) AS tok
-       |  FROM documents),
-       |vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
-       |bi AS (
-       |  SELECT substr(tok, i, 2) AS g, SUM(tf) AS w
-       |  FROM vocab, generate_series(1, 32) AS gs(i)
-       |  WHERE i + 1 <= length(tok) GROUP BY 1),
-       |tri AS (
-       |  SELECT substr(tok, i, 3) AS g, SUM(tf) AS w
-       |  FROM vocab, generate_series(1, 32) AS gs(i)
-       |  WHERE i + 2 <= length(tok) GROUP BY 1),
-       |ch AS (
-       |  SELECT substr(tok, i, 1) AS g, SUM(tf) AS w
-       |  FROM vocab, generate_series(1, 32) AS gs(i)
-       |  WHERE i <= length(tok) GROUP BY 1),
-       |inv AS (SELECT g, 1 AS len, w FROM ch
-       |        UNION ALL
-       |        SELECT g, 2, w FROM (SELECT g, w FROM bi
-       |                             ORDER BY w DESC, g LIMIT 30)
-       |        UNION ALL
-       |        SELECT g, 3, w FROM (SELECT g, w FROM tri
-       |                             ORDER BY w DESC, g LIMIT 20)),
-       |inv0 AS (SELECT g, len,
-       |           CAST(least(w, 9999) AS HUGEINT)
-       |             * CASE len WHEN 1 THEN 1 WHEN 2 THEN 10000
-       |                        ELSE 100000000 END AS wq
-       |         FROM inv),
-       |${segRound("best0", "r0", "inv0")},
-       |u0 AS (SELECT piece, CAST(SUM(tf) AS BIGINT) AS usage_r0
-       |       FROM (SELECT tf, unnest(pieces) AS piece
-       |             FROM best0 WHERE rn = 1) GROUP BY 1),
-       |inv1 AS (SELECT inv.g, inv.len,
-       |           CAST(least(COALESCE(u0.usage_r0, 0) + 1, 9999) AS HUGEINT)
-       |             * CASE inv.len WHEN 1 THEN 1 WHEN 2 THEN 10000
-       |                            ELSE 100000000 END AS wq
-       |         FROM inv LEFT JOIN u0 ON u0.piece = inv.g),
-       |${segRound("best1", "r1", "inv1")},
-       |u1 AS (SELECT piece, CAST(SUM(tf) AS BIGINT) AS usage_r1
-       |       FROM (SELECT tf, unnest(pieces) AS piece
-       |             FROM best1 WHERE rn = 1) GROUP BY 1)
+    * SAME inventory, seg1 under inv1. */
+  private def x282Sql: String =
+    s"""$throughU1
        |SELECT u1.piece, CAST(length(u1.piece) AS BIGINT) AS len,
        |       CAST(COALESCE(u0.usage_r0, 0) AS BIGINT) AS usage_r0,
        |       u1.usage_r1
        |FROM u1 LEFT JOIN u0 ON u0.piece = u1.piece
        |ORDER BY u1.usage_r1 DESC, u1.piece LIMIT 30""".stripMargin
-  }
+
+  /** x283: x282's chain plus the pruning round — inv2 keeps single chars
+    * unconditionally and multi-char pieces with round-1 usage ≥ 2,
+    * re-weighted from round-1 usage; one more enumeration under inv2. */
+  private def x283Sql: String =
+    s"""$throughU1,
+       |${reWeight("inv2", "u1", "usage_r1", prune = true)},
+       |${segRound("best2", "r2", "inv2")},
+       |${usageCte("u2", "best2", "usage_r2")}
+       |SELECT u2.piece, CAST(length(u2.piece) AS BIGINT) AS len,
+       |       CAST(COALESCE(u1.usage_r1, 0) AS BIGINT) AS usage_r1,
+       |       u2.usage_r2
+       |FROM u2 LEFT JOIN u1 ON u1.piece = u2.piece
+       |ORDER BY u2.usage_r2 DESC, u2.piece LIMIT 30""".stripMargin
 }

@@ -590,8 +590,11 @@ object Mining {
       chars: Array[(String, Long)], bi: Array[(String, Long)],
       tri: Array[(String, Long)]): DataFrame = {
     def esc(s: String) = s.replace("'", "''")
+    // an emptied tier (x283 can prune every bi/tri) must stay parseable:
+    // a WHEN-less CASE is a syntax error, so emit the constant miss value
     def lookup(entries: Array[(String, Long)], sub: String): String =
-      entries.map { case (g, w) => s"WHEN '${esc(g)}' THEN $w" }
+      if (entries.isEmpty) "-1"
+      else entries.map { case (g, w) => s"WHEN '${esc(g)}' THEN $w" }
         .mkString(s"CASE $sub ", " ", " ELSE -1 END")
     val d38 = "DECIMAL(38,0)"
     // One DP candidate: extend best[i-len] by the len-char piece ending at
@@ -729,6 +732,61 @@ object Mining {
               col("usage_r1"))
       .orderBy(col("usage_r1").desc, col("piece").asc).limit(30)
       .orderBy(col("usage_r1").desc, col("piece").asc)
+  }
+
+  /** x283's prune threshold: a multi-char piece must earn ≥ 2 Viterbi uses
+    * in the previous round to keep its vocabulary slot. */
+  private[graft] val x283MinUse = 2L
+
+  /** x283: UNIGRAM-LM VOCABULARY PRUNING ROUND — the other half of
+    * SentencePiece-style training, closing the loop x282's EM round
+    * opened: a full train iteration is E-step → M-step → PRUNE → E-step.
+    * After x282's two Viterbi rounds, every multi-char piece whose
+    * round-1 usage is below [[x283MinUse]] (used at most once — it never
+    * paid for its vocab slot) is DROPPED from the inventory; single-char
+    * pieces are never pruned, so every token stays segmentable (the total-
+    * coverage theorem — char fallback is the floor the prune cannot
+    * remove). Survivors are re-weighted from round-1 usage (the second
+    * M-step, same add-one quantizer) and the corpus is re-segmented.
+    * Tokens whose round-1 segmentation used a pruned piece RE-ROUTE
+    * through surviving pieces — the spec plants one and pins the re-route
+    * end to end. Output per piece (top 30 by post-prune usage): length,
+    * round-1 usage, round-2 usage.
+    *
+    * Oracle: THREE unrolled recursive-CTE enumeration rounds (the x282
+    * device extended), the third joining the pruned re-weighted inventory
+    * — the hash compare proves E→M→E→prune→M→E in one statement.
+    *
+    * 100 TB: identical posture to x282 — every E-step is one codegen'd
+    * fold over the vocab-bounded frame; the prune + re-weight is driver
+    * arithmetic on a ≤ 250-row collect; pruning SHRINKS the CASE chains,
+    * so each training iteration makes the hot path cheaper, never
+    * heavier. */
+  def x283(spark: SparkSession, dir: String): DataFrame = {
+    val (vocab, chars, bi, tri) = unigramInventory(spark, dir)
+    val seg0 = unigramSegmentsWith(vocab,
+      chars.map { case (g, u) => (g, x262Weight(u, 1)) },
+      bi.map { case (g, u) => (g, x262Weight(u, 2)) },
+      tri.map { case (g, u) => (g, x262Weight(u, 3)) })
+    val u0m = pieceUsage(seg0, "u").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def w1(e: Array[(String, Long)], len: Int) =
+      e.map { case (g, _) => (g, x262Weight(u0m.getOrElse(g, 0L) + 1L, len)) }
+    val seg1 = unigramSegmentsWith(vocab, w1(chars, 1), w1(bi, 2), w1(tri, 3))
+    val u1 = pieceUsage(seg1, "usage_r1")
+      .localCheckpoint(true) // two consumers: prune/re-weight collect + output join
+    val u1m = u1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def w2(e: Array[(String, Long)], len: Int) =
+      e.collect { case (g, _) if len == 1 || u1m.getOrElse(g, 0L) >= x283MinUse =>
+        (g, x262Weight(u1m.getOrElse(g, 0L) + 1L, len)) }
+    val seg2 = unigramSegmentsWith(vocab, w2(chars, 1), w2(bi, 2), w2(tri, 3))
+    pieceUsage(seg2, "usage_r2")
+      .join(u1, Seq("piece"), "left")
+      .select(col("piece"), expr("CAST(length(piece) AS BIGINT)").as("len"),
+              coalesce(col("usage_r1"), lit(0L)).as("usage_r1"),
+              col("usage_r2"))
+      .orderBy(col("usage_r2").desc, col("piece").asc).limit(30)
+      .orderBy(col("usage_r2").desc, col("piece").asc)
   }
 
   /** x279: TOKENIZER FERTILITY BY LANGUAGE — the tokenizer-eval metric a

@@ -95,6 +95,26 @@ class UnigramSpec extends AnyFunSuite {
      seg0.map(s => s._1 -> s._3).toMap, seg1.map(s => s._1 -> s._3).toMap, w1)
   }
 
+  /** JVM replay of x283's prune round on top of [[emReplay]]: drop
+    * multi-char pieces with round-1 usage < 2, re-weight survivors from
+    * round-1 usage, re-segment. Returns (u1, u2, seg2). */
+  private def pruneReplay(toks: Seq[(String, Long)])
+      : (Map[String, Long], Map[String, Long], Map[String, Seq[String]]) = {
+    val inv = inventory(toks)
+    val (_, u1, _, _, _) = emReplay(toks)
+    def rew(g: String, len: Int): BigInt = w(u1.getOrElse(g, 0L) + 1L, len)
+    val ch2 = inv.ch.map { case (g, _) => g -> rew(g, 1) }
+    val bi2 = inv.bi.collect {
+      case (g, _) if u1.getOrElse(g, 0L) >= 2L => g -> rew(g, 2) }.toMap
+    val tri2 = inv.tri.collect {
+      case (g, _) if u1.getOrElse(g, 0L) >= 2L => g -> rew(g, 3) }.toMap
+    val short = toks.filter(_._1.length <= 8)
+    val seg2 = short.map { case (t, tf) => (t, tf, viterbiW(t, ch2, bi2, tri2)._2) }
+    val u2 = seg2.flatMap { case (_, tf, ps) => ps.map(_ -> tf) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    (u1, u2, seg2.map(s => s._1 -> s._3).toMap)
+  }
+
   /** x256's greedy MaxMatch, scored under the same weights. */
   private def greedyScore(tok: String, inv: Inv): BigInt = {
     val triS = inv.tri.map(_._1).toSet
@@ -234,5 +254,40 @@ class UnigramSpec extends AnyFunSuite {
     val toks = corpusToks(tmp)
     val (_, _, s0, s1, _) = emReplay(toks)
     assert(s0("abcd") === List("a", "bcd") && s1("abcd") === List("abc", "d"))
+  }
+
+  test("x283 output equals the JVM prune-round replay at sf0.001") {
+    val toks = corpusToks(sfSmoke)
+    val (u1, u2, seg2) = pruneReplay(toks)
+    // total-coverage theorem: single chars are never pruned, so every
+    // ≤8-char token still segments after the prune
+    assert(seg2.keySet === toks.filter(_._1.length <= 8).map(_._1).toSet)
+    val want = u2.toSeq
+      .map { case (p, n2) => (p, p.length.toLong, u1.getOrElse(p, 0L), n2) }
+      .sortBy { case (p, _, _, n2) => (-n2, p) }.take(30)
+    val got = graft.queries.Mining.x283(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(want.nonEmpty && got === want)
+  }
+
+  test("planted corpus: the prune round RE-ROUTES a token off a dropped piece") {
+    // 50× "abc", 1× "abcd", 1× "xy". Round 1 keeps 'xy' as a whole-piece
+    // segmentation (usage 1), so the prune (< 2 uses) drops the bi 'xy'
+    // — and "xy" must RE-ROUTE through the char fallback x+y, while
+    // "abcd" stays on abc+d (tri 'abc' survives with 51 uses). The char
+    // floor keeps everything segmentable; only the rare piece's user pays.
+    val tmp = java.nio.file.Files.createTempDirectory("x283corpus").toString
+    val text = (Seq.fill(50)("abc") ++ Seq("abcd", "xy")).mkString(" ")
+    Seq((1L, text, "en", "planted", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.Mining.x283(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // u1: abc=51, d=1, xy=1 → prune drops xy (and all unused bis/tris);
+    // round 2: "abc"→abc, "abcd"→abc+d, "xy"→x+y
+    assert(got === Seq(("abc", 3L, 51L, 51L), ("d", 1L, 1L, 1L),
+                       ("x", 1L, 0L, 1L), ("y", 1L, 0L, 1L)))
+    val (_, _, seg2) = pruneReplay(corpusToks(tmp))
+    assert(seg2("xy") === List("x", "y") && seg2("abcd") === List("abc", "d"))
   }
 }
