@@ -205,8 +205,298 @@ object OracleSqlRound12 {
     // x283: the vocabulary-pruning round — a THIRD unrolled enumeration
     // under the pruned (len = 1 OR round-1 usage >= 2), re-weighted
     // inventory, proving E→M→E→prune→M→E in one statement.
-    "x283_unigram_prune_round" -> x283Sql
+    "x283_unigram_prune_round" -> x283Sql,
+
+    // x284: SemDeDup-style cluster-scoped embedding pruning — nearest of
+    // the 8 fixed centroids (the x140 assignment device), within-cell
+    // exact cosines, drop-the-higher-id rule at cos ≥ 0.40.
+    "x284_semdedup_prune" ->
+      """WITH e AS (SELECT vec_id,
+        |            [CAST(embedding[i] AS DOUBLE)
+        |             FOR i IN generate_series(1, 64)] AS emb
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 8),
+        |a AS (SELECT vec_id, cell, emb FROM (
+        |  SELECT e.vec_id, c.cell, e.emb,
+        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |           ROUND(list_sum([(e.emb[i] - c.ce[i]) * (e.emb[i] - c.ce[i])
+        |                           FOR i IN generate_series(1, 64)]), 6),
+        |           c.cell) AS rn
+        |  FROM e CROSS JOIN c) WHERE rn = 1),
+        |p AS (SELECT u.vec_id AS u_id, v.vec_id AS v_id, u.cell AS cell,
+        |        CAST(ROUND(
+        |          list_sum([u.emb[i] * v.emb[i]
+        |                    FOR i IN generate_series(1, 64)])
+        |          / (SQRT(list_sum([u.emb[i] * u.emb[i]
+        |                            FOR i IN generate_series(1, 64)]))
+        |           * SQRT(list_sum([v.emb[i] * v.emb[i]
+        |                            FOR i IN generate_series(1, 64)])))
+        |          * 1000000, 0) AS BIGINT) AS cos_micro
+        |      FROM a u JOIN a v ON u.cell = v.cell AND u.vec_id < v.vec_id),
+        |d AS (SELECT v_id, cell, u_id, cos_micro,
+        |        ROW_NUMBER() OVER (PARTITION BY v_id
+        |                           ORDER BY cos_micro DESC, u_id) AS rn
+        |      FROM p WHERE cos_micro >= 400000)
+        |SELECT v_id AS vec_id, CAST(cell AS BIGINT) AS cell,
+        |       u_id AS keeper, cos_micro
+        |FROM d WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // x285: the FRM ablation — one generated q41+q42-style chain per
+    // (inference, t-norm) cell, the t-norm threaded through BOTH weight
+    // learning and scoring, unioned (the x281 device).
+    "x285_chi_frm_ablation" ->
+      (for (frm <- Seq("additive", "winner"); tn <- Seq(false, true))
+        yield frmChainAt(frm, tn)).mkString("", "\nUNION ALL\n",
+                                            "\nORDER BY frm, tnorm"),
+
+    // x286: the deterministic stride-scheduling interleave — ppm weights
+    // by largest remainder, t = ceil(k·10⁶/w) in exact integers, global
+    // (t, source) order, 200-step prefix, Bresenham flag recomputed.
+    "x286_interleave_schedule" ->
+      """WITH counts AS (SELECT source, COUNT(*) AS n_docs
+        |                FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tn FROM counts),
+        |appo AS (SELECT source, n_docs,
+        |           (n_docs * 1000000) // (SELECT tn FROM tot) AS base,
+        |           (n_docs * 1000000) % (SELECT tn FROM tot) AS rem
+        |         FROM counts),
+        |wts AS (SELECT source,
+        |          base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+        |                        <= 1000000 -
+        |                           (SELECT CAST(SUM(base) AS BIGINT) FROM appo)
+        |                      THEN 1 ELSE 0 END AS w_ppm
+        |        FROM appo),
+        |keyed AS (
+        |  SELECT d.doc_id, d.source, w.w_ppm,
+        |         ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+        |           AS k
+        |  FROM documents d JOIN wts w ON d.source = w.source
+        |  WHERE w.w_ppm > 0),
+        |vtimed AS (SELECT *, (k * 1000000 + w_ppm - 1) // w_ppm AS vt
+        |           FROM keyed),
+        |lim AS (SELECT *, ROW_NUMBER() OVER (ORDER BY vt, source) AS step
+        |        FROM vtimed)
+        |SELECT step, vt, source, k, doc_id, w_ppm,
+        |       ((vt - 1) * w_ppm) // 1000000 < k
+        |         AND k <= (vt * w_ppm) // 1000000 AS quota_ok
+        |FROM lim WHERE step <= 200 ORDER BY step""".stripMargin,
+
+    // x287: common-neighbors + Adamic–Adar link prediction — the oracle
+    // affords the naive customer self-join; terms round to micro-units
+    // once, the pair score is an order-free BIGINT sum.
+    "x287_link_prediction" ->
+      """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |            FROM orders o
+        |            JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |deg AS (SELECT c, COUNT(*) AS d FROM cp GROUP BY c),
+        |cand AS (SELECT a.p AS pa, b.p AS pb, g.d AS d
+        |         FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+        |         JOIN deg g ON g.c = a.c
+        |         WHERE g.d BETWEEN 2 AND 256),
+        |scored AS (SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS cn,
+        |             CAST(SUM(CAST(ROUND(1000000.0 / LN(d), 0) AS BIGINT))
+        |                  AS BIGINT) AS aa_micro
+        |           FROM cand GROUP BY pa, pb),
+        |edges AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |          FROM lineitem a JOIN lineitem b
+        |            ON a.l_orderkey = b.l_orderkey
+        |           AND a.l_partkey < b.l_partkey)
+        |SELECT s.pa, s.pb, s.cn, s.aa_micro FROM scored s
+        |WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |                  WHERE e.pa = s.pa AND e.pb = s.pb)
+        |ORDER BY cn DESC, aa_micro DESC, pa, pb LIMIT 50""".stripMargin,
+
+    // x288: license-lattice propagation — two-hop MAX-rank rollup with
+    // rank-argmax provenance, declared-vs-effective violation audit.
+    "x288_license_lattice" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |         CAST(substring(source, 4) AS BIGINT) % 4 AS lic_rank,
+        |         doc_id // 25 AS shard, (doc_id // 25) % 5 AS dataset
+        |       FROM documents),
+        |shards AS (SELECT dataset, shard, COUNT(*) AS n_docs,
+        |             MAX(lic_rank) AS s_rank
+        |           FROM docs GROUP BY 1, 2),
+        |ssrc AS (SELECT dataset, shard, source AS s_src FROM (
+        |    SELECT dataset, shard, source,
+        |           ROW_NUMBER() OVER (PARTITION BY dataset, shard
+        |                              ORDER BY lic_rank DESC, source) AS rn
+        |    FROM docs) WHERE rn = 1),
+        |sh AS (SELECT s.dataset, s.shard, s.n_docs, s.s_rank, c.s_src
+        |       FROM shards s JOIN ssrc c
+        |         ON s.dataset = c.dataset AND s.shard = c.shard),
+        |perds AS (SELECT dataset, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |            CAST(COUNT(*) AS BIGINT) AS n_shards,
+        |            MAX(s_rank) AS eff_rank
+        |          FROM sh GROUP BY 1),
+        |wsrc AS (SELECT dataset, s_src AS worst_source FROM (
+        |    SELECT dataset, s_src,
+        |           ROW_NUMBER() OVER (PARTITION BY dataset
+        |                              ORDER BY s_rank DESC, s_src) AS rn
+        |    FROM sh) WHERE rn = 1),
+        |atmax AS (SELECT d.dataset, CAST(COUNT(*) AS BIGINT)
+        |            AS n_docs_at_max
+        |          FROM docs d JOIN perds p
+        |            ON d.dataset = p.dataset AND d.lic_rank = p.eff_rank
+        |          GROUP BY 1),
+        |lic(r, nm) AS (VALUES (0, 'cc0'), (1, 'cc-by'), (2, 'cc-by-sa'),
+        |                      (3, 'proprietary'))
+        |SELECT p.dataset, p.n_docs, p.n_shards, p.eff_rank,
+        |       le.nm AS effective_license, ld.nm AS declared_license,
+        |       w.worst_source, a.n_docs_at_max,
+        |       p.eff_rank > p.dataset % 4 AS violation
+        |FROM perds p
+        |JOIN wsrc w ON w.dataset = p.dataset
+        |JOIN atmax a ON a.dataset = p.dataset
+        |JOIN lic le ON le.r = p.eff_rank
+        |JOIN lic ld ON ld.r = p.dataset % 4
+        |ORDER BY p.dataset""".stripMargin,
+
+    // x289: Neyman allocation — N_hσ_h = isqrt(N·Σy² − (Σy)²) exactly,
+    // largest-remainder apportionment, Hamilton + Cauchy–Schwarz flags.
+    "x289_neyman_allocation" ->
+      """WITH stats AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |                 CAST(SUM(n_chars) AS BIGINT) AS sy,
+        |                 CAST(SUM(n_chars * n_chars) AS BIGINT) AS syy
+        |               FROM documents GROUP BY source),
+        |vr AS (SELECT source, n_docs, n_docs * syy - sy * sy AS v
+        |       FROM stats),
+        |w AS (SELECT source, n_docs, v,
+        |    CASE WHEN (CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) + 1)
+        |              * (CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) + 1)
+        |              <= v
+        |           THEN CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) + 1
+        |         WHEN CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT)
+        |              * CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) > v
+        |           THEN CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) - 1
+        |         ELSE CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT)
+        |         END AS w
+        |      FROM vr),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
+        |               CAST(SUM(n_docs) AS BIGINT) AS tn,
+        |               CAST(SUM((v + n_docs - 1) // n_docs) AS BIGINT) AS tvn
+        |        FROM w),
+        |appo AS (SELECT source, n_docs, v, w,
+        |           (w * 100) // (SELECT tw FROM tot) AS base,
+        |           (w * 100) % (SELECT tw FROM tot) AS rem
+        |         FROM w),
+        |fin AS (SELECT source, n_docs, v, w, base,
+        |          base + CASE WHEN ROW_NUMBER() OVER
+        |                             (ORDER BY rem DESC, source)
+        |                        <= 100 - (SELECT CAST(SUM(base) AS BIGINT)
+        |                                  FROM appo)
+        |                      THEN 1 ELSE 0 END AS alloc
+        |        FROM appo)
+        |SELECT source, n_docs, v, w, alloc,
+        |  (SELECT CAST(SUM(alloc) AS BIGINT) FROM fin) = 100 AS sum_ok,
+        |  (SELECT tw * tw <= tn * tvn FROM tot) AS neyman_ok
+        |FROM fin ORDER BY source""".stripMargin
   )
+
+  /** One (inference FRM, t-norm) cell of x285's ablation: the q41+q42
+    * train+score chain (verbatim fragments from the proven OracleSqlMl /
+    * x281 chains) with the t-norm threaded through BOTH the CS-PCF weight
+    * sums and the classification scores. The additive FRM sums per-class
+    * evidence as exact pico-unit BIGINTs (round(score·10¹², 0) per bounded
+    * rule term — order-free), argmax class with tie → lower class,
+    * majority fallback on zero evidence. */
+  private def frmChainAt(frm: String, tnormMin: Boolean): String = {
+    val tname = if (tnormMin) "min" else "prod"
+    def comb(g1: String, g2: String) =
+      if (tnormMin) s"LEAST($g1, $g2)" else s"$g1 * $g2"
+    val g1l =
+      "GREATEST(0,1-ABS(l.x1 - (CASE a.a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)"
+    val g2l =
+      "GREATEST(0,1-ABS(l.x2 - (CASE a.a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05)"
+    val wt =
+      s"""CAST(ROUND(
+         |      (CASE WHEN l.cls=1 THEN (SELECT c1 FROM costs) ELSE (SELECT c0 FROM costs) END)
+         |    * ${comb(g1l, g2l)},
+         |    12) AS DECIMAL(38,12))""".stripMargin
+    val g1g =
+      "GREATEST(0,1-ABS(g.x1 - (CASE r.a1 WHEN 0 THEN 1.0 WHEN 1 THEN 25.5 ELSE 50.0 END))/24.5)"
+    val g2g =
+      "GREATEST(0,1-ABS(g.x2 - (CASE r.a2 WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 ELSE 0.1 END))/0.05)"
+    val score = s"ROUND(${comb(g1g, g2g)} * r.rw, 12)"
+    val classify =
+      if (frm == "winner")
+        """best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY x1, x2, actual
+          |                                      ORDER BY score DESC, rule_cls) AS rn
+          |         FROM scored),
+          |win AS (SELECT actual, mm,
+          |               CASE WHEN score > 0 THEN rule_cls
+          |                    ELSE (SELECT cls FROM maj) END AS pred
+          |        FROM best WHERE rn = 1),""".stripMargin
+      else
+        """votes AS (SELECT x1, x2, actual, mm, rule_cls,
+          |            SUM(CAST(ROUND(score * 1000000000000.0, 0) AS BIGINT)) AS v
+          |          FROM scored GROUP BY 1, 2, 3, 4, 5),
+          |bestv AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY x1, x2, actual
+          |                                       ORDER BY v DESC, rule_cls) AS rn
+          |          FROM votes),
+          |win AS (SELECT actual, mm,
+          |               CASE WHEN v > 0 THEN rule_cls
+          |                    ELSE (SELECT cls FROM maj) END AS pred
+          |        FROM bestv WHERE rn = 1),""".stripMargin
+    s"""SELECT * FROM (
+       |WITH base AS (
+       |  SELECT l_quantity AS x1, l_discount AS x2,
+       |         CASE WHEN l_extendedprice > 95000 THEN 1 ELSE 0 END AS cls
+       |  FROM lineitem),
+       |costs AS (
+       |  SELECT MAX(CASE WHEN cls=1 THEN c END) AS c1,
+       |         MAX(CASE WHEN cls=0 THEN c END) AS c0 FROM (
+       |    SELECT cls, CASE WHEN n = MIN(n) OVER () THEN MAX(n) OVER () * 1.0 / n
+       |                     ELSE 1.0 END AS c
+       |    FROM (SELECT cls, COUNT(*) AS n FROM base GROUP BY cls))),
+       |maj AS (SELECT cls FROM (SELECT cls, COUNT(*) AS n FROM base
+       |                         GROUP BY 1 ORDER BY n DESC, cls LIMIT 1)),
+       |lab AS (
+       |  SELECT *,
+       |    CASE WHEN GREATEST(0,1-ABS(x1-1.0)/24.5) >= GREATEST(0,1-ABS(x1-25.5)/24.5)
+       |          AND GREATEST(0,1-ABS(x1-1.0)/24.5) >= GREATEST(0,1-ABS(x1-50.0)/24.5) THEN 0
+       |         WHEN GREATEST(0,1-ABS(x1-25.5)/24.5) >= GREATEST(0,1-ABS(x1-50.0)/24.5) THEN 1
+       |         ELSE 2 END AS a1,
+       |    CASE WHEN GREATEST(0,1-ABS(x2-0.0)/0.05) >= GREATEST(0,1-ABS(x2-0.05)/0.05)
+       |          AND GREATEST(0,1-ABS(x2-0.0)/0.05) >= GREATEST(0,1-ABS(x2-0.1)/0.05) THEN 0
+       |         WHEN GREATEST(0,1-ABS(x2-0.05)/0.05) >= GREATEST(0,1-ABS(x2-0.1)/0.05) THEN 1
+       |         ELSE 2 END AS a2
+       |  FROM base),
+       |ants AS (SELECT DISTINCT a1, a2, cls FROM lab),
+       |wsum AS (
+       |  SELECT a.a1, a.a2, a.cls AS rule_cls,
+       |    SUM(CASE WHEN l.cls = a.cls THEN $wt END) AS w_match,
+       |    SUM($wt) AS w_all
+       |  FROM ants a CROSS JOIN lab l GROUP BY 1, 2, 3),
+       |rw AS (SELECT a1, a2, rule_cls,
+       |              CAST(ROUND(2*w_match - w_all, 6) AS DOUBLE)
+       |                / CAST(ROUND(w_all, 6) AS DOUBLE) AS rw
+       |       FROM wsum WHERE w_all > 0),
+       |prb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY a1, a2
+       |                                     ORDER BY rw DESC, rule_cls) AS rn
+       |        FROM rw),
+       |final_rb AS (SELECT a1, a2, rule_cls, rw
+       |             FROM prb WHERE rn = 1 AND rw > 0),
+       |gex AS (SELECT x1, x2, cls, COUNT(*) AS mm FROM lab GROUP BY x1, x2, cls),
+       |scored AS (
+       |  SELECT g.x1, g.x2, g.cls AS actual, g.mm, r.rule_cls,
+       |    $score AS score
+       |  FROM gex g CROSS JOIN final_rb r),
+       |$classify
+       |nrc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rules FROM final_rb),
+       |cm AS (
+       |  SELECT SUM(CASE WHEN actual=1 AND pred=1 THEN mm ELSE 0 END) AS tp,
+       |         SUM(CASE WHEN actual=0 AND pred=0 THEN mm ELSE 0 END) AS tn,
+       |         SUM(CASE WHEN actual=0 AND pred=1 THEN mm ELSE 0 END) AS fp,
+       |         SUM(CASE WHEN actual=1 AND pred=0 THEN mm ELSE 0 END) AS fn
+       |  FROM win)
+       |SELECT '$frm' AS frm, '$tname' AS tnorm, nrc.n_rules,
+       |       CAST(ROUND((tp+tn) * 1000000.0 / (tp+tn+fp+fn), 0) AS BIGINT)
+       |         AS acc_ppm,
+       |       CAST(ROUND(SQRT((tp*1.0/(tp+fn)) * (tn*1.0/(tn+fp))) * 1000000,
+       |                  0) AS BIGINT) AS gm_ppm
+       |FROM cm CROSS JOIN nrc
+       |)""".stripMargin
+  }
 
   /** One unrolled Viterbi enumeration round (the x262 device): every
     * segmentation of every ≤8-char token under inventory `inv`, the

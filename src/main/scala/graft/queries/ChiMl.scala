@@ -44,8 +44,18 @@ object ChiMl {
     * algorithm the CS variant extends: every example weighs 1, PCF = plain
     * penalized certainty factor) — x51/x52 expose it so the cost vector's
     * effect on the learned rules is directly observable. */
+  /** Antecedent match degree of (x1, x2) against labels (ra1, ra2) under
+    * the given t-norm — PRODUCT is [P1]'s choice (and every other key's);
+    * MINIMUM is the other classical FRBCS conjunction, ablated by x285. */
+  private def matchDegree(tnormMin: Boolean): Column = {
+    val m1 = ChiCore.membershipAt(col("x1"), col("ra1"), P1)
+    val m2 = ChiCore.membershipAt(col("x2"), col("ra2"), P2)
+    if (tnormMin) least(m1, m2) else m1 * m2
+  }
+
   private[queries] def ruleBase(spark: SparkSession, dir: String,
-                                costSensitive: Boolean = true): DataFrame = {
+                                costSensitive: Boolean = true,
+                                tnormMin: Boolean = false): DataFrame = {
     val lab = labeled(spark, dir)
     // Pre-aggregate to DISTINCT feature vectors with multiplicity before the
     // candidate fan-out: W is a pure function of (x1, x2, cls), and
@@ -81,10 +91,7 @@ object ChiMl {
     // long count representable; a (38,12) term would overflow against the
     // bigint count and allowPrecisionLoss would round each product to
     // scale 6 (see ChiCSClassifier.fit note)
-    val w = round(
-        costFactor *
-          ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
-          ChiCore.membershipAt(col("x2"), col("ra2"), P2),
+    val w = round(costFactor * matchDegree(tnormMin),
         12).cast(DecimalType(18, 12)) * col("mcnt").cast(DecimalType(19, 0))
     val m = gex.crossJoin(broadcast(ants))
       .select(col("ra1"), col("ra2"), col("rcls"), col("cls"), w.as("w"))
@@ -548,5 +555,84 @@ object ChiMl {
                     (col("tp") + col("tn") + col("fp") + col("fn")), 0)
                 .cast(LongType).as("acc_ppm"),
               round(sqrt(tpr * tnr) * 1000000, 0).cast(LongType).as("gm_ppm"))
+  }
+
+  /** x285: FUZZY REASONING METHOD ABLATION — the FRBCS design grid the Chi
+    * family is defined over: inference = {winning rule, additive
+    * combination} × t-norm = {product, minimum}. [P1] fixes (winner,
+    * product); the additive (normalized-sum) FRM and the min conjunction
+    * are the other classical choices (Cordón/del Jesus/Herrera's FRM
+    * study), and which cell you pick changes the learned weights AND the
+    * decision boundary — this key measures all four cells on the same
+    * task, train-to-metrics. The t-norm threads through BOTH phases:
+    * rule-weight learning (the match degree inside the CS-PCF sums,
+    * [[matchDegree]]) and classification scoring, exactly as the FRBCS
+    * definition requires. The additive FRM sums per-class evidence in
+    * EXACT pico-unit integers (round(score·10¹², 0) per rule term, ≤ 9
+    * bounded terms, order-free BIGINT sum — the x202 device), so the class
+    * argmax is bit-stable; no-evidence vectors fall back to the global
+    * majority class, mirroring the winner FRM's no-match fallback.
+    *
+    * 100 TB: per t-norm ONE rule-base fit (the q41 broadcast-candidate
+    * shape) and ONE distinct-vector scoring aggregate; both FRMs read the
+    * same grid-bounded scored frame (localCheckpoint'd — ≤ grid·|RB| rows),
+    * so the ablation costs 2 fits + 2 scoring passes regardless of the 4
+    * output cells. */
+  def x285(spark: SparkSession, dir: String): DataFrame =
+    Seq(false, true).map(tn => frmReports(spark, dir, tn))
+      .reduce(_ unionByName _).orderBy("frm", "tnorm")
+
+  /** Both FRM rows (winner + additive) for one t-norm. */
+  private def frmReports(spark: SparkSession, dir: String,
+                         tnormMin: Boolean): DataFrame = {
+    val tname = if (tnormMin) "min" else "prod"
+    val fused = ruleBase(spark, dir, costSensitive = true, tnormMin = tnormMin)
+      .localCheckpoint(true)
+    val nRules = fused.agg(count(lit(1)).as("n_rules"))
+    val gexS = labeled(spark, dir).groupBy("x1", "x2", "cls")
+      .agg(count(lit(1)).as("mm"))
+    val majDf = gexS.groupBy("cls").agg(sum(col("mm")).as("n"))
+      .orderBy(col("n").desc, col("cls")).limit(1)
+      .select(col("cls").as("maj"))
+    // grid-bounded (≤ |x1 grid|·|x2 grid|·2·|RB| rows): materialize once,
+    // both FRMs and the majority fallback read it without re-scanning
+    val scored = gexS.crossJoin(broadcast(fused))
+      .withColumn("score", round(matchDegree(tnormMin) * col("rw"), 12))
+      .withColumn("si", round(col("score") * lit(1e12), 0).cast(LongType))
+      .localCheckpoint(true)
+    val perEx = Window.partitionBy("x1", "x2", "cls")
+      .orderBy(col("score").desc, col("rcls"))
+    val winW = scored.withColumn("rn", row_number().over(perEx))
+      .filter(col("rn") === 1)
+      .crossJoin(broadcast(majDf))
+      .select(col("cls").as("actual"),
+              when(col("score") > 0, col("rcls")).otherwise(col("maj"))
+                .as("pred"), col("mm"))
+    val votes = scored.groupBy("x1", "x2", "cls", "mm", "rcls")
+      .agg(sum(col("si")).as("v"))
+    val perCls = Window.partitionBy("x1", "x2", "cls")
+      .orderBy(col("v").desc, col("rcls"))
+    val winA = votes.withColumn("rn", row_number().over(perCls))
+      .filter(col("rn") === 1)
+      .crossJoin(broadcast(majDf))
+      .select(col("cls").as("actual"),
+              when(col("v") > 0, col("rcls")).otherwise(col("maj"))
+                .as("pred"), col("mm"))
+    def report(win: DataFrame, frm: String): DataFrame = {
+      val cm = win.agg(
+        sum(when(col("actual") === 1 && col("pred") === 1, col("mm")).otherwise(0L)).as("tp"),
+        sum(when(col("actual") === 0 && col("pred") === 0, col("mm")).otherwise(0L)).as("tn"),
+        sum(when(col("actual") === 0 && col("pred") === 1, col("mm")).otherwise(0L)).as("fp"),
+        sum(when(col("actual") === 1 && col("pred") === 0, col("mm")).otherwise(0L)).as("fn"))
+      val tpr: Column = col("tp") * lit(1.0) / (col("tp") + col("fn"))
+      val tnr: Column = col("tn") * lit(1.0) / (col("tn") + col("fp"))
+      cm.crossJoin(broadcast(nRules))
+        .select(lit(frm).as("frm"), lit(tname).as("tnorm"), col("n_rules"),
+                round((col("tp") + col("tn")) * lit(1000000.0) /
+                      (col("tp") + col("tn") + col("fp") + col("fn")), 0)
+                  .cast(LongType).as("acc_ppm"),
+                round(sqrt(tpr * tnr) * 1000000, 0).cast(LongType).as("gm_ppm"))
+    }
+    report(winW, "winner").unionByName(report(winA, "additive"))
   }
 }

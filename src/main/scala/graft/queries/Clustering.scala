@@ -787,4 +787,56 @@ object Clustering {
           .as("within_bound"))
       .orderBy("dim")
   }
+
+  /** x284: SEMANTIC DEDUPLICATION (SemDeDup-style, deterministic) — prune
+    * near-duplicate embeddings WITHIN k-means cells: assign every vector to
+    * its nearest of the k fixed centroids (init = first k vectors by id,
+    * the x140 device, one assignment round), generate candidate pairs only
+    * inside a cell, and drop the higher-id member of any pair whose cosine
+    * ≥ 0.40. Output = one row per DROPPED vector with its cell, the
+    * earlier in-cell vector it duplicates most strongly (max cosine, ties
+    * to the lower id — the "keeper", which may itself chain to an even
+    * earlier one; keeper chains terminate at a survivor since ids strictly
+    * decrease), and that cosine in integer micro-units.
+    *
+    * The drop rule is "duplicates ANY earlier (lower-id) vector in the
+    * cell" — a single join pass, deterministic, and idempotent: a survivor
+    * has no earlier in-cell twin in the full set, hence none among the
+    * survivors, so re-running on the survivors drops nothing (Round12Spec
+    * pins the per-row contract). SemDeDup proper orders by distance
+    * to centroid; vec_id is this engine's reproducible stand-in for that
+    * arbitrary-but-fixed order.
+    *
+    * 100 TB: THE point of the operator is that candidate generation is
+    * cluster-bucketed — the self-join keys on `cell`, so pair work is
+    * Σ_cells |cell|² instead of |V|²; k grows with the corpus to keep cells
+    * bounded (k ≈ N/target_cell), and the centroid broadcast stays k·d.
+    * The cosine kernel is the codegen'd fvec_dot; the argmax-keeper
+    * collapses through a min_by partial aggregate, so the shuffle after
+    * the pair stage carries one row per dropped vector, never the pair
+    * grid. */
+  def x284(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cents = emb.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cell"),
+              transform(col("embedding"), _.cast(DoubleType)).as("ce"))
+    val assigned = assign(emb, cents).join(emb, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val u = assigned.select(col("vec_id").as("u_id"), col("cell"),
+                            col("embedding").as("u_emb"))
+    val v = assigned.select(col("vec_id").as("v_id"), col("cell"),
+                            col("embedding").as("v_emb"))
+    u.join(v, Seq("cell")).filter(col("u_id") < col("v_id"))
+      .withColumn("cos_micro",
+        VectorKernels.cosineMicro(col("u_emb"), col("v_emb")))
+      .filter(col("cos_micro") >= 400000)
+      .groupBy(col("v_id").as("vec_id"))
+      .agg(max(col("cell")).as("cell"), // constant within the group
+           min_by(struct(col("u_id"), col("cos_micro")),
+                  struct(negate(col("cos_micro")), col("u_id"))).as("best"))
+      .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+              col("best.u_id").as("keeper"),
+              col("best.cos_micro").as("cos_micro"))
+      .orderBy("vec_id")
+  }
 }

@@ -485,4 +485,65 @@ object Governance {
     cRows.unionByName(oRows).unionByName(liRows).unionByName(evRows)
       .orderBy("subject", "table_name")
   }
+
+  /** x288: LICENSE-LATTICE PROPAGATION — compliance audit of a two-level
+    * derivation DAG (documents → packed shards → released datasets): every
+    * derived artifact's EFFECTIVE license is the lattice join (most
+    * restrictive wins) of its inputs' licenses, and a release whose
+    * DECLARED license is weaker than that join is a violation — the check
+    * a training-data release pipeline must run before shipping a mix.
+    * Licenses order cc0(0) < cc-by(1) < cc-by-sa(2) < proprietary(3);
+    * restrictiveness rank is a total order, so the join is MAX(rank) and
+    * two-hop propagation (docs→shards, shards→datasets) equals the flat
+    * doc→dataset rollup by associativity — Round12Spec pins that identity.
+    * Source licensing is the deterministic src-number mapping (srcN ↦
+    * rank N % 4); each dataset DECLARES its own license (dataset % 4), so
+    * the audit is discriminative: the dataset declaring proprietary never
+    * violates, the one declaring cc0 violates on any restriction it
+    * absorbed. Per dataset: doc/shard mass, the
+    * effective license, the most restrictive contributing source (rank
+    * argmax, ties to the lexicographically first source — provenance for
+    * the auditor), the mass carrying that rank, and the violation flag.
+    *
+    * 100 TB: two key-partitioned partial+final aggregates (shard-, then
+    * dataset-grain) — license metadata rides the rows as integer ranks, so
+    * propagation is just MAX inside aggregates that already exist in any
+    * packing pipeline; no joins beyond the bounded license dim, nothing
+    * driver-side. */
+  def x288(spark: SparkSession, dir: String): DataFrame = {
+    val rank = expr("CAST(substring(source, 4) AS BIGINT) % 4")
+    def name(r: Column): Column = Seq("cc0", "cc-by", "cc-by-sa", "proprietary")
+      .zipWithIndex.foldLeft(when(lit(false), ""): Column) {
+        case (acc, (n, k)) => acc.when(r === k, n)
+      }.otherwise("unknown")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), rank.as("lic_rank"))
+      .withColumn("shard", expr("doc_id DIV 25"))
+      .withColumn("dataset", expr("(doc_id DIV 25) % 5"))
+    // (max rank, tie → lexicographically first source) as ONE min_by key:
+    // min over (−rank, source). min_by composes associatively across the
+    // two hops — only max-rank shards reach the dataset-level pick.
+    val shards = docs.groupBy("dataset", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+           max(col("lic_rank")).as("s_rank"),
+           min_by(col("source"),
+                  struct(negate(col("lic_rank")), col("source"))).as("s_src"))
+    val perDs = shards.groupBy("dataset")
+      .agg(sum(col("n_docs")).as("n_docs"),
+           count(lit(1)).as("n_shards"),
+           max(col("s_rank")).as("eff_rank"),
+           min_by(col("s_src"),
+                  struct(negate(col("s_rank")), col("s_src"))).as("worst_source"))
+    val atMax = docs.join(perDs.select(col("dataset"), col("eff_rank")), "dataset")
+      .filter(col("lic_rank") === col("eff_rank"))
+      .groupBy("dataset").agg(count(lit(1)).as("n_docs_at_max"))
+    perDs.join(atMax, "dataset")
+      .withColumn("declared_rank", expr("dataset % 4"))
+      .select(col("dataset"), col("n_docs"), col("n_shards"),
+              col("eff_rank"), name(col("eff_rank")).as("effective_license"),
+              name(col("declared_rank")).as("declared_license"),
+              col("worst_source"), col("n_docs_at_max"),
+              (col("eff_rank") > col("declared_rank")).as("violation"))
+      .orderBy("dataset")
+  }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.engine.Tables
 
 /** x188–x189: multi-hop graph operators over the support-≥2 co-purchase
@@ -275,5 +276,61 @@ object Graphs {
       .select(col("tok"), col("df"),
               coalesce(col("d"), lit(-1L)).as("dist4"))
       .orderBy("tok")
+  }
+
+  /** x287: LINK PREDICTION (common-neighbors + Adamic–Adar) on the
+    * customer–part bipartite graph — for every part pair that shares
+    * buyers but was NEVER co-ordered, the number of common customers and
+    * the Adamic–Adar score Σ_c 1/ln(deg(c)) (rare shared buyers weigh
+    * more than promiscuous ones): the classic candidate generator for
+    * recommendation / graph-completion pipelines. Top 50 predicted links
+    * by (cn, aa) with a full tie order.
+    *
+    * Determinism: Adamic–Adar terms are irrational, so each customer's
+    * term rounds to integer micro-units ONCE (round(10⁶/ln deg, 0) —
+    * bit-stable round-to-0, x271 lesson) and the pair score is an
+    * order-free BIGINT sum of those fixed terms — never a float sum.
+    *
+    * 100 TB: pairs are generated IN-MAP from each customer's sorted
+    * bounded part set (collect_set capped at deg ≤ 256 — the hot-vertex
+    * cap; a customer over the cap is a mixing hub whose pairs carry no
+    * signal, stated in the output contract) and flow straight into the
+    * (pa, pb) partial aggregate — no customer self-join, no pair-grid
+    * shuffle beyond the aggregate's own. The co-order edge set reuses the
+    * same per-order in-map device, and prediction = one left_anti join on
+    * the pair key. Degree-1 customers drop before the fan-out (a common
+    * neighbor has degree ≥ 2 by definition — and ln 1 = 0 would divide by
+    * zero). */
+  def x287(spark: SparkSession, dir: String): DataFrame = {
+    def pairsOf(grouped: DataFrame): DataFrame = grouped
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |            y -> struct(x AS pa, y AS pb))))""".stripMargin))
+          .as("pr"), col("term_micro"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"), col("term_micro"))
+    val cp = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+            col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    val perCust = cp.groupBy("c")
+      .agg(sort_array(collect_set(col("p"))).as("parts"))
+      .withColumn("deg", size(col("parts")).cast(LongType))
+      .filter(col("deg") >= 2 && col("deg") <= 256)
+      .withColumn("term_micro",
+        round(lit(1000000.0) / log(col("deg").cast(DoubleType)), 0)
+          .cast(LongType))
+    val scored = pairsOf(perCust)
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("cn"), sum(col("term_micro")).as("aa_micro"))
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("parts"))
+      .filter(size(col("parts")) >= 2)
+      .withColumn("term_micro", lit(0L))
+    val edgePairs = pairsOf(edges).select("pa", "pb").distinct()
+    scored.join(edgePairs, Seq("pa", "pb"), "left_anti")
+      .orderBy(col("cn").desc, col("aa_micro").desc, col("pa"), col("pb"))
+      .limit(50)
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import graft.engine.{Tables, ZOrder}
@@ -275,5 +276,63 @@ object Organize {
     audit(Seq(col("toks"), col("doc_id")), "length_sorted")
       .unionByName(audit(Seq(col("h"), col("doc_id")), "shuffled"))
       .orderBy("ordering", "batch_size")
+  }
+
+  /** x286: DETERMINISTIC SOURCE-INTERLEAVE SCHEDULE — the data-loader
+    * counterpart of x222's mixture WEIGHTS: given per-source proportions,
+    * produce the exact ORDER in which a multi-source training stream
+    * interleaves documents (tf.data `sample_from_datasets` /
+    * torchdata mux semantics, made deterministic). Weights are per-source
+    * doc-count shares in ppm (x165's largest-remainder apportionment, so
+    * Σw = 10⁶ exactly); source s's k-th document (by doc_id within source)
+    * is emitted at integer virtual time t = ⌈k·10⁶ / w_s⌉ — stride
+    * scheduling with EXACT integer arithmetic — and the global schedule is
+    * the (t, source) total order (t is strictly increasing within a source
+    * since w_s < 10⁶, so the order is total). First 200 steps emitted.
+    *
+    * The Bresenham-exactness theorem rides every row as an
+    * oracle-recomputed flag: t = ⌈k·10⁶/w⌉ ⟺ ⌊(t−1)·w/10⁶⌋ < k ≤
+    * ⌊t·w/10⁶⌋, i.e. the k-th emission happens at exactly the step where
+    * the w-proportional quota first reaches k — at EVERY virtual time T
+    * each source has emitted exactly ⌊T·w/10⁶⌋ items (until exhaustion),
+    * so any schedule prefix tracks the target mix to within one item per
+    * source. That per-prefix guarantee is the whole point vs. seeded
+    * sampling, whose mix only holds in expectation.
+    *
+    * 100 TB: the weight table is a bounded aggregate (one partial+final
+    * count rollup); k is a per-source window rank (partitioned — scales);
+    * t is map-side integer arithmetic; the 200-step prefix collapses
+    * through TakeOrderedAndProject, never a global sort materialization.
+    * A real loader consumes the schedule lazily — the key materializes a
+    * bounded audit prefix. */
+  def x286(spark: SparkSession, dir: String): DataFrame = {
+    val M = 1000000L
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("tn"))
+    val byRem = Window.orderBy(col("rem").desc, col("source"))
+    val all =
+      Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wts = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"n_docs * $M DIV tn"))
+      .withColumn("rem", expr(s"(n_docs * $M) % tn"))
+      .withColumn("rk", row_number().over(byRem))
+      .withColumn("leftover", lit(M) - sum(col("base")).over(all))
+      .withColumn("w_ppm",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .filter(col("w_ppm") > 0)
+      .select(col("source"), col("w_ppm"))
+    val bySrc = Window.partitionBy("source").orderBy("doc_id")
+    val keyed = docs.join(broadcast(wts), "source")
+      .withColumn("k", row_number().over(bySrc).cast(LongType))
+      .withColumn("vt", expr(s"(k * $M + w_ppm - 1) DIV w_ppm"))
+      .withColumn("quota_ok",
+        expr(s"((vt - 1) * w_ppm) DIV $M < k AND k <= (vt * w_ppm) DIV $M"))
+    val byStep = Window.orderBy("vt", "source")
+    keyed.orderBy("vt", "source").limit(200)
+      .withColumn("step", row_number().over(byStep).cast(LongType))
+      .select(col("step"), col("vt"), col("source"), col("k"),
+              col("doc_id"), col("w_ppm"), col("quota_ok"))
+      .orderBy("step")
   }
 }

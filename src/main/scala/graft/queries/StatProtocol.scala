@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.engine.Tables
 
 /** x244+: statistical-protocol operators over deterministic portable
@@ -294,5 +294,63 @@ object StatProtocol {
                   "CAST(POWER(2.0D, p50_bucket) AS BIGINT) AS p50_lo",
                   "CAST(POWER(2.0D, p50_bucket + 1) AS BIGINT) AS p50_hi")
       .orderBy("grp")
+  }
+
+  /** x289: NEYMAN ALLOCATION — variance-optimal stratified sampling: a
+    * 100-sample evaluation budget allocated over the per-source strata of
+    * the documents table proportionally to N_h·σ_h (big, high-variance
+    * strata get the samples; uniform strata need almost none) — the
+    * protocol an eval-set builder runs before drawing human-annotation
+    * samples from a corpus. EXACT throughout: N_h·σ_h =
+    * √(N_h·Σy²_h − (Σy_h)²) — the radicand is an exact BIGINT from two
+    * integer sums, so the weight is x222's integer square root (floor ±1
+    * correction, immune to pow/sqrt ULP drift), and the budget apportions
+    * by x165's largest-remainder device (Σalloc = budget exactly).
+    *
+    * Two theorems ride as oracle-recomputed flags: sum_ok (Hamilton), and
+    * neyman_ok — the Cauchy–Schwarz fact that IS Neyman optimality,
+    * (Σ N_hσ_h)² ≤ N·Σ N_hσ_h², checked in integers as
+    * (Σw_h)² ≤ N_tot·Σ⌈v_h/N_h⌉ (w = isqrt(v) ≤ √v gives the left bound,
+    * the ceil the right — BIGINT headroom to ~10¹⁸, documented ~500×
+    * beyond the 100× soak corpus). A zero-variance stratum weighs 0 —
+    * Neyman's own answer (its mean is known from any single row);
+    * production would floor allocations at 1 and cap at N_h via x274's
+    * water-fill, orthogonal here.
+    *
+    * 100 TB: the corpus-scale work is ONE partial+final (count, Σy, Σy²)
+    * rollup per stratum; the isqrt, apportionment and both flags run on
+    * the ≤|sources| aggregate under unpartitioned-but-bounded windows. */
+  def x289(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 100L
+    val stats = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("sy"),
+           sum(col("y") * col("y")).as("syy"))
+      .withColumn("v", col("n_docs") * col("syy") - col("sy") * col("sy"))
+    val s0 = floor(sqrt(col("v").cast(DoubleType))).cast(LongType)
+    val wted = stats.withColumn("w",
+      when((s0 + 1L) * (s0 + 1L) <= col("v"), s0 + 1L)
+        .when(s0 * s0 > col("v"), s0 - 1L)
+        .otherwise(s0))
+    val tot = wted.agg(sum(col("w")).as("tw"), sum(col("n_docs")).as("tn"),
+                       sum(expr("(v + n_docs - 1) DIV n_docs")).as("tvn"))
+    val byRem = Window.orderBy(col("rem").desc, col("source"))
+    val all =
+      Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wted.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"w * $budget DIV tw"))
+      .withColumn("rem", expr(s"(w * $budget) % tw"))
+      .withColumn("rk", row_number().over(byRem))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(all))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .withColumn("sum_ok", sum(col("alloc")).over(all) === lit(budget))
+      .withColumn("neyman_ok",
+        sum(col("w")).over(all) * sum(col("w")).over(all) <=
+          col("tn") * col("tvn"))
+      .select(col("source"), col("n_docs"), col("v"), col("w"), col("alloc"),
+              col("sum_ok"), col("neyman_ok"))
+      .orderBy("source")
   }
 }

@@ -508,8 +508,13 @@ object StreamingOps {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // Precedence: spec override > SPARK_GRAFT_STATESTORE (the scale-A/B env
+    // hook — without honoring it here the per-query set below would dead-let
+    // the hook for exactly the nine operators it exists to measure) > the
+    // RocksDB engine default.
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      providerOverride.getOrElse(RocksDbProvider))
+      providerOverride.orElse(sys.env.get("SPARK_GRAFT_STATESTORE"))
+        .getOrElse(RocksDbProvider))
     try {
       val q = streamed.writeStream
         .format("memory").queryName(name)

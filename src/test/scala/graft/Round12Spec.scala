@@ -42,4 +42,98 @@ class Round12Spec extends AnyFunSuite {
     assert(rows.forall(_._2 <= nCandAnts),
       s"fused RB sizes ${rows.map(_._2).toSeq} vs candidate grid $nCandAnts")
   }
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("x284 drop rule: dropped = {v | ∃ kept u<v in-cell with cos≥τ}, keepers survive") {
+    val out = graft.queries.Clustering.x284(spark, sf01).collect()
+    assert(out.nonEmpty, "sf0.01 must surface within-cell near-dups")
+    val dropped = out.map(_.getLong(0)).toSet
+    val keepers = out.map(r => r.getLong(2)).toSet
+    // every row: keeper precedes the drop, similarity clears the threshold
+    assert(out.forall(r => r.getLong(2) < r.getLong(0) &&
+                           r.getLong(3) >= 400000L))
+    // keepers themselves may only be dropped by an EARLIER twin — but the
+    // named keeper being dropped while its dependent survives would break
+    // idempotence; assert the weaker sound form: a dropped keeper implies
+    // that keeper's own keeper is even earlier (chain terminates at a
+    // survivor), and no vector names itself
+    assert(dropped.intersect(keepers).forall { k =>
+      out.find(_.getLong(0) == k).get.getLong(2) < k })
+    assert(out.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
+  test("x285 winner/prod cell IS x281's m=1 report (same chain, same fallback)") {
+    val abl = graft.queries.ChiMl.x285(spark, sfSmoke).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+                 (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(abl.keySet === Set(("winner", "prod"), ("winner", "min"),
+                              ("additive", "prod"), ("additive", "min")))
+    assert(abl.values.forall { case (n, a, g) =>
+      n >= 1 && a >= 0 && a <= 1000000 && g >= 0 && g <= 1000000 })
+    val m1 = graft.queries.ChiMl.x281(spark, sfSmoke)
+      .filter(col("m") === 1).collect().head
+    assert(abl(("winner", "prod")) ===
+      ((m1.getLong(1), m1.getLong(2), m1.getLong(3))))
+  }
+
+  test("x286 schedule: dense steps, Bresenham flag, per-source ranks dense from 1") {
+    val out = graft.queries.Organize.x286(spark, sfSmoke).collect()
+    assert(out.map(_.getLong(0)).toSeq === (1L to out.length).toSeq)
+    assert(out.forall(_.getBoolean(6)), "quota_ok must hold on every step")
+    // vt non-decreasing along the schedule
+    assert(out.map(_.getLong(1)).sliding(2).forall(p => p(0) <= p.last))
+    // within the prefix each source's k is exactly 1..count(source)
+    out.groupBy(_.getString(2)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+  }
+
+  test("x287 predictions are non-edges with AA bounded by the cn·term envelope") {
+    val out = graft.queries.Graphs.x287(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    val edges = graft.engine.Tables.lineitem(spark, sfSmoke)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { g =>
+        val ps = g.map(_._2).sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+      }.toSet
+    assert(out.forall(r => !edges.contains((r.getLong(0), r.getLong(1)))),
+      "a predicted link must not already be co-ordered")
+    // deg ∈ [2, 256] ⇒ each AA term ∈ [10⁶/ln 256, 10⁶/ln 2]
+    assert(out.forall { r =>
+      val cn = r.getLong(2); val aa = r.getLong(3)
+      cn >= 1 && aa >= cn * 180337L && aa <= cn * 1442695L })
+  }
+
+  test("x288 two-hop lattice rollup equals the flat doc→dataset rollup") {
+    val out = graft.queries.Governance.x288(spark, sfSmoke).collect()
+    val flat = graft.engine.Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"), col("source"),
+              expr("CAST(substring(source, 4) AS BIGINT) % 4").as("r"),
+              expr("(doc_id DIV 25) % 5").as("ds"))
+      .collect().groupBy(_.getLong(3))
+    assert(out.nonEmpty)
+    out.foreach { row =>
+      val ds = row.getLong(0)
+      val docs = flat(ds)
+      val effRank = docs.map(_.getLong(2)).max
+      val worst = docs.filter(_.getLong(2) == effRank).map(_.getString(1)).min
+      assert(row.getLong(3) === effRank, s"dataset $ds eff_rank")
+      assert(row.getString(6) === worst, s"dataset $ds worst_source")
+      assert(row.getLong(7) === docs.count(_.getLong(2) == effRank).toLong)
+      assert(row.getBoolean(8) === (effRank > ds % 4))
+    }
+  }
+
+  test("x289 allocation: Hamilton exactness, isqrt bracketing, Cauchy–Schwarz flag") {
+    val out = graft.queries.StatProtocol.x289(spark, sfSmoke).collect()
+    assert(out.map(_.getLong(4)).sum === 100L)
+    assert(out.forall(_.getBoolean(5)))
+    assert(out.forall(_.getBoolean(6)))
+    assert(out.forall { r =>
+      val v = r.getLong(2); val w = r.getLong(3)
+      w * w <= v && v < (w + 1) * (w + 1) })
+  }
 }
