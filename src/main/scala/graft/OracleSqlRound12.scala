@@ -514,6 +514,54 @@ object OracleSqlRound12 {
         |           TRUE) AS monotone_ok
         |FROM fin ORDER BY source""".stripMargin,
 
+    // x294: sequential-pattern support — first-occurrence strict ordering
+    // per user, confidence in exact ppm.
+    "x294_sequence_support" ->
+      """WITH firsts AS (
+        |  SELECT user_id, event_type, MIN(ts) AS t0
+        |  FROM events GROUP BY 1, 2),
+        |pertype AS (SELECT event_type AS a, CAST(COUNT(*) AS BIGINT)
+        |              AS n_users_a
+        |            FROM firsts GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.event_type AS a, y.event_type AS b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_users_ab
+        |  FROM firsts x JOIN firsts y
+        |    ON x.user_id = y.user_id
+        |   AND x.event_type <> y.event_type AND x.t0 < y.t0
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.n_users_ab, t.n_users_a,
+        |       p.n_users_ab * 1000000 // t.n_users_a AS conf_ppm
+        |FROM pairs p JOIN pertype t ON t.a = p.a
+        |ORDER BY p.a, p.b""".stripMargin,
+
+    // x295: curriculum pacing — exact cross-multiplied unlock steps under
+    // the root pacing curve, histogram + coverage/completion flags.
+    "x295_curriculum_pacing" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, n_chars,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS r,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS nn
+        |  FROM documents),
+        |un AS (
+        |  SELECT CASE WHEN 100 * r * r <= nn * nn THEN 0
+        |         ELSE (10000 * (100 * r * r - nn * nn) + 99 * nn * nn - 1)
+        |                // (99 * nn * nn) END AS unlock, nn
+        |  FROM ranked),
+        |hist AS (
+        |  SELECT unlock // 1000 AS bucket, CAST(COUNT(*) AS BIGINT)
+        |           AS n_docs,
+        |         CAST(MIN(unlock) AS BIGINT) AS min_unlock,
+        |         CAST(MAX(unlock) AS BIGINT) AS max_unlock,
+        |         MAX(nn) AS nn
+        |  FROM un GROUP BY 1)
+        |SELECT bucket, n_docs, min_unlock, max_unlock,
+        |  (SELECT CAST(SUM(n_docs) AS BIGINT) FROM hist) = MAX(nn) OVER ()
+        |    AS coverage_ok,
+        |  (SELECT CAST(MAX(max_unlock) AS BIGINT) FROM hist) <= 10000
+        |    AS complete_ok
+        |FROM hist ORDER BY bucket""".stripMargin,
+
     // x289: Neyman allocation — N_hσ_h = isqrt(N·Σy² − (Σy)²) exactly,
     // largest-remainder apportionment, Hamilton + Cauchy–Schwarz flags.
     "x289_neyman_allocation" ->

@@ -363,4 +363,36 @@ object Analytics {
               expr("n_active * 1000000 DIV cohort_size").as("retention_ppm"))
       .orderBy("cohort_week", "weeks_since")
   }
+
+  /** x294: SEQUENTIAL-PATTERN SUPPORT — for every ORDERED event-type pair
+    * (a → b), how many users did a strictly before ever doing b (first
+    * occurrences compared), the sequential-rule mining primitive
+    * (PrefixSpan's length-2 core) that complements x39's adjacent
+    * transitions and x53's fixed funnel: x39 counts consecutive steps,
+    * this counts "eventually after", the relation that defines a funnel
+    * worth building. Confidence rides as conf_ppm = support(a→b)·10⁶ DIV
+    * users(a). Equal first-occurrence timestamps count for NEITHER order
+    * (strict <, deterministic at µs grain).
+    *
+    * 100 TB: the only event-scale work is ONE (user, type) min-timestamp
+    * aggregate (map-side combinable); the ordered-pair fan-out is a
+    * per-user self-join on that aggregate, bounded by the type-vocabulary
+    * width (≤ \|types\|² rows per user), and the support rollup lands on
+    * the ≤ \|types\|² grid. No event ever joins an event. */
+  def x294(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(min(col("ts")).as("t0"))
+      .localCheckpoint(true) // both self-join sides + the per-type totals
+    val perType = firsts.groupBy(col("event_type").as("a"))
+      .agg(count(lit(1)).as("n_users_a"))
+    firsts.select(col("user_id"), col("event_type").as("a"), col("t0").as("ta"))
+      .join(firsts.select(col("user_id"), col("event_type").as("b"),
+                          col("t0").as("tb")), "user_id")
+      .filter(col("a") =!= col("b") && col("ta") < col("tb"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_users_ab"))
+      .join(broadcast(perType), "a")
+      .select(col("a"), col("b"), col("n_users_ab"), col("n_users_a"),
+              expr("n_users_ab * 1000000 DIV n_users_a").as("conf_ppm"))
+      .orderBy("a", "b")
+  }
 }

@@ -272,6 +272,50 @@ object Curation {
       .orderBy("source")
   }
 
+  /** x295: CURRICULUM PACING — competence-based curriculum (Platanios et
+    * al.): rank documents easy→hard (n_chars ascending — the standard
+    * length-difficulty proxy — tie doc_id), and under the root pacing
+    * function c(t) = √(f₀² + (1−f₀²)·t/T) with f₀ = 1/10, T = 10 000
+    * training steps, compute each document's UNLOCK step — the first t
+    * with rank/N ≤ c(t), i.e. 0 when 100r² ≤ N², else
+    * ⌈T·(100r² − N²) / (99N²)⌉ — in EXACT BIGINT cross-multiplied
+    * arithmetic (no float pacing curve to drift cross-engine; headroom
+    * T·100·r² < 2⁶³ through ~30 M docs, the x185 DECIMAL escape hatch
+    * past that). Output = the unlock-step histogram in 1 000-step buckets
+    * with two theorems riding as flags: full coverage (Σ n_docs = N) and
+    * completion (max unlock ≤ T — the hardest doc unlocks exactly at T).
+    *
+    * 100 TB: the rank is Ranks.globalRowNumber (two-phase distributed
+    * rank, never a single-partition window); the unlock arithmetic is
+    * map-side; the histogram is a ≤ 11-bucket aggregate and the flags run
+    * on it under bounded windows. A loader consumes (doc, unlock) as the
+    * per-step admission predicate. */
+  def x295(spark: SparkSession, dir: String): DataFrame = {
+    val T = 10000L
+    val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
+    val ranked = graft.engine.Ranks.globalRowNumber(
+      docs, Seq(col("n_chars"), col("doc_id")), "r")
+    val tot = ranked.agg(count(lit(1)).as("nn"))
+    val all =
+      Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("unlock",
+        when(lit(100L) * col("r") * col("r") <= col("nn") * col("nn"), 0L)
+          .otherwise(expr(
+            s"($T * (100 * r * r - nn * nn) + 99 * nn * nn - 1)" +
+            " DIV (99 * nn * nn)")))
+      .groupBy(expr("unlock DIV 1000").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("unlock")).as("min_unlock"),
+           max(col("unlock")).as("max_unlock"), max(col("nn")).as("nn"))
+      .withColumn("coverage_ok", sum(col("n_docs")).over(all) === col("nn"))
+      .withColumn("complete_ok",
+        max(col("max_unlock")).over(all) <= lit(T))
+      .select(col("bucket"), col("n_docs"), col("min_unlock"),
+              col("max_unlock"), col("coverage_ok"), col("complete_ok"))
+      .orderBy("bucket")
+  }
+
+
   /** x222: TEMPERATURE-SAMPLED MIXTURE — multilingual-LM dataset mixing
     * (sampling weight ∝ massᵅ, α = 1/2) with the budget made EXACT: per
     * source the token mass m, the tempered weight w = isqrt(m) (integer

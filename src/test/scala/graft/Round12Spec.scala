@@ -184,6 +184,39 @@ class Round12Spec extends AnyFunSuite {
       "exp upweighting must be monotone in surprisal")
   }
 
+  test("x294 support equals a JVM first-occurrence recount") {
+    val firsts = graft.engine.Tables.events(spark, sfSmoke)
+      .groupBy("user_id", "event_type").agg(min(col("ts")).as("t0"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byUser = firsts.toSeq.groupBy(_._1)
+    val expected = byUser.values.toSeq.flatMap { ts =>
+      for (x <- ts; y <- ts if x._2 != y._2 && x._3 < y._3)
+        yield (x._2, y._2)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val out = graft.queries.Analytics.x294(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) === expected((r.getString(0), r.getString(1))))
+      assert(r.getLong(4) === r.getLong(2) * 1000000L / r.getLong(3))
+    }
+    assert(out.length === expected.size)
+  }
+
+  test("x295 pacing: coverage + completion flags, bucket arithmetic consistent") {
+    val out = graft.queries.Curation.x295(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(4)) && out.forall(_.getBoolean(5)))
+    val n = graft.engine.Tables.documents(spark, sfSmoke).count()
+    assert(out.map(_.getLong(1)).sum === n)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3))
+      assert(r.getLong(2) / 1000L === r.getLong(0))
+      assert(r.getLong(3) / 1000L === r.getLong(0))
+      assert(r.getLong(3) <= 10000L)
+    }
+  }
+
   test("x289 allocation: Hamilton exactness, isqrt bracketing, Cauchy–Schwarz flag") {
     val out = graft.queries.StatProtocol.x289(spark, sfSmoke).collect()
     assert(out.map(_.getLong(4)).sum === 100L)
