@@ -36,6 +36,7 @@ EXPECTED_SUPERLINEAR = {
     "x111_ann_recall_matrix": "ANN recall sweep against brute-force truth on 10x corpus",
     "x24_dedup_components": "twin components grow 10x in size: more label-prop rounds",
     "x223_lsh_portable": "10 identical copies per vector: true bucket-pair mass grows ~quadratically in the copy factor (measured 13.9x at 10x, the x09 class)",
+    "x284_semdedup_prune": "within-cell pair mass is quadratic in cell size and k is FIXED at 8 for oracle determinism, so the N-times twin corpus grows pair work ~N-times beyond linear (346x at 100x); production SemDeDup grows k with N to keep cells bounded (stated in the operator's Scaladoc), which restores linearity",
 }
 
 rows = sorted(keys.items())
