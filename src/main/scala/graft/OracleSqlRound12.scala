@@ -562,6 +562,43 @@ object OracleSqlRound12 {
         |    AS complete_ok
         |FROM hist ORDER BY bucket""".stripMargin,
 
+    // x296: RAG context packing — exact-dup canonical filter, x142's BM25
+    // in micro-units, top-20 per query (the corpus's top-3 df tokens),
+    // greedy 512-token cumulative fill.
+    "x296_rag_context_pack" ->
+      """WITH canon AS (SELECT MIN(doc_id) AS doc_id
+        |               FROM documents GROUP BY LOWER(text)),
+        |toks AS (SELECT d.doc_id, UNNEST(string_split(LOWER(d.text), ' '))
+        |           AS tok
+        |         FROM documents d JOIN canon c ON c.doc_id = d.doc_id),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |       WHERE tok <> '' GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks
+        |       WHERE tok <> '' GROUP BY doc_id),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |qs AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 3),
+        |st AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+        |       FROM dl),
+        |scored AS (SELECT tf.tok AS query, tf.doc_id,
+        |             CAST(ROUND(
+        |               LN((st.n_docs - qs.df + 0.5) / (qs.df + 0.5) + 1.0) *
+        |               (tf.tf * 2.2) / (tf.tf + 1.2 *
+        |                 (0.25 + 0.75 * dl.dl / st.avgdl)) * 1000000, 0)
+        |               AS BIGINT) AS score_micro,
+        |             dl.dl AS n_toks
+        |           FROM tf JOIN qs ON qs.tok = tf.tok
+        |                JOIN dl USING (doc_id) CROSS JOIN st),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query
+        |             ORDER BY score_micro DESC, doc_id) AS rank
+        |           FROM scored),
+        |top AS (SELECT * FROM ranked WHERE rank <= 20),
+        |fill AS (SELECT *, SUM(n_toks) OVER (PARTITION BY query
+        |           ORDER BY rank) AS cum_toks FROM top)
+        |SELECT query, CAST(rank AS BIGINT) AS rank, doc_id, score_micro,
+        |       n_toks, CAST(cum_toks AS BIGINT) AS cum_toks,
+        |       cum_toks <= 512 AS admitted
+        |FROM fill ORDER BY query, rank""".stripMargin,
+
     // x289: Neyman allocation — N_hσ_h = isqrt(N·Σy² − (Σy)²) exactly,
     // largest-remainder apportionment, Hamilton + Cauchy–Schwarz flags.
     "x289_neyman_allocation" ->

@@ -788,6 +788,66 @@ object Clustering {
       .orderBy("dim")
   }
 
+  /** x296: RAG CONTEXT PACKING — the serving-side assembly step between
+    * retrieval and the prompt: for each query (the corpus's top-3
+    * document-frequency tokens, each a single-term query — deterministic,
+    * so the whole chain is oracle-checkable), rank candidate documents by
+    * BM25 (x142's scoring, k1 = 1.2, b = 0.75, in integer micro-units),
+    * drop exact-duplicate documents first (canonical = min doc_id per
+    * lower(text) — duplicated context wastes the window and skews the
+    * model), and admit documents in rank order while the CUMULATIVE token
+    * count stays ≤ 512 — the greedy context-window fill every RAG stack
+    * runs per request. Output per (query, rank ≤ 20): doc, score, its
+    * token length, the running total, and the admission verdict.
+    *
+    * 100 TB: the rank is NOT a window over the candidate set — per query
+    * the top-20 collapses through the bounded-state native `topk_pairs`
+    * aggregate (the q46/x70 device: partial top-k per partition, k-pair
+    * state merge), so a hot query term never sorts its million-doc
+    * posting list; the cumulative fill then runs on the 20-row frames.
+    * tf/df/dl are the same partial+final aggregates an inverted index
+    * maintains (x55/x142); the canonical filter is one semi-join against
+    * the q44 dedup grain. */
+  def x296(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val canon = docs.groupBy(lower(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val toks = docs.join(canon, "doc_id")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds df, the query pick, and the scoring join
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true) // feeds avgdl, the scoring join, and the fill
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val queries = df.orderBy(col("df").desc, col("tok")).limit(3)
+      .select(col("tok"), col("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+                       avg(col("dl").cast(DoubleType)).as("avgdl"))
+    val top = tf.join(broadcast(queries), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_micro", round(
+        expr("""LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+               |  (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"""
+          .stripMargin) * 1000000, 0).cast(LongType))
+      .groupBy("tok")
+      .agg(call_function("topk_pairs",
+        col("score_micro").cast(DoubleType), col("doc_id"), lit(20)).as("tk"))
+      .select(col("tok").as("query"), posexplode(col("tk")))
+      .select(col("query"), (col("pos") + 1).cast(LongType).as("rank"),
+              col("col.tag").as("doc_id"),
+              col("col.score").cast(LongType).as("score_micro"))
+    val byRank = Window.partitionBy("query").orderBy("rank")
+    top.join(dl, "doc_id")
+      .withColumn("cum_toks", sum(col("dl")).over(byRank))
+      .select(col("query"), col("rank"), col("doc_id"), col("score_micro"),
+              col("dl").as("n_toks"), col("cum_toks"),
+              (col("cum_toks") <= 512L).as("admitted"))
+      .orderBy("query", "rank")
+  }
+
   /** x284: SEMANTIC DEDUPLICATION (SemDeDup-style, deterministic) — prune
     * near-duplicate embeddings WITHIN k-means cells: assign every vector to
     * its nearest of the k fixed centroids (init = first k vectors by id,

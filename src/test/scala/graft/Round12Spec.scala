@@ -217,6 +217,28 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("x296 context fill: rank-ordered greedy, exact running totals, dup-free") {
+    val out = graft.queries.Clustering.x296(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length).toSeq)
+      // scores non-increasing down the ranking
+      val sc = sorted.map(_.getLong(3)).toSeq
+      assert(sc === sc.sortBy(-_))
+      // running total is the exact prefix sum; admission is the 512 cut
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getLong(4)
+        assert(r.getLong(5) === cum)
+        assert(r.getBoolean(6) === (cum <= 512L))
+      }
+      // no document admitted twice within a query
+      val ids = sorted.map(_.getLong(2))
+      assert(ids.distinct.length === ids.length)
+    }
+  }
+
   test("x289 allocation: Hamilton exactness, isqrt bracketing, Cauchy–Schwarz flag") {
     val out = graft.queries.StatProtocol.x289(spark, sfSmoke).collect()
     assert(out.map(_.getLong(4)).sum === 100L)
