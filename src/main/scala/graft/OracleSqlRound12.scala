@@ -599,6 +599,35 @@ object OracleSqlRound12 {
         |       cum_toks <= 512 AS admitted
         |FROM fill ORDER BY query, rank""".stripMargin,
 
+    // x297: isotonic calibration — the exact integer minimax closed form
+    // (floor commutes with min/max, so this IS the floor of the real
+    // isotonic regression), monotone flag recomputed.
+    "x297_isotonic_calibration" ->
+      """WITH bins AS (
+        |  SELECT (CAST(l_quantity AS BIGINT) - 1) // 5 AS bin,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN l_extendedprice > 95000
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM lineitem GROUP BY 1),
+        |pre AS (SELECT *,
+        |          CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |          CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cpos
+        |        FROM bins),
+        |grid AS (
+        |  SELECT i.bin AS i, j.bin AS j,
+        |         MIN((k.cpos - (j.cpos - j.pos)) * 1000000
+        |             // (k.cn - (j.cn - j.n))) AS m
+        |  FROM pre i JOIN pre j ON j.bin <= i.bin
+        |             JOIN pre k ON k.bin >= i.bin
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT i, CAST(MAX(m) AS BIGINT) AS fit_ppm
+        |        FROM grid GROUP BY i)
+        |SELECT p.bin, p.n, p.pos, p.pos * 1000000 // p.n AS raw_ppm,
+        |       f.fit_ppm,
+        |       COALESCE(f.fit_ppm >= LAG(f.fit_ppm) OVER (ORDER BY p.bin),
+        |                TRUE) AS monotone_ok
+        |FROM pre p JOIN fit f ON f.i = p.bin ORDER BY p.bin""".stripMargin,
+
     // x289: Neyman allocation — N_hσ_h = isqrt(N·Σy² − (Σy)²) exactly,
     // largest-remainder apportionment, Hamilton + Cauchy–Schwarz flags.
     "x289_neyman_allocation" ->

@@ -320,6 +320,65 @@ object StatProtocol {
     * 100 TB: the corpus-scale work is ONE partial+final (count, Σy, Σy²)
     * rollup per stratum; the isqrt, apportionment and both flags run on
     * the ≤|sources| aggregate under unpartitioned-but-bounded windows. */
+  /** x297: ISOTONIC CALIBRATION — monotone regression of the positive
+    * rate over score bins (PAVA's result) via the EXACT minimax closed
+    * form: fit_i = max_{j≤i} min_{k≥i} mean(pos over bins [j..k]). Bins =
+    * l_quantity in 10 width-5 buckets, outcome = the q38 label
+    * (l_extendedprice > 95 000); the raw per-bin rates need not be
+    * monotone in quantity — the isotonic fit is the calibrated monotone
+    * curve an eval pipeline feeds a reliability diagram (the
+    * monotone-regression sibling of x202's binned calibration and x245's
+    * conformal band). Arithmetic is exact: interval means are
+    * (Δpos·10⁶) DIV (Δn) on prefix differences, and because floor
+    * commutes with min and max, the integer minimax IS the floor of the
+    * real-valued isotonic regression — so the output is bit-stable
+    * cross-engine AND provably monotone (flag rides each row;
+    * Round12Spec replays classic pool-adjacent-violators in the JVM and
+    * pins equality).
+    *
+    * 100 TB: the corpus-scale work is ONE 10-key partial+final bin
+    * aggregate; the minimax runs on the ≤10³-row (i, j, k) grid of that
+    * bounded frame — O(bins³) beats PAVA's O(bins) only in
+    * PARALLELIZABILITY (no sequential pool stack to thread through a
+    * driver loop), and bins are fixed-width by construction. */
+  def x297(spark: SparkSession, dir: String): DataFrame = {
+    val bins = Tables.lineitem(spark, dir)
+      .select(expr("(CAST(l_quantity AS BIGINT) - 1) DIV 5").as("bin"),
+              when(col("l_extendedprice") > 95000, 1L).otherwise(0L).as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"))
+    val byBin = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the ONE corpus scan: the prefix windows run directly over the bin
+    // aggregate (guard: Aggregate stays below the unpartitioned window —
+    // checkpoint only AFTER), then every leg reads the ≤10-row checkpoint
+    val pre = bins
+      .withColumn("cn", sum(col("n")).over(byBin))
+      .withColumn("cpos", sum(col("pos")).over(byBin))
+      .localCheckpoint(true)
+    val iLeg = pre.select(col("bin").as("i"))
+    val jLeg = pre.select(col("bin").as("j"),
+                          (col("cn") - col("n")).as("cn_j0"),
+                          (col("cpos") - col("pos")).as("cpos_j0"))
+    val kLeg = pre.select(col("bin").as("k"), col("cn").as("cn_k"),
+                          col("cpos").as("cpos_k"))
+    val fit = iLeg.join(jLeg, col("j") <= col("i"))
+      .join(kLeg, col("k") >= col("i"))
+      .withColumn("avg_ppm",
+        expr("(cpos_k - cpos_j0) * 1000000 DIV (cn_k - cn_j0)"))
+      .groupBy("i", "j").agg(min(col("avg_ppm")).as("m"))
+      .groupBy("i").agg(max(col("m")).as("fit_ppm"))
+    val byI = Window.orderBy("i") // child carries fit's aggregates
+    pre.join(fit, col("bin") === col("i"))
+      .withColumn("raw_ppm", expr("pos * 1000000 DIV n"))
+      .withColumn("monotone_ok",
+        coalesce(col("fit_ppm") >= lag(col("fit_ppm"), 1).over(byI),
+                 lit(true)))
+      .select(col("bin"), col("n"), col("pos"), col("raw_ppm"),
+              col("fit_ppm"), col("monotone_ok"))
+      .orderBy("bin")
+  }
+
   def x289(spark: SparkSession, dir: String): DataFrame = {
     val budget = 100L
     val stats = Tables.documents(spark, dir)

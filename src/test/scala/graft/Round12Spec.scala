@@ -239,6 +239,28 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("x297 minimax fit equals a classic JVM pool-adjacent-violators replay") {
+    val out = graft.queries.StatProtocol.x297(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(5)), "fit must be monotone")
+    // classic PAVA on the same (n, pos) bins, rational compares
+    val binsSorted = out.sortBy(_.getLong(0))
+    var stack = List.empty[(Long, Long, Int)] // (n, pos, width)
+    binsSorted.foreach { r =>
+      var top = (r.getLong(1), r.getLong(2), 1)
+      while (stack.nonEmpty &&
+             stack.head._2 * top._1 >= top._2 * stack.head._1) {
+        val h = stack.head; stack = stack.tail
+        top = (h._1 + top._1, h._2 + top._2, h._3 + top._3)
+      }
+      stack = top :: stack
+    }
+    val fits = stack.reverse.flatMap { case (n, pos, w) =>
+      Seq.fill(w)(pos * 1000000L / n) }
+    assert(binsSorted.map(_.getLong(4)).toSeq === fits,
+      "minimax closed form must equal PAVA's pooled means (floored)")
+  }
+
   test("x289 allocation: Hamilton exactness, isqrt bracketing, Cauchy–Schwarz flag") {
     val out = graft.queries.StatProtocol.x289(spark, sfSmoke).collect()
     assert(out.map(_.getLong(4)).sum === 100L)
