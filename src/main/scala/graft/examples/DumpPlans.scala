@@ -106,7 +106,17 @@ object DumpPlans {
       ("x272_decile_lift", "the only data-sized work is the groupBy to the grid-bounded classification grain; decile spans/cells ride bounded frames — no per-row global sort (the ntile idiom) anywhere",
        graft.queries.ChiMl.x272(spark, dir)),
       ("x277_shard_packing", "Ranks.globalPrefixSum two-phase shape: range partition on the shuffle-hash order, partition-LOCAL running totals (window keyed by __pid), broadcast offsets — never a single-partition global window",
-       graft.queries.Organize.x277(spark, dir)))
+       graft.queries.Organize.x277(spark, dir)),
+      ("x284_semdedup_prune", "cluster-bucketed candidate pairs: the self-join keys on `cell` over ONE checkpointed assignment — pair work is per-cell, never |V|²; keeper argmax collapses through a min_by partial agg",
+       graft.queries.Clustering.x284(spark, dir)),
+      ("x287_link_prediction", "pair fan-out as a co-partitioned whole-stage-codegen self-join on the checkpointed bipartite edge set (the interpreted in-map HOF variant ran 5× slower); BIGINT-packed pair key into one hash aggregate; left_anti against co-order edges",
+       graft.queries.Graphs.x287(spark, dir)),
+      ("x290_personalized_pagerank", "per iteration ONE mass⋈edges join co-keyed on the source node + node-keyed inflow aggregate + 1-row teleport scalar broadcast; rounds localCheckpoint so the unrolled lineage stays flat",
+       graft.queries.Graphs.x290(spark, dir)),
+      ("x296_rag_context_pack", "per-query top-20 collapses through the bounded-state topk_pairs ObjectHashAggregate — a hot term never sorts its posting list; the greedy 512-token fill windows over the 20-row frames only",
+       graft.queries.Clustering.x296(spark, dir)),
+      ("x297_isotonic_calibration", "one 10-key bin aggregate is the only corpus-scale work; the exact minimax runs on the bounded (i,j,k) grid of a ≤10-row checkpoint — PAVA's sequential pool stack replaced by a fully parallel closed form",
+       graft.queries.StatProtocol.x297(spark, dir)))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries\n\n")
     sb.append("Generated by `graft.examples.DumpPlans` (AQE-finalized, sf0.001).\n")
