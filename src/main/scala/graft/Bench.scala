@@ -1,6 +1,103 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Environment self-evidence for the bench (VERDICT r12 task 1).
+  *
+  * The round-12 driver bench read 1.66× baseline on code the same-HEAD
+  * builder run measured at 0.93× — adjudicated as co-tenant load, but only
+  * via judge-side archaeology (git history of the regressed keys + the
+  * committed builder log). This probe makes an inflated run self-diagnosing:
+  * it samples /proc/loadavg, /proc/stat (all-CPU busy + steal jiffies) and
+  * /proc/self/stat (THIS JVM's utime+stime), so the per-window delta
+  * `other = busy_all_cpus − self_jvm` directly measures CPU burned by
+  * co-tenant processes during the timed run. A clean run shows other≈0;
+  * an inflated one carries its own proof in the committed artifact.
+  *
+  * All reads are best-effort (non-Linux / restricted /proc ⇒ sample absent,
+  * bench unaffected) and happen BETWEEN timed windows, never inside one.
+  */
+object BenchEnvProbe {
+  final case class Sample(atKey: Int, load1: Double, load5: Double,
+                          busyPct: Double, selfPct: Double,
+                          otherPct: Double, stealPct: Double)
+
+  private def readFile(p: String): Option[String] =
+    try Some(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8"))
+    catch { case _: Throwable => None }
+
+  /** (total, busy, steal) jiffies summed across CPUs from /proc/stat. */
+  private def cpuStat(): Option[(Long, Long, Long)] =
+    readFile("/proc/stat").flatMap {
+      _.linesIterator.find(_.startsWith("cpu ")).flatMap { l =>
+        try {
+          val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+          val total = f.sum
+          val idle = (if (f.length > 3) f(3) else 0L) +
+                     (if (f.length > 4) f(4) else 0L) // idle + iowait
+          val steal = if (f.length > 7) f(7) else 0L
+          Some((total, total - idle, steal))
+        } catch { case _: Throwable => None }
+      }
+    }
+
+  /** This JVM's utime+stime jiffies (fields 14+15 of /proc/self/stat;
+    * parsed after the last ')' because comm may contain spaces). */
+  private def selfJiffies(): Option[Long] =
+    readFile("/proc/self/stat").flatMap { s =>
+      try {
+        val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+        Some(rest(11).toLong + rest(12).toLong)
+      } catch { case _: Throwable => None }
+    }
+
+  private def loadavg(): Option[(Double, Double)] =
+    readFile("/proc/loadavg").flatMap { s =>
+      try { val f = s.trim.split("\\s+"); Some((f(0).toDouble, f(1).toDouble)) }
+      catch { case _: Throwable => None }
+    }
+
+  private var last: Option[(Long, Long, Long)] = None // total, busy+steal base
+  private var lastSelf: Option[Long] = None
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Sample]
+
+  /** Prime the jiffy counters without recording a sample (no delta yet). */
+  def prime(): Unit = { last = cpuStat(); lastSelf = selfJiffies() }
+
+  /** Record one sample covering the window since the previous call. */
+  def sample(atKey: Int): Unit = {
+    val cur = cpuStat(); val curSelf = selfJiffies(); val la = loadavg()
+    (last, lastSelf, cur, curSelf, la) match {
+      case (Some((t0, b0, s0)), Some(p0), Some((t1, b1, s1)), Some(p1),
+            Some((l1, l5))) if t1 > t0 =>
+        val dt = (t1 - t0).toDouble
+        val busy = 100.0 * (b1 - b0) / dt
+        val self = 100.0 * (p1 - p0) / dt
+        buf += Sample(atKey, l1, l5, busy, self,
+          math.max(0.0, busy - self), 100.0 * (s1 - s0) / dt)
+      case _ => ()
+    }
+    last = cur; lastSelf = curSelf
+  }
+
+  def samples: Seq[Sample] = buf.toSeq
+
+  /** One compact JSON summary object (worst-window + run-mean evidence). */
+  def summaryJson: String = {
+    val s = samples
+    if (s.isEmpty) """{"n":0}"""
+    else {
+      def f(d: Double) = f"$d%.1f"
+      val worst = s.maxBy(_.otherPct)
+      s"""{"n":${s.size},"load1_max":${f(s.map(_.load1).max)},""" +
+        s""""other_cpu_pct_mean":${f(s.map(_.otherPct).sum / s.size)},""" +
+        s""""other_cpu_pct_max":${f(worst.otherPct)},""" +
+        s""""other_cpu_pct_max_at_key":${worst.atKey},""" +
+        s""""steal_pct_max":${f(s.map(_.stealPct).max)}}"""
+    }
+  }
+}
+
 /** Benchmark main (driver contract): times each registered query's `.count()`
   * on SPARK_GRAFT_SF_DIR and prints one JSON line.
   *
@@ -19,6 +116,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Prior round's committed per-key medians (this file is overwritten at
+    // the END of this run, so reading it FIRST sees the previous round's
+    // numbers): the outlier-rerun trigger below compares against them.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT",
+      "/root/repo/BENCH_DETAIL.json")
+    val priorDetail: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(detailPath)), "UTF-8")
+      val re = """"([qx]\d+[A-Za-z0-9_]*)":\s*(-?\d+(?:\.\d+)?)""".r
+      re.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
     // State hygiene (VERDICT r10 task 1): the 308-key single-JVM run
     // accumulates cached/localCheckpoint blocks faster than the
     // ContextCleaner retires them — the r10 driver bench inflated
@@ -52,6 +161,7 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     hygiene()
+    BenchEnvProbe.prime()
     // DECLARED q-keys (the BASELINE.md-comparable set): median of 3 timed
     // runs — r8's declared-total ranged 11.6–14.5 s purely from JVM/AQE
     // warm-up variance, so round-over-round deltas on a min-of-2 were
@@ -60,30 +170,61 @@ object Bench {
     // × a third run is ~2.5 min of bench time for numbers no baseline
     // consumes). Per-query spread (max−min of the samples) is emitted so
     // the variance itself is visible in the round artifacts.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
     val samples = SparkEntry.queries.toSeq.zipWithIndex.map {
       case ((name, fn), idx) =>
         // Periodic hygiene between keys (every 50) so block accumulation
-        // from earlier keys can never distort a later key's timing.
+        // from earlier keys can never distort a later key's timing; an
+        // environment sample every 10 keys (between timed windows) so
+        // co-tenant load during any stretch of the run is attributable to
+        // a ~10-key window in the committed evidence (VERDICT r12 task 1).
         if (idx > 0 && idx % 50 == 0) hygiene()
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-          (System.nanoTime() - t0) / 1e9
-        }
-        val runs = if (name.startsWith("q")) Seq(once(), once(), once())
-                   else Seq(once(), once())
-        name -> runs.sorted
-    }.toMap
+        if (idx % 10 == 0) BenchEnvProbe.sample(idx)
+        val runs = if (name.startsWith("q")) Seq(once(fn), once(fn), once(fn))
+                   else Seq(once(fn), once(fn))
+        (name, runs.sorted, fn)
+    }
+    BenchEnvProbe.sample(samples.size)
     // A failed run returns the -1.0 sentinel, which sorts FIRST — so a
     // median/min over the raw sorted runs would mask a 1-of-3 crash behind a
     // valid-looking time and corrupt the spread by ~1 s (ADVICE r9). Any
     // failed sample ⇒ the key reports -1.0 (failed) and contributes zero
     // spread; partial success is not a number the baseline can consume.
-    val results = samples.map { case (name, runs) =>
+    val results = samples.map { case (name, runs, _) =>
       name -> (if (runs.head < 0) -1.0
                else if (runs.size == 3) runs(1)
                else runs.head)
+    }.toMap
+    // Outlier re-runs (VERDICT r12 task 1b): a q-key whose reported median
+    // sits 5× above BOTH its own best sample of this run AND its committed
+    // previous-round value (and is ≥1 s absolute, so micro-key jitter can't
+    // trigger it) is the exact signature of transient external load — q45
+    // read 6.67 s in the r12 driver run vs 0.16 s in r11 and 0.16 s in the
+    // same-HEAD builder run, on code untouched for a round. Each such key
+    // gets ONE post-pass re-measurement after hygiene; both numbers are
+    // reported (median stays the graded number — the rerun is evidence,
+    // and a rerun-adjusted declared total is emitted alongside so the
+    // artifact itself shows what the run would read without the outliers).
+    val rerunCandidates = samples.collect {
+      case (name, runs, fn)
+          if name.startsWith("q") && runs.head > 0 && {
+            val med = runs(1)
+            med >= 1.0 && med > 5.0 * runs.head &&
+              med > priorDetail.get(name).filter(_ > 0)
+                .map(5.0 * _).getOrElse(0.0)
+          } => (name, runs(1), fn)
     }
+    val reruns: Map[String, Double] =
+      if (rerunCandidates.isEmpty) Map.empty
+      else {
+        hygiene()
+        rerunCandidates.map { case (name, _, fn) => name -> once(fn) }.toMap
+      }
     // Two spread views. max−min (continuity with r8/r9) is dominated by ONE
     // GC/scheduler outlier per triple — a per-key probe on fully-warmed
     // back-to-back q-runs still measured 6.3 s total (e.g. q42:
@@ -92,14 +233,14 @@ object Bench {
     // quality. median−min is the view that tracks the REPORTED number's
     // stability (how far the median sits above best-case): ~1 s total —
     // use it for round-over-round regression reading.
-    val spreads = samples.map { case (name, runs) =>
+    val spreads = samples.map { case (name, runs, _) =>
       name -> (if (runs.head < 0) 0.0 else runs.last - runs.head)
-    }
-    val spreadsMed = samples.map { case (name, runs) =>
+    }.toMap
+    val spreadsMed = samples.map { case (name, runs, _) =>
       name -> (if (runs.head < 0) 0.0
                else if (runs.size == 3) runs(1) - runs.head
                else 0.0)
-    }
+    }.toMap
     // Failed keys report -1.0 per-key (loud in the detail) but must NOT
     // enter the sums: adding the sentinel makes the baseline-comparable
     // declared_total look ~1 s FASTER per crash while also omitting the
@@ -126,12 +267,21 @@ object Bench {
     // ALSO persist the complete per-key map to a file committed with the
     // round's artifacts: full query names, seconds at millisecond precision,
     // one stable sorted object so diffs between rounds are line-readable.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT",
-      "/root/repo/BENCH_DETAIL.json")
     try {
+      val envRows = BenchEnvProbe.samples.map { s =>
+        f"""    {"at_key": ${s.atKey}, "load1": ${s.load1}%.2f, """ +
+          f""""busy_pct": ${s.busyPct}%.1f, "self_pct": ${s.selfPct}%.1f, """ +
+          f""""other_pct": ${s.otherPct}%.1f, "steal_pct": ${s.stealPct}%.1f}"""
+      }.mkString(",\n")
+      val rerunRows = reruns.toSeq.sortBy(_._1).map { case (k, v) =>
+        f"""    "$k": {"median": ${results(k)}%.3f, "rerun": $v%.3f}"""
+      }.mkString(",\n")
       val body = results.toSeq.sortBy(_._1)
         .map { case (k, v) => s"""    "$k": ${f"$v%.3f"}""" }
-        .mkString("{\n  \"sf\": \"" + sfDir + "\",\n  \"queries\": {\n",
+        .mkString(
+          "{\n  \"sf\": \"" + sfDir + "\",\n  \"env_samples\": [\n" +
+            envRows + "\n  ],\n  \"outlier_reruns\": {\n" + rerunRows +
+            "\n  },\n  \"queries\": {\n",
           ",\n", "\n  }\n}\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         body.getBytes("UTF-8"))
@@ -144,14 +294,34 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"detail_${i + 1}of${chunks.size}","queries":$qs}""")
     }
+    // Environment evidence line (VERDICT r12 task 1a): other_cpu_pct is the
+    // share of ALL-CPU busy jiffies NOT burned by this JVM during the timed
+    // loop — co-tenant load by construction. A clean run reads ~0; the r12
+    // inflation pattern (contiguous run-order stretches 5–20× slow on
+    // code-unchanged keys) would read tens of percent in the window where
+    // it happened, making the artifact self-diagnosing.
+    println(s"""{"metric":"env_evidence","summary":${BenchEnvProbe.summaryJson}}""")
+    if (reruns.nonEmpty) {
+      val rr = reruns.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"outlier_reruns","queries":$rr,"note":"post-pass single re-measurement of q-keys whose median was 5x over both own-min and prior round; medians stay the graded numbers"}""")
+    }
     // BASELINE.md's 13.79 s covers ONLY the 49 declared queries (q01–q49);
     // the x-series extensions have no DuckDB baseline. declared_total is the
     // number comparable to the baseline; value stays the full-registry sum.
     val declared =
       results.collect { case (k, v) if k.startsWith("q") && v >= 0 => v }.sum
+    // Rerun-adjusted view: declared total with each flagged outlier's
+    // median replaced by min(median, rerun) — what the run would read
+    // absent the transient. Equal to declared when no key was flagged.
+    val declaredAdj = results.collect {
+      case (k, v) if k.startsWith("q") && v >= 0 =>
+        math.min(v, reruns.getOrElse(k, v))
+    }.sum
     val declaredSpread = spreads.collect { case (k, v) if k.startsWith("q") => v }.sum
     val declaredSpreadMed = spreadsMed.collect { case (k, v) if k.startsWith("q") => v }.sum
     println(s"""{"metric":"declared_spread","value":${f"$declaredSpread%.3f"},"unit":"sec","spread_med_min":${f"$declaredSpreadMed%.3f"},"note":"max-min sum is the jitter ceiling (one GC outlier per triple); spread_med_min (median-min sum) tracks the reported median's stability"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","declared_total":$declared,"declared_n":${results.count(_._1.startsWith("q"))},"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","declared_total":$declared,"declared_total_rerun_adj":${f"$declaredAdj%.3f"},"declared_n":${results.count(_._1.startsWith("q"))},"n_queries":${results.size},"n_failed":$nFailed,"n_reruns":${reruns.size},"sf":"$sfDir"}""")
   }
 }

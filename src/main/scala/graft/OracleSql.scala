@@ -259,5 +259,5 @@ object OracleSql {
       OracleSqlRound9.round9 ++ OracleSqlRound10.round10 ++
       OracleSqlRound10b.round10b ++ OracleSqlRound10c.round10c ++
       OracleSqlRound10d.round10d ++ OracleSqlRound11.round11 ++
-      OracleSqlRound12.round12
+      OracleSqlRound12.round12 ++ OracleSqlRound13.round13
 }

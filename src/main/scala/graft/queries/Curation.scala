@@ -280,8 +280,8 @@ object Curation {
     * with rank/N ≤ c(t), i.e. 0 when 100r² ≤ N², else
     * ⌈T·(100r² − N²) / (99N²)⌉ — in EXACT BIGINT cross-multiplied
     * arithmetic (no float pacing curve to drift cross-engine; headroom
-    * T·100·r² < 2⁶³ through ~30 M docs, the x185 DECIMAL escape hatch
-    * past that). Output = the unlock-step histogram in 1 000-step buckets
+    * T·100·r² = 10⁶·r² < 2⁶³ through ~3.0 M docs (r < 3.04·10⁶), the
+    * x185 DECIMAL escape hatch past that). Output = the unlock-step histogram in 1 000-step buckets
     * with two theorems riding as flags: full coverage (Σ n_docs = N) and
     * completion (max unlock ≤ T — the hardest doc unlocks exactly at T).
     *

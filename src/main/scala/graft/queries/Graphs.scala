@@ -301,12 +301,35 @@ object Graphs {
     * not codegen, so "avoid the join" is the wrong trade here. The
     * hot-vertex cap (2 ≤ deg ≤ 256) filters BEFORE the fan-out; the pair
     * key packs to ONE BIGINT (pa·10⁶ + pb — halves the aggregate's
-    * hash/shuffle width vs a struct key; widen to DECIMAL past 10⁶
-    * partkeys, same plan); the support threshold cn ≥ 2 (the
+    * hash/shuffle width vs a struct key). The packing is only injective
+    * while every partkey < 10⁶ (TPC-H reaches that at sf≈5), so both pack
+    * sites run behind [[guardPairDomain]] — the map-side
+    * `assert_true().isNull` where-guard (RecallMatrices' device): zero
+    * extra shuffle, and the job FAILS LOUDLY on the first violating row
+    * instead of silently merging collided pair groups; widen pk to
+    * DECIMAL(38,0) to lift the cap, same plan. The support threshold
+    * cn ≥ 2 (the
     * copurchaseEdges convention — one shared buyer is noise) shrinks the
     * anti-join input from the mostly-unique pair grid to the signal set.
     * Degree-1 customers drop with the cap (a common neighbor has degree
     * ≥ 2 by definition — and ln 1 = 0 would divide by zero). */
+  /** The packed-pair-key base: pk = pa·PairPackBase + pb is injective only
+    * while 0 ≤ pa, pb < PairPackBase. */
+  private[graft] val PairPackBase = 1000000L
+
+  /** Fail-loud domain guard for the packed pair key (VERDICT r12 task 4):
+    * NULL (row passes) while both keys sit below [[PairPackBase]]; raises
+    * on the FIRST violating row — map-side, codegen'd, no extra shuffle,
+    * no driver action. Without it, partkeys ≥ 10⁶ would collide distinct
+    * pairs into one pk and the DIV/% unpack would return garbage
+    * silently. */
+  private[graft] def guardPairDomain(df: DataFrame): DataFrame =
+    df.where(assert_true(
+      col("pa") >= 0L && col("pa") < lit(PairPackBase) &&
+        col("pb") >= 0L && col("pb") < lit(PairPackBase),
+      lit(s"x287 packed pair key requires 0 <= partkey < $PairPackBase " +
+        "(widen pk to DECIMAL(38,0) to lift the cap)")).isNull)
+
   def x287(spark: SparkSession, dir: String): DataFrame = {
     val cp = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
@@ -318,21 +341,22 @@ object Graphs {
       .withColumn("term_micro",
         round(lit(1000000.0) / log(col("deg").cast(DoubleType)), 0)
           .cast(LongType))
-    val scored = cp.join(deg, "c")
+    val scored = guardPairDomain(cp.join(deg, "c")
       .select(col("c"), col("p").as("pa"), col("term_micro"))
       .join(cp.select(col("c"), col("p").as("pb")), "c")
-      .filter(col("pa") < col("pb"))
-      .select((col("pa") * 1000000L + col("pb")).as("pk"), col("term_micro"))
+      .filter(col("pa") < col("pb")))
+      .select((col("pa") * PairPackBase + col("pb")).as("pk"),
+              col("term_micro"))
       .groupBy("pk")
       .agg(count(lit(1)).as("cn"), sum(col("term_micro")).as("aa_micro"))
       .filter(col("cn") >= 2)
     val op = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       .localCheckpoint(true)
-    val edgePairs = op.select(col("o"), col("p").as("pa"))
+    val edgePairs = guardPairDomain(op.select(col("o"), col("p").as("pa"))
       .join(op.select(col("o"), col("p").as("pb")), "o")
-      .filter(col("pa") < col("pb"))
-      .select((col("pa") * 1000000L + col("pb")).as("pk")).distinct()
+      .filter(col("pa") < col("pb")))
+      .select((col("pa") * PairPackBase + col("pb")).as("pk")).distinct()
     scored.join(edgePairs, Seq("pk"), "left_anti")
       .select(expr("pk DIV 1000000").as("pa"), expr("pk % 1000000").as("pb"),
               col("cn"), col("aa_micro"))

@@ -1031,4 +1031,66 @@ object LlmExt2 {
         "(n1 + 1) * (n2 + 1) DIV (m_overlap + 1) - 1 AS chapman_est",
         "n_true")
   }
+
+  /** x298: EXACT SUBSTRING DEDUP — the suffix/k-gram-run dedup mode
+    * (Lee et al. 2022's "deduplicating training data" exact-substring
+    * pass) that runs ALONGSIDE MinHash in an LLM corpus pipeline,
+    * completing the dedup matrix: near-dup set-Jaccard (x01/x08), SimHash
+    * (x07), embedding SemDeDup (x284), exact-normalized (q44) — and now
+    * exact SHARED PASSAGES. A token position is duplicated when the
+    * K-token window starting there occurs ≥2 times in the corpus
+    * (cross-doc or self-repetition — both are the same signal to a
+    * training loop); per document, the union of the flagged [p, p+K)
+    * intervals merges into maximal duplicated RUNS (interval union:
+    * consecutive flagged starts merge while the coverage stays contiguous,
+    * i.e. gap ≤ K) — exactly the spans the pipeline would cut. K = 13
+    * tokens stands in for the production 50-token window (the testdata
+    * docs are 10–99 tokens). Output per run: (doc_id, run_start, run_end,
+    * n_tokens, n_windows, rep_doc) with rep_doc = the min doc_id holding
+    * any of the run's windows (the canonical-representative convention of
+    * q44/x33) — 0-based token positions, inclusive ends.
+    *
+    * 100 TB: inherently LINEAR, unlike the pair-emitting near-dup keys —
+    * the corpus-scale work is one map-side positional k-gram explode, ONE
+    * gram-keyed partial+final aggregate (count + min-doc), one gram-keyed
+    * join BACK to the sites (each site meets exactly its own gram's 1-row
+    * aggregate, so a boilerplate gram shared by 10⁶ docs fans out to its
+    * own 10⁶ sites and no further — no candidate pairs ever form), and a
+    * per-doc bounded window for the run merge. Production swaps the gram
+    * STRING join key for a 64-bit rolling fingerprint (the x120
+    * `rolling_fps` device) to cut shuffle bytes ~8× — a collision there
+    * only over-flags one span, it cannot drop one — kept as the exact
+    * string here so the DuckDB oracle replays the key verbatim. */
+  def x298(spark: SparkSession, dir: String): DataFrame = {
+    val K = 13
+    val sites = Tables.fanOut(
+        Tables.documents(spark, dir).select("doc_id", "text"))
+      .select(col("doc_id"),
+              filter(split(lower(col("text")), " "), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= K)
+      .select(col("doc_id"),
+              posexplode(expr(
+                s"transform(sequence(0, size(toks) - $K), " +
+                  s"i -> array_join(slice(toks, i + 1, $K), ' '))")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("p"), col("col").as("gram"))
+    val gstats = sites.groupBy("gram")
+      .agg(count(lit(1)).as("ns"), min(col("doc_id")).as("rep"))
+      .filter(col("ns") >= 2)
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    sites.join(gstats, "gram")
+      .select(col("doc_id"), col("p"), col("rep"))
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(byDoc) <= K, 0L).otherwise(1L))
+      .withColumn("rid", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("rid"))
+      .agg(min(col("p")).as("run_start"),
+           (max(col("p")) + (K - 1)).as("run_end"),
+           count(lit(1)).as("n_windows"),
+           min(col("rep")).as("rep_doc"))
+      .withColumn("n_tokens", col("run_end") - col("run_start") + 1L)
+      .select("doc_id", "run_start", "run_end", "n_tokens", "n_windows",
+              "rep_doc")
+      .orderBy("doc_id", "run_start")
+  }
 }

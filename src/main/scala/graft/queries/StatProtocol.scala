@@ -296,30 +296,6 @@ object StatProtocol {
       .orderBy("grp")
   }
 
-  /** x289: NEYMAN ALLOCATION — variance-optimal stratified sampling: a
-    * 100-sample evaluation budget allocated over the per-source strata of
-    * the documents table proportionally to N_h·σ_h (big, high-variance
-    * strata get the samples; uniform strata need almost none) — the
-    * protocol an eval-set builder runs before drawing human-annotation
-    * samples from a corpus. EXACT throughout: N_h·σ_h =
-    * √(N_h·Σy²_h − (Σy_h)²) — the radicand is an exact BIGINT from two
-    * integer sums, so the weight is x222's integer square root (floor ±1
-    * correction, immune to pow/sqrt ULP drift), and the budget apportions
-    * by x165's largest-remainder device (Σalloc = budget exactly).
-    *
-    * Two theorems ride as oracle-recomputed flags: sum_ok (Hamilton), and
-    * neyman_ok — the Cauchy–Schwarz fact that IS Neyman optimality,
-    * (Σ N_hσ_h)² ≤ N·Σ N_hσ_h², checked in integers as
-    * (Σw_h)² ≤ N_tot·Σ⌈v_h/N_h⌉ (w = isqrt(v) ≤ √v gives the left bound,
-    * the ceil the right — BIGINT headroom to ~10¹⁸, documented ~500×
-    * beyond the 100× soak corpus). A zero-variance stratum weighs 0 —
-    * Neyman's own answer (its mean is known from any single row);
-    * production would floor allocations at 1 and cap at N_h via x274's
-    * water-fill, orthogonal here.
-    *
-    * 100 TB: the corpus-scale work is ONE partial+final (count, Σy, Σy²)
-    * rollup per stratum; the isqrt, apportionment and both flags run on
-    * the ≤|sources| aggregate under unpartitioned-but-bounded windows. */
   /** x297: ISOTONIC CALIBRATION — monotone regression of the positive
     * rate over score bins (PAVA's result) via the EXACT minimax closed
     * form: fit_i = max_{j≤i} min_{k≥i} mean(pos over bins [j..k]). Bins =
@@ -379,6 +355,30 @@ object StatProtocol {
       .orderBy("bin")
   }
 
+  /** x289: NEYMAN ALLOCATION — variance-optimal stratified sampling: a
+    * 100-sample evaluation budget allocated over the per-source strata of
+    * the documents table proportionally to N_h·σ_h (big, high-variance
+    * strata get the samples; uniform strata need almost none) — the
+    * protocol an eval-set builder runs before drawing human-annotation
+    * samples from a corpus. EXACT throughout: N_h·σ_h =
+    * √(N_h·Σy²_h − (Σy_h)²) — the radicand is an exact BIGINT from two
+    * integer sums, so the weight is x222's integer square root (floor ±1
+    * correction, immune to pow/sqrt ULP drift), and the budget apportions
+    * by x165's largest-remainder device (Σalloc = budget exactly).
+    *
+    * Two theorems ride as oracle-recomputed flags: sum_ok (Hamilton), and
+    * neyman_ok — the Cauchy–Schwarz fact that IS Neyman optimality,
+    * (Σ N_hσ_h)² ≤ N·Σ N_hσ_h², checked in integers as
+    * (Σw_h)² ≤ N_tot·Σ⌈v_h/N_h⌉ (w = isqrt(v) ≤ √v gives the left bound,
+    * the ceil the right — BIGINT headroom to ~10¹⁸, documented ~500×
+    * beyond the 100× soak corpus). A zero-variance stratum weighs 0 —
+    * Neyman's own answer (its mean is known from any single row);
+    * production would floor allocations at 1 and cap at N_h via x274's
+    * water-fill, orthogonal here.
+    *
+    * 100 TB: the corpus-scale work is ONE partial+final (count, Σy, Σy²)
+    * rollup per stratum; the isqrt, apportionment and both flags run on
+    * the ≤|sources| aggregate under unpartitioned-but-bounded windows. */
   def x289(spark: SparkSession, dir: String): DataFrame = {
     val budget = 100L
     val stats = Tables.documents(spark, dir)
