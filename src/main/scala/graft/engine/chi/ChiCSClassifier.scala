@@ -75,10 +75,21 @@ private[chi] trait ChiCSParams extends Params {
     "missing columns derive from data")
   final def getNominalDictionaries: Array[String] = $(nominalDictionaries)
 
+  /** Optional PRE-AGGREGATED multiplicity column: when set, each input row
+    * stands for `weightCol` identical examples. The fit is digit-identical
+    * to feeding the expanded rows (the internal compression already reduces
+    * to distinct vectors with multiplicity — this just lets the CALLER
+    * supply that aggregate), which is exactly the 100 TB ablation shape:
+    * compress the corpus once, fit every variant from the compressed frame
+    * (see ModelOps.x215). Must be a non-null positive integral column. */
+  final val weightCol = new Param[String](this, "weightCol",
+    "optional multiplicity column: each row counts as this many examples")
+  final def getWeightCol: String = $(weightCol)
+
   setDefault(labelCol -> "label", predictionCol -> "prediction",
     numLabels -> 3, featureRanges -> Array.empty[Double],
     classCosts -> Array.empty[Double], nominalCols -> Array.empty[String],
-    nominalDictionaries -> Array.empty[String])
+    nominalDictionaries -> Array.empty[String], weightCol -> "")
 }
 
 /** Chi-FRBCS-BigDataCS as an idiomatic Spark MLlib estimator (SURVEY.md §2.5
@@ -110,6 +121,7 @@ class ChiCSClassifier(override val uid: String)
   def setFeatureRanges(v: Array[Double]): this.type = set(featureRanges, v)
   def setClassCosts(v: Array[Double]): this.type = set(classCosts, v)
   def setNominalCols(v: Array[String]): this.type = set(nominalCols, v)
+  def setWeightCol(v: String): this.type = set(weightCol, v)
   def setNominalDictionaries(v: Array[String]): this.type = set(nominalDictionaries, v)
   /** Convenience: declare dictionaries from parsed KEEL attributes. */
   def setNominalDictionaries(dicts: Map[String, Seq[String]]): this.type =
@@ -186,7 +198,9 @@ class ChiCSClassifier(override val uid: String)
           (array_position(typedLit(dicts(f).toSeq), col(f).cast(StringType))
             - 1).cast(DoubleType).as(f)
         else col(f).cast(DoubleType).as(f)
-      } :+ col($(labelCol)).cast(IntegerType).as("__cls"): _*)
+      } ++ Seq(col($(labelCol)).cast(IntegerType).as("__cls")) ++
+        (if ($(weightCol).isEmpty) Nil
+         else Seq(col($(weightCol)).cast(LongType).as("__w"))): _*)
 
     // R11 descriptor generation: declared ranges (numeric), dictionary grid
     // (nominal: one label per category, halfWidth exactly 1 ⇒ crisp), or
@@ -231,9 +245,17 @@ class ChiCSClassifier(override val uid: String)
     // the fan-out shrinks by the duplication factor. Cached for the duration
     // of fit — class counts, candidates, and weight sums all derive from it,
     // turning three full input scans into one.
-    val compressed = labeled
+    // A NULL/non-positive weight would be silently SWALLOWED by sum() and
+    // undercount its vector — fail loudly map-side instead (the
+    // assert_true().isNull where-guard; no extra scan, no driver action).
+    val guarded =
+      if ($(weightCol).isEmpty) labeled
+      else labeled.where(assert_true(col("__w").isNotNull && col("__w") > 0,
+        lit(s"weightCol ${$(weightCol)} must be positive and non-null")).isNull)
+    val compressed = guarded
       .groupBy((feats.map(col) :+ col("__ant") :+ col("__cls")): _*)
-      .agg(count(lit(1)).as("__m"))
+      .agg((if ($(weightCol).isEmpty) count(lit(1))
+            else sum(col("__w"))).as("__m"))
       .persist()
 
     // A training value OUTSIDE a declared dictionary encodes to −1 and

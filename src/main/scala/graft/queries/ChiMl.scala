@@ -461,16 +461,38 @@ object ChiMl {
     * m·L²·|C| rows (broadcast both sides of the weight join); the weight
     * aggregation is ONE (chunk, antecedent, class)-keyed partial+final agg
     * — the paper's m single-JVM mappers become m logical key groups in the
-    * same shuffle, so m scales freely without re-planning. */
-  def x281(spark: SparkSession, dir: String): DataFrame =
-    Seq(1, 4, 16).map(m => mChunkReport(spark, dir, m))
+    * same shuffle, so m scales freely without re-planning. The corpus is
+    * scanned ONCE for all three m values (round 13): the FINEST (m = 16)
+    * chunk aggregate is checkpointed and the coarser legs re-chunk it by
+    * `chunk % m` — exact because every declared m divides 16, so
+    * (k mod 16) mod m ≡ k mod m, and summing the finer multiplicities is
+    * the same partial+final aggregation the direct build runs. */
+  def x281(spark: SparkSession, dir: String): DataFrame = {
+    val gex16 = mChunkGex(spark, dir, 16).localCheckpoint(true)
+    Seq(1, 4, 16).map(m => mChunkReportFrom(rechunk(gex16, m), m))
       .reduce(_ unionByName _).orderBy("m")
+  }
+
+  /** Re-chunk the finest (16-chunk) aggregate to m chunks. Exact for any
+    * m | 16: the chunk id is a mod-16 residue of the Knuth mix, and
+    * (k mod 16) mod m = k mod m when m divides 16. */
+  private def rechunk(gex16: DataFrame, m: Int): DataFrame = {
+    require(16 % m == 0, s"x281 re-chunking needs m | 16, got $m")
+    if (m == 16) gex16
+    else gex16.withColumn("chunk", col("chunk") % m)
+      .groupBy("chunk", "x1", "x2", "a1", "a2", "cls")
+      .agg(sum(col("mcnt")).as("mcnt"))
+  }
 
   /** The fused rule base of the m-chunk scheme (x281's core; also the
     * Round12Spec m=1 identity probe). Returns (ra1, ra2, rcls, rw). */
   private[graft] def mChunkFusedRb(spark: SparkSession, dir: String,
-                                   m: Int): DataFrame = {
-    val gex = mChunkGex(spark, dir, m)
+                                   m: Int): DataFrame =
+    mChunkFusedRbFrom(mChunkGex(spark, dir, m))
+
+  /** The fuse from a prepared (chunk, vector, antecedent, cls, mcnt)
+    * aggregate — x281 passes re-chunked views of ONE checkpointed gex. */
+  private def mChunkFusedRbFrom(gex: DataFrame): DataFrame = {
     val all = Window.partitionBy()
     val costsDf = {
       val withC = gex.groupBy("cls").agg(sum(col("mcnt")).as("n"))
@@ -529,12 +551,13 @@ object ChiMl {
 
   /** One (m, n_rules, acc_ppm, gm_ppm) report row: fuse, score the full
     * training corpus with the fused base (winning-rule, global-majority
-    * no-match fallback), reduce to micro-unit accuracy / GM. */
-  private def mChunkReport(spark: SparkSession, dir: String, m: Int): DataFrame = {
-    val gex = mChunkGex(spark, dir, m)
+    * no-match fallback), reduce to micro-unit accuracy / GM. The gex
+    * argument is a (re-chunked view of the) checkpointed chunk aggregate —
+    * the only corpus-derived input of the whole chain. */
+  private def mChunkReportFrom(gex: DataFrame, m: Int): DataFrame = {
     // the fused base is ≤ L²·|C| rows read by two consumers — materialize
     // once instead of re-deriving the whole chunked chain per consumer
-    val fused = mChunkFusedRb(spark, dir, m).localCheckpoint(true)
+    val fused = mChunkFusedRbFrom(gex).localCheckpoint(true)
     val majDf = gex.groupBy("cls").agg(sum(col("mcnt")).as("n"))
       .orderBy(col("n").desc, col("cls")).limit(1)
       .select(col("cls").as("maj"))

@@ -172,17 +172,28 @@ object ModelOps {
     * fragments emitted by iteration, not hand-spelled, so the same
     * generator covers any width).
     *
-    * 100 TB: each fit is one compressed-distinct-vector aggregation + one
-    * (antecedent, class)-keyed shuffle; the 2ⁿ-bounded neighbor explosion
-    * prunes exactly-zero μ terms per attribute as it folds, and the rule
-    * base (≤ Lⁿ·|C|, here ≤ 1458 rows) stays broadcastable — width grows
-    * the BROADCAST payload, never the shuffle key space beyond observed
-    * cells. The %7 slice bounds the oracle's quadratic restatement, not
-    * the engine (drop it and the engine plan is unchanged). */
+    * 100 TB: the corpus is scanned ONCE for all three widths (round 13,
+    * the x285 one-gex discipline generalized through the estimator's
+    * `weightCol`): the 6-wide DISTINCT-vector aggregate with multiplicity
+    * is checkpointed and every width-n fit consumes it as pre-aggregated
+    * input — a width-n fit off the 6-wide aggregate is digit-identical to
+    * fitting the raw rows because the weight term is a pure function of
+    * (features, cls) and DECIMAL × count is exact (the same theorem the
+    * estimator's internal compression rests on; its internal re-grouping
+    * to the n-wide grain just sums the supplied multiplicities). Scoring
+    * runs on the same compressed frame with multiplicity-weighted
+    * confusion sums. Each fit is then one (antecedent, class)-keyed
+    * shuffle over the BOUNDED aggregate; the 2ⁿ neighbor explosion prunes
+    * exactly-zero μ terms; the rule base (≤ Lⁿ·|C|, here ≤ 1458 rows)
+    * stays broadcastable — width grows the BROADCAST payload, never the
+    * corpus-side work. The %7 slice bounds the oracle's quadratic
+    * restatement, not the engine. */
   def x215(spark: SparkSession, dir: String): DataFrame = {
     val ranges = Array(1.0, 50.0, 0.0, 0.1, 0.0, 0.08, 1.0, 7.0,
                        1.0, 12.0, 0.0, 2.0)
-    val train = Tables.lineitem(spark, dir)
+    // ONE corpus scan: the 6-wide distinct-vector aggregate serves every
+    // width's fit AND the scoring grain (multiplicity column "w")
+    val gex = Tables.lineitem(spark, dir)
       .filter(col("l_orderkey") % 7 === 0)
       .select(
         col("l_quantity").as("x1"),
@@ -194,17 +205,21 @@ object ModelOps {
           .when(col("l_returnflag") === "N", 1.0).otherwise(2.0).as("x6"),
         when(col("l_quantity") > 30 && col("l_tax") >= 0.04, 1)
           .otherwise(0).as("label"))
+      .groupBy("x1", "x2", "x3", "x4", "x5", "x6", "label")
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
     Seq(2, 4, 6).map { n =>
       val model = new ChiCSClassifier()
         .setFeatureCols((1 to n).map(i => s"x$i").toArray).setLabelCol("label")
         .setFeatureRanges(ranges.take(2 * n))
-        .fit(train)
-      val scored = model.transform(train)
+        .setWeightCol("w")
+        .fit(gex)
+      val scored = model.transform(gex)
       val cm = scored.agg(
-        sum(when(col("label") === 1 && col("prediction") === 1, 1L).otherwise(0L)).as("tp"),
-        sum(when(col("label") === 0 && col("prediction") === 0, 1L).otherwise(0L)).as("tn"),
-        sum(when(col("label") === 0 && col("prediction") === 1, 1L).otherwise(0L)).as("fp"),
-        sum(when(col("label") === 1 && col("prediction") === 0, 1L).otherwise(0L)).as("fn"))
+        sum(when(col("label") === 1 && col("prediction") === 1, col("w")).otherwise(0L)).as("tp"),
+        sum(when(col("label") === 0 && col("prediction") === 0, col("w")).otherwise(0L)).as("tn"),
+        sum(when(col("label") === 0 && col("prediction") === 1, col("w")).otherwise(0L)).as("fp"),
+        sum(when(col("label") === 1 && col("prediction") === 0, col("w")).otherwise(0L)).as("fn"))
       val tpr = col("tp") * lit(1.0) / (col("tp") + col("fn"))
       val tnr = col("tn") * lit(1.0) / (col("tn") + col("fp"))
       cm.select(

@@ -30,6 +30,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_tax"))
   }
 
+  test("x215/x281/x285: every ablation leg is served by ONE checkpointed corpus aggregate") {
+    // Round-13 unification (VERDICT r12 task 7): each ablation key scans
+    // the corpus ONCE — at the eager localCheckpoint of its shared
+    // distinct-vector/chunk aggregate — and every variant leg (widths
+    // 2/4/6, m 1/4/16, both t-norms × both FRMs) derives from that
+    // materialized frame. The returned plan therefore contains ZERO live
+    // lineitem file scans (the pre-rework x215 re-scanned lineitem once
+    // per width per phase — six live scans).
+    for ((key, fn) <- Seq(
+        "x215" -> (ModelOps.x215 _),
+        "x281" -> (ChiMl.x281 _),
+        "x285" -> (ChiMl.x285 _))) {
+      val df = fn(spark, sfSmoke)
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.count(_.toString.contains("lineitem"))
+      assert(scans == 0,
+        s"$key: expected 0 live lineitem scans (single-checkpoint ablation), got $scans")
+    }
+  }
+
   test("q05: the dimension side is broadcast — no shuffle of the fact table for the join") {
     val p = plan(Relational1.q05(spark, sfSmoke))
     assert(p.contains("BroadcastHashJoin"), p.take(400))
