@@ -875,9 +875,17 @@ object Clustering {
     * collapses through a min_by partial aggregate, so the shuffle after
     * the pair stage carries one row per dropped vector, never the pair
     * grid. */
-  def x284(spark: SparkSession, dir: String): DataFrame = {
+  def x284(spark: SparkSession, dir: String): DataFrame =
+    semDedupAt(spark, dir, kCells)
+
+  /** x284's chain at an explicit cell count — the oracle key pins k = 8
+    * for determinism; the scale soak runs THIS with k ≈ N/target_cell
+    * (mean cell ~250) to measure the production-k linearity claim the
+    * scaladoc makes (docs/SCALE_100x.md records both legs). */
+  private[graft] def semDedupAt(spark: SparkSession, dir: String,
+                                k: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val cents = emb.filter(col("vec_id") < kCells)
+    val cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"),
               transform(col("embedding"), _.cast(DoubleType)).as("ce"))
     // the assignment feeds BOTH sides of the pair self-join — materialize

@@ -416,4 +416,64 @@ object Curation {
               expr("allocated * 1000000 DIV cap").as("util_ppm"))
       .orderBy("source")
   }
+
+  /** x299: DSIR IMPORTANCE SELECTION — Data Selection via Importance
+    * Resampling (Xie et al. 2023), the model-free "pick raw data that
+    * looks like the target domain" curation stage: two add-one-smoothed
+    * unigram LMs over the SHARED corpus vocabulary — target = the `en`
+    * slice (the domain being matched), raw = the whole corpus — and per
+    * document the exact log-likelihood-ratio score
+    * Σ_tok c·ln(P_t(tok)/P_r(tok)). A document scores > 0 iff it is
+    * likelier under the target LM than the raw LM — DSIR's importance
+    * weight with the natural parameter-free acceptance threshold standing
+    * in for the paper's Gumbel resampling (which is sampling noise on top
+    * of exactly this score). Arithmetic is the x293 device: each vocab
+    * term's λ = ln((c_t+1)(N_r+V) / ((c_r+1)(N_t+V))) is micro-rounded
+    * ONCE on the bounded vocab grid, and every doc score is a
+    * BIGINT-weighted Σ c·λ_micro — order-free, bit-stable cross-engine.
+    * Output per source: token-bearing docs, selected docs, selection ppm,
+    * selected score mass (µ-units).
+    *
+    * 100 TB: ONE token-explode scan builds the (doc, tok, c) grain
+    * (checkpointed — it feeds both LMs and the scoring pass); both LMs
+    * collapse to one vocab-keyed aggregate; λ lives on the vocab grid and
+    * BROADCASTS into the scoring join (production hashes tokens into a
+    * bounded bucket space — the DSIR paper's own device — precisely so
+    * the model side stays broadcastable); the doc score is one doc-keyed
+    * partial+final agg and the source rollup is bounded. Documents with
+    * zero tokens carry no evidence and are out of scope (both engines
+    * restate the same grain). */
+  def x299(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.fanOut(Tables.documents(spark, dir)
+        .select("doc_id", "lang", "source", "text"))
+      .select(col("doc_id"), col("lang"), col("source"),
+              explode(toks).as("tok"))
+      .groupBy("doc_id", "lang", "source", "tok")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the LM aggregate AND the scoring join
+    val vocabCnt = tf.groupBy("tok")
+      .agg(sum(col("c")).as("c_raw"),
+           sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("c_tgt"))
+    val totals = vocabCnt.agg(sum(col("c_raw")).as("n_raw"),
+                              sum(col("c_tgt")).as("n_tgt"),
+                              count(lit(1)).as("v"))
+    val lam = vocabCnt.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        round(log(((col("c_tgt") + 1L) * (col("n_raw") + col("v")))
+                    .cast(DoubleType) /
+                  ((col("c_raw") + 1L) * (col("n_tgt") + col("v")))
+                    .cast(DoubleType)) * 1000000, 0)
+          .cast(LongType).as("lam_micro"))
+    val perDoc = tf.join(broadcast(lam), "tok")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("c") * col("lam_micro")).as("score_micro"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("score_micro") > 0, 1L).otherwise(0L)).as("n_sel"),
+           sum(when(col("score_micro") > 0, col("score_micro"))
+             .otherwise(0L)).as("sel_mass_micro"))
+      .withColumn("sel_ppm", expr("n_sel * 1000000 DIV n_docs"))
+      .select("source", "n_docs", "n_sel", "sel_ppm", "sel_mass_micro")
+      .orderBy("source")
+  }
 }

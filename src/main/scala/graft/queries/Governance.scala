@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.engine.Tables
@@ -545,5 +546,50 @@ object Governance {
               col("worst_source"), col("n_docs_at_max"),
               (col("eff_rank") > col("declared_rank")).as("violation"))
       .orderBy("dataset")
+  }
+
+  /** x301: DEDUP-AWARE SPLIT CONSTRUCTION — build a train/eval split that
+    * CANNOT leak: documents are grouped into exact-duplicate classes
+    * (canonical key = lower(text), group id = the min doc_id — the q44
+    * convention), and the WHOLE group lands in one split via the portable
+    * Knuth mix of the group id (h % 10 < 8 → train, else eval — a
+    * deterministic 80/20 both engines replay). x139 AUDITS a given split
+    * for leakage; this key is the constructive counterpart — the split
+    * builder a pipeline runs so that x139's audit passes by construction.
+    * The no-leakage theorem (every group intersects exactly ONE split)
+    * rides the output as an oracle-recomputed flag: the oracle recounts
+    * distinct groups per split and cross-checks Σ per-split groups =
+    * total groups — equality fails iff some group straddled.
+    *
+    * 100 TB: one text-keyed aggregate forms the groups (the q44 grain —
+    * the only corpus-scale shuffle), the split decision is a map-side mix
+    * on the bounded group grain, membership joins back doc-keyed, and the
+    * report is a 2-row rollup. Near-dup-safe variants swap the grouping
+    * key for x194's cluster id — same shape, one more stage. */
+  def x301(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir)
+      .select("doc_id", "text", "n_chars"))
+    val groups = docs.groupBy(lower(col("text")).as("key"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("n_in_group"))
+      .withColumn("h",
+        expr("((gid % 100000000) * 2654435761) % 2147483647"))
+      .withColumn("split",
+        when(col("h") % 10 < 8, lit("train")).otherwise(lit("eval")))
+    val member = docs.select(lower(col("text")).as("key"),
+                             col("doc_id"), col("n_chars"))
+      .join(groups.select(col("key"), col("gid"), col("split")), "key")
+    val perSplit = member.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("gid")).as("n_groups"),
+           sum(col("n_chars")).as("char_mass"))
+    val tot = groups.agg(countDistinct(col("gid")).as("g_total"))
+    perSplit.crossJoin(broadcast(tot))
+      .withColumn("no_leakage",
+        sum(col("n_groups")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+          === col("g_total"))
+      .select(col("split"), col("n_docs"), col("n_groups"),
+              col("char_mass"), col("no_leakage"))
+      .orderBy("split")
   }
 }

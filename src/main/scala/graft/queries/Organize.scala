@@ -335,4 +335,46 @@ object Organize {
               col("doc_id"), col("w_ppm"), col("quota_ok"))
       .orderBy("step")
   }
+
+  /** x300: CONTEXT-WINDOW CHUNKING — split every document into fixed-width
+    * training chunks of W = 32 tokens at stride S = 24 (8-token overlap,
+    * the standard sliding-window sharding that turns variable-length docs
+    * into context-window examples without losing cross-boundary n-grams).
+    * Chunk count per doc is the exact integer 1 + ⌈max(n−W, 0)/S⌉ — a
+    * final window is emitted only if it covers at least one NEW token, so
+    * short docs yield exactly one chunk. Output per (doc, chunk): 0-based
+    * token span [start_tok, end_tok], its token count, the padding a
+    * fixed-W trainer would add (W − n_toks, nonzero only on the last
+    * chunk), and the overlap with the previous chunk (min(W−S, end−start
+    * coverage) — S-stride arithmetic both engines replay). Complements
+    * x277 (shard packing) and x278 (padding audit), which treat docs as
+    * atoms: this is the step BEFORE them for docs longer than the context.
+    *
+    * 100 TB: map-only — token count and the chunk fan-out are per-row
+    * (sequence + posexplode over the ≤⌈n/S⌉-element index array); no
+    * shuffle except the output ordering; chunk rows scale linearly in
+    * corpus tokens with bound n/S per doc. */
+  def x300(spark: SparkSession, dir: String): DataFrame = {
+    val W = 32L; val S = 24L
+    Tables.fanOut(Tables.documents(spark, dir).select("doc_id", "text"))
+      .select(col("doc_id"),
+              size(filter(split(lower(col("text")), " "), t => t =!= ""))
+                .cast(LongType).as("n"))
+      .filter(col("n") >= 1)
+      .withColumn("n_chunks",
+        lit(1L) + expr(s"(greatest(n - $W, 0L) + ${S - 1}) DIV $S"))
+      .select(col("doc_id"), col("n"),
+              posexplode(expr("sequence(0, n_chunks - 1)")))
+      .select(col("doc_id"), col("n"), col("col").as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * S)
+      .withColumn("end_tok", least(col("start_tok") + W, col("n")) - 1L)
+      .withColumn("n_toks", col("end_tok") - col("start_tok") + 1L)
+      .withColumn("pad", lit(W) - col("n_toks"))
+      .withColumn("overlap",
+        when(col("chunk_id") === 0, 0L)
+          .otherwise(least(lit(W - S), col("n_toks"))))
+      .select("doc_id", "chunk_id", "start_tok", "end_tok", "n_toks",
+              "pad", "overlap")
+      .orderBy("doc_id", "chunk_id")
+  }
 }

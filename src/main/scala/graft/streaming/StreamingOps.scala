@@ -515,6 +515,18 @@ object StreamingOps {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       providerOverride.orElse(sys.env.get("SPARK_GRAFT_STATESTORE"))
         .getOrElse(RocksDbProvider))
+    // Production checkpoint mode A/B (VERDICT r12 task 5): at large state,
+    // RocksDB's FULL-snapshot checkpointing uploads the whole store per
+    // commit while CHANGELOG checkpointing uploads only the delta and
+    // compacts snapshots in the background — the mode a 100 TB streaming
+    // deployment actually runs. SPARK_GRAFT_ROCKSDB_CHANGELOG=true flips
+    // it for a whole run (same contract as SPARK_GRAFT_STATESTORE); the
+    // conf is a no-op under non-RocksDB providers.
+    val chgKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevChg = spark.conf.getOption(chgKey)
+    if (sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG").contains("true"))
+      spark.conf.set(chgKey, "true")
     try {
       val q = streamed.writeStream
         .format("memory").queryName(name)
@@ -534,6 +546,10 @@ object StreamingOps {
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevChg match {
+        case Some(v) => spark.conf.set(chgKey, v)
+        case None => spark.conf.unset(chgKey)
       }
     }
   }

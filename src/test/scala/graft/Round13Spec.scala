@@ -4,8 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 /** Round-13 specs: x298 exact substring dedup (planted shared passages),
-  * the x287 packed-pair-key fail-loud guard, and the bench environment
-  * probe. */
+  * x299 DSIR selection (full JVM LM replay), x300 context chunking (stride
+  * arithmetic replay), x301 dedup-aware split (planted groups), the x287
+  * packed-pair-key fail-loud guard, and the bench environment probe. */
 class Round13Spec extends AnyFunSuite {
   import TestSpark.{spark, sfSmoke}
   import spark.implicits._
@@ -98,6 +99,93 @@ class Round13Spec extends AnyFunSuite {
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("packed pair key")), s"got: $e")
+  }
+
+  test("x299 DSIR scores equal a full JVM replay of the two smoothed LMs") {
+    val docs = graft.engine.Tables.documents(spark, sfSmoke)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    def tk(t: String) = t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    val tf = docs.flatMap { case (id, lang, src, t) =>
+      tk(t).groupBy(identity).map { case (w, xs) =>
+        ((id, lang, src, w), xs.length.toLong) } }.toMap
+    val cRaw = tf.groupBy(_._1._4).map { case (w, xs) => w -> xs.values.sum }
+    val cTgt = tf.filter(_._1._2 == "en")
+      .groupBy(_._1._4).map { case (w, xs) => w -> xs.values.sum }
+    val (nRaw, nTgt, v) = (cRaw.values.sum, cTgt.values.sum, cRaw.size.toLong)
+    val lam = cRaw.keys.map { w =>
+      val num = (cTgt.getOrElse(w, 0L) + 1) * (nRaw + v)
+      val den = (cRaw(w) + 1) * (nTgt + v)
+      // Spark's round(x, 0) is BigDecimal HALF_UP — replay it exactly
+      w -> BigDecimal(math.log(num.toDouble / den.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.toMap
+    val perDoc = tf.groupBy { case ((id, _, src, _), _) => (id, src) }
+      .map { case ((id, src), xs) =>
+        (id, src) -> xs.map { case ((_, _, _, w), c) => c * lam(w) }.sum }
+    val want = perDoc.groupBy(_._1._2).map { case (src, xs) =>
+      val sel = xs.filter(_._2 > 0)
+      src -> (xs.size.toLong, sel.size.toLong,
+              sel.size.toLong * 1000000L / xs.size, sel.values.sum)
+    }
+    val got = graft.queries.Curation.x299(spark, sfSmoke).collect().map { r =>
+      r.getAs[String]("source") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_sel"), r.getAs[Long]("sel_ppm"),
+        r.getAs[Long]("sel_mass_micro"))
+    }.toMap
+    assert(got === want)
+  }
+
+  test("x300 chunking replays the exact stride arithmetic per doc") {
+    val W = 32L; val S = 24L
+    val docs = graft.engine.Tables.documents(spark, sfSmoke)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+                 r.getString(1).toLowerCase.split(" ").count(_.nonEmpty).toLong))
+    val want = docs.filter(_._2 >= 1).flatMap { case (id, n) =>
+      val k = 1L + (math.max(n - W, 0L) + S - 1) / S
+      (0L until k).map { i =>
+        val start = i * S
+        val end = math.min(start + W, n) - 1
+        (id, i, start, end, end - start + 1, W - (end - start + 1),
+         if (i == 0) 0L else math.min(W - S, end - start + 1))
+      }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = graft.queries.Organize.x300(spark, sfSmoke).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got === want)
+    // coverage theorem: per doc, union of chunk spans is [0, n) with no gap
+    got.groupBy(_._1).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 <= a._4 + 1, s"gap between $a and $b")
+        case _ => ()
+      }
+    }
+  }
+
+  test("x301 split keeps every dup group whole and flags no_leakage") {
+    val dir = plantDocs(Seq(
+      1L -> "alpha beta gamma", 11L -> "alpha beta gamma", // group gid=1
+      2L -> "delta epsilon",    12L -> "delta epsilon",    // group gid=2
+      3L -> "zeta eta",                                     // singleton gid=3
+      4L -> "theta iota"))                                  // singleton gid=4
+    def split(gid: Long) =
+      if ((((gid % 100000000L) * 2654435761L) % 2147483647L) % 10 < 8) "train"
+      else "eval"
+    val wantGroups = Seq(1L, 2L, 3L, 4L).groupBy(split)
+    val rows = graft.queries.Governance.x301(spark, dir).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_groups"),
+         r.getAs[Boolean]("no_leakage"))).toMap
+    assert(rows.keySet === wantGroups.keySet)
+    wantGroups.foreach { case (sp, gids) =>
+      val nDocs = gids.map(g => if (g <= 2) 2L else 1L).sum
+      assert(rows(sp)._1 === nDocs && rows(sp)._2 === gids.size.toLong)
+      assert(rows(sp)._3, "no_leakage flag must hold by construction")
+    }
   }
 
   test("bench env probe samples loadavg/busy/self/steal with sane bounds") {
