@@ -85,6 +85,99 @@ object OracleSqlRound13 {
         |FROM c, UNNEST(generate_series(1, n_chunks)) AS u(i)
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // x302: the full Chi-CS train+score chain (the proven x215/q41 oracle
+    // device at n = 2, documents-based features) with the x47 gate verdict
+    // as the weak label. Grid: x1 in [10, 100], x2 in [0, 100], L = 3 —
+    // the muAt/argmax fragments keep grid arithmetic as IEEE EXPRESSIONS
+    // (lo + k*((hi-lo)/(L-1))), never pre-evaluated literals.
+    "x302_learned_quality_filter" -> {
+      val L = 3
+      def mu(x: String, lo: String, hi: String, k: Int): String = {
+        val w = s"(($hi - $lo) / ${L - 1})"
+        s"GREATEST(0, 1 - ABS($x - ($lo + $k * $w)) / $w)"
+      }
+      def argmax(x: String, lo: String, hi: String): String = {
+        val cases = (0 until L - 1).map { k =>
+          val conds = (k + 1 until L)
+            .map(j => s"${mu(x, lo, hi, k)} >= ${mu(x, lo, hi, j)}")
+            .mkString(" AND ")
+          s"WHEN $conds THEN $k"
+        }.mkString(" ")
+        s"CASE $cases ELSE ${L - 1} END"
+      }
+      def muAt(x: String, label: String, lo: String, hi: String): String = {
+        val w = s"(($hi - $lo) / ${L - 1})"
+        val c = (0 until L - 1).map(k => s"WHEN $k THEN ($lo + $k * $w)").mkString(" ")
+        s"GREATEST(0, 1 - ABS($x - (CASE $label $c ELSE ($lo + ${L - 1} * $w) END)) / $w)"
+      }
+      val (lo1, hi1, lo2, hi2) = ("10.0", "100.0", "0.0", "100.0")
+      val wt =
+        s"""CAST(ROUND(
+           |      (CASE WHEN t.cls=1 THEN (SELECT c1 FROM costs) ELSE (SELECT c0 FROM costs) END)
+           |    * ${muAt("t.x1", "a.a1", lo1, hi1)}
+           |    * ${muAt("t.x2", "a.a2", lo2, hi2)},
+           |    12) AS DECIMAL(38,12))""".stripMargin
+      s"""WITH tok AS (
+         |  SELECT doc_id, x AS tk FROM documents,
+         |    UNNEST([x FOR x IN string_split(LOWER(text),' ') IF x <> '']) AS u(x)),
+         |rep AS (
+         |  SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n_tok FROM (
+         |    SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2) GROUP BY doc_id),
+         |base AS (
+         |  SELECT d.doc_id, d.source,
+         |         CAST(r.n_tok AS DOUBLE) AS x1,
+         |         CAST(r.max_c AS DOUBLE) * 100.0 / CAST(r.n_tok AS DOUBLE) AS x2,
+         |         CASE WHEN d.n_chars BETWEEN 100 AND 500 AND r.max_c * 5 < r.n_tok
+         |                   AND (list_contains([x FOR x IN string_split(LOWER(d.text),' ') IF x <> ''], 'the')
+         |                        OR list_contains([x FOR x IN string_split(LOWER(d.text),' ') IF x <> ''], 'a'))
+         |              THEN 1 ELSE 0 END AS cls
+         |  FROM documents d JOIN rep r USING (doc_id)
+         |  WHERE TRIM(d.text) <> ''),
+         |lab AS (
+         |  SELECT *, ${argmax("x1", lo1, hi1)} AS a1, ${argmax("x2", lo2, hi2)} AS a2
+         |  FROM base),
+         |costs AS (
+         |  SELECT MAX(CASE WHEN cls=1 THEN c END) AS c1,
+         |         MAX(CASE WHEN cls=0 THEN c END) AS c0 FROM (
+         |    SELECT cls, CASE WHEN n = MIN(n) OVER () AND MIN(n) OVER () <> MAX(n) OVER ()
+         |                     THEN MAX(n) OVER () * 1.0 / n ELSE 1.0 END AS c
+         |    FROM (SELECT cls, COUNT(*) AS n FROM lab GROUP BY cls))),
+         |maj AS (SELECT cls FROM (SELECT cls, COUNT(*) AS n FROM base
+         |                         GROUP BY 1 ORDER BY n DESC, cls LIMIT 1)),
+         |ants AS (SELECT DISTINCT a1, a2, cls FROM lab),
+         |m AS (
+         |  SELECT a.a1, a.a2, a.cls AS rule_cls,
+         |    COALESCE(SUM(CASE WHEN t.cls = a.cls THEN $wt END), 0) AS w_match,
+         |    SUM($wt) AS w_all
+         |  FROM ants a CROSS JOIN lab t GROUP BY 1, 2, 3),
+         |rw AS (SELECT a1, a2, rule_cls,
+         |              CAST(ROUND(2*w_match - w_all, 6) AS DOUBLE)
+         |                / CAST(ROUND(w_all, 6) AS DOUBLE) AS rw
+         |       FROM m WHERE w_all > 0),
+         |rb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY a1, a2
+         |                                    ORDER BY rw DESC, rule_cls) AS rn FROM rw),
+         |final_rb AS (SELECT a1, a2, rule_cls, rw FROM rb WHERE rn=1 AND rw > 0),
+         |gex AS (SELECT source, x1, x2, cls, COUNT(*) AS m
+         |        FROM lab GROUP BY 1, 2, 3, 4),
+         |scored AS (
+         |  SELECT g.source, g.x1, g.x2, g.cls AS actual, g.m, r.rule_cls,
+         |    ROUND(${muAt("g.x1", "r.a1", lo1, hi1)}
+         |        * ${muAt("g.x2", "r.a2", lo2, hi2)} * r.rw, 12) AS score
+         |  FROM gex g CROSS JOIN final_rb r),
+         |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source, x1, x2, actual
+         |                                      ORDER BY score DESC, rule_cls) AS rn FROM scored),
+         |win AS (SELECT source, actual, m,
+         |               CASE WHEN score > 0 THEN rule_cls
+         |                    ELSE (SELECT cls FROM maj) END AS pred
+         |        FROM best WHERE rn=1)
+         |SELECT source, CAST(SUM(m) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN actual=1 THEN m ELSE 0 END) AS BIGINT) AS n_keep_label,
+         |       CAST(SUM(CASE WHEN pred=1 THEN m ELSE 0 END) AS BIGINT) AS n_keep_pred,
+         |       CAST(SUM(CASE WHEN pred=actual THEN m ELSE 0 END) AS BIGINT) * 1000000
+         |         // CAST(SUM(m) AS BIGINT) AS agree_ppm
+         |FROM win GROUP BY source ORDER BY source""".stripMargin
+    },
+
     "x301_dedup_aware_split" ->
       """WITH g AS (
         |  SELECT LOWER(text) AS key, MIN(doc_id) AS gid

@@ -372,4 +372,58 @@ object ModelOps {
       .fit(train)
     fitReport(model, train)
   }
+
+  /** x302: LEARNED QUALITY FILTER — distill the x47 heuristic quality gate
+    * into a trained classifier (the fastText-device of GPT-3/LLaMA-era
+    * curation: hand-written rules label a seed set, a cheap classifier
+    * learns the decision surface and generalizes it): the Chi-CS estimator
+    * is fitted on two per-document features — x1 = token count, x2 =
+    * repetition percentage (max token count ·100 / tokens) — with the x47
+    * gate verdict as the weak label, then scores the whole corpus. Output
+    * per source: docs, gate-keeps, classifier-keeps, and classifier↔gate
+    * agreement in exact ppm — the drift dashboard a curation team watches
+    * when the learned filter replaces the rules. The classifier sees only
+    * (length, repetition); the gate also reads the char band and the
+    * stopword bit, so agreement < 10⁶ ppm is structural, not noise — the
+    * number MEASURES how much of the gate the two features explain.
+    *
+    * 100 TB: ONE corpus scan (token_stats fused pass + the stopword
+    * membership bit) materialized as the checkpointed feature frame; fit
+    * compresses to distinct (x1, x2) vectors internally (the grid is
+    * ≤ 90·~10³ cells — tiny) and transform is the stateless broadcast-rule
+    * projection; the rollup is source-keyed. The weak-label device means
+    * NO human labels anywhere in the loop — exactly why the pattern scales
+    * to corpus size. */
+  def x302(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val base = Tables.documents(spark, dir)
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              call_function("token_stats", col("text")).as("ts"),
+              (array_contains(toks, "the") || array_contains(toks, "a"))
+                .as("stop_ok"))
+      .select(col("doc_id"), col("source"),
+              col("ts.n_tokens").cast(DoubleType).as("x1"),
+              (col("ts.max_cnt").cast(DoubleType) * lit(100.0) /
+                col("ts.n_tokens").cast(DoubleType)).as("x2"),
+              when(col("n_chars").between(100, 500) &&
+                   col("ts.max_cnt") * 5 < col("ts.n_tokens") &&
+                   col("stop_ok"), 1).otherwise(0).as("label"))
+      .localCheckpoint(true) // feeds fit AND transform — one corpus scan
+    val model = new ChiCSClassifier()
+      .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
+      .setFeatureRanges(Array(10.0, 100.0, 0.0, 100.0))
+      .fit(base)
+    model.transform(base)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("label").cast(LongType)).as("n_keep_label"),
+           sum(when(col("prediction") === 1, 1L).otherwise(0L))
+             .as("n_keep_pred"),
+           sum(when(col("prediction") === col("label"), 1L).otherwise(0L))
+             .as("agree"))
+      .withColumn("agree_ppm", expr("agree * 1000000 DIV n_docs"))
+      .select("source", "n_docs", "n_keep_label", "n_keep_pred", "agree_ppm")
+      .orderBy("source")
+  }
 }

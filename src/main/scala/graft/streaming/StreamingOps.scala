@@ -482,6 +482,9 @@ object StreamingOps {
   /** Test hook: StreamingSpec swaps in the HDFS-backed provider to assert
     * provider-independence of every streaming result. */
   @volatile private[graft] var providerOverride: Option[String] = None
+  /** Spec hook for the changelog-checkpointing A/B (same contract as
+    * [[providerOverride]]): Some(true/false) wins over the env var. */
+  @volatile private[graft] var changelogOverride: Option[Boolean] = None
 
   /** State-operator progress of the last completed replay (all micro-batches,
     * flattened) — lets specs assert bounded state and the provider actually
@@ -525,7 +528,8 @@ object StreamingOps {
     val chgKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevChg = spark.conf.getOption(chgKey)
-    if (sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG").contains("true"))
+    if (changelogOverride.getOrElse(
+          sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG").contains("true")))
       spark.conf.set(chgKey, "true")
     try {
       val q = streamed.writeStream

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Round-13 specs: x298 exact substring dedup (planted shared passages),
   * x299 DSIR selection (full JVM LM replay), x300 context chunking (stride
-  * arithmetic replay), x301 dedup-aware split (planted groups), the x287
+  * arithmetic replay), x301 dedup-aware split (planted groups), x302
+  * learned quality filter (cross-key gate theorem), the x287
   * packed-pair-key fail-loud guard, and the bench environment probe. */
 class Round13Spec extends AnyFunSuite {
   import TestSpark.{spark, sfSmoke}
@@ -186,6 +187,28 @@ class Round13Spec extends AnyFunSuite {
       assert(rows(sp)._1 === nDocs && rows(sp)._2 === gids.size.toLong)
       assert(rows(sp)._3, "no_leakage flag must hold by construction")
     }
+  }
+
+  test("x302 weak labels equal x47's gate per source; readout is consistent") {
+    // cross-key consistency theorem: x302's n_keep_label restates x47's
+    // n_keep (same gate, same grain) — if either drifts, one of the two
+    // keys' tokenization or gate changed without the other
+    val gate = graft.queries.Curation.x47(spark, sfSmoke).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_keep")).toMap
+    val rows = graft.queries.ModelOps.x302(spark, sfSmoke).collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+       r.getAs[Long]("n_keep_label"), r.getAs[Long]("n_keep_pred"),
+       r.getAs[Long]("agree_ppm"))
+    }
+    assert(rows.map(r => r._1 -> r._3).toMap === gate)
+    rows.foreach { case (src, n, kl, kp, ppm) =>
+      assert(n > 0 && kl >= 0 && kl <= n && kp >= 0 && kp <= n, src)
+      assert(ppm >= 0 && ppm <= 1000000, s"$src agree_ppm $ppm")
+    }
+    // determinism: the fit + transform chain is reproducible run to run
+    val again = graft.queries.ModelOps.x302(spark, sfSmoke).collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("agree_ppm")) }.toMap
+    assert(rows.map(r => r._1 -> r._5).toMap === again)
   }
 
   test("bench env probe samples loadavg/busy/self/steal with sane bounds") {

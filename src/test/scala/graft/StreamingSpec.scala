@@ -281,6 +281,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally StreamingOps.providerOverride = None
   }
 
+  test("changelog checkpointing changes the checkpoint mode, never the rows") {
+    // The A/B hook (SPARK_GRAFT_ROCKSDB_CHANGELOG / changelogOverride)
+    // flips HOW RocksDB persists state to the checkpoint — delta upload +
+    // background snapshot compaction instead of full-snapshot-per-commit.
+    // Results must be bit-identical: the mode is a durability/IO choice.
+    import graft.streaming.StreamingOps
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val base = Map(
+      "x03" -> rows(StreamingOps.x03(spark, sfSmoke)),
+      "x19" -> rows(StreamingOps.x19(spark, sfSmoke)),
+      "x252" -> rows(StreamingOps.x252(spark, sfSmoke)))
+    StreamingOps.changelogOverride = Some(true)
+    try {
+      assert(rows(StreamingOps.x03(spark, sfSmoke)) === base("x03"))
+      assert(rows(StreamingOps.x19(spark, sfSmoke)) === base("x19"))
+      assert(rows(StreamingOps.x252(spark, sfSmoke)) === base("x252"))
+    } finally StreamingOps.changelogOverride = None
+  }
+
   test("x134 ListState journey re-sorts by event time — a late event displaces a later step") {
     import graft.streaming.StreamingOps
     val conf = "spark.sql.streaming.stateStore.providerClass"
