@@ -178,6 +178,68 @@ object OracleSqlRound13 {
          |FROM win GROUP BY source ORDER BY source""".stripMargin
     },
 
+    "x303_ngram_decontamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source, array_to_string(t[i:i+12], ' ') AS gram
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 12)) AS u(i)
+        |  WHERE len(t) >= 13),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT g.doc_id, g.source, COUNT(*) AS hit_sites
+        |  FROM grams g JOIN bench USING (gram)
+        |  WHERE g.doc_id % 97 <> 0
+        |  GROUP BY g.doc_id, g.source),
+        |psd AS (SELECT source, COUNT(*) AS n_docs FROM corpus GROUP BY source),
+        |psc AS (SELECT source, COUNT(*) AS n_contaminated,
+        |               CAST(SUM(hit_sites) AS BIGINT) AS hit_sites
+        |        FROM hits GROUP BY source)
+        |SELECT p.source, p.n_docs,
+        |       COALESCE(c.n_contaminated, 0) AS n_contaminated,
+        |       COALESCE(c.n_contaminated, 0) * 1000000 // p.n_docs AS contam_ppm,
+        |       COALESCE(c.hit_sites, 0) AS hit_sites
+        |FROM psd p LEFT JOIN psc c USING (source)
+        |ORDER BY p.source""".stripMargin,
+
+    // x304: per-prefix-dimension truncated cosine vs the full dimension —
+    // the per-d fragments are GENERATED so the dim list cannot drift from
+    // the engine's (the x215 generator discipline); float elements cast to
+    // DOUBLE once, every cosine micro-rounded once (the proven q45/x284
+    // device), integer aggregation only.
+    "x304_matryoshka_audit" -> {
+      def nrm(v: String, d: Int) =
+        s"list_sum([$v[i]*$v[i] FOR i IN generate_series(1,$d)])"
+      def cosd(d: Int) =
+        s"CAST(ROUND(list_sum([ea[i]*eb[i] FOR i IN generate_series(1,$d)]) / " +
+          s"(SQRT(${nrm("ea", d)}) * SQRT(${nrm("eb", d)})) * 1000000, 0) AS BIGINT)"
+      val dims = Seq(8, 16, 32, 64)
+      val cosSel = dims.map(d => s"${cosd(d)} AS c$d").mkString(",\n       ")
+      val unioned = dims.map(d =>
+        s"SELECT $d AS dim, c$d AS cos_d, c64 FROM c").mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.emb AS ea, b.emb AS eb
+         |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+         |  WHERE ${nrm("a.emb", 8)} > 0 AND ${nrm("b.emb", 8)} > 0),
+         |c AS (SELECT $cosSel FROM p),
+         |s AS (
+         |$unioned
+         |)
+         |SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n_pairs,
+         |       CAST(SUM(ABS(cos_d - c64)) AS BIGINT) // COUNT(*) AS mean_abs_err_micro,
+         |       CAST(MAX(ABS(cos_d - c64)) AS BIGINT) AS max_abs_err_micro,
+         |       CAST(SUM(CASE WHEN (cos_d > 0 AND c64 > 0) OR (cos_d < 0 AND c64 < 0)
+         |                          OR (cos_d = 0 AND c64 = 0) THEN 1 ELSE 0 END) AS BIGINT)
+         |         * 1000000 // COUNT(*) AS sign_agree_ppm
+         |FROM s GROUP BY dim ORDER BY dim""".stripMargin
+    },
+
     "x301_dedup_aware_split" ->
       """WITH g AS (
         |  SELECT LOWER(text) AS key, MIN(doc_id) AS gid

@@ -911,4 +911,50 @@ object Clustering {
               col("best.cos_micro").as("cos_micro"))
       .orderBy("vec_id")
   }
+
+  /** x304: MATRYOSHKA TRUNCATION AUDIT — how faithfully PREFIX-dimension
+    * cosine approximates full-dimension cosine (the deploy question behind
+    * Matryoshka representation learning: serve 8/16/32-dim truncations of
+    * a 64-dim index and pay how much distortion?). Pair set = consecutive
+    * vec_ids (one pair per vector, linear, deterministic); per prefix
+    * d ∈ {8, 16, 32, 64}: pairs, mean and max absolute cosine error vs
+    * the full dimension, and sign-agreement ppm — all in integer
+    * micro-units (each per-pair cosine micro-rounded once via the proven
+    * cosineMicro device, then integer aggregation only; d = 64 is the
+    * zero-error control row). Pairs whose 8-dim prefix is the zero vector
+    * are excluded on BOTH engines (0/0 cosine is undefined at every
+    * truncation below the first nonzero coordinate).
+    *
+    * 100 TB: one co-partitioned equi-join on vec_id (consecutive ids live
+    * in the same range partitions), the 4 truncated cosines are ONE
+    * map-side pass over the joined rows (slice + the codegen'd fvec_dot),
+    * the stack fan-out is 4x, and the rollup lands on a 4-row grid. */
+  def x304(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      .join(emb.select((col("vec_id") - 1L).as("a_id"),
+                       col("embedding").as("eb")), "a_id")
+      .filter(VectorKernels.normSq(slice(col("ea"), 1, 8)) > 0 &&
+              VectorKernels.normSq(slice(col("eb"), 1, 8)) > 0)
+    val dims = Seq(8, 16, 32, 64)
+    val withCos = pairs.select(dims.map(d =>
+      VectorKernels.cosineMicro(slice(col("ea"), 1, d),
+                                slice(col("eb"), 1, d)).as(s"c$d")): _*)
+    withCos
+      .selectExpr("c64",
+        "stack(4, 8L, c8, 16L, c16, 32L, c32, 64L, c64) AS (dim, cos_d)")
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(abs(col("cos_d") - col("c64"))).as("abs_err_sum"),
+           max(abs(col("cos_d") - col("c64"))).as("max_abs_err_micro"),
+           sum(when((col("cos_d") > 0 && col("c64") > 0) ||
+                    (col("cos_d") < 0 && col("c64") < 0) ||
+                    (col("cos_d") === 0 && col("c64") === 0), 1L)
+             .otherwise(0L)).as("agree"))
+      .withColumn("mean_abs_err_micro", expr("abs_err_sum DIV n_pairs"))
+      .withColumn("sign_agree_ppm", expr("agree * 1000000 DIV n_pairs"))
+      .select("dim", "n_pairs", "mean_abs_err_micro", "max_abs_err_micro",
+              "sign_agree_ppm")
+      .orderBy("dim")
+  }
 }

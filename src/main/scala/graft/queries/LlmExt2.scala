@@ -1093,4 +1093,52 @@ object LlmExt2 {
               "rep_doc")
       .orderBy("doc_id", "run_start")
   }
+
+  /** x303: K-GRAM BENCHMARK DECONTAMINATION AUDIT — the n-gram-overlap
+    * decontamination protocol (GPT-3 appendix C / PaLM style) at the
+    * position level, complementing x21 (whole-doc normalized-text
+    * anti-join) and x100 (the pipeline stage that applies x21's rule): a
+    * corpus document is CONTAMINATED when it shares at least one 13-token
+    * k-gram with the benchmark slice (doc_id ≡ 0 mod 97, the x100
+    * convention), catching partial inclusions a whole-doc hash can never
+    * see. Output per source: corpus docs, contaminated docs, exact
+    * contamination ppm, and total hit sites (flagged k-gram positions) —
+    * the audit a training team runs before every release.
+    *
+    * 100 TB: the benchmark gram set is BOUNDED (benchmarks are small by
+    * definition) and BROADCASTS into the corpus-side semi-join, so the
+    * corpus-scale work is one map-side positional k-gram explode + one
+    * broadcast hash join + a doc-keyed then source-keyed rollup — no
+    * shuffle touches the gram grain. Shares x298's gram construction;
+    * production fingerprints the gram (x120 device) to shrink the
+    * broadcast, with the same over-flag-only collision direction. */
+  def x303(spark: SparkSession, dir: String): DataFrame = {
+    val K = 13
+    val docs = Tables.fanOut(
+        Tables.documents(spark, dir).select("doc_id", "source", "text"))
+      .select(col("doc_id"), col("source"),
+              filter(split(lower(col("text")), " "), t => t =!= "").as("toks"))
+    def grams(df: DataFrame): DataFrame = df
+      .filter(size(col("toks")) >= K)
+      .select(col("doc_id"), col("source"),
+              explode(expr(
+                s"transform(sequence(0, size(toks) - $K), " +
+                  s"i -> array_join(slice(toks, i + 1, $K), ' '))")).as("gram"))
+    val bench = grams(docs.filter(col("doc_id") % 97 === 0))
+      .select("gram").distinct()
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val perSrcDocs = corpus.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val perDocHits = grams(corpus).join(broadcast(bench), "gram")
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("hit_sites"))
+    val perSrcCont = perDocHits.groupBy("source")
+      .agg(count(lit(1)).as("n_contaminated"),
+           sum(col("hit_sites")).as("hit_sites"))
+    perSrcDocs.join(perSrcCont, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+              coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+              coalesce(col("hit_sites"), lit(0L)).as("hit_sites"))
+      .withColumn("contam_ppm", expr("n_contaminated * 1000000 DIV n_docs"))
+      .select("source", "n_docs", "n_contaminated", "contam_ppm", "hit_sites")
+      .orderBy("source")
+  }
 }

@@ -211,6 +211,41 @@ class Round13Spec extends AnyFunSuite {
     assert(rows.map(r => r._1 -> r._5).toMap === again)
   }
 
+  test("x303 flags a planted benchmark passage and counts exact hit sites") {
+    // doc 0 is the benchmark slice (0 % 97 == 0); doc 1 shares exactly ONE
+    // 13-gram with it (G at offset 0 in both, fillers globally unique), so
+    // doc 1 is contaminated with hit_sites 1; doc 2 is clean
+    val g = (1 to 13).map(i => f"c$i%02d").mkString(" ")
+    def u(doc: Int, n: Int) = (0 until n).map(i => s"v$doc-$i").mkString(" ")
+    val dir = plantDocs(Seq(
+      0L -> s"$g ${u(0, 5)}",
+      1L -> s"$g ${u(1, 5)}",
+      2L -> (1 to 20).map(i => s"w2-$i").mkString(" ")))
+    val rows = graft.queries.LlmExt2.x303(spark, dir).collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+       r.getAs[Long]("n_contaminated"), r.getAs[Long]("contam_ppm"),
+       r.getAs[Long]("hit_sites"))
+    }
+    assert(rows === Array(("s0", 2L, 1L, 500000L, 1L)))
+  }
+
+  test("x304 audit: zero-error control row, error monotone down in dim") {
+    val rows = graft.queries.Clustering.x304(spark, sfSmoke).collect().map { r =>
+      (r.getAs[Long]("dim"), r.getAs[Long]("n_pairs"),
+       r.getAs[Long]("mean_abs_err_micro"), r.getAs[Long]("max_abs_err_micro"),
+       r.getAs[Long]("sign_agree_ppm"))
+    }
+    assert(rows.map(_._1).toSeq === Seq(8L, 16L, 32L, 64L))
+    assert(rows.map(_._2).distinct.length === 1, "same pair set per dim")
+    val ctrl = rows.last
+    assert(ctrl._3 == 0L && ctrl._4 == 0L && ctrl._5 == 1000000L,
+      "d = 64 must be the zero-error control")
+    // coarser truncation cannot be more faithful on the same pair set
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 >= b._3, s"mean err must not rise with dim: $a vs $b")
+    }
+  }
+
   test("bench env probe samples loadavg/busy/self/steal with sane bounds") {
     BenchEnvProbe.prime()
     // burn a little CPU so the self share is measurable
