@@ -116,7 +116,17 @@ object DumpPlans {
       ("x296_rag_context_pack", "per-query top-20 collapses through the bounded-state topk_pairs ObjectHashAggregate — a hot term never sorts its posting list; the greedy 512-token fill windows over the 20-row frames only",
        graft.queries.Clustering.x296(spark, dir)),
       ("x297_isotonic_calibration", "one 10-key bin aggregate is the only corpus-scale work; the exact minimax runs on the bounded (i,j,k) grid of a ≤10-row checkpoint — PAVA's sequential pool stack replaced by a fully parallel closed form",
-       graft.queries.StatProtocol.x297(spark, dir)))
+       graft.queries.StatProtocol.x297(spark, dir)),
+      ("x298_substring_dedup", "exact substring dedup is LINEAR: map-side positional k-gram explode, ONE gram-keyed aggregate, gram-keyed join back (each site meets only its own gram's 1-row aggregate — no candidate pairs), per-doc bounded window for the run merge",
+       graft.queries.LlmExt2.x298(spark, dir)),
+      ("x299_dsir_selection", "the (doc,tok,c) checkpoint feeds both LMs and the scoring pass; λ lives on the vocab grid and BROADCASTS into the scoring join; doc score = one doc-keyed partial+final agg",
+       graft.queries.Curation.x299(spark, dir)),
+      ("x302_learned_quality_filter", "weak-label distillation: ONE corpus scan materialized as the checkpointed feature frame feeds fit AND transform; the learned rule base broadcasts back as a stateless projection",
+       graft.queries.ModelOps.x302(spark, dir)),
+      ("x303_ngram_decontamination", "the bounded benchmark gram set BROADCASTS into the corpus-side join — corpus-scale work is one map-side k-gram explode + BroadcastHashJoin, no shuffle at the gram grain",
+       graft.queries.LlmExt2.x303(spark, dir)),
+      ("x304_matryoshka_audit", "one co-partitioned equi-join on vec_id; 4 truncated cosines in ONE codegen'd map pass (slice + fvec_dot); stack fan-out collapses onto a 4-row grid",
+       graft.queries.Clustering.x304(spark, dir)))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries\n\n")
     sb.append("Generated by `graft.examples.DumpPlans` (AQE-finalized, sf0.001).\n")
