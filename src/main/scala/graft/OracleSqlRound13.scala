@@ -9,6 +9,30 @@ package graft
   */
 object OracleSqlRound13 {
 
+  private val L = 3
+
+  /** Triangular-grid fragments (the x215 generator discipline): grid
+    * arithmetic stays an IEEE EXPRESSION (lo + k*((hi-lo)/(L-1))), never a
+    * pre-evaluated literal — one ULP of drift flips argmax ties. */
+  private def mu(x: String, lo: String, hi: String, k: Int): String = {
+    val w = s"(($hi - $lo) / ${L - 1})"
+    s"GREATEST(0, 1 - ABS($x - ($lo + $k * $w)) / $w)"
+  }
+  private def argmax(x: String, lo: String, hi: String): String = {
+    val cases = (0 until L - 1).map { k =>
+      val conds = (k + 1 until L)
+        .map(j => s"${mu(x, lo, hi, k)} >= ${mu(x, lo, hi, j)}")
+        .mkString(" AND ")
+      s"WHEN $conds THEN $k"
+    }.mkString(" ")
+    s"CASE $cases ELSE ${L - 1} END"
+  }
+  private def muAt(x: String, label: String, lo: String, hi: String): String = {
+    val w = s"(($hi - $lo) / ${L - 1})"
+    val c = (0 until L - 1).map(k => s"WHEN $k THEN ($lo + $k * $w)").mkString(" ")
+    s"GREATEST(0, 1 - ABS($x - (CASE $label $c ELSE ($lo + ${L - 1} * $w) END)) / $w)"
+  }
+
   val round13: Map[String, String] = Map(
     "x298_substring_dedup" ->
       """WITH toks AS (
@@ -91,25 +115,6 @@ object OracleSqlRound13 {
     // the muAt/argmax fragments keep grid arithmetic as IEEE EXPRESSIONS
     // (lo + k*((hi-lo)/(L-1))), never pre-evaluated literals.
     "x302_learned_quality_filter" -> {
-      val L = 3
-      def mu(x: String, lo: String, hi: String, k: Int): String = {
-        val w = s"(($hi - $lo) / ${L - 1})"
-        s"GREATEST(0, 1 - ABS($x - ($lo + $k * $w)) / $w)"
-      }
-      def argmax(x: String, lo: String, hi: String): String = {
-        val cases = (0 until L - 1).map { k =>
-          val conds = (k + 1 until L)
-            .map(j => s"${mu(x, lo, hi, k)} >= ${mu(x, lo, hi, j)}")
-            .mkString(" AND ")
-          s"WHEN $conds THEN $k"
-        }.mkString(" ")
-        s"CASE $cases ELSE ${L - 1} END"
-      }
-      def muAt(x: String, label: String, lo: String, hi: String): String = {
-        val w = s"(($hi - $lo) / ${L - 1})"
-        val c = (0 until L - 1).map(k => s"WHEN $k THEN ($lo + $k * $w)").mkString(" ")
-        s"GREATEST(0, 1 - ABS($x - (CASE $label $c ELSE ($lo + ${L - 1} * $w) END)) / $w)"
-      }
       val (lo1, hi1, lo2, hi2) = ("10.0", "100.0", "0.0", "100.0")
       val wt =
         s"""CAST(ROUND(
@@ -238,6 +243,104 @@ object OracleSqlRound13 {
          |                          OR (cos_d = 0 AND c64 = 0) THEN 1 ELSE 0 END) AS BIGINT)
          |         * 1000000 // COUNT(*) AS sign_agree_ppm
          |FROM s GROUP BY dim ORDER BY dim""".stripMargin
+    },
+
+    // x305: leave-one-source-out retrains of the x302 task's BASE-Chi fit
+    // (cost-free), restated data-driven in ONE statement: per-(candidate,
+    // source) weight sums on the bounded grid, LOSO = total − slice (exact
+    // DECIMAL subtraction ≡ refitting), '(full)' control subtracts nothing.
+    "x305_loso_attribution" -> {
+      val (lo1, hi1, lo2, hi2) = ("10.0", "100.0", "0.0", "100.0")
+      val w =
+        s"""CAST(ROUND(${muAt("g.x1", "s.ra1", lo1, hi1)}
+           |    * ${muAt("g.x2", "s.ra2", lo2, hi2)}, 12) AS DECIMAL(18,12))""".stripMargin
+      s"""WITH tok AS (
+         |  SELECT doc_id, x AS tk FROM documents,
+         |    UNNEST([x FOR x IN string_split(LOWER(text),' ') IF x <> '']) AS u(x)),
+         |rep AS (
+         |  SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n_tok FROM (
+         |    SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2) GROUP BY doc_id),
+         |base AS (
+         |  SELECT d.doc_id, d.source,
+         |         CAST(r.n_tok AS DOUBLE) AS x1,
+         |         CAST(r.max_c AS DOUBLE) * 100.0 / CAST(r.n_tok AS DOUBLE) AS x2,
+         |         CASE WHEN d.n_chars BETWEEN 100 AND 500 AND r.max_c * 5 < r.n_tok
+         |                   AND (list_contains([x FOR x IN string_split(LOWER(d.text),' ') IF x <> ''], 'the')
+         |                        OR list_contains([x FOR x IN string_split(LOWER(d.text),' ') IF x <> ''], 'a'))
+         |              THEN 1 ELSE 0 END AS cls
+         |  FROM documents d JOIN rep r USING (doc_id)
+         |  WHERE TRIM(d.text) <> ''),
+         |lab AS (
+         |  SELECT *, ${argmax("x1", lo1, hi1)} AS a1, ${argmax("x2", lo2, hi2)} AS a2
+         |  FROM base),
+         |seeds AS (
+         |  SELECT a1 AS ra1, a2 AS ra2, cls AS rcls,
+         |         COUNT(DISTINCT source) AS n_seed_src, MAX(source) AS a_seed_src
+         |  FROM lab GROUP BY 1, 2, 3),
+         |sums AS (
+         |  SELECT g.source, s.ra1, s.ra2, s.rcls,
+         |         COALESCE(SUM(CASE WHEN g.cls = s.rcls THEN $w END), 0) AS s_match,
+         |         COALESCE(SUM($w), 0) AS s_all
+         |  FROM seeds s CROSS JOIN lab g GROUP BY 1, 2, 3, 4),
+         |tot AS (SELECT ra1, ra2, rcls, SUM(s_match) AS t_match, SUM(s_all) AS t_all
+         |        FROM sums GROUP BY 1, 2, 3),
+         |models AS (SELECT DISTINCT source AS lo FROM base UNION ALL SELECT '(full)'),
+         |rbw AS (
+         |  SELECT m.lo, t.ra1, t.ra2, t.rcls,
+         |         t.t_match - COALESCE(sm.s_match, 0) AS w_match,
+         |         t.t_all - COALESCE(sm.s_all, 0) AS w_all
+         |  FROM tot t CROSS JOIN models m
+         |  JOIN seeds sd ON sd.ra1 = t.ra1 AND sd.ra2 = t.ra2 AND sd.rcls = t.rcls
+         |  LEFT JOIN sums sm ON sm.source = m.lo AND sm.ra1 = t.ra1
+         |                   AND sm.ra2 = t.ra2 AND sm.rcls = t.rcls
+         |  WHERE sd.n_seed_src > 1 OR sd.a_seed_src <> m.lo),
+         |rwt AS (
+         |  SELECT lo, ra1, ra2, rcls,
+         |         CAST(ROUND(2*w_match - w_all, 6) AS DOUBLE)
+         |           / CAST(ROUND(w_all, 6) AS DOUBLE) AS rw
+         |  FROM rbw WHERE w_all > 0),
+         |rb AS (SELECT lo, ra1, ra2, rcls, rw FROM (
+         |         SELECT *, ROW_NUMBER() OVER (PARTITION BY lo, ra1, ra2
+         |                                      ORDER BY rw DESC, rcls) AS rn
+         |         FROM rwt WHERE rw > 0) WHERE rn = 1),
+         |majg AS (
+         |  SELECT m.lo, g.cls,
+         |         SUM(CASE WHEN g.source = m.lo THEN 0 ELSE g.n END) AS n
+         |  FROM (SELECT source, cls, COUNT(*) AS n FROM lab GROUP BY 1, 2) g
+         |  CROSS JOIN models m GROUP BY 1, 2),
+         |maj AS (SELECT lo, cls AS maj FROM (
+         |          SELECT *, ROW_NUMBER() OVER (PARTITION BY lo
+         |                                       ORDER BY n DESC, cls) AS rn
+         |          FROM majg) WHERE rn = 1),
+         |vecs AS (SELECT x1, x2, cls, COUNT(*) AS mm FROM lab GROUP BY 1, 2, 3),
+         |vm AS (SELECT v.*, m.lo FROM vecs v CROSS JOIN models m),
+         |scored AS (
+         |  SELECT vm.lo, vm.x1, vm.x2, vm.cls, vm.mm, r.rcls,
+         |         COALESCE(ROUND(${muAt("vm.x1", "r.ra1", lo1, hi1)}
+         |                      * ${muAt("vm.x2", "r.ra2", lo2, hi2)} * r.rw, 12),
+         |                  -1) AS score
+         |  FROM vm LEFT JOIN rb r ON r.lo = vm.lo),
+         |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lo, x1, x2, cls
+         |                                      ORDER BY score DESC, rcls) AS rn
+         |         FROM scored),
+         |win AS (SELECT b.lo, b.cls, b.mm,
+         |               CASE WHEN b.score > 0 THEN b.rcls ELSE mj.maj END AS pred
+         |        FROM best b JOIN maj mj ON mj.lo = b.lo WHERE rn = 1),
+         |acc AS (SELECT lo, CAST(SUM(mm) AS BIGINT) AS n_docs,
+         |               CAST(SUM(CASE WHEN cls = pred THEN mm ELSE 0 END) AS BIGINT) AS agree
+         |        FROM win GROUP BY lo),
+         |fullr AS (SELECT ra1, ra2, rcls FROM rb WHERE lo = '(full)'),
+         |inter AS (SELECT r.lo, COUNT(*) AS n_inter
+         |          FROM rb r JOIN fullr f USING (ra1, ra2, rcls) GROUP BY 1),
+         |nr AS (SELECT lo, COUNT(*) AS n_rules FROM rb GROUP BY 1),
+         |nf AS (SELECT COUNT(*) AS n_full FROM fullr)
+         |SELECT a.lo AS left_out,
+         |       COALESCE(nr.n_rules, 0) AS n_rules,
+         |       COALESCE(nr.n_rules, 0) + nf.n_full - 2 * COALESCE(i.n_inter, 0) AS rules_changed,
+         |       a.n_docs, a.agree * 1000000 // a.n_docs AS agree_ppm
+         |FROM acc a LEFT JOIN nr ON nr.lo = a.lo
+         |LEFT JOIN inter i ON i.lo = a.lo CROSS JOIN nf
+         |ORDER BY left_out""".stripMargin
     },
 
     "x301_dedup_aware_split" ->

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.engine.Tables
@@ -394,9 +395,12 @@ object ModelOps {
     * projection; the rollup is source-keyed. The weak-label device means
     * NO human labels anywhere in the loop — exactly why the pattern scales
     * to corpus size. */
-  def x302(spark: SparkSession, dir: String): DataFrame = {
+  /** The x302/x305 weak-label feature frame: (doc_id, source, x1 = token
+    * count, x2 = repetition %, label = the x47 gate verdict). ONE corpus
+    * scan; both consumers checkpoint it. */
+  private[graft] def qualityFeatures(spark: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), " "), t => t =!= "")
-    val base = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .filter(trim(col("text")) =!= "")
       .select(col("doc_id"), col("source"), col("n_chars"),
               call_function("token_stats", col("text")).as("ts"),
@@ -409,6 +413,10 @@ object ModelOps {
               when(col("n_chars").between(100, 500) &&
                    col("ts.max_cnt") * 5 < col("ts.n_tokens") &&
                    col("stop_ok"), 1).otherwise(0).as("label"))
+  }
+
+  def x302(spark: SparkSession, dir: String): DataFrame = {
+    val base = qualityFeatures(spark, dir)
       .localCheckpoint(true) // feeds fit AND transform — one corpus scan
     val model = new ChiCSClassifier()
       .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
@@ -425,5 +433,166 @@ object ModelOps {
       .withColumn("agree_ppm", expr("agree * 1000000 DIV n_docs"))
       .select("source", "n_docs", "n_keep_label", "n_keep_pred", "agree_ppm")
       .orderBy("source")
+  }
+
+  /** x305: LEAVE-ONE-SOURCE-OUT DATA ATTRIBUTION — which source's data
+    * actually shapes the learned quality filter? For every corpus source
+    * the x302 task's BASE-Chi rule base (cost-free — holding the cost
+    * scalar fixed isolates the DATA effect from the class-balance effect)
+    * is retrained WITHOUT that source and compared to the full model:
+    * rule count, rules changed (consequent flips + appearing/vanishing
+    * antecedents — a candidate seeded ONLY by the left-out source leaves
+    * the grid entirely, the Chi-specific attribution channel), and
+    * weak-label agreement over the FULL corpus (generalization of the
+    * ablated filter). The group-ablation ("what if we drop source X")
+    * protocol of LLM data curation, EXACT by construction: the retrain is
+    * never re-run — per-(candidate, source) weight sums live on the
+    * bounded grid and each LOSO model is the total MINUS one source's
+    * slice, a DECIMAL subtraction that is digit-identical to refitting
+    * (Σ over sources ≠ s ≡ Σ_total − Σ_s). A '(full)' control row rides
+    * along (subtracting nothing) and must equal the full fit.
+    *
+    * 100 TB: the corpus-scale work is ONE distinct-vector aggregate at
+    * the (source, x1, x2, label) grain; everything after — the 18-row
+    * candidate grid × |sources| subtraction lattice, the per-model
+    * conflict resolution, the vector-grid scoring — is bounded grid work
+    * under partitioned (model, antecedent) windows. Adding a source costs
+    * one more grid slice, never another corpus pass. */
+  def x305(spark: SparkSession, dir: String): DataFrame = {
+    val (gex, models, rb) = losoCore(spark, dir)
+    x305Report(gex, models, rb)
+  }
+
+  /** x305's subtraction lattice up to the per-model rule bases: returns
+    * (gex, models, rb) — rb carries one rule base per `lo` (every source
+    * plus the '(full)' control). Exposed so Round13Spec can pin the
+    * subtraction ≡ refit theorem against an independent estimator fit. */
+  private[graft] def losoCore(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.engine.chi.ChiCore
+    import graft.engine.chi.ChiCore.TriPartition
+    val Q1 = TriPartition(10.0, 100.0)
+    val Q2 = TriPartition(0.0, 100.0)
+    // Subtraction arithmetic: Spark demotes (38,12) − (38,12) to (38,11)
+    // (precision overflow → scale loss), and the downstream promotions then
+    // DOUBLE-round the rw numerator — one rule's rw drifted 1e-8 from the
+    // estimator's before this was pinned. Subtract at (25,12) — EXACT (the
+    // sums carry ≤13 integer digits even at 10^12 docs: each term ≤ 1) —
+    // and cast back to (38,12) so the rw expression below goes through
+    // exactly the estimator's type promotions, making LOSO-by-subtraction
+    // rule-for-rule identical to refitting (Round13Spec pins it).
+    val dec0 = lit(0).cast(DecimalType(25, 12))
+    val gex = qualityFeatures(spark, dir)
+      .groupBy("source", "x1", "x2", "label").agg(count(lit(1)).as("m"))
+      .withColumn("a1", ChiCore.argmaxLabel(ChiCore.memberships(col("x1"), Q1)))
+      .withColumn("a2", ChiCore.argmaxLabel(ChiCore.memberships(col("x2"), Q2)))
+      .localCheckpoint(true) // the ONLY corpus-derived frame (5 consumers)
+    // candidate antecedents + seeding sources: a candidate seeded only by
+    // the left-out source is not generated by the LOSO fit at all
+    val seeds = gex.select(col("a1").as("ra1"), col("a2").as("ra2"),
+                           col("label").as("rcls"), col("source")).distinct()
+      .groupBy("ra1", "ra2", "rcls")
+      .agg(countDistinct(col("source")).as("n_seed_src"),
+           max(col("source")).as("a_seed_src"))
+      .localCheckpoint(true)
+    val ants = seeds.select("ra1", "ra2", "rcls")
+    // exact per-(candidate, source) weight sums (cost-free base Chi)
+    val term = round(ChiCore.membershipAt(col("x1"), col("ra1"), Q1) *
+                     ChiCore.membershipAt(col("x2"), col("ra2"), Q2), 12)
+      .cast(DecimalType(18, 12)) * col("m").cast(DecimalType(19, 0))
+    val sums = gex.crossJoin(broadcast(ants))
+      .select(col("source"), col("ra1"), col("ra2"), col("rcls"),
+              col("label"), term.as("w"))
+      .groupBy("source", "ra1", "ra2", "rcls")
+      .agg(sum(when(col("label") === col("rcls"), col("w"))).as("s_match"),
+           sum(col("w")).as("s_all"))
+      .localCheckpoint(true)
+    val tot = sums.groupBy("ra1", "ra2", "rcls")
+      .agg(sum(col("s_match")).as("t_match"), sum(col("s_all")).as("t_all"))
+    val models = gex.select(col("source").as("lo")).distinct()
+      .unionByName(gex.select(lit("(full)").as("lo")).limit(1))
+      .localCheckpoint(true)
+    val rb = tot.crossJoin(broadcast(models))
+      .join(sums.withColumnRenamed("source", "lo"),
+            Seq("lo", "ra1", "ra2", "rcls"), "left")
+      .join(broadcast(seeds), Seq("ra1", "ra2", "rcls"))
+      .filter(col("n_seed_src") > 1 || col("a_seed_src") =!= col("lo"))
+      .withColumn("w_match",
+        (col("t_match").cast(DecimalType(25, 12)) -
+          coalesce(col("s_match").cast(DecimalType(25, 12)), dec0))
+          .cast(DecimalType(38, 12)))
+      .withColumn("w_all",
+        (col("t_all").cast(DecimalType(25, 12)) -
+          coalesce(col("s_all").cast(DecimalType(25, 12)), dec0))
+          .cast(DecimalType(38, 12)))
+      .filter(col("w_all") > 0)
+      .withColumn("rw",
+        round(col("w_match") * 2 - col("w_all"), 6).cast(DoubleType) /
+          round(col("w_all"), 6).cast(DoubleType))
+      .filter(col("rw") > 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lo", "ra1", "ra2")
+          .orderBy(col("rw").desc, col("rcls"))))
+      .filter(col("rn") === 1)
+      .select(col("lo"), col("ra1"), col("ra2"), col("rcls"), col("rw"))
+      .localCheckpoint(true) // scoring + change-count + n_rules read it
+    (gex, models, rb)
+  }
+
+  /** The x305 readout from the core frames. */
+  private def x305Report(gex: DataFrame, models: DataFrame,
+                         rb: DataFrame): DataFrame = {
+    import graft.engine.chi.ChiCore
+    import graft.engine.chi.ChiCore.TriPartition
+    val Q1 = TriPartition(10.0, 100.0)
+    val Q2 = TriPartition(0.0, 100.0)
+    // per-model majority fallback, recomputed over the REMAINING data
+    val clsMass = gex.groupBy("source", "label").agg(sum(col("m")).as("n"))
+    val maj = clsMass.crossJoin(broadcast(models))
+      .groupBy("lo", "label")
+      .agg(sum(when(col("source") === col("lo"), 0L).otherwise(col("n")))
+        .as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lo").orderBy(col("n").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("lo"), col("label").as("maj"))
+    // score every model over the FULL corpus vector grid
+    val vecs = gex.groupBy("x1", "x2", "label").agg(sum(col("m")).as("mm"))
+    val scoreCol = round(ChiCore.membershipAt(col("x1"), col("ra1"), Q1) *
+                         ChiCore.membershipAt(col("x2"), col("ra2"), Q2) *
+                         col("rw"), 12)
+    val win = vecs.crossJoin(broadcast(models))
+      .join(broadcast(rb), Seq("lo"), "left")
+      .withColumn("score", coalesce(scoreCol, lit(-1.0)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lo", "x1", "x2", "label")
+          .orderBy(col("score").desc, col("rcls"))))
+      .filter(col("rn") === 1)
+      .join(broadcast(maj), "lo")
+      .select(col("lo"), col("label"),
+              when(col("score") > 0, col("rcls")).otherwise(col("maj"))
+                .as("pred"),
+              col("mm"))
+    val acc = win.groupBy("lo")
+      .agg(sum(col("mm")).as("n_docs"),
+           sum(when(col("label") === col("pred"), col("mm")).otherwise(0L))
+             .as("agree"))
+    // symmetric difference vs the full model's rule set
+    val fullR = rb.filter(col("lo") === lit("(full)"))
+      .select("ra1", "ra2", "rcls")
+    val inter = rb.join(broadcast(fullR), Seq("ra1", "ra2", "rcls"))
+      .groupBy("lo").agg(count(lit(1)).as("n_inter"))
+    val nRules = rb.groupBy("lo").agg(count(lit(1)).as("n_rules"))
+    val nFullDf = fullR.agg(count(lit(1)).as("n_full"))
+    acc.join(nRules, Seq("lo"), "left")
+      .join(inter, Seq("lo"), "left")
+      .crossJoin(broadcast(nFullDf))
+      .select(col("lo").as("left_out"),
+              coalesce(col("n_rules"), lit(0L)).as("n_rules"),
+              (coalesce(col("n_rules"), lit(0L)) + col("n_full") -
+                coalesce(col("n_inter"), lit(0L)) * 2L).as("rules_changed"),
+              col("n_docs"),
+              expr("agree * 1000000 DIV n_docs").as("agree_ppm"))
+      .orderBy("left_out")
   }
 }

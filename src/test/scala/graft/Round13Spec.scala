@@ -246,6 +246,43 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("x305 LOSO subtraction IS refitting: control and one ablation equal direct fits") {
+    import graft.queries.ModelOps
+    val (_, _, rb) = ModelOps.losoCore(spark, sfSmoke)
+    def rules(lo: String): Set[(Long, Long, Long, Double)] =
+      rb.filter(col("lo") === lo)
+        .collect().map(r => (r.getAs[Int]("ra1").toLong,
+          r.getAs[Int]("ra2").toLong, r.getAs[Int]("rcls").toLong,
+          r.getAs[Double]("rw"))).toSet
+    def directFit(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+      new graft.engine.chi.ChiCSClassifier()
+        .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
+        .setFeatureRanges(Array(10.0, 100.0, 0.0, 100.0))
+        .setClassCosts(Array(1.0, 1.0)) // cost-free base Chi, x305's choice
+        .fit(df).rules
+        .map(r => (r.antecedent(0).toLong, r.antecedent(1).toLong,
+                   r.cls.toLong, r.weight)).toSet
+    val feats = ModelOps.qualityFeatures(spark, sfSmoke)
+    assert(rules("(full)") === directFit(feats),
+      "the '(full)' control must equal a direct cost-free fit")
+    val someSrc = feats.select("source").distinct().orderBy("source")
+      .limit(1).collect().head.getString(0)
+    assert(rules(someSrc) === directFit(feats.filter(col("source") =!= someSrc)),
+      s"LOSO($someSrc) via subtraction must equal the direct refit without it")
+  }
+
+  test("x305 readout: control row has zero changes and valid ppm bounds") {
+    val rows = graft.queries.ModelOps.x305(spark, sfSmoke).collect().map { r =>
+      (r.getAs[String]("left_out"), r.getAs[Long]("n_rules"),
+       r.getAs[Long]("rules_changed"), r.getAs[Long]("n_docs"),
+       r.getAs[Long]("agree_ppm"))
+    }
+    val ctrl = rows.find(_._1 == "(full)").get
+    assert(ctrl._3 === 0L, "the control subtracts nothing, so nothing changes")
+    assert(rows.forall(r => r._4 > 0 && r._5 >= 0 && r._5 <= 1000000))
+    assert(rows.map(_._1).toSet.size === rows.length, "one row per model")
+  }
+
   test("bench env probe samples loadavg/busy/self/steal with sane bounds") {
     BenchEnvProbe.prime()
     // burn a little CPU so the self share is measurable
