@@ -343,6 +343,31 @@ object OracleSqlRound13 {
          |ORDER BY left_out""".stripMargin
     },
 
+    // x306: the single-batch streaming replay folds each LSH bucket's docs
+    // ascending, so flagged ≡ "a lower doc_id shares a band bucket" and
+    // partner ≡ the bucket minimum — restated with x86's proven signature
+    // fragments (same 8 portable hash pairs, same banding).
+    "x306_stream_neardup_dedup" ->
+      ("WITH " + OracleSqlMl.fpCodedCtes + ",\n" + OracleSqlMl.fpsDistinctCte + ",\n" +
+        """hs AS (SELECT * FROM (VALUES
+          |  (0, 1540483477, 11), (1, 1103515245, 12345), (2, 69069, 7),
+          |  (3, 1664525, 1013904223), (4, 22695477, 1), (5, 134775813, 1),
+          |  (6, 214013, 2531011), (7, 1597334677, 3)) AS v(j, a, b)),
+          |sig AS (
+          |  SELECT doc_id, j, MIN((a * fp + b) % 2147483647) AS mh
+          |  FROM fps, hs GROUP BY doc_id, j),
+          |banded AS (
+          |  SELECT doc_id, j // 2 AS band,
+          |         STRING_AGG(CAST(mh AS VARCHAR), ':' ORDER BY j) AS key
+          |  FROM sig GROUP BY doc_id, j // 2),
+          |m AS (SELECT band, key, MIN(doc_id) AS first_id
+          |      FROM banded GROUP BY 1, 2),
+          |fl AS (SELECT b.doc_id, mm.first_id
+          |       FROM banded b JOIN m mm USING (band, key)
+          |       WHERE b.doc_id > mm.first_id)
+          |SELECT doc_id, MIN(first_id) AS partner, COUNT(*) AS n_buckets
+          |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     "x301_dedup_aware_split" ->
       """WITH g AS (
         |  SELECT LOWER(text) AS key, MIN(doc_id) AS gid

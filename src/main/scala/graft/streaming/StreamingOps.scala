@@ -13,6 +13,10 @@ case class OpenSession(start_us: Long, last_us: Long, n: Long)
 case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 /** x114 keyed state: a user's running (event count, latest epoch-µs). */
 case class UserRunning(n: Long, last_us: Long)
+/** x306 input: one (LSH band bucket, doc) membership row. */
+case class BandRow(bucket: String, doc_id: Long)
+/** x306 emission: a doc flagged as near-dup of its bucket's first doc. */
+case class DupHit(doc_id: Long, partner: Long)
 /** x114 output: the running totals as of the processed batch. */
 case class UserTotals(user_id: Long, n_events: Long, last_us: Long)
 
@@ -599,6 +603,77 @@ object StreamingOps {
                s"x25_sink_${System.nanoTime()}", "append")
       .groupBy("event_type").agg(count(lit(1)).as("n_keys"))
       .orderBy("event_type")
+
+  /** x306: STREAMING NEAR-DUP DEDUP — x86's banded-MinHash LSH run ONLINE:
+    * every arriving document computes its 8 portable MinHash values and 4
+    * band buckets MAP-SIDE (the codegen'd `rolling_fps` array folded
+    * through `array_min(transform(...))` — no streaming aggregate builds
+    * the signature), and per bucket a `flatMapGroupsWithState` keeps ONE
+    * long of state — the first-seen doc_id — flagging every later doc
+    * that lands in an already-claimed bucket. This is the online
+    * ingest-time dedup gate of a corpus pipeline (don't store what you
+    * already have), complementing the batch near-dup family (x01/x86) and
+    * the exact streaming dedup (x04/x25). Output per flagged doc: the
+    * earliest partner over its buckets and how many of its 4 buckets were
+    * already claimed.
+    *
+    * Determinism/oracle: on the single-batch AvailableNow replay the
+    * processor folds each bucket's docs in ascending id order, so a doc
+    * is flagged iff a LOWER id shares its bucket and the partner is the
+    * bucket minimum — exactly the batch banded-LSH first-occurrence
+    * statement the DuckDB oracle restates (x86's signature fragments).
+    *
+    * 100 TB: state is 8 bytes per DISTINCT bucket (RocksDB-bounded, the
+    * same key space LSH bucketing bounds in batch); the signature is
+    * map-side per doc; each micro-batch shuffles once on bucket. */
+  def x306(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, neardupHits(documentsStream(spark, dir)).toDF,
+               s"x306_sink_${System.nanoTime()}", "append")
+      .groupBy("doc_id")
+      .agg(min(col("partner")).as("partner"),
+           count(lit(1)).as("n_buckets"))
+      .orderBy("doc_id")
+
+  /** x306's core over ANY streaming (doc_id, text) frame — exposed so
+    * StreamingSpec can drive a two-batch MemoryStream through the
+    * cross-batch state (a doc arriving a batch later must still be
+    * flagged against the batch-1 claimant). */
+  private[graft] def neardupHits(docs: DataFrame): Dataset[DupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val P = 2147483647L
+    val hs = Seq((1540483477L, 11L), (1103515245L, 12345L), (69069L, 7L),
+                 (1664525L, 1013904223L), (22695477L, 1L), (134775813L, 1L),
+                 (214013L, 2531011L), (1597334677L, 3L))
+    val sigCols = hs.zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(col("fps"), fp => (fp * a + b) % P)).as(s"mh$j") }
+    val banded = docs
+      .select(col("doc_id"),
+              call_function("rolling_fps", col("text")).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"), explode(array((0 until 4).map(bI =>
+        concat_ws(":", lit(bI),
+                  col(s"mh${2 * bI}"), col(s"mh${2 * bI + 1}"))): _*))
+        .as("bucket"))
+      .as[BandRow]
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[Long, DupHit](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[BandRow], state) =>
+          // fold ascending so every flagged doc's partner is the bucket
+          // minimum among earlier ids — the oracle's first-occurrence rule
+          val ds = rows.map(_.doc_id).toArray.sorted
+          val out = Seq.newBuilder[DupHit]
+          var mn = state.getOption.getOrElse(Long.MaxValue)
+          for (d <- ds) {
+            if (mn < d) out += DupHit(d, mn)
+            if (d < mn) mn = d
+          }
+          state.update(mn)
+          out.result().iterator
+      }
+  }
 
   /** x27: STREAM-STATIC join — the enrichment shape of a production pipeline:
     * a live event stream joined per micro-batch against a static (batch-built)

@@ -301,6 +301,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally StreamingOps.changelogOverride = None
   }
 
+  test("x306 streaming near-dup state persists: a batch-2 twin is flagged against batch 1") {
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)](spark)
+    val docs = mem.toDF.toDF("doc_id", "text")
+    val q = StreamingOps.neardupHits(docs).toDF.writeStream
+      .format("memory").queryName("x306_test").outputMode("append").start()
+    // 8+ tokens so rolling_fps yields 5-token-window fingerprints
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten"
+    mem.addData(Seq((5L, a), (9L, b)))
+    q.processAllAvailable()
+    val afterB1 = spark.table("x306_test").count()
+    assert(afterB1 === 0, "no bucket is claimed twice in batch 1")
+    // batch 2: doc 7 is an exact twin of doc 5 — every bucket collides
+    // with batch-1 state, so it must be flagged with partner 5 (the
+    // cross-batch property the single-batch oracle cannot witness). Doc 3
+    // twins doc 9 but carries a LOWER id: under the id-order convention a
+    // lower id is never flagged against a higher one — it silently takes
+    // over the bucket claim and emits nothing.
+    mem.addData(Seq((7L, a), (3L, b)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("x306_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((7L, 5L)),
+      s"batch-2 twin must flag against the batch-1 claimant only, got $rows")
+  }
+
   test("x134 ListState journey re-sorts by event time — a late event displaces a later step") {
     import graft.streaming.StreamingOps
     val conf = "spark.sql.streaming.stateStore.providerClass"
