@@ -368,6 +368,40 @@ object OracleSqlRound13 {
           |SELECT doc_id, MIN(first_id) AS partner, COUNT(*) AS n_buckets
           |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // x307: adjacent-pair longest common token prefix under two orderings,
+    // generated per ordering so the two blocks cannot drift; the LCP is
+    // set-based (first mismatch position per pair via a lateral
+    // generate_series), never a per-row procedural scan.
+    "x307_prefix_cache_order" -> {
+      def block(tag: String, orderBy: String, label: String): String =
+        s"""r$tag AS (SELECT doc_id, t,
+           |       ROW_NUMBER() OVER (ORDER BY $orderBy) AS r FROM f),
+           |p$tag AS (SELECT c.r, c.t AS tc, p.t AS tp
+           |       FROM r$tag c JOIN r$tag p ON p.r = c.r - 1),
+           |m$tag AS (SELECT p.r, MIN(g.i) AS fm
+           |       FROM p$tag p,
+           |            UNNEST(generate_series(1, LEAST(len(p.tc), len(p.tp)))) AS g(i)
+           |       WHERE p.tc[g.i] <> p.tp[g.i] GROUP BY p.r),
+           |l$tag AS (SELECT p.r,
+           |       COALESCE(m$tag.fm - 1, LEAST(len(p.tc), len(p.tp))) AS lcp,
+           |       len(p.tc) AS nt
+           |       FROM p$tag p LEFT JOIN m$tag USING (r)),
+           |s$tag AS (SELECT '$label' AS ordering, COUNT(*) AS n_pairs,
+           |       CAST(SUM(lcp) AS BIGINT) AS shared_tokens,
+           |       CAST(SUM(lcp) AS BIGINT) * 1000000
+           |         // CAST(SUM(nt) AS BIGINT) AS hit_ppm
+           |       FROM l$tag)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, LOWER(text) AS key,
+         |         [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS t
+         |  FROM documents),
+         |f AS (SELECT * FROM d WHERE len(t) >= 1),
+         |${block("1", "doc_id", "arrival")},
+         |${block("2", "key, doc_id", "sorted")}
+         |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |ORDER BY ordering""".stripMargin
+    },
+
     "x301_dedup_aware_split" ->
       """WITH g AS (
         |  SELECT LOWER(text) AS key, MIN(doc_id) AS gid

@@ -80,7 +80,8 @@ class RegistryGuardSpec extends AnyFunSuite {
   private val ranksKeys = Set(
     "x36_vocab_build", "x56_encode_tokens", "x89_ks_drift", "x95_rrf_fusion",
     "x99_revenue_pareto", "x130_quantile_normalize", "x259_training_shuffle",
-    "x277_shard_packing", "x278_padding_audit", "x295_curriculum_pacing")
+    "x277_shard_packing", "x278_padding_audit", "x295_curriculum_pacing",
+    "x307_prefix_cache_order")
 
   /** x239's skyline prune keys its partition-LOCAL staircase window by
     * spark_partition_id — the one sanctioned use beyond Ranks: the merge

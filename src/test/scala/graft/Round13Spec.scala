@@ -283,6 +283,34 @@ class Round13Spec extends AnyFunSuite {
     assert(rows.map(_._1).toSet.size === rows.length, "one row per model")
   }
 
+  test("x307 orderings replay exactly in the JVM; sorted beats arrival here") {
+    val docs = graft.engine.Tables.documents(spark, sfSmoke)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase))
+      .map { case (id, t) => (id, t, t.split(" ").filter(_.nonEmpty).toSeq) }
+      .filter(_._3.nonEmpty)
+    def lcp(a: Seq[String], b: Seq[String]): Long =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+    def replay(sorted: Seq[(Long, String, Seq[String])]): (Long, Long, Long) = {
+      val pairs = sorted.sliding(2).collect { case Seq(p, c) => (p._3, c._3) }.toSeq
+      val shared = pairs.map { case (p, c) => lcp(p, c) }.sum
+      val nt = pairs.map(_._2.size.toLong).sum
+      (pairs.size.toLong, shared, shared * 1000000L / nt)
+    }
+    val want = Map(
+      "arrival" -> replay(docs.sortBy(_._1).toSeq),
+      "sorted" -> replay(docs.sortBy(d => (d._2, d._1)).toSeq))
+    val got = graft.queries.Organize.x307(spark, sfSmoke).collect().map { r =>
+      r.getAs[String]("ordering") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("shared_tokens"),
+         r.getAs[Long]("hit_ppm"))
+    }.toMap
+    assert(got === want)
+    // not a theorem, but the property the operator exists to expose: on a
+    // corpus with exact duplicates, lexicographic adjacency finds them
+    assert(got("sorted")._2 >= got("arrival")._2)
+  }
+
   test("bench env probe samples loadavg/busy/self/steal with sane bounds") {
     BenchEnvProbe.prime()
     // burn a little CPU so the self share is measurable
