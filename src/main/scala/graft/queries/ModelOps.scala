@@ -46,7 +46,7 @@ object ModelOps {
     * driver-side metadata I/O, classification stays the broadcast stateless
     * projection. */
   def x204(spark: SparkSession, dir: String): DataFrame = {
-    val train = features(spark, dir)
+    val train = features(spark, dir).localCheckpoint(true) // fit + transform
     val path = s"/tmp/graft_model_${tag(dir)}"
     fit(train).write.overwrite().save(path)
     val loaded = ChiCSModel.load(path)
@@ -97,6 +97,7 @@ object ModelOps {
       when(col("l_quantity") > 42, 2)
         .when(col("l_quantity") > 18, 1)
         .otherwise(0).as("label"))
+      .localCheckpoint(true) // fit + transform read it
     val model = new ChiCSClassifier()
       .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
       .setFeatureRanges(Array(1.0, 50.0, 0.0, 0.1))
@@ -115,10 +116,11 @@ object ModelOps {
     * 100 TB: the range pass is one partial+final min/max aggregate —
     * the single extra scan the auto path costs. */
   def x208(spark: SparkSession, dir: String): DataFrame = {
+    val train = features(spark, dir).localCheckpoint(true) // fit + transform
     val model = new ChiCSClassifier()
       .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
-      .fit(features(spark, dir))
-    confusion(model.transform(features(spark, dir)))
+      .fit(train)
+    confusion(model.transform(train))
   }
 
   /** x206: LABEL-GRANULARITY ABLATION — the Chi-FRBCS family's headline
@@ -128,23 +130,33 @@ object ModelOps {
     * fuzzy grid = more, more-specific rules — whether that buys accuracy or
     * just rules is THE granularity trade-off this measures.
     *
-    * 100 TB: each fit is the estimator's single-pass compressed aggregation
-    * (rule space ≤ Lⁿ·|C| — 18 vs 50 candidates here, both broadcast);
-    * scoring is the stateless projection; the union is 2 rows. */
+    * 100 TB: the corpus is scanned ONCE for both granularities (the x215
+    * single-gex device through the estimator's weightCol); each fit then
+    * works the bounded distinct-vector grid (rule space ≤ Lⁿ·|C| — 18 vs
+    * 50 candidates, both broadcast); scoring is the stateless projection
+    * over the same grid with multiplicity-weighted confusion sums; the
+    * union is 2 rows. */
   def x206(spark: SparkSession, dir: String): DataFrame = {
-    val train = features(spark, dir)
+    // ONE corpus scan for both granularities (round 13, the x215 device):
+    // the distinct-vector aggregate with multiplicity feeds every fit via
+    // weightCol and the scoring grain — digit-identical by the estimator's
+    // own compression theorem
+    val gex = features(spark, dir)
+      .groupBy("x1", "x2", "label").agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
     Seq(3, 5).map { l =>
       val model = new ChiCSClassifier()
         .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
         .setFeatureRanges(Array(1.0, 50.0, 0.0, 0.1))
         .setNumLabels(l)
-        .fit(train)
-      val scored = model.transform(train)
+        .setWeightCol("w")
+        .fit(gex)
+      val scored = model.transform(gex)
       val cm = scored.agg(
-        sum(when(col("label") === 1 && col("prediction") === 1, 1L).otherwise(0L)).as("tp"),
-        sum(when(col("label") === 0 && col("prediction") === 0, 1L).otherwise(0L)).as("tn"),
-        sum(when(col("label") === 0 && col("prediction") === 1, 1L).otherwise(0L)).as("fp"),
-        sum(when(col("label") === 1 && col("prediction") === 0, 1L).otherwise(0L)).as("fn"))
+        sum(when(col("label") === 1 && col("prediction") === 1, col("w")).otherwise(0L)).as("tp"),
+        sum(when(col("label") === 0 && col("prediction") === 0, col("w")).otherwise(0L)).as("tn"),
+        sum(when(col("label") === 0 && col("prediction") === 1, col("w")).otherwise(0L)).as("fp"),
+        sum(when(col("label") === 1 && col("prediction") === 0, col("w")).otherwise(0L)).as("fn"))
       val tpr = col("tp") * lit(1.0) / (col("tp") + col("fn"))
       val tnr = col("tn") * lit(1.0) / (col("tn") + col("fp"))
       cm.select(
