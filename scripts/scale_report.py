@@ -39,6 +39,21 @@ EXPECTED_SUPERLINEAR = {
     "x284_semdedup_prune": "within-cell pair mass is quadratic in cell size and k is FIXED at 8 for oracle determinism, so the N-times twin corpus grows pair work ~N-times beyond linear (346x at 100x); production SemDeDup grows k with N to keep cells bounded (stated in the operator's Scaladoc), which restores linearity",
 }
 
+# Standing per-key notes rendered under "## Notes" (ADVICE r13): facts a
+# reader needs to interpret specific rows that are not derivable from the
+# numbers themselves.
+STANDING_NOTES = [
+    "The round-13 single-scan rework of the Chi ablation chains (x215, "
+    "x285, x281) eagerly checkpoints the distinct-vector frame once and "
+    "feeds every ablation leg from it. At these soak scales the "
+    "checkpoint write can cost more wall-clock than the 2-3 input scans "
+    "it removes (x215 base rose 5.89s -> 12.42s across the rework) — the "
+    "shape deliberately trades small-scale wall-clock for corpus-scale "
+    "SCAN COUNT, which is the quantity that matters when one scan is "
+    "100 TB. Re-measured post-r13 on a probe-clean machine to confirm "
+    "the delta is the checkpoint, not co-tenant load.",
+]
+
 rows = sorted(keys.items())
 fails = [(k, v) for k, v in rows if v.get("error")]
 ok = [(k, v) for k, v in rows if not v.get("error")]
@@ -76,6 +91,10 @@ for k, v in sorted(buckets.get("super-linear", []),
     why = EXPECTED_SUPERLINEAR.get(k, "**UNEXPECTED — investigate**")
     lines.append(f"| {k} | {v['base_s']:.2f} | {v['x10_s']:.2f} | "
                  f"{v['ratio']:.1f}x | {why} |")
+
+lines.append("\n## Notes\n")
+for n in STANDING_NOTES:
+    lines.append(f"- {n}")
 
 lines.append("\n## All keys\n")
 lines.append(f"| key | base s | {copies}x s | ratio | class |")

@@ -200,30 +200,58 @@ object Bench {
                else if (runs.size == 3) runs(1)
                else runs.head)
     }.toMap
-    // Outlier re-runs (VERDICT r12 task 1b): a q-key whose reported median
-    // sits 5× above BOTH its own best sample of this run AND its committed
-    // previous-round value (and is ≥1 s absolute, so micro-key jitter can't
-    // trigger it) is the exact signature of transient external load — q45
-    // read 6.67 s in the r12 driver run vs 0.16 s in r11 and 0.16 s in the
-    // same-HEAD builder run, on code untouched for a round. Each such key
-    // gets ONE post-pass re-measurement after hygiene; both numbers are
-    // reported (median stays the graded number — the rerun is evidence,
-    // and a rerun-adjusted declared total is emitted alongside so the
-    // artifact itself shows what the run would read without the outliers).
-    val rerunCandidates = samples.collect {
-      case (name, runs, fn)
-          if name.startsWith("q") && runs.head > 0 && {
-            val med = runs(1)
-            med >= 1.0 && med > 5.0 * runs.head &&
-              med > priorDetail.get(name).filter(_ > 0)
-                .map(5.0 * _).getOrElse(0.0)
-          } => (name, runs(1), fn)
+    // Outlier re-runs (VERDICT r12 task 1b, widened r14 per VERDICT r13):
+    // the r13 driver run exposed a SUSTAINED-load blind spot — q46 read
+    // 4.08 s across ALL THREE samples (committed prior 0.53 s, same-HEAD
+    // builder 0.40 s) so the old own-min×5 arm never fired. The trigger is
+    // therefore anchored on the COMMITTED PRIOR-ROUND value: any q-key
+    // whose median is ≥1 s absolute and >5× its prior-round detail number
+    // re-runs once post-pass, even when the run's own min agrees with the
+    // median (that agreement is exactly what sustained co-tenant load
+    // produces). A key with NO usable prior (newly added, or a first run —
+    // the vacuous-arm hazard ADVICE r13 flagged) falls back to the own-min
+    // ×5 arm but is marked "no_prior" and EXCLUDED from the rerun-adjusted
+    // declared total, so a genuinely-slow new key can never make the
+    // adjusted number silently optimistic. Medians stay the graded
+    // numbers; re-runs are evidence, emitted per key alongside.
+    sealed trait RerunKind { def tag: String }
+    case object PriorOutlier extends RerunKind { def tag = "prior" }
+    case object NoPrior extends RerunKind { def tag = "no_prior" }
+    case object XDecile extends RerunKind { def tag = "x_decile" }
+    val qCandidates: Seq[(String, RerunKind,
+                          (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      samples.collect {
+        case (name, runs, fn)
+            if name.startsWith("q") && runs.head > 0 && runs(1) >= 1.0 =>
+          (name, runs, fn)
+      }.flatMap { case (name, runs, fn) =>
+        val med = runs(1)
+        priorDetail.get(name).filter(_ > 0) match {
+          case Some(prior) if med > 5.0 * prior => Some((name, PriorOutlier, fn))
+          case Some(_)                          => None
+          case None if med > 5.0 * runs.head    => Some((name, NoPrior, fn))
+          case None                             => None
+        }
+      }
+    // Top-decile x-keys by this run's reported time get ONE evidence
+    // re-run each (VERDICT r13 task 1): x-keys had NO re-run path at all,
+    // so a load burst over the x-stretch (x286 read 12.5 s vs 0.28 s
+    // builder-clean in r13) left nothing in the artifact but the env
+    // samples. Bounded post-pass cost: ~N/10 keys × one run.
+    val xSucceeded = samples.collect {
+      case (name, runs, fn) if name.startsWith("x") && runs.head > 0 =>
+        (name, runs.head, fn)
     }
-    val reruns: Map[String, Double] =
+    val xDecile = xSucceeded.sortBy(-_._2)
+      .take(math.max(1, xSucceeded.size / 10))
+      .map { case (name, _, fn) => (name, XDecile: RerunKind, fn) }
+    val rerunCandidates = qCandidates ++ xDecile
+    val reruns: Map[String, (Double, RerunKind)] =
       if (rerunCandidates.isEmpty) Map.empty
       else {
         hygiene()
-        rerunCandidates.map { case (name, _, fn) => name -> once(fn) }.toMap
+        rerunCandidates.map { case (name, kind, fn) =>
+          name -> (once(fn), kind) }.toMap
       }
     // Two spread views. max−min (continuity with r8/r9) is dominated by ONE
     // GC/scheduler outlier per triple — a per-key probe on fully-warmed
@@ -273,8 +301,9 @@ object Bench {
           f""""busy_pct": ${s.busyPct}%.1f, "self_pct": ${s.selfPct}%.1f, """ +
           f""""other_pct": ${s.otherPct}%.1f, "steal_pct": ${s.stealPct}%.1f}"""
       }.mkString(",\n")
-      val rerunRows = reruns.toSeq.sortBy(_._1).map { case (k, v) =>
-        f"""    "$k": {"median": ${results(k)}%.3f, "rerun": $v%.3f}"""
+      val rerunRows = reruns.toSeq.sortBy(_._1).map { case (k, (v, kind)) =>
+        f"""    "$k": {"median": ${results(k)}%.3f, "rerun": $v%.3f, """ +
+          s""""kind": "${kind.tag}"}"""
       }.mkString(",\n")
       val body = results.toSeq.sortBy(_._1)
         .map { case (k, v) => s"""    "$k": ${f"$v%.3f"}""" }
@@ -303,25 +332,42 @@ object Bench {
     println(s"""{"metric":"env_evidence","summary":${BenchEnvProbe.summaryJson}}""")
     if (reruns.nonEmpty) {
       val rr = reruns.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .map { case (k, (v, kind)) =>
+          "\"" + k + "\":{\"s\":" + f"$v%.3f" + ",\"k\":\"" + kind.tag + "\"}" }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"outlier_reruns","queries":$rr,"note":"post-pass single re-measurement of q-keys whose median was 5x over both own-min and prior round; medians stay the graded numbers"}""")
+      println(s"""{"metric":"outlier_reruns","queries":$rr,"note":"post-pass single re-measurement: kind prior = q-key >5x committed prior-round median (sustained-load trigger), no_prior = new q-key >5x own min (excluded from adjusted total), x_decile = top-decile x-key evidence; medians stay the graded numbers"}""")
     }
     // BASELINE.md's 13.79 s covers ONLY the 49 declared queries (q01–q49);
     // the x-series extensions have no DuckDB baseline. declared_total is the
     // number comparable to the baseline; value stays the full-registry sum.
     val declared =
       results.collect { case (k, v) if k.startsWith("q") && v >= 0 => v }.sum
-    // Rerun-adjusted view: declared total with each flagged outlier's
+    // Rerun-adjusted view: declared total with each prior-flagged outlier's
     // median replaced by min(median, rerun) — what the run would read
     // absent the transient. Equal to declared when no key was flagged.
+    // ONLY kind=prior re-runs adjust (a no_prior key has no committed
+    // evidence the high number is environmental — ADVICE r13).
     val declaredAdj = results.collect {
       case (k, v) if k.startsWith("q") && v >= 0 =>
-        math.min(v, reruns.getOrElse(k, v))
+        reruns.get(k) match {
+          case Some((r, PriorOutlier)) => math.min(v, r)
+          case _                       => v
+        }
     }.sum
+    // Prior-ratio flags (VERDICT r13 task 6): every declared key whose
+    // median exceeds 5x its committed prior-round value, so round-over-
+    // round adjudication is mechanical — each flagged key must carry
+    // either a re-run number (it will, by the trigger above) or an
+    // env-sample spike in its 10-key window.
+    val priorFlagged = results.toSeq.collect {
+      case (k, v) if k.startsWith("q") && v >= 0 &&
+          priorDetail.get(k).exists(p => p > 0 && v > 5.0 * p) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" +
+          f"${v / priorDetail(k)}%.1f"
+    }.sorted.mkString("{", ",", "}")
     val declaredSpread = spreads.collect { case (k, v) if k.startsWith("q") => v }.sum
     val declaredSpreadMed = spreadsMed.collect { case (k, v) if k.startsWith("q") => v }.sum
     println(s"""{"metric":"declared_spread","value":${f"$declaredSpread%.3f"},"unit":"sec","spread_med_min":${f"$declaredSpreadMed%.3f"},"note":"max-min sum is the jitter ceiling (one GC outlier per triple); spread_med_min (median-min sum) tracks the reported median's stability"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","declared_total":$declared,"declared_total_rerun_adj":${f"$declaredAdj%.3f"},"declared_n":${results.count(_._1.startsWith("q"))},"n_queries":${results.size},"n_failed":$nFailed,"n_reruns":${reruns.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","declared_total":$declared,"declared_total_rerun_adj":${f"$declaredAdj%.3f"},"declared_n":${results.count(_._1.startsWith("q"))},"n_queries":${results.size},"n_failed":$nFailed,"n_reruns":${reruns.size},"prior_ratio_flags":$priorFlagged,"sf":"$sfDir"}""")
   }
 }

@@ -75,9 +75,13 @@ object OracleSqlRound13 {
         |               CAST(SUM(c_tgt) AS BIGINT) AS n_tgt,
         |               COUNT(*) AS v FROM vc),
         |lam AS (
+        |  -- double-per-FACTOR, matching the engine: a BIGINT product
+        |  -- overflows past ~3e9-token corpora (ADVICE r13)
         |  SELECT tok,
-        |         CAST(ROUND(LN(CAST((c_tgt + 1) * (n_raw + v) AS DOUBLE) /
-        |                       CAST((c_raw + 1) * (n_tgt + v) AS DOUBLE))
+        |         CAST(ROUND(LN((CAST(c_tgt + 1 AS DOUBLE) *
+        |                        CAST(n_raw + v AS DOUBLE)) /
+        |                       (CAST(c_raw + 1 AS DOUBLE) *
+        |                        CAST(n_tgt + v AS DOUBLE)))
         |                    * 1000000, 0) AS BIGINT) AS lam_micro
         |  FROM vc, tot),
         |pd AS (

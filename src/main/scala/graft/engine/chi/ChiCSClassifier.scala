@@ -200,7 +200,12 @@ class ChiCSClassifier(override val uid: String)
         else col(f).cast(DoubleType).as(f)
       } ++ Seq(col($(labelCol)).cast(IntegerType).as("__cls")) ++
         (if ($(weightCol).isEmpty) Nil
-         else Seq(col($(weightCol)).cast(LongType).as("__w"))): _*)
+         else Seq(col($(weightCol)).cast(LongType).as("__w"),
+                  // pre-cast view for the integrality guard below: the
+                  // LongType cast silently FLOORS a fractional weight, so
+                  // the positivity guard alone would accept 2.7 as 2 and
+                  // undercount its vector (ADVICE r13)
+                  col($(weightCol)).cast(DoubleType).as("__w_chk"))): _*)
 
     // R11 descriptor generation: declared ranges (numeric), dictionary grid
     // (nominal: one label per category, halfWidth exactly 1 ⇒ crisp), or
@@ -246,12 +251,19 @@ class ChiCSClassifier(override val uid: String)
     // of fit — class counts, candidates, and weight sums all derive from it,
     // turning three full input scans into one.
     // A NULL/non-positive weight would be silently SWALLOWED by sum() and
-    // undercount its vector — fail loudly map-side instead (the
+    // undercount its vector, and a FRACTIONAL weight would be silently
+    // floored by the LongType cast before it (the scaladoc demands a
+    // positive INTEGRAL column) — fail loudly map-side on either (the
     // assert_true().isNull where-guard; no extra scan, no driver action).
+    // Integrality = cast round-trip equality in DOUBLE, exact for weights
+    // below 2^53 — far past any real per-row multiplicity.
     val guarded =
       if ($(weightCol).isEmpty) labeled
-      else labeled.where(assert_true(col("__w").isNotNull && col("__w") > 0,
-        lit(s"weightCol ${$(weightCol)} must be positive and non-null")).isNull)
+      else labeled.where(assert_true(
+        col("__w").isNotNull && col("__w") > 0 &&
+          col("__w_chk") === col("__w").cast(DoubleType),
+        lit(s"weightCol ${$(weightCol)} must be a positive integral column"))
+        .isNull).drop("__w_chk")
     val compressed = guarded
       .groupBy((feats.map(col) :+ col("__ant") :+ col("__cls")): _*)
       .agg((if ($(weightCol).isEmpty) count(lit(1))

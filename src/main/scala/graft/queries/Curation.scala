@@ -457,12 +457,19 @@ object Curation {
     val totals = vocabCnt.agg(sum(col("c_raw")).as("n_raw"),
                               sum(col("c_tgt")).as("n_tgt"),
                               count(lit(1)).as("v"))
+    // Each factor casts to DOUBLE BEFORE the multiply (engine and oracle
+    // in lockstep): a BIGINT product (c_tgt+1)·(n_raw+v) overflows — and
+    // Spark WRAPS where DuckDB errors — once corpus token counts pass
+    // ~3e9 at 100 TB scale (ADVICE r13). Double-per-factor never
+    // overflows; below 2^53 per factor the products are exactly
+    // representable, so small-scale values are digit-identical to the
+    // integer form and the cross-engine hash is unchanged.
     val lam = vocabCnt.crossJoin(broadcast(totals))
       .select(col("tok"),
-        round(log(((col("c_tgt") + 1L) * (col("n_raw") + col("v")))
-                    .cast(DoubleType) /
-                  ((col("c_raw") + 1L) * (col("n_tgt") + col("v")))
-                    .cast(DoubleType)) * 1000000, 0)
+        round(log(((col("c_tgt") + 1L).cast(DoubleType) *
+                   (col("n_raw") + col("v")).cast(DoubleType)) /
+                  ((col("c_raw") + 1L).cast(DoubleType) *
+                   (col("n_tgt") + col("v")).cast(DoubleType))) * 1000000, 0)
           .cast(LongType).as("lam_micro"))
     val perDoc = tf.join(broadcast(lam), "tok")
       .groupBy("doc_id", "source")

@@ -67,4 +67,25 @@ class ChiEstimatorSpec extends AnyFunSuite {
     val b = loaded.transform(df).select("prediction").collect().map(_.getInt(0)).toSeq
     assert(a === b)
   }
+
+  test("weightCol guard fails loudly on fractional weights (ADVICE r13)") {
+    // 2.7 would silently floor to 2 under the LongType cast; the guard's
+    // cast-round-trip check must abort the fit instead. An integral-valued
+    // DOUBLE column (2.0) must still pass — integrality is about the
+    // VALUE, not the declared column type.
+    val bad = TestSpark.spark.range(0, 100)
+      .select((col("id") % 10).cast("double").as("x"),
+              (col("id") % 2).cast("int").as("label"),
+              when(col("id") === 13, 2.7).otherwise(1.0).as("w"))
+    val est = new ChiCSClassifier()
+      .setFeatureCols(Array("x")).setLabelCol("label").setWeightCol("w")
+    val e = intercept[Exception] { est.fit(bad) }
+    assert(e.getMessage.contains("positive integral") ||
+           Option(e.getCause).exists(_.getMessage.contains("positive integral")))
+    val good = TestSpark.spark.range(0, 100)
+      .select((col("id") % 10).cast("double").as("x"),
+              (col("id") % 2).cast("int").as("label"),
+              lit(2.0).as("w"))
+    assert(est.fit(good).rules.nonEmpty)
+  }
 }
