@@ -259,5 +259,6 @@ object OracleSql {
       OracleSqlRound9.round9 ++ OracleSqlRound10.round10 ++
       OracleSqlRound10b.round10b ++ OracleSqlRound10c.round10c ++
       OracleSqlRound10d.round10d ++ OracleSqlRound11.round11 ++
-      OracleSqlRound12.round12 ++ OracleSqlRound13.round13
+      OracleSqlRound12.round12 ++ OracleSqlRound13.round13 ++
+      OracleSqlRound14.round14
 }

@@ -22,8 +22,19 @@ object OracleSqlRound12 {
     * max-RW fusion across chunks — over q41's two-attribute task. The
     * membership/argmax/weight fragments are verbatim from the proven
     * OracleSqlMl q41/q42 chain; the chunk id is the portable Knuth mix of
-    * (l_orderkey, l_linenumber) both engines replay. */
-  private def mChunkChainAt(m: Int): String = {
+    * (l_orderkey, l_linenumber) both engines replay.
+    *
+    * `fusionSql` is the reducer stage — CTEs from `partial` to `final_rb`
+    * (columns a1, a2, rule_cls, rw). Default = the Max fusion (x281);
+    * OracleSqlRound14 passes the Ave fusion for x308. */
+  private[graft] def mChunkChainAt(
+      m: Int,
+      fusionSql: String =
+        """fused AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY a1, a2
+          |                                       ORDER BY rw DESC, rule_cls) AS fn
+          |          FROM partial),
+          |final_rb AS (SELECT a1, a2, rule_cls, rw FROM fused WHERE fn = 1),"""
+          .stripMargin): String = {
     val wt =
       """CAST(ROUND(
         |      (CASE WHEN l.cls=1 THEN (SELECT c1 FROM costs) ELSE (SELECT c0 FROM costs) END)
@@ -71,10 +82,7 @@ object OracleSqlRound12 {
        |        FROM rw),
        |partial AS (SELECT chunk, a1, a2, rule_cls, rw
        |            FROM prb WHERE rn = 1 AND rw > 0),
-       |fused AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY a1, a2
-       |                                       ORDER BY rw DESC, rule_cls) AS fn
-       |          FROM partial),
-       |final_rb AS (SELECT a1, a2, rule_cls, rw FROM fused WHERE fn = 1),
+       |$fusionSql
        |gex AS (SELECT x1, x2, cls, COUNT(*) AS mm FROM lab GROUP BY x1, x2, cls),
        |scored AS (
        |  SELECT g.x1, g.x2, g.cls AS actual, g.mm, r.rule_cls,
@@ -195,7 +203,7 @@ object OracleSqlRound12 {
     // x281: the m-chunk map-side learning ablation — one generated
     // chunked q41+q42 chain per m, unioned (the x215 device).
     "x281_chi_mchunk_ablation" ->
-      (Seq(1, 4, 16).map(mChunkChainAt).mkString("", "\nUNION ALL\n", "\nORDER BY m")),
+      (Seq(1, 4, 16).map(m => mChunkChainAt(m)).mkString("", "\nUNION ALL\n", "\nORDER BY m")),
 
     // x282: one hard-EM round of the unigram LM — BOTH Viterbi rounds
     // unrolled as the x262 enumeration device, the second joining weights

@@ -473,6 +473,35 @@ object ChiMl {
       .reduce(_ unionByName _).orderBy("m")
   }
 
+  /** x308: THE Chi-FRBCS-BigData-AVE FUSION VARIANT — x281's m-chunk
+    * ablation under the paper's SECOND reducer ([P2]'s Max/Ave pair,
+    * SURVEY §2.3's last OPEN algorithm): instead of keeping the single
+    * maximum-weight partial rule per antecedent, Ave first AVERAGES the
+    * weights of equal-(antecedent, consequent) rules across the partial
+    * RBs that learned them, then keeps the consequent with the higher
+    * averaged weight. Averaging rewards CONSISTENCY across chunks where
+    * Max rewards one optimistic chunk — the paper's motivation for
+    * shipping both. Same grid (m ∈ {1, 4, 16}), same single-scan
+    * checkpointed-gex device, same (m, n_rules, acc_ppm, gm_ppm) report;
+    * Round14Spec pins the m=1 degeneracy (Ave ≡ Max when there is one
+    * chunk) and an Ave-vs-Max consequent flip on a planted conflict.
+    * Measured at sf0.01 (driver-checked): identical at m=1 (458967 /
+    * 502129 ppm), then Ave softens Max's drift — acc 578600 vs 489067 at
+    * m=4, and at m=16 Ave holds GM at 359130 ppm where Max collapses to
+    * 307556 (accuracy 776450 vs 819000): averaging damps the optimistic
+    * chunk-local weights that dissolve minority protection under Max,
+    * exactly the paper's stated reason for shipping the Ave reducer.
+    *
+    * 100 TB: identical shape to x281 — the fuse's only new work is a
+    * (antecedent, consequent)-keyed BIGINT partial+final aggregate over
+    * the ≤ m·L²·|C| partial rules, bounded and broadcast-sized at any m. */
+  def x308(spark: SparkSession, dir: String): DataFrame = {
+    val gex16 = mChunkGex(spark, dir, 16).localCheckpoint(true)
+    Seq(1, 4, 16)
+      .map(m => mChunkReportFrom(rechunk(gex16, m), m, mChunkAveFusedRbFrom))
+      .reduce(_ unionByName _).orderBy("m")
+  }
+
   /** Re-chunk the finest (16-chunk) aggregate to m chunks. Exact for any
     * m | 16: the chunk id is a mod-16 residue of the Knuth mix, and
     * (k mod 16) mod m = k mod m when m divides 16. */
@@ -490,9 +519,11 @@ object ChiMl {
                                    m: Int): DataFrame =
     mChunkFusedRbFrom(mChunkGex(spark, dir, m))
 
-  /** The fuse from a prepared (chunk, vector, antecedent, cls, mcnt)
-    * aggregate — x281 passes re-chunked views of ONE checkpointed gex. */
-  private def mChunkFusedRbFrom(gex: DataFrame): DataFrame = {
+  /** The CHUNK-LOCAL partial rule bases (each mapper's resolved RB): the
+    * shared first half of both fusion variants — chunk-local CS-PCF weight
+    * sums, chunk-local conflict resolution, positive-RW filter. Returns
+    * (chunk, ra1, ra2, rcls, rw). */
+  private def mChunkPartialRb(gex: DataFrame): DataFrame = {
     val all = Window.partitionBy()
     val costsDf = {
       val withC = gex.groupBy("cls").agg(sum(col("mcnt")).as("n"))
@@ -521,19 +552,55 @@ object ChiMl {
       .withColumn("rw",
         round(col("w_match") * 2 - col("w_all"), 6).cast(DoubleType) /
           round(col("w_all"), 6).cast(DoubleType))
-    // chunk-local conflict resolution (the mapper's R6/R7)…
+    // chunk-local conflict resolution (the mapper's R6/R7)
     val byChunkAnt = Window.partitionBy("chunk", "ra1", "ra2")
       .orderBy(col("rw").desc, col("rcls"))
-    val partial = rw.withColumn("rn", row_number().over(byChunkAnt))
+    rw.withColumn("rn", row_number().over(byChunkAnt))
       .filter(col("rn") === 1 && col("rw") > 0)
-    // …then the reducer's max-RW fusion across chunks (tie → lowest class;
-    // equal (rw, cls) rows from different chunks carry identical output
-    // values, so the pick among them is value-deterministic)
+      .select(col("chunk"), col("ra1"), col("ra2"), col("rcls"), col("rw"))
+  }
+
+  /** The reducer's MAX-RW fusion across chunks (Chi-FRBCS-BigData-Max,
+    * [P2]): per antecedent keep the single partial rule with maximum
+    * weight, tie → lowest class; equal (rw, cls) rows from different
+    * chunks carry identical output values, so the pick among them is
+    * value-deterministic. */
+  private[graft] def mChunkFusedRbFrom(gex: DataFrame): DataFrame = {
     val byAnt = Window.partitionBy("ra1", "ra2")
       .orderBy(col("rw").desc, col("rcls"))
-    partial.withColumn("fn", row_number().over(byAnt))
+    mChunkPartialRb(gex).withColumn("fn", row_number().over(byAnt))
       .filter(col("fn") === 1)
       .select(col("ra1"), col("ra2"), col("rcls"), col("rw"))
+  }
+
+  /** The reducer's AVERAGED-RW fusion (Chi-FRBCS-BigData-Ave, [P2] — the
+    * SURVEY §2.3 Max/Ave pair's second member): per (antecedent,
+    * consequent), average the rule weight across the partial RBs that
+    * contain the rule; per antecedent keep the consequent with the
+    * maximum averaged weight, tie → lowest class.
+    *
+    * Determinism protocol: each partial rw quantizes ONCE to integer
+    * micro-units (round-to-0-decimals on `rw·10⁶` — the bit-stable
+    * cross-engine device), the average's numerator is then an exact
+    * BIGINT sum, and the cross-consequent comparison multiplies by
+    * `720720 DIV cnt` (720720 = lcm(1..16) ≥ every chunk count), so
+    * averages over DIFFERENT chunk counts compare in exact integers —
+    * never a float divide inside an ORDER BY. The emitted rw is the
+    * quantized average (s_micro / (cnt·10⁶), one IEEE divide both
+    * engines spell identically). m = 1 degenerates to Max modulo the
+    * micro quantization (Round14Spec pins report equality at sf0.001). */
+  private[graft] def mChunkAveFusedRbFrom(gex: DataFrame): DataFrame = {
+    val ave = mChunkPartialRb(gex)
+      .withColumn("rw_micro", round(col("rw") * 1000000, 0).cast(LongType))
+      .groupBy("ra1", "ra2", "rcls")
+      .agg(sum(col("rw_micro")).as("s_micro"), count(lit(1)).as("cnt"))
+    val byAnt = Window.partitionBy("ra1", "ra2")
+      .orderBy(expr("s_micro * (720720 DIV cnt)").desc, col("rcls"))
+    ave.withColumn("fn", row_number().over(byAnt))
+      .filter(col("fn") === 1)
+      .select(col("ra1"), col("ra2"), col("rcls"),
+              (col("s_micro").cast(DoubleType) /
+                (col("cnt") * 1000000L).cast(DoubleType)).as("rw"))
   }
 
   /** Chunk-compressed training view: one row per DISTINCT
@@ -554,10 +621,11 @@ object ChiMl {
     * no-match fallback), reduce to micro-unit accuracy / GM. The gex
     * argument is a (re-chunked view of the) checkpointed chunk aggregate —
     * the only corpus-derived input of the whole chain. */
-  private def mChunkReportFrom(gex: DataFrame, m: Int): DataFrame = {
+  private def mChunkReportFrom(gex: DataFrame, m: Int,
+      fuse: DataFrame => DataFrame = mChunkFusedRbFrom): DataFrame = {
     // the fused base is ≤ L²·|C| rows read by two consumers — materialize
     // once instead of re-deriving the whole chunked chain per consumer
-    val fused = mChunkFusedRbFrom(gex).localCheckpoint(true)
+    val fused = fuse(gex).localCheckpoint(true)
     val majDf = gex.groupBy("cls").agg(sum(col("mcnt")).as("n"))
       .orderBy(col("n").desc, col("cls")).limit(1)
       .select(col("cls").as("maj"))

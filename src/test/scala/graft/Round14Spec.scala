@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-14 operator contracts: x308 Ave fusion. */
+class Round14Spec extends AnyFunSuite {
+  import TestSpark.{spark, sfSmoke}
+
+  test("x308 m=1 degeneracy: Ave report == Max report when there is one chunk") {
+    // With a single chunk there is nothing to average or maximize over —
+    // both reducers emit the mapper's resolved RB (Ave modulo its micro
+    // quantization of rw, which the ppm-grain report absorbs).
+    val ave = graft.queries.ChiMl.x308(spark, sfSmoke)
+      .filter(col("m") === 1).collect().map(_.toSeq).toSeq
+    val max = graft.queries.ChiMl.x281(spark, sfSmoke)
+      .filter(col("m") === 1).collect().map(_.toSeq).toSeq
+    assert(ave === max)
+  }
+
+  test("x308 planted conflict: Ave flips the consequent Max picks") {
+    import spark.implicits._
+    // One antecedent cell (grid-point vector x1=1.0, x2=0.0 → memberships
+    // are exactly 1, so weights reduce to cost·multiplicity), three
+    // chunks: chunks 0 and 1 learn class 1 (chunk-local rw ≈ 0.746 and
+    // 0.068), chunk 2 learns class 0 (rw ≈ 0.679). Max keeps the single
+    // most optimistic rule → class 1 (0.746); Ave averages class 1 to
+    // ≈ 0.407, below class 0's 0.679 → class 0. The planted conflict is
+    // the operator's reason to exist.
+    val gex = Seq(
+      (0, 1.0, 0.0, 0, 0, 1, 9L), (0, 1.0, 0.0, 0, 0, 0, 1L),
+      (1, 1.0, 0.0, 0, 0, 1, 6L), (1, 1.0, 0.0, 0, 0, 0, 4L),
+      (2, 1.0, 0.0, 0, 0, 1, 2L), (2, 1.0, 0.0, 0, 0, 0, 8L)
+    ).toDF("chunk", "x1", "x2", "a1", "a2", "cls", "mcnt")
+    val maxRb = graft.queries.ChiMl.mChunkFusedRbFrom(gex).collect()
+    val aveRb = graft.queries.ChiMl.mChunkAveFusedRbFrom(gex).collect()
+    assert(maxRb.length === 1 && aveRb.length === 1)
+    assert(maxRb.head.getAs[Int]("rcls") === 1)
+    assert(aveRb.head.getAs[Int]("rcls") === 0)
+    // Ave's winning weight is chunk 2's rw quantized to micro-units
+    assert(math.abs(aveRb.head.getAs[Double]("rw") - 0.679012) < 1e-6)
+  }
+}
