@@ -38,6 +38,32 @@ object OracleSqlRound14 {
     "x308_chi_mchunk_ave" ->
       Seq(1, 4, 16)
         .map(m => OracleSqlRound12.mChunkChainAt(m, aveFusionSql))
-        .mkString("", "\nUNION ALL\n", "\nORDER BY m")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY m"),
+
+    // x309 theorem form: exact per-doc gram truth (x298's site chain,
+    // capped at the fingerprint expression's 256-token bound, rolled up
+    // to duplicated-window + merged-run counts) + fp_ok = TRUE (the
+    // engine-computed "fp-flagged ⊇ gram-flagged" containment, which
+    // holds by construction because equal grams have equal fingerprints).
+    "x309_substring_dedup_fp" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         ([x FOR x IN string_split(LOWER(text), ' ') IF x <> ''])[1:256]
+        |           AS t
+        |  FROM documents),
+        |sites AS (
+        |  SELECT doc_id, i - 1 AS p, array_to_string(t[i:i+12], ' ') AS gram
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 12)) AS u(i)
+        |  WHERE len(t) >= 13),
+        |g AS (SELECT gram FROM sites GROUP BY gram HAVING COUNT(*) >= 2),
+        |f AS (SELECT s.doc_id, s.p FROM sites s JOIN g USING (gram)),
+        |b AS (
+        |  SELECT doc_id, p,
+        |         CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+        |                <= 13 THEN 0 ELSE 1 END AS brk
+        |  FROM f)
+        |SELECT doc_id, COUNT(*) AS n_dup_windows,
+        |       CAST(SUM(brk) AS BIGINT) AS n_runs, TRUE AS fp_ok
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -99,19 +99,20 @@ object Shingles {
   *   - fingerprint per window i..i+4 (i ≤ n−5):
   *     ((((c4·131 + c3) mod M)·131 + c2 mod M)·131 + c1 mod M)·131 + c0
   *     mod M with M = 1e9+7 — every step < 1.4e11, BIGINT-exact. */
-case class RollingHashFps(child: Expression) extends UnaryExpression
-    with ImplicitCastInputTypes {
+case class RollingHashFps(child: Expression, k: Int = 5)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 1 && k <= 256, s"rolling_fps window must be in [1, 256], got $k")
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "rolling_fps"
 
   override protected def nullSafeEval(text: Any): Any =
-    RollingHashFps.compute(text.asInstanceOf[UTF8String])
+    RollingHashFps.compute(text.asInstanceOf[UTF8String], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = graft.engine.expr.RollingHashFps.compute($t);")
+      s"${ev.value} = graft.engine.expr.RollingHashFps.compute($t, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -122,8 +123,11 @@ object RollingHashFps {
   private val B = 131L
   private val empty: ArrayData = new GenericArrayData(Array.emptyLongArray)
 
-  /** Shared by interpreted eval and generated code. */
-  def compute(text: UTF8String): ArrayData = {
+  /** Shared by interpreted eval and generated code. The window size `k`
+    * generalizes the original fixed-5 Horner unroll; for k = 5 the values
+    * are IDENTICAL (the only change is reducing the leading code mod M
+    * before the fold, congruent by construction — pinned in LlmExtSpec). */
+  def compute(text: UTF8String, k: Int): ArrayData = {
     // toLowerCase is exactly Spark's lower(); the space byte never occurs
     // inside a multi-byte UTF-8 sequence, so char-level scanning for ' '
     // equals split(" ") on the original
@@ -146,15 +150,17 @@ object RollingHashFps {
         nTok += 1
       }
     }
-    if (nTok < 5) return empty
-    val out = new Array[Long](nTok - 4)
+    if (nTok < k) return empty
+    val out = new Array[Long](nTok - k + 1)
     var w = 0
-    while (w <= nTok - 5) {
-      var h = codes(w + 4) * B + codes(w + 3)
-      h %= M; h = h * B + codes(w + 2)
-      h %= M; h = h * B + codes(w + 1)
-      h %= M; h = h * B + codes(w)
-      out(w) = h % M
+    while (w <= nTok - k) {
+      // Horner fold from the window's last code down to its first, reduced
+      // mod M each step: every intermediate < (M-1)·B + maxCode ≈ 1.4e11,
+      // BIGINT-exact; congruent to the pre-r14 deferred-mod k=5 unroll.
+      var h = codes(w + k - 1) % M
+      var j = k - 2
+      while (j >= 0) { h = (h * B + codes(w + j)) % M; j -= 1 }
+      out(w) = h
       w += 1
     }
     new GenericArrayData(out)

@@ -104,7 +104,13 @@ object GraftExtensions {
     e.injectFunction((
       FunctionIdentifier("rolling_fps"),
       new ExpressionInfo(classOf[RollingHashFps].getName, "rolling_fps"),
-      (args: Seq[Expression]) => RollingHashFps(args(0))))
+      (args: Seq[Expression]) =>
+        if (args.length == 1) RollingHashFps(args(0))
+        else RollingHashFps(args(0), args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"rolling_fps window must be an integer literal, got $other")
+        })))
     e.injectFunction((
       FunctionIdentifier("token_stats"),
       new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),

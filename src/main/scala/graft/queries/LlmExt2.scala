@@ -1094,6 +1094,82 @@ object LlmExt2 {
       .orderBy("doc_id", "run_start")
   }
 
+  /** x309: FINGERPRINT-KEYED SUBSTRING DEDUP — x298's production twin
+    * (VERDICT r13 task 3), shipping the swap x298's scaladoc promises:
+    * the shuffle key for the duplicated-window aggregate is the 64-bit
+    * `rolling_fps(text, 13)` Rabin-Karp fingerprint computed NATIVELY
+    * map-side (one codegen'd pass per doc — no per-position 13-token
+    * gram string is ever materialized, cutting the site-grain shuffle
+    * from ~80 B of gram text to 8 B of fingerprint per position;
+    * measured at sf0.1: 10.19 MB gram-keyed chain → 2.38 MB fp-keyed
+    * chain shuffle write, 4.3× — examples/X309ShuffleProbe).
+    *
+    * THEOREM FORM (the x18 device): a fingerprint is a pure function of
+    * the window's token codes, so equal grams ⇒ equal fingerprints and
+    * the fp-flagged position set is a SUPERSET of the exact gram-flagged
+    * set — a hash collision can only OVER-flag a span (flag a position
+    * whose gram is unique), never drop a duplicated one. The emitted
+    * rows are the EXACT gram truth (per doc: duplicated-window count and
+    * merged-run count, both engines recompute verbatim) plus the
+    * engine-computed `fp_ok` flag = "no gram-flagged position is missing
+    * from the fp-flagged set", which the oracle states as TRUE.
+    * Round14Spec pins the over-flag-only failure direction (a planted
+    * cross-doc passage must be fp-flagged; code-equality is implied by
+    * gram-equality on real data). Both sides cap at the expression's
+    * 256-token bound so the containment theorem is exact at any doc
+    * length (production raises the cap; the direction is unchanged).
+    *
+    * 100 TB: the production path is the fp chain alone — map-side
+    * fingerprints, ONE fp-keyed partial+final aggregate, one fp-keyed
+    * join back; same linear shape as x298 with ~8× lighter shuffle
+    * grain. The gram chain here is the AUDIT leg that makes the
+    * contract driver-checkable; run it on samples, not the corpus. */
+  def x309(spark: SparkSession, dir: String): DataFrame = {
+    val K = 13
+    val docs = Tables.fanOut(
+      Tables.documents(spark, dir).select("doc_id", "text"))
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val gsites = docs
+      .select(col("doc_id"), slice(toks, 1, 256).as("toks"))
+      .filter(size(col("toks")) >= K)
+      .select(col("doc_id"),
+              posexplode(expr(
+                s"transform(sequence(0, size(toks) - $K), " +
+                  s"i -> array_join(slice(toks, i + 1, $K), ' '))")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("p"),
+              col("col").as("gram"))
+    val gstats = gsites.groupBy("gram").agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= 2)
+    val gflag = gsites.join(gstats, "gram").select("doc_id", "p")
+    val fflag = x309FpFlagged(docs, K)
+    val missed = gflag.join(fflag, Seq("doc_id", "p"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    gflag
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(byDoc) <= K, 0L).otherwise(1L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("brk")).as("n_runs"))
+      .crossJoin(broadcast(missed))
+      .select(col("doc_id"), col("n_dup_windows"), col("n_runs"),
+              (col("n_missed") === 0L).as("fp_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** The production path of x309: fp-flagged duplicated positions —
+    * map-side native fingerprints, one fp-keyed aggregate, one fp-keyed
+    * join back. What actually runs at corpus scale. */
+  private[graft] def x309FpFlagged(docs: DataFrame, k: Int): DataFrame = {
+    val fsites = docs
+      .select(col("doc_id"),
+              posexplode(call_function("rolling_fps", col("text"), lit(k))))
+      .select(col("doc_id"), col("pos").cast(LongType).as("p"),
+              col("col").as("fp"))
+    val fstats = fsites.groupBy("fp").agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= 2)
+    fsites.join(fstats, "fp").select("doc_id", "p")
+  }
+
   /** x303: K-GRAM BENCHMARK DECONTAMINATION AUDIT — the n-gram-overlap
     * decontamination protocol (GPT-3 appendix C / PaLM style) at the
     * position level, complementing x21 (whole-doc normalized-text

@@ -40,4 +40,29 @@ class Round14Spec extends AnyFunSuite {
     // Ave's winning weight is chunk 2's rw quantized to micro-units
     assert(math.abs(aveRb.head.getAs[Double]("rw") - 0.679012) < 1e-6)
   }
+
+  test("x309 fp flag: planted duplicate passage flagged; over-flag-only vs gram truth") {
+    import spark.implicits._
+    val passage = (1 to 15).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha $passage omega"),
+      (2L, s"beta gamma $passage"),
+      (3L, "entirely unrelated words " + (1 to 12).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val flagged = graft.queries.LlmExt2.x309FpFlagged(docs, 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 15-token shared passage has three 13-token windows per doc,
+    // at offsets 1..3 in doc 1 and 2..4 in doc 2 (0-based window starts)
+    val expected = Set((1L, 1L), (1L, 2L), (1L, 3L),
+                       (2L, 2L), (2L, 3L), (2L, 4L))
+    // completeness (the theorem direction): every gram-duplicated window
+    // is fp-flagged. The fp side may only ADD positions on a collision —
+    // none occurs on this corpus, so equality holds exactly here.
+    assert(flagged === expected)
+  }
+
+  test("x309 registered key: fp_ok true on every row at sf0.001") {
+    val rows = graft.queries.LlmExt2.x309(spark, sfSmoke).collect()
+    assert(rows.forall(_.getAs[Boolean]("fp_ok")))
+  }
 }
