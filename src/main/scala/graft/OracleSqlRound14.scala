@@ -64,6 +64,30 @@ object OracleSqlRound14 {
         |  FROM f)
         |SELECT doc_id, COUNT(*) AS n_dup_windows,
         |       CAST(SUM(brk) AS BIGINT) AS n_runs, TRUE AS fp_ok
-        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x310 theorem form (x18's device): the exact brute-force top-20 for
+    // vec 0 (q45's kernel, ranked — recomputed verbatim here) + pq_ok =
+    // TRUE; the engine computes the IVF-PQ recall-floor contract
+    // (nprobe=4 probe + ADC shortlist + exact re-rank finds >= 5 of the
+    // exact top-20) for real — a codebook/ADC/shortlist regression flips
+    // the flag red.
+    "x310_ann_ivfpq" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sims AS (SELECT e.vec_id,
+        |  CAST(ROUND(
+        |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |              FOR i IN generate_series(1,64)]) /
+        |    (SQRT(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |                    FOR i IN generate_series(1,64)])) *
+        |     SQRT(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |                    FOR i IN generate_series(1,64)]))),
+        |  6) AS DOUBLE) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> 0),
+        |top AS (SELECT vec_id, cos,
+        |               ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rk
+        |        FROM sims)
+        |SELECT rk, vec_id, cos, TRUE AS pq_ok FROM top
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin
   )
 }

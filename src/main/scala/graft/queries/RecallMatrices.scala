@@ -139,6 +139,21 @@ object RecallMatrices {
         .agg(count(lit(1)).as("found_pairs"))
       (found, cand.agg(count(lit(1)).as("scanned")))
     }
+    // PQ code identity (round 14, x310's quantizer): identical vectors
+    // encode to identical per-subspace codes — a pure function of the
+    // vector and the trained codebooks, whatever those are — so every
+    // planted twin must carry its base's exact 8-code word. This is the
+    // theorem that makes ADC exact on duplicates (the twin's own code
+    // achieves the minimum code distance to its base), the PQ analog of
+    // x18_ivf_same_cell above.
+    val (encoded, _) = AnnIvf.pqEncode(planted.select("vec_id", "embedding"))
+    val codeCols = (0 until 8).map(m => col(s"code$m"))
+    val codes = encoded.select(col("vec_id") +: codeCols: _*)
+    val pqFound = codes.as("x").join(codes.as("y"),
+        col("y.vec_id") === col("x.vec_id") + Offset &&
+          (0 until 8).map(m => col(s"x.code$m") === col(s"y.code$m"))
+            .reduce(_ && _))
+      .agg(count(lit(1)).as("found_pairs"))
     val (f1, s1) = sweep(1); val (f2, s2) = sweep(2); val (f4, s4) = sweep(4)
     val costOk = s1.crossJoin(s2.withColumnRenamed("scanned", "s2"))
       .crossJoin(s4.withColumnRenamed("scanned", "s4"))
@@ -151,6 +166,7 @@ object RecallMatrices {
       .unionByName(matrixRow("x18_nprobe2_twin_top1", f2, twinDenom))
       .unionByName(matrixRow("x18_nprobe4_twin_top1", f4, twinDenom))
       .unionByName(matrixRow("x18_probe_cost_monotone", costOk, one))
+      .unionByName(matrixRow("x310_pq_same_code", pqFound, cellDenom))
       .orderBy("method")
   }
 

@@ -67,4 +67,26 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(curve.last._2 === 1.0, s"full probe must equal brute force, got $curve")
     assert(curve.head._2 > 0.0, s"np=1 must recall something, got $curve")
   }
+
+  test("x310 IVF-PQ: full-width search reproduces brute force; narrow search is deterministic and clears the floor") {
+    // Full width (np = nlist, shortlist = |corpus|): every vector survives
+    // the ADC shortlist, so the exact re-rank IS brute force — the PQ twin
+    // of the full-probe property above. The approximation must come ONLY
+    // from what the probe and shortlist CUT, never from the re-rank.
+    val n = graft.engine.Tables.embeddings(spark, sfSmoke).count().toInt
+    val full = graft.queries.AnnIvf.ivfPqTopK(spark, sfSmoke, 16, n, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = graft.queries.LlmExt.q45(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === exact, "full-width IVF-PQ must equal exact brute force")
+    // Narrow (production) width: deterministic across runs (pinned-layout
+    // seeded codebooks) and recall clears the x310 flag's floor.
+    val a = graft.queries.AnnIvf.x310Raw(spark, sfSmoke).collect()
+      .map(_.getLong(0)).toSeq
+    val b = graft.queries.AnnIvf.x310Raw(spark, sfSmoke).collect()
+      .map(_.getLong(0)).toSeq
+    assert(a === b, "x310Raw must be deterministic")
+    assert((a.toSet & exact.map(_._1).toSet).size >= 5,
+      s"recall@20 below the pq_ok floor: $a vs $exact")
+  }
 }
