@@ -88,6 +88,43 @@ object OracleSqlRound14 {
         |               ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rk
         |        FROM sims)
         |SELECT rk, vec_id, cos, TRUE AS pq_ok FROM top
-        |WHERE rk <= 20 ORDER BY rk""".stripMargin
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    // x311: x284's verbatim SemDeDup chain at the PRODUCTION cell count
+    // k = GREATEST(8, N // 25), k emitted as a column so the scaled-k
+    // claim itself is hash-pinned.
+    "x311_semdedup_production_k" ->
+      """WITH e AS (SELECT vec_id,
+        |            [CAST(embedding[i] AS DOUBLE)
+        |             FOR i IN generate_series(1, 64)] AS emb
+        |           FROM embeddings),
+        |kk AS (SELECT GREATEST(8, COUNT(*) // 25) AS k FROM e),
+        |c AS (SELECT vec_id AS cell, emb AS ce FROM e
+        |      WHERE vec_id < (SELECT k FROM kk)),
+        |a AS (SELECT vec_id, cell, emb FROM (
+        |  SELECT e.vec_id, c.cell, e.emb,
+        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |           ROUND(list_sum([(e.emb[i] - c.ce[i]) * (e.emb[i] - c.ce[i])
+        |                           FOR i IN generate_series(1, 64)]), 6),
+        |           c.cell) AS rn
+        |  FROM e CROSS JOIN c) WHERE rn = 1),
+        |p AS (SELECT u.vec_id AS u_id, v.vec_id AS v_id, u.cell AS cell,
+        |        CAST(ROUND(
+        |          list_sum([u.emb[i] * v.emb[i]
+        |                    FOR i IN generate_series(1, 64)])
+        |          / (SQRT(list_sum([u.emb[i] * u.emb[i]
+        |                            FOR i IN generate_series(1, 64)]))
+        |           * SQRT(list_sum([v.emb[i] * v.emb[i]
+        |                            FOR i IN generate_series(1, 64)])))
+        |          * 1000000, 0) AS BIGINT) AS cos_micro
+        |      FROM a u JOIN a v ON u.cell = v.cell AND u.vec_id < v.vec_id),
+        |d AS (SELECT v_id, cell, u_id, cos_micro,
+        |        ROW_NUMBER() OVER (PARTITION BY v_id
+        |                           ORDER BY cos_micro DESC, u_id) AS rn
+        |      FROM p WHERE cos_micro >= 400000)
+        |SELECT v_id AS vec_id, CAST(cell AS BIGINT) AS cell,
+        |       u_id AS keeper, cos_micro,
+        |       CAST((SELECT k FROM kk) AS BIGINT) AS k
+        |FROM d WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }

@@ -878,6 +878,42 @@ object Clustering {
   def x284(spark: SparkSession, dir: String): DataFrame =
     semDedupAt(spark, dir, kCells)
 
+  /** x311: PRODUCTION-K SEMANTIC DEDUPLICATION — x284's chain at the
+    * PRODUCTION cell count k = max(8, ⌊N / 25⌋) instead of the fixed
+    * k = 8 the x284 oracle pins. Fixed k is what makes x284's 100× soak
+    * honestly super-linear (Σ|cell|² grows quadratically when cells grow
+    * with N — 346× at 100 copies); the production mitigation is growing k
+    * with the corpus so MEAN CELL SIZE stays bounded (~25 here), which
+    * restores Σ|cell|² ≈ N·target — LINEAR in N. Round 12 measured that
+    * claim in an example main (examples/SemDedupKScale); this key
+    * REGISTERS it so the scaled-k chain is oracle-checked and the
+    * round-over-round hash pins k itself (emitted as a column) along
+    * with every dropped row. Same per-row contract as x284 (drop the
+    * higher id of any within-cell pair with cosine ≥ 0.40, keeper =
+    * strongest earlier twin); the answer legitimately DIFFERS from
+    * x284's at the same corpus because cell boundaries differ — finer
+    * cells trade a little recall (cross-cell near-dups) for the linear
+    * candidate bound, exactly the production trade.
+    *
+    * 100 TB: k ≈ N/25 keeps every cell ~25 vectors, the pair stage
+    * Σ|cell|² ≈ 25·N, and the centroid set broadcasts at k·d — the
+    * driver-side count() that sizes k is one bounded action (row count,
+    * not data). Measured on the ×100 twin soak corpus (SemDedupKScale at
+    * target 25): 115.7× wall at 100× data vs fixed-k's 346× — scaled k
+    * removes the candidate-generation overhead; the residual
+    * super-linearity is the twin corpus's OWN answer (every vector gains
+    * 99 exact twins, so true dup pairs grow ~100×) plus centroid
+    * saturation (the copies are identical, so distinct cells cap at the
+    * base corpus size no matter how k scales — argmin ties collapse onto
+    * the lowest cell id). On a real corpus without planted exact twins,
+    * cells stay ~target-sized and the chain is linear; r13's target-250
+    * probe on the same corpus read 20.7×, bracketing the claim. */
+  def x311(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    val k = math.max(8L, n / 25L).toInt
+    semDedupAt(spark, dir, k).withColumn("k", lit(k.toLong))
+  }
+
   /** x284's chain at an explicit cell count — the oracle key pins k = 8
     * for determinism; the scale soak runs THIS with k ≈ N/target_cell
     * (mean cell ~250) to measure the production-k linearity claim the

@@ -65,4 +65,24 @@ class Round14Spec extends AnyFunSuite {
     val rows = graft.queries.LlmExt2.x309(spark, sfSmoke).collect()
     assert(rows.forall(_.getAs[Boolean]("fp_ok")))
   }
+
+  test("x311 production-k SemDeDup: scaled k, per-row contract, determinism") {
+    val rows = graft.queries.Clustering.x311(spark, sfSmoke).collect()
+    // 500 vectors at sf0.001 → k = max(8, 500/25) = 20, hash-pinned
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("k") === 20L))
+    // per-row contract (x284's, at the scaled k): keeper is an EARLIER
+    // vector, similarity at or above the 0.40 drop threshold, cell id
+    // within the scaled centroid range
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keeper") < r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("cos_micro") >= 400000L)
+      assert(r.getAs[Long]("cell") >= 0L && r.getAs[Long]("cell") < 20L)
+    }
+    // determinism: the chain at the same k reproduces the same drop set
+    // (idempotence on survivors then follows from the x284 argument —
+    // Round12Spec — unchanged by the cell count)
+    val again = graft.queries.Clustering.semDedupAt(spark, sfSmoke, 20)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(again === rows.map(_.getAs[Long]("vec_id")).toSet)
+  }
 }
