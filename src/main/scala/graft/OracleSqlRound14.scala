@@ -32,6 +32,53 @@ object OracleSqlRound14 {
       |                      / CAST(cnt * 1000000 AS DOUBLE) AS rw
       |             FROM fused WHERE fn = 1),""".stripMargin
 
+  /** x314's water-filling unroll, GENERATED (the x262/x281 enumeration
+    * discipline): 24 rounds, each allocating `remaining DIV n_uncapped`
+    * to every uncapped source truncated at its cap gap — convergence-safe
+    * because every productive round caps a source or drives the residue
+    * under n_uncapped, after which rounds are exact no-ops. All integer
+    * arithmetic; HUGEINT sums cast to BIGINT before `//` (the r10 x229
+    * exactness rule). */
+  private def x314Sql: String = {
+    // Each round references the PREVIOUS round's CTE exactly ONCE (the
+    // per-round state — remaining budget and uncapped count — comes from
+    // unpartitioned window sums, not scalar subqueries): DuckDB inlines
+    // CTEs per reference, so a round with 4 references to its
+    // predecessor expands 4^24 ways and dies on file handles before it
+    // dies on CPU. With one reference per round the expansion is linear.
+    val nUnc = "CAST(SUM(CASE WHEN alloc < cap THEN 1 ELSE 0 END) " +
+      "OVER () AS BIGINT)"
+    val allocd = "CAST(SUM(alloc) OVER () AS BIGINT)"
+    val rounds = (1 to 24).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"""r$k AS (
+         |  SELECT source, t, cap,
+         |    alloc + GREATEST(0, LEAST(
+         |      CASE WHEN $nUnc > 0
+         |           THEN ((SELECT b FROM bb) - $allocd) // $nUnc
+         |           ELSE 0 END,
+         |      cap - alloc)) AS alloc
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH r0 AS (
+       |  SELECT source, CAST(SUM(n) AS BIGINT) AS t,
+       |         (11 * CAST(SUM(n) AS BIGINT)) // 10 AS cap,
+       |         CAST(0 AS BIGINT) AS alloc
+       |  FROM (SELECT source,
+       |          len([x FOR x IN string_split(LOWER(text), ' ') IF x <> ''])
+       |            AS n
+       |        FROM documents)
+       |  GROUP BY source),
+       |bb AS (SELECT (5 * CAST(SUM(t) AS BIGINT)) // 4 AS b FROM r0),
+       |$rounds
+       |SELECT source, t, cap, alloc, alloc * 1000000 // t AS epochs_ppm,
+       |       alloc = cap AS capped,
+       |       $allocd <= (SELECT b FROM bb) AND
+       |       ($nUnc = 0 OR
+       |        (SELECT b FROM bb) - $allocd < $nUnc) AS conserve_ok
+       |FROM r24 ORDER BY source""".stripMargin
+  }
+
   val round14: Map[String, String] = Map(
     // x308: the m-chunk ablation under Ave fusion — one generated
     // train+score chain per m ∈ {1, 4, 16}, unioned (the x281 device).
@@ -125,6 +172,89 @@ object OracleSqlRound14 {
         |SELECT v_id AS vec_id, CAST(cell AS BIGINT) AS cell,
         |       u_id AS keeper, cos_micro,
         |       CAST((SELECT k FROM kk) AS BIGINT) AS k
-        |FROM d WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        |FROM d WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // x312: planted-credential scan — the plant and the detector are both
+    // exact integer/regex arithmetic, replayed verbatim.
+    "x312_secret_scan" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 53 = 0 THEN 1 ELSE 0 END AS is_planted,
+        |         CASE WHEN doc_id % 53 = 0
+        |              THEN text || ' sk' ||
+        |                   lpad(CAST(doc_id * 2654435761 % 100000000000000
+        |                             AS VARCHAR), 14, '0')
+        |              ELSE text END AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, source, is_planted, tok,
+        |         CASE WHEN LENGTH(tok) >= 16
+        |                   AND regexp_matches(tok, '[0-9]')
+        |                   AND regexp_matches(tok, '[A-Za-z]')
+        |              THEN 1 ELSE 0 END AS hit
+        |  FROM (SELECT doc_id, source, is_planted,
+        |          UNNEST([x FOR x IN string_split(t, ' ') IF x <> '']) AS tok
+        |        FROM planted)),
+        |perdoc AS (
+        |  SELECT doc_id, source, is_planted,
+        |         CAST(SUM(hit) AS BIGINT) AS hits,
+        |         CAST(SUM(CASE WHEN hit = 1
+        |                       THEN len(list_distinct(string_split(tok, '')))
+        |                       ELSE 0 END) AS BIGINT) AS hdc
+        |  FROM toks GROUP BY 1, 2, 3)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_flagged_docs,
+        |       CAST(SUM(hits) AS BIGINT) AS n_flagged_tokens,
+        |       CAST(SUM(is_planted) AS BIGINT) AS n_planted,
+        |       CAST(SUM(CASE WHEN is_planted = 1 AND hits > 0 THEN 1 ELSE 0
+        |                END) AS BIGINT) AS caught_planted,
+        |       CAST(SUM(hdc) AS BIGINT) AS sum_hit_distinct_chars,
+        |       SUM(CASE WHEN is_planted = 1 AND hits > 0 THEN 1 ELSE 0 END)
+        |         = SUM(is_planted) AS all_planted_caught
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+
+    // x313: FIM transform audit — thirds arithmetic, sentinel rebuild,
+    // token-conservation theorem, all replayed verbatim.
+    "x313_fim_transform" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |         [x FOR x IN string_split(LOWER(text), ' ') IF x <> '']
+        |           AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, source, toks, len(toks) AS n,
+        |         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_fim,
+        |         len(toks) // 3 AS a, (2 * len(toks)) // 3 AS b
+        |  FROM base WHERE len(toks) >= 3),
+        |built AS (
+        |  SELECT doc_id, source, n, is_fim, a, b,
+        |    CASE WHEN is_fim = 1 THEN
+        |      concat_ws(' ', '<fim_pre>', array_to_string(toks[1:a], ' '),
+        |                '<fim_suf>', array_to_string(toks[b+1:n], ' '),
+        |                '<fim_mid>', array_to_string(toks[a+1:b], ' '))
+        |    ELSE array_to_string(toks, ' ') END AS out_text
+        |  FROM d),
+        |b2 AS (
+        |  SELECT *,
+        |    len([x FOR x IN string_split(out_text, ' ') IF x <> ''])
+        |      AS out_toks
+        |  FROM built)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(is_fim) AS BIGINT) AS n_fim_docs,
+        |       CAST(SUM(n) AS BIGINT) AS tokens_in,
+        |       CAST(SUM(out_toks) AS BIGINT) AS tokens_out,
+        |       CAST(SUM(CASE WHEN is_fim = 1 THEN b - a ELSE 0 END)
+        |            AS BIGINT) AS middle_tokens,
+        |       CAST(SUM(CASE WHEN is_fim = 1 THEN b - a ELSE 0 END)
+        |            AS BIGINT) * 1000000
+        |         // GREATEST(CAST(SUM(n) AS BIGINT), 1) AS mid_frac_ppm,
+        |       CAST(SUM(LENGTH(out_text)) AS BIGINT) AS out_chars,
+        |       CAST(MIN(CASE WHEN out_toks = n + is_fim * 3 THEN 1 ELSE 0
+        |                END) AS BIGINT) AS conserve_ok
+        |FROM b2 GROUP BY source ORDER BY source""".stripMargin,
+
+    // x314: the generated 24-round water-filling unroll.
+    "x314_epoch_allocation" -> x314Sql
   )
 }

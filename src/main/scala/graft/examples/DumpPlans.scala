@@ -126,7 +126,15 @@ object DumpPlans {
       ("x303_ngram_decontamination", "the bounded benchmark gram set BROADCASTS into the corpus-side join — corpus-scale work is one map-side k-gram explode + BroadcastHashJoin, no shuffle at the gram grain",
        graft.queries.LlmExt2.x303(spark, dir)),
       ("x304_matryoshka_audit", "one co-partitioned equi-join on vec_id; 4 truncated cosines in ONE codegen'd map pass (slice + fvec_dot); stack fan-out collapses onto a 4-row grid",
-       graft.queries.Clustering.x304(spark, dir)))
+       graft.queries.Clustering.x304(spark, dir)),
+      ("x308_chi_mchunk_ave", "Ave fusion rides x281's shape: single-scan checkpointed gex, bounded (antecedent, consequent)-keyed BIGINT aggregate, broadcast rule frames — no new corpus pass",
+       graft.queries.ChiMl.x308(spark, dir)),
+      ("x309_substring_dedup_fp", "fp chain = map-side native rolling fingerprints + ONE fp-keyed aggregate + fp-keyed join back; 8 B/position shuffle grain (the gram chain inside is the audit leg)",
+       graft.queries.LlmExt2.x309(spark, dir)),
+      ("x310_ann_ivfpq", "probed cells scanned as 8-byte PQ codes; ADC = broadcast lookup-table sum in the codegen'd scan; only the bounded shortlist touches full vectors for the exact re-rank",
+       graft.queries.AnnIvf.x310(spark, dir)),
+      ("x314_epoch_allocation", "ONE (source, token-count) aggregate is the only corpus-scale work; the 24-round water-filling folds over the bounded checkpointed |sources| frame with 1-row-aggregate broadcasts",
+       graft.queries.Organize.x314(spark, dir)))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries\n\n")
     sb.append("Generated by `graft.examples.DumpPlans` (AQE-finalized, sf0.001).\n")

@@ -434,4 +434,136 @@ object Organize {
       .unionByName(report(Seq(col("key"), col("doc_id")), "sorted"))
       .orderBy("ordering")
   }
+
+  /** x313: FILL-IN-THE-MIDDLE TRANSFORM AUDIT — the FIM data
+    * transformation of code/LLM pretraining (Bavarian et al. 2022; the
+    * StarCoder/DeepSeek recipe): half the corpus (doc_id even — the
+    * standard 50 % FIM rate, deterministic) is rewritten
+    * prefix-suffix-middle with sentinel tokens, the rest passes through.
+    * Split points are the exact integer thirds a = ⌊n/3⌋, b = ⌊2n/3⌋ of
+    * the n non-empty tokens: P = toks[0,a), M = toks[a,b), S = toks[b,n);
+    * the PSM document is `<fim_pre> P <fim_suf> S <fim_mid> M`. The
+    * engine BUILDS the transformed strings (the operator a loader maps
+    * over the corpus) and registers their audit: per source, docs and
+    * FIM docs, token mass in and out (out = n + 3 sentinels on FIM docs —
+    * conservation is the theorem `every token lands in exactly one of
+    * P/M/S`, checked per doc and surfaced as a flag), middle-fraction in
+    * exact ppm, and total transformed characters (string-level identity
+    * both engines rebuild).
+    *
+    * 100 TB: map-only — tokenize, three slices, one concat per row; no
+    * shuffle until the bounded per-source rollup. */
+  def x313(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val base = Tables.fanOut(Tables.documents(spark, dir)
+        .select("doc_id", "source", "text"))
+      .select(col("doc_id"), col("source"), toks.as("toks"))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      .filter(col("n") >= 3) // a FIM split needs non-empty P/M/S thirds
+      .withColumn("is_fim", (col("doc_id") % 2 === 0).cast(LongType))
+      .withColumn("a", expr("n DIV 3"))
+      .withColumn("b", expr("(2 * n) DIV 3"))
+    val built = base.withColumn("out_text",
+        when(col("is_fim") === 1L,
+          concat_ws(" ",
+            lit("<fim_pre>"),
+            array_join(expr("slice(toks, 1, CAST(a AS INT))"), " "),
+            lit("<fim_suf>"),
+            array_join(expr("slice(toks, CAST(b AS INT) + 1, CAST(n - b AS INT))"), " "),
+            lit("<fim_mid>"),
+            array_join(expr("slice(toks, CAST(a AS INT) + 1, CAST(b - a AS INT))"), " ")))
+          .otherwise(array_join(col("toks"), " ")))
+      .withColumn("out_toks",
+        size(filter(split(col("out_text"), " "), t => t =!= ""))
+          .cast(LongType))
+      // conservation per doc: P+M+S thirds partition the n tokens and the
+      // 3 sentinels are the only additions — any slice-arithmetic bug
+      // (off-by-one, empty-third overlap) breaks this integer identity
+      .withColumn("conserve",
+        (col("out_toks") === col("n") + col("is_fim") * 3L).cast(LongType))
+    built.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("is_fim")).as("n_fim_docs"),
+           sum(col("n")).as("tokens_in"),
+           sum(col("out_toks")).as("tokens_out"),
+           sum(when(col("is_fim") === 1L, col("b") - col("a")).otherwise(0L))
+             .as("middle_tokens"),
+           sum(length(col("out_text")).cast(LongType)).as("out_chars"),
+           min(col("conserve")).as("conserve_ok"))
+      .withColumn("mid_frac_ppm",
+        expr("middle_tokens * 1000000 DIV greatest(tokens_in, 1)"))
+      .select("source", "n_docs", "n_fim_docs", "tokens_in", "tokens_out",
+              "middle_tokens", "mid_frac_ppm", "out_chars", "conserve_ok")
+      .orderBy("source")
+  }
+
+  /** x314: DATA-CONSTRAINED EPOCH ALLOCATION — the token-budget planner
+    * of data-constrained pretraining (Muennighoff et al. 2023's repeated-
+    * epoch regime; UniMax's capped water-filling): given per-source token
+    * counts T_i, a total training budget B = ⌊5·ΣT/4⌋ (1.25 corpus
+    * epochs — the data-constrained regime: more budget than fresh
+    * tokens), and a per-source repetition cap of 1.1 epochs
+    * (cap_i = ⌊11·T_i/10⌋ tokens — tight enough to BIND for most
+    * sources at this corpus's spread, so the capped and uncapped arms
+    * both execute), allocate B across sources by WATER-
+    * FILLING in exact integers: each round gives every uncapped source
+    * `remaining DIV n_uncapped` tokens (truncated at its cap gap) until
+    * the budget is exhausted below one token per source or everyone is
+    * capped. The fixed 24-round unroll is convergence-safe for any
+    * source count ≤ 20-ish: every productive round either caps a source
+    * or drives the residual under n_uncapped, after which further rounds
+    * are exact no-ops — so both engines replay the identical fold (the
+    * x262/x281 enumeration discipline, no recursion). Output per source:
+    * tokens, cap, allocation, epochs in exact ppm, capped flag; plus the
+    * conservation theorem as a flag — Σalloc ≤ B, and either every
+    * source is capped (the caps, not the budget, bind) or the residue
+    * is below one more token per uncapped source (budget exhausted to
+    * integer granularity).
+    *
+    * 100 TB: the corpus-scale work is ONE (source, token-count)
+    * aggregate; the water-filling runs on the bounded |sources| frame
+    * (broadcast-sized at any corpus scale) — 24 chained rounds of
+    * 1-row-aggregate crossJoins, checkpointed mid-fold to keep the plan
+    * shallow. */
+  def x314(spark: SparkSession, dir: String): DataFrame = {
+    val toksCol = filter(split(lower(col("text")), " "), t => t =!= "")
+    val perSrc = Tables.fanOut(Tables.documents(spark, dir)
+        .select("source", "text"))
+      .select(col("source"), size(toksCol).cast(LongType).as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("t"))
+      .withColumn("cap", expr("(11 * t) DIV 10"))
+      .withColumn("alloc", lit(0L))
+      .localCheckpoint(true)
+    val budget = perSrc.agg(expr("(5 * sum(t)) DIV 4").as("b"))
+    def round(frame: DataFrame): DataFrame = {
+      val state = frame.agg(
+        sum(col("alloc")).as("allocated"),
+        sum(when(col("alloc") < col("cap"), 1L).otherwise(0L)).as("n_unc"))
+      frame.crossJoin(broadcast(state)).crossJoin(broadcast(budget))
+        .withColumn("share",
+          when(col("n_unc") > 0, expr("(b - allocated) DIV n_unc"))
+            .otherwise(lit(0L)))
+        .withColumn("alloc",
+          col("alloc") + greatest(lit(0L),
+            least(col("share"), col("cap") - col("alloc"))))
+        .select("source", "t", "cap", "alloc")
+    }
+    val converged = (1 to 24).foldLeft(perSrc) { (f, i) =>
+      val next = round(f)
+      if (i % 8 == 0) next.localCheckpoint(true) else next
+    }
+    val fin = converged.agg(
+      sum(col("alloc")).as("sum_alloc"),
+      sum(when(col("alloc") < col("cap"), 1L).otherwise(0L)).as("n_unc_fin"))
+    converged.crossJoin(broadcast(fin)).crossJoin(broadcast(budget))
+      .withColumn("epochs_ppm", expr("alloc * 1000000 DIV t"))
+      .withColumn("capped", col("alloc") === col("cap"))
+      .withColumn("conserve_ok",
+        col("sum_alloc") <= col("b") &&
+          (col("n_unc_fin") === 0L ||
+           col("b") - col("sum_alloc") < col("n_unc_fin")))
+      .select("source", "t", "cap", "alloc", "epochs_ppm", "capped",
+              "conserve_ok")
+      .orderBy("source")
+  }
 }

@@ -134,6 +134,66 @@ object TextOps {
     * — a map-only scan; the only shuffle is the |sources|-row aggregate
     * with map-side partials. Redaction replaces with fixed tags rather
     * than deleting, preserving token positions for downstream chunkers. */
+  /** x312: SECRET / CREDENTIAL TOKEN SCAN — the high-entropy-string
+    * scrubbing pass every code/web corpus runs before training (the
+    * detect-secrets / Copilot-era "no API keys in the training set"
+    * gate), as a per-source audit with PLANTED ground truth (the x110
+    * device — the synthetic corpus contains no natural secrets, so the
+    * key plants its own): every doc with doc_id ≡ 0 (mod 53) gains one
+    * deterministic credential-shaped token `sk` + the zero-padded 14
+    * digits of (doc_id·2654435761 mod 10¹⁴) — 16 chars, letters+digits
+    * by construction, both engines replay it exactly. Detector: a token
+    * is secret-like when length ≥ 16 AND it contains a digit AND a
+    * letter — exact integer/regex tests, no float entropy (the
+    * distinct-char diversity that entropy measures is EMITTED as a
+    * stat, not used as a criterion, keeping the flag bit-stable). Every
+    * planted token matches the rule by construction, so per source
+    * caught_planted = n_planted is a THEOREM the oracle states; natural
+    * corpus tokens (≤ ~10 chars) never trigger it here, and on a real
+    * corpus the same audit reports the natural hit mass.
+    *
+    * 100 TB: map-only until the bounded per-source rollup — the token
+    * explode is the only fan-out, the detector is a per-token predicate,
+    * and no shuffle touches the token grain (partial+final agg on
+    * (doc, source) then source). */
+  def x312(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.fanOut(Tables.documents(spark, dir)
+        .select("doc_id", "source", "text"))
+      .withColumn("is_planted", (col("doc_id") % 53 === 0).cast(LongType))
+      .withColumn("t",
+        when(col("is_planted") === 1L,
+          concat(col("text"), lit(" sk"),
+                 lpad((col("doc_id") * 2654435761L % 100000000000000L)
+                        .cast("string"), 14, "0")))
+          .otherwise(col("text")))
+    val toks = planted
+      .select(col("doc_id"), col("source"), col("is_planted"),
+              explode(filter(split(col("t"), " "), t => t =!= "")).as("tok"))
+      .withColumn("hit",
+        (length(col("tok")) >= 16 &&
+         col("tok").rlike("[0-9]") && col("tok").rlike("[A-Za-z]"))
+          .cast(LongType))
+    val perDoc = toks.groupBy("doc_id", "source", "is_planted")
+      .agg(sum(col("hit")).as("hits"),
+           sum(when(col("hit") === 1L,
+                    size(array_distinct(split(col("tok"), ""))).cast(LongType))
+             .otherwise(0L)).as("hit_distinct_chars"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged_docs"),
+           sum(col("hits")).as("n_flagged_tokens"),
+           sum(col("is_planted")).as("n_planted"),
+           sum(when(col("is_planted") === 1L && col("hits") > 0, 1L)
+             .otherwise(0L)).as("caught_planted"),
+           sum(col("hit_distinct_chars")).as("sum_hit_distinct_chars"))
+      .withColumn("all_planted_caught",
+        col("caught_planted") === col("n_planted"))
+      .select("source", "n_docs", "n_flagged_docs", "n_flagged_tokens",
+              "n_planted", "caught_planted", "sum_hit_distinct_chars",
+              "all_planted_caught")
+      .orderBy("source")
+  }
+
   def x116(spark: SparkSession, dir: String): DataFrame = {
     val planted = Tables.documents(spark, dir).withColumn("t",
       when(col("doc_id") % 13 === 0,

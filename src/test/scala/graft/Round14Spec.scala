@@ -85,4 +85,76 @@ class Round14Spec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(again === rows.map(_.getAs[Long]("vec_id")).toSet)
   }
+
+  test("x312 secret scan: every planted credential caught, no natural false positives here") {
+    val rows = graft.queries.TextOps.x312(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("all_planted_caught"))
+      assert(r.getAs[Long]("caught_planted") === r.getAs[Long]("n_planted"))
+      // the synthetic corpus has no natural >= 16-char alnum tokens, so
+      // every flagged token IS a planted one (on a real corpus the delta
+      // is the natural secret mass the audit exists to report)
+      assert(r.getAs[Long]("n_flagged_tokens") === r.getAs[Long]("n_planted"))
+    }
+    assert(rows.map(_.getAs[Long]("n_planted")).sum > 0)
+  }
+
+  test("x313 FIM transform: exact thirds replay and conservation at sf0.001") {
+    val rows = graft.queries.Organize.x313(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("conserve_ok") === 1L)
+      // tokens_out = tokens_in + 3 sentinels per FIM doc, summed
+      assert(r.getAs[Long]("tokens_out") ===
+        r.getAs[Long]("tokens_in") + 3L * r.getAs[Long]("n_fim_docs"))
+      // source = doc_id mod 20 on this corpus, so a source's docs share
+      // parity: every source is either ALL-FIM (middle ≈ 1/3 of its
+      // mass — ⌊2n/3⌋−⌊n/3⌋ is within ±1 of n/3 per doc) or NO-FIM
+      // (middle exactly 0)
+      val frac = r.getAs[Long]("mid_frac_ppm")
+      val allFim = r.getAs[Long]("n_fim_docs") === r.getAs[Long]("n_docs")
+      if (allFim)
+        assert(frac > 300000L && frac < 366667L,
+          s"all-FIM source mid fraction $frac ppm outside the ~1/3 band")
+      else {
+        assert(r.getAs[Long]("n_fim_docs") === 0L,
+          "sources on this corpus must be parity-pure")
+        assert(frac === 0L && r.getAs[Long]("middle_tokens") === 0L)
+      }
+    }
+    // hand replay on one shape: n=7 → a=2, b=4 → P=2, M=2, S=3 tokens
+    assert((7L / 3, 14L / 3) === (2L, 4L))
+  }
+
+  test("x314 epoch allocation: exact JVM water-filling replay + theorems") {
+    val rows = graft.queries.Organize.x314(spark, sfSmoke).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("t"),
+                 r.getAs[Long]("cap"), r.getAs[Long]("alloc"),
+                 r.getAs[Boolean]("capped"), r.getAs[Boolean]("conserve_ok")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty && rows.forall(_._6), "conservation flag must hold")
+    rows.foreach { case (_, t, cap, alloc, capped, _) =>
+      assert(cap === 11L * t / 10L)
+      assert(alloc <= cap && alloc >= 0L)
+      assert(capped === (alloc === cap))
+    }
+    // plain-Scala replay of the 24-round fold from the same (source, t)
+    val ts = rows.map { case (s, t, _, _, _, _) => (s, t) }
+    val b = 5L * ts.map(_._2).sum / 4L
+    val caps = ts.map { case (s, t) => s -> 11L * t / 10L }.toMap
+    var alloc = ts.map { case (s, _) => s -> 0L }.toMap
+    for (_ <- 1 to 24) {
+      val unc = ts.collect { case (s, _) if alloc(s) < caps(s) => s }
+      if (unc.nonEmpty) {
+        val share = (b - alloc.values.sum) / unc.size
+        alloc = alloc.map { case (s, a) =>
+          s -> (if (alloc(s) < caps(s))
+                  a + math.max(0L, math.min(share, caps(s) - a))
+                else a)
+        }
+      }
+    }
+    rows.foreach { case (s, _, _, a, _, _) => assert(a === alloc(s), s) }
+  }
 }
