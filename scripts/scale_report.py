@@ -36,7 +36,8 @@ EXPECTED_SUPERLINEAR = {
     "x111_ann_recall_matrix": "ANN recall sweep against brute-force truth on 10x corpus",
     "x24_dedup_components": "twin components grow 10x in size: more label-prop rounds",
     "x223_lsh_portable": "10 identical copies per vector: true bucket-pair mass grows ~quadratically in the copy factor (measured 13.9x at 10x, the x09 class)",
-    "x284_semdedup_prune": "within-cell pair mass is quadratic in cell size and k is FIXED at 8 for oracle determinism, so the N-times twin corpus grows pair work ~N-times beyond linear (346x at 100x); production SemDeDup grows k with N to keep cells bounded (stated in the operator's Scaladoc), which restores linearity",
+    "x284_semdedup_prune": "within-cell pair mass is quadratic in cell size and k is FIXED at 8 for oracle determinism, so the N-times twin corpus grows pair work ~N-times beyond linear (346x at 100x); production SemDeDup grows k with N to keep cells bounded — REGISTERED as x311 since round 14, which measures that lever on the same soak",
+    "x311_semdedup_production_k": "scaled k removes candidate-generation overhead but cannot shrink the corpus's own answer: every vector gains N-1 exact twins (true dup output grows ~quadratically in the copy factor) and the id-shifted copies saturate distinct cells (identical vectors share a cell at any k), so the twin corpus's residual super-linearity is workload truth, far below fixed-k x284's on the same legs",
 }
 
 # Standing per-key notes rendered under "## Notes" (ADVICE r13): facts a
@@ -45,13 +46,15 @@ EXPECTED_SUPERLINEAR = {
 STANDING_NOTES = [
     "The round-13 single-scan rework of the Chi ablation chains (x215, "
     "x285, x281) eagerly checkpoints the distinct-vector frame once and "
-    "feeds every ablation leg from it. At these soak scales the "
-    "checkpoint write can cost more wall-clock than the 2-3 input scans "
-    "it removes (x215 base rose 5.89s -> 12.42s across the rework) — the "
-    "shape deliberately trades small-scale wall-clock for corpus-scale "
-    "SCAN COUNT, which is the quantity that matters when one scan is "
-    "100 TB. Re-measured post-r13 on a probe-clean machine to confirm "
-    "the delta is the checkpoint, not co-tenant load.",
+    "feeds every ablation leg from it. The r13 soak recorded x215 base "
+    "5.89s -> 12.42s across the rework, which ADVICE r13 flagged; the "
+    "round-14 re-measure (this soak, BenchEnvProbe-clean machine) reads "
+    "x215 at 7.35s — the checkpoint shape genuinely costs ~1.5s of "
+    "small-scale wall-clock (the eager materialization) and the rest of "
+    "the r13 reading was co-tenant load. The trade stands: a bounded "
+    "one-time checkpoint cost buys corpus-scale SCAN COUNT (one pass "
+    "instead of three), the quantity that matters when one scan is "
+    "100 TB.",
 ]
 
 rows = sorted(keys.items())

@@ -898,16 +898,18 @@ object Clustering {
     * 100 TB: k ≈ N/25 keeps every cell ~25 vectors, the pair stage
     * Σ|cell|² ≈ 25·N, and the centroid set broadcasts at k·d — the
     * driver-side count() that sizes k is one bounded action (row count,
-    * not data). Measured on the ×100 twin soak corpus (SemDedupKScale at
-    * target 25): 115.7× wall at 100× data vs fixed-k's 346× — scaled k
-    * removes the candidate-generation overhead; the residual
-    * super-linearity is the twin corpus's OWN answer (every vector gains
-    * 99 exact twins, so true dup pairs grow ~100×) plus centroid
-    * saturation (the copies are identical, so distinct cells cap at the
-    * base corpus size no matter how k scales — argmin ties collapse onto
-    * the lowest cell id). On a real corpus without planted exact twins,
-    * cells stay ~target-sized and the chain is linear; r13's target-250
-    * probe on the same corpus read 20.7×, bracketing the claim. */
+    * not data). Measured on the ×100 twin soak corpus (FullScaleSoak,
+    * docs/SCALE_100x.md): 221× wall at 100× data vs fixed-k x284's 346×
+    * on identical legs — scaled k removes the candidate-generation
+    * overhead; the residual super-linearity is the twin corpus's OWN
+    * answer (every vector gains 99 exact twins, so true dup pairs grow
+    * ~100×) plus centroid saturation (the copies are identical, so
+    * distinct cells cap at the base corpus size no matter how k scales —
+    * argmin ties collapse onto the lowest cell id). On a real corpus
+    * without planted exact twins, cells stay ~target-sized and the chain
+    * is linear; r13's target-250 probe on the same corpus (k = 800 <
+    * the 2 000 distinct vectors, so no saturation) read 20.7×, showing
+    * the unsaturated regime. */
   def x311(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     val k = math.max(8L, n / 25L).toInt

@@ -521,49 +521,47 @@ object Organize {
     * integer granularity).
     *
     * 100 TB: the corpus-scale work is ONE (source, token-count)
-    * aggregate; the water-filling runs on the bounded |sources| frame
-    * (broadcast-sized at any corpus scale) — 24 chained rounds of
-    * 1-row-aggregate crossJoins, checkpointed mid-fold to keep the plan
-    * shallow. */
+    * aggregate; the water-filling itself is BOUNDED DRIVER STATE
+    * (|sources| rows — the x18Raw probe-selection pattern): a
+    * distributed formulation of the 24 rounds would cost ~80 tiny Spark
+    * jobs of pure scheduling overhead (~18 s measured) to move a 20-row
+    * computation, the exact anti-pattern the bounded-collect convention
+    * exists to avoid. */
   def x314(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val toksCol = filter(split(lower(col("text")), " "), t => t =!= "")
-    val perSrc = Tables.fanOut(Tables.documents(spark, dir)
-        .select("source", "text"))
+    // the ONE corpus-scale pass: per-source token counts
+    val perSrc: Seq[(String, Long)] = Tables.fanOut(
+        Tables.documents(spark, dir).select("source", "text"))
       .select(col("source"), size(toksCol).cast(LongType).as("nt"))
       .groupBy("source").agg(sum(col("nt")).as("t"))
-      .withColumn("cap", expr("(11 * t) DIV 10"))
-      .withColumn("alloc", lit(0L))
-      .localCheckpoint(true)
-    val budget = perSrc.agg(expr("(5 * sum(t)) DIV 4").as("b"))
-    def round(frame: DataFrame): DataFrame = {
-      val state = frame.agg(
-        sum(col("alloc")).as("allocated"),
-        sum(when(col("alloc") < col("cap"), 1L).otherwise(0L)).as("n_unc"))
-      frame.crossJoin(broadcast(state)).crossJoin(broadcast(budget))
-        .withColumn("share",
-          when(col("n_unc") > 0, expr("(b - allocated) DIV n_unc"))
-            .otherwise(lit(0L)))
-        .withColumn("alloc",
-          col("alloc") + greatest(lit(0L),
-            least(col("share"), col("cap") - col("alloc"))))
-        .select("source", "t", "cap", "alloc")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    // Water-filling on the BOUNDED |sources| state, driver-side (the
+    // x18Raw probe-selection pattern): the first formulation ran the 24
+    // rounds as chained 1-row-aggregate Spark jobs and paid ~18 s of pure
+    // job-scheduling overhead for a 20-row computation (measured, round
+    // 14). Exact integers, same fold the oracle unrolls.
+    val caps = perSrc.map { case (s, t) => s -> 11L * t / 10L }.toMap
+    val b = 5L * perSrc.map(_._2).sum / 4L
+    var alloc = perSrc.map { case (s, _) => s -> 0L }.toMap
+    for (_ <- 1 to 24) {
+      val unc = perSrc.collect { case (s, _) if alloc(s) < caps(s) => s }
+      if (unc.nonEmpty) {
+        val share = (b - alloc.values.sum) / unc.size
+        alloc = alloc.map { case (s, a) =>
+          s -> (if (a < caps(s)) a + math.max(0L, math.min(share, caps(s) - a))
+                else a)
+        }
+      }
     }
-    val converged = (1 to 24).foldLeft(perSrc) { (f, i) =>
-      val next = round(f)
-      if (i % 8 == 0) next.localCheckpoint(true) else next
-    }
-    val fin = converged.agg(
-      sum(col("alloc")).as("sum_alloc"),
-      sum(when(col("alloc") < col("cap"), 1L).otherwise(0L)).as("n_unc_fin"))
-    converged.crossJoin(broadcast(fin)).crossJoin(broadcast(budget))
-      .withColumn("epochs_ppm", expr("alloc * 1000000 DIV t"))
-      .withColumn("capped", col("alloc") === col("cap"))
-      .withColumn("conserve_ok",
-        col("sum_alloc") <= col("b") &&
-          (col("n_unc_fin") === 0L ||
-           col("b") - col("sum_alloc") < col("n_unc_fin")))
-      .select("source", "t", "cap", "alloc", "epochs_ppm", "capped",
-              "conserve_ok")
+    val sumAlloc = alloc.values.sum
+    val nUncFin = perSrc.count { case (s, _) => alloc(s) < caps(s) }
+    val conserveOk = sumAlloc <= b && (nUncFin == 0 || b - sumAlloc < nUncFin)
+    perSrc.map { case (s, t) =>
+      (s, t, caps(s), alloc(s), alloc(s) * 1000000L / t,
+       alloc(s) == caps(s), conserveOk)
+    }.toDF("source", "t", "cap", "alloc", "epochs_ppm", "capped",
+           "conserve_ok")
       .orderBy("source")
   }
 }
