@@ -701,4 +701,55 @@ class PlanSpec extends AnyFunSuite {
       "every window in the alignment must partition by doc_id:\n" +
         winLines.mkString("\n"))
   }
+
+  test("x309: fingerprint substring dedup forms no candidate pairs — fp/gram-keyed joins only") {
+    // both the fp production chain and the gram audit leg join a site to
+    // ITS OWN key's 1-row aggregate: no pair grid, no cartesian, and the
+    // run-merge window partitions by doc_id
+    val p = finalPlan(LlmExt2.x309(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"))
+    // the ONLY nested-loop join is the 1-row `missed` flag stitch (the
+    // standard bounded-broadcast pattern) — a second one would mean a
+    // pair stage leaked in
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      "x309 allows exactly the one 1-row containment-flag stitch")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.forall(_.contains("doc_id")),
+      "the run merge must partition by doc_id:\n" + winLines.mkString("\n"))
+  }
+
+  test("x310: IVF-PQ scans probed cells by code columns; only bounded stitches are non-keyed") {
+    // the ADC scan filters cells at the scan side and the only
+    // BroadcastNestedLoopJoins are the 1-row query/hits stitches (x18's
+    // sanctioned pattern); no CartesianProduct anywhere
+    val df = AnnIvf.x310(spark, sfSmoke)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x312/x313: the curation transforms are map-only until the bounded source rollup") {
+    for ((key, fn) <- Seq(
+        "x312" -> (TextOps.x312 _),
+        "x313" -> (Organize.x313 _))) {
+      val p = finalPlan(fn(spark, sfSmoke))
+      assert(!p.contains("CartesianProduct"), key)
+      assert(!p.contains("SortMergeJoin"),
+        s"$key must not join at all — per-row transform + partial+final agg")
+      assert(!p.contains("BroadcastHashJoin"), key)
+    }
+  }
+
+  test("x314: one corpus aggregate feeds the driver-side fill — the plan is a LocalTableScan") {
+    // the water-filling runs on bounded driver state; the RETURNED frame
+    // is a local relation (the corpus-scale aggregate ran eagerly at
+    // construction), so the plan the caller re-executes scans no files
+    val df = Organize.x314(spark, sfSmoke)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      "x314's returned plan must not re-scan the corpus (bounded driver state)")
+  }
 }
