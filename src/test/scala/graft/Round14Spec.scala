@@ -18,6 +18,18 @@ class Round14Spec extends AnyFunSuite {
     assert(ave === max)
   }
 
+  test("x308 golden report at sf0.001 (pins the Ave arithmetic in JVM)") {
+    // hand-recorded from the oracle-green round-14 run: any drift in the
+    // quantization, lcm-scaled comparison, or scoring shows here first
+    val rows = graft.queries.ChiMl.x308(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(rows === Seq(
+      (1L, 9L, 485000L, 522229L),
+      (4L, 9L, 686833L, 466946L),
+      (16L, 9L, 671833L, 473106L)))
+  }
+
   test("x308 planted conflict: Ave flips the consequent Max picks") {
     import spark.implicits._
     // One antecedent cell (grid-point vector x1=1.0, x2=0.0 → memberships
