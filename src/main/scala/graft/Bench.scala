@@ -218,34 +218,51 @@ object Bench {
     case object PriorOutlier extends RerunKind { def tag = "prior" }
     case object NoPrior extends RerunKind { def tag = "no_prior" }
     case object XDecile extends RerunKind { def tag = "x_decile" }
-    val qCandidates: Seq[(String, RerunKind,
-                          (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+    // FULL-REGISTRY prior trigger (VERDICT r14 task 1): the r14 x_decile
+    // evidence re-runs showed the full-registry total is an upper bound
+    // distorted by co-tenant load (x108 3.37 s median vs 0.44 s re-run,
+    // x114 4.97→1.83 s), so round-over-round comparison of raw full
+    // totals is not meaningful. The prior-anchored trigger therefore
+    // covers ALL keys with a committed prior — q AND x — and a matching
+    // `total_rerun_adj` is emitted next to `total` below. The reported
+    // per-key numbers stay the raw medians/mins (honesty unchanged);
+    // the adjusted totals are the round-over-round-comparable view.
+    val prCandidates: Seq[(String, RerunKind,
+                           (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       samples.collect {
-        case (name, runs, fn)
-            if name.startsWith("q") && runs.head > 0 && runs(1) >= 1.0 =>
-          (name, runs, fn)
-      }.flatMap { case (name, runs, fn) =>
-        val med = runs(1)
-        priorDetail.get(name).filter(_ > 0) match {
-          case Some(prior) if med > 5.0 * prior => Some((name, PriorOutlier, fn))
-          case Some(_)                          => None
-          case None if med > 5.0 * runs.head    => Some((name, NoPrior, fn))
-          case None                             => None
+        case (name, runs, fn) if runs.head > 0 =>
+          val reported = if (runs.size == 3) runs(1) else runs.head
+          (name, reported, runs, fn)
+      }.flatMap { case (name, reported, runs, fn) =>
+        if (reported < 1.0) None
+        else priorDetail.get(name).filter(_ > 0) match {
+          case Some(prior) if reported > 5.0 * prior =>
+            Some((name, PriorOutlier, fn))
+          case Some(_) => None
+          // no usable prior: the own-min ×5 fallback arm stays q-only
+          // (its historical scope); a new x-key is covered by x_decile
+          case None if name.startsWith("q") && reported > 5.0 * runs.head =>
+            Some((name, NoPrior, fn))
+          case None => None
         }
       }
     // Top-decile x-keys by this run's reported time get ONE evidence
     // re-run each (VERDICT r13 task 1): x-keys had NO re-run path at all,
     // so a load burst over the x-stretch (x286 read 12.5 s vs 0.28 s
     // builder-clean in r13) left nothing in the artifact but the env
-    // samples. Bounded post-pass cost: ~N/10 keys × one run.
+    // samples. Bounded post-pass cost: ~N/10 keys × one run. A key both
+    // prior-flagged and top-decile re-runs once, as kind=prior (the kind
+    // that adjusts).
+    val prNames = prCandidates.map(_._1).toSet
     val xSucceeded = samples.collect {
-      case (name, runs, fn) if name.startsWith("x") && runs.head > 0 =>
+      case (name, runs, fn) if name.startsWith("x") && runs.head > 0 &&
+          !prNames.contains(name) =>
         (name, runs.head, fn)
     }
     val xDecile = xSucceeded.sortBy(-_._2)
       .take(math.max(1, xSucceeded.size / 10))
       .map { case (name, _, fn) => (name, XDecile: RerunKind, fn) }
-    val rerunCandidates = qCandidates ++ xDecile
+    val rerunCandidates = prCandidates ++ xDecile
     val reruns: Map[String, (Double, RerunKind)] =
       if (rerunCandidates.isEmpty) Map.empty
       else {
@@ -347,20 +364,26 @@ object Bench {
     // absent the transient. Equal to declared when no key was flagged.
     // ONLY kind=prior re-runs adjust (a no_prior key has no committed
     // evidence the high number is environmental — ADVICE r13).
+    def adjusted(k: String, v: Double): Double = reruns.get(k) match {
+      case Some((r, PriorOutlier)) if r > 0 => math.min(v, r)
+      case _                                => v
+    }
     val declaredAdj = results.collect {
-      case (k, v) if k.startsWith("q") && v >= 0 =>
-        reruns.get(k) match {
-          case Some((r, PriorOutlier)) => math.min(v, r)
-          case _                       => v
-        }
+      case (k, v) if k.startsWith("q") && v >= 0 => adjusted(k, v)
     }.sum
-    // Prior-ratio flags (VERDICT r13 task 6): every declared key whose
-    // median exceeds 5x its committed prior-round value, so round-over-
-    // round adjudication is mechanical — each flagged key must carry
-    // either a re-run number (it will, by the trigger above) or an
-    // env-sample spike in its 10-key window.
+    // Rerun-adjusted FULL-registry total (VERDICT r14 task 1): same
+    // adjustment over every succeeded key, so the round-over-round
+    // full-total comparison reads load-corrected numbers on both sides.
+    val totalAdj = results.collect {
+      case (k, v) if v >= 0 => adjusted(k, v)
+    }.sum
+    // Prior-ratio flags (VERDICT r13 task 6, widened to ALL keys r15):
+    // every key whose reported number exceeds 5x its committed
+    // prior-round value, so round-over-round adjudication is mechanical —
+    // each flagged key ≥1 s carries a re-run number (by the trigger
+    // above); sub-second flags are overhead-class noise left visible.
     val priorFlagged = results.toSeq.collect {
-      case (k, v) if k.startsWith("q") && v >= 0 &&
+      case (k, v) if v >= 0 &&
           priorDetail.get(k).exists(p => p > 0 && v > 5.0 * p) =>
         "\"" + k.takeWhile(_ != '_') + "\":" +
           f"${v / priorDetail(k)}%.1f"
@@ -368,6 +391,6 @@ object Bench {
     val declaredSpread = spreads.collect { case (k, v) if k.startsWith("q") => v }.sum
     val declaredSpreadMed = spreadsMed.collect { case (k, v) if k.startsWith("q") => v }.sum
     println(s"""{"metric":"declared_spread","value":${f"$declaredSpread%.3f"},"unit":"sec","spread_med_min":${f"$declaredSpreadMed%.3f"},"note":"max-min sum is the jitter ceiling (one GC outlier per triple); spread_med_min (median-min sum) tracks the reported median's stability"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","declared_total":$declared,"declared_total_rerun_adj":${f"$declaredAdj%.3f"},"declared_n":${results.count(_._1.startsWith("q"))},"n_queries":${results.size},"n_failed":$nFailed,"n_reruns":${reruns.size},"prior_ratio_flags":$priorFlagged,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_rerun_adj":${f"$totalAdj%.3f"},"declared_total":$declared,"declared_total_rerun_adj":${f"$declaredAdj%.3f"},"declared_n":${results.count(_._1.startsWith("q"))},"n_queries":${results.size},"n_failed":$nFailed,"n_reruns":${reruns.size},"prior_ratio_flags":$priorFlagged,"sf":"$sfDir"}""")
   }
 }

@@ -260,5 +260,5 @@ object OracleSql {
       OracleSqlRound10b.round10b ++ OracleSqlRound10c.round10c ++
       OracleSqlRound10d.round10d ++ OracleSqlRound11.round11 ++
       OracleSqlRound12.round12 ++ OracleSqlRound13.round13 ++
-      OracleSqlRound14.round14
+      OracleSqlRound14.round14 ++ OracleSqlRound15.round15
 }

@@ -733,6 +733,8 @@ object OracleSqlFeatures {
         |  ('x18_nprobe2_twin_top1', (SELECT c FROM nz), (SELECT c FROM nz)),
         |  ('x18_nprobe4_twin_top1', (SELECT c FROM nz), (SELECT c FROM nz)),
         |  ('x18_probe_cost_monotone', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('x18_cluster_recall20', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('x310_cluster_recall20', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
         |  ('x310_pq_same_code',
         |   (SELECT COUNT(*) FROM slice), (SELECT COUNT(*) FROM slice))
         |) AS m(method, found_pairs, planted_pairs) ORDER BY method""".stripMargin,

@@ -217,14 +217,21 @@ object OracleSqlRound12 {
 
     // x284: SemDeDup-style cluster-scoped embedding pruning — nearest of
     // the 8 fixed centroids (the x140 assignment device), within-cell
-    // exact cosines, drop-the-higher-id rule at cos ≥ 0.40.
+    // exact cosines, drop-the-higher-id rule at cos ≥ 0.40. The keeper-
+    // candidate side is capped at each cell's 256 earliest members (the
+    // r15 hot-cell anchor cap, Clustering.HotCellCap — mirrored here
+    // verbatim; no sf0.01 cell exceeds 70, so the clause is live only on
+    // pathological corpora and sf0.1's ~290-member cells).
     "x284_semdedup_prune" ->
       """WITH e AS (SELECT vec_id,
         |            [CAST(embedding[i] AS DOUBLE)
         |             FOR i IN generate_series(1, 64)] AS emb
         |           FROM embeddings),
         |c AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 8),
-        |a AS (SELECT vec_id, cell, emb FROM (
+        |a AS (SELECT vec_id, cell, emb,
+        |             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id)
+        |               AS crn
+        |      FROM (
         |  SELECT e.vec_id, c.cell, e.emb,
         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
         |           ROUND(list_sum([(e.emb[i] - c.ce[i]) * (e.emb[i] - c.ce[i])
@@ -240,7 +247,8 @@ object OracleSqlRound12 {
         |           * SQRT(list_sum([v.emb[i] * v.emb[i]
         |                            FOR i IN generate_series(1, 64)])))
         |          * 1000000, 0) AS BIGINT) AS cos_micro
-        |      FROM a u JOIN a v ON u.cell = v.cell AND u.vec_id < v.vec_id),
+        |      FROM a u JOIN a v ON u.cell = v.cell AND u.vec_id < v.vec_id
+        |                       AND u.crn <= 256),
         |d AS (SELECT v_id, cell, u_id, cos_micro,
         |        ROW_NUMBER() OVER (PARTITION BY v_id
         |                           ORDER BY cos_micro DESC, u_id) AS rn

@@ -148,7 +148,10 @@ object OracleSqlRound14 {
         |kk AS (SELECT GREATEST(8, COUNT(*) // 25) AS k FROM e),
         |c AS (SELECT vec_id AS cell, emb AS ce FROM e
         |      WHERE vec_id < (SELECT k FROM kk)),
-        |a AS (SELECT vec_id, cell, emb FROM (
+        |a AS (SELECT vec_id, cell, emb,
+        |             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id)
+        |               AS crn
+        |      FROM (
         |  SELECT e.vec_id, c.cell, e.emb,
         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
         |           ROUND(list_sum([(e.emb[i] - c.ce[i]) * (e.emb[i] - c.ce[i])
@@ -164,7 +167,8 @@ object OracleSqlRound14 {
         |           * SQRT(list_sum([v.emb[i] * v.emb[i]
         |                            FOR i IN generate_series(1, 64)])))
         |          * 1000000, 0) AS BIGINT) AS cos_micro
-        |      FROM a u JOIN a v ON u.cell = v.cell AND u.vec_id < v.vec_id),
+        |      FROM a u JOIN a v ON u.cell = v.cell AND u.vec_id < v.vec_id
+        |                       AND u.crn <= 256),
         |d AS (SELECT v_id, cell, u_id, cos_micro,
         |        ROW_NUMBER() OVER (PARTITION BY v_id
         |                           ORDER BY cos_micro DESC, u_id) AS rn

@@ -874,7 +874,12 @@ object Clustering {
     * The cosine kernel is the codegen'd fvec_dot; the argmax-keeper
     * collapses through a min_by partial aggregate, so the shuffle after
     * the pair stage carries one row per dropped vector, never the pair
-    * grid. */
+    * grid. Since r15 the pair stage additionally carries the
+    * [[HotCellCap]] anchor cap (keeper candidates = each cell's 256
+    * earliest members, mirrored in the oracle), so even the FIXED-k
+    * oracle form is bounded at Σ|cell|·cap = O(N·cap) on pathological
+    * corpora — the r14 soak's one super-linear row (346× at 100×, from
+    * 8 saturated ~25 000-member cells) is closed by construction. */
   def x284(spark: SparkSession, dir: String): DataFrame =
     semDedupAt(spark, dir, kCells)
 
@@ -916,13 +921,39 @@ object Clustering {
     semDedupAt(spark, dir, k).withColumn("k", lit(k.toLong))
   }
 
+  /** Hot-cell anchor cap (VERDICT r14 task 5 — x194's hot-fp discipline
+    * applied to SemDeDup's within-cell pair stage): the KEEPER-CANDIDATE
+    * side of the pair join is restricted to each cell's `HotCellCap`
+    * EARLIEST members (lowest vec_id — the cell's anchor set), so pair
+    * work is bounded at |cell|·cap per cell — Σ ≤ N·cap, LINEAR in N —
+    * even when a pathological corpus piles a whole dense region into one
+    * fixed-k cell (the regime that made the r14 100× soak read 346×:
+    * 8 saturated cells of ~25 000 members each ⇒ 2.5 G candidate pairs).
+    * Every vector is still CHECKED (the v-side is uncapped); what the cap
+    * bounds is which EARLIER vectors can serve as its keeper. The anchor
+    * set is id-stable under corpus growth — new (higher-id) arrivals never
+    * change it — so incremental ingest keeps prior drop decisions valid.
+    * 256 is ~4× the sf0.01 oracle gate's largest cell (70) and just above
+    * sf0.1's (292 — the cap binds mildly there, trading at most the few
+    * vectors whose ONLY ≥0.40 twin ranks past the 256 earliest for the
+    * linear bound; the production answer to big cells remains scaling k,
+    * x311). Mirrored EXACTLY in both oracle statements (crn ≤ 256 on the
+    * u-side), so the capped rule — not an approximation of the uncapped
+    * one — is what the driver hash-checks. */
+  private[graft] val HotCellCap = 256
+
   /** x284's chain at an explicit cell count — the oracle key pins k = 8
     * for determinism; the scale soak runs THIS with k ≈ N/target_cell
     * (mean cell ~250) to measure the production-k linearity claim the
     * scaladoc makes (docs/SCALE_100x.md records both legs). */
   private[graft] def semDedupAt(spark: SparkSession, dir: String,
-                                k: Int): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+                                k: Int): DataFrame =
+    semDedupFrom(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), k)
+
+  /** The chain on an arbitrary (vec_id, embedding float[]) frame — the
+    * Round15Spec anchor-cap replay entry. */
+  private[graft] def semDedupFrom(emb: DataFrame, k: Int): DataFrame = {
     val cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"),
               transform(col("embedding"), _.cast(DoubleType)).as("ce"))
@@ -932,8 +963,12 @@ object Clustering {
     val assigned = assign(emb, cents).join(emb, "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"))
       .localCheckpoint(true)
-    val u = assigned.select(col("vec_id").as("u_id"), col("cell"),
-                            col("embedding").as("u_emb"))
+    val u = assigned
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("cell").orderBy("vec_id")))
+      .filter(col("crn") <= HotCellCap)
+      .select(col("vec_id").as("u_id"), col("cell"),
+              col("embedding").as("u_emb"))
     val v = assigned.select(col("vec_id").as("v_id"), col("cell"),
                             col("embedding").as("v_emb"))
     u.join(v, Seq("cell")).filter(col("u_id") < col("v_id"))

@@ -1170,6 +1170,108 @@ object LlmExt2 {
     fsites.join(fstats, "fp").select("doc_id", "p")
   }
 
+  /** x315: SUBSTRING-DEDUP APPLY PASS — the deployment step x298/x309
+    * only REPORT: cut every duplicated span out of the corpus and re-emit
+    * the cleaned documents (Lee et al. 2022's exact-substring dedup as
+    * actually run on training data — x100's DAG drops whole documents;
+    * this is the surgical variant that keeps the unique remainder).
+    * The cut set per document is the UNION of the [p, p+K) coverage
+    * intervals of every flagged window start p (a K-token window occurring
+    * ≥2 times corpus-wide, x298's truth) — equivalently the token span of
+    * x298's merged runs, since flagged starts ≤ K apart have contiguous
+    * coverage. Output: ONE ROW PER DOCUMENT (doc count preserved —
+    * untouched and too-short docs pass through whole) carrying the
+    * conservation ledger and the cleaned text itself:
+    *   - n_tokens / kept_tokens / removed_tokens with the theorem
+    *     kept + removed = n (`conserve_ok`, recomputed on both engines —
+    *     the cut is a partition of the token positions by construction,
+    *     and the oracle's independent replay of the position arithmetic
+    *     is what the hash compare actually checks);
+    *   - n_runs_cut = x298's merged-run count (how many surgical cuts);
+    *   - n_flag_survive = K-windows of the CLEANED text that still match
+    *     an originally-duplicated gram — 0 unless a cut junction
+    *     coincidentally rebuilds a flagged gram, so it is RECOMPUTED by
+    *     the oracle rather than stated TRUE (the one non-theorem edge);
+    *     no ORIGINAL flagged window can survive, because every one of its
+    *     K tokens is in the cut set;
+    *   - cleaned_text = the kept tokens rejoined (the pass normalizes to
+    *     lowercased single-space token form, the q44/x298 convention —
+    *     production would splice raw byte offsets; same shape).
+    *
+    * 100 TB: x298's linear skeleton plus a BOUNDED 13× coverage fan-out —
+    * one map-side positional k-gram explode, ONE gram-keyed partial+final
+    * aggregate, one gram-keyed join back to the sites, a ≤K-per-site
+    * coverage explode collapsing through a per-doc partial aggregate
+    * (collect_set of cut positions, bounded by doc length), and the cut
+    * itself is a per-doc map-side array filter — no shuffle grows beyond
+    * the site grain. The survivor audit re-runs the gram join on the
+    * cleaned corpus (2× the gram stage); at corpus scale run it on
+    * samples, and swap the gram string key for the x309 fingerprint
+    * (8 B/site, over-flag-only) — the cut becomes fp-keyed verbatim. */
+  def x315(spark: SparkSession, dir: String): DataFrame =
+    x315Apply(Tables.fanOut(
+      Tables.documents(spark, dir).select("doc_id", "text")), 13)
+
+  /** The apply-pass core on an arbitrary (doc_id, text) frame — the
+    * Round15Spec surgery-replay entry (the x309FpFlagged pattern). */
+  private[graft] def x315Apply(docsRaw: DataFrame, K: Int): DataFrame = {
+    val docs = docsRaw
+      .select(col("doc_id"),
+              filter(split(lower(col("text")), " "), t => t =!= "").as("toks"))
+    val sites = docs
+      .filter(size(col("toks")) >= K)
+      .select(col("doc_id"),
+              posexplode(expr(
+                s"transform(sequence(0, size(toks) - $K), " +
+                  s"i -> array_join(slice(toks, i + 1, $K), ' '))")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("p"),
+              col("col").as("gram"))
+    val gstats = sites.groupBy("gram").agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= 2)
+    // flagged starts feed BOTH the run ledger and the coverage cut —
+    // materialize once (bounded: ≤ one row per token position)
+    val gflag = sites.join(gstats, "gram").select("doc_id", "p")
+      .localCheckpoint(true)
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val runsPerDoc = gflag
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(byDoc) <= K, 0L).otherwise(1L))
+      .groupBy("doc_id").agg(sum(col("brk")).as("n_runs_cut"))
+    val cuts = gflag
+      .select(col("doc_id"), explode(expr(s"sequence(p, p + ${K - 1})")).as("cpos"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("cpos"))).as("cut"))
+    val cleaned = docs
+      .join(cuts, Seq("doc_id"), "left")
+      .join(runsPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+              coalesce(col("cut"), expr("CAST(array() AS ARRAY<BIGINT>)")).as("cut"),
+              coalesce(col("n_runs_cut"), lit(0L)).as("n_runs_cut"))
+      .withColumn("kept", expr(
+        "filter(toks, (t, i) -> NOT array_contains(cut, CAST(i AS BIGINT)))"))
+      .localCheckpoint(true) // feeds the output AND the survivor audit
+    val survive = cleaned
+      .filter(size(col("kept")) >= K)
+      .select(col("doc_id"),
+              explode(expr(
+                s"transform(sequence(0, size(kept) - $K), " +
+                  s"i -> array_join(slice(kept, i + 1, $K), ' '))")).as("gram"))
+      .join(gstats, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_flag_survive"))
+    cleaned
+      .join(survive, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              size(col("toks")).cast(LongType).as("n_tokens"),
+              size(col("kept")).cast(LongType).as("kept_tokens"),
+              size(col("cut")).cast(LongType).as("removed_tokens"),
+              col("n_runs_cut"),
+              coalesce(col("n_flag_survive"), lit(0L)).as("n_flag_survive"),
+              (size(col("kept")).cast(LongType) + size(col("cut")).cast(LongType)
+                === size(col("toks")).cast(LongType)).as("conserve_ok"),
+              array_join(col("kept"), " ").as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** x303: K-GRAM BENCHMARK DECONTAMINATION AUDIT — the n-gram-overlap
     * decontamination protocol (GPT-3 appendix C / PaLM style) at the
     * position level, complementing x21 (whole-doc normalized-text

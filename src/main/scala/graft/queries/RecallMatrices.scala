@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType}
 import graft.engine.{Tables, VectorKernels}
 
 /** x110–x112: DRIVER-CHECKABLE accuracy matrices for the seven hash-seeded /
@@ -160,6 +161,17 @@ object RecallMatrices {
       .select(when(col("scanned") <= col("s2") && col("s2") <= col("s4"), 1L)
         .otherwise(0L).as("found_pairs"))
     val one = spark.range(1).select(lit(1L).as("planted_pairs"))
+    // clustered-corpus recall floors (VERDICT r14 task 3): the planted
+    // twins above pin the EXACT-duplicate theorems; these two rows pin
+    // the regime ANN actually serves — tight planted clusters — where
+    // recall is a measured, deterministic quantity rather than a theorem,
+    // so the rows are emitted in FLOOR form (mean recall@20 ≥ 15/20 ⇒ 1)
+    // and the oracle states 1; Round15Spec golden-pins the raw counts.
+    val clusterOk = clusterRecall(emb)
+      .select(col("method"),
+              when(col("found") * 20L >= col("planted") * 15L, 1L)
+                .otherwise(0L).as("found_pairs"),
+              lit(1L).as("planted_pairs"))
     matrixRow("x09_hyperplane_lsh", x09Found, lshDenom)
       .unionByName(matrixRow("x18_ivf_same_cell", x18Found, cellDenom))
       .unionByName(matrixRow("x18_nprobe1_twin_top1", f1, twinDenom))
@@ -167,7 +179,100 @@ object RecallMatrices {
       .unionByName(matrixRow("x18_nprobe4_twin_top1", f4, twinDenom))
       .unionByName(matrixRow("x18_probe_cost_monotone", costOk, one))
       .unionByName(matrixRow("x310_pq_same_code", pqFound, cellDenom))
+      .unionByName(clusterOk)
       .orderBy("method")
+  }
+
+  /** CLUSTERED-CORPUS ANN recall probe (VERDICT r14 task 3): the x310/x18
+    * recall measured so far is the UNIFORM synthetic corpus — ANN's
+    * adversarial case, where IVF cells carry almost no locality signal
+    * (x310 reads 9–16/20 there). This leg PLANTS the regime partition-
+    * based ANN exists to serve: around every 7th base vector (the x110
+    * slice device) it generates a tight 20-member Gaussian-ish cluster —
+    * member = base + δ, δ per (member, dim) a deterministic xxhash64 draw
+    * scaled to ±0.02 per coordinate (‖δ‖ ≈ 0.09 against base norms ≈ 4.6,
+    * so in-cluster cosines ≈ 0.9998 and the exact top-20 of every seed
+    * query IS its member set, with a huge margin over the ≈0.5 inter-
+    * cluster ceiling) — then runs the REAL chains end-to-end on the
+    * clustered corpus: retrain the pinned-layout IVF quantizer, probe
+    * np = 4 of 16 cells per seed query; and for the PQ leg retrain the
+    * per-subspace codebooks, ADC-score the probed candidates via codebook
+    * reconstruction (flat-PQ ADC ≡ ‖q − recon(x)‖², the x310 device in
+    * multi-query form), keep the 100-candidate shortlist, exact-re-rank.
+    * Rows: (method, found member-hits in top-20, planted = 20·|seeds|).
+    * Everything is deterministic (seeded quantizers on pinned layouts,
+    * hash-generated offsets), so the measured recall is stable and
+    * Round15Spec golden-pins it; x111 publishes the ≥15/20 floor the
+    * oracle can state.
+    *
+    * 100 TB: the generator is map-side (20× fan-out of the seed slice),
+    * the probe/ADC legs are the serving chains themselves — broadcast
+    * centroid/codebook fits, per-query partitioned rank windows, no
+    * all-pairs stage (candidates are probed-cell-bounded). */
+  private[graft] def clusterRecall(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    val ClusterOff = 2000000L
+    val M = 20
+    val seeds = emb
+      .filter(col("vec_id") % 7 === 0 &&
+        VectorKernels.dot(col("embedding"), col("embedding")) > lit(0f))
+      .select(col("vec_id"), col("embedding"))
+    val members = seeds
+      .select(col("vec_id"), col("embedding"),
+              explode(sequence(lit(0L), lit(M - 1L))).as("j"))
+      .select(
+        (lit(ClusterOff) + col("vec_id") * 32L + col("j")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast(DoubleType) +
+            (pmod(xxhash64(col("vec_id"), col("j"), i), lit(1001L)) - 500L)
+              .cast(DoubleType) / 500.0 * 0.02).cast(FloatType))
+          .as("embedding"))
+    val clustered = emb.select("vec_id", "embedding").unionByName(members)
+    val qframe = seeds.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val (assignedC, centersC) = AnnIvf.quantizeEmb(clustered)
+    // probed candidates feed BOTH legs — materialize once (bounded:
+    // ≤ np/nlist of the clustered corpus per query)
+    val candC = AnnIvf.probedCells(qframe, centersC, 4)
+      .join(assignedC, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .localCheckpoint(true)
+    def isMember = col("vec_id") >= lit(ClusterOff) + col("qid") * 32L &&
+      col("vec_id") <= lit(ClusterOff) + col("qid") * 32L + lit(M - 1L)
+    val byQ = Window.partitionBy("qid")
+    val ivfFound = candC
+      .withColumn("cos", VectorKernels.cosine6(col("embedding"), col("qe"))
+        .cast(DoubleType))
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 20 && isMember)
+      .agg(count(lit(1)).as("found"))
+    val (encodedC, booksC) = AnnIvf.pqEncode(clustered)
+    val recon = concat((0 until 8).map(m =>
+      element_at(typedLit(booksC(m).map(_.toSeq).toSeq),
+                 (col(s"code$m") + 1).cast(IntegerType))): _*)
+    val pqFoundC = candC
+      .join(encodedC.select(col("vec_id") +:
+        (0 until 8).map(m => col(s"code$m")): _*), "vec_id")
+      .withColumn("adc", aggregate(
+        zip_with(recon, col("qe"),
+          (a, b) => (a - b.cast(DoubleType)) * (a - b.cast(DoubleType))),
+        lit(0.0), (s, x) => s + x))
+      .withColumn("srk", row_number().over(
+        byQ.orderBy(col("adc"), col("vec_id"))))
+      .filter(col("srk") <= 100)
+      .withColumn("cos", VectorKernels.cosine6(col("embedding"), col("qe"))
+        .cast(DoubleType))
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 20 && isMember)
+      .agg(count(lit(1)).as("found"))
+    val den = seeds.agg((count(lit(1)) * M.toLong).as("planted"))
+    ivfFound.crossJoin(den).select(lit("x18_cluster_recall20").as("method"),
+        col("found"), col("planted"))
+      .unionByName(pqFoundC.crossJoin(den)
+        .select(lit("x310_cluster_recall20").as("method"),
+                col("found"), col("planted")))
   }
 
   /** x112: sketch error matrix — x15's HLL++ distinct counts and

@@ -496,6 +496,26 @@ object StreamingOps {
   @volatile private[graft] var lastStateProgress:
     Seq[org.apache.spark.sql.streaming.StateOperatorProgress] = Seq.empty
 
+  /** (data micro-batches, total micro-batches incl. the no-data
+    * watermark-finalization batches) of the last completed replay —
+    * the attribution evidence the 100× streaming cost table needs
+    * (VERDICT r14 task 4): the replays are single-DATA-batch by contract,
+    * so any wall growth must come from state volume or per-batch
+    * overhead, never batch count. */
+  @volatile private[graft] var lastBatchCounts: (Int, Int) = (0, 0)
+
+  /** Streaming shuffle-partition override (probe/ops hook, same contract
+    * as [[providerOverride]]): the replays pin
+    * spark.sql.shuffle.partitions = 4 — measured best at sf0.1, where
+    * keyed state is tiny and per-partition state-store open/commit
+    * overhead dominates. At 100× the state shuffle itself dominates and
+    * 4 partitions serialize it onto 4 of 32 cores; the
+    * SPARK_GRAFT_STREAM_PARTITIONS env (or this var, which wins) widens
+    * the replay without touching the batch default. Results are
+    * partition-count-independent (the 4-partition matrix leg pins that);
+    * only the cost moves. */
+  @volatile private[graft] var partitionsOverride: Option[Int] = None
+
   /** Runs a streaming transform to completion (AvailableNow) into a memory
     * sink and returns the result table.
     *
@@ -514,7 +534,10 @@ object StreamingOps {
     // the query at start and restored for batch work after)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      partitionsOverride.map(_.toString)
+        .orElse(sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS"))
+        .getOrElse("4"))
     // Precedence: spec override > SPARK_GRAFT_STATESTORE (the scale-A/B env
     // hook — without honoring it here the per-query set below would dead-let
     // the hook for exactly the nine operators it exists to measure) > the
@@ -544,6 +567,7 @@ object StreamingOps {
       q.awaitTermination()
       lastStateProgress = q.recentProgress.toSeq.flatMap(_.stateOperators)
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      lastBatchCounts = (dataBatches, q.recentProgress.length)
       require(dataBatches <= 1,
         s"$name replayed in $dataBatches data micro-batches; the registered " +
         "streaming oracles assume a single-batch replay (see Scaladoc) — " +

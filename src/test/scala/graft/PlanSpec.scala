@@ -740,6 +740,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x315: the apply pass is gram/doc-keyed end to end — no pair grid, no unkeyed stitch") {
+    // sites join their own gram's 1-row aggregate; coverage, run-merge,
+    // cut, and survivor audit all key on doc_id — nothing in the apply
+    // pass may form candidate PAIRS or fall back to a nested loop
+    val p = finalPlan(LlmExt2.x315(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "x315 has no bounded-stitch exemption — every join is gram- or doc-keyed")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.forall(_.contains("doc_id")),
+      "the run merge must partition by doc_id:\n" + winLines.mkString("\n"))
+  }
+
   test("x314: one corpus aggregate feeds the driver-side fill — the plan is a LocalTableScan") {
     // the water-filling runs on bounded driver state; the RETURNED frame
     // is a local relation (the corpus-scale aggregate ran eagerly at
