@@ -69,6 +69,63 @@ object OracleSqlRound15 {
         |       COALESCE(array_to_string(cl.kept, ' '), '') AS cleaned_text
         |FROM cleaned cl
         |LEFT JOIN surv sv USING (doc_id)
-        |ORDER BY cl.doc_id""".stripMargin
+        |ORDER BY cl.doc_id""".stripMargin,
+
+    // x316: gram-grain novelty rollup — x298's site/gram CTEs with a
+    // min-doc/occurrence aggregate and a per-source rollup; every
+    // aggregated column cast BIGINT before // (the HUGEINT rule).
+    "x316_gram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         [x FOR x IN string_split(LOWER(text), ' ') IF x <> ''] AS t
+        |  FROM documents),
+        |sites AS (
+        |  SELECT doc_id, source, array_to_string(t[i:i+12], ' ') AS gram
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 12)) AS u(i)
+        |  WHERE len(t) >= 13),
+        |g AS (SELECT gram, MIN(doc_id) AS first_doc, COUNT(*) AS occ
+        |      FROM sites GROUP BY gram)
+        |SELECT s.source,
+        |       COUNT(*) AS n_sites,
+        |       CAST(SUM(CASE WHEN s.doc_id = g.first_doc THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_novel,
+        |       CAST(SUM(CASE WHEN g.occ >= 2 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_dup_sites,
+        |       CAST(SUM(CASE WHEN s.doc_id = g.first_doc THEN 1 ELSE 0 END)
+        |            AS BIGINT) * 1000000 // COUNT(*) AS novelty_ppm,
+        |       CAST(SUM(CASE WHEN g.occ >= 2 THEN 1 ELSE 0 END)
+        |            AS BIGINT) * 1000000 // COUNT(*) AS dup_ppm
+        |FROM sites s JOIN g USING (gram)
+        |GROUP BY s.source ORDER BY s.source""".stripMargin,
+
+    // x317: exact band-filtered top-5 per anchor — q45's cosine kernel
+    // in micro-units, band BEFORE rank, (cos DESC, neg_id) total order.
+    "x317_hard_negative_mining" ->
+      """WITH nzv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE list_sum([CAST(embedding[i] AS DOUBLE) *
+        |                  CAST(embedding[i] AS DOUBLE)
+        |                  FOR i IN generate_series(1, 64)]) > 0),
+        |anc AS (SELECT vec_id AS anchor_id, embedding AS ae
+        |        FROM nzv WHERE vec_id % 50 = 0),
+        |p AS (
+        |  SELECT a.anchor_id, e.vec_id AS neg_id,
+        |    CAST(ROUND(
+        |      list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(a.ae[i] AS DOUBLE)
+        |                FOR i IN generate_series(1, 64)]) /
+        |      (SQRT(list_sum([CAST(e.embedding[i] AS DOUBLE) *
+        |                      CAST(e.embedding[i] AS DOUBLE)
+        |                      FOR i IN generate_series(1, 64)])) *
+        |       SQRT(list_sum([CAST(a.ae[i] AS DOUBLE) * CAST(a.ae[i] AS DOUBLE)
+        |                      FOR i IN generate_series(1, 64)])))
+        |      * 1000000, 0) AS BIGINT) AS cos_micro
+        |  FROM nzv e, anc a WHERE e.vec_id <> a.anchor_id),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+        |                               ORDER BY cos_micro DESC, neg_id)
+        |            AS rank
+        |  FROM p WHERE cos_micro BETWEEN 400000 AND 980000)
+        |SELECT anchor_id, CAST(rank AS BIGINT) AS rank, neg_id, cos_micro
+        |FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin
   )
 }

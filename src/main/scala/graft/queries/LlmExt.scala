@@ -148,4 +148,52 @@ object LlmExt {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
            round(avg(col("n_chars")), 4).as("avg_chars"))
       .orderBy("lang", "source")
+
+  /** x317: HARD-NEGATIVE MINING (round 15) — the contrastive-training
+    * batch-construction step (DPR / SimCSE / E5 recipes): for every
+    * anchor (vec_id ≡ 0 mod 50 — the sampling-rate-bounded slice a
+    * training run actually mines, never the whole corpus), the top-5
+    * HIGHEST-cosine vectors inside the hard-negative band
+    * [0.40, 0.98] micro — similar enough to be informative gradients,
+    * but BELOW the near-dup ceiling so an unlabeled true duplicate
+    * (cos ≈ 1, exactly what x284/x01 would drop) is never pushed apart
+    * as a false negative, and ABOVE the easy-negative floor where the
+    * gradient carries no signal. Bands reuse SemDeDup's 0.40 threshold
+    * so "negative" and "duplicate" are calibrated against each other.
+    * Output: (anchor_id, rank, neg_id, cos_micro), rank by
+    * (cos desc, neg_id) — q45's total order.
+    *
+    * 100 TB: q46's bounded-broadcast chassis — the ANCHOR slice
+    * broadcasts (bounded by the sampling rate), candidates never leave
+    * their scan partitions, and the per-anchor top-5 collapses through
+    * the `topk_pairs` partial aggregate (the exchange carries
+    * ≤ |anchors| 5-pair states, never the anchor×corpus grid or a
+    * window sort over it). When the anchor set itself scales, swap the
+    * exact scan for the x18/x310 IVF probe per anchor — the band filter
+    * and ranking are unchanged; the exact chassis here is what makes
+    * the key oracle-checkable. */
+  def x317(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesFrom(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
+  /** The mining core on an arbitrary (vec_id, embedding) frame — the
+    * Round15Spec planted-geometry entry. */
+  private[graft] def hardNegativesFrom(emb: DataFrame): DataFrame = {
+    // zero-norm vectors have no cosine — excluded on both engines as
+    // anchors AND candidates (the x111 device)
+    val nz = emb.filter(VectorKernels.normSq(col("embedding")) > lit(0f))
+    val anchors = nz.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("ae"))
+    nz.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .withColumn("cm", VectorKernels.cosineMicro(col("embedding"), col("ae")))
+      .filter(col("cm") >= 400000L && col("cm") <= 980000L)
+      .groupBy("anchor_id")
+      .agg(call_function("topk_pairs",
+        col("cm").cast(DoubleType), col("vec_id"), lit(5)).as("tk"))
+      .select(col("anchor_id"), posexplode(col("tk")))
+      .select(col("anchor_id"), (col("pos") + 1).cast(LongType).as("rank"),
+              col("col.tag").as("neg_id"),
+              col("col.score").cast(LongType).as("cos_micro"))
+      .orderBy("anchor_id", "rank")
+  }
 }

@@ -1319,4 +1319,54 @@ object LlmExt2 {
       .select("source", "n_docs", "n_contaminated", "contam_ppm", "hit_sites")
       .orderBy("source")
   }
+
+  /** x316: MARGINAL NOVELTY BY SOURCE (round 15) — the data-valuation
+    * triage a corpus team runs before buying/keeping a source: of every
+    * source's 13-token window occurrences, how many are the corpus's FIRST
+    * sight of that gram (its minimum doc_id lives in this document —
+    * within the first-seeing doc, every occurrence counts as novel, the
+    * stated convention) and how many sit on corpus-duplicated grams at
+    * all. A source whose novelty_ppm is low repeats content the corpus
+    * already has (in arrival order = doc_id, the q44/x33 canonical
+    * convention); one whose dup_ppm is high is internally/externally
+    * duplicated mass the dedup passes (x298/x315) will cut anyway. The
+    * same gram grain as x298, so the three keys read together: x298 finds
+    * the duplicated spans, x315 cuts them, x316 prices each source's
+    * marginal contribution.
+    *
+    * 100 TB: x298's linear skeleton verbatim — one map-side positional
+    * k-gram explode, ONE gram-keyed partial+final aggregate (min doc_id +
+    * occurrence count), one gram-keyed join back to the sites, and a
+    * ≤|sources| rollup; production swaps the gram string for the x309
+    * fingerprint key (8 B/site, over-flag-only collisions shift ppm by
+    * <1e-12 at 64-bit). */
+  def x316(spark: SparkSession, dir: String): DataFrame =
+    gramNoveltyFrom(Tables.fanOut(
+      Tables.documents(spark, dir).select("doc_id", "source", "text")), 13)
+
+  /** The novelty rollup on an arbitrary (doc_id, source, text) frame —
+    * the Round15Spec planted-corpus entry. */
+  private[graft] def gramNoveltyFrom(docs: DataFrame, K: Int): DataFrame = {
+    val sites = docs
+      .select(col("doc_id"), col("source"),
+              filter(split(lower(col("text")), " "), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= K)
+      .select(col("doc_id"), col("source"),
+              explode(expr(
+                s"transform(sequence(0, size(toks) - $K), " +
+                  s"i -> array_join(slice(toks, i + 1, $K), ' '))")).as("gram"))
+    val gstats = sites.groupBy("gram")
+      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("occ"))
+    sites.join(gstats, "gram")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sites"),
+           sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+             .as("n_novel"),
+           sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_sites"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 DIV n_sites"))
+      .withColumn("dup_ppm", expr("n_dup_sites * 1000000 DIV n_sites"))
+      .select("source", "n_sites", "n_novel", "n_dup_sites",
+              "novelty_ppm", "dup_ppm")
+      .orderBy("source")
+  }
 }

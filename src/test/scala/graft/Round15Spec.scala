@@ -69,6 +69,49 @@ class Round15Spec extends AnyFunSuite {
     runs.foreach { case (d, (tok, n)) => assert(cut(d) === ((tok, n))) }
   }
 
+  test("x316 gram novelty: first-sight convention and per-source ledger on a planted corpus") {
+    import spark.implicits._
+    val p1 = (1 to 13).map(i => s"a$i").mkString(" ")
+    val p2 = (1 to 13).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", p1), // unique gram: novel, not duplicated
+      (2L, "srcA", p2), // first sight of p2: novel AND duplicated
+      (3L, "srcB", p2)  // repeat of p2: not novel, duplicated
+    ).toDF("doc_id", "source", "text")
+    val out = graft.queries.LlmExt2.gramNoveltyFrom(docs, 13)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("srcA"); val b = out("srcB")
+    assert(a.getAs[Long]("n_sites") === 2L && a.getAs[Long]("n_novel") === 2L &&
+      a.getAs[Long]("n_dup_sites") === 1L)
+    assert(a.getAs[Long]("novelty_ppm") === 1000000L &&
+      a.getAs[Long]("dup_ppm") === 500000L)
+    assert(b.getAs[Long]("n_sites") === 1L && b.getAs[Long]("n_novel") === 0L &&
+      b.getAs[Long]("n_dup_sites") === 1L)
+    assert(b.getAs[Long]("novelty_ppm") === 0L &&
+      b.getAs[Long]("dup_ppm") === 1000000L)
+  }
+
+  test("x317 hard negatives: band excludes duplicates and easy negatives, rank is (cos desc, id)") {
+    import spark.implicits._
+    def vec(vals: (Int, Float)*): Seq[Float] = {
+      val m = vals.toMap; Seq.tabulate(64)(i => m.getOrElse(i, 0.0f))
+    }
+    val emb = Seq(
+      (0L, vec(0 -> 1.0f)),            // anchor A = e0
+      (1L, vec(0 -> 1.0f)),            // exact dup of A: cos 1.0 — EXCLUDED (above ceiling)
+      (2L, vec(0 -> 1.0f, 1 -> 1.0f)), // cos(A)=1/√2≈0.7071, cos(B)=1/√2
+      (3L, vec(1 -> 1.0f)),            // = anchor B's direction: cos(A)=0 excluded
+      (4L, vec(0 -> 2.0f, 1 -> 1.0f)), // cos(A)=2/√5≈0.8944, cos(B)=1/√5≈0.4472
+      (50L, vec(1 -> 1.0f))            // anchor B = e1
+    ).toDF("vec_id", "embedding")
+    val rows = graft.queries.LlmExt.hardNegativesFrom(emb).collect()
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("rank"),
+                 r.getAs[Long]("neg_id"), r.getAs[Long]("cos_micro"))).toSeq
+    assert(rows === Seq(
+      (0L, 1L, 4L, 894427L), (0L, 2L, 2L, 707107L),
+      (50L, 1L, 2L, 707107L), (50L, 2L, 4L, 447214L)))
+  }
+
   test("x284 hot-cell anchor cap: keeper search bounded at the 256 earliest members") {
     import spark.implicits._
     def unit(j: Int): Seq[Float] = Seq.tabulate(64)(i => if (i == j) 1.0f else 0.0f)
