@@ -182,7 +182,13 @@ object LlmExt {
     // zero-norm vectors have no cosine — excluded on both engines as
     // anchors AND candidates (the x111 device)
     val nz = emb.filter(VectorKernels.normSq(col("embedding")) > lit(0f))
-    val anchors = nz.filter(col("vec_id") % 50 === 0)
+    // BOUNDED anchor panel (the x09/x111 device): every 50th vector with
+    // vec_id < 2100 — all 50th vectors at every testdata sf (max id
+    // 1999), a fixed-size panel on id-shifted soak corpora. A training
+    // run mines a fixed batch of anchors, not a constant fraction of the
+    // corpus; an unbounded % 50 slice would make the exact chassis
+    // O(N²/50) — quadratic in the copy factor.
+    val anchors = nz.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2100)
       .select(col("vec_id").as("anchor_id"), col("embedding").as("ae"))
     nz.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
       .withColumn("cm", VectorKernels.cosineMicro(col("embedding"), col("ae")))
