@@ -98,6 +98,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[FVecL2Sq].getName, "fvec_l2sq"),
       (args: Seq[Expression]) => FVecL2Sq(args(0), args(1))))
     e.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (args: Seq[Expression]) => PqAdc.fromArgs(args)))
+    e.injectFunction((
       FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "shingles"),
       (args: Seq[Expression]) => Shingles(args(0), args(1))))

@@ -69,7 +69,19 @@ object AnnIvf {
     * `queries` must have columns `(qid, qe)`; result preserves that grain. */
   private[queries] def probedCells(queries: DataFrame,
                                    centers: Array[Array[Double]],
-                                   np: Int): DataFrame = {
+                                   np: Int): DataFrame =
+    probedCellsRanked(queries, centers, np)
+      .select(col("qid"), col("qe"), col("cell"))
+
+  /** [[probedCells]] with the probe rank kept: callers sweeping several
+    * probe widths over the SAME query set (x111's np ∈ {1,2,4}) take the
+    * widest ranked set ONCE and filter `probe_rank <= np` per width —
+    * probe sets are nested in np by construction, so the filtered frame is
+    * row-identical to an independent np-wide probe while the queries ×
+    * centroids join and rank window run once instead of once per width. */
+  private[queries] def probedCellsRanked(queries: DataFrame,
+                                         centers: Array[Array[Double]],
+                                         np: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = centers.zipWithIndex
@@ -84,7 +96,7 @@ object AnnIvf {
       .withColumn("probe_rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("dist2"), col("cell"))))
       .filter(col("probe_rank") <= np)
-      .select(col("qid"), col("qe"), col("cell"))
+      .select(col("qid"), col("qe"), col("cell"), col("probe_rank"))
   }
 
   /** Top-`k` IVF search for a whole query frame at probe width `np`:
@@ -133,11 +145,17 @@ object AnnIvf {
     val withFeats = (0 until pqM).foldLeft(pinned) { (d, m) =>
       d.withColumn(s"f$m", subVec(col("embedding"), lit(m)))
     }
-    val models = (0 until pqM).map { m =>
+    // The pqM fits are INDEPENDENT (each reads only its own f_m column of
+    // the one checkpointed layout, with its own seed) — submit them
+    // concurrently (optimization guide §2.6) instead of draining the
+    // scheduler between fits: each fit is ~10 tiny Lloyd jobs, so the
+    // sequential form paid pqM × the per-job latency in pure wait.
+    // Output order (and therefore every codebook and code) is unchanged.
+    val models = graft.engine.Par.all((0 until pqM).map { m => () =>
       new KMeans().setK(pqKs).setSeed(7L + m).setMaxIter(10)
         .setFeaturesCol(s"f$m").setPredictionCol(s"code$m")
         .fit(withFeats)
-    }
+    })
     val feats = (0 until pqM).foldLeft(emb) { (d, m) =>
       d.withColumn(s"f$m", subVec(col("embedding"), lit(m)))
     }
@@ -171,8 +189,10 @@ object AnnIvf {
   private[graft] def ivfPqTopK(spark: SparkSession, dir: String,
                                np: Int, shortlist: Int, k: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val (assigned, centers) = quantize(spark, dir)
-    val (encoded, books) = pqEncode(emb)
+    // coarse quantizer and PQ codebooks are independent fits over the same
+    // corpus — run them concurrently (guide §2.6); results unchanged
+    val ((assigned, centers), (encoded, books)) = graft.engine.Par.two(
+      () => quantize(spark, dir), () => pqEncode(emb))
     val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
       .map(_.toDouble).toArray
     def dist2(c: Array[Double]): Double =
