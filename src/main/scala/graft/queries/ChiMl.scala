@@ -136,9 +136,17 @@ object ChiMl {
     * duplication factor. */
   private[queries] def classified(spark: SparkSession, dir: String,
                                   costSensitive: Boolean = true): DataFrame = {
-    val gex = labeled(spark, dir)
-      .groupBy("x1", "x2", "cls").agg(count(lit(1)).as("m"))
-    val scored = gex.crossJoin(broadcast(ruleBase(spark, dir, costSensitive)))
+    // ONE corpus scan (guide §1.2 "remove unnecessary passes"): the scoring
+    // grain (x1, x2, cls, m) derives from the SAME distinct-vector
+    // aggregate the rule-base fit consumes — (a1, a2) is a pure function of
+    // (x1, x2), so each (x1, x2, cls) group has exactly one (a1, a2) row
+    // and sum(mcnt) ≡ the previous direct count(1); the un-shared form
+    // scanned lineitem once per consumer (the two groupBys' different keys
+    // defeat ReusedExchange).
+    val vg = vectorGex(spark, dir).localCheckpoint(true)
+    val gex = vg.groupBy("x1", "x2", "cls").agg(sum(col("mcnt")).as("m"))
+    val scored = gex.crossJoin(
+      broadcast(ruleBaseFrom(vg, costSensitive, tnormMin = false)))
       .withColumn("score",
         round(ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
               ChiCore.membershipAt(col("x2"), col("ra2"), P2) * col("rw"), 12))
@@ -238,11 +246,13 @@ object ChiMl {
     * ra1, ra2) so the winning RULE — not just its class — is deterministic.
     * Base for the explainability operators x201/x202. */
   private def winningRule(spark: SparkSession, dir: String): DataFrame = {
-    val gex = labeled(spark, dir)
-      .groupBy("x1", "x2", "cls").agg(count(lit(1)).as("m"))
+    // one corpus scan — the classified() single-aggregate device
+    val vg = vectorGex(spark, dir).localCheckpoint(true)
+    val gex = vg.groupBy("x1", "x2", "cls").agg(sum(col("mcnt")).as("m"))
     val perEx = Window.partitionBy("x1", "x2", "cls")
       .orderBy(col("score").desc, col("rcls"), col("ra1"), col("ra2"))
-    gex.crossJoin(broadcast(ruleBase(spark, dir)))
+    gex.crossJoin(broadcast(ruleBaseFrom(vg, costSensitive = true,
+        tnormMin = false)))
       .withColumn("score",
         round(ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
               ChiCore.membershipAt(col("x2"), col("ra2"), P2) * col("rw"), 12))
@@ -469,7 +479,11 @@ object ChiMl {
     * the same partial+final aggregation the direct build runs. */
   def x281(spark: SparkSession, dir: String): DataFrame = {
     val gex16 = mChunkGex(spark, dir, 16).localCheckpoint(true)
-    Seq(1, 4, 16).map(m => mChunkReportFrom(rechunk(gex16, m), m))
+    // the three per-m reports each run an eager bounded-grid fuse off the
+    // same checkpointed aggregate — independent work, submitted
+    // concurrently (guide §2.6, graft.engine.Par); identical outputs
+    graft.engine.Par.all(
+        Seq(1, 4, 16).map(m => () => mChunkReportFrom(rechunk(gex16, m), m)))
       .reduce(_ unionByName _).orderBy("m")
   }
 
@@ -497,8 +511,9 @@ object ChiMl {
     * the ≤ m·L²·|C| partial rules, bounded and broadcast-sized at any m. */
   def x308(spark: SparkSession, dir: String): DataFrame = {
     val gex16 = mChunkGex(spark, dir, 16).localCheckpoint(true)
-    Seq(1, 4, 16)
-      .map(m => mChunkReportFrom(rechunk(gex16, m), m, mChunkAveFusedRbFrom))
+    // concurrent per-m reports (x281's discipline; identical outputs)
+    graft.engine.Par.all(Seq(1, 4, 16).map(m =>
+        () => mChunkReportFrom(rechunk(gex16, m), m, mChunkAveFusedRbFrom)))
       .reduce(_ unionByName _).orderBy("m")
   }
 
@@ -684,7 +699,9 @@ object ChiMl {
     // ONE corpus scan: both t-norm fits, the scoring grain and the majority
     // class all derive from the same checkpointed vector aggregate
     val gex0 = vectorGex(spark, dir).localCheckpoint(true)
-    Seq(false, true).map(tn => frmReports(gex0, tn))
+    // concurrent per-t-norm reports (independent eager fits off the one
+    // checkpointed aggregate; identical outputs)
+    graft.engine.Par.all(Seq(false, true).map(tn => () => frmReports(gex0, tn)))
       .reduce(_ unionByName _).orderBy("frm", "tnorm")
   }
 

@@ -144,7 +144,8 @@ object ModelOps {
     val gex = features(spark, dir)
       .groupBy("x1", "x2", "label").agg(count(lit(1)).as("w"))
       .localCheckpoint(true)
-    Seq(3, 5).map { l =>
+    // concurrent per-L fits (x215's discipline; identical outputs)
+    graft.engine.Par.all(Seq(3, 5).map { l => () =>
       val model = new ChiCSClassifier()
         .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
         .setFeatureRanges(Array(1.0, 50.0, 0.0, 0.1))
@@ -165,7 +166,7 @@ object ModelOps {
         round((col("tp") + col("tn")) * lit(1.0) /
               (col("tp") + col("tn") + col("fp") + col("fn")), 6).as("accuracy"),
         round(sqrt(tpr * tnr), 6).as("gm"))
-    }.reduce(_ unionByName _).orderBy("num_labels")
+    }).reduce(_ unionByName _).orderBy("num_labels")
   }
 
   /** x215: WIDE-ANTECEDENT ABLATION — the estimator fitted at n = 2, 4 and
@@ -221,7 +222,10 @@ object ModelOps {
       .groupBy("x1", "x2", "x3", "x4", "x5", "x6", "label")
       .agg(count(lit(1)).as("w"))
       .localCheckpoint(true)
-    Seq(2, 4, 6).map { n =>
+    // the three width-n fits are independent eager estimator fits off the
+    // one checkpointed aggregate — run concurrently (guide §2.6,
+    // graft.engine.Par); per-fit data/params unchanged, outputs identical
+    graft.engine.Par.all(Seq(2, 4, 6).map { n => () =>
       val model = new ChiCSClassifier()
         .setFeatureCols((1 to n).map(i => s"x$i").toArray).setLabelCol("label")
         .setFeatureRanges(ranges.take(2 * n))
@@ -241,7 +245,7 @@ object ModelOps {
         round((col("tp") + col("tn")) * lit(1.0) /
               (col("tp") + col("tn") + col("fp") + col("fn")), 6).as("accuracy"),
         round(sqrt(tpr * tnr), 6).as("gm"))
-    }.reduce(_ unionByName _).orderBy("n_features")
+    }).reduce(_ unionByName _).orderBy("n_features")
   }
 
   /** One (n_rules, confusion, accuracy, gm) row for a fitted model scored
