@@ -41,8 +41,12 @@ object Extras {
     * exact-Jaccard confirm.) */
   def x01(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val exact = LlmExt2.exactJaccardPairs(docs)
-    val lsh3 = LlmExt2.jaccardPairs(docs, numBands = 3).select("a", "b")
+    // one shingle materialization serves the exact leg and the LSH leg
+    // (the x08 sharing device)
+    val shSets = LlmExt2.shingleSets(docs).localCheckpoint(true)
+    val exact = LlmExt2.exactJaccardPairsFrom(shSets)
+    val lsh3 = LlmExt2.bandedPairs(shSets, LlmExt2.minhashSigs(shSets, 3), 3)
+      .select("a", "b")
     val unsound = lsh3.join(exact.select("a", "b"), Seq("a", "b"), "left_anti")
       .agg(count(lit(1)).as("n_unsound"))
     val missedDup = exact.filter(col("is_exact_dup")).select("a", "b")

@@ -110,9 +110,16 @@ object LlmExt2 {
     * construction; the oracle states TRUE. */
   def x08(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val exact = exactJaccardPairs(docs)
-    val lsh4 = jaccardPairs(docs, numBands = 4).select("a", "b")
-    val lsh3 = jaccardPairs(docs, numBands = 3).select("a", "b")
+    // ONE shingle materialization + ONE 4-band signature frame serve the
+    // exact chain and BOTH band widths (the 3-band chain reads mh0..mh5 of
+    // the same frame — identical literal seeds, so signatures are
+    // bit-identical to an independent 3-band build): the previous form
+    // computed the CPU-dominant shingle stage 3×/scanned documents 9×
+    val shSets = shingleSets(docs).localCheckpoint(true)
+    val sigs = minhashSigs(shSets, 4).localCheckpoint(true)
+    val exact = exactJaccardPairsFrom(shSets)
+    val lsh4 = bandedPairs(shSets, sigs, 4).select("a", "b")
+    val lsh3 = bandedPairs(shSets, sigs, 3).select("a", "b")
     val unsound = lsh4.join(exact.select("a", "b"), Seq("a", "b"), "left_anti")
       .agg(count(lit(1)).as("n_unsound"))
     val missedDup = exact.filter(col("is_exact_dup")).select("a", "b")
@@ -142,24 +149,44 @@ object LlmExt2 {
     * numBands by construction (x08's monotonicity flag).
     * Linear in corpus size — never an all-pairs join. */
   private[queries] def jaccardPairs(docs: DataFrame, numBands: Int): DataFrame = {
-    // shingle construction is the CPU-dominant stage — the native fused
-    // `shingles` expression (graft.engine.expr.Shingles) replaces the
-    // interpreted transform/slice/concat_ws/array_distinct lambda chain;
-    // spread the single-split scan across cores first
-    val shSets = Tables.fanOut(docs)
+    // the shingle-set frame feeds THREE consumers (the signature aggregate
+    // and both sides of the confirm re-attach) whose differing pruning
+    // defeats ReusedExchange — materialize it once so the CPU-dominant
+    // shingle construction and the corpus scan run once, not three times
+    // (guide §1.2; at cluster scale this is persist-vs-recompute of one
+    // intermediate against two extra corpus passes)
+    val shSets = shingleSets(docs).localCheckpoint(true)
+    bandedPairs(shSets, minhashSigs(shSets, numBands), numBands)
+  }
+
+  /** Shared shingle-set stage (x01/x08/x110): the native fused `shingles`
+    * expression (graft.engine.expr.Shingles) replaces the interpreted
+    * transform/slice/concat_ws/array_distinct lambda chain; spread the
+    * single-split scan across cores first. */
+  private[queries] def shingleSets(docs: DataFrame): DataFrame =
+    Tables.fanOut(docs)
       .select(col("doc_id"),
               call_function("shingles", col("text"), lit(3)).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val sh = shSets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    // All 2·bands min-hashes as parallel aggregates of ONE groupBy: the
-    // shingle rows shuffle once (map-side partial mins make the exchange
-    // carry one row per doc), instead of exploding every shingle ×2·bands
-    // and shuffling the multiplied rows. Seeds are the same literals, so
-    // signatures are bit-identical to the exploded form.
-    val sigs = sh.groupBy("doc_id").agg(
-      min(xxhash64(col("shingle"), lit(0))).as("mh0"),
-      (1 until 2 * numBands).map(s =>
-        min(xxhash64(col("shingle"), lit(s))).as(s"mh$s")): _*)
+
+  /** All 2·bands min-hashes as parallel aggregates of ONE groupBy: the
+    * shingle rows shuffle once (map-side partial mins make the exchange
+    * carry one row per doc), instead of exploding every shingle ×2·bands
+    * and shuffling the multiplied rows. Seeds are the same literals
+    * whatever the width, so the shared columns of a wider signature frame
+    * are bit-identical to a narrower one's — x08/x110 compute the 4-band
+    * frame once and run the 3-band chain off the same columns. */
+  private[queries] def minhashSigs(shSets: DataFrame, numBands: Int): DataFrame =
+    shSets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .groupBy("doc_id").agg(
+        min(xxhash64(col("shingle"), lit(0))).as("mh0"),
+        (1 until 2 * numBands).map(s =>
+          min(xxhash64(col("shingle"), lit(s))).as(s"mh$s")): _*)
+
+  /** Banded candidate generation + exact-Jaccard confirm from prepared
+    * shingle sets and (≥ 2·numBands-column) signatures. */
+  private[queries] def bandedPairs(shSets: DataFrame, sigs: DataFrame,
+                                   numBands: Int): DataFrame = {
     val keys = sigs.select(col("doc_id"),
         posexplode(array((0 until numBands).map(b =>
           struct(col(s"mh${2 * b}").as("b0"), col(s"mh${2 * b + 1}").as("b1"))): _*)))
@@ -216,11 +243,11 @@ object LlmExt2 {
     * shingles of each doc against the index (rare ⇒ short postings lists),
     * then the exact confirm touches candidates only. The all-pairs join
     * exists on the DuckDB side alone. */
-  private[queries] def exactJaccardPairs(docs: DataFrame): DataFrame = {
-    val shSets = Tables.fanOut(docs)
-      .select(col("doc_id"),
-              call_function("shingles", col("text"), lit(3)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+  private[queries] def exactJaccardPairs(docs: DataFrame): DataFrame =
+    // 4 internal consumers of the shingle frame — materialize once
+    exactJaccardPairsFrom(shingleSets(docs).localCheckpoint(true))
+
+  private[queries] def exactJaccardPairsFrom(shSets: DataFrame): DataFrame = {
     val sh = shSets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("dfs"))
     val w = Window.partitionBy("doc_id").orderBy("dfs", "shingle")

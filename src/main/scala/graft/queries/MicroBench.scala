@@ -22,9 +22,18 @@ object MicroBench {
           .find(_.startsWith(a))
           .getOrElse(sys.error(s"no key matches prefix $a")))
       else Seq("x44_token_entropy", "x35_text_repetition", "x47_quality_gate")
+    // Bench.scala's between-key state hygiene: leaked localCheckpoint
+    // blocks from earlier runs distort later runs' timings (VERDICT r10)
+    def hygiene(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     for (n <- names; fn = graft.SparkEntry.queries(n)) {
       fn(spark, "/root/testdata/sf0.001").count() // warm codegen/JIT
       val ts = (1 to runs).map { _ =>
+        hygiene()
         val t0 = System.nanoTime(); fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }

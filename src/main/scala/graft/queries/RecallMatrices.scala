@@ -62,10 +62,14 @@ object RecallMatrices {
     val shingleDenom = slice.agg(count(lit(1)).as("planted_pairs"))
     def twinPairs(pairs: DataFrame, a: String, b: String): DataFrame =
       pairs.filter(col(b) - col(a) === Offset).agg(count(lit(1)).as("found_pairs"))
+    // one shingle materialization + one 4-band signature frame serve both
+    // band widths (the x08 sharing device — signatures bit-identical)
+    val shSetsP = LlmExt2.shingleSets(planted).localCheckpoint(true)
+    val sigsP = LlmExt2.minhashSigs(shSetsP, 4).localCheckpoint(true)
     val x01Found = twinPairs(
-      LlmExt2.jaccardPairs(planted, numBands = 3), "a", "b")
+      LlmExt2.bandedPairs(shSetsP, sigsP, numBands = 3), "a", "b")
     val x08Found = twinPairs(
-      LlmExt2.jaccardPairs(planted, numBands = 4), "a", "b")
+      LlmExt2.bandedPairs(shSetsP, sigsP, numBands = 4), "a", "b")
     // SimHash: only docs with >= 1 token carry a fingerprint
     val fp = LlmExt2.simhashFingerprints(planted)
     val x07Found = fp.as("x").join(fp.as("y"),
