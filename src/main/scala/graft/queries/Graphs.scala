@@ -48,6 +48,12 @@ object Graphs {
   def x188(spark: SparkSession, dir: String): DataFrame = {
     val und = copurchaseEdges(spark, dir).repartition(col("v")).persist()
     val nodes = und.select(col("u").as("node")).distinct()
+    // NOTE (r15 optimization pass): converting these per-level eager
+    // checkpoints to LAZY ones was tried and REVERTED — with multiple
+    // aggregate branches referencing different rounds, the single final
+    // job races sibling stages into recomputing whole round chains before
+    // their persist blocks register (x290 measured 2.9 s -> 5.5 s).
+    // Eager-per-round serializes the rounds exactly once each.
     var reached = nodes.filter(col("node") % 97 === 0)
       .localCheckpoint(true)
     var frontier = reached
@@ -331,11 +337,18 @@ object Graphs {
         "(widen pk to DECIMAL(38,0) to lift the cap)")).isNull)
 
   def x287(spark: SparkSession, dir: String): DataFrame = {
-    val cp = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
-            col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
-      .localCheckpoint(true) // both sides of the self-join + the degree agg
+    // the (customer, part) and (order, part) base frames are independent
+    // eager materializations — overlap them (guide §2.6, Par); identical
+    // outputs
+    val (cp, op) = graft.engine.Par.two(
+      () => Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+              col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+        .localCheckpoint(true), // both sides of the self-join + degree agg
+      () => Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .localCheckpoint(true))
     val deg = cp.groupBy("c").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2 && col("deg") <= 256)
       .withColumn("term_micro",
@@ -350,9 +363,6 @@ object Graphs {
       .groupBy("pk")
       .agg(count(lit(1)).as("cn"), sum(col("term_micro")).as("aa_micro"))
       .filter(col("cn") >= 2)
-    val op = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      .localCheckpoint(true)
     val edgePairs = guardPairDomain(op.select(col("o"), col("p").as("pa"))
       .join(op.select(col("o"), col("p").as("pb")), "o")
       .filter(col("pa") < col("pb")))

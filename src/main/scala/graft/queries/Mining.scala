@@ -144,24 +144,36 @@ object Mining {
           i => col("tok").substr(i, lit(2))))
         .otherwise(array().cast(ArrayType(StringType)))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
+    // Symbol positions capped at 64 — the SAME bound the generated
+    // oracle's generate_series(1, 64) applies — so a token longer than
+    // 64 chars cannot make the two alphabet counts diverge (ADVICE
+    // r10); both bounds dominate the corpus's ≤8-char tokens, and
+    // Round10bSpec asserts that token-length contract on the corpus.
+    val nSymAgg = (df: DataFrame) => df
+      .select(explode(transform(
+        sequence(lit(1), least(length(col("tok")), lit(64))),
+        i => col("tok").substr(i, lit(1)))).as("sym"))
+      .agg(countDistinct(col("sym")).as("nsym"))
+    val winAgg = (df: DataFrame) =>
+      pairsOf(df).orderBy(col("cnt").desc, col("pair")).limit(1)
+    // Iteration k needs (winning pair of toks_k, alphabet of toks_{k+1}):
+    // the alphabet-of-current and winner-of-current aggregates read the
+    // SAME checkpointed frame, so they ride ONE collect (crossJoin of two
+    // 1-row aggregates) — halving the driver round trips per iteration
+    // versus the separate nSym and win collects (same aggregates, same
+    // values; the BPE chain itself is inherently sequential).
+    var pending = winAgg(toks).collect()(0)
     val rows = (0 until iters).map { k =>
-      val win = pairsOf(toks).orderBy(col("cnt").desc, col("pair"))
-        .limit(1).collect()(0)
-      val (bp, cnt) = (win.getString(0), win.getLong(1))
+      val (bp, cnt) = (pending.getString(0), pending.getLong(1))
       val ph = (0x100 + k).toChar.toString
       toks = toks
         .select(replace(col("tok"), lit(bp), lit(ph)).as("tok"))
         .localCheckpoint(true)
-      // Symbol positions capped at 64 — the SAME bound the generated
-      // oracle's generate_series(1, 64) applies — so a token longer than
-      // 64 chars cannot make the two alphabet counts diverge (ADVICE
-      // r10); both bounds dominate the corpus's ≤8-char tokens, and
-      // Round10bSpec asserts that token-length contract on the corpus.
-      val nSym = toks
-        .select(explode(transform(
-          sequence(lit(1), least(length(col("tok")), lit(64))),
-          i => col("tok").substr(i, lit(1)))).as("sym"))
-        .agg(countDistinct(col("sym"))).collect()(0).getLong(0)
+      val nSym = if (k < iters - 1) {
+        val row = nSymAgg(toks).crossJoin(winAgg(toks)).collect()(0)
+        pending = org.apache.spark.sql.Row(row.getString(1), row.getLong(2))
+        row.getLong(0)
+      } else nSymAgg(toks).collect()(0).getLong(0)
       (k + 1L, bp, cnt, nSym)
     }
     rows.toDF("iter", "pair", "cnt", "n_symbols").orderBy("iter")
