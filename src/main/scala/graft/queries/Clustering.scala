@@ -599,18 +599,23 @@ object Clustering {
     val qv = Tables.embeddings(spark, dir).select(
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))")
         .as("qe"))
-    val moments = qv.select(explode(expr(
-      """concat(
-        |  array(named_struct('k', -1, 'l', -1, 'v', CAST(1 AS BIGINT))),
-        |  transform(sequence(0, 63), k ->
-        |    named_struct('k', k, 'l', -1, 'v', element_at(qe, k + 1))),
-        |  flatten(transform(sequence(0, 63), k ->
-        |    transform(sequence(k, 63), l ->
-        |      named_struct('k', k, 'l', l,
-        |        'v', element_at(qe, k + 1) * element_at(qe, l + 1))))))"""
-        .stripMargin)).as("m"))
-      .select(col("m.k").as("k"), col("m.l").as("l"), col("m.v").as("v"))
-      .groupBy("k", "l").agg(sum(col("v")).as("s2"))
+    // The (count, first, second) moment rows via codegen'd posexplode
+    // generators instead of the previous single interpreted HOF (the
+    // 1 + 64 + 2080-element named_struct transform/flatten chain ran
+    // outside whole-stage codegen per vector). Identical (k, l, s2) rows:
+    // the same BIGINT products summed per (k, l) — exact integers,
+    // order-free.
+    val e1 = qv.select(col("qe"), posexplode(col("qe")))
+      .select(col("qe"), col("pos").as("k"), col("col").as("vk"))
+    val cntRow = qv.agg(count(lit(1)).as("s2"))
+      .select(lit(-1).as("k"), lit(-1).as("l"), col("s2"))
+    val firstRows = e1.groupBy("k").agg(sum(col("vk")).as("s2"))
+      .select(col("k"), lit(-1).as("l"), col("s2"))
+    val secondRows = e1.select(col("k"), col("vk"), posexplode(col("qe")))
+      .filter(col("pos") >= col("k"))
+      .groupBy(col("k"), col("pos").as("l"))
+      .agg(sum(col("vk") * col("col")).as("s2"))
+    val moments = cntRow.unionByName(firstRows).unionByName(secondRows)
       .localCheckpoint(true) // two consumers: the driver fit + the output
     val rows = moments.collect().map(r =>
       ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap

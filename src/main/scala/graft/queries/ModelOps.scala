@@ -504,30 +504,36 @@ object ModelOps {
       .withColumn("a2", ChiCore.argmaxLabel(ChiCore.memberships(col("x2"), Q2)))
       .localCheckpoint(true) // the ONLY corpus-derived frame (5 consumers)
     // candidate antecedents + seeding sources: a candidate seeded only by
-    // the left-out source is not generated by the LOSO fit at all
-    val seeds = gex.select(col("a1").as("ra1"), col("a2").as("ra2"),
-                           col("label").as("rcls"), col("source")).distinct()
-      .groupBy("ra1", "ra2", "rcls")
-      .agg(countDistinct(col("source")).as("n_seed_src"),
-           max(col("source")).as("a_seed_src"))
-      .localCheckpoint(true)
-    val ants = seeds.select("ra1", "ra2", "rcls")
-    // exact per-(candidate, source) weight sums (cost-free base Chi)
-    val term = round(ChiCore.membershipAt(col("x1"), col("ra1"), Q1) *
-                     ChiCore.membershipAt(col("x2"), col("ra2"), Q2), 12)
-      .cast(DecimalType(18, 12)) * col("m").cast(DecimalType(19, 0))
-    val sums = gex.crossJoin(broadcast(ants))
-      .select(col("source"), col("ra1"), col("ra2"), col("rcls"),
-              col("label"), term.as("w"))
-      .groupBy("source", "ra1", "ra2", "rcls")
-      .agg(sum(when(col("label") === col("rcls"), col("w"))).as("s_match"),
-           sum(col("w")).as("s_all"))
-      .localCheckpoint(true)
+    // the left-out source is not generated by the LOSO fit at all.
+    // seeds/sums and the model list are independent eager materializations
+    // off the one checkpointed gex — overlap them (guide §2.6, Par);
+    // identical frames.
+    val ((seeds, sums), models) = graft.engine.Par.two(() => {
+      val seeds = gex.select(col("a1").as("ra1"), col("a2").as("ra2"),
+                             col("label").as("rcls"), col("source")).distinct()
+        .groupBy("ra1", "ra2", "rcls")
+        .agg(countDistinct(col("source")).as("n_seed_src"),
+             max(col("source")).as("a_seed_src"))
+        .localCheckpoint(true)
+      val ants = seeds.select("ra1", "ra2", "rcls")
+      // exact per-(candidate, source) weight sums (cost-free base Chi)
+      val term = round(ChiCore.membershipAt(col("x1"), col("ra1"), Q1) *
+                       ChiCore.membershipAt(col("x2"), col("ra2"), Q2), 12)
+        .cast(DecimalType(18, 12)) * col("m").cast(DecimalType(19, 0))
+      val sums = gex.crossJoin(broadcast(ants))
+        .select(col("source"), col("ra1"), col("ra2"), col("rcls"),
+                col("label"), term.as("w"))
+        .groupBy("source", "ra1", "ra2", "rcls")
+        .agg(sum(when(col("label") === col("rcls"), col("w"))).as("s_match"),
+             sum(col("w")).as("s_all"))
+        .localCheckpoint(true)
+      (seeds, sums)
+    }, () =>
+      gex.select(col("source").as("lo")).distinct()
+        .unionByName(gex.select(lit("(full)").as("lo")).limit(1))
+        .localCheckpoint(true))
     val tot = sums.groupBy("ra1", "ra2", "rcls")
       .agg(sum(col("s_match")).as("t_match"), sum(col("s_all")).as("t_all"))
-    val models = gex.select(col("source").as("lo")).distinct()
-      .unionByName(gex.select(lit("(full)").as("lo")).limit(1))
-      .localCheckpoint(true)
     val rb = tot.crossJoin(broadcast(models))
       .join(sums.withColumnRenamed("source", "lo"),
             Seq("lo", "ra1", "ra2", "rcls"), "left")
