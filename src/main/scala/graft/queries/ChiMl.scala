@@ -398,9 +398,11 @@ object ChiMl {
     * output — hundreds of rows). A per-row global sort (the ntile idiom)
     * would shuffle every example; this never ranks rows at all. */
   def x272(spark: SparkSession, dir: String): DataFrame = {
-    val gex = labeled(spark, dir).groupBy("x1", "x2", "cls")
-      .agg(count(lit(1)).as("m"))
-    val scored = gex.crossJoin(broadcast(ruleBase(spark, dir)))
+    // one corpus scan — the classified() single-aggregate device
+    val vg = vectorGex(spark, dir).localCheckpoint(true)
+    val gex = vg.groupBy("x1", "x2", "cls").agg(sum(col("mcnt")).as("m"))
+    val scored = gex.crossJoin(
+      broadcast(ruleBaseFrom(vg, costSensitive = true, tnormMin = false)))
       .withColumn("score",
         round(ChiCore.membershipAt(col("x1"), col("ra1"), P1) *
               ChiCore.membershipAt(col("x2"), col("ra2"), P2) * col("rw"), 12))
