@@ -62,10 +62,14 @@ object RecallMatrices {
     val shingleDenom = slice.agg(count(lit(1)).as("planted_pairs"))
     def twinPairs(pairs: DataFrame, a: String, b: String): DataFrame =
       pairs.filter(col(b) - col(a) === Offset).agg(count(lit(1)).as("found_pairs"))
-    // one shingle materialization + one 4-band signature frame serve both
-    // band widths (the x08 sharing device — signatures bit-identical)
-    val shSetsP = LlmExt2.shingleSets(planted).localCheckpoint(true)
-    val sigsP = LlmExt2.minhashSigs(shSetsP, 4).localCheckpoint(true)
+    // one shared 4-band signature DEFINITION serves both band widths (the
+    // x08 device — shared columns bit-identical); deliberately LAZY here:
+    // the planted corpus is matrix-sized, and eager checkpoints serialize
+    // two materialization jobs that the one final action otherwise
+    // pipelines in parallel branches (measured 1.6 -> 2.4-4.3 s eager;
+    // x08's full-corpus chains are where the materialization wins)
+    val shSetsP = LlmExt2.shingleSets(planted)
+    val sigsP = LlmExt2.minhashSigs(shSetsP, 4)
     val x01Found = twinPairs(
       LlmExt2.bandedPairs(shSetsP, sigsP, numBands = 3), "a", "b")
     val x08Found = twinPairs(
