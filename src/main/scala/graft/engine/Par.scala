@@ -31,16 +31,37 @@ object Par {
         val t = new Thread(r, "graft-par"); t.setDaemon(true); t
       })
 
+  /** Bounded await (VERDICT r15 task 8): `Duration.Inf` meant a hung fit
+    * hung the whole operator with no diagnostic. Generous by default (a
+    * concurrent sub-fit that needs an hour is a bug, not a workload);
+    * override via SPARK_GRAFT_PAR_TIMEOUT_S for pathological clusters. */
+  private lazy val timeout: Duration = Duration(
+    sys.env.get("SPARK_GRAFT_PAR_TIMEOUT_S")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).filter(_ > 0)
+      .getOrElse(3600L), "s")
+
+  /** Await a combined future so the FIRST failure propagates as soon as it
+    * happens (awaiting the futures one by one sat on thunk 0 while thunk 3
+    * had already failed — the failure surfaced only minutes later). The
+    * failed `Future.sequence` carries the thunk's own exception as cause. */
+  private def result[T](f: Future[T]): T =
+    try Await.result(f, timeout)
+    catch {
+      case e: java.util.concurrent.TimeoutException =>
+        throw new RuntimeException(
+          s"Par: concurrent job exceeded $timeout " +
+            "(set SPARK_GRAFT_PAR_TIMEOUT_S to raise)", e)
+    }
+
   /** Run every thunk concurrently; return results in input order. */
   def all[T](thunks: Seq[() => T]): Seq[T] = {
-    val fs = thunks.map(t => Future(t())(pool))
-    fs.map(Await.result(_, Duration.Inf))
+    implicit val ec: ExecutionContext = pool
+    result(Future.sequence(thunks.map(t => Future(t()))))
   }
 
   /** Two heterogeneous thunks concurrently. */
   def two[A, B](a: () => A, b: () => B): (A, B) = {
-    val fa = Future(a())(pool)
-    val fb = Future(b())(pool)
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    implicit val ec: ExecutionContext = pool
+    result(Future(a()).zip(Future(b())))
   }
 }

@@ -1,5 +1,6 @@
 package graft.engine
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -66,7 +67,7 @@ object Ranks {
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint(true) // ONE sampled partitioning for both reads (see above)
+      .materialized // ONE sampled partitioning for both reads (see above)
     val parts = ranged.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__minmid"))
     val prior = Window.orderBy("__pid")
@@ -94,7 +95,7 @@ object Ranks {
     val ranged = df.repartitionByRange(p, order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", value)
-      .localCheckpoint(true) // ONE sampled partitioning for both reads
+      .materialized // ONE sampled partitioning for both reads
     val local = Window.partitionBy("__pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = ranged.withColumn("__cum", sum(col("__v")).over(local))

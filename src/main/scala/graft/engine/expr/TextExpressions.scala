@@ -240,3 +240,52 @@ object TokenStats {
       Array[Any](n, maxC, sumClnc))
   }
 }
+
+/** `lcp_count(a, b)` — the length of the common prefix of two string
+  * arrays: the number of leading positions i with `a[i] = b[i]`, stopping
+  * at the first mismatch or at the shorter array's end.
+  *
+  * Replaces x307's interpreted fold
+  * `aggregate(zip_with(prev, cur, (x,y) -> x = y),
+  *   (0L, true), (acc, m) -> ...)` — zip_with and aggregate are
+  * CodegenFallback, so every adjacent document pair built a padded boolean
+  * array and ran a per-element interpreted lambda. Semantics are replicated
+  * exactly: zip_with pads the shorter side with null and `x = y` is null
+  * there, which stops the fold's counter — i.e. the count is capped at
+  * min(|a|, |b|), exactly this loop's bound. (A null ELEMENT also stops the
+  * fold there; token arrays from split/filter contain none, but the kernel
+  * mirrors it defensively.)
+  */
+case class LcpCount(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lcp_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LcpCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.engine.expr.LcpCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object LcpCount {
+  /** Shared by interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return i.toLong
+      if (!a.getUTF8String(i).equals(b.getUTF8String(i))) return i.toLong
+      i += 1
+    }
+    n.toLong
+  }
+}

@@ -116,6 +116,10 @@ object GraftExtensions {
             s"rolling_fps window must be an integer literal, got $other")
         })))
     e.injectFunction((
+      FunctionIdentifier("lcp_count"),
+      new ExpressionInfo(classOf[LcpCount].getName, "lcp_count"),
+      (args: Seq[Expression]) => LcpCount(args(0), args(1))))
+    e.injectFunction((
       FunctionIdentifier("token_stats"),
       new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
       (args: Seq[Expression]) => TokenStats(args(0))))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
@@ -382,7 +383,7 @@ object Analytics {
   def x294(spark: SparkSession, dir: String): DataFrame = {
     val firsts = Tables.events(spark, dir)
       .groupBy("user_id", "event_type").agg(min(col("ts")).as("t0"))
-      .localCheckpoint(true) // both self-join sides + the per-type totals
+      .materialized // both self-join sides + the per-type totals
     val perType = firsts.groupBy(col("event_type").as("a"))
       .agg(count(lit(1)).as("n_users_a"))
     firsts.select(col("user_id"), col("event_type").as("a"), col("t0").as("ta"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -141,7 +142,7 @@ object AnnIvf {
       Vectors.dense(a.slice(m * pqDs, (m + 1) * pqDs).map(_.toDouble).toArray))
     val pinned = emb.repartition(8, col("vec_id"))
       .sortWithinPartitions("vec_id")
-      .localCheckpoint(true) // one materialization feeds all pqM fits
+      .materialized // one materialization feeds all pqM fits
     val withFeats = (0 until pqM).foldLeft(pinned) { (d, m) =>
       d.withColumn(s"f$m", subVec(col("embedding"), lit(m)))
     }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -143,7 +144,7 @@ object ChiMl {
     // and sum(mcnt) ≡ the previous direct count(1); the un-shared form
     // scanned lineitem once per consumer (the two groupBys' different keys
     // defeat ReusedExchange).
-    val vg = vectorGex(spark, dir).localCheckpoint(true)
+    val vg = vectorGex(spark, dir).materialized
     val gex = vg.groupBy("x1", "x2", "cls").agg(sum(col("mcnt")).as("m"))
     val scored = gex.crossJoin(
       broadcast(ruleBaseFrom(vg, costSensitive, tnormMin = false)))
@@ -247,7 +248,7 @@ object ChiMl {
     * Base for the explainability operators x201/x202. */
   private def winningRule(spark: SparkSession, dir: String): DataFrame = {
     // one corpus scan — the classified() single-aggregate device
-    val vg = vectorGex(spark, dir).localCheckpoint(true)
+    val vg = vectorGex(spark, dir).materialized
     val gex = vg.groupBy("x1", "x2", "cls").agg(sum(col("mcnt")).as("m"))
     val perEx = Window.partitionBy("x1", "x2", "cls")
       .orderBy(col("score").desc, col("rcls"), col("ra1"), col("ra2"))
@@ -399,7 +400,7 @@ object ChiMl {
     * would shuffle every example; this never ranks rows at all. */
   def x272(spark: SparkSession, dir: String): DataFrame = {
     // one corpus scan — the classified() single-aggregate device
-    val vg = vectorGex(spark, dir).localCheckpoint(true)
+    val vg = vectorGex(spark, dir).materialized
     val gex = vg.groupBy("x1", "x2", "cls").agg(sum(col("mcnt")).as("m"))
     val scored = gex.crossJoin(
       broadcast(ruleBaseFrom(vg, costSensitive = true, tnormMin = false)))
@@ -480,7 +481,7 @@ object ChiMl {
     * (k mod 16) mod m ≡ k mod m, and summing the finer multiplicities is
     * the same partial+final aggregation the direct build runs. */
   def x281(spark: SparkSession, dir: String): DataFrame = {
-    val gex16 = mChunkGex(spark, dir, 16).localCheckpoint(true)
+    val gex16 = mChunkGex(spark, dir, 16).materialized
     // the three per-m reports each run an eager bounded-grid fuse off the
     // same checkpointed aggregate — independent work, submitted
     // concurrently (guide §2.6, graft.engine.Par); identical outputs
@@ -512,7 +513,7 @@ object ChiMl {
     * (antecedent, consequent)-keyed BIGINT partial+final aggregate over
     * the ≤ m·L²·|C| partial rules, bounded and broadcast-sized at any m. */
   def x308(spark: SparkSession, dir: String): DataFrame = {
-    val gex16 = mChunkGex(spark, dir, 16).localCheckpoint(true)
+    val gex16 = mChunkGex(spark, dir, 16).materialized
     // concurrent per-m reports (x281's discipline; identical outputs)
     graft.engine.Par.all(Seq(1, 4, 16).map(m =>
         () => mChunkReportFrom(rechunk(gex16, m), m, mChunkAveFusedRbFrom)))
@@ -642,7 +643,7 @@ object ChiMl {
       fuse: DataFrame => DataFrame = mChunkFusedRbFrom): DataFrame = {
     // the fused base is ≤ L²·|C| rows read by two consumers — materialize
     // once instead of re-deriving the whole chunked chain per consumer
-    val fused = fuse(gex).localCheckpoint(true)
+    val fused = fuse(gex).materialized
     val majDf = gex.groupBy("cls").agg(sum(col("mcnt")).as("n"))
       .orderBy(col("n").desc, col("cls")).limit(1)
       .select(col("cls").as("maj"))
@@ -700,7 +701,7 @@ object ChiMl {
   def x285(spark: SparkSession, dir: String): DataFrame = {
     // ONE corpus scan: both t-norm fits, the scoring grain and the majority
     // class all derive from the same checkpointed vector aggregate
-    val gex0 = vectorGex(spark, dir).localCheckpoint(true)
+    val gex0 = vectorGex(spark, dir).materialized
     // concurrent per-t-norm reports (independent eager fits off the one
     // checkpointed aggregate; identical outputs)
     graft.engine.Par.all(Seq(false, true).map(tn => () => frmReports(gex0, tn)))
@@ -711,7 +712,7 @@ object ChiMl {
   private def frmReports(gex0: DataFrame, tnormMin: Boolean): DataFrame = {
     val tname = if (tnormMin) "min" else "prod"
     val fused = ruleBaseFrom(gex0, costSensitive = true, tnormMin = tnormMin)
-      .localCheckpoint(true)
+      .materialized
     val nRules = fused.agg(count(lit(1)).as("n_rules"))
     val gexS = gex0.groupBy("x1", "x2", "cls")
       .agg(sum(col("mcnt")).as("mm"))
@@ -723,7 +724,7 @@ object ChiMl {
     val scored = gexS.crossJoin(broadcast(fused))
       .withColumn("score", round(matchDegree(tnormMin) * col("rw"), 12))
       .withColumn("si", round(col("score") * lit(1e12), 0).cast(LongType))
-      .localCheckpoint(true)
+      .materialized
     val perEx = Window.partitionBy("x1", "x2", "cls")
       .orderBy(col("score").desc, col("rcls"))
     val winW = scored.withColumn("rn", row_number().over(perEx))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -195,7 +196,7 @@ object Clustering {
       cb = cb.join(means, Seq("sub", "code"), "left")
         .select(col("sub"), col("code"),
                 coalesce(col("nce"), col("ce")).as("ce"))
-        .localCheckpoint(true) // flatten per-round lineage (x140's discipline)
+        .materialized // flatten per-round lineage (x140's discipline)
     }
     cb
   }
@@ -385,7 +386,7 @@ object Clustering {
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .materialized
     val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok")).limit(20)
       .select(col("tok"))
@@ -408,7 +409,7 @@ object Clustering {
 
   def x230(spark: SparkSession, dir: String): DataFrame = {
     val per = x230PerQuery(spark, dir)
-      .localCheckpoint(true) // 20 rows; dcg + idcg both consume it
+      .materialized // 20 rows; dcg + idcg both consume it
     val wArr = array(ndcgWeightsMicro.map(lit): _*)
     val dcg = per
       .select(col("q_tok"), posexplode(col("tk")).as(Seq("pos0", "hit")))
@@ -616,7 +617,7 @@ object Clustering {
       .groupBy(col("k"), col("pos").as("l"))
       .agg(sum(col("vk") * col("col")).as("s2"))
     val moments = cntRow.unionByName(firstRows).unionByName(secondRows)
-      .localCheckpoint(true) // two consumers: the driver fit + the output
+      .materialized // two consumers: the driver fit + the output
     val rows = moments.collect().map(r =>
       ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
     val d = 64
@@ -699,7 +700,7 @@ object Clustering {
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("rel").desc, col("cid"))))
       .filter(col("rk") <= poolK).drop("rk")
-      .localCheckpoint(true)
+      .materialized
     val sim = pool.select(col("qid"), col("cid").as("a"), col("ce").as("ace"))
       .join(pool.select(col("qid"), col("cid").as("b"), col("ce").as("bce")),
             Seq("qid"))
@@ -707,7 +708,7 @@ object Clustering {
       .select(col("qid"), col("a"), col("b"),
               VectorKernels.cosine6(col("ace"), col("bce"))
                 .cast(DoubleType).as("sim"))
-      .localCheckpoint(true)
+      .materialized
     val poolSlim = pool.select("qid", "cid", "rel")
     var selected = poolSlim
       .withColumn("mmr", lit(0.7) * col("rel"))
@@ -715,7 +716,7 @@ object Clustering {
         Window.partitionBy("qid").orderBy(col("mmr").desc, col("cid"))))
       .filter(col("rk") === 1)
       .select(col("qid"), col("cid"), lit(1L).as("pick"), col("mmr"))
-      .localCheckpoint(true)
+      .materialized
     for (r <- 2 to 5) {
       val selKeys = selected.select(col("qid").as("sq"), col("cid").as("sc"))
       val remaining = poolSlim.join(selKeys,
@@ -731,7 +732,7 @@ object Clustering {
           Window.partitionBy("qid").orderBy(col("mmr").desc, col("cid"))))
         .filter(col("rk") === 1)
         .select(col("qid"), col("cid"), lit(r.toLong).as("pick"), col("mmr"))
-      selected = selected.unionByName(picked).localCheckpoint(true)
+      selected = selected.unionByName(picked).materialized
     }
     // micro-unit integer output: rounding the PRODUCT to 0 decimals is
     // bit-stable cross-engine (the double x·10⁶ is identical on both, and
@@ -822,9 +823,9 @@ object Clustering {
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // feeds df, the query pick, and the scoring join
+      .materialized // feeds df, the query pick, and the scoring join
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .localCheckpoint(true) // feeds avgdl, the scoring join, and the fill
+      .materialized // feeds avgdl, the scoring join, and the fill
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val queries = df.orderBy(col("df").desc, col("tok")).limit(3)
       .select(col("tok"), col("df"))
@@ -967,7 +968,7 @@ object Clustering {
     // centroid fan-out per side
     val assigned = assign(emb, cents).join(emb, "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"))
-      .localCheckpoint(true)
+      .materialized
     val u = assigned
       .withColumn("crn", row_number().over(
         Window.partitionBy("cell").orderBy("vec_id")))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -48,7 +49,7 @@ object Crossval {
     ChiMl.labeled(spark, dir).withColumn("fold", foldExpr)
       .groupBy("fold", "x1", "x2", "a1", "a2", "cls")
       .agg(count(lit(1)).as("mcnt"))
-      .localCheckpoint(true)
+      .materialized
 
   /** Train one Chi-CS model per distinct `model` key in `trainG` and score
     * it on the matching rows of `testG` — the whole R3–R10 chain with

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -450,7 +451,7 @@ object Curation {
               explode(toks).as("tok"))
       .groupBy("doc_id", "lang", "source", "tok")
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // feeds the LM aggregate AND the scoring join
+      .materialized // feeds the LM aggregate AND the scoring join
     val vocabCnt = tf.groupBy("tok")
       .agg(sum(col("c")).as("c_raw"),
            sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("c_tgt"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -43,10 +44,24 @@ object Extras {
     val docs = Tables.documents(spark, dir)
     // one shingle materialization serves the exact leg and the LSH leg
     // (the x08 sharing device)
-    val shSets = LlmExt2.shingleSets(docs).localCheckpoint(true)
-    val exact = LlmExt2.exactJaccardPairsFrom(shSets)
-    val lsh3 = LlmExt2.bandedPairs(shSets, LlmExt2.minhashSigs(shSets, 3), 3)
-      .select("a", "b")
+    val shSets = LlmExt2.shingleSets(docs).materialized
+    // materialize the tiny confirmed-pair OUTPUTS once: `exact` is consumed
+    // 3× and `lsh3` 2× below, and Spark has no cross-subtree CSE, so the
+    // lazy form re-ran the whole prefix-filter / banded chains per consumer
+    // (the x08 r16 device). The signature frame feeds both sides of the
+    // band self-join — materialize it too so the 6-minhash aggregate runs
+    // once. pruneConfirm: the exact-Jaccard re-attach touches candidate
+    // docs only (guide §2.3/§3.2).
+    // the exact and LSH chains are independent given shSets — materialize
+    // them concurrently (guide §2.6)
+    val (exact, lsh3) = graft.engine.Par.two(
+      () => LlmExt2.exactJaccardPairsFrom(shSets, pruneConfirm = true)
+        .materialized,
+      () => {
+        val sigs = LlmExt2.minhashSigs(shSets, 3).materialized
+        LlmExt2.bandedPairs(shSets, sigs, 3, pruneConfirm = true)
+          .select("a", "b").materialized
+      })
     val unsound = lsh3.join(exact.select("a", "b"), Seq("a", "b"), "left_anti")
       .agg(count(lit(1)).as("n_unsound"))
     val missedDup = exact.filter(col("is_exact_dup")).select("a", "b")

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -350,7 +351,7 @@ object Features {
       .select(when(col("l_extendedprice") > 95000, 1L).otherwise(0L).as("pos"),
               expr("(CAST(l_quantity AS INT) - 1) DIV 10").cast(LongType).as("band"))
       .groupBy("band").agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
-      .localCheckpoint(true) // ≤5 rows; feeds itself + the parent re-agg
+      .materialized // ≤5 rows; feeds itself + the parent re-agg
     val parent = bands.agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"))
       .select(lit(-1L).as("band"), col("n"), col("n_pos"))
     bands.unionByName(parent)
@@ -637,7 +638,7 @@ object Features {
               when(col("o_totalprice") > 150000, 1L).otherwise(0L).as("pos"))
     val grid = folded.groupBy("cat", "fold")
       .agg(count(lit(1)).as("n_f"), sum(col("pos")).as("pos_f"))
-      .localCheckpoint(true) // 3 consumers: grid, per-cat totals, prior
+      .materialized // 3 consumers: grid, per-cat totals, prior
     val perCat = grid.groupBy("cat")
       .agg(sum(col("n_f")).as("n_tot"), sum(col("pos_f")).as("pos_tot"))
     val global = grid.agg(sum(col("n_f")).as("n_all"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -253,7 +254,7 @@ object Governance {
     import spark.implicits._
     val dec = DecimalType(38, 0)
     val qiCols = Seq("c_nationkey", "c_mktsegment", "bal_band")
-    val perCustPrio = x229PerCustPrio(spark, dir).localCheckpoint(true)
+    val perCustPrio = x229PerCustPrio(spark, dir).materialized
     val clsS = perCustPrio
       .groupBy((qiCols :+ "o_orderpriority").map(col): _*)
       .agg(sum(col("n")).as("n_cs"))
@@ -389,14 +390,14 @@ object Governance {
         .otherwise(0L)).as("v_range"),
       sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
         .otherwise(0L)).as("v_set"))
-      .localCheckpoint(true)
+      .materialized
     // one scan: all row-local orders constraints
     val ordRow = ord.agg(
       count(lit(1)).as("n"),
       sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
         .otherwise(0L)).as("v_set"),
       sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_pos"))
-      .localCheckpoint(true)
+      .materialized
     // primary-key uniqueness: duplicate rows beyond the first per key
     val uniq = li.groupBy("l_orderkey", "l_linenumber")
       .agg(count(lit(1)).as("c"))
@@ -411,7 +412,7 @@ object Governance {
            sum(when(col("o_orderkey").isNotNull &&
                     col("l_shipdate") < col("o_orderdate"), 1L)
              .otherwise(0L)).as("v_date"))
-      .localCheckpoint(true)
+      .materialized
     // completeness ratio gate: ppm of events with empty/null props
     val comp = Tables.events(spark, dir).agg(
       count(lit(1)).as("n"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -55,7 +56,7 @@ object Graphs {
     // their persist blocks register (x290 measured 2.9 s -> 5.5 s).
     // Eager-per-round serializes the rounds exactly once each.
     var reached = nodes.filter(col("node") % 97 === 0)
-      .localCheckpoint(true)
+      .materialized
     var frontier = reached
     var levelCounts = Seq(
       reached.agg(count(lit(1)).as("n_nodes"))
@@ -65,10 +66,10 @@ object Graphs {
         .select(col("u").as("node")).distinct()
         .join(reached.select(col("node").as("rn")),
               col("node") === col("rn"), "left_anti")
-        .localCheckpoint(true)
+        .materialized
       levelCounts = levelCounts :+ next.agg(count(lit(1)).as("n_nodes"))
         .select(lit(i.toLong).as("hop"), col("n_nodes"))
-      reached = reached.unionByName(next).localCheckpoint(true)
+      reached = reached.unionByName(next).materialized
       frontier = next
     }
     val unreached = nodes
@@ -77,7 +78,7 @@ object Graphs {
       .agg(count(lit(1)).as("n_nodes"))
       .select(lit(-1L).as("hop"), col("n_nodes"))
     val out = (unreached +: levelCounts).reduce(_ unionByName _)
-      .orderBy("hop").localCheckpoint(true)
+      .orderBy("hop").materialized
     und.unpersist()
     out
   }
@@ -94,7 +95,7 @@ object Graphs {
     * per-round stats are 1-row global aggregates; localCheckpoint flattens
     * the 3-round lineage. */
   def x189(spark: SparkSession, dir: String): DataFrame = {
-    var cur = copurchaseEdges(spark, dir).localCheckpoint(true)
+    var cur = copurchaseEdges(spark, dir).materialized
     var stats = Seq.empty[DataFrame]
     for (r <- 1 to 3) {
       val keep = cur.groupBy("u").agg(count(lit(1)).as("deg"))
@@ -104,7 +105,7 @@ object Graphs {
               "left_semi")
         .join(keep.select(col("u").as("kv")), col("v") === col("kv"),
               "left_semi")
-        .localCheckpoint(true)
+        .materialized
       stats = stats :+ cur
         .agg(countDistinct(col("u")).as("n_nodes"),
              count(lit(1)).as("ne"))
@@ -181,12 +182,12 @@ object Graphs {
         .unionByName(labels)
         .groupBy("node")
         .agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .materialized
     }
     val out = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
       .select(col("label").as("cluster_id"), col("n_docs"))
       .orderBy(col("n_docs").desc, col("cluster_id"))
-      .localCheckpoint(true)
+      .materialized
     und.unpersist()
     out
   }
@@ -263,19 +264,19 @@ object Graphs {
       .groupBy("u", "v").agg(sum(col("cnt")).as("c"))
       .withColumn("w", expr("1000 + 1000000 DIV c"))
       .select("u", "v", "w")
-      .localCheckpoint(true) // reused by all 4 relaxation rounds
+      .materialized // reused by all 4 relaxation rounds
     val df = docs.select(explode(array_distinct(col("ts"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
-      .localCheckpoint(true) // two consumers: the source pick + the top-20
+      .materialized // two consumers: the source pick + the top-20
     val src = df.orderBy(col("df").desc, col("tok").asc).limit(1)
       .select(col("tok").as("v"), lit(0L).as("d"))
-    var dist = src.localCheckpoint(true)
+    var dist = src.materialized
     for (_ <- 1 to 4) {
       dist = dist
         .unionByName(dist.join(edges, dist("v") === edges("u"))
           .select(edges("v"), (dist("d") + edges("w")).as("d")))
         .groupBy("v").agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
+        .materialized
     }
     df.orderBy(col("df").desc, col("tok").asc).limit(20)
       .join(dist, col("tok") === dist("v"), "left")
@@ -345,10 +346,10 @@ object Graphs {
         .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
               col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
-        .localCheckpoint(true), // both sides of the self-join + degree agg
+        .materialized, // both sides of the self-join + degree agg
       () => Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .localCheckpoint(true))
+        .materialized)
     val deg = cp.groupBy("c").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2 && col("deg") <= 256)
       .withColumn("term_micro",
@@ -399,13 +400,13 @@ object Graphs {
     val und = copurchaseEdges(spark, dir)
     val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
     // edges with out-degree attached, built ONCE and reused by all rounds
-    val outE = und.join(deg, "u").localCheckpoint(true)
+    val outE = und.join(deg, "u").materialized
     val seeds = outE.select(col("u").as("node")).distinct()
-      .filter(col("node") % 97 === 0).localCheckpoint(true)
+      .filter(col("node") % 97 === 0).materialized
     val nSeeds = seeds.agg(count(lit(1)).as("ns"))
     val m0tot = seeds.agg((count(lit(1)) * lit(1000000000000L)).as("t0"))
     var mass = seeds.select(col("node"), lit(1000000000000L).as("m"))
-      .localCheckpoint(true)
+      .materialized
     val totals = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (_ <- 1 to 3) {
       val inflow = outE
@@ -419,7 +420,7 @@ object Graphs {
       mass = inflow.unionByName(teleport)
         .groupBy("node").agg(sum(col("c")).as("m"))
         .filter(col("m") > 0)
-        .localCheckpoint(true)
+        .materialized
       totals += mass.agg(sum(col("m")).as("t"))
     }
     val Seq(t1, t2, t3) = totals.toSeq

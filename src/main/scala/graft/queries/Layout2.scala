@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -98,7 +99,7 @@ object Layout2 {
         "CASE WHEN k % 16 <> k % 17 THEN 1L ELSE 0L END AS mod_moved")
       .groupBy("s16", "s17", "mod_moved")
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // ≤544 rows, two consumers: loads + the stats
+      .materialized // ≤544 rows, two consumers: loads + the stats
     val loads = base.groupBy("s16").agg(sum(col("c")).as("load"))
       .agg(max(col("load")).as("max_load16"), min(col("load")).as("min_load16"))
     base.agg(

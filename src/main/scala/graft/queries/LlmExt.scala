@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -136,7 +137,7 @@ object LlmExt {
     * a re-run serve tf from cache, timing only the tail of the query. */
   def q48(spark: SparkSession, dir: String): DataFrame = {
     val (tf, out) = tfidfDag(spark, dir)
-    val snap = out.localCheckpoint(true)
+    val snap = out.materialized
     tf.unpersist()
     snap
   }

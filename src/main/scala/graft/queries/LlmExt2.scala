@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -115,11 +116,25 @@ object LlmExt2 {
     // the same frame — identical literal seeds, so signatures are
     // bit-identical to an independent 3-band build): the previous form
     // computed the CPU-dominant shingle stage 3×/scanned documents 9×
-    val shSets = shingleSets(docs).localCheckpoint(true)
-    val sigs = minhashSigs(shSets, 4).localCheckpoint(true)
-    val exact = exactJaccardPairsFrom(shSets)
-    val lsh4 = bandedPairs(shSets, sigs, 4).select("a", "b")
-    val lsh3 = bandedPairs(shSets, sigs, 3).select("a", "b")
+    val shSets = shingleSets(docs).materialized
+    val sigs = minhashSigs(shSets, 4).materialized
+    // The three pair sets are each consumed 2–3× below (contract anti-joins
+    // + the emitted rows), and Spark performs no cross-subtree CSE — the r15
+    // plan ran the whole exact prefix-filter chain and the 4-band chain
+    // THREE times each (0 ReusedExchange). The confirmed pair frames are
+    // tiny (|near-dup pairs| rows), so materialize the OUTPUTS once and let
+    // every contract aggregate read them (guide §1.2: don't recompute what
+    // you already have).
+    // The three chains read only the two materialized inputs above and are
+    // pairwise independent — submit their materializations concurrently
+    // (guide §2.6) so the band-bucket joins back-fill the exact chain's
+    // window stages.
+    val Seq(exact, lsh4, lsh3) = graft.engine.Par.all(Seq(
+      () => exactJaccardPairsFrom(shSets, pruneConfirm = true).materialized,
+      () => bandedPairs(shSets, sigs, 4, pruneConfirm = true)
+        .select("a", "b").materialized,
+      () => bandedPairs(shSets, sigs, 3, pruneConfirm = true)
+        .select("a", "b").materialized))
     val unsound = lsh4.join(exact.select("a", "b"), Seq("a", "b"), "left_anti")
       .agg(count(lit(1)).as("n_unsound"))
     val missedDup = exact.filter(col("is_exact_dup")).select("a", "b")
@@ -155,7 +170,7 @@ object LlmExt2 {
     // shingle construction and the corpus scan run once, not three times
     // (guide §1.2; at cluster scale this is persist-vs-recompute of one
     // intermediate against two extra corpus passes)
-    val shSets = shingleSets(docs).localCheckpoint(true)
+    val shSets = shingleSets(docs).materialized
     bandedPairs(shSets, minhashSigs(shSets, numBands), numBands)
   }
 
@@ -184,26 +199,47 @@ object LlmExt2 {
           min(xxhash64(col("shingle"), lit(s))).as(s"mh$s")): _*)
 
   /** Banded candidate generation + exact-Jaccard confirm from prepared
-    * shingle sets and (≥ 2·numBands-column) signatures. */
+    * shingle sets and (≥ 2·numBands-column) signatures.
+    *
+    * `pruneConfirm = true` (the full-corpus x01/x08 chains) materializes the
+    * candidate pair set and SEMI-JOIN-PRUNES the shingle frame to candidate
+    * doc_ids before the re-attach (guide §2.3/§3.2: shuffle keys and
+    * metadata, re-attach payloads to candidate rows only) — at scale the
+    * confirm's exchanges then carry only candidate docs' arrays instead of
+    * two full corpus passes of shingle payloads when the candidate side
+    * outgrows the broadcast threshold. Results are identical: the semi-join
+    * keeps every doc_id the inner re-attach joins could match. x110's
+    * matrix-sized planted chains keep the lazy unpruned form (eager
+    * materializations measured slower there — r15 negative result). */
   private[queries] def bandedPairs(shSets: DataFrame, sigs: DataFrame,
-                                   numBands: Int): DataFrame = {
+                                   numBands: Int,
+                                   pruneConfirm: Boolean = false): DataFrame = {
     val keys = sigs.select(col("doc_id"),
         posexplode(array((0 until numBands).map(b =>
           struct(col(s"mh${2 * b}").as("b0"), col(s"mh${2 * b + 1}").as("b1"))): _*)))
       .select(col("doc_id"), col("pos").as("band"),
               col("col.b0").as("b0"), col("col.b1").as("b1"))
-    val cand = keys.as("ka").join(keys.as("kb"),
+    val cand0 = keys.as("ka").join(keys.as("kb"),
         col("ka.band") === col("kb.band") && col("ka.b0") === col("kb.b0") &&
         col("ka.b1") === col("kb.b1") && col("ka.doc_id") < col("kb.doc_id"))
       .select(col("ka.doc_id").as("a"), col("kb.doc_id").as("b")).distinct()
+    val cand = if (pruneConfirm) cand0.materialized else cand0
+    val sh =
+      if (pruneConfirm) {
+        val candIds = cand.select(col("a").as("doc_id"))
+          .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+        shSets.join(candIds, Seq("doc_id"), "left_semi")
+      } else shSets
     // shingle-set re-attach is deliberately UNhinted: per-doc shingle arrays
     // are corpus-sized, so forcing a broadcast would OOM at scale. Size
     // statistics pick broadcast at test scale and degrade to a doc_id-keyed
     // shuffle join on a large corpus (candidates ≪ corpus, so the shuffle
-    // moves only the candidate rows plus one pass of the shingle sets).
+    // moves only the candidate rows plus one pass of the shingle sets —
+    // and with pruneConfirm the shuffled shingle side is candidate rows
+    // only).
     cand
-      .join(shSets.select(col("doc_id").as("a"), col("shingles").as("sha")), "a")
-      .join(shSets.select(col("doc_id").as("b"), col("shingles").as("shb")), "b")
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("shb")), "b")
       .select(col("a"), col("b"),
               size(array_intersect(col("sha"), col("shb"))).cast(LongType)
                 .as("inter"),
@@ -245,9 +281,11 @@ object LlmExt2 {
     * exists on the DuckDB side alone. */
   private[queries] def exactJaccardPairs(docs: DataFrame): DataFrame =
     // 4 internal consumers of the shingle frame — materialize once
-    exactJaccardPairsFrom(shingleSets(docs).localCheckpoint(true))
+    exactJaccardPairsFrom(shingleSets(docs).materialized)
 
-  private[queries] def exactJaccardPairsFrom(shSets: DataFrame): DataFrame = {
+  private[queries] def exactJaccardPairsFrom(shSets: DataFrame,
+                                             pruneConfirm: Boolean = false)
+      : DataFrame = {
     val sh = shSets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("dfs"))
     val w = Window.partitionBy("doc_id").orderBy("dfs", "shingle")
@@ -259,15 +297,24 @@ object LlmExt2 {
       // on integers is DOUBLE division
       .filter(col("rn") <= col("nsh") - expr("(4 * nsh + 4) DIV 5") + 1)
       .select(col("doc_id").as("pa"), col("shingle"))
-    val cand = prefix
+    val cand0 = prefix
       .join(sh.select(col("doc_id").as("pb"), col("shingle")), "shingle")
       .filter(col("pa") =!= col("pb"))
       .select(least(col("pa"), col("pb")).as("a"),
               greatest(col("pa"), col("pb")).as("b"))
       .distinct()
+    // same confirm-prune device as bandedPairs: materialize the candidate
+    // ids once, re-attach shingle payloads to candidate docs only
+    val cand = if (pruneConfirm) cand0.materialized else cand0
+    val shs =
+      if (pruneConfirm) {
+        val candIds = cand.select(col("a").as("doc_id"))
+          .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+        shSets.join(candIds, Seq("doc_id"), "left_semi")
+      } else shSets
     cand
-      .join(shSets.select(col("doc_id").as("a"), col("shingles").as("sha")), "a")
-      .join(shSets.select(col("doc_id").as("b"), col("shingles").as("shb")), "b")
+      .join(shs.select(col("doc_id").as("a"), col("shingles").as("sha")), "a")
+      .join(shs.select(col("doc_id").as("b"), col("shingles").as("shb")), "b")
       .select(col("a"), col("b"),
               size(array_intersect(col("sha"), col("shb"))).cast(LongType)
                 .as("inter"),
@@ -968,7 +1015,7 @@ object LlmExt2 {
   /** x227's chain on an arbitrary documents frame (shared with
     * Round10bSpec's planted corpus/batch). */
   private[graft] def dedupIncremental(docs: DataFrame): DataFrame = {
-    val fps = docFingerprints(docs).distinct().localCheckpoint(true)
+    val fps = docFingerprints(docs).distinct().materialized
     val idx = fps.where(col("doc_id") % 2 === 0).select("fp").distinct()
     val newFps = fps.where(col("doc_id") % 2 === 1)
     val nw = newFps.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
@@ -1016,7 +1063,7 @@ object LlmExt2 {
     val byFp = docFingerprints(docs)
       .groupBy("fp").agg(collect_set(col("doc_id")).as("ds"))
       .filter(size(col("ds")) <= 64)
-      .localCheckpoint(true) // 3 consumers: sizes, pairs, signatures
+      .materialized // 3 consumers: sizes, pairs, signatures
     val kept = byFp.select(col("fp"), explode(col("ds")).as("doc_id"))
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val truth = byFp
@@ -1028,7 +1075,7 @@ object LlmExt2 {
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
       .filter(col("ix") * 2 >= col("na") + col("nb") - col("ix"))
       .select("a", "b")
-      .localCheckpoint(true) // 3 consumers: d1, d2, n_true
+      .materialized // 3 consumers: d1, d2, n_true
     val sig = kept.groupBy("doc_id").agg(
       min((col("fp") * hs.head._1 + hs.head._2) % P).as("mh0"),
       hs.tail.zipWithIndex.map { case ((a, b), i) =>
@@ -1258,7 +1305,7 @@ object LlmExt2 {
     // flagged starts feed BOTH the run ledger and the coverage cut —
     // materialize once (bounded: ≤ one row per token position)
     val gflag = sites.join(gstats, "gram").select("doc_id", "p")
-      .localCheckpoint(true)
+      .materialized
     val byDoc = Window.partitionBy("doc_id").orderBy("p")
     val runsPerDoc = gflag
       .withColumn("brk",
@@ -1276,7 +1323,7 @@ object LlmExt2 {
               coalesce(col("n_runs_cut"), lit(0L)).as("n_runs_cut"))
       .withColumn("kept", expr(
         "filter(toks, (t, i) -> NOT array_contains(cut, CAST(i AS BIGINT)))"))
-      .localCheckpoint(true) // feeds the output AND the survivor audit
+      .materialized // feeds the output AND the survivor audit
     val survive = cleaned
       .filter(size(col("kept")) >= K)
       .select(col("doc_id"),

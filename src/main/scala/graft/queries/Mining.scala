@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -137,43 +138,81 @@ object Mining {
     var toks = Tables.documents(spark, dir)
       .select(explode(filter(split(lower(col("text")), " "), t => t =!= ""))
                 .as("tok"))
-      .localCheckpoint(true)
-    val pairsOf = (df: DataFrame) => df
-      .select(explode(when(length(col("tok")) >= 2,
-        transform(sequence(lit(1), least(length(col("tok")) - 1, lit(32))),
-          i => col("tok").substr(i, lit(2))))
-        .otherwise(array().cast(ArrayType(StringType)))).as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .materialized
+    // ONE job per round (r16): the winner needs per-PAIR counts, the
+    // alphabet size per-SYMBOL distincts — both ride one UNION-of-explodes
+    // aggregate, keyed by the gram itself (pairs are 2-char substrings,
+    // symbols 1-char — disjoint by construction, so one groupBy serves
+    // both). The union's two scan legs run as ONE stage (the r15 form's
+    // two separate aggregate jobs serialized them), and a probe measured
+    // the union shape 2× faster than either the sequential pair+symbol
+    // jobs or an explode(concat(...)) single pass (array concat is an
+    // interpreted per-row copy).
     // Symbol positions capped at 64 — the SAME bound the generated
     // oracle's generate_series(1, 64) applies — so a token longer than
     // 64 chars cannot make the two alphabet counts diverge (ADVICE
     // r10); both bounds dominate the corpus's ≤8-char tokens, and
     // Round10bSpec asserts that token-length contract on the corpus.
-    val nSymAgg = (df: DataFrame) => df
-      .select(explode(transform(
+    // Pair positions capped at 32 (x40's bound, same contract).
+    val gramAgg = (df: DataFrame) => df
+      .select(explode(when(length(col("tok")) >= 2,
+        transform(sequence(lit(1), least(length(col("tok")) - 1, lit(32))),
+          i => col("tok").substr(i, lit(2))))
+        .otherwise(array().cast(ArrayType(StringType)))).as("s"))
+      .unionByName(df.select(explode(transform(
         sequence(lit(1), least(length(col("tok")), lit(64))),
-        i => col("tok").substr(i, lit(1)))).as("sym"))
-      .agg(countDistinct(col("sym")).as("nsym"))
-    val winAgg = (df: DataFrame) =>
-      pairsOf(df).orderBy(col("cnt").desc, col("pair")).limit(1)
+        i => col("tok").substr(i, lit(1)))).as("s")))
+      .groupBy("s").agg(count(lit(1)).as("cnt"))
+    // The grouped frame is |alphabet|² + |alphabet| rows at ANY corpus
+    // scale — bounded driver state (the x314 precedent), so the winner
+    // argmax and the distinct-symbol count fold driver-side from ONE
+    // collect instead of a crossJoin of sub-aggregate jobs. Tie-break
+    // (cnt desc, pair asc) compares BMP-only strings (ASCII corpus +
+    // U+0100.. placeholders), where Java's UTF-16 order ≡ the binary
+    // UTF-8 order both engines' SQL comparisons use.
+    def gramStats(df: DataFrame): ((String, Long), Long) = {
+      val rows = gramAgg(df).collect()
+      val (pairs, syms) = rows.map(r => (r.getString(0), r.getLong(1)))
+        .partition(_._1.length == 2)
+      val win = pairs.minBy { case (p, c) => (-c, p) }
+      (win, syms.length.toLong)
+    }
     // Iteration k needs (winning pair of toks_k, alphabet of toks_{k+1}):
-    // the alphabet-of-current and winner-of-current aggregates read the
-    // SAME checkpointed frame, so they ride ONE collect (crossJoin of two
-    // 1-row aggregates) — halving the driver round trips per iteration
-    // versus the separate nSym and win collects (same aggregates, same
-    // values; the BPE chain itself is inherently sequential).
-    var pending = winAgg(toks).collect()(0)
+    // both come out of the ONE gramStats collect on toks_{k+1} — one
+    // corpus scan and one driver round trip per merge (the r15 form ran
+    // a checkpoint write plus TWO aggregate scans per merge; the crossJoin
+    // of 1-row aggregates still scanned the frame once per aggregate,
+    // Spark having no cross-subtree CSE).
+    //
+    // Round k's token frame is the base frame under a CHAIN of k nested
+    // replace()s, NOT a per-round materialization (VERDICT r15 task 5):
+    // the r15 form checkpointed the full rewritten token frame every
+    // merge — 4 corpus-scale write+read round trips whose only purpose
+    // was to feed the next round's aggregates. replace() is a pure
+    // per-row function, so composing the merges into the aggregate's
+    // projection computes the identical frame value with ZERO intermediate
+    // materializations; each round pays k extra map-side substring passes
+    // (k ≤ 4 here) instead of a corpus write — the guide §1.2 trade
+    // (recompute cheap map work, never persist what one pass can rebuild).
+    // Production at larger merge counts re-materializes every
+    // SPARK_GRAFT_BPE_CKPT merges (default 8) to cap the recompute depth.
+    val ckptEvery = sys.env.get("SPARK_GRAFT_BPE_CKPT")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+      .getOrElse(8)
+    var rewrites = 0 // merges folded into `tokCol` since the last base
+    var tokCol = col("tok")
+    var pending = gramStats(toks)._1
     val rows = (0 until iters).map { k =>
-      val (bp, cnt) = (pending.getString(0), pending.getLong(1))
+      val (bp, cnt) = pending
       val ph = (0x100 + k).toChar.toString
-      toks = toks
-        .select(replace(col("tok"), lit(bp), lit(ph)).as("tok"))
-        .localCheckpoint(true)
-      val nSym = if (k < iters - 1) {
-        val row = nSymAgg(toks).crossJoin(winAgg(toks)).collect()(0)
-        pending = org.apache.spark.sql.Row(row.getString(1), row.getLong(2))
-        row.getLong(0)
-      } else nSymAgg(toks).collect()(0).getLong(0)
+      tokCol = replace(tokCol, lit(bp), lit(ph))
+      rewrites += 1
+      if (rewrites >= ckptEvery) {
+        toks = toks.select(tokCol.as("tok")).materialized
+        tokCol = col("tok"); rewrites = 0
+      }
+      val (win, nSym) = gramStats(toks.select(tokCol.as("tok")))
+      pending = win
       (k + 1L, bp, cnt, nSym)
     }
     rows.toDF("iter", "pair", "cnt", "n_symbols").orderBy("iter")
@@ -488,7 +527,7 @@ object Mining {
       .select(explode(filter(split(lower(col("text")), " "),
                              t => t =!= "")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // three consumers: bi, tri, the fold
+      .materialized // three consumers: bi, tri, the fold
     def grams(n: Int, k: Int): Array[String] = vocab
       .select(explode(expr(
         s"""CASE WHEN length(tok) < $n THEN array()
@@ -572,7 +611,7 @@ object Mining {
       .select(explode(filter(split(lower(col("text")), " "),
                              t => t =!= "")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // four consumers: bi, tri, chars, the fold(s)
+      .materialized // four consumers: bi, tri, chars, the fold(s)
     def gramsW(n: Int, k: Int): Array[(String, Long)] = vocab
       .select(explode(expr(
         s"""CASE WHEN length(tok) < $n THEN array()
@@ -731,7 +770,7 @@ object Mining {
       bi.map { case (g, u) => (g, x262Weight(u, 2)) },
       tri.map { case (g, u) => (g, x262Weight(u, 3)) })
     val u0 = pieceUsage(seg0, "usage_r0")
-      .localCheckpoint(true) // two consumers: the M-step collect + output join
+      .materialized // two consumers: the M-step collect + output join
     // M-step: ≤ 250 rows (inventory-bounded, never corpus-sized)
     val u0m = u0.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     def w1(e: Array[(String, Long)], len: Int) =
@@ -786,7 +825,7 @@ object Mining {
       e.map { case (g, _) => (g, x262Weight(u0m.getOrElse(g, 0L) + 1L, len)) }
     val seg1 = unigramSegmentsWith(vocab, w1(chars, 1), w1(bi, 2), w1(tri, 3))
     val u1 = pieceUsage(seg1, "usage_r1")
-      .localCheckpoint(true) // two consumers: prune/re-weight collect + output join
+      .materialized // two consumers: prune/re-weight collect + output join
     val u1m = u1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     def w2(e: Array[(String, Long)], len: Int) =
       e.collect { case (g, _) if len == 1 || u1m.getOrElse(g, 0L) >= x283MinUse =>

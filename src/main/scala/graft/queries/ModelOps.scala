@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -46,7 +47,7 @@ object ModelOps {
     * driver-side metadata I/O, classification stays the broadcast stateless
     * projection. */
   def x204(spark: SparkSession, dir: String): DataFrame = {
-    val train = features(spark, dir).localCheckpoint(true) // fit + transform
+    val train = features(spark, dir).materialized // fit + transform
     val path = s"/tmp/graft_model_${tag(dir)}"
     fit(train).write.overwrite().save(path)
     val loaded = ChiCSModel.load(path)
@@ -97,7 +98,7 @@ object ModelOps {
       when(col("l_quantity") > 42, 2)
         .when(col("l_quantity") > 18, 1)
         .otherwise(0).as("label"))
-      .localCheckpoint(true) // fit + transform read it
+      .materialized // fit + transform read it
     val model = new ChiCSClassifier()
       .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
       .setFeatureRanges(Array(1.0, 50.0, 0.0, 0.1))
@@ -116,7 +117,7 @@ object ModelOps {
     * 100 TB: the range pass is one partial+final min/max aggregate —
     * the single extra scan the auto path costs. */
   def x208(spark: SparkSession, dir: String): DataFrame = {
-    val train = features(spark, dir).localCheckpoint(true) // fit + transform
+    val train = features(spark, dir).materialized // fit + transform
     val model = new ChiCSClassifier()
       .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
       .fit(train)
@@ -143,7 +144,7 @@ object ModelOps {
     // own compression theorem
     val gex = features(spark, dir)
       .groupBy("x1", "x2", "label").agg(count(lit(1)).as("w"))
-      .localCheckpoint(true)
+      .materialized
     // concurrent per-L fits (x215's discipline; identical outputs)
     graft.engine.Par.all(Seq(3, 5).map { l => () =>
       val model = new ChiCSClassifier()
@@ -221,7 +222,7 @@ object ModelOps {
           .otherwise(0).as("label"))
       .groupBy("x1", "x2", "x3", "x4", "x5", "x6", "label")
       .agg(count(lit(1)).as("w"))
-      .localCheckpoint(true)
+      .materialized
     // the three width-n fits are independent eager estimator fits off the
     // one checkpointed aggregate — run concurrently (guide §2.6,
     // graft.engine.Par); per-fit data/params unchanged, outputs identical
@@ -433,7 +434,7 @@ object ModelOps {
 
   def x302(spark: SparkSession, dir: String): DataFrame = {
     val base = qualityFeatures(spark, dir)
-      .localCheckpoint(true) // feeds fit AND transform — one corpus scan
+      .materialized // feeds fit AND transform — one corpus scan
     val model = new ChiCSClassifier()
       .setFeatureCols(Array("x1", "x2")).setLabelCol("label")
       .setFeatureRanges(Array(10.0, 100.0, 0.0, 100.0))
@@ -502,7 +503,7 @@ object ModelOps {
       .groupBy("source", "x1", "x2", "label").agg(count(lit(1)).as("m"))
       .withColumn("a1", ChiCore.argmaxLabel(ChiCore.memberships(col("x1"), Q1)))
       .withColumn("a2", ChiCore.argmaxLabel(ChiCore.memberships(col("x2"), Q2)))
-      .localCheckpoint(true) // the ONLY corpus-derived frame (5 consumers)
+      .materialized // the ONLY corpus-derived frame (5 consumers)
     // candidate antecedents + seeding sources: a candidate seeded only by
     // the left-out source is not generated by the LOSO fit at all.
     // seeds/sums and the model list are independent eager materializations
@@ -514,7 +515,7 @@ object ModelOps {
         .groupBy("ra1", "ra2", "rcls")
         .agg(countDistinct(col("source")).as("n_seed_src"),
              max(col("source")).as("a_seed_src"))
-        .localCheckpoint(true)
+        .materialized
       val ants = seeds.select("ra1", "ra2", "rcls")
       // exact per-(candidate, source) weight sums (cost-free base Chi)
       val term = round(ChiCore.membershipAt(col("x1"), col("ra1"), Q1) *
@@ -526,12 +527,12 @@ object ModelOps {
         .groupBy("source", "ra1", "ra2", "rcls")
         .agg(sum(when(col("label") === col("rcls"), col("w"))).as("s_match"),
              sum(col("w")).as("s_all"))
-        .localCheckpoint(true)
+        .materialized
       (seeds, sums)
     }, () =>
       gex.select(col("source").as("lo")).distinct()
         .unionByName(gex.select(lit("(full)").as("lo")).limit(1))
-        .localCheckpoint(true))
+        .materialized)
     val tot = sums.groupBy("ra1", "ra2", "rcls")
       .agg(sum(col("s_match")).as("t_match"), sum(col("s_all")).as("t_all"))
     val rb = tot.crossJoin(broadcast(models))
@@ -557,7 +558,7 @@ object ModelOps {
           .orderBy(col("rw").desc, col("rcls"))))
       .filter(col("rn") === 1)
       .select(col("lo"), col("ra1"), col("ra2"), col("rcls"), col("rw"))
-      .localCheckpoint(true) // scoring + change-count + n_rules read it
+      .materialized // scoring + change-count + n_rules read it
     (gex, models, rb)
   }
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -352,7 +353,7 @@ object MultimodalOps {
     * bits — the x223 lesson) and the distance+argmin collapse is one
     * partial+final struct-min aggregate, no window sort. */
   def x228(spark: SparkSession, dir: String): DataFrame = {
-    val h = ahashFrame(spark, dir).localCheckpoint(true)
+    val h = ahashFrame(spark, dir).materialized
     val bands = h.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
       posexplode(array((0 until 8).map { j =>
         expr(s"(${if (j < 4) "ahash_lo" else "ahash_hi"} DIV ${1L << (8 * (j % 4))}) % 256")
@@ -415,7 +416,7 @@ object MultimodalOps {
         last(when(col("kind") === 0, col("idx")), ignoreNulls = true).over(w))
       .filter(col("kind") === 1)
       .select("doc_id", "idx", "cur_frame")
-      .localCheckpoint(true)
+      .materialized
     val out = matched.groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
            (max(col("cur_frame")) + 1).as("n_frames_hit"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -404,22 +405,19 @@ object Organize {
         .select("doc_id", "text"))
       .select(col("doc_id"), lower(col("text")).as("key"), toks.as("toks"))
       .filter(size(col("toks")) >= 1)
-      .localCheckpoint(true) // feeds both orderings' rank passes
+      .materialized // feeds both orderings' rank passes
     def report(order: Seq[org.apache.spark.sql.Column], label: String): DataFrame = {
       val ranked = graft.engine.Ranks.globalRowNumber(base, order, "r")
       val pairs = ranked.select(col("r"), col("toks").as("cur_toks"))
         .join(ranked.select((col("r") + 1L).as("r"),
                             col("toks").as("prev_toks")), "r")
-      // LCP fold: count leading positions while every earlier one matched;
-      // zip_with pads the shorter array with null and null kills `go`
-      val matches = zip_with(col("prev_toks"), col("cur_toks"),
-                             (x, y) => x === y)
-      val lcp = aggregate(matches,
-        struct(lit(0L).as("n"), lit(true).as("go")),
-        (acc, m) => struct(
-          when(acc("go") && m, acc("n") + 1L).otherwise(acc("n")).as("n"),
-          (acc("go") && m).as("go")),
-        acc => acc("n"))
+      // LCP via the native lcp_count kernel (engine/expr/TextExpressions):
+      // bit-identical to the previous zip_with + aggregate fold (count
+      // leading matching positions, capped at the shorter array — the
+      // null padding that killed `go` is exactly the min-length cap),
+      // which was CodegenFallback and interpreted a per-element lambda
+      // over every adjacent pair's padded boolean array.
+      val lcp = call_function("lcp_count", col("prev_toks"), col("cur_toks"))
       pairs.select(lcp.as("lcp"),
                    size(col("cur_toks")).cast(LongType).as("nt"))
         .agg(count(lit(1)).as("n_pairs"),

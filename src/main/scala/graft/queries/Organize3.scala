@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -162,12 +163,12 @@ object Organize3 {
         .agg(max_by(struct(col("label")),
                     struct(col("c"), negate(col("label")))).as("best"))
         .select(col("node"), col("best.label").as("label"))
-        .localCheckpoint(true)
+        .materialized
     }
     val out = labels.groupBy("label")
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("n_nodes").desc, col("label"))
-      .localCheckpoint(true)
+      .materialized
     und.unpersist()
     out
   }

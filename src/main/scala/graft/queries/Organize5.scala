@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -96,7 +97,7 @@ object Organize5 {
       .groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_customers"), sum(col("m_cents")).as("sum_m_cents"))
       .orderBy("r_q", "f_q", "m_q")
-      .localCheckpoint(true)
+      .materialized
     rfm.unpersist()
     out
   }

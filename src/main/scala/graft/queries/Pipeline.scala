@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -382,7 +383,7 @@ object Pipeline {
     var labels = edges.groupBy("u").agg(min(col("v")).as("nb"))
       .select(col("u").as("node"),
               least(col("u"), col("nb")).as("label"))
-      .localCheckpoint(true)
+      .materialized
     // sum() of an empty input is SQL NULL — treat as 0 (empty corpus: the
     // loop converges immediately and returns an empty component table)
     def labelSum(d: DataFrame): Long = {
@@ -402,7 +403,7 @@ object Pipeline {
       // checkpointing additionally keeps the doubling join's lineage flat)
       val nm = labels.unionByName(prop)
         .groupBy("node").agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .materialized
       // … then pointer doubling (adopt the label's own label), which squares
       // the propagation distance per round: O(log diameter) rounds total.
       // (A leapfrog variant running two of these passes per checkpoint was
@@ -413,7 +414,7 @@ object Pipeline {
               col("x.label") === col("jn"), "left")
         .select(col("x.node").as("node"),
                 least(col("x.label"), coalesce(col("jl"), col("x.label"))).as("label"))
-      val next = jumped.localCheckpoint(true)
+      val next = jumped.materialized
       val s = labelSum(next)
       // superseded rounds' checkpoint blocks are reclaimed by the
       // ContextCleaner once the old Dataset is unreferenced (localCheckpoint
@@ -431,7 +432,7 @@ object Pipeline {
       .select(col("doc_id"),
               coalesce(col("label"), col("doc_id")).as("comp"))
       .orderBy("doc_id")
-      .localCheckpoint(true)
+      .materialized
     edges.unpersist()
     out
   }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType}
@@ -126,7 +127,7 @@ object RecallMatrices {
     // one materialization serves the same-cell twin count AND all three
     // probe-width sweeps below (the un-checkpointed form recomputed the
     // assignment scan once per consumer)
-    val assigned = assignedRaw.localCheckpoint(true)
+    val assigned = assignedRaw.materialized
     val cells = assigned.select(col("vec_id"), col("cell"))
     val x18Found = cells.as("x").join(cells.as("y"),
         col("y.vec_id") === col("x.vec_id") + Offset &&
@@ -164,7 +165,7 @@ object RecallMatrices {
       .select(col("qid"), col("probe_rank"),
         VectorKernels.cosine6(col("embedding"), col("qe"))
           .cast("double").as("cos6"))
-      .localCheckpoint(true)
+      .materialized
     def sweep(np: Int): (DataFrame, DataFrame) = {
       val cand = cand4.filter(col("probe_rank") <= np)
       val found = cand
@@ -186,7 +187,7 @@ object RecallMatrices {
     // two consumers (both sides of the twin self-join) — materialize the
     // 8-byte code projection once
     val codes = encoded.select(col("vec_id") +: codeCols: _*)
-      .localCheckpoint(true)
+      .materialized
     val pqFound = codes.as("x").join(codes.as("y"),
         col("y.vec_id") === col("x.vec_id") + Offset &&
           (0 until 8).map(m => col(s"x.code$m") === col(s"y.code$m"))
@@ -281,22 +282,6 @@ object RecallMatrices {
     val ((assignedC, centersC), (encodedC, booksC)) = graft.engine.Par.two(
       () => AnnIvf.quantizeEmb(clustered),
       () => AnnIvf.pqEncode(clustered))
-    // probed candidates feed BOTH legs — materialize once (bounded:
-    // ≤ np/nlist of the clustered corpus per query)
-    val candC = AnnIvf.probedCells(qframe, centersC, 4)
-      .join(assignedC, "cell")
-      .filter(col("vec_id") =!= col("qid"))
-      .localCheckpoint(true)
-    def isMember = col("vec_id") >= lit(ClusterOff) + col("qid") * 32L &&
-      col("vec_id") <= lit(ClusterOff) + col("qid") * 32L + lit(M - 1L)
-    val byQ = Window.partitionBy("qid")
-    val ivfFound = candC
-      .withColumn("cos", VectorKernels.cosine6(col("embedding"), col("qe"))
-        .cast(DoubleType))
-      .withColumn("rk", row_number().over(
-        byQ.orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rk") <= 20 && isMember)
-      .agg(count(lit(1)).as("found"))
     // ADC via the native pq_adc kernel (engine/expr/PqAdcExpression):
     // bit-identical fold to the previous
     // aggregate(zip_with(concat(element_at(book_m, code_m+1)...), qe, ...))
@@ -305,16 +290,42 @@ object RecallMatrices {
     // runtime. Same terms, same order, same IEEE ops; now a straight-line
     // primitive loop inside whole-stage codegen.
     val booksLit = typedLit(booksC.map(_.map(_.toSeq).toSeq).toSeq)
+    // Probed candidates feed BOTH legs — materialize ONCE, and materialize
+    // METADATA, not payloads (guide §2.3; VERDICT r15 task 3): the r15 form
+    // checkpointed (qid, qe, cell, vec_id, embedding) — two 64-float arrays
+    // per candidate row — then joined the PQ codes onto the candidate frame
+    // (a second candidate-scale shuffle) and ranked. Both legs only ever
+    // consume (qid, vec_id, cos, adc): the 8-byte codes ride the corpus-
+    // keyed assignment join (one 1:1 join BEFORE candidate fan-out, corpus
+    // rows ≪ candidate rows), cos and adc are computed in the same
+    // projection, and the embeddings never pass the materialization or the
+    // rank-window exchanges. Row set and every cos/adc value are unchanged:
+    // the codes join is 1:1 on vec_id, and both expressions see the same
+    // inputs as before.
+    val candC = AnnIvf.probedCells(qframe, centersC, 4)
+      .join(assignedC.join(
+        encodedC.select(col("vec_id") +:
+          (0 until 8).map(m => col(s"code$m")): _*), "vec_id"), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorKernels.cosine6(col("embedding"), col("qe"))
+          .cast(DoubleType).as("cos"),
+        call_function("pq_adc",
+          col("qe") +: booksLit +: (0 until 8).map(m => col(s"code$m")): _*)
+          .as("adc"))
+      .materialized
+    def isMember = col("vec_id") >= lit(ClusterOff) + col("qid") * 32L &&
+      col("vec_id") <= lit(ClusterOff) + col("qid") * 32L + lit(M - 1L)
+    val byQ = Window.partitionBy("qid")
+    val ivfFound = candC
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 20 && isMember)
+      .agg(count(lit(1)).as("found"))
     val pqFoundC = candC
-      .join(encodedC.select(col("vec_id") +:
-        (0 until 8).map(m => col(s"code$m")): _*), "vec_id")
-      .withColumn("adc", call_function("pq_adc",
-        col("qe") +: booksLit +: (0 until 8).map(m => col(s"code$m")): _*))
       .withColumn("srk", row_number().over(
         byQ.orderBy(col("adc"), col("vec_id"))))
       .filter(col("srk") <= 100)
-      .withColumn("cos", VectorKernels.cosine6(col("embedding"), col("qe"))
-        .cast(DoubleType))
       .withColumn("rk", row_number().over(
         byQ.orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rk") <= 20 && isMember)

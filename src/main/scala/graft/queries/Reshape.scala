@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -290,14 +291,14 @@ object Reshape {
       .select((col("doc_id") % 2).as("side"),
               expr(kmvHashSql("fp")).as("h"))
       .distinct()
-      .localCheckpoint(true) // consumers: two sketches + the truth aggs
+      .materialized // consumers: two sketches + the truth aggs
     def sketch(side: Int) = hs.filter(col("side") === side)
       .agg(call_function("topk_pairs",
         negate(col("h").cast(DoubleType)), col("h"), lit(256)).as("sk"))
       .select(explode(col("sk")).as("e"))
       .select(col("e.tag").as("h"))
-    val ka = sketch(0).localCheckpoint(true) // ≤256 rows, 3 consumers
-    val kb = sketch(1).localCheckpoint(true)
+    val ka = sketch(0).materialized // ≤256 rows, 3 consumers
+    val kb = sketch(1).materialized
     val ku = ka.unionByName(kb).distinct()
       .orderBy("h").limit(256) // the MERGE: k smallest of the two sketches
     val both = ka.intersect(kb)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -331,7 +332,7 @@ object StatProtocol {
     val pre = bins
       .withColumn("cn", sum(col("n")).over(byBin))
       .withColumn("cpos", sum(col("pos")).over(byBin))
-      .localCheckpoint(true)
+      .materialized
     val iLeg = pre.select(col("bin").as("i"))
     val jLeg = pre.select(col("bin").as("j"),
                           (col("cn") - col("n")).as("cn_j0"),

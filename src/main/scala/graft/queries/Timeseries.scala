@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -287,7 +288,7 @@ object Timeseries {
            (1 until 4).map(i =>
              coalesce(sum(when(col("seg") === i, col("c"))), lit(0L))
                .as(s"s$i")): _*)
-      .localCheckpoint(true) // bounded by |active users|; 3 consumers
+      .materialized // bounded by |active users|; 3 consumers
     val vals = segs.selectExpr("stack(4, s0, s1, s2, s3) AS (v)")
     // x176's two-phase exact order statistic for the 3 quartile targets
     val h1 = vals.groupBy(expr(s"v DIV $W").as("b"))

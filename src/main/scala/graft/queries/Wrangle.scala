@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Mat.MatOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -91,7 +92,7 @@ object Wrangle {
     // materialize once instead of re-running the corpus explode per consumer
     val uni = d.select(explode(col("tk")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("u"))
-      .localCheckpoint(true)
+      .materialized
     // ALL pair counts, materialized once (vocab²-bounded): M must be the
     // total bigram mass — summing it after the support filter would inflate
     // every PMI — and the checkpoint lets the tiny M aggregate and the
@@ -99,7 +100,7 @@ object Wrangle {
     // corpus explode (x24's lineage-cut pattern).
     val pairsAll = docBigrams(spark, dir)
       .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("b"))
-      .localCheckpoint(true)
+      .materialized
     val totals = uni.agg(sum(col("u")).as("n_tokens"))
       .crossJoin(pairsAll.agg(sum(col("b")).as("m")))
     pairsAll.filter(col("b") >= 5)
@@ -132,7 +133,7 @@ object Wrangle {
     val st = Tables.documents(spark, dir)
       .select(col("source"), explode(toks).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
-      .localCheckpoint(true)
+      .materialized
     val tokTot = st.groupBy("tok").agg(sum(col("c_st")).as("c_t"))
     val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
     val corpus = tokTot.agg(sum(col("c_t")).as("n_corpus"))
@@ -320,7 +321,7 @@ object Wrangle {
     val score = docBigrams(spark, dir)
     val pairCnt = docBigrams(spark, dir)
       .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("b"))
-      .localCheckpoint(true)
+      .materialized
     val headCnt = pairCnt.groupBy("tok_a").agg(sum(col("b")).as("h"))
     score
       .join(broadcast(pairCnt), Seq("tok_a", "tok_b"))
@@ -348,21 +349,21 @@ object Wrangle {
   def x67(spark: SparkSession, dir: String): DataFrame = {
     val pairCnt = docBigrams(spark, dir)
       .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("b"))
-      .localCheckpoint(true)
+      .materialized
     // symmetrize: w(a,b) = B(a,b) + B(b,a), one row per directed edge
     val edges = pairCnt.select(col("tok_a").as("src"), col("tok_b").as("dst"), col("b"))
       .unionByName(pairCnt.select(col("tok_b").as("src"), col("tok_a").as("dst"), col("b")))
       .groupBy("src", "dst").agg(sum(col("b")).as("w"))
-      .localCheckpoint(true)
+      .materialized
     val strength = edges.groupBy("src").agg(sum(col("w")).as("s"))
     val outEdges = edges.join(strength, "src")
       .select(col("src"), col("dst"),
               (col("w").cast(DoubleType) / col("s").cast(DoubleType)).as("frac"))
-      .localCheckpoint(true)
+      .materialized
     val nV = outEdges.select(col("src")).distinct().count()
     var pr = outEdges.select(col("src").as("tok")).distinct()
       .withColumn("p", lit(1.0 / nV))
-      .localCheckpoint(true)
+      .materialized
     for (_ <- 1 to 5) {
       pr = outEdges
         .join(pr, col("src") === col("tok"))
@@ -370,7 +371,7 @@ object Wrangle {
         .agg(sum(col("p") * col("frac")).as("mass"))
         .select(col("tok2").as("tok"),
                 (lit(0.15 / nV) + lit(0.85) * col("mass")).as("p"))
-        .localCheckpoint(true)
+        .materialized
     }
     pr.select(col("tok"), round(col("p"), 6).as("pr")).orderBy("tok")
   }
@@ -895,7 +896,7 @@ object Wrangle {
   def x293(spark: SparkSession, dir: String): DataFrame = {
     val pairCnt = docBigrams(spark, dir)
       .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("b"))
-      .localCheckpoint(true)
+      .materialized
     val headCnt = pairCnt.groupBy("tok_a").agg(sum(col("b")).as("h"))
     val model = pairCnt.join(headCnt, "tok_a")
       .select(col("tok_a"), col("tok_b"),
