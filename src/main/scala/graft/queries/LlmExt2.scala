@@ -178,7 +178,7 @@ object LlmExt2 {
     * expression (graft.engine.expr.Shingles) replaces the interpreted
     * transform/slice/concat_ws/array_distinct lambda chain; spread the
     * single-split scan across cores first. */
-  private[queries] def shingleSets(docs: DataFrame): DataFrame =
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
     Tables.fanOut(docs)
       .select(col("doc_id"),
               call_function("shingles", col("text"), lit(3)).as("shingles"))
@@ -191,7 +191,7 @@ object LlmExt2 {
     * whatever the width, so the shared columns of a wider signature frame
     * are bit-identical to a narrower one's — x08/x110 compute the 4-band
     * frame once and run the 3-band chain off the same columns. */
-  private[queries] def minhashSigs(shSets: DataFrame, numBands: Int): DataFrame =
+  private[graft] def minhashSigs(shSets: DataFrame, numBands: Int): DataFrame =
     shSets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .groupBy("doc_id").agg(
         min(xxhash64(col("shingle"), lit(0))).as("mh0"),
@@ -211,7 +211,7 @@ object LlmExt2 {
     * keeps every doc_id the inner re-attach joins could match. x110's
     * matrix-sized planted chains keep the lazy unpruned form (eager
     * materializations measured slower there — r15 negative result). */
-  private[queries] def bandedPairs(shSets: DataFrame, sigs: DataFrame,
+  private[graft] def bandedPairs(shSets: DataFrame, sigs: DataFrame,
                                    numBands: Int,
                                    pruneConfirm: Boolean = false): DataFrame = {
     val keys = sigs.select(col("doc_id"),
@@ -283,7 +283,7 @@ object LlmExt2 {
     // 4 internal consumers of the shingle frame — materialize once
     exactJaccardPairsFrom(shingleSets(docs).materialized)
 
-  private[queries] def exactJaccardPairsFrom(shSets: DataFrame,
+  private[graft] def exactJaccardPairsFrom(shSets: DataFrame,
                                              pruneConfirm: Boolean = false)
       : DataFrame = {
     val sh = shSets.select(col("doc_id"), explode(col("shingles")).as("shingle"))

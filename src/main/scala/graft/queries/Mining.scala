@@ -132,6 +132,21 @@ object Mining {
     * the token frame is materialized ONCE up front (localCheckpoint) so
     * R rounds cost R bounded aggregates over it, not R corpus re-scans of
     * the raw table. */
+  /** x225's per-round gram aggregate — (s, cnt) over the union of 2-char
+    * pair substrings (positions ≤ 32) and 1-char symbols (positions ≤ 64)
+    * of every token; pairs and symbols are disjoint by length, so one
+    * groupBy serves the winner argmax AND the distinct-symbol count.
+    * Package-visible for Round16Spec's equivalence pin. */
+  private[graft] def x225GramAgg(df: DataFrame): DataFrame = df
+    .select(explode(when(length(col("tok")) >= 2,
+      transform(sequence(lit(1), least(length(col("tok")) - 1, lit(32))),
+        i => col("tok").substr(i, lit(2))))
+      .otherwise(array().cast(ArrayType(StringType)))).as("s"))
+    .unionByName(df.select(explode(transform(
+      sequence(lit(1), least(length(col("tok")), lit(64))),
+      i => col("tok").substr(i, lit(1)))).as("s")))
+    .groupBy("s").agg(count(lit(1)).as("cnt"))
+
   def x225(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val iters = 4
@@ -154,15 +169,7 @@ object Mining {
     // r10); both bounds dominate the corpus's ≤8-char tokens, and
     // Round10bSpec asserts that token-length contract on the corpus.
     // Pair positions capped at 32 (x40's bound, same contract).
-    val gramAgg = (df: DataFrame) => df
-      .select(explode(when(length(col("tok")) >= 2,
-        transform(sequence(lit(1), least(length(col("tok")) - 1, lit(32))),
-          i => col("tok").substr(i, lit(2))))
-        .otherwise(array().cast(ArrayType(StringType)))).as("s"))
-      .unionByName(df.select(explode(transform(
-        sequence(lit(1), least(length(col("tok")), lit(64))),
-        i => col("tok").substr(i, lit(1)))).as("s")))
-      .groupBy("s").agg(count(lit(1)).as("cnt"))
+    val gramAgg = x225GramAgg _
     // The grouped frame is |alphabet|² + |alphabet| rows at ANY corpus
     // scale — bounded driver state (the x314 precedent), so the winner
     // argmax and the distinct-symbol count fold driver-side from ONE

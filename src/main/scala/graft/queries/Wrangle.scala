@@ -89,18 +89,21 @@ object Wrangle {
   def x59(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(toks.as("tk"))
     // vocab-bounded and read three times (N total, U(a) join, U(b) join) —
-    // materialize once instead of re-running the corpus explode per consumer
-    val uni = d.select(explode(col("tk")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("u"))
-      .materialized
-    // ALL pair counts, materialized once (vocab²-bounded): M must be the
-    // total bigram mass — summing it after the support filter would inflate
-    // every PMI — and the checkpoint lets the tiny M aggregate and the
-    // supported-pair join both read this table instead of re-running the
-    // corpus explode (x24's lineage-cut pattern).
-    val pairsAll = docBigrams(spark, dir)
-      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("b"))
-      .materialized
+    // materialize once instead of re-running the corpus explode per
+    // consumer. The unigram and bigram aggregates are independent corpus
+    // scans — submit the two materializations concurrently (guide §2.6).
+    val (uni, pairsAll) = graft.engine.Par.two(
+      () => d.select(explode(col("tk")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("u"))
+        .materialized,
+      // ALL pair counts, materialized once (vocab²-bounded): M must be the
+      // total bigram mass — summing it after the support filter would
+      // inflate every PMI — and the checkpoint lets the tiny M aggregate
+      // and the supported-pair join both read this table instead of
+      // re-running the corpus explode (x24's lineage-cut pattern).
+      () => docBigrams(spark, dir)
+        .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("b"))
+        .materialized)
     val totals = uni.agg(sum(col("u")).as("n_tokens"))
       .crossJoin(pairsAll.agg(sum(col("b")).as("m")))
     pairsAll.filter(col("b") >= 5)
