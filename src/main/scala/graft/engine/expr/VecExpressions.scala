@@ -120,6 +120,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[LcpCount].getName, "lcp_count"),
       (args: Seq[Expression]) => LcpCount(args(0), args(1))))
     e.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+    e.injectFunction((
       FunctionIdentifier("token_stats"),
       new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
       (args: Seq[Expression]) => TokenStats(args(0))))

@@ -93,6 +93,48 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------- sorted_intersect_count (x119)
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted input") {
+    import spark.implicits._
+    // edge cases, sorted through the same sort_array the product site uses:
+    // duplicates (distinct-count semantics), disjoint, empty sides, null
+    // elements (match iff both sides hold one, counted once)
+    val cases = Seq(
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](2L, 3L, 4L)),
+      (Seq[java.lang.Long](1L, 1L, 2L), Seq[java.lang.Long](1L, 1L, 1L)),
+      (Seq[java.lang.Long](5L), Seq[java.lang.Long](7L)),
+      (Seq.empty[java.lang.Long], Seq[java.lang.Long](1L)),
+      (Seq.empty[java.lang.Long], Seq.empty[java.lang.Long]),
+      (Seq[java.lang.Long](null, 1L, 2L), Seq[java.lang.Long](null, 2L)),
+      (Seq[java.lang.Long](null, 1L), Seq[java.lang.Long](2L, 3L))
+    ).toDF("ra", "rb")
+      .select(sort_array(col("ra")).as("a"), sort_array(col("rb")).as("b"))
+    // the real x119 grain: adjacency arrays of the part co-purchase graph,
+    // self-joined so every row compares two genuine sorted neighbor lists
+    val li = graft.engine.Tables.lineitem(spark, sfSmoke)
+      .select("l_orderkey", "l_partkey")
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+      .distinct()
+    val adj = edges.groupBy("u")
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val corpus = adj.select(col("nbrs").as("a")).limit(60)
+      .crossJoin(adj.select(col("nbrs").as("b")).limit(60))
+    for (df <- Seq(cases, corpus)) {
+      val rows = df.select(
+        call_function("sorted_intersect_count", col("a"), col("b"))
+          .as("native"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) === r.getLong(1),
+        s"intersect-count mismatch: $r"))
+    }
+  }
+
   // ------------------------------------------------- dedup confirm prune
 
   test("bandedPairs pruneConfirm=true is row-identical to the unpruned form") {
