@@ -120,6 +120,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[LcpCount].getName, "lcp_count"),
       (args: Seq[Expression]) => LcpCount(args(0), args(1))))
     e.injectFunction((
+      FunctionIdentifier("intersect_count"),
+      new ExpressionInfo(classOf[IntersectCount].getName, "intersect_count"),
+      (args: Seq[Expression]) => IntersectCount(args(0), args(1))))
+    e.injectFunction((
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(
         classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
